@@ -1,0 +1,119 @@
+"""Elementwise & per-slice apply (reference: cubes/apply.py — SURVEY.md §2.6).
+
+``apply`` with a callback built from our scalar processes compiles to a pure
+Column expression — Catalyst fuses it into the surrounding stage (whole-stage
+codegen), which is the 10-100× over row-at-a-time Python the reference can't
+get. ``apply_dimension`` with arbitrary shape-changing callbacks is the
+pandas path (`applyInPandas`, Arrow-batched) — the documented slow lane.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_spark.core import process
+from openeo_processes_dask_spark.cube import DataCube
+
+
+@process
+def apply(data: DataCube, process: Callable, context=None) -> DataCube:  # noqa: A002
+    """Unary elementwise callback over every cell
+    (reference: cubes/apply.py:24-39, xr.apply_ufunc)."""
+    col = F.col(data.value_col)
+    out = process(col, context=context) if _accepts_context(process) else process(col)
+    if not isinstance(out, Column):
+        raise TypeError(
+            "apply callback must build a Column expression; use "
+            "apply_dimension(applyInPandas) for arbitrary Python"
+        )
+    return data.with_df(data.df.withColumn(data.value_col, out))
+
+
+def _accepts_context(fn: Callable) -> bool:
+    import inspect
+
+    try:
+        return "context" in inspect.signature(fn).parameters
+    except (TypeError, ValueError):
+        return False
+
+
+@process
+def apply_dimension(
+    data: DataCube,
+    process: Callable,  # noqa: A002
+    dimension: str,
+    target_dimension: Optional[str] = None,
+    context=None,
+    preserves_labels: bool = True,
+) -> DataCube:
+    """Apply a callback to whole 1-D slices along ``dimension``
+    (reference: cubes/apply.py:42-128).
+
+    ``process`` receives a pandas Series of values ordered by the dim labels
+    (plus the labels as the Series index) and returns a Series. If the
+    callback changes length, labels become 0..n-1 (the reference's ``arange``
+    fallback, reference: apply.py:103) — declare that with
+    ``preserves_labels=False`` so the output schema is known up front
+    (applyInPandas schemas are static).
+
+    Plan shape: one shuffle keyed by the non-applied dims, then Arrow-batched
+    pandas per group. Group sizes are |dim| rows — bounded, executor-safe.
+    """
+    dim = data.assert_dim(dimension)
+    keep = data.other_dims(dim)
+    out_dim = target_dimension or dim
+
+    df = data.df
+    dim_field = df.schema[dim]
+    value_field = df.schema[data.value_col]
+    if preserves_labels:
+        out_dim_type = dim_field.dataType.simpleString()
+    else:
+        out_dim_type = "bigint"  # arange labels
+    schema = ", ".join(
+        [f"`{k}` {df.schema[k].dataType.simpleString()}" for k in keep]
+        + [f"`{out_dim}` {out_dim_type}", f"`{data.value_col}` double"]
+    )
+
+    value_col, n_keep = data.value_col, len(keep)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(dim)
+        series = pd.Series(pdf[value_col].values, index=pdf[dim].values)
+        result = process(series, context=context) if _accepts_context(process) else process(series)
+        result = pd.Series(result)
+        out = pd.DataFrame(
+            {
+                out_dim: pdf[dim].values[: len(result)]
+                if preserves_labels
+                else range(len(result)),
+                value_col: result.values.astype("float64"),
+            }
+        )
+        for k in keep:
+            out.insert(0, k, pdf[k].iloc[0])
+        return out[[*keep, out_dim, value_col]]
+
+    if keep:
+        out_df = df.groupBy(*keep).applyInPandas(run, schema=schema)
+    else:
+        out_df = df.groupBy(F.lit(1).alias("__g__")).applyInPandas(
+            run, schema=schema
+        )
+
+    new_dims = tuple(out_dim if d == dim else d for d in data.meta.dims)
+    roles = {d: data.meta.role_of(d) for d in keep}
+    roles[out_dim] = "other" if not preserves_labels else data.meta.role_of(dim)
+    return DataCube(
+        out_df.select(*new_dims, data.value_col),
+        dims=new_dims,
+        value_col=data.value_col,
+        roles=roles,
+        crs=data.meta.crs,
+        attrs=data.meta.attrs,
+    )

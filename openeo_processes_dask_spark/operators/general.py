@@ -1,0 +1,162 @@
+"""Cube metadata / dimension-management ops (reference: cubes/general.py —
+SURVEY.md §2.11). Mostly metadata rewrites; the data-touching ones
+(trim_cube) stay single-pass aggregations."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_spark.core import process
+from openeo_processes_dask_spark.cube import CubeMeta, DataCube, DimensionNotAvailable
+
+
+class DimensionLabelCountMismatch(Exception):
+    pass
+
+
+class DimensionAlreadyExists(Exception):
+    pass
+
+
+@process
+def create_data_cube(spark: Optional[SparkSession] = None) -> DataCube:
+    """Empty cube (reference: cubes/general.py:38-39)."""
+    spark = spark or SparkSession.getActiveSession()
+    df = spark.createDataFrame([], "value double")
+    return DataCube(df, dims=())
+
+
+@process
+def add_dimension(
+    data: DataCube, name: str, label, type: str = "other"  # noqa: A002
+) -> DataCube:
+    """Add a size-1 dimension (reference: cubes/general.py:72-100) —
+    a constant column plus a role registration (the reference's
+    ``add_dim_type``, cubes/_xr_interop.py:111-126)."""
+    if name in data.meta.dims:
+        raise DimensionAlreadyExists(f"Dimension {name} already exists")
+    df = data.df.withColumn(name, F.lit(label))
+    roles = {**data.meta.roles, name: type}
+    return DataCube(
+        df.select(*data.meta.dims, name, data.value_col),
+        dims=(*data.meta.dims, name),
+        value_col=data.value_col,
+        roles=roles,
+        crs=data.meta.crs,
+        attrs=data.meta.attrs,
+    )
+
+
+@process
+def drop_dimension(data: DataCube, name: str) -> DataCube:
+    """Drop a dimension; errors if it has more than one label
+    (reference: cubes/general.py:26-35). The label-count check is a real
+    (cheap) action — ``distinct().limit(2)`` short-circuits the scan."""
+    data.assert_dim(name)
+    n = data.df.select(name).distinct().limit(2).count()
+    if n > 1:
+        raise DimensionLabelCountMismatch(
+            f"Cannot drop dimension {name} with more than one label"
+        )
+    keep = data.other_dims(name)
+    return DataCube(
+        data.df.drop(name),
+        dims=tuple(keep),
+        value_col=data.value_col,
+        roles={d: data.meta.role_of(d) for d in keep},
+        crs=data.meta.crs,
+        attrs=data.meta.attrs,
+    )
+
+
+@process
+def dimension_labels(data: DataCube, dimension: str):
+    """Distinct sorted labels of a dim (reference: cubes/general.py:59-69).
+    Returns a 1-column DataFrame (collect at the call site if needed)."""
+    dim = data.assert_dim(dimension)
+    return data.df.select(dim).distinct().orderBy(dim)
+
+
+@process
+def rename_dimension(data: DataCube, source: str, target: str) -> DataCube:
+    """(reference: cubes/general.py:103-147)"""
+    data.assert_dim(source)
+    if target in data.meta.dims:
+        raise DimensionAlreadyExists(f"Dimension {target} already exists")
+    df = data.df.withColumnRenamed(source, target)
+    dims = tuple(target if d == source else d for d in data.meta.dims)
+    roles = {
+        (target if d == source else d): r for d, r in data.meta.roles.items()
+    }
+    # preserve the guessed role of the source under the new name
+    roles.setdefault(target, data.meta.role_of(source))
+    return DataCube(
+        df,
+        dims=dims,
+        value_col=data.value_col,
+        roles=roles,
+        crs=data.meta.crs,
+        attrs=data.meta.attrs,
+    )
+
+
+@process
+def rename_labels(
+    data: DataCube, dimension: str, target: Sequence, source: Optional[Sequence] = None
+) -> DataCube:
+    """Map dim labels source[i] -> target[i]
+    (reference: cubes/general.py:150-222). Compiles to a literal CASE chain
+    (equivalently a broadcast map-join without the join)."""
+    dim = data.assert_dim(dimension)
+    if source is not None and len(source) != len(target):
+        raise DimensionLabelCountMismatch(
+            f"LabelMismatch: {len(source)} source vs {len(target)} target labels"
+        )
+    col = F.col(dim)
+    if source is None:
+        raise NotImplementedError(
+            "Enumerated-label fallback (LabelsNotEnumerated, reference "
+            "general.py:199-210) requires ordered labels; pass source "
+            "explicitly in long format"
+        )
+    expr = None
+    for s, tgt in zip(source, target):
+        expr = F.when(col == s, F.lit(tgt)) if expr is None else expr.when(
+            col == s, F.lit(tgt)
+        )
+    expr = expr.otherwise(col)
+    return data.with_df(data.df.withColumn(dim, expr))
+
+
+@process
+def trim_cube(data: DataCube) -> DataCube:
+    """Drop labels that are all-NULL along every non-spatial dim
+    (reference: cubes/general.py:42-56). One aggregation per trimmed dim,
+    each producing a tiny label set that broadcast-semi-joins back."""
+    df = data.df
+    v = F.col(data.value_col)
+    for dim in data.meta.dims:
+        if data.meta.role_of(dim) in ("x", "y"):
+            continue
+        keep_labels = (
+            data.df.groupBy(dim)
+            .agg(F.max(v.isNotNull()).alias("__any__"))
+            .where(F.col("__any__"))
+            .select(dim)
+        )
+        df = df.join(F.broadcast(keep_labels), on=dim, how="left_semi")
+    return data.with_df(df)
+
+
+@process
+def inspect(data: DataCube, message: str = "", code: str = "User", level: str = "info"):
+    """Log and pass through unchanged (reference: cubes/inspect.py:9-29)."""
+    import logging
+
+    logging.getLogger("openeo_processes_dask_spark").log(
+        getattr(logging, level.upper(), logging.INFO), "%s [%s]: %s", code, level, message
+    )
+    return data

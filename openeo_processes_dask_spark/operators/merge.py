@@ -1,0 +1,149 @@
+"""merge_cubes — the reference's only join-like operator
+(reference: cubes/merge.py:54-295 — SURVEY.md §2.3).
+
+The reference's four-case analysis survives as *semantic* case analysis;
+the *physical* side (its hand-rolled rechunking, merge.py:98-100,192-196)
+is deleted: every case lowers to a relational join on dim columns and
+Catalyst/AQE picks broadcast-hash vs sort-merge. The differing-dims case
+joins on the shared dims only — Spark broadcasts the small (lower-dim) side,
+which is exactly the reference's xarray broadcast (merge.py:245-291) without
+the memory blow-up.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_spark.core import REGISTRY, process
+from openeo_processes_dask_spark.cube import DataCube
+
+
+class OverlapResolverMissing(Exception):
+    pass
+
+
+def _resolve_binary(resolver: Union[str, Callable, None]) -> Optional[Callable]:
+    if resolver is None:
+        return None
+    if callable(resolver):
+        return resolver
+    if resolver in REGISTRY:
+        return REGISTRY[resolver]
+    raise KeyError(f"Unknown overlap_resolver {resolver!r}")
+
+
+def _label_sets(cube: DataCube, dims) -> dict[str, frozenset]:
+    """Distinct labels per dim. Label cardinality ≪ cell count (dims are the
+    cube axes), so these collects are metadata-sized even at 100 TB — the
+    same information xarray keeps eagerly in ``coords``."""
+    out = {}
+    for d in dims:
+        rows = cube.df.select(d).distinct().collect()
+        out[d] = frozenset(r[0] for r in rows)
+    return out
+
+
+@process
+def merge_cubes(
+    cube1: DataCube,
+    cube2: DataCube,
+    overlap_resolver: Union[str, Callable, None] = None,
+    context=None,
+) -> DataCube:
+    resolver = _resolve_binary(overlap_resolver)
+    dims1, dims2 = set(cube1.meta.dims), set(cube2.meta.dims)
+    v = cube1.value_col
+
+    if dims1 == dims2:
+        labels1 = _label_sets(cube1, cube1.meta.dims)
+        labels2 = _label_sets(cube2, cube1.meta.dims)
+        differing = [d for d in cube1.meta.dims if labels1[d] != labels2[d]]
+        if len(differing) > 1:
+            # reference: merge.py:240-243
+            raise ValueError(
+                f"More than one overlapping dimension ({differing}), "
+                "merge not possible"
+            )
+        if not differing:
+            if resolver is None:
+                # Case 1 (reference: merge.py:91-104): concat along a new
+                # "cubes" dimension.
+                from openeo_processes_dask_spark.operators.general import (
+                    add_dimension,
+                )
+
+                c1 = add_dimension(cube1, "cubes", "cube1", type="other")
+                c2 = add_dimension(cube2, "cubes", "cube2", type="other")
+                return c1.with_df(c1.df.unionByName(c2.df))
+            # Case 2 (reference: merge.py:106-120): elementwise resolver via
+            # full equi-join on all dims.
+            join_dims = list(cube1.meta.dims)
+            df = cube1.df.join(
+                cube2.df.withColumnRenamed(v, "__v2__"), on=join_dims, how="inner"
+            )
+            merged = resolver(F.col(v), F.col("__v2__"))
+            return cube1.with_df(
+                df.withColumn(v, merged).select(*join_dims, v)
+            )
+        # Case 3 (reference: merge.py:121-243): same dims, labels differ in
+        # exactly one dim -> full outer join; overlap resolved elementwise,
+        # non-overlap unioned (xarray combine_by_coords).
+        overlap = labels1[differing[0]] & labels2[differing[0]]
+        if overlap and resolver is None:
+            raise OverlapResolverMissing(
+                f"Overlapping labels on {differing[0]} need an overlap_resolver"
+            )
+        join_dims = list(cube1.meta.dims)
+        df = cube1.df.withColumnRenamed(v, "__v1__").join(
+            cube2.df.withColumnRenamed(v, "__v2__"), on=join_dims, how="full_outer"
+        )
+        both = F.col("__v1__").isNotNull() & F.col("__v2__").isNotNull()
+        merged = (
+            F.when(both, resolver(F.col("__v1__"), F.col("__v2__")))
+            if resolver is not None
+            else F.lit(None)
+        )
+        value = (
+            merged.otherwise(F.coalesce(F.col("__v1__"), F.col("__v2__")))
+            if resolver is not None
+            else F.coalesce(F.col("__v1__"), F.col("__v2__"))
+        )
+        return cube1.with_df(
+            df.withColumn(v, value).select(*join_dims, v)
+        )
+
+    # Case 4 (reference: merge.py:245-291): differing dims (≤2 extra), the
+    # lower-dim cube broadcasts across the extra dims of the higher-dim one.
+    if dims2 <= dims1:
+        hi, lo = cube1, cube2
+    elif dims1 <= dims2:
+        hi, lo = cube2, cube1
+    else:
+        raise ValueError(
+            f"Can't merge cubes with dims {dims1} vs {dims2}: neither is a "
+            "subset of the other"
+        )
+    extra = set(hi.meta.dims) - set(lo.meta.dims)
+    if len(extra) > 2:
+        # reference: merge.py:292-293
+        raise ValueError(f"Too many differing dimensions: {extra}")
+    if resolver is None:
+        raise OverlapResolverMissing(
+            "Merging cubes with differing dimensions requires an overlap_resolver"
+        )
+    shared = [d for d in hi.meta.dims if d in set(lo.meta.dims)]
+    df = hi.df.join(
+        F.broadcast(lo.df.withColumnRenamed(lo.value_col, "__v2__")),
+        on=shared,
+        how="left",
+    )
+    x, y = (F.col(v), F.col("__v2__"))
+    if hi is cube2:
+        x, y = y, x  # keep operand order = (cube1, cube2)
+    merged = resolver(x, y)
+    return hi.with_df(
+        df.withColumn(hi.value_col, merged).select(*hi.meta.dims, hi.value_col)
+    )

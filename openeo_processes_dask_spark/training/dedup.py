@@ -1,0 +1,266 @@
+"""Deduplication at corpus scale: exact, n-gram Jaccard, MinHash+LSH,
+SimHash.
+
+Shuffle topology is the whole game at 100 TB:
+- exact dedup: one hash-groupBy on a 32-char digest (not the full text) —
+  the shuffle carries digests, not documents.
+- Jaccard / MinHash-LSH: candidate generation via an equi-join on
+  shingle/band keys (never an O(n²) cross join); verification only touches
+  candidate pairs. ``id1 < id2`` halves the pair space.
+- SimHash: 64-bit signature per doc, candidates via banded key join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_spark.training.textanalysis import shingles, tokens
+
+# Mersenne prime 2^61 - 1: the classic universal-hash modulus
+_P = (1 << 61) - 1
+
+
+def _md5_to_long(col):
+    """First 15 hex chars of md5 -> bigint in [0, 16^15). Reproducible in
+    any engine with md5 + hex parsing (the DuckDB oracle uses the same
+    construction), unlike engine-private hash functions."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group by content digest; keep the min id as canonical.
+    Returns (keep_id, n_copies, fingerprint)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return (
+        df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over candidate pairs that share ≥1 shingle.
+
+    Plan: explode distinct shingles → self-equi-join on shingle (the only
+    shuffle, keyed by shingle digest) → count intersections per pair →
+    |A∪B| = |A|+|B|-|A∩B|. Returns (id1, id2, jaccard) with id1 < id2.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
+        )
+        # hash the shingle so the shuffle key is 8 bytes, not the n-gram text
+        .select("id", _md5_to_long(F.col("sh")).alias("shk"))
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shk") == F.col("b.shk")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
+    sz2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(sz1, "id1")
+        .join(sz2, "id2")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per document: h_i(s) = (a_i·x + b_i) mod p over the
+    shingle digests x, min-reduced per hash function.
+
+    All vectorized inside one projection: the num_hashes permutations are
+    computed with ``transform`` over a literal (a, b) array — no Python, no
+    extra shuffle; the groupBy(min) is the only exchange.
+    Coefficients are seeded LCG-style literals so runs are reproducible.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)]
+
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
+    ).select("id", _md5_to_long(F.col("sh")).alias("x"))
+    # (a*x + b) mod p per hash fn; pmod keeps it in [0, p)
+    hash_cols = [
+        F.min(F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(_P))).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    agg = sh.groupBy("id").agg(*hash_cols)
+    return agg.select(
+        "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and equi-join on (band_idx, band_hash) — the
+    LSH trick that replaces the O(n²) comparison with a shuffle keyed by
+    band buckets. Returns distinct candidate (id1, id2) pairs."""
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.hash(
+                        F.slice(
+                            F.col("signature"), bi * rows_per_band + 1, rows_per_band
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash+LSH pipeline: signatures → banded candidates → estimated
+    Jaccard (signature agreement) filter. Returns (id1, id2, est_jaccard)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    cands = minhash_lsh_candidates(sigs, bands, rows_per_band)
+    s1 = sigs.select(F.col("id").alias("id1"), F.col("signature").alias("sig1"))
+    s2 = sigs.select(F.col("id").alias("id2"), F.col("signature").alias("sig2"))
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig1"), F.col("sig2"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        cands.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id1", "id2", "est_jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document: per-token md5-derived hash, bitwise
+    weighted vote, sign → bit. Pure expressions via transform/aggregate."""
+    toks = tokens(F.lower(F.col(text_col)))
+    tok_hashes = F.transform(toks, _md5_to_long)
+    # votes[b] = sum over tokens of (bit b set ? +1 : -1)
+    votes = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda b: F.aggregate(
+            tok_hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b.cast("int")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("bigint"), b.cast("int"))).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate pairs via banded 16-bit chunks of the 64-bit signature
+    (pigeonhole: hamming ≤ 3 ⇒ some band of 4 is identical), verified with
+    an exact popcount. Returns (id1, id2, hamming)."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    band_bits = 64 // bands
+    mask = (1 << band_bits) - 1
+    banded = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.shiftright(F.col("simhash"), (bi * band_bits).cast("int"))
+                    .bitwiseAND(F.lit(mask))
+                    .alias("chunk"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", F.col("bb.band"), F.col("bb.chunk"))
+    a, b = banded.alias("a"), banded.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    hamming = F.bit_count(xor)
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k — a single scan with a JVM-side
+``aggregate``/``zip_with`` dot product against a broadcast-literal query
+vector, then a top-k (TakeOrdered, no full sort).
+
+Scale path: random-hyperplane LSH — bucketed candidates via an equi-join on
+(table, bucket signature), so a 100 TB ANN query only scans matching
+buckets; IVF-style coarse quantization would slot into the same shape.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot_lit(vec_col, query: Sequence[float]):
+    """dot(embedding, literal query) as a pure expression (JVM-side)."""
+    q = F.array(*[F.lit(float(v)) for v in query])
+    return F.aggregate(
+        F.zip_with(vec_col.cast("array<double>"), q, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(vec_col):
+    return F.sqrt(
+        F.aggregate(
+            vec_col.cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: exact baseline. orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition heaps, only k rows shuffle."""
+    qn = float(np.sqrt(np.dot(query, query)))
+    sim = _dot_lit(F.col(vec_col), query) / (_norm(F.col(vec_col)) * F.lit(qn))
+    return (
+        df.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes for sign-LSH."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_expr(vec_col, planes: np.ndarray):
+    """Sign signature -> bigint bucket id, as one expression."""
+    bits = [
+        F.when(_dot_lit(vec_col, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, plane in enumerate(planes)
+    ]
+    out = F.lit(0).cast("bigint")
+    for b in bits:
+        out = out.bitwiseOR(b.cast("bigint"))
+    return out
+
+
+def lsh_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only rows whose LSH bucket matches the
+    query's (single-probe). At scale the bucket column is precomputed and
+    the table partitioned by it → partition-pruned scan instead of full."""
+    query = [float(v) for v in query]
+    planes = random_hyperplanes(len(query), n_planes, seed)
+    qsig = 0
+    for i, plane in enumerate(planes):
+        if float(np.dot(plane, query)) > 0:
+            qsig |= 1 << i
+    bucket = lsh_bucket_expr(F.col(vec_col), planes)
+    candidates = df.where(bucket == F.lit(qsig))
+    return cosine_topk(candidates, query, k, id_col, vec_col)
+
+
+def pairwise_cosine_above(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH-bucket equi-join (the shuffle is
+    keyed by bucket, never all-pairs), exact cosine verify, id1 < id2."""
+    planes = random_hyperplanes(
+        df.select(F.size(vec_col)).first()[0], n_planes, seed
+    )
+    with_bucket = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    a, b = with_bucket.alias("a"), with_bucket.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.v").cast("array<double>"),
+            F.col("b.v").cast("array<double>"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,148 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language ID, document fingerprinting.
+
+Everything here is pure Spark SQL expressions (codegen, no Python), so a
+100 TB corpus pass is a single scan with map-side-only work — no shuffle at
+all for per-document scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_spark.core import process
+
+# language marker words (synthetic-corpus-friendly heuristic; the point is a
+# deterministic, SQL-expressible n-gram/stopword vote, not linguistics)
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "nicht", "das"],
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "los", "que", "y"],
+    "fr": ["le", "les", "des", "et", "est"],
+    "zh": ["de", "shi", "le", "bu", "wo"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty string -> empty array."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+@process
+def token_count(text: Column) -> Column:
+    """Whitespace token count (BPE-ish refinement: punctuation splits are
+    already whitespace-separated in this corpus)."""
+    return F.size(tokens(text))
+
+
+@process
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+@process
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^\w\s]", "")
+    return (F.length(text) - F.length(stripped)) / F.greatest(
+        F.length(text), F.lit(1)
+    )
+
+
+@process
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(F.lower(text))
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS)))
+    return n_stop / F.greatest(F.size(toks), F.lit(1))
+
+
+@process
+def mean_word_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+@process
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + word-length band +
+    low punctuation + some stopwords (C4/Gopher-rule flavored)."""
+    n_tok = token_count(text).cast("double")
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    mwl = mean_word_length(text)
+    mwl_ok = F.when((mwl >= 2) & (mwl <= 12), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(text) <= 0.2, 1.0).otherwise(0.0)
+    stop_ok = F.when(stopword_ratio(text) >= 0.01, 1.0).otherwise(0.0)
+    return (len_ok + mwl_ok + punct_ok + stop_ok) / F.lit(4.0)
+
+
+@process
+def language_id(text: Column) -> Column:
+    """Marker-word vote; argmax with lexicographic tie-break (deterministic,
+    replicable in ANSI SQL for the oracle)."""
+    toks = tokens(F.lower(text))
+    scores = [
+        F.struct(
+            F.size(F.filter(toks, lambda w, ms=markers: w.isin(ms))).alias("score"),
+            # negative-lexicographic tie-break: greatest() picks the max
+            # struct, so invert the lang ordering via a fixed rank
+            F.lit(-i).alias("rank"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, (lang, markers) in enumerate(sorted(LANG_MARKERS.items()))
+    ]
+    return F.greatest(*scores).getField("lang")
+
+
+@process
+def doc_fingerprint(text: Column) -> Column:
+    """Whole-document fingerprint: md5 of whitespace-normalized lowercase
+    text. Stable across runs/engines (md5 exists in Spark and DuckDB)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def shingles(text: Column, n: int = 5) -> Column:
+    """Word n-gram shingles as strings (empty array when < n tokens)."""
+    toks = tokens(F.lower(text))
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+@process
+def min_shingle_fingerprint(text: Column, n: int = 5) -> Column:
+    """Winnowing-flavored fingerprint: lexicographic min of the md5s of the
+    word n-gram shingles (falls back to the whole-doc fingerprint for short
+    docs). One expression, no shuffle."""
+    sh = shingles(text, n)
+    return F.coalesce(
+        F.array_min(F.transform(sh, F.md5)), doc_fingerprint(text)
+    )
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: attach all per-document scores in one projection."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        char_count(t).alias("n_chars_computed"),
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        mean_word_length(t).alias("mean_word_len"),
+        quality_score(t).alias("quality"),
+        language_id(t).alias("lang_pred"),
+        doc_fingerprint(t).alias("fingerprint"),
+    )
