@@ -1,0 +1,85 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Headline set = the flagship pipeline + one representative per operator
+family (scan+filter, groupBy-agg, calendar agg, join, window, dedup,
+similarity). Heavy pathological-corpus queries (exact n-gram jaccard) are
+correctness-only and excluded from the headline timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import SparkSession
+
+HEADLINE = [
+    "flagship_daily_mean",
+    "filter_temporal",
+    "reduce_mean_over_time",
+    "aggregate_dekad",
+    "merge_multiply",
+    "mask_high_discount",
+    "cumsum",
+    "interpolate_gaps",
+    "dedup_exact",
+    "minhash_near_dups",
+    "simhash_near_dups",
+    "text_quality",
+    "cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("openeo-processes-dask-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    timings: dict[str, float] = {}
+    # warm-up: JIT/codegen + parquet footer caches on a cheap query, so the
+    # first headline number isn't dominated by JVM warmup
+    qs["filter_temporal"](spark, sf_dir).count()
+
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        # count() forces full execution without driver-side materialization
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -227,7 +227,9 @@ def array_interpolate_linear(data: DataCube, dimension: str) -> DataCube:
     next_p = F.first(F.when(v.isNotNull(), F.col("__pos__")), ignorenulls=True).over(
         after
     )
-    frac = (F.col("__pos__") - prev_p) / (next_p - prev_p)
+    # try_divide: duplicate labels make next_p == prev_p; under ANSI mode a
+    # plain / would error the whole job instead of yielding NULL
+    frac = F.try_divide(F.col("__pos__") - prev_p, next_p - prev_p)
     interp = prev_v + frac * (next_v - prev_v)
     filled = F.when(v.isNotNull(), v).otherwise(
         F.when(prev_v.isNotNull() & next_v.isNotNull(), interp)

@@ -15,10 +15,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from openeo_processes_dask_spark.training.textanalysis import shingles, tokens
+from openeo_processes_dask_spark.training.textanalysis import (
+    shingles_from_tokens,
+    tokens,
+)
 
-# Mersenne prime 2^61 - 1: the classic universal-hash modulus
-_P = (1 << 61) - 1
+# Mersenne prime 2^31 - 1: universal-hash modulus. Kept at 31 bits so
+# (a*x + b) with a, x < p stays under 2^63 — no overflow under ANSI mode.
+_P = (1 << 31) - 1
 
 
 def _md5_to_long(col):
@@ -55,10 +59,17 @@ def ngram_jaccard_pairs(
     shuffle, keyed by shingle digest) → count intersections per pair →
     |A∪B| = |A|+|B|-|A∩B|. Returns (id1, id2, jaccard) with id1 < id2.
     """
+    # tokens materialized first — see shingles_from_tokens perf contract
     sh = (
         df.select(
             F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
+            tokens(F.lower(F.col(text_col))).alias("toks"),
+        )
+        .select(
+            "id",
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("toks"), n))
+            ).alias("sh"),
         )
         # hash the shingle so the shuffle key is 8 bytes, not the n-gram text
         .select("id", _md5_to_long(F.col("sh")).alias("shk"))
@@ -105,10 +116,19 @@ def minhash_signatures(
     rnd = random.Random(seed)
     coeffs = [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)]
 
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
-    ).select("id", _md5_to_long(F.col("sh")).alias("x"))
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            tokens(F.lower(F.col(text_col))).alias("toks"),
+        )
+        .select(
+            "id",
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("toks"), n))
+            ).alias("sh"),
+        )
+        .select("id", F.pmod(_md5_to_long(F.col("sh")), F.lit(_P)).alias("x"))
+    )
     # (a*x + b) mod p per hash fn; pmod keeps it in [0, p)
     hash_cols = [
         F.min(F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(_P))).alias(f"h{i}")
@@ -168,7 +188,11 @@ def minhash_near_duplicates(
     """Full MinHash+LSH pipeline: signatures → banded candidates → estimated
     Jaccard (signature agreement) filter. Returns (id1, id2, est_jaccard)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    # persist: the signature table feeds candidate generation AND both sides
+    # of the verification join — without it the shingle explode + 64-way
+    # min-aggregate recomputes 4×. (At cluster scale you'd write signatures
+    # to a table instead.)
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed).persist()
     cands = minhash_lsh_candidates(sigs, bands, rows_per_band)
     s1 = sigs.select(F.col("id").alias("id1"), F.col("signature").alias("sig1"))
     s2 = sigs.select(F.col("id").alias("id2"), F.col("signature").alias("sig2"))
@@ -190,32 +214,36 @@ def minhash_near_duplicates(
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, bits: int = 64
 ) -> DataFrame:
-    """64-bit SimHash per document: per-token md5-derived hash, bitwise
-    weighted vote, sign → bit. Pure expressions via transform/aggregate."""
-    toks = tokens(F.lower(F.col(text_col)))
-    tok_hashes = F.transform(toks, _md5_to_long)
-    # votes[b] = sum over tokens of (bit b set ? +1 : -1)
-    votes = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda b: F.aggregate(
-            tok_hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b.cast("int")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        ),
+    """SimHash per document: per-token md5-derived hash, bitwise weighted
+    vote, sign → bit (60 usable bits from the 15-hex digest).
+
+    Plan shape matters here: explode tokens → hash each token ONCE →
+    ``bits`` plain sum-aggregates in a single hash aggregate. The obvious
+    alternative (array ``aggregate`` lambdas per bit) is interpreted, not
+    codegen'd, and re-inlines the md5 per bit — measured ~100× slower.
+    Docs with zero tokens produce no signature (nothing to vote)."""
+    bits = min(bits, 60)
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("w"),
+    ).select("id", _md5_to_long(F.col("w")).alias("h"))
+    h = F.col("h")
+    votes = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
     )
-    sig = F.aggregate(
-        F.zip_with(
-            votes,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("bigint"), b.cast("int"))).otherwise(
-                F.lit(0).cast("bigint")
-            ),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
-    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+    sig = F.lit(0).cast("bigint")
+    for b in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+    return votes.select("id", sig.alias("simhash"))
 
 
 def simhash_near_duplicates(
@@ -228,21 +256,26 @@ def simhash_near_duplicates(
     """Candidate pairs via banded 16-bit chunks of the 64-bit signature
     (pigeonhole: hamming ≤ 3 ⇒ some band of 4 is identical), verified with
     an exact popcount. Returns (id1, id2, hamming)."""
-    sigs = simhash_signatures(df, id_col, text_col)
+    # persist: both sides of the banded self-join read the signatures
+    sigs = simhash_signatures(df, id_col, text_col).persist()
     band_bits = 64 // bands
     mask = (1 << band_bits) - 1
+    # bands unrolled in Python: shiftright's shift amount must be a Python
+    # int in the PySpark API
     banded = sigs.select(
         "id",
         "simhash",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.struct(
-                    bi.alias("band"),
-                    F.shiftright(F.col("simhash"), (bi * band_bits).cast("int"))
-                    .bitwiseAND(F.lit(mask))
-                    .alias("chunk"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright(F.col("simhash"), bi * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for bi in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select("id", "simhash", F.col("bb.band"), F.col("bb.chunk"))

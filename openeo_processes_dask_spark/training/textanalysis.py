@@ -54,10 +54,21 @@ def punct_ratio(text: Column) -> Column:
     )
 
 
+def _in_list(word: Column, words: list[str]) -> Column:
+    """Membership test usable inside higher-order-function lambdas.
+
+    ``Column.isin`` inside an ``F.filter`` lambda hits a Spark type-coercion
+    bug (the lambda variable coerces the IN list to BIGINT and the cast
+    blows up under ANSI) — ``array_contains`` against a literal array
+    resolves types correctly and stays codegen'd.
+    """
+    return F.array_contains(F.array(*[F.lit(w) for w in words]), word)
+
+
 @process
 def stopword_ratio(text: Column) -> Column:
     toks = tokens(F.lower(text))
-    n_stop = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS)))
+    n_stop = F.size(F.filter(toks, lambda w: _in_list(w, STOPWORDS)))
     return n_stop / F.greatest(F.size(toks), F.lit(1))
 
 
@@ -88,9 +99,16 @@ def language_id(text: Column) -> Column:
     """Marker-word vote; argmax with lexicographic tie-break (deterministic,
     replicable in ANSI SQL for the oracle)."""
     toks = tokens(F.lower(text))
+
+    # NB: a `lambda w, ms=markers:` default-arg closure breaks here —
+    # PySpark's higher-order-function wrapper introspects the signature and
+    # binds a lambda variable per parameter, so `ms` would become a Column.
+    def marker_filter(ms):
+        return lambda w: _in_list(w, ms)
+
     scores = [
         F.struct(
-            F.size(F.filter(toks, lambda w, ms=markers: w.isin(ms))).alias("score"),
+            F.size(F.filter(toks, marker_filter(markers))).alias("score"),
             # negative-lexicographic tie-break: greatest() picks the max
             # struct, so invert the lang ordering via a fixed rank
             F.lit(-i).alias("rank"),
@@ -109,9 +127,15 @@ def doc_fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
-def shingles(text: Column, n: int = 5) -> Column:
-    """Word n-gram shingles as strings (empty array when < n tokens)."""
-    toks = tokens(F.lower(text))
+def shingles_from_tokens(toks: Column, n: int = 5) -> Column:
+    """Word n-gram shingles from an ALREADY-MATERIALIZED token array column.
+
+    Performance contract: ``toks`` must be a plain column reference, not an
+    inline ``split(...)`` expression — Spark re-evaluates lambda-captured
+    subexpressions per array element, turning an inlined split into
+    O(tokens²) regex work per document (measured ~30× slowdown on the
+    documents table). Materialize tokens with a select first.
+    """
     k = F.size(toks) - (n - 1)
     return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -119,6 +143,13 @@ def shingles(text: Column, n: int = 5) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         )
     )
+
+
+def shingles(text: Column, n: int = 5) -> Column:
+    """Word n-gram shingles as strings (empty array when < n tokens).
+    Prefer tokenizing into a materialized column + ``shingles_from_tokens``
+    in hot paths (see its performance contract)."""
+    return shingles_from_tokens(tokens(F.lower(text)), n)
 
 
 @process
