@@ -64,6 +64,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _read_parquet_nanosafe(spark, f"{sf_dir}/{name}.parquet")
 
 
+def nan_to_null(df: DataFrame, *cols: str) -> DataFrame:
+    """Normalize NaN → NULL on ingest. The engine's nodata is SQL NULL
+    (functions/__init__.py); sources that encode missing values as NaN
+    (pandas exports, the reference's own convention) must pass through this
+    at the boundary, or isNull-based operators will treat NaN as valid."""
+    for c in cols or [f.name for f in df.schema if f.dataType.simpleString() in ("double", "float")]:
+        df = df.withColumn(c, F.nanvl(F.col(c), F.lit(None)))
+    return df
+
+
 def events_cube(spark: SparkSession, sf_dir: str) -> DataCube:
     """The driver's ``events`` table as a sparse data cube:
     t = ts (temporal), band = event_type, user_id kept as an extra dim.

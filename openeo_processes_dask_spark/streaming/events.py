@@ -1,0 +1,78 @@
+"""Structured Streaming surface (SURVEY.md §2.14).
+
+The reference has NO streaming (batch calendar buckets only) — this module
+is the Spark-native extension: the same cube operators expressed over an
+unbounded events source with watermarked event-time windows, so a pipeline
+written against the batch cube API has a streaming twin.
+
+Late data: the watermark bounds state; rows later than the watermark are
+dropped by Spark — the streaming analogue of the reference's "data outside
+the interval set is ignored" batch semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_spark.functions.reducers import resolve_reducer
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events(
+    spark: SparkSession,
+    path: str,
+    schema: str = EVENTS_SCHEMA,
+    max_files_per_trigger: Optional[int] = 1,
+) -> DataFrame:
+    """Unbounded read of an events directory (new parquet files = new
+    micro-batches). Cube framing: t = ts, band = event_type."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path).select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.col("event_type").alias("band"),
+        "value",
+    )
+
+
+def stream_aggregate_temporal_period(
+    stream: DataFrame,
+    window_duration: str = "1 day",
+    watermark: str = "1 hour",
+    reducer: str = "mean",
+) -> DataFrame:
+    """Streaming twin of aggregate_temporal_period: watermarked tumbling
+    event-time window + the same reducer library. Output columns match the
+    batch operator (t = window start, band, value)."""
+    builder = resolve_reducer(reducer)
+    value = builder(F.col("value")).alias("value")
+    return (
+        stream.withWatermark("t", watermark)
+        .groupBy(F.window("t", window_duration).alias("__w__"), "band")
+        .agg(value)
+        .select(F.col("__w__.start").alias("t"), "band", "value")
+    )
+
+
+def run_stream_to_memory(
+    out: DataFrame, query_name: str = "stream_test"
+):
+    """Drain all currently-available input (Trigger.AvailableNow) into an
+    in-memory sink — the pattern tests use to verify streaming semantics
+    deterministically."""
+    return (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -67,12 +67,11 @@ def image_features(
                     int(row[height_col]), fake=fake,
                 )
                 pooled = img.astype("float64").mean(axis=2)
-                # coarse grid-pool to a fixed-dim feature
-                h, w = pooled.shape
-                gs = max(1, min(h, w) // int(np.sqrt(feature_dim)))
-                feat = pooled[: gs * (h // gs), : gs * (w // gs)]
-                feat = feat.reshape(h // gs, gs, w // gs, gs).mean(axis=(1, 3))
-                feat = feat.ravel()[:feature_dim].astype("float32")
+                # fixed-dim feature: mean over feature_dim contiguous chunks
+                feat = np.array(
+                    [c.mean() for c in np.array_split(pooled.ravel(), feature_dim)],
+                    dtype="float32",
+                )
                 out.append(
                     {
                         "doc_id": row[id_col],

@@ -1,0 +1,153 @@
+"""Process-graph executor + structured streaming + training ops tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_spark.plans import execute_process_graph
+
+
+def test_process_graph_scalar():
+    # ((3 + 5) * 2) via a PG — pure Column compilation, no cube
+    pg = {
+        "process_graph": {
+            "add1": {"process_id": "add", "arguments": {"x": 3, "y": 5}},
+            "mul1": {
+                "process_id": "multiply",
+                "arguments": {"x": {"from_node": "add1"}, "y": 2},
+                "result": True,
+            },
+        }
+    }
+    col = execute_process_graph(pg)
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    assert spark.range(1).select(col.alias("r")).first()["r"] == 16
+
+
+def test_process_graph_cube_pipeline(spark, small_cube, small_pdf):
+    pg = {
+        "process_graph": {
+            "ft": {
+                "process_id": "filter_temporal",
+                "arguments": {
+                    "data": {"from_parameter": "cube"},
+                    "extent": ["2018-05-01", "2018-05-20"],
+                },
+            },
+            "red": {
+                "process_id": "reduce_dimension",
+                "arguments": {
+                    "data": {"from_node": "ft"},
+                    "reducer": "mean",
+                    "dimension": "t",
+                },
+                "result": True,
+            },
+        }
+    }
+    out = execute_process_graph(pg, named_parameters={"cube": small_cube})
+    exp = (
+        small_pdf[small_pdf.t < "2018-05-20"]
+        .groupby(["x", "y", "band"])["value"]
+        .mean()
+        .reset_index()
+    )
+    got = out.df.toPandas().sort_values(["x", "y", "band"]).reset_index(drop=True)
+    exp = exp.sort_values(["x", "y", "band"]).reset_index(drop=True)
+    np.testing.assert_allclose(got.value.values, exp.value.values, rtol=1e-6)
+
+
+def test_process_graph_callback_apply(spark, small_cube, small_pdf):
+    # apply with a callback sub-graph: x * 10
+    pg = {
+        "process_graph": {
+            "ap": {
+                "process_id": "apply",
+                "arguments": {
+                    "data": {"from_parameter": "cube"},
+                    "process": {
+                        "process_graph": {
+                            "m": {
+                                "process_id": "multiply",
+                                "arguments": {
+                                    "x": {"from_parameter": "x"},
+                                    "y": 10,
+                                },
+                                "result": True,
+                            }
+                        }
+                    },
+                },
+                "result": True,
+            }
+        }
+    }
+    out = execute_process_graph(pg, named_parameters={"cube": small_cube})
+    got = out.df.agg(F.sum("value")).first()[0]
+    assert got == pytest.approx(small_pdf.value.sum() * 10, rel=1e-9)
+
+
+def test_streaming_windowed_agg(spark, tmp_path):
+    """Streaming twin matches the batch calendar aggregation
+    (Trigger.AvailableNow drains the directory deterministically)."""
+    from openeo_processes_dask_spark.sources.load import load_table
+    from openeo_processes_dask_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_aggregate_temporal_period,
+        stream_events,
+    )
+
+    # re-write the events fixture as a streaming source dir (this also
+    # normalizes the testdata's nanosecond timestamps to micros)
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    stream_dir = str(tmp_path / "events_stream")
+    batch.coalesce(2).write.parquet(stream_dir)
+
+    stream = stream_events(spark, stream_dir)
+    out = stream_aggregate_temporal_period(stream, "1 day", "1 hour", "sum")
+    q = run_stream_to_memory(out, "agg_test")
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select t, band, value from agg_test order by t, band"
+    ).toPandas()
+
+    exp = (
+        batch.select(
+            F.date_trunc("day", "ts").alias("t"),
+            F.col("event_type").alias("band"),
+            "value",
+        )
+        .groupBy("t", "band")
+        .agg(F.sum("value").alias("value"))
+        .orderBy("t", "band")
+        .toPandas()
+    )
+    assert len(got) == len(exp)
+    np.testing.assert_allclose(got.value.values, exp.value.values, rtol=1e-9)
+
+
+def test_training_multimodal(spark):
+    from openeo_processes_dask_spark.training.multimodal import (
+        image_features,
+        synthetic_image_table,
+    )
+
+    tbl = synthetic_image_table(spark, n=8, width=16, height=12)
+    out = image_features(tbl).toPandas()
+    assert len(out) == 8
+    assert set(out.columns) == {
+        "doc_id", "width", "height", "channels", "mean_intensity", "feature"
+    }
+    assert all(len(f) == 8 for f in out.feature)
+    # determinism: same input -> same features
+    out2 = image_features(tbl).toPandas()
+    assert np.allclose(out.mean_intensity.values, out2.mean_intensity.values)
+
+
+def test_multimodal_decode_gate():
+    from openeo_processes_dask_spark.training.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx", 4, 4, fake=False)
