@@ -455,6 +455,374 @@ def q_embedding_near_dups(spark, sf_dir):
     return pairwise_cosine_above(emb, threshold=0.2, n_planes=6)
 
 
+
+
+# ----------------------------------------------------------------------
+# second-wave operator queries
+# ----------------------------------------------------------------------
+
+def q_resample_asof(spark, sf_dir):
+    """resample_cube_temporal: as-of align order dates to year starts."""
+    _setup(spark)
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.operators.resample import (
+        resample_cube_temporal,
+    )
+
+    o = _table(spark, sf_dir, "orders")
+    data = DataCube(
+        o.select(
+            F.col("o_orderdate").alias("t"),
+            F.col("o_orderpriority").alias("band"),
+            F.col("o_totalprice").alias("value"),
+        ),
+        dims=("t", "band"),
+    )
+    target = DataCube(
+        o.select(
+            F.date_trunc("year", "o_orderdate").alias("t"),
+            F.col("o_orderpriority").alias("band"),
+            F.col("o_totalprice").alias("value"),
+        ),
+        dims=("t", "band"),
+    )
+    return resample_cube_temporal(data, target).df
+
+
+def q_ndvi_events(spark, sf_dir):
+    """ndvi band-math on the events cube: (click - view)/(click + view)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.operators.aggregate import (
+        aggregate_temporal_period,
+    )
+    from openeo_processes_dask_spark.operators.indices import ndvi
+
+    ev = _table(spark, sf_dir, "events")
+    cube = DataCube(
+        ev.select(
+            F.col("ts").alias("t"),
+            F.col("event_type").alias("band"),
+            "value",
+        ),
+        dims=("t", "band"),
+    )
+    daily = aggregate_temporal_period(cube, "day", "mean")
+    out = ndvi(daily, nir="click", red="view")
+    return _round6(out.df, "value")
+
+
+def q_apply_kernel_grid(spark, sf_dir):
+    """apply_kernel: plus-shaped convolution over a dense (x, y) grid."""
+    _setup(spark)
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.operators.kernel import apply_kernel
+
+    li = _table(spark, sf_dir, "lineitem")
+    grid = li.groupBy(
+        F.pmod("l_partkey", F.lit(30)).cast("int").alias("x"),
+        F.pmod("l_suppkey", F.lit(10)).cast("int").alias("y"),
+    ).agg(F.sum("l_quantity").alias("value"))
+    cube = DataCube(grid, dims=("x", "y"))
+    out = apply_kernel(
+        cube, [[0, 1, 0], [1, 1, 1], [0, 1, 0]], border="0"
+    )
+    return out.df
+
+
+def q_apply_dimension_center(spark, sf_dir):
+    """apply_dimension with a length-preserving pandas callback."""
+    _setup(spark)
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.operators.apply import apply_dimension
+
+    cells = _li_cells(spark, sf_dir)
+    cube = DataCube(
+        cells.select("x", "pos", F.col("sq").alias("value")), dims=("x", "pos")
+    )
+    out = apply_dimension(cube, lambda s: s - s.mean(), "pos")
+    return _round6(out.df, "value")
+
+
+def q_reduce_product(spark, sf_dir):
+    _setup(spark)
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.operators.reduce import reduce_dimension
+
+    cells = _li_cells(spark, sf_dir)
+    cube = DataCube(
+        cells.select("x", "pos", (F.col("sd") + 1.0).alias("value")),
+        dims=("x", "pos"),
+    )
+    out = reduce_dimension(cube, "product", "pos")
+    # Compare ln(product): products of exact-decimal inputs land exactly on
+    # round() boundaries, where the distributed exp∘sum∘ln and DuckDB's
+    # exact product() round apart; ln() moves values off the decimal grid.
+    return out.df.withColumn("value", F.round(F.log(F.col("value")), 6))
+
+
+def q_reduce_first(spark, sf_dir):
+    """first() reducer: value at the lowest pos per x (unique order col)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.operators.reduce import reduce_dimension
+
+    cells = _li_cells(spark, sf_dir)
+    cube = DataCube(
+        cells.select("x", "pos", F.col("sq").alias("value")), dims=("x", "pos")
+    )
+    out = reduce_dimension(cube, "first", "pos")
+    return out.df
+
+
+def q_aggregate_spatial_zonal(spark, sf_dir):
+    """aggregate_spatial: zonal mean over a box polygon + a disjoint one."""
+    _setup(spark)
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.operators.aggregate_spatial import (
+        aggregate_spatial,
+    )
+
+    li = _table(spark, sf_dir, "lineitem")
+    grid = li.groupBy(
+        F.pmod("l_partkey", F.lit(30)).cast("double").alias("x"),
+        F.pmod("l_suppkey", F.lit(10)).cast("double").alias("y"),
+        F.col("l_returnflag").alias("band"),
+    ).agg(F.sum("l_quantity").alias("value"))
+    cube = DataCube(grid, dims=("x", "y", "band"))
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "id": "box",
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[
+                        [1.5, 1.5], [10.5, 1.5], [10.5, 8.5], [1.5, 8.5],
+                        [1.5, 1.5],
+                    ]],
+                },
+                "properties": {},
+            },
+            {
+                "type": "Feature",
+                "id": "far",
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[
+                        [100, 100], [101, 100], [101, 101], [100, 101],
+                        [100, 100],
+                    ]],
+                },
+                "properties": {},
+            },
+        ],
+    }
+    out = aggregate_spatial(cube, fc, "mean")
+    return _round6(out, "value")
+
+
+def q_run_udf_plus1(spark, sf_dir):
+    _setup(spark)
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.operators.udf import run_udf
+
+    cells = _li_cells(spark, sf_dir)
+    cube = DataCube(
+        cells.select("x", "pos", F.col("sq").alias("value")), dims=("x", "pos")
+    )
+    udf = "def apply_datacube(cube, context):\n    return cube + 1\n"
+    return run_udf(cube, udf, chunk_dimension="pos").df
+
+
+def q_fit_curve_linear(spark, sf_dir):
+    """fit_curve with a linear model — Gauss-Newton on a linear model is
+    OLS, so DuckDB's regr_slope/regr_intercept is an exact oracle."""
+    _setup(spark)
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.ml.curve_fitting import fit_curve
+
+    cells = _li_cells(spark, sf_dir).where(F.col("x") % 10 == 0)
+    counts = cells.groupBy("x").count().where(F.col("count") >= 3).select("x")
+    cells = cells.join(counts, "x")
+    cube = DataCube(
+        cells.select(
+            "x", F.col("pos").cast("double").alias("pos"),
+            F.col("sq").alias("value"),
+        ),
+        dims=("x", "pos"),
+        roles={"pos": "other"},
+    )
+    out = fit_curve(cube, [0.0, 0.0], lambda p, t: p[0] * t + p[1], "pos")
+    return out.df.withColumn("value", F.round(F.col("value"), 4))
+
+
+def q_random_forest(spark, sf_dir):
+    """Forest train+predict (deterministic seeded trees) — rows-only."""
+    _setup(spark)
+    from openeo_processes_dask_spark.ml.random_forest import (
+        fit_regr_random_forest,
+        predict_random_forest,
+    )
+
+    o = _table(spark, sf_dir, "orders").select(
+        F.pmod("o_custkey", F.lit(50)).cast("double").alias("f1"),
+        F.dayofmonth("o_orderdate").cast("double").alias("f2"),
+        F.col("o_totalprice").alias("target"),
+        "o_orderkey",
+    )
+    train = o.where(F.col("o_orderkey") <= 5000).select("f1", "f2", "target")
+    model = fit_regr_random_forest(train, "target", num_trees=8, max_depth=5)
+    test = o.where(F.col("o_orderkey") <= 500).select("f1", "f2", "target")
+    return predict_random_forest(test, model).select(
+        "f1", "f2", F.round("prediction", 4).alias("prediction")
+    )
+
+
+def q_vector_buffer(spark, sf_dir):
+    """vector_buffer over points derived from nation keys — rows-only."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.vector import (
+        load_geojson,
+        vector_buffer,
+    )
+
+    n = _table(spark, sf_dir, "nation").collect()
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "id": str(r["n_nationkey"]),
+                "geometry": {
+                    "type": "Point",
+                    "coordinates": [float(r["n_nationkey"]), float(r["n_regionkey"])],
+                },
+                "properties": {"name": r["n_name"]},
+            }
+            for r in n
+        ],
+    }
+    vc = load_geojson(spark, fc)
+    return vector_buffer(vc, 0.5).select("feature_id", "name")
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-column decode/feature plumbing (deterministic fake decode) —
+    rows-only."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.multimodal import (
+        image_features,
+        synthetic_image_table,
+    )
+
+    tbl = synthetic_image_table(spark, n=64, width=16, height=12)
+    out = image_features(tbl)
+    return out.select(
+        "doc_id", "width", "height", "channels",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+    )
+
+
+# ----------------------------------------------------------------------
+# generated LSH oracles (same seeded constants as the Spark pipelines)
+# ----------------------------------------------------------------------
+
+_MD5LONG = "CAST('0x' || substr(md5({v}), 1, 15) AS BIGINT)"
+
+
+def _minhash_oracle_sql(
+    n: int = 3, num_hashes: int = 64, bands: int = 16, threshold: float = 0.2,
+    seed: int = 42,
+) -> str:
+    import random
+
+    from openeo_processes_dask_spark.training.dedup import _P
+
+    rnd = random.Random(seed)
+    coeffs = [
+        (rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)
+    ]
+    rows_per_band = num_hashes // bands
+    mins = ",\n                ".join(
+        f"min(({a} * x + {b}) % {_P}) AS h{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n            UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sigs".format(
+            bi=bi,
+            cols=", ".join(
+                f"CAST(h{bi * rows_per_band + j} AS VARCHAR)"
+                for j in range(rows_per_band)
+            ),
+        )
+        for bi in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN s1.h{i} = s2.h{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    xl = _MD5LONG.format(v="s")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, len(w) - {n - 1}),
+                        i -> array_to_string(w[i:i+{n - 1}], ' '))) AS s
+          FROM toks WHERE len(w) >= {n}),
+        xs AS (SELECT doc_id, {xl} % {_P} AS x FROM sh),
+        sigs AS (SELECT doc_id, {mins} FROM xs GROUP BY doc_id),
+        banded AS ({band_selects}),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        SELECT id1, id2,
+               round(({agree}) / {float(num_hashes)}, 6) AS est_jaccard
+        FROM cands
+        JOIN sigs s1 ON s1.doc_id = id1
+        JOIN sigs s2 ON s2.doc_id = id2
+        WHERE ({agree}) / {float(num_hashes)} >= {threshold}
+    """
+
+
+def _simhash_oracle_sql(max_hamming: int = 6, bands: int = 4) -> str:
+    bits = 60
+    band_bits = 64 // bands
+    mask = (1 << band_bits) - 1
+    h = _MD5LONG.format(v="w")
+    votes = ",\n                ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(bits)
+    )
+    band_selects = "\n            UNION ALL ".join(
+        f"SELECT doc_id, simhash, {bi} AS band, "
+        f"(simhash >> {bi * band_bits}) & {mask} AS chunk FROM sigs"
+        for bi in range(bands)
+    )
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+          FROM documents WHERE trim(text) <> ''),
+        hashes AS (SELECT doc_id, {h} AS h FROM tok),
+        votes AS (SELECT doc_id, {votes} FROM hashes GROUP BY doc_id),
+        sigs AS (SELECT doc_id, {sig} AS simhash FROM votes),
+        banded AS ({band_selects}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        SELECT id1, id2, hamming FROM pairs WHERE hamming <= {max_hamming}
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_daily_mean": _flagship,
@@ -486,6 +854,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "resample_asof": q_resample_asof,
+        "ndvi_events": q_ndvi_events,
+        "apply_kernel_grid": q_apply_kernel_grid,
+        "apply_dimension_center": q_apply_dimension_center,
+        "reduce_product": q_reduce_product,
+        "reduce_first": q_reduce_first,
+        "aggregate_spatial_zonal": q_aggregate_spatial_zonal,
+        "run_udf_plus1": q_run_udf_plus1,
+        "fit_curve_linear": q_fit_curve_linear,
+        "random_forest": q_random_forest,
+        "vector_buffer": q_vector_buffer,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -710,7 +1090,93 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q
             ORDER BY cosine DESC, vec_id LIMIT 10
         """,
-        # minhash_near_dups / simhash_near_dups / lsh_topk /
-        # embedding_near_dups: algorithm-specific candidate generation
-        # (seeded hash families / hyperplanes) — rows-only check by design.
+        "minhash_near_dups": _minhash_oracle_sql(),
+        "simhash_near_dups": _simhash_oracle_sql(),
+        "resample_asof": """
+            WITH src AS (SELECT DISTINCT o_orderdate AS s FROM orders),
+            tgt AS (SELECT DISTINCT CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS t
+                    FROM orders),
+            pairs AS (
+              SELECT s, t, abs(epoch_us(s) - epoch_us(t)) AS d,
+                     row_number() OVER (PARTITION BY t ORDER BY abs(epoch_us(s) - epoch_us(t)), s) AS rn
+              FROM src, tgt),
+            best AS (SELECT t, s FROM pairs WHERE rn = 1)
+            SELECT b.t AS t, o.o_orderpriority AS band, o.o_totalprice AS value
+            FROM best b JOIN orders o ON o.o_orderdate = b.s
+        """,
+        "ndvi_events": """
+            WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS t,
+                     event_type AS band, avg(value) AS v
+              FROM events WHERE event_type IN ('click', 'view') GROUP BY ALL),
+            piv AS (
+              SELECT t, max(CASE WHEN band = 'click' THEN v END) AS c,
+                     max(CASE WHEN band = 'view' THEN v END) AS vv
+              FROM daily GROUP BY 1)
+            SELECT t, round((c - vv) / (c + vv), 6) AS value FROM piv
+        """,
+        "apply_kernel_grid": """
+            WITH grid AS (
+              SELECT CAST(l_partkey % 30 AS INTEGER) AS x,
+                     CAST(l_suppkey % 10 AS INTEGER) AS y,
+                     sum(l_quantity) AS value
+              FROM lineitem GROUP BY 1, 2),
+            offsets(dx, dy) AS (VALUES (0, 0), (0, 1), (0, -1), (1, 0), (-1, 0))
+            SELECT g.x, g.y, sum(coalesce(n.value, 0)) AS value
+            FROM grid g
+            CROSS JOIN offsets o
+            LEFT JOIN grid n ON n.x = g.x + o.dx AND n.y = g.y + o.dy
+            GROUP BY g.x, g.y
+        """,
+        "apply_dimension_center": f"""
+            WITH {_CELLS_CTE}
+            SELECT x, pos,
+                   round(sq - avg(sq) OVER (PARTITION BY x), 6) AS value
+            FROM cells
+        """,
+        "reduce_product": f"""
+            WITH {_CELLS_CTE}
+            SELECT x, round(ln(product(sd + 1.0)), 6) AS value
+            FROM cells GROUP BY x
+        """,
+        "reduce_first": f"""
+            WITH {_CELLS_CTE}
+            SELECT x, arg_min(sq, pos) AS value FROM cells GROUP BY x
+        """,
+        "aggregate_spatial_zonal": """
+            WITH grid AS (
+              SELECT CAST(l_partkey % 30 AS DOUBLE) AS x,
+                     CAST(l_suppkey % 10 AS DOUBLE) AS y,
+                     l_returnflag AS band, sum(l_quantity) AS value
+              FROM lineitem GROUP BY 1, 2, 3),
+            agg AS (
+              SELECT 'box' AS feature_id, band, round(avg(value), 6) AS value
+              FROM grid
+              WHERE x > 1.5 AND x < 10.5 AND y > 1.5 AND y < 8.5
+              GROUP BY band)
+            SELECT f.feature_id, g.band, a.value
+            FROM (VALUES ('box'), ('far')) f(feature_id)
+            CROSS JOIN (SELECT DISTINCT band FROM grid) g
+            LEFT JOIN agg a ON a.feature_id = f.feature_id AND a.band = g.band
+        """,
+        "run_udf_plus1": f"""
+            WITH {_CELLS_CTE}
+            SELECT x, pos, sq + 1 AS value FROM cells
+        """,
+        "fit_curve_linear": f"""
+            WITH {_CELLS_CTE},
+            sel AS (
+              SELECT x, CAST(pos AS DOUBLE) AS pos, sq FROM cells
+              WHERE x % 10 = 0),
+            ok AS (SELECT x FROM sel GROUP BY x HAVING count(*) >= 3)
+            SELECT s.x, p.param,
+                   round(CASE WHEN p.param = 0 THEN regr_slope(s.sq, s.pos)
+                              ELSE regr_intercept(s.sq, s.pos) END, 4) AS value
+            FROM sel s JOIN ok USING (x)
+            CROSS JOIN (VALUES (0), (1)) p(param)
+            GROUP BY s.x, p.param
+        """,
+        # lsh_topk / embedding_near_dups / random_forest / vector_buffer /
+        # multimodal_features: seeded-hyperplane / model / binary-payload
+        # pipelines — rows-only check by design.
     }

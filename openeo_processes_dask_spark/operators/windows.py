@@ -211,7 +211,7 @@ def array_interpolate_linear(data: DataCube, dimension: str) -> DataCube:
     # numeric position of a label on the interpolation axis
     dim_type = dict(data.df.dtypes)[dim]
     pos = (
-        (F.unix_micros(lab) / 1e6)
+        (F.unix_micros(lab.cast("timestamp")) / 1e6)
         if dim_type.startswith("timestamp")
         else lab.cast("double")
     )

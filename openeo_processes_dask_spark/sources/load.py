@@ -41,13 +41,27 @@ def _read_parquet_nanosafe(spark: SparkSession, path: str) -> DataFrame:
     convert to microsecond timestamps with a pure expression — the scan
     stays distributed and column-pruned.
     """
+    import glob
+    import os
+
     import pyarrow.parquet as pq
 
-    arrow_schema = pq.read_schema(path)
+    schema_path = path
+    if os.path.isdir(path):  # Spark-written dataset dir: sniff one part file
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet"))) or sorted(
+            glob.glob(os.path.join(path, "*", "*.parquet"))
+        )
+        if not parts:
+            return spark.read.parquet(path)
+        schema_path = parts[0]
+    # Check the parquet LOGICAL type, not the arrow view: arrow reports
+    # Spark-written INT96 timestamps as timestamp[ns] too, but those read
+    # fine — only真 TIMESTAMP(NANOS) columns need the legacy-long path.
+    pschema = pq.ParquetFile(schema_path).schema
     nano_cols = [
-        f.name
-        for f in arrow_schema
-        if str(f.type).startswith("timestamp[ns")
+        pschema.column(i).name
+        for i in range(len(pschema))
+        if "timeUnit=nanoseconds" in str(pschema.column(i).logical_type)
     ]
     if not nano_cols:
         return spark.read.parquet(path)
@@ -183,3 +197,90 @@ def create_fake_rastercube(
     return DataCube(
         df, dims=("x", "y", "t", "band"), crs="EPSG:4326", attrs={"seed": seed}
     )
+
+
+@process
+def load_stac(
+    url: str,
+    spatial_extent: dict | None = None,
+    temporal_extent=None,
+    bands=None,
+    properties=None,
+    spark: SparkSession | None = None,
+) -> DataCube:
+    """STAC loader (reference: cubes/load.py:94-322).
+
+    The reference's flow: validate STAC url -> catalog search with
+    bbox/datetime/property filters -> lazy asset read -> post filters.
+    This container has no network and no rasterio/odc, so the supported
+    path is a LOCAL STAC item/collection JSON whose asset hrefs point at
+    parquet files (the driver's fixture pattern, FIXTURES.md F6); the
+    search-pushdown structure (filter at the catalog, then partition-pruned
+    scan, then residual bbox/temporal predicates) is the same shape the
+    networked implementation needs.
+    """
+    import json
+    import os
+
+    spark = spark or SparkSession.getActiveSession()
+    if url.startswith(("http://", "https://")):
+        raise NotImplementedError(
+            "Network STAC access is unavailable in this container; pass a "
+            "local item JSON path (asset hrefs -> parquet)"
+        )
+    with open(url) as fh:
+        item = json.load(fh)
+    assets = item.get("assets", {})
+    frames = []
+    for name, asset in assets.items():
+        if bands is not None and name not in bands:
+            continue  # band pruning at source (reference: load.py:262-264)
+        href = asset.get("href")
+        if not href or not href.endswith(".parquet"):
+            continue
+        if not os.path.isabs(href):
+            href = os.path.join(os.path.dirname(url), href)
+        df = _read_parquet_nanosafe(spark, href).withColumn(
+            "band", F.lit(name)
+        )
+        frames.append(df)
+    if not frames:
+        raise ValueError(f"No readable parquet assets in {url}")
+    df = frames[0]
+    for f in frames[1:]:
+        df = df.unionByName(f)
+    cube = DataCube(df, dims=("x", "y", "t", "band"))
+    # post-filters exactly like the reference (load.py:306-310)
+    from openeo_processes_dask_spark.operators.filters import (
+        filter_bbox,
+        filter_temporal,
+    )
+
+    if spatial_extent is not None:
+        cube = filter_bbox(cube, spatial_extent)
+    if temporal_extent is not None:
+        cube = filter_temporal(cube, temporal_extent)
+    return cube
+
+
+@process
+def save_result(
+    data: DataCube, path: str, format: str = "parquet", options: dict | None = None
+):
+    """Sink: write the cube's long-format table (the reference has no
+    in-repo sink - save_result is backend-side, SURVEY.md §2.1). Partitioned
+    by band when a band dim exists so per-band reads partition-prune."""
+    fmt = format.lower()
+    writer = data.df.write.mode("overwrite")
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    bdims = data.meta.band_dims
+    if fmt == "parquet":
+        if bdims:
+            writer = writer.partitionBy(*bdims)
+        writer.parquet(path)
+    elif fmt in ("csv", "json"):
+        getattr(writer, fmt)(path)
+    else:
+        raise ValueError(f"Unsupported format: {format}")
+    return path

@@ -146,19 +146,31 @@ def minhash_lsh_candidates(
     """Band the signatures and equi-join on (band_idx, band_hash) — the
     LSH trick that replaces the O(n²) comparison with a shuffle keyed by
     band buckets. Returns distinct candidate (id1, id2) pairs."""
+    # bucket = md5 of the comma-joined band slice: engine-independent
+    # (reproducible in the DuckDB oracle), unlike Spark's private hash()
     banded = signatures.select(
         "id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.struct(
-                    bi.alias("band"),
-                    F.hash(
-                        F.slice(
-                            F.col("signature"), bi * rows_per_band + 1, rows_per_band
-                        )
-                    ).alias("bucket"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice(
+                                        F.col("signature"),
+                                        bi * rows_per_band + 1,
+                                        rows_per_band,
+                                    ),
+                                    lambda h: h.cast("string"),
+                                ),
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))

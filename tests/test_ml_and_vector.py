@@ -1,0 +1,193 @@
+"""ML (curve fit, random forest), vector ops, aggregate_spatial, ddmc,
+load_stac/save_result tests."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_spark.cube import DataCube
+
+
+def test_gauss_newton_recovers_line():
+    from openeo_processes_dask_spark.ml.curve_fitting import gauss_newton
+
+    x = np.linspace(0, 10, 50)
+    y = 3.0 * x + 7.0
+    p = gauss_newton(lambda p, x: p[0] * x + p[1], x, y, np.array([1.0, 0.0]))
+    np.testing.assert_allclose(p, [3.0, 7.0], rtol=1e-6)
+
+
+def test_fit_predict_curve(spark):
+    from openeo_processes_dask_spark.ml.curve_fitting import fit_curve, predict_curve
+
+    # two pixels, known linear trends over a numeric dim
+    rows = []
+    for x_pix, (a, b) in {0: (2.0, 1.0), 1: (-1.0, 5.0)}.items():
+        for t in range(10):
+            rows.append((x_pix, float(t), a * t + b))
+    cube = DataCube(
+        spark.createDataFrame(rows, "x int, t double, value double"),
+        dims=("x", "t"),
+        roles={"t": "other"},
+    )
+    model = lambda p, x: p[0] * x + p[1]  # noqa: E731
+    params = fit_curve(cube, [1.0, 0.0], model, "t")
+    got = {
+        (r["x"], r["param"]): r["value"] for r in params.df.collect()
+    }
+    np.testing.assert_allclose(
+        [got[(0, 0)], got[(0, 1)], got[(1, 0)], got[(1, 1)]],
+        [2.0, 1.0, -1.0, 5.0],
+        rtol=1e-5,
+    )
+    pred = predict_curve(params, model, "t", labels=[20.0, 30.0])
+    got = {(r["x"], r["t"]): r["value"] for r in pred.df.collect()}
+    assert got[(0, 20.0)] == pytest.approx(41.0, rel=1e-5)
+    assert got[(1, 30.0)] == pytest.approx(-25.0, rel=1e-5)
+
+
+def test_random_forest(spark):
+    from openeo_processes_dask_spark.ml.random_forest import (
+        fit_regr_random_forest,
+        predict_random_forest,
+    )
+
+    rng = np.random.default_rng(0)
+    X = rng.uniform(0, 10, size=(400, 2))
+    y = 3 * X[:, 0] + np.where(X[:, 1] > 5, 10, 0)
+    pdf = pd.DataFrame({"f1": X[:, 0], "f2": X[:, 1], "target": y})
+    train = spark.createDataFrame(pdf)
+    model = fit_regr_random_forest(train, "target", num_trees=20, max_depth=6)
+    # deterministic across runs
+    model2 = fit_regr_random_forest(train, "target", num_trees=20, max_depth=6)
+    assert json.dumps(model.trees) == json.dumps(model2.trees)
+    pred = predict_random_forest(train, model).toPandas()
+    # in-sample R^2 should be high for a forest on a simple function
+    ss_res = ((pred.target - pred.prediction) ** 2).sum()
+    ss_tot = ((pred.target - pred.target.mean()) ** 2).sum()
+    assert 1 - ss_res / ss_tot > 0.8
+
+
+def test_aggregate_spatial(spark, small_cube, small_pdf):
+    from openeo_processes_dask_spark.operators.aggregate_spatial import (
+        aggregate_spatial,
+    )
+
+    box = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "id": "inside",
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[
+                        [10.46, 46.11], [10.49, 46.11], [10.49, 46.17],
+                        [10.46, 46.17], [10.46, 46.11],
+                    ]],
+                },
+                "properties": {},
+            },
+            {
+                "type": "Feature",
+                "id": "disjoint",
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]],
+                },
+                "properties": {},
+            },
+        ],
+    }
+    out = aggregate_spatial(small_cube, box, "mean").toPandas()
+    inside = small_pdf[
+        (small_pdf.x > 10.46) & (small_pdf.x < 10.49)
+        & (small_pdf.y > 46.11) & (small_pdf.y < 46.17)
+    ]
+    exp = inside.groupby(["t", "band"])["value"].mean()
+    got_in = out[out.feature_id == "inside"].set_index(["t", "band"])["value"]
+    for key, val in exp.items():
+        assert got_in[key] == pytest.approx(val, rel=1e-9)
+    # disjoint polygon -> all-NULL aggregates (reference: test_aggregate.py:272-277)
+    got_out = out[out.feature_id == "disjoint"]
+    assert len(got_out) > 0 and got_out.value.isna().all()
+
+
+def test_load_geojson_and_buffer(spark):
+    from openeo_processes_dask_spark.operators.vector import (
+        load_geojson,
+        vector_buffer,
+    )
+
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "geometry": {"type": "Point", "coordinates": [5.0, 5.0]},
+                "properties": {"name": "p1"},
+            }
+        ],
+    }
+    vc = load_geojson(spark, fc)
+    assert vc.columns == ["feature_id", "geometry", "name"]
+    buffered = vector_buffer(vc, 1.0).first()
+    geom = json.loads(buffered["geometry"])
+    assert geom["type"] == "Polygon"
+    ring = np.asarray(geom["coordinates"][0])
+    np.testing.assert_allclose(
+        np.hypot(ring[:, 0] - 5, ring[:, 1] - 5), 1.0, rtol=1e-9
+    )
+
+
+def test_ddmc(spark):
+    from openeo_processes_dask_spark.operators.experimental import ddmc
+
+    rows = []
+    vals = {"nir08": 10.0, "nir09": 4.0, "cirrus": 8.0, "swir16": 6.0, "swir22": 2.0}
+    for b, v in vals.items():
+        rows.append((1.0, 1.0, b, v))
+    cube = DataCube(
+        spark.createDataFrame(rows, "x double, y double, band string, value double"),
+        dims=("x", "y", "band"),
+    )
+    out = {r["band"]: r["value"] for r in ddmc(cube).df.collect()}
+    assert out == {
+        "midcl": pytest.approx((10 - 4) * 2.5),
+        "dc": pytest.approx((8 - 2) * 2.5),
+        "lowcl": pytest.approx((6 - 8) * 2.5),
+    }
+
+
+def test_save_and_load_stac(spark, small_cube, tmp_path):
+    from openeo_processes_dask_spark.sources.load import load_stac, save_result
+
+    out_dir = str(tmp_path / "cube_out")
+    save_result(small_cube, out_dir)
+    back = spark.read.parquet(out_dir)
+    assert back.count() == small_cube.df.count()
+
+    # STAC item whose asset points at the written parquet
+    item = {
+        "type": "Feature",
+        "stac_version": "1.0.0",
+        "id": "test-item",
+        "assets": {"data": {"href": out_dir + "/band=B04", "type": "parquet"}},
+    }
+    # single-band asset dir lacks the band column; write an unpartitioned copy
+    flat = str(tmp_path / "flat.parquet")
+    small_cube.df.drop("band").write.parquet(flat)
+    item["assets"] = {"B04": {"href": flat + "", "type": "parquet"}}
+    path = tmp_path / "item.json"
+    path.write_text(json.dumps(item))
+    cube = load_stac(
+        str(path),
+        spatial_extent={"west": 10.45, "east": 10.47, "south": 46.1, "north": 46.2},
+        bands=["B04"],
+        spark=spark,
+    )
+    assert cube.df.select("band").distinct().first()[0] == "B04"
+    assert cube.df.count() > 0
