@@ -108,7 +108,7 @@ def q_filter_temporal(spark, sf_dir):
     from openeo_processes_dask_spark.operators.filters import filter_temporal
 
     cube = _events_cube(spark, sf_dir)
-    return filter_temporal(cube, ["2024-01-10", "2024-01-20"]).df
+    return filter_temporal(cube, ["2024-01-10", "2024-01-20"]).df.drop("__t_ns__")
 
 
 def q_filter_bands(spark, sf_dir):
@@ -116,7 +116,7 @@ def q_filter_bands(spark, sf_dir):
     from openeo_processes_dask_spark.operators.filters import filter_bands
 
     cube = _events_cube(spark, sf_dir)
-    return filter_bands(cube, ["click", "purchase"]).df
+    return filter_bands(cube, ["click", "purchase"]).df.drop("__t_ns__")
 
 
 def q_filter_labels_text(spark, sf_dir):
@@ -125,7 +125,7 @@ def q_filter_labels_text(spark, sf_dir):
     from openeo_processes_dask_spark.operators.filters import filter_labels
 
     cube = _events_cube(spark, sf_dir)
-    return filter_labels(cube, lambda c: text_begins(c, "c"), "band").df
+    return filter_labels(cube, lambda c: text_begins(c, "c"), "band").df.drop("__t_ns__")
 
 
 def q_filter_bbox(spark, sf_dir):
@@ -133,9 +133,11 @@ def q_filter_bbox(spark, sf_dir):
     from openeo_processes_dask_spark.cube import DataCube
     from openeo_processes_dask_spark.operators.filters import filter_bbox
 
+    # dims stay bigint: casting to double before the filter would block
+    # predicate pushdown into the parquet scan (verified via .explain)
     df = _table(spark, sf_dir, "lineitem").select(
-        F.col("l_partkey").cast("double").alias("x"),
-        F.col("l_suppkey").cast("double").alias("y"),
+        F.col("l_partkey").alias("x"),
+        F.col("l_suppkey").alias("y"),
         F.col("l_orderkey").alias("okey"),
         F.col("l_linenumber").alias("pos"),
         F.col("l_quantity").alias("value"),
@@ -900,7 +902,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE event_type LIKE 'c%'
         """,
         "filter_bbox": """
-            SELECT CAST(l_partkey AS DOUBLE) AS x, CAST(l_suppkey AS DOUBLE) AS y,
+            SELECT l_partkey AS x, l_suppkey AS y,
                    l_orderkey AS okey, l_linenumber AS pos, l_quantity AS value
             FROM lineitem
             WHERE l_partkey BETWEEN 100 AND 500 AND l_suppkey BETWEEN 2 AND 7

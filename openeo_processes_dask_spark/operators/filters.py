@@ -51,6 +51,26 @@ def filter_temporal(
         pred = pred & (col >= F.lit(start).cast("timestamp"))
     if end is not None:
         pred = pred & (col < F.lit(end).cast("timestamp"))
+
+    # Pushdown partner: when the dim was derived from a TIMESTAMP(NANOS)
+    # bigint column (sources/load.py), a twin range predicate on the raw
+    # nanos column reaches the parquet scan and prunes rowgroups — the
+    # predicate on the derived timestamp alone cannot (verified via
+    # .explain: only IsNotNull pushed). Semantically redundant, physically
+    # the difference between a pruned scan and a full scan at 100 TB.
+    from openeo_processes_dask_spark.sources.load import NANOS_PARTNER_ATTR
+
+    raw_col = data.meta.attrs.get(NANOS_PARTNER_ATTR, {}).get(dim)
+    if raw_col and raw_col in data.df.columns:
+        import pandas as pd
+
+        raw = F.col(raw_col)
+        if start is not None:
+            ns = int(pd.Timestamp(start).value)
+            pred = pred & (raw >= F.lit(ns))
+        if end is not None:
+            ns = int(pd.Timestamp(end).value)
+            pred = pred & (raw < F.lit(ns))
     return data.with_df(data.df.where(pred))
 
 

@@ -68,10 +68,19 @@ def _read_parquet_nanosafe(spark: SparkSession, path: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nano_cols:
+        # Keep the RAW nanos column as a pushdown partner: predicates on the
+        # derived timestamp column cannot reach the parquet scan (Catalyst
+        # has no inverse-function pushdown through timestamp_micros), so
+        # filter_temporal adds a twin predicate on `__<c>_ns__` — that one
+        # pushes down through the alias and prunes rowgroups.
+        df = df.withColumn(f"__{c}_ns__", F.col(c))
         # integer div, NOT float div: double rounding of huge nano counts
         # can shift the microsecond by 1 vs DuckDB's truncation
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
+
+
+NANOS_PARTNER_ATTR = "nanos_raw_cols"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -93,13 +102,18 @@ def events_cube(spark: SparkSession, sf_dir: str) -> DataCube:
     t = ts (temporal), band = event_type, user_id kept as an extra dim.
     Multiple samples may share (user_id, t, band) — aggregations treat them
     as repeated observations."""
-    df = load_table(spark, sf_dir, "events").select(
+    raw = load_table(spark, sf_dir, "events")
+    cols = [
         F.col("user_id"),
         F.col("ts").alias("t"),
         F.col("event_type").alias("band"),
         F.col("value"),
-    )
-    return DataCube(df, dims=("user_id", "t", "band"))
+    ]
+    attrs = {}
+    if "__ts_ns__" in raw.columns:
+        cols.append(F.col("__ts_ns__").alias("__t_ns__"))
+        attrs = {NANOS_PARTNER_ATTR: {"t": "__t_ns__"}}
+    return DataCube(raw.select(*cols), dims=("user_id", "t", "band"), attrs=attrs)
 
 
 def lineitem_cube(
