@@ -248,7 +248,9 @@ def q_merge_multiply(spark, sf_dir):
     cells = _li_cells(spark, sf_dir)
     c1 = DataCube(cells.select("x", "pos", F.col("sep").alias("value")), dims=("x", "pos"))
     c2 = DataCube(cells.select("x", "pos", F.col("sd").alias("value")), dims=("x", "pos"))
-    out = merge_cubes(c1, c2, overlap_resolver="multiply")
+    # label_relation hint: both cubes project the same cells table, so
+    # skip the 4 label-set probing jobs the auto-detection would run
+    out = merge_cubes(c1, c2, overlap_resolver="multiply", label_relation="equal")
     return _round6(out.df, "value")
 
 
@@ -444,7 +446,8 @@ def q_lsh_topk(spark, sf_dir):
 
     emb = _table(spark, sf_dir, "embeddings")
     query = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
-    return lsh_topk(emb, [float(v) for v in query], k=10)
+    # 6 planes -> ~2^6 buckets: candidate sets stay non-trivial at sf0.01
+    return lsh_topk(emb, [float(v) for v in query], k=10, n_planes=6)
 
 
 def q_embedding_near_dups(spark, sf_dir):
@@ -825,6 +828,72 @@ def _simhash_oracle_sql(max_hamming: int = 6, bands: int = 4) -> str:
     """
 
 
+
+
+def _plane_sql_literal(plane) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in plane) + "]::DOUBLE[]"
+
+
+def _lsh_bucket_sql(vec: str, planes) -> str:
+    """Sign-LSH bucket id as SQL — same fold-left dot order as the engine."""
+    terms = []
+    for i, plane in enumerate(planes):
+        dot = (
+            f"list_sum([CAST({vec}[i] AS DOUBLE) * ({_plane_sql_literal(plane)})[i] "
+            f"for i in generate_series(1, len({vec}))])"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+_COS_SQL = """round(
+      list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)
+                for i in generate_series(1, len({a}))])
+      / (sqrt(list_sum([CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)
+                for i in generate_series(1, len({a}))]))
+         * sqrt(list_sum([CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)
+                for i in generate_series(1, len({b}))]))), 6)"""
+
+
+def _lsh_topk_oracle_sql(n_planes: int = 12, k: int = 10, seed: int = 42) -> str:
+    from openeo_processes_dask_spark.training.similarity import (
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(64, n_planes, seed)
+    bucket_e = _lsh_bucket_sql("e.embedding", planes)
+    bucket_q = _lsh_bucket_sql("q.embedding", planes)
+    cos = _COS_SQL.format(a="e.embedding", b="q.embedding")
+    return f"""
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, {cos} AS cosine
+        FROM embeddings e, q
+        WHERE {bucket_e} = {bucket_q}
+        ORDER BY cosine DESC, e.vec_id LIMIT {k}
+    """
+
+
+def _embedding_near_dups_oracle_sql(
+    threshold: float = 0.2, n_planes: int = 6, seed: int = 42
+) -> str:
+    from openeo_processes_dask_spark.training.similarity import (
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(64, n_planes, seed)
+    bucket = _lsh_bucket_sql("embedding", planes)
+    cos = _COS_SQL.format(a="a.v", b="b.v")
+    return f"""
+        WITH tagged AS (
+          SELECT vec_id AS id, embedding AS v, {bucket} AS bucket
+          FROM embeddings)
+        SELECT a.id AS id1, b.id AS id2, {cos} AS cosine
+        FROM tagged a JOIN tagged b
+          ON a.bucket = b.bucket AND a.id < b.id
+        WHERE {cos} >= {threshold}
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_daily_mean": _flagship,
@@ -1178,7 +1247,8 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (VALUES (0), (1)) p(param)
             GROUP BY s.x, p.param
         """,
-        # lsh_topk / embedding_near_dups / random_forest / vector_buffer /
-        # multimodal_features: seeded-hyperplane / model / binary-payload
-        # pipelines — rows-only check by design.
+        "lsh_topk": _lsh_topk_oracle_sql(n_planes=6),
+        "embedding_near_dups": _embedding_near_dups_oracle_sql(),
+        # random_forest / vector_buffer / multimodal_features: model /
+        # geometry-string / binary-payload outputs — rows-only by design.
     }

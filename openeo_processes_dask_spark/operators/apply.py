@@ -20,9 +20,14 @@ from openeo_processes_dask_spark.cube import DataCube
 
 
 @process
-def apply(data: DataCube, process: Callable, context=None) -> DataCube:  # noqa: A002
+def apply(data: DataCube, process, context=None) -> DataCube:  # noqa: A002
     """Unary elementwise callback over every cell
-    (reference: cubes/apply.py:24-39, xr.apply_ufunc)."""
+    (reference: cubes/apply.py:24-39, xr.apply_ufunc). ``process`` may be a
+    Column-builder callable or a registered scalar process name."""
+    if isinstance(process, str):
+        from openeo_processes_dask_spark.core import get_process
+
+        process = get_process(process)
     col = F.col(data.value_col)
     out = process(col, context=context) if _accepts_context(process) else process(col)
     if not isinstance(out, Column):

@@ -69,10 +69,24 @@ def apply_kernel(
     factor: float = 1.0,
     border="0",
     replace_invalid: float = 0.0,
+    tile_size: int = 0,
 ) -> DataCube:
     """2-D spatial convolution per (t, band) slice
     (reference: cubes/apply.py:131-182). NaN cells are replaced by
-    ``replace_invalid`` before convolving (reference :160-162)."""
+    ``replace_invalid`` before convolving (reference :160-162).
+
+    ``tile_size`` > 0 activates the scale path: each slice is cut into
+    tile_size×tile_size POSITION tiles with a kernel-radius halo — rows near
+    a tile boundary are duplicated into the neighbor tile (the classic halo
+    exchange, expressed as an explode over tile assignments), so each
+    pandas group holds one bounded tile instead of the whole slice. With
+    tile_size=0 one group = one (t, band) slice — fine when slices fit an
+    executor, which is the fixture regime.
+
+    Position vs value: tiling must split on *grid positions* (label ranks),
+    not raw coordinates — float coords have irregular spacing. Ranks come
+    from the distinct label sets (metadata-sized) broadcast back.
+    """
     x_dim, y_dim = data.meta.x_dim, data.meta.y_dim
     if x_dim is None or y_dim is None:
         raise ValueError("apply_kernel needs spatial dims")
@@ -86,7 +100,7 @@ def apply_kernel(
     )
     fac, rinv, bord = float(factor), float(replace_invalid), border
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+    def conv_block(pdf: pd.DataFrame) -> pd.DataFrame:
         grid = pdf.pivot_table(
             index=y_dim, columns=x_dim, values=v, aggfunc="first", dropna=False
         )
@@ -104,10 +118,75 @@ def apply_kernel(
             out.insert(0, k, pdf[k].iloc[0])
         return out[[*keep, x_dim, y_dim, v]]
 
-    if keep:
-        out_df = df.groupBy(*keep).applyInPandas(run, schema=schema)
-    else:
-        out_df = df.groupBy(F.lit(1).alias("__g__")).applyInPandas(run, schema=schema)
+    if not tile_size:
+        if keep:
+            out_df = df.groupBy(*keep).applyInPandas(conv_block, schema=schema)
+        else:
+            out_df = df.groupBy(F.lit(1).alias("__g__")).applyInPandas(
+                conv_block, schema=schema
+            )
+        return data.with_df(out_df.select(*data.meta.dims, v))
+
+    # ---- tiled + halo path ------------------------------------------
+    halo_y = karr.shape[0] // 2
+    halo_x = karr.shape[1] // 2
+    # label -> rank maps (metadata-sized, broadcast)
+    from pyspark.sql import Window
+
+    def rank_map(dim):
+        w = Window.orderBy(dim)
+        return (
+            df.select(dim)
+            .distinct()
+            .withColumn(f"__{dim}_rank__", F.row_number().over(w) - 1)
+        )
+
+    ranked = (
+        df.join(F.broadcast(rank_map(x_dim)), on=x_dim)
+        .join(F.broadcast(rank_map(y_dim)), on=y_dim)
+    )
+    rx, ry = F.col(f"__{x_dim}_rank__"), F.col(f"__{y_dim}_rank__")
+    t = int(tile_size)
+    # home tile + halo duplicates: a row belongs to every tile whose
+    # halo-extended range covers its rank
+    tx_home, ty_home = (rx / t).cast("int"), (ry / t).cast("int")
+    tx_lo = ((rx - halo_x) / t).cast("int")
+    tx_hi = ((rx + halo_x) / t).cast("int")
+    ty_lo = ((ry - halo_y) / t).cast("int")
+    ty_hi = ((ry + halo_y) / t).cast("int")
+    assigned = ranked.withColumn(
+        "__tile__",
+        F.explode(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        F.sequence(tx_lo, tx_hi),
+                        lambda tx: F.transform(
+                            F.sequence(ty_lo, ty_hi),
+                            lambda ty: F.struct(tx.alias("tx"), ty.alias("ty")),
+                        ),
+                    )
+                )
+            )
+        ),
+    ).withColumn("__home__", (F.col("__tile__.tx") == tx_home) & (F.col("__tile__.ty") == ty_home))
+
+    halo_schema = schema + ", `__home__` boolean"
+
+    def conv_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = conv_block(pdf.drop(columns=["__home__"]))
+        home = pdf[[x_dim, y_dim, "__home__"]].drop_duplicates()
+        out = out.merge(home, on=[x_dim, y_dim], how="left")
+        return out[[*keep, x_dim, y_dim, v, "__home__"]]
+
+    group_cols = [*keep, "__tile__"]
+    out_df = (
+        assigned.select(*group_cols, x_dim, y_dim, v, "__home__")
+        .groupBy(*group_cols)
+        .applyInPandas(conv_tile, schema=halo_schema)
+        .where(F.col("__home__"))
+        .drop("__home__")
+    )
     return data.with_df(out_df.select(*data.meta.dims, v))
 
 

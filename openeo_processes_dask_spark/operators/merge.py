@@ -52,15 +52,27 @@ def merge_cubes(
     cube2: DataCube,
     overlap_resolver: Union[str, Callable, None] = None,
     context=None,
+    label_relation: Union[str, None] = None,
 ) -> DataCube:
+    """``label_relation`` is a performance hint skipping the label-set
+    probing actions when the caller already knows the relationship
+    (xarray holds coords eagerly; long format must scan to learn them —
+    4 distinct+collect jobs for two 2-D cubes):
+    ``"equal"`` = same labels on every dim (cases 1/2).
+    """
     resolver = _resolve_binary(overlap_resolver)
     dims1, dims2 = set(cube1.meta.dims), set(cube2.meta.dims)
     v = cube1.value_col
 
     if dims1 == dims2:
-        labels1 = _label_sets(cube1, cube1.meta.dims)
-        labels2 = _label_sets(cube2, cube1.meta.dims)
-        differing = [d for d in cube1.meta.dims if labels1[d] != labels2[d]]
+        if label_relation == "equal":
+            differing: list = []
+        else:
+            labels1 = _label_sets(cube1, cube1.meta.dims)
+            labels2 = _label_sets(cube2, cube1.meta.dims)
+            differing = [
+                d for d in cube1.meta.dims if labels1[d] != labels2[d]
+            ]
         if len(differing) > 1:
             # reference: merge.py:240-243
             raise ValueError(

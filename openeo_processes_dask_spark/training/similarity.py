@@ -90,7 +90,14 @@ def lsh_topk(
     planes = random_hyperplanes(len(query), n_planes, seed)
     qsig = 0
     for i, plane in enumerate(planes):
-        if float(np.dot(plane, query)) > 0:
+        # fold-left sum, NOT np.dot: the sign decision must be bit-identical
+        # to the engine-side fold (F.aggregate) and the SQL oracle
+        # (list_sum), and np.dot's pairwise/SIMD order can flip a
+        # near-zero dot product
+        s = 0.0
+        for a, b in zip(plane, query):
+            s += float(a) * b
+        if s > 0:
             qsig |= 1 << i
     bucket = lsh_bucket_expr(F.col(vec_col), planes)
     candidates = df.where(bucket == F.lit(qsig))

@@ -108,3 +108,15 @@ def test_run_udf(small_cube, small_pdf):
         ["x", "y", "t", "band"]
     ).reset_index(drop=True)
     np.testing.assert_allclose(got.value.values, exp.value.values, rtol=1e-9)
+
+
+def test_apply_kernel_tiled_matches_untiled(small_cube):
+    """Halo-tiled scale path must be cell-identical to the whole-slice
+    path (interior cells see real neighbors through the halo)."""
+    k = [[1, 1, 1], [1, 2, 1], [1, 1, 1]]
+    whole = apply_kernel(small_cube, k, border="0")
+    tiled = apply_kernel(small_cube, k, border="0", tile_size=3)
+    w = whole.df.toPandas().sort_values(["x", "y", "t", "band"]).reset_index(drop=True)
+    t = tiled.df.toPandas().sort_values(["x", "y", "t", "band"]).reset_index(drop=True)
+    assert len(w) == len(t)
+    np.testing.assert_allclose(w.value.values, t.value.values, rtol=1e-12)
