@@ -894,6 +894,115 @@ def _embedding_near_dups_oracle_sql(
     """
 
 
+
+
+def q_streaming_daily_sum(spark, sf_dir):
+    """Structured Streaming twin of the daily aggregation: drain the events
+    table through readStream (Trigger.AvailableNow) and return the final
+    windowed state — oracle-checked against the equivalent batch SQL."""
+    _setup(spark)
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_aggregate_temporal_period,
+        stream_events,
+    )
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream_{os.path.basename(sf_dir)}"
+    )
+    if not os.path.isdir(stream_dir):
+        # one-time: re-write the fixture as a streaming source dir (also
+        # normalizes the nanosecond timestamps the stream reader can't take)
+        _table(spark, sf_dir, "events").coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(stream_dir)
+    stream = stream_events(spark, stream_dir, max_files_per_trigger=2)
+    out = stream_aggregate_temporal_period(stream, "1 day", "1 hour", "sum")
+    name = f"q_stream_{abs(hash(sf_dir)) % 10_000}"
+    q = run_stream_to_memory(out, name)
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "t", "band", F.round("value", 6).alias("value")
+    )
+
+
+
+
+def q_reduce_any(spark, sf_dir):
+    """any/all Kleene reducers over a boolean cube."""
+    _setup(spark)
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.operators.reduce import reduce_dimension
+
+    ev = _table(spark, sf_dir, "events")
+    cube = DataCube(
+        ev.select(
+            F.col("user_id"),
+            F.col("ts").alias("t"),
+            F.col("event_type").alias("band"),
+            (F.col("value") > 100).alias("value"),
+        ),
+        dims=("user_id", "t", "band"),
+    )
+    return reduce_dimension(cube, "any", "t").df
+
+
+def q_reduce_count_condition(spark, sf_dir):
+    """count reducer with a condition callback (reference: arrays.py:587)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.operators.reduce import reduce_dimension
+
+    cells = _li_cells(spark, sf_dir)
+    cube = DataCube(
+        cells.select("x", "pos", F.col("sq").alias("value")), dims=("x", "pos")
+    )
+    return reduce_dimension(
+        cube, "count", "pos", condition=F.col("value") > 30
+    ).df
+
+
+def q_process_graph(spark, sf_dir):
+    """The flagship pipeline expressed as OpenEO process-graph JSON and run
+    through plans/graph.py — the executor itself under the oracle gate."""
+    _setup(spark)
+    from openeo_processes_dask_spark.plans import execute_process_graph
+
+    pg = {
+        "process_graph": {
+            "ft": {
+                "process_id": "filter_temporal",
+                "arguments": {
+                    "data": {"from_parameter": "data"},
+                    "extent": ["2024-01-01", "2024-02-01"],
+                },
+            },
+            "agg": {
+                "process_id": "aggregate_temporal_period",
+                "arguments": {
+                    "data": {"from_node": "ft"},
+                    "period": "day",
+                    "reducer": "mean",
+                },
+            },
+            "red": {
+                "process_id": "reduce_dimension",
+                "arguments": {
+                    "data": {"from_node": "agg"},
+                    "reducer": "mean",
+                    "dimension": "user_id",
+                },
+                "result": True,
+            },
+        }
+    }
+    out = execute_process_graph(pg, {"data": _events_cube(spark, sf_dir)})
+    return _round6(out.df, "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_daily_mean": _flagship,
@@ -937,6 +1046,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_forest": q_random_forest,
         "vector_buffer": q_vector_buffer,
         "multimodal_features": q_multimodal_features,
+        "streaming_daily_sum": q_streaming_daily_sum,
+        "reduce_any": q_reduce_any,
+        "reduce_count_condition": q_reduce_count_condition,
+        "process_graph": q_process_graph,
     }
 
 
@@ -1248,6 +1361,28 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s.x, p.param
         """,
         "lsh_topk": _lsh_topk_oracle_sql(n_planes=6),
+        "reduce_any": """
+            SELECT user_id, event_type AS band, bool_or(value > 100) AS value
+            FROM events GROUP BY ALL
+        """,
+        "reduce_count_condition": f"""
+            WITH {_CELLS_CTE}
+            SELECT x, count(CASE WHEN sq > 30 THEN 1 END) AS value
+            FROM cells GROUP BY x
+        """,
+        "process_graph": """
+            SELECT t, band, round(avg(value), 6) AS value FROM (
+              SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS t,
+                     event_type AS band, avg(value) AS value
+              FROM events
+              WHERE ts >= '2024-01-01' AND ts < '2024-02-01'
+              GROUP BY ALL) GROUP BY ALL
+        """,
+        "streaming_daily_sum": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS t,
+                   event_type AS band, round(sum(value), 6) AS value
+            FROM events GROUP BY ALL
+        """,
         "embedding_near_dups": _embedding_near_dups_oracle_sql(),
         # random_forest / vector_buffer / multimodal_features: model /
         # geometry-string / binary-payload outputs — rows-only by design.

@@ -191,3 +191,32 @@ def test_save_and_load_stac(spark, small_cube, tmp_path):
     )
     assert cube.df.select("band").distinct().first()[0] == "B04"
     assert cube.df.count() > 0
+
+
+def test_filter_bbox_vector_and_load_vector_cube(spark, tmp_path):
+    import json as _json
+
+    from openeo_processes_dask_spark.operators.vector import (
+        filter_bbox_vector,
+        load_vector_cube,
+    )
+
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "id": "in",
+             "geometry": {"type": "Point", "coordinates": [5.0, 5.0]},
+             "properties": {}},
+            {"type": "Feature", "id": "out",
+             "geometry": {"type": "Point", "coordinates": [50.0, 50.0]},
+             "properties": {}},
+        ],
+    }
+    p = tmp_path / "fc.geojson"
+    p.write_text(_json.dumps(fc))
+    vc = load_vector_cube(spark, filename=str(p))
+    assert vc.count() == 2
+    kept = filter_bbox_vector(
+        vc, {"west": 0, "east": 10, "south": 0, "north": 10}
+    )
+    assert [r["feature_id"] for r in kept.collect()] == ["in"]
