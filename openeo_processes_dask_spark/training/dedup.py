@@ -52,12 +52,21 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: float | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard over candidate pairs that share ≥1 shingle.
 
     Plan: explode distinct shingles → self-equi-join on shingle (the only
     shuffle, keyed by shingle digest) → count intersections per pair →
     |A∪B| = |A|+|B|-|A∩B|. Returns (id1, id2, jaccard) with id1 < id2.
+
+    ``max_doc_freq``: drop "stop shingles" present in more than this
+    fraction of documents BEFORE the self-join. At corpus scale this is the
+    difference between a bounded join and a quadratic blow-up: a shingle in
+    f docs contributes f·(f-1)/2 join rows, so one boilerplate shingle in
+    10% of a 1B-doc corpus alone produces 5·10^15 rows. Changes the measured
+    Jaccard (computed over the filtered shingle sets) — that's the standard,
+    documented trade (same move as TF-IDF stopword cuts).
     """
     # tokens materialized first — see shingles_from_tokens perf contract
     sh = (
@@ -74,6 +83,16 @@ def ngram_jaccard_pairs(
         # hash the shingle so the shuffle key is 8 bytes, not the n-gram text
         .select("id", _md5_to_long(F.col("sh")).alias("shk"))
     )
+    if max_doc_freq is not None:
+        n_docs = df.count()
+        cutoff = int(max_doc_freq * n_docs)
+        keep = (
+            sh.groupBy("shk")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= cutoff)
+            .select("shk")
+        )
+        sh = sh.join(keep, "shk", "left_semi")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -1,0 +1,76 @@
+"""Partitioning helpers, stop-shingle cut, multi-year period labels."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_spark.cube import DataCube
+from openeo_processes_dask_spark.session import (
+    repartition_spatial,
+    repartition_temporal,
+)
+
+
+def test_repartition_helpers_preserve_results(small_cube, small_pdf):
+    from openeo_processes_dask_spark.operators.reduce import reduce_dimension
+
+    for cube in (
+        repartition_spatial(small_cube, 5),
+        repartition_temporal(small_cube, 5),
+    ):
+        out = reduce_dimension(cube, "mean", "t")
+        exp = small_pdf.groupby(["x", "y", "band"])["value"].mean().reset_index()
+        got = out.df.toPandas().sort_values(["x", "y", "band"]).reset_index(drop=True)
+        exp = exp.sort_values(["x", "y", "band"]).reset_index(drop=True)
+        np.testing.assert_allclose(got.value.values, exp.value.values, rtol=1e-9)
+
+
+def test_ngram_jaccard_stop_shingle_cut(spark):
+    from openeo_processes_dask_spark.training.dedup import ngram_jaccard_pairs
+
+    # "common prefix" shared by all docs; pair (1,2) also shares a rare tail
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over unique tail one two three"),
+            (2, "the quick brown fox jumps over unique tail one two four"),
+            (3, "the quick brown fox jumps over something else entirely here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    full = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.0)
+    cut = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.0, max_doc_freq=0.67
+    )
+    full_pairs = {(r.id1, r.id2): r.jaccard for r in full.collect()}
+    cut_pairs = {(r.id1, r.id2): r.jaccard for r in cut.collect()}
+    # universal shingles removed: doc 3 no longer pairs with 1/2 at all
+    assert (1, 2) in cut_pairs
+    assert (1, 3) in full_pairs and (1, 3) not in cut_pairs
+    # and the surviving pair's similarity is now over rare shingles only
+    assert cut_pairs[(1, 2)] < full_pairs[(1, 2)] + 1e-9
+
+
+def test_period_labels_multi_year(spark):
+    """season / tropical-season / decade / year label expressions over a
+    multi-year range (reference period table, tests/test_aggregate.py:101)."""
+    from openeo_processes_dask_spark.operators.aggregate import (
+        aggregate_temporal_period,
+    )
+
+    ts = pd.date_range("2018-01-15", "2021-12-15", freq="MS") + pd.Timedelta(days=14)
+    rows = [(t.to_pydatetime(), float(i)) for i, t in enumerate(ts)]
+    cube = DataCube(
+        spark.createDataFrame(rows, "t timestamp, value double"), dims=("t",)
+    )
+    season = aggregate_temporal_period(cube, "season", "mean")
+    # 48 months -> DJF,MAM,JJA,SON per year + edges = 17 distinct seasons
+    n_seasons = season.df.count()
+    assert n_seasons == 17, n_seasons
+    trop = aggregate_temporal_period(cube, "tropical-season", "mean")
+    assert trop.df.count() == 9
+    year = aggregate_temporal_period(cube, "year", "mean")
+    assert year.df.count() == 4
+    decade = aggregate_temporal_period(cube, "decade", "mean")
+    labels = sorted(r[0].year for r in decade.df.select("t").collect())
+    assert labels == [2010, 2020]
