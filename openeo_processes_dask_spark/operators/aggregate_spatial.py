@@ -108,4 +108,7 @@ def aggregate_spatial(
         full = fdf.crossJoin(groups)
     else:
         full = fdf
-    return full.join(agg, on=["feature_id", *keep], how="left")
+    # both sides are bounded by |features| × |group labels| (metadata-sized)
+    # — broadcast the aggregated side; without the hint Catalyst picks a
+    # sort-merge join with two needless exchanges (seen in .explain)
+    return full.join(F.broadcast(agg), on=["feature_id", *keep], how="left")

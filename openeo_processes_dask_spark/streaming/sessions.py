@@ -1,0 +1,121 @@
+"""Custom stateful streaming: event sessionization via
+``applyInPandasWithState`` — the "custom stateful operator" lane of the
+brief (the reference has no streaming at all, SURVEY.md §2.14).
+
+A session = a run of events per user with gaps < ``gap_seconds``. State per
+user holds the open session; an event-time timeout (watermark-driven)
+closes and emits it. This is the canonical shape for any custom stateful
+cube operator (running phenology, change detection): keyed state + event
+-time timeout, pandas in, pandas out.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", IntegerType()),
+        StructField("value_sum", DoubleType()),
+    ]
+)
+
+SESSION_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n", IntegerType()),
+        StructField("vsum", DoubleType()),
+    ]
+)
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 3600,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """events (user_id, t, value, ...) → closed sessions.
+
+    State machine per user: extend the open session while each event lands
+    within ``gap_seconds`` of its end; otherwise emit the closed session and
+    open a new one. The event-time timeout flushes sessions once the
+    watermark passes their gap horizon — bounded state, late events beyond
+    the watermark dropped by Spark.
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def update(
+        key: Tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n, v = state.get
+                closed.append((user_id, s, e, n, v))
+                state.remove()
+        else:
+            rows = pd.concat(list(pdfs)).sort_values("t")
+            ts_us = rows["t"].astype("int64")  # ns -> handled below
+            # pandas datetime64[us/ns] → microseconds
+            unit_div = 1000 if rows["t"].dtype.str.endswith("[ns]") else 1
+            if state.exists:
+                s, e, n, v = state.get
+            else:
+                s = e = None
+                n, v = 0, 0.0
+            for t_raw, val in zip(ts_us, rows["value"].fillna(0.0)):
+                t_us = int(t_raw) // unit_div
+                if s is None:
+                    s, e, n, v = t_us, t_us, 1, float(val)
+                elif t_us - e <= gap_us:
+                    e, n, v = max(e, t_us), n + 1, v + float(val)
+                else:
+                    closed.append((user_id, s, e, n, v))
+                    s, e, n, v = t_us, t_us, 1, float(val)
+            state.update((s, e, n, v))
+            state.setTimeoutTimestamp((e + gap_us) // 1000)  # millis
+        if closed:
+            out = pd.DataFrame(
+                closed,
+                columns=["user_id", "start_us", "end_us", "n_events", "value_sum"],
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": out.user_id,
+                    "session_start": pd.to_datetime(out.start_us, unit="us"),
+                    "session_end": pd.to_datetime(out.end_us, unit="us"),
+                    "n_events": out.n_events.astype("int32"),
+                    "value_sum": out.value_sum,
+                }
+            )
+
+    return (
+        events.withWatermark("t", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 from openeo_processes_dask_spark.plans import execute_process_graph
 
 
-def test_process_graph_scalar():
+def test_process_graph_scalar(spark):
     # ((3 + 5) * 2) via a PG — pure Column compilation, no cube
     pg = {
         "process_graph": {
@@ -20,9 +20,6 @@ def test_process_graph_scalar():
         }
     }
     col = execute_process_graph(pg)
-    from pyspark.sql import SparkSession
-
-    spark = SparkSession.getActiveSession()
     assert spark.range(1).select(col.alias("r")).first()["r"] == 16
 
 
@@ -151,3 +148,39 @@ def test_multimodal_decode_gate():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"xx", 4, 4, fake=False)
+
+
+def test_stateful_sessionization(spark, tmp_path):
+    """applyInPandasWithState sessionization over the events stream."""
+    from openeo_processes_dask_spark.sources.load import load_table
+    from openeo_processes_dask_spark.streaming.events import stream_events
+    from openeo_processes_dask_spark.streaming.sessions import sessionize
+
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    stream_dir = str(tmp_path / "events_sessions")
+    # several files -> several micro-batches -> watermark advances and
+    # closes sessions deterministically for all but the tail
+    batch.orderBy("ts").coalesce(1).write.parquet(stream_dir)
+
+    stream = stream_events(spark, stream_dir).select("user_id", "t", "value")
+    sessions = sessionize(stream, gap_seconds=6 * 3600, watermark="1 minute")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from sessions_test").toPandas()
+    # bounded input: the final open session per user can't close (watermark
+    # stops), but earlier gaps must have produced closed sessions
+    assert len(got) > 0
+    assert (got.n_events >= 1).all()
+    assert (got.session_end >= got.session_start).all()
+    # sessions of the same user must not overlap
+    for _, grp in got.groupby("user_id"):
+        g = grp.sort_values("session_start")
+        assert (
+            g.session_start.values[1:] > g.session_end.values[:-1]
+        ).all()

@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) for the pure-NumPy kernels — no Spark
+session needed, so hundreds of examples run in seconds. The reference has no
+property testing (SURVEY.md §5); these cover the hand-rolled numerics where
+subtle bugs hide."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from openeo_processes_dask_spark.ml.curve_fitting import gauss_newton
+from openeo_processes_dask_spark.operators.kernel import convolve2d
+
+grids = arrays(
+    np.float64,
+    st.tuples(st.integers(3, 8), st.integers(3, 8)),
+    elements=st.floats(-100, 100, allow_nan=False),
+)
+
+
+def naive_convolve(grid, kernel, pad_mode, cval=0.0):
+    kh, kw = kernel.shape
+    ph, pw = kh // 2, kw // 2
+    if pad_mode == "constant":
+        padded = np.pad(grid, ((ph, ph), (pw, pw)), mode="constant", constant_values=cval)
+    else:
+        padded = np.pad(grid, ((ph, ph), (pw, pw)), mode=pad_mode)
+    out = np.zeros_like(grid)
+    kf = kernel[::-1, ::-1]
+    for i in range(grid.shape[0]):
+        for j in range(grid.shape[1]):
+            out[i, j] = (padded[i : i + kh, j : j + kw] * kf).sum()
+    return out
+
+
+@given(grids, st.sampled_from(["replicate", "reflect", "wrap", "0"]))
+@settings(max_examples=60, deadline=None)
+def test_convolve2d_matches_naive(grid, border):
+    kernel = np.array([[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]])
+    pad = {"replicate": "edge", "reflect": "reflect", "wrap": "wrap", "0": "constant"}[border]
+    got = convolve2d(grid, kernel, border=border)
+    exp = naive_convolve(grid, kernel, pad)
+    np.testing.assert_allclose(got, exp, rtol=1e-10, atol=1e-8)
+
+
+@given(
+    st.floats(-5, 5),
+    st.floats(-5, 5),
+    arrays(np.float64, st.integers(5, 40), elements=st.floats(-10, 10, allow_nan=False)),
+)
+@settings(max_examples=60, deadline=None)
+def test_gauss_newton_linear_is_ols(a, b, x):
+    """On a linear model GN must recover the exact OLS solution (for
+    well-conditioned designs — the λ=1e-8 damping biases nearly-degenerate
+    ones, which is the intended trade for distributed robustness)."""
+    if np.ptp(x) < 1e-2:
+        return  # ill-conditioned design matrix
+    y = a * x + b
+    p = gauss_newton(lambda p, t: p[0] * t + p[1], x, y, np.array([0.0, 0.0]))
+    np.testing.assert_allclose(p, [a, b], rtol=1e-4, atol=1e-5)
+
+
+@given(
+    arrays(np.float64, st.integers(1, 30), elements=st.floats(0.1, 50, allow_nan=False))
+)
+@settings(max_examples=60, deadline=None)
+def test_point_in_polygon_box_oracle(xs):
+    """Ray casting against the trivially-checkable axis-aligned box."""
+    from openeo_processes_dask_spark.operators.mask import _extract_rings
+
+    box = {
+        "type": "Polygon",
+        "coordinates": [[[10, 10], [20, 10], [20, 30], [10, 30], [10, 10]]],
+    }
+    rings = _extract_rings(box)
+    ring = rings[0]
+    px = xs
+    py = np.linspace(5, 35, len(xs))
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    straddle = (y0[None, :] > py[:, None]) != (y1[None, :] > py[:, None])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0[None, :] + (py[:, None] - y0[None, :]) / (
+            y1[None, :] - y0[None, :]
+        ) * (x1[None, :] - x0[None, :])
+    got = ((straddle & (px[:, None] < xint)).sum(axis=1) % 2).astype(bool)
+    exp = (px > 10) & (px < 20) & (py > 10) & (py < 30)
+    # boundary points are ambiguous by convention; exclude exact boundaries
+    interior = (np.abs(px - 10) > 1e-9) & (np.abs(px - 20) > 1e-9) & (
+        np.abs(py - 10) > 1e-9
+    ) & (np.abs(py - 30) > 1e-9)
+    np.testing.assert_array_equal(got[interior], exp[interior])
