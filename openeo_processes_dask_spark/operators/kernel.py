@@ -26,7 +26,6 @@ from pyspark.sql import functions as F
 from openeo_processes_dask_spark.core import process
 from openeo_processes_dask_spark.cube import DataCube
 from openeo_processes_dask_spark.functions.reducers import resolve_reducer
-from openeo_processes_dask_spark.operators.windows import _w  # noqa: F401
 
 _PAD_MODES = {
     "replicate": "edge",

@@ -120,3 +120,44 @@ def test_apply_kernel_tiled_matches_untiled(small_cube):
     t = tiled.df.toPandas().sort_values(["x", "y", "t", "band"]).reset_index(drop=True)
     assert len(w) == len(t)
     np.testing.assert_allclose(w.value.values, t.value.values, rtol=1e-12)
+
+
+def test_resample_cube_spatial_nearest(spark, small_cube):
+    from openeo_processes_dask_spark.operators.resample import (
+        resample_cube_spatial,
+    )
+
+    coarse = resample_spatial(small_cube, resolution=0.02, method="mean")
+    out = resample_cube_spatial(small_cube, coarse, method="mean")
+    # output grid must be exactly the target's labels
+    got_x = {r[0] for r in out.df.select("x").distinct().collect()}
+    tgt_x = {r[0] for r in coarse.df.select("x").distinct().collect()}
+    assert got_x == tgt_x
+    # every source pixel lands in exactly one target cell: count preserved
+    # through the mean per cell times cells <= source count
+    assert 0 < out.df.count() <= small_cube.df.count()
+
+
+def test_filter_spatial(small_cube, small_pdf):
+    from openeo_processes_dask_spark.operators.filters import filter_spatial
+
+    poly = {
+        "type": "Polygon",
+        "coordinates": [[
+            [10.465, 46.115], [10.485, 46.115], [10.485, 46.165],
+            [10.465, 46.165], [10.465, 46.115],
+        ]],
+    }
+    out = filter_spatial(small_cube, poly)
+    inside = (
+        (small_pdf.x > 10.465) & (small_pdf.x < 10.485)
+        & (small_pdf.y > 46.115) & (small_pdf.y < 46.165)
+    )
+    assert out.df.count() == int(inside.sum())
+
+
+def test_create_data_cube(spark):
+    from openeo_processes_dask_spark.operators.general import create_data_cube
+
+    cube = create_data_cube(spark)
+    assert cube.df.count() == 0 and cube.dims == ()
