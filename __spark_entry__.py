@@ -1003,6 +1003,321 @@ def q_process_graph(spark, sf_dir):
     return _round6(out.df, "value")
 
 
+# ----------------------------------------------------------------------
+# coverage widening: spatial filter/mask, resampling, windows, arrays,
+# dimension management, curve prediction, text scalars
+# ----------------------------------------------------------------------
+
+# Rectangle with half-integer bounds: no grid point ever sits on an edge,
+# so ray-casting (engine) and strict range predicates (oracle) agree.
+_RECT = {
+    "type": "Polygon",
+    "coordinates": [
+        [[2.5, 1.5], [10.5, 1.5], [10.5, 8.5], [2.5, 8.5], [2.5, 1.5]]
+    ],
+}
+
+_RECT_SQL = "x > 2.5 AND x < 10.5 AND y > 1.5 AND y < 8.5"
+
+_GRID_CTE = """
+    grid AS (
+      SELECT CAST(l_partkey % 30 AS DOUBLE) AS x,
+             CAST(l_suppkey % 10 AS DOUBLE) AS y,
+             l_returnflag AS band, sum(l_quantity) AS value
+      FROM lineitem GROUP BY 1, 2, 3)
+"""
+
+_IDX_CTE = """
+    idx AS (
+      SELECT x, sq, row_number() OVER (PARTITION BY x ORDER BY pos) - 1 AS i
+      FROM cells)
+"""
+
+
+def _grid_cube(spark, sf_dir):
+    """Dense (x, y, band) raster-like cube folded from lineitem."""
+    from openeo_processes_dask_spark.cube import DataCube
+
+    df = (
+        _table(spark, sf_dir, "lineitem")
+        .groupBy(
+            (F.col("l_partkey") % 30).cast("double").alias("x"),
+            (F.col("l_suppkey") % 10).cast("double").alias("y"),
+            F.col("l_returnflag").alias("band"),
+        )
+        .agg(F.sum("l_quantity").alias("value"))
+    )
+    return DataCube(df, dims=("x", "y", "band"))
+
+
+def _cells_cube(spark, sf_dir):
+    from openeo_processes_dask_spark.cube import DataCube
+
+    cells = _li_cells(spark, sf_dir)
+    return DataCube(
+        cells.select("x", "pos", F.col("sq").alias("value")), dims=("x", "pos")
+    )
+
+
+def q_filter_spatial(spark, sf_dir):
+    """filter_spatial: bbox crop + point-in-polygon drop
+    (reference: cubes/_filter.py:152-168)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.filters import filter_spatial
+
+    return filter_spatial(_grid_cube(spark, sf_dir), _RECT).df
+
+
+def q_mask_polygon(spark, sf_dir):
+    """mask_polygon with a replacement value
+    (reference: cubes/mask_polygon.py:27-163)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.mask import mask_polygon
+
+    return mask_polygon(_grid_cube(spark, sf_dir), _RECT, replacement=-1.0).df
+
+
+def q_apply_polygon(spark, sf_dir):
+    """apply_polygon: mask -> apply(sqrt) -> re-mask
+    (reference: cubes/apply.py:185-219)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.mask import apply_polygon
+
+    out = apply_polygon(_grid_cube(spark, sf_dir), _RECT, "sqrt")
+    return _round6(out.df, "value")
+
+
+def q_trim_cube(spark, sf_dir):
+    """trim_cube: drop labels that are all-NULL along each non-spatial dim
+    (reference: cubes/general.py:42-56); here band 'view' is nulled out."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.general import trim_cube
+
+    cube = _events_cube(spark, sf_dir)
+    nulled = cube.with_df(
+        cube.df.withColumn(
+            "value",
+            F.when(F.col("band") == "view", F.lit(None).cast("double")).otherwise(
+                F.col("value")
+            ),
+        )
+    )
+    return trim_cube(nulled).df.drop("__t_ns__")
+
+
+def q_order_argsort(spark, sf_dir):
+    """order(): stable argsort along a dim (reference: arrays.py:498-535)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.windows import order as order_op
+
+    return order_op(_cells_cube(spark, sf_dir), "pos").df
+
+
+def q_rearrange(spark, sf_dir):
+    """rearrange: take-by-permutation [2, 0, 1] along the pos dim
+    (reference: arrays.py:538-555)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.windows import rearrange
+
+    return rearrange(_cells_cube(spark, sf_dir), [2, 0, 1], "pos").df
+
+
+def q_resample_spatial_grid(spark, sf_dir):
+    """resample_spatial: snap to a 100-unit grid, mean per cell
+    (reference: cubes/resample.py:39-113)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.operators.resample import resample_spatial
+
+    df = _table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("double").alias("x"),
+        F.col("l_suppkey").cast("double").alias("y"),
+        F.col("l_returnflag").alias("band"),
+        F.col("l_quantity").alias("value"),
+    )
+    out = resample_spatial(
+        DataCube(df, dims=("x", "y", "band")), resolution=100.0, method="mean"
+    )
+    return _round6(out.df, "value")
+
+
+def q_resample_cube_spatial_coarse(spark, sf_dir):
+    """resample_cube_spatial: regrid onto a target cube whose labels are
+    floored multiples of 3 (reference: cubes/resample.py:116-180). No source
+    label is ever equidistant to two targets, so the nearest map is
+    deterministic on both sides."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.resample import (
+        resample_cube_spatial,
+    )
+
+    data = _grid_cube(spark, sf_dir)
+    target = data.with_df(
+        data.df.select(
+            (F.col("x") - F.col("x") % 3).alias("x"),
+            (F.col("y") - F.col("y") % 3).alias("y"),
+            "band",
+            "value",
+        )
+    )
+    out = resample_cube_spatial(data, target, method="mean")
+    return _round6(out.df, "value")
+
+
+def q_apply_neighborhood_mean(spark, sf_dir):
+    """apply_neighborhood: centered size-3 rolling mean along pos
+    (reference: apply_neighborhood_intertwin.py:8-37)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.kernel import apply_neighborhood
+
+    out = apply_neighborhood(_cells_cube(spark, sf_dir), "mean", "pos", size=3)
+    return _round6(out.df, "value")
+
+
+def q_cummax(spark, sf_dir):
+    """cummax along pos (reference: math.py:125-174)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.windows import cummax
+
+    return cummax(_cells_cube(spark, sf_dir), "pos").df
+
+
+def q_rename_labels_dim(spark, sf_dir):
+    """rename_dimension + rename_labels (reference: cubes/general.py:103-222)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.general import (
+        rename_dimension,
+        rename_labels,
+    )
+
+    cube = _events_cube(spark, sf_dir)
+    cube = rename_dimension(cube, "user_id", "uid")
+    cube = rename_labels(
+        cube, "band", target=["c", "v", "p"], source=["click", "view", "purchase"]
+    )
+    return cube.df.drop("__t_ns__")
+
+
+def q_dimension_labels(spark, sf_dir):
+    """dimension_labels: distinct sorted labels of the band dim
+    (reference: cubes/general.py:59-69)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.general import dimension_labels
+
+    return dimension_labels(_events_cube(spark, sf_dir), "band")
+
+
+def q_predict_curve_linear(spark, sf_dir):
+    """fit_curve -> predict_curve with a linear model at labels [0, 10]
+    (reference: ml/curve_fitting.py:100-162); OLS oracle via regr_*."""
+    _setup(spark)
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.ml.curve_fitting import (
+        fit_curve,
+        predict_curve,
+    )
+
+    cells = _li_cells(spark, sf_dir).where(F.col("x") % 10 == 0)
+    counts = cells.groupBy("x").count().where(F.col("count") >= 3).select("x")
+    cells = cells.join(counts, "x")
+    cube = DataCube(
+        cells.select(
+            "x", F.col("pos").cast("double").alias("pos"), F.col("sq").alias("value")
+        ),
+        dims=("x", "pos"),
+        roles={"pos": "other"},
+    )
+
+    def model(p, t):
+        return p[0] * t + p[1]
+
+    params = fit_curve(cube, [0.0, 0.0], model, "pos")
+    out = predict_curve(params, model, "pos", [0.0, 10.0])
+    return out.df.withColumn("value", F.round(F.col("value"), 4))
+
+
+def q_array_ops(spark, sf_dir):
+    """Array-process family over per-x value arrays: array_element,
+    array_concat + array_append + array_create, first/last element, and a
+    fold-left sum (reference: arrays.py:66-265,461-495)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.arrays import (
+        array_append,
+        array_concat,
+        array_create,
+        array_element,
+        first_element,
+        last_element,
+    )
+
+    cells = _li_cells(spark, sf_dir)
+    arrs = (
+        cells.groupBy("x")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("sq")))
+            ).alias("ps")
+        )
+        # materialize the values array ONCE — HOF lambdas re-evaluate
+        # captured subexpressions per element (see shingles_from_tokens)
+        .select("x", F.transform(F.col("ps"), lambda s: s["sq"]).alias("arr"))
+    )
+    arr = F.col("arr")
+    return arrs.select(
+        "x",
+        array_element(arr, index=2).alias("elem2"),
+        F.size(
+            array_append(array_concat(arr, array_create([1.0, 2.0])), 3.0)
+        ).alias("n_concat"),
+        first_element(arr).alias("first_v"),
+        last_element(arr).alias("last_v"),
+        F.round(F.aggregate(arr, F.lit(0.0), lambda a, v: a + v), 6).alias(
+            "total"
+        ),
+    )
+
+
+def q_ddmc(spark, sf_dir):
+    """ddmc cloud composite over a 5-band cube built from lineitem positions
+    (reference: experimental/ddmc.py:8-84)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.operators.experimental import ddmc
+
+    cells = _li_cells(spark, sf_dir).where(F.col("pos") <= 5)
+    band = (
+        F.when(F.col("pos") == 1, "nir08")
+        .when(F.col("pos") == 2, "nir09")
+        .when(F.col("pos") == 3, "cirrus")
+        .when(F.col("pos") == 4, "swir16")
+        .when(F.col("pos") == 5, "swir22")
+    )
+    df = cells.select("x", band.alias("band"), F.col("sq").alias("value"))
+    out = ddmc(DataCube(df, dims=("x", "band")))
+    return _round6(out.df, "value")
+
+
+def q_text_ops(spark, sf_dir):
+    """text_begins/contains/ends/concat scalar processes
+    (reference: text.py:11-55)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.functions.text import (
+        text_begins,
+        text_concat,
+        text_contains,
+        text_ends,
+    )
+
+    doc = _table(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id",
+        text_begins(F.col("text"), "the", case_sensitive=False).alias("b"),
+        text_contains(F.col("text"), "and").alias("c"),
+        text_ends(F.col("text"), ".").alias("e"),
+        text_concat([F.col("lang"), F.col("source")], separator="-").alias("cc"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_daily_mean": _flagship,
@@ -1050,6 +1365,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reduce_any": q_reduce_any,
         "reduce_count_condition": q_reduce_count_condition,
         "process_graph": q_process_graph,
+        "filter_spatial": q_filter_spatial,
+        "mask_polygon": q_mask_polygon,
+        "apply_polygon": q_apply_polygon,
+        "trim_cube": q_trim_cube,
+        "order_argsort": q_order_argsort,
+        "rearrange": q_rearrange,
+        "resample_spatial_grid": q_resample_spatial_grid,
+        "resample_cube_spatial_coarse": q_resample_cube_spatial_coarse,
+        "apply_neighborhood_mean": q_apply_neighborhood_mean,
+        "cummax": q_cummax,
+        "rename_labels_dim": q_rename_labels_dim,
+        "dimension_labels": q_dimension_labels,
+        "predict_curve_linear": q_predict_curve_linear,
+        "array_ops": q_array_ops,
+        "ddmc": q_ddmc,
+        "text_ops": q_text_ops,
     }
 
 
@@ -1384,6 +1715,137 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY ALL
         """,
         "embedding_near_dups": _embedding_near_dups_oracle_sql(),
+        "filter_spatial": f"""
+            WITH {_GRID_CTE}
+            SELECT x, y, band, value FROM grid WHERE {_RECT_SQL}
+        """,
+        "mask_polygon": f"""
+            WITH {_GRID_CTE}
+            SELECT x, y, band,
+                   CASE WHEN {_RECT_SQL} THEN value ELSE -1.0 END AS value
+            FROM grid
+        """,
+        "apply_polygon": f"""
+            WITH {_GRID_CTE}
+            SELECT x, y, band,
+                   CASE WHEN {_RECT_SQL} THEN round(sqrt(value), 6) END AS value
+            FROM grid
+        """,
+        "trim_cube": """
+            WITH c AS (
+              SELECT user_id, ts AS t, event_type AS band,
+                     CASE WHEN event_type = 'view' THEN NULL ELSE value END AS value
+              FROM events),
+            k1 AS (SELECT user_id FROM c GROUP BY 1 HAVING count(value) > 0),
+            k2 AS (SELECT t FROM c GROUP BY 1 HAVING count(value) > 0),
+            k3 AS (SELECT band FROM c GROUP BY 1 HAVING count(value) > 0)
+            SELECT c.user_id, c.t, c.band, c.value
+            FROM c JOIN k1 USING (user_id) JOIN k2 USING (t) JOIN k3 USING (band)
+        """,
+        "order_argsort": f"""
+            WITH {_CELLS_CTE}, {_IDX_CTE}
+            SELECT x,
+                   row_number() OVER (PARTITION BY x ORDER BY sq, i) - 1 AS pos,
+                   CAST(i AS DOUBLE) AS value
+            FROM idx
+        """,
+        "rearrange": f"""
+            WITH {_CELLS_CTE}, {_IDX_CTE}
+            SELECT x,
+                   CAST(CASE i WHEN 2 THEN 0 WHEN 0 THEN 1 ELSE 2 END AS BIGINT)
+                     AS pos,
+                   sq AS value
+            FROM idx WHERE i <= 2
+        """,
+        "resample_spatial_grid": """
+            SELECT round(CAST(l_partkey AS DOUBLE) / 100) * 100 AS x,
+                   round(CAST(l_suppkey AS DOUBLE) / 100) * 100 AS y,
+                   l_returnflag AS band, round(avg(l_quantity), 6) AS value
+            FROM lineitem GROUP BY 1, 2, 3
+        """,
+        "resample_cube_spatial_coarse": f"""
+            WITH {_GRID_CTE},
+            tx AS (SELECT DISTINCT x - x % 3 AS t FROM grid),
+            ty AS (SELECT DISTINCT y - y % 3 AS t FROM grid),
+            sx AS (SELECT DISTINCT x AS s FROM grid),
+            sy AS (SELECT DISTINCT y AS s FROM grid),
+            mx AS (SELECT s, arg_min(t, abs(s - t)) AS t
+                   FROM sx CROSS JOIN tx GROUP BY s),
+            my AS (SELECT s, arg_min(t, abs(s - t)) AS t
+                   FROM sy CROSS JOIN ty GROUP BY s)
+            SELECT mx.t AS x, my.t AS y, g.band, round(avg(g.value), 6) AS value
+            FROM grid g JOIN mx ON g.x = mx.s JOIN my ON g.y = my.s
+            GROUP BY 1, 2, 3
+        """,
+        "apply_neighborhood_mean": f"""
+            WITH {_CELLS_CTE}
+            SELECT x, pos,
+                   round(avg(sq) OVER (PARTITION BY x ORDER BY pos
+                         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 6) AS value
+            FROM cells
+        """,
+        "cummax": f"""
+            WITH {_CELLS_CTE}
+            SELECT x, pos, max(sq) OVER (PARTITION BY x ORDER BY pos) AS value
+            FROM cells
+        """,
+        "rename_labels_dim": """
+            SELECT user_id AS uid, ts AS t,
+                   CASE event_type WHEN 'click' THEN 'c' WHEN 'view' THEN 'v'
+                        WHEN 'purchase' THEN 'p' ELSE event_type END AS band,
+                   value
+            FROM events
+        """,
+        "dimension_labels": """
+            SELECT DISTINCT event_type AS band FROM events
+        """,
+        "predict_curve_linear": f"""
+            WITH {_CELLS_CTE},
+            sel AS (SELECT x, CAST(pos AS DOUBLE) AS pos, sq FROM cells
+                    WHERE x % 10 = 0),
+            ok AS (SELECT x FROM sel GROUP BY x HAVING count(*) >= 3),
+            fits AS (
+              SELECT s.x, regr_slope(s.sq, s.pos) AS m,
+                     regr_intercept(s.sq, s.pos) AS b
+              FROM sel s JOIN ok USING (x) GROUP BY s.x)
+            SELECT x, t.pos, round(m * t.pos + b, 4) AS value
+            FROM fits CROSS JOIN (VALUES (0.0), (10.0)) t(pos)
+        """,
+        "array_ops": f"""
+            WITH {_CELLS_CTE},
+            arrs AS (SELECT x, list(sq ORDER BY pos) AS l FROM cells GROUP BY x)
+            SELECT x,
+                   CASE WHEN len(l) > 2 THEN l[3] END AS elem2,
+                   len(l) + 3 AS n_concat,
+                   l[1] AS first_v, l[-1] AS last_v,
+                   round(list_sum(l), 6) AS total
+            FROM arrs
+        """,
+        "ddmc": f"""
+            WITH {_CELLS_CTE},
+            piv AS (
+              SELECT x,
+                     max(CASE WHEN pos = 1 THEN sq END) AS nir08,
+                     max(CASE WHEN pos = 2 THEN sq END) AS nir09,
+                     max(CASE WHEN pos = 3 THEN sq END) AS cirrus,
+                     max(CASE WHEN pos = 4 THEN sq END) AS swir16,
+                     max(CASE WHEN pos = 5 THEN sq END) AS swir22
+              FROM cells WHERE pos <= 5 GROUP BY x)
+            SELECT x, b.band,
+                   round(CASE b.band WHEN 'midcl' THEN (nir08 - nir09) * 2.5
+                                     WHEN 'dc' THEN (cirrus - swir22) * 2.5
+                                     ELSE (swir16 - cirrus) * 2.5 END, 6) AS value
+            FROM piv CROSS JOIN (VALUES ('midcl'), ('dc'), ('lowcl')) b(band)
+        """,
+        "text_ops": """
+            SELECT doc_id,
+                   starts_with(lower(text), 'the') AS b,
+                   contains(text, 'and') AS c,
+                   ends_with(text, '.') AS e,
+                   concat_ws('-', coalesce(lang, 'null'),
+                             coalesce(source, 'null')) AS cc
+            FROM documents
+        """,
         # random_forest / vector_buffer / multimodal_features: model /
         # geometry-string / binary-payload outputs — rows-only by design.
     }
