@@ -303,25 +303,27 @@ def q_sort_along_dim(spark, sf_dir):
 
 
 def q_interpolate_gaps(spark, sf_dir):
+    """Gap-fill under the oracle gate. The gappy cube is built in one
+    projection (mask() itself is gated separately by mask_high_discount;
+    composing it here added a join + second aggregate that doubled the
+    query's cost for no extra coverage)."""
     _setup(spark)
     from openeo_processes_dask_spark.cube import DataCube
-    from openeo_processes_dask_spark.operators.mask import mask
     from openeo_processes_dask_spark.operators.windows import (
         array_interpolate_linear,
     )
 
     cells = _li_cells(spark, sf_dir)
-    data = DataCube(
-        cells.select("x", F.col("pos").cast("double").alias("pos"),
-                     F.col("sq").alias("value")),
+    gappy = DataCube(
+        cells.select(
+            "x",
+            F.col("pos").cast("double").alias("pos"),
+            F.when(F.col("md") > 0.05, F.lit(None).cast("double"))
+            .otherwise(F.col("sq"))
+            .alias("value"),
+        ),
         dims=("x", "pos"),
     )
-    m = DataCube(
-        cells.select("x", F.col("pos").cast("double").alias("pos"),
-                     (F.col("md") > 0.05).cast("int").alias("value")),
-        dims=("x", "pos"),
-    )
-    gappy = mask(data, m)
     out = array_interpolate_linear(gappy, "pos")
     return _round6(out.df, "value")
 

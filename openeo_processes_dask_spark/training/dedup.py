@@ -248,10 +248,14 @@ def simhash_signatures(
     """SimHash per document: per-token md5-derived hash, bitwise weighted
     vote, sign → bit (60 usable bits from the 15-hex digest).
 
-    Plan shape matters here: explode tokens → hash each token ONCE →
-    ``bits`` plain sum-aggregates in a single hash aggregate. The obvious
-    alternative (array ``aggregate`` lambdas per bit) is interpreted, not
-    codegen'd, and re-inlines the md5 per bit — measured ~100× slower.
+    Plan shape matters here: explode tokens → hash each token ONCE → a
+    *packed* popcount aggregate: 3 bit-counters × 20 bits per 64-bit sum,
+    so 60 bits cost 20 simple long sums that stay inside whole-stage
+    codegen. Measured against the alternatives at sf0.1: 60 separate
+    ``when(±1)`` sums ~10× slower (codegen compile + branchy eval), per-bit
+    array ``aggregate`` lambdas ~100× (interpreted, md5 re-inlined per
+    bit). The 20-bit counter ceiling (2^20-1 tokens/doc) is far above any
+    real document; majority vote ``sum(±1) > 0`` ⟺ ``2·cnt_b > n``.
     Docs with zero tokens produce no signature (nothing to vote)."""
     bits = min(bits, 60)
     tok = df.select(
@@ -259,21 +263,33 @@ def simhash_signatures(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("w"),
     ).select("id", _md5_to_long(F.col("w")).alias("h"))
     h = F.col("h")
-    votes = tok.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(bits)
-        ]
-    )
-    sig = F.lit(0).cast("bigint")
+    per, width = 3, 20
+    n_packs = (bits + per - 1) // per
+    packs = []
+    for g in range(n_packs):
+        expr = None
+        for j in range(per):
+            b = g * per + j
+            if b >= bits:
+                break
+            e = F.shiftleft(F.shiftright(h, b).bitwiseAND(F.lit(1)), j * width)
+            expr = e if expr is None else expr + e
+        packs.append(F.sum(expr).alias(f"p{g}"))
+    votes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *packs)
+    # Signature assembly as ONE server-parsed SQL expression: building the
+    # equivalent 60-deep nested Column tree driver-side measured ~5 s of
+    # pure Python before a single task ran. Bit terms are disjoint, so a
+    # plain sum of power-of-two literals equals the bitwise OR.
+    mask = (1 << width) - 1
+    terms = []
     for b in range(bits):
-        sig = sig.bitwiseOR(
-            F.when(
-                F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)
-            ).otherwise(F.lit(0).cast("bigint"))
+        g, j = divmod(b, per)
+        cnt = f"(shiftright(p{g}, {j * width}) & {mask})"
+        terms.append(
+            f"(CASE WHEN 2 * {cnt} > n THEN CAST({1 << b} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
         )
+    sig = F.expr("(" + " + ".join(terms) + ")")
     return votes.select("id", sig.alias("simhash"))
 
 
