@@ -1299,6 +1299,30 @@ def q_ddmc(spark, sf_dir):
     return _round6(out.df, "value")
 
 
+def q_rqa_trend(spark, sf_dir):
+    """rqa_deforestation over per-user daily series (reference:
+    experimental/rqadeforestation.py:9-16). The RQA TREND statistic is the
+    OLS slope of recurrence rate vs diagonal distance, so DuckDB's
+    regr_slope over an indexed self-join is an exact oracle. Groups shorter
+    than 3 samples yield NaN in the engine and are excluded on both sides."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.aggregate import (
+        aggregate_temporal_period,
+    )
+    from openeo_processes_dask_spark.operators.experimental import (
+        rqa_deforestation,
+    )
+
+    cube = _events_cube(spark, sf_dir)
+    daily = aggregate_temporal_period(cube, "day", "mean")
+    out = rqa_deforestation(daily, threshold=10.0)
+    # short groups produce NaN driver-side; Arrow maps pandas NaN to NULL,
+    # and Spark's isnan(NULL) is false — filter both representations
+    return _round6(
+        out.df.where(F.col("value").isNotNull() & ~F.isnan("value")), "value"
+    )
+
+
 def q_text_ops(spark, sf_dir):
     """text_begins/contains/ends/concat scalar processes
     (reference: text.py:11-55)."""
@@ -1383,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_ops": q_array_ops,
         "ddmc": q_ddmc,
         "text_ops": q_text_ops,
+        "rqa_trend": q_rqa_trend,
     }
 
 
@@ -1838,6 +1863,27 @@ def oracle_sql() -> dict[str, str]:
                                      WHEN 'dc' THEN (cirrus - swir22) * 2.5
                                      ELSE (swir16 - cirrus) * 2.5 END, 6) AS value
             FROM piv CROSS JOIN (VALUES ('midcl'), ('dc'), ('lowcl')) b(band)
+        """,
+        "rqa_trend": """
+            WITH daily AS (
+              SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS t,
+                     event_type AS band, avg(value) AS v
+              FROM events GROUP BY ALL),
+            idx AS (
+              SELECT user_id, band, v,
+                     row_number() OVER (PARTITION BY user_id, band ORDER BY t) AS i,
+                     count(*) OVER (PARTITION BY user_id, band) AS n
+              FROM daily),
+            pairs AS (
+              SELECT a.user_id, a.band, b.i - a.i AS tau,
+                     CAST(abs(a.v - b.v) < 10.0 AS DOUBLE) AS r
+              FROM idx a JOIN idx b
+                ON a.user_id = b.user_id AND a.band = b.band AND b.i > a.i
+              WHERE a.n >= 3),
+            rr AS (SELECT user_id, band, tau, avg(r) AS rr
+                   FROM pairs GROUP BY ALL)
+            SELECT user_id, band, round(regr_slope(rr, tau), 6) AS value
+            FROM rr GROUP BY user_id, band
         """,
         "text_ops": """
             SELECT doc_id,

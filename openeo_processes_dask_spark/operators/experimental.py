@@ -56,15 +56,71 @@ def ddmc(
     return data.with_df(out)
 
 
+def _rqa_trend(y, threshold: float) -> float:
+    """TREND metric of recurrence quantification analysis over one series:
+    the slope of the recurrence rate RR_tau as a function of diagonal
+    distance tau in the recurrence plot R(i,j) = |y_i - y_j| < threshold
+    (Marwan et al. 2007, "Recurrence plots for the analysis of complex
+    systems", Physics Reports 438, eq. for TREND). Pure NumPy."""
+    import numpy as np
+
+    y = np.asarray(y, dtype="float64")
+    y = y[~np.isnan(y)]
+    n = len(y)
+    if n < 3:
+        return float("nan")
+    rec = np.abs(y[:, None] - y[None, :]) < threshold
+    taus = np.arange(1, n)
+    rr = np.array([rec.diagonal(int(t)).mean() for t in taus])
+    center = taus - (n - 1) / 2.0 - 0.5
+    denom = (center**2).sum()
+    if denom == 0:
+        return float("nan")
+    return float((center * (rr - rr.mean())).sum() / denom)
+
+
 @process
-def rqa_deforestation(data: DataCube, threshold: float = 0.5) -> DataCube:
-    """Recurrence-quantification deforestation trend
-    (reference: experimental/rqadeforestation.py:9-16 — wraps the Julia
-    ``rqatrend``; that library is not public Python). STUB: the per-pixel
-    trend statistic is gated; the Spark plumbing (groupBy pixel →
-    along-time kernel) is the same shape as fit_curve."""
-    raise NotImplementedError(
-        "rqatrend's recurrence analysis depends on the RQADeforestation "
-        "Julia package (reference: experimental/rqadeforestation.py); "
-        "use ml.curve_fitting.fit_curve for trend extraction instead"
+def rqa_deforestation(
+    data: DataCube, threshold: float = 0.5, dimension: str = None
+) -> DataCube:
+    """Recurrence-quantification deforestation trend per pixel
+    (reference: experimental/rqadeforestation.py:9-16, which maps the Julia
+    package's ``rqatrend`` along the time axis with
+    ``da.apply_along_axis``). That library is not public Python, so the
+    per-series statistic here is the published RQA TREND formula itself
+    (see ``_rqa_trend``) — same shape: groupBy(all dims but time) →
+    Arrow-batched pandas kernel along the series, one value per pixel,
+    time dim dropped. O(|t|^2) per group, executor-bound; |t| is the time
+    axis length (thousands at most), never the table size."""
+    import pandas as pd
+
+    from openeo_processes_dask_spark.operators.filters import (
+        _single_temporal_dim,
+    )
+
+    dim = _single_temporal_dim(data, dimension)
+    keep = data.other_dims(dim)
+    v = data.value_col
+    df = data.df
+    schema = ", ".join(
+        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in keep]
+        + [f"`{v}` double"]
+    )
+    thr = float(threshold)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        series = pdf.sort_values(dim)[v].to_numpy(dtype="float64")
+        out = pd.DataFrame({v: [_rqa_trend(series, thr)]})
+        for k in keep:
+            out.insert(0, k, pdf[k].iloc[0])
+        return out[[*keep, v]]
+
+    out_df = df.groupBy(*keep).applyInPandas(run, schema=schema)
+    return DataCube(
+        out_df,
+        dims=keep,
+        value_col=v,
+        roles={d: data.meta.role_of(d) for d in keep},
+        crs=data.meta.crs,
+        attrs=data.meta.attrs,
     )

@@ -220,3 +220,37 @@ def test_filter_bbox_vector_and_load_vector_cube(spark, tmp_path):
         vc, {"west": 0, "east": 10, "south": 0, "north": 10}
     )
     assert [r["feature_id"] for r in kept.collect()] == ["in"]
+
+
+def test_rqa_deforestation(spark):
+    """Spark output == direct NumPy evaluation of the published RQA TREND
+    formula per pixel (oracle pattern 1, SURVEY.md §5)."""
+    import datetime as dt
+
+    from openeo_processes_dask_spark.operators.experimental import (
+        _rqa_trend,
+        rqa_deforestation,
+    )
+
+    rng = np.random.default_rng(7)
+    series = {
+        (0.0, 0.0): np.linspace(0.0, 5.0, 24) + rng.normal(0, 0.1, 24),
+        (0.0, 1.0): np.sin(np.linspace(0, 6, 24)),
+        (1.0, 0.0): np.full(24, 2.0),
+    }
+    rows = []
+    for (x, y), vals in series.items():
+        for i, v in enumerate(vals):
+            rows.append((x, y, dt.datetime(2024, 1, 1 + i), float(v)))
+    cube = DataCube(
+        spark.createDataFrame(rows, "x double, y double, t timestamp, value double"),
+        dims=("x", "y", "t"),
+    )
+    out = rqa_deforestation(cube, threshold=0.5)
+    assert out.dims == ("x", "y")
+    got = {(r["x"], r["y"]): r["value"] for r in out.df.collect()}
+    for key, vals in series.items():
+        expected = _rqa_trend(vals, 0.5)
+        assert got[key] == pytest.approx(expected, rel=1e-12), key
+    # constant series: every pair recurs, RR_tau == 1 for all tau -> slope 0
+    assert got[(1.0, 0.0)] == pytest.approx(0.0, abs=1e-12)
