@@ -134,21 +134,44 @@ def rename_labels(
 @process
 def trim_cube(data: DataCube) -> DataCube:
     """Drop labels that are all-NULL along every non-spatial dim
-    (reference: cubes/general.py:42-56). One aggregation per trimmed dim,
-    each producing a tiny label set that broadcast-semi-joins back."""
+    (reference: cubes/general.py:42-56). ALL per-dim label surveys run in a
+    single GROUPING SETS pass — one scan + one shuffle however many dims
+    are trimmed (the naive per-dim aggregate re-scans the full table once
+    per dim, which at 100 TB is the whole cost). The resulting label sets
+    are metadata-sized and broadcast-semi-join back."""
     df = data.df
     v = F.col(data.value_col)
-    for dim in data.meta.dims:
-        if data.meta.role_of(dim) in ("x", "y"):
-            continue
-        keep_labels = (
-            data.df.groupBy(dim)
-            .agg(F.max(v.isNotNull()).alias("__any__"))
-            .where(F.col("__any__"))
-            .select(dim)
+    trim_dims = [
+        d for d in data.meta.dims if data.meta.role_of(d) not in ("x", "y")
+    ]
+    if not trim_dims:
+        return data
+    # persist: the survey result is metadata-sized (sum of label
+    # cardinalities), but without it Catalyst's column pruning specializes
+    # the subtree per keep-set branch and the full scan re-runs once per
+    # dim (verified in the executed plan: ReusedExchange never matches the
+    # pruned copies). At cluster scale this would be a small warehouse
+    # table instead.
+    surveys = (
+        df.groupingSets([[d] for d in trim_dims], *trim_dims)
+        .agg(
+            F.max(v.isNotNull()).alias("__any__"),
+            F.grouping_id().alias("__gid__"),
         )
-        df = df.join(F.broadcast(keep_labels), on=dim, how="left_semi")
-    return data.with_df(df)
+        .persist()
+    )
+    n = len(trim_dims)
+    out = df
+    for i, dim in enumerate(trim_dims):
+        # grouping_id sets the bit of every aggregated-away column (first
+        # groupBy column = most significant); the {dim_i} set keeps only
+        # bit i clear
+        gid = ((1 << n) - 1) ^ (1 << (n - 1 - i))
+        keep_labels = surveys.where(
+            (F.col("__gid__") == gid) & F.col("__any__")
+        ).select(dim)
+        out = out.join(F.broadcast(keep_labels), on=dim, how="left_semi")
+    return data.with_df(out)
 
 
 @process
