@@ -1299,6 +1299,64 @@ def q_ddmc(spark, sf_dir):
     return _round6(out.df, "value")
 
 
+def q_streaming_sessions(spark, sf_dir):
+    """Stateful streaming sessionization (applyInPandasWithState,
+    streaming/sessions.py) under a full value oracle. The source is ONE
+    time-sorted file, so the state machine's arrival order equals the
+    globally-sorted batch replay the SQL oracle computes. Only sessions
+    closed by a later event are compared: per-user LAST sessions are
+    emitted (or not) depending on ms-resolution watermark timing, so both
+    sides exclude sessions whose end reaches past max(user time) - gap."""
+    _setup(spark)
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_events,
+    )
+    from openeo_processes_dask_spark.streaming.sessions import sessionize
+
+    gap = 86_400  # 1 day
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_sessions_{os.path.basename(sf_dir)}"
+    )
+    if not os.path.isdir(stream_dir):
+        (
+            _table(spark, sf_dir, "events")
+            .select("event_id", "ts", "user_id", "event_type", "value", "props")
+            .repartition(1)
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(stream_dir)
+        )
+    stream = stream_events(spark, stream_dir, max_files_per_trigger=None)
+    sessions = sessionize(stream, gap_seconds=gap, watermark="1 hour")
+    name = f"q_sessions_{abs(hash(sf_dir)) % 10_000}"
+    q = run_stream_to_memory(sessions, name, output_mode="append")
+    q.awaitTermination(300)
+    mx = (
+        _table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("__mt__"))
+    )
+    return (
+        spark.table(name)
+        .join(F.broadcast(mx), "user_id")
+        .where(
+            F.unix_micros(F.col("session_end"))
+            < F.unix_micros(F.col("__mt__")) - gap * 1_000_000
+        )
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            F.round("value_sum", 6).alias("value_sum"),
+        )
+    )
+
+
 def q_rqa_trend(spark, sf_dir):
     """rqa_deforestation over per-user daily series (reference:
     experimental/rqadeforestation.py:9-16). The RQA TREND statistic is the
@@ -1408,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddmc": q_ddmc,
         "text_ops": q_text_ops,
         "rqa_trend": q_rqa_trend,
+        "streaming_sessions": q_streaming_sessions,
     }
 
 
@@ -1863,6 +1922,32 @@ def oracle_sql() -> dict[str, str]:
                                      WHEN 'dc' THEN (cirrus - swir22) * 2.5
                                      ELSE (swir16 - cirrus) * 2.5 END, 6) AS value
             FROM piv CROSS JOIN (VALUES ('midcl'), ('dc'), ('lowcl')) b(band)
+        """,
+        "streaming_sessions": """
+            WITH ev AS (
+              SELECT user_id, make_timestamp(epoch_us(ts)) AS t,
+                     coalesce(value, 0) AS v
+              FROM events),
+            mx AS (SELECT user_id, max(t) AS mt FROM ev GROUP BY 1),
+            lagd AS (
+              SELECT user_id, t, v,
+                     CASE WHEN lag(t) OVER w IS NULL
+                               OR epoch_us(t) - epoch_us(lag(t) OVER w)
+                                  > 86400000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+            sess AS (
+              SELECT user_id, t, v,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY t) AS sid
+              FROM lagd),
+            agg AS (
+              SELECT user_id, min(t) AS session_start, max(t) AS session_end,
+                     count(*) AS n_events, round(sum(v), 6) AS value_sum
+              FROM sess GROUP BY user_id, sid)
+            SELECT a.user_id, a.session_start, a.session_end, a.n_events,
+                   a.value_sum
+            FROM agg a JOIN mx USING (user_id)
+            WHERE epoch_us(a.session_end) < epoch_us(mx.mt) - 86400000000
         """,
         "rqa_trend": """
             WITH daily AS (

@@ -211,10 +211,26 @@ def load_vector_cube(
 
 @process
 def load_url(url: str, format: str = "GeoJSON", options: dict = None):  # noqa: A002
-    """(reference: cubes/load.py:325-401) HTTP GET → VectorCube. Gated:
-    no network in this container — load_vector_cube(filename=...) covers
-    the local path with identical semantics."""
-    raise NotImplementedError(
-        "Network access unavailable in this container; use "
-        "load_vector_cube(filename=...) for local GeoJSON/JSON/Parquet"
-    )
+    """URL → VectorCube (reference: cubes/load.py:325-401; formats GeoJSON /
+    JSON / Parquet). ``file://`` URLs and plain local paths are fully
+    supported; remote http(s) fetches stay gated (no network in this
+    container) — on a cluster the fetch happens driver-side exactly like
+    the reference's ``requests.get``, so only this branch would change.
+    Parquet reads go through ``spark.read.parquet`` (distributed,
+    predicate-pushdown-capable) rather than a driver download."""
+    spark = SparkSession.getActiveSession()
+    fmt = (format or "GeoJSON").lower()
+    if url.startswith("file://"):
+        path = url[len("file://") :]
+    elif not url.startswith(("http://", "https://")):
+        path = url
+    else:
+        raise NotImplementedError(
+            "Network access unavailable in this container; use a file:// "
+            "URL or local path for GeoJSON/JSON/Parquet"
+        )
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt in ("geojson", "json"):
+        return load_vector_cube(spark, filename=path)
+    raise ValueError(f"Unsupported format for load_url: {format}")

@@ -64,15 +64,16 @@ def stream_aggregate_temporal_period(
 
 
 def run_stream_to_memory(
-    out: DataFrame, query_name: str = "stream_test"
+    out: DataFrame, query_name: str = "stream_test", output_mode: str = "complete"
 ):
     """Drain all currently-available input (Trigger.AvailableNow) into an
     in-memory sink — the pattern tests use to verify streaming semantics
-    deterministically."""
+    deterministically. Stateful append-mode operators (sessionize) pass
+    ``output_mode="append"``."""
     return (
         out.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

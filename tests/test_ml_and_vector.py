@@ -254,3 +254,31 @@ def test_rqa_deforestation(spark):
         assert got[key] == pytest.approx(expected, rel=1e-12), key
     # constant series: every pair recurs, RR_tau == 1 for all tau -> slope 0
     assert got[(1.0, 0.0)] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_load_url_local(spark, tmp_path):
+    import json
+
+    from openeo_processes_dask_spark.operators.vector import load_url
+
+    gj = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+                "properties": {"name": "a"},
+            }
+        ],
+    }
+    path = tmp_path / "fc.geojson"
+    path.write_text(json.dumps(gj))
+    out = load_url(f"file://{path}")
+    assert out.count() == 1 and "geometry" in out.columns
+
+    pq = str(tmp_path / "t.parquet")
+    spark.range(5).write.parquet(pq)
+    assert load_url(pq, format="Parquet").count() == 5
+
+    with pytest.raises(NotImplementedError):
+        load_url("https://example.com/fc.geojson")
