@@ -462,6 +462,21 @@ def q_embedding_near_dups(spark, sf_dir):
     return pairwise_cosine_above(emb, threshold=0.2, n_planes=6)
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantized ANN: seeded centroid sample, max-cosine
+    assignment, nprobe-cell probe, exact re-rank (training/similarity.py).
+    Every step is engine-portable (md5 sampling, fold-left dots), so the
+    oracle reproduces the whole index, not just the final ranking."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.similarity import ivf_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_topk(
+        emb, [float(v) for v in query], k=10, n_centroids=16, nprobe=4
+    )
+
+
 
 
 # ----------------------------------------------------------------------
@@ -855,6 +870,48 @@ _COS_SQL = """round(
                 for i in generate_series(1, len({a}))]))
          * sqrt(list_sum([CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)
                 for i in generate_series(1, len({b}))]))), 6)"""
+
+
+_COS_RAW_SQL = """(
+      list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)
+                for i in generate_series(1, len({a}))])
+      / (sqrt(list_sum([CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)
+                for i in generate_series(1, len({a}))]))
+         * sqrt(list_sum([CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)
+                for i in generate_series(1, len({b}))]))))"""
+
+
+def _ivf_topk_oracle_sql(
+    n_centroids: int = 16, nprobe: int = 4, k: int = 10, seed: int = 42
+) -> str:
+    """Twin of training.similarity.ivf_topk: same seeded md5 centroid
+    sample, same max-cosine assignment (fold-left dots are bit-identical
+    across engines), same probe set, same exact re-rank."""
+    probe_cos = _COS_RAW_SQL.format(a="cvec", b="qv")
+    assign_cos = _COS_RAW_SQL.format(a="e.embedding", b="c.cvec")
+    final_cos = _COS_SQL.format(a="embedding", b="qv")
+    return f"""
+        WITH cents AS (
+          SELECT vec_id AS cid, embedding AS cvec
+          FROM embeddings
+          ORDER BY md5('{seed}-' || CAST(vec_id AS VARCHAR))
+          LIMIT {n_centroids}),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        probe AS (
+          SELECT cid FROM cents, q
+          ORDER BY {probe_cos} DESC, cid LIMIT {nprobe}),
+        ranked AS (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {assign_cos} DESC, c.cid) AS rn
+          FROM embeddings e CROSS JOIN cents c),
+        cands AS (
+          SELECT r.vec_id, r.embedding
+          FROM ranked r JOIN probe p USING (cid) WHERE r.rn = 1)
+        SELECT vec_id, {final_cos} AS cosine
+        FROM cands, q
+        ORDER BY cosine DESC, vec_id LIMIT {k}
+    """
 
 
 def _lsh_topk_oracle_sql(n_planes: int = 12, k: int = 10, seed: int = 42) -> str:
@@ -1467,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ops": q_text_ops,
         "rqa_trend": q_rqa_trend,
         "streaming_sessions": q_streaming_sessions,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -1778,6 +1836,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s.x, p.param
         """,
         "lsh_topk": _lsh_topk_oracle_sql(n_planes=6),
+        "ivf_topk": _ivf_topk_oracle_sql(),
         "reduce_any": """
             SELECT user_id, event_type AS band, bool_or(value > 100) AS value
             FROM events GROUP BY ALL

@@ -146,3 +146,101 @@ def pairwise_cosine_above(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def _fold_dot(a: Sequence[float], b: Sequence[float]) -> float:
+    """Strict left-to-right dot product. np.dot's pairwise/SIMD order can
+    differ in the last ulp, which would flip tie-sensitive comparisons vs
+    the engine fold (F.aggregate) and the SQL oracle (list comprehension)."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += float(x) * float(y)
+    return s
+
+
+def ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF coarse-centroid selection: the ``n_centroids`` vectors with the
+    smallest md5(seed-id) — seeded random sampling that any engine
+    reproduces (k-means would sharpen the cells but make the index
+    engine-private; sampling is the standard init and keeps the DuckDB
+    oracle bit-exact). The centroid table is metadata-sized by design."""
+    key = F.md5(
+        F.concat_ws("-", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cvec"),
+            key.alias("__k__"),
+        )
+        .orderBy("__k__")
+        .limit(int(n_centroids))
+        .drop("__k__")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate top-k: assign every vector to its max-cosine
+    centroid (broadcast join + max_by — one pass, no shuffle of the big
+    side), probe only the ``nprobe`` centroids nearest the query, and
+    brute-force cosine within those cells.
+
+    At 100 TB the assignment is precomputed and the table is partitioned
+    by ``cid``, so a query scans nprobe/n_centroids of the data via
+    partition pruning; this function expresses the same plan inline. The
+    centroid list is collected driver-side (metadata-sized, same move as
+    the label-space resampling ops); probe selection uses strict fold-left
+    dots so engine, driver, and SQL oracle agree bit-for-bit."""
+    query = [float(v) for v in query]
+    cents = ivf_centroids(df, n_centroids, id_col, vec_col, seed).collect()
+    qn = float(np.sqrt(_fold_dot(query, query)))
+    scored = []
+    for row in cents:
+        cv = [float(v) for v in row["cvec"]]
+        cn = float(np.sqrt(_fold_dot(cv, cv)))
+        cos = _fold_dot(cv, query) / (cn * qn) if cn > 0 else float("-inf")
+        scored.append((cos, row["cid"]))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    probe_ids = [cid for _, cid in scored[:nprobe]]
+
+    cent_df = df.sparkSession.createDataFrame(
+        [(row["cid"], [float(v) for v in row["cvec"]]) for row in cents],
+        f"cid bigint, cvec array<double>",
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("cvec"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (_norm(F.col(vec_col)) * _norm(F.col("cvec")))
+    assigned = (
+        df.crossJoin(F.broadcast(cent_df))
+        .withColumn("__cos__", cos)
+        .groupBy(id_col, vec_col)
+        .agg(
+            F.max_by(
+                F.col("cid"), F.struct(F.col("__cos__"), -F.col("cid"))
+            ).alias("cid")
+        )
+    )
+    candidates = assigned.where(F.col("cid").isin(probe_ids)).drop("cid")
+    return cosine_topk(candidates, query, k, id_col, vec_col)

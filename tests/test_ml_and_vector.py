@@ -282,3 +282,48 @@ def test_load_url_local(spark, tmp_path):
 
     with pytest.raises(NotImplementedError):
         load_url("https://example.com/fc.geojson")
+
+
+def test_ivf_topk(spark):
+    """IVF ANN: scores are exact cosines, the query's own vector ranks
+    first, and results agree with a NumPy replay of the same index
+    (seeded md5 centroid sample -> max-cosine cells -> nprobe probe)."""
+    import hashlib
+
+    from openeo_processes_dask_spark.training.similarity import ivf_topk
+
+    rng = np.random.default_rng(3)
+    base = np.eye(4)
+    vecs = {}
+    for g in range(4):
+        for i in range(10):
+            vid = g * 10 + i
+            vecs[vid] = base[g] + rng.normal(0, 0.05, 4)
+    df = spark.createDataFrame(
+        [(vid, [float(x) for x in v]) for vid, v in vecs.items()],
+        "vec_id bigint, embedding array<double>",
+    )
+    query = [float(x) for x in vecs[0]]
+    out = ivf_topk(df, query, k=5, n_centroids=8, nprobe=2, seed=42).collect()
+    assert out[0]["vec_id"] == 0 and out[0]["cosine"] == pytest.approx(1.0)
+
+    # NumPy replay of the index
+    def cos(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    cids = sorted(
+        vecs, key=lambda v: hashlib.md5(f"42-{v}".encode()).hexdigest()
+    )[:8]
+    assign = {
+        vid: max(cids, key=lambda c: (cos(v, vecs[c]), -c))
+        for vid, v in vecs.items()
+    }
+    probe = sorted(cids, key=lambda c: (-cos(vecs[c], query), c))[:2]
+    cand = [vid for vid, c in assign.items() if c in probe]
+    expected = sorted(cand, key=lambda v: (-round(cos(vecs[v], query), 6), v))[:5]
+    assert [r["vec_id"] for r in out] == expected
+    for r in out:
+        assert r["cosine"] == pytest.approx(
+            round(cos(vecs[r["vec_id"]], query), 6), abs=2e-6
+        )
