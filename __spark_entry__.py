@@ -1356,6 +1356,68 @@ def q_ddmc(spark, sf_dir):
     return _round6(out.df, "value")
 
 
+def q_resample_mercator(spark, sf_dir):
+    """resample_spatial with a native EPSG:4326->3857 warp: the Mercator
+    transform is composed as JVM expressions in front of the grid snap
+    (functions/crs.py), so warp + regrid is one codegen'd stage + one
+    shuffle. Rounding to 1000 km cells absorbs libm last-ulp differences
+    between the JVM and DuckDB."""
+    _setup(spark)
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.operators.resample import resample_spatial
+
+    df = _table(spark, sf_dir, "lineitem").select(
+        ((F.col("l_partkey") % 360).cast("double") - 179.5).alias("x"),
+        ((F.col("l_suppkey") % 170).cast("double") - 84.5).alias("y"),
+        F.col("l_returnflag").alias("band"),
+        F.col("l_quantity").alias("value"),
+    )
+    cube = DataCube(df, dims=("x", "y", "band"), crs="EPSG:4326")
+    out = resample_spatial(
+        cube, resolution=1_000_000.0, projection="EPSG:3857", method="mean"
+    )
+    return _round6(out.df, "value")
+
+
+def q_vector_reproject(spark, sf_dir):
+    """vector_reproject of nation-key points to EPSG:3857; coordinates are
+    read back via geometry bounds and rounded (reference:
+    cubes/geometries.py:149-170)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.vector import (
+        geometry_bounds_df,
+        load_geojson,
+        vector_reproject,
+    )
+
+    n = _table(spark, sf_dir, "nation").collect()
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "id": str(r["n_nationkey"]),
+                "geometry": {
+                    "type": "Point",
+                    "coordinates": [
+                        float(r["n_nationkey"]) * 3.0 - 30.0,
+                        float(r["n_regionkey"]) * 10.0 - 20.0,
+                    ],
+                },
+                "properties": {"name": r["n_name"]},
+            }
+            for r in n
+        ],
+    }
+    vc = vector_reproject(load_geojson(spark, fc), "EPSG:3857")
+    b = geometry_bounds_df(vc)
+    return b.select(
+        "feature_id",
+        F.round(F.col("bounds.west"), 4).alias("mx"),
+        F.round(F.col("bounds.south"), 4).alias("my"),
+    )
+
+
 def q_streaming_sessions(spark, sf_dir):
     """Stateful streaming sessionization (applyInPandasWithState,
     streaming/sessions.py) under a full value oracle. The source is ONE
@@ -1524,6 +1586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ops": q_text_ops,
         "rqa_trend": q_rqa_trend,
         "streaming_sessions": q_streaming_sessions,
+        "resample_mercator": q_resample_mercator,
+        "vector_reproject": q_vector_reproject,
         "ivf_topk": q_ivf_topk,
     }
 
@@ -1981,6 +2045,26 @@ def oracle_sql() -> dict[str, str]:
                                      WHEN 'dc' THEN (cirrus - swir22) * 2.5
                                      ELSE (swir16 - cirrus) * 2.5 END, 6) AS value
             FROM piv CROSS JOIN (VALUES ('midcl'), ('dc'), ('lowcl')) b(band)
+        """,
+        "resample_mercator": """
+            SELECT round((radians(x) * 6378137.0) / 1000000) * 1000000 AS x,
+                   round((6378137.0 * ln(tan(pi()/4 + radians(y)/2)))
+                         / 1000000) * 1000000 AS y,
+                   band, round(avg(value), 6) AS value
+            FROM (SELECT CAST(l_partkey % 360 AS DOUBLE) - 179.5 AS x,
+                         CAST(l_suppkey % 170 AS DOUBLE) - 84.5 AS y,
+                         l_returnflag AS band, l_quantity AS value
+                  FROM lineitem)
+            GROUP BY 1, 2, 3
+        """,
+        "vector_reproject": """
+            SELECT CAST(n_nationkey AS VARCHAR) AS feature_id,
+                   round(radians(CAST(n_nationkey AS DOUBLE) * 3.0 - 30.0)
+                         * 6378137.0, 4) AS mx,
+                   round(6378137.0 * ln(tan(pi()/4 +
+                         radians(CAST(n_regionkey AS DOUBLE) * 10.0 - 20.0)/2)),
+                         4) AS my
+            FROM nation
         """,
         "streaming_sessions": """
             WITH ev AS (

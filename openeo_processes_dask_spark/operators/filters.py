@@ -98,15 +98,17 @@ def filter_bbox(data: DataCube, extent: dict) -> DataCube:
 
 def _reproject_bbox(west, east, south, north, src_crs: str, dst_crs: str):
     """Driver-side bbox transform (reference: cubes/_filter.py:284-320).
-    pyproj is optional in this environment — gate the import."""
-    try:
-        from pyproj import Transformer
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "bbox reprojection requires pyproj, not available here"
-        ) from exc
-    t = Transformer.from_crs(src_crs, dst_crs, always_xy=True)
-    xs, ys = zip(*(t.transform(x, y) for x in (west, east) for y in (south, north)))
+    EPSG:4326<->3857 corners go through the native closed-form transform
+    (functions/crs.py); other pairs fall back to pyproj when present."""
+    from openeo_processes_dask_spark.functions import crs as _crs
+
+    xs, ys = zip(
+        *(
+            _crs.transform_xy_scalar(x, y, src_crs, dst_crs)
+            for x in (west, east)
+            for y in (south, north)
+        )
+    )
     return min(xs), max(xs), min(ys), max(ys)
 
 

@@ -87,24 +87,37 @@ def resample_spatial(
     """Regrid to a target resolution (reference: cubes/resample.py:39-113).
 
     Long-format regridding = snap (x, y) to the target grid + one hash
-    aggregate per method — a single shuffle, no warping machinery. True CRS
-    reprojection (the reference's odc.reproject path) needs pyproj, absent
-    in this container → gated NotImplementedError; the grid-resampling
-    path, which is what the synthetic fixtures exercise, is fully native.
-    ``method='near'`` picks the value whose source pixel is closest to the
-    grid center (min_by distance); aggregating methods reduce all source
-    pixels in the target cell.
+    aggregate per method — a single shuffle, no warping machinery.
+    CRS warps for the EPSG:4326<->3857 pair run as pure JVM expressions
+    (functions/crs.py) composed in front of the snap, so the whole warp +
+    regrid is one codegen'd stage + one shuffle; other CRS pairs would
+    need pyproj (absent here) and stay gated. ``method='near'`` picks the
+    value whose source pixel is closest to the grid center (min_by
+    distance); aggregating methods reduce all source pixels in the target
+    cell.
     """
-    if projection is not None:
-        raise NotImplementedError(
-            "CRS reprojection requires pyproj (unavailable); only "
-            "grid resampling (projection=None) is supported here"
-        )
-    if not resolution:
+    if not resolution and projection is None:
         return data
     x_dim, y_dim = data.meta.x_dim, data.meta.y_dim
     if x_dim is None or y_dim is None:
         raise ValueError("resample_spatial needs spatial dims")
+    if projection is not None:
+        from openeo_processes_dask_spark.functions import crs as _crs
+
+        src = data.meta.crs or "EPSG:4326"
+        nx, ny = _crs.transform_xy_cols(
+            F.col(x_dim), F.col(y_dim), src, projection
+        )
+        data = DataCube(
+            data.df.withColumn(x_dim, nx).withColumn(y_dim, ny),
+            dims=data.meta.dims,
+            value_col=data.value_col,
+            roles=dict(data.meta.roles),
+            crs=_crs.normalize_crs(projection),
+            attrs=data.meta.attrs,
+        )
+        if not resolution:
+            return data
     keep = data.other_dims(x_dim, y_dim)
     step = float(resolution)
     new_x = _grid_snap(F.col(x_dim), 0.0, step).alias(x_dim)

@@ -161,3 +161,88 @@ def test_create_data_cube(spark):
 
     cube = create_data_cube(spark)
     assert cube.df.count() == 0 and cube.dims == ()
+
+
+def test_crs_transforms(spark):
+    """Native Web Mercator: known anchor values + column/scalar agreement
+    + roundtrip identity (EPSG Guidance Note 7-2 formulas)."""
+    from openeo_processes_dask_spark.functions import crs
+
+    # anchors: equator origin, and the +/-180 meridian edge value
+    ox, oy = crs.transform_xy_scalar(0.0, 0.0, "EPSG:4326", "EPSG:3857")
+    assert ox == 0.0 and oy == pytest.approx(0.0, abs=1e-8)
+    mx, my = crs.transform_xy_scalar(180.0, 0.0, "EPSG:4326", "EPSG:3857")
+    assert mx == pytest.approx(20037508.342789244)
+    _, my85 = crs.transform_xy_scalar(0.0, 85.06, "EPSG:4326", "EPSG:3857")
+    assert my85 == pytest.approx(20048966.1, abs=2e4)
+
+    df = spark.createDataFrame(
+        [(lon, lat) for lon in (-179.5, -30.0, 0.0, 45.5, 179.5)
+         for lat in (-84.0, -10.0, 0.0, 33.3, 84.0)],
+        "lon double, lat double",
+    )
+    from pyspark.sql import functions as F
+    x, y = crs.transform_xy_cols(F.col("lon"), F.col("lat"), "EPSG:4326", "EPSG:3857")
+    back_lon, back_lat = crs.transform_xy_cols(x, y, "EPSG:3857", "EPSG:4326")
+    rows = df.select("lon", "lat", x.alias("mx"), y.alias("my"),
+                     back_lon.alias("bl"), back_lat.alias("bt")).collect()
+    for r in rows:
+        smx, smy = crs.transform_xy_scalar(r["lon"], r["lat"], "4326", "3857")
+        assert r["mx"] == pytest.approx(smx, rel=1e-12)
+        assert r["my"] == pytest.approx(smy, rel=1e-12)
+        assert r["bl"] == pytest.approx(r["lon"], rel=1e-12)
+        assert r["bt"] == pytest.approx(r["lat"], rel=1e-12)
+
+    with pytest.raises(NotImplementedError):
+        crs.transform_xy_scalar(0, 0, "EPSG:4326", "EPSG:32633")
+
+
+def test_vector_reproject_roundtrip(spark):
+    import json
+
+    from openeo_processes_dask_spark.operators.vector import (
+        load_geojson,
+        vector_reproject,
+    )
+
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "id": "p1",
+                "geometry": {"type": "Point", "coordinates": [12.5, 41.9]},
+                "properties": {},
+            },
+            {
+                "type": "Feature",
+                "id": "poly",
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]],
+                },
+                "properties": {},
+            },
+        ],
+    }
+    vc = load_geojson(spark, fc)
+    merc = vector_reproject(vc, "EPSG:3857")
+    back = vector_reproject(merc, "EPSG:4326", crs="EPSG:3857")
+    got = {r["feature_id"]: json.loads(r["geometry"]) for r in back.collect()}
+    np.testing.assert_allclose(got["p1"]["coordinates"], [12.5, 41.9], rtol=1e-12)
+    np.testing.assert_allclose(
+        got["poly"]["coordinates"],
+        fc["features"][1]["geometry"]["coordinates"],
+        atol=1e-9,
+    )
+
+
+def test_resample_spatial_mercator_warp(spark, small_cube):
+    """Warped resample: output grid labels are Mercator multiples of the
+    resolution and the CRS metadata updates."""
+    out = resample_spatial(
+        small_cube, resolution=1000.0, projection="EPSG:3857", method="mean"
+    )
+    assert out.meta.crs == "EPSG:3857"
+    xs = [r[0] for r in out.df.select("x").distinct().collect()]
+    assert xs and all(abs(v / 1000.0 - round(v / 1000.0)) < 1e-9 for v in xs)
