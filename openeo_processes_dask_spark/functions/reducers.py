@@ -183,3 +183,14 @@ def resolve_reducer(reducer) -> Callable:
     if reducer in AGGREGATORS:
         return AGGREGATORS[reducer]
     raise KeyError(f"Unknown reducer {reducer!r}; known: {sorted(AGGREGATORS)}")
+
+
+# The reference's auto-collected registry includes the reducer processes
+# themselves (mean/sum/... are OpenEO processes, reference core.py:97-103);
+# expose them under their process ids too so registry lookups and the PG
+# executor see one namespace. setdefault: cube operators keep priority on
+# any future name collision.
+from openeo_processes_dask_spark.core import REGISTRY as _REGISTRY  # noqa: E402
+
+for _name, _fn in AGGREGATORS.items():
+    _REGISTRY.setdefault(_name, _fn)
