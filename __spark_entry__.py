@@ -1418,6 +1418,27 @@ def q_vector_reproject(spark, sf_dir):
     )
 
 
+def q_multimodal_av(spark, sf_dir):
+    """Video frame-sampling + audio feature plumbing (mapInPandas 1->N row
+    expansion, FFT features over fake-decoded waveforms) — rows-only:
+    binary payload fixtures are synthesized, not oracle tables."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.multimodal import (
+        audio_features,
+        sample_video_frames,
+        synthetic_audio_table,
+        synthetic_video_table,
+    )
+
+    frames = sample_video_frames(
+        synthetic_video_table(spark, n=8, n_frames=30), every_n=10
+    ).select("doc_id", F.col("frame_idx").alias("idx"), F.round("mean_intensity", 6).alias("v"))
+    audio = audio_features(synthetic_audio_table(spark, n=8)).select(
+        "doc_id", F.lit(-1).alias("idx"), F.round("spectral_centroid", 6).alias("v")
+    )
+    return frames.unionByName(audio)
+
+
 def q_streaming_sessions(spark, sf_dir):
     """Stateful streaming sessionization (applyInPandasWithState,
     streaming/sessions.py) under a full value oracle. The source is ONE
@@ -1587,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rqa_trend": q_rqa_trend,
         "streaming_sessions": q_streaming_sessions,
         "resample_mercator": q_resample_mercator,
+        "multimodal_av": q_multimodal_av,
         "vector_reproject": q_vector_reproject,
         "ivf_topk": q_ivf_topk,
     }

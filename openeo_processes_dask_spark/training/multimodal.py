@@ -96,3 +96,209 @@ def synthetic_image_table(spark, n: int = 32, width: int = 16, height: int = 12)
     return spark.createDataFrame(
         rows, "doc_id bigint, payload binary, width int, height int"
     )
+
+
+RESIZED_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int, payload binary"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_width: int,
+    target_height: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    width_col: str = "width",
+    height_col: str = "height",
+    fake: bool = True,
+) -> DataFrame:
+    """Decode -> nearest-neighbor resize -> re-encode (raw RGB bytes).
+    The resize itself is REAL (pure integer-index NumPy, no image lib);
+    only the byte->array decode is the documented stub. Same mapInPandas
+    shape as image_features: one pass, no shuffle, batch-bounded memory."""
+    tw, th = int(target_width), int(target_height)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                img = decode_image(
+                    bytes(row[payload_col]), int(row[width_col]),
+                    int(row[height_col]), fake=fake,
+                )
+                h, w = img.shape[:2]
+                yi = (np.arange(th) * h) // th
+                xi = (np.arange(tw) * w) // tw
+                resized = img[yi][:, xi]
+                out.append(
+                    {
+                        "doc_id": row[id_col],
+                        "width": tw,
+                        "height": th,
+                        "channels": resized.shape[2],
+                        "payload": resized.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, width int, height int, "
+    "mean_intensity double"
+)
+
+
+def _fake_decode_video(
+    payload: bytes, n_frames: int, width: int, height: int
+) -> np.ndarray:
+    """bytes -> (t, h, w, 3) uint8, seeded by content digest + frame index
+    (so every frame is distinct but reproducible)."""
+    seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(
+        0, 256, size=(n_frames, height, width, 3), dtype=np.uint8
+    )
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Frame sampling over binary video columns: decode (stubbed), take
+    every ``every_n``-th frame, emit ONE ROW PER SAMPLED FRAME — the
+    mapInPandas iterator shape for 1->N row expansion (no explode of a
+    materialized frame array, so peak memory is one video, not one row
+    per frame buffered)."""
+    if not fake:
+        raise NotImplementedError(
+            "Real video decoding needs ffmpeg/av (not in this container)"
+        )
+    k = int(every_n)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                vid = _fake_decode_video(
+                    bytes(row[payload_col]), int(row["n_frames"]),
+                    int(row["width"]), int(row["height"]),
+                )
+                for idx in range(0, vid.shape[0], k):
+                    out.append(
+                        {
+                            "doc_id": row[id_col],
+                            "frame_idx": idx,
+                            "width": vid.shape[2],
+                            "height": vid.shape[1],
+                            "mean_intensity": float(vid[idx].mean()),
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples int, rms double, "
+    "zero_crossing_rate double, spectral_centroid double"
+)
+
+
+def _fake_decode_audio(payload: bytes, n_samples: int) -> np.ndarray:
+    """bytes -> float32 waveform in [-1, 1], content-seeded."""
+    seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return (rng.random(n_samples, dtype=np.float64) * 2 - 1).astype("float32")
+
+
+def audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Audio feature extraction over binary columns: RMS, zero-crossing
+    rate, and FFT spectral centroid — all REAL NumPy signal math; only the
+    byte->waveform decode is the documented stub."""
+    if not fake:
+        raise NotImplementedError(
+            "Real audio decoding needs soundfile/librosa (not in this "
+            "container)"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                sr = int(row["sample_rate"])
+                y = _fake_decode_audio(
+                    bytes(row[payload_col]), int(row["n_samples"])
+                ).astype("float64")
+                rms = float(np.sqrt(np.mean(y**2))) if len(y) else 0.0
+                zcr = (
+                    float(np.mean(np.abs(np.diff(np.signbit(y)))))
+                    if len(y) > 1
+                    else 0.0
+                )
+                spec = np.abs(np.fft.rfft(y))
+                freqs = np.fft.rfftfreq(len(y), d=1.0 / sr)
+                centroid = (
+                    float((freqs * spec).sum() / spec.sum())
+                    if spec.sum() > 0
+                    else 0.0
+                )
+                out.append(
+                    {
+                        "doc_id": row[id_col],
+                        "sample_rate": sr,
+                        "n_samples": int(row["n_samples"]),
+                        "rms": rms,
+                        "zero_crossing_rate": zcr,
+                        "spectral_centroid": centroid,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
+def synthetic_video_table(
+    spark, n: int = 8, n_frames: int = 30, width: int = 8, height: int = 6
+):
+    rows = [
+        (
+            i,
+            hashlib.sha256(f"vid-{i}".encode()).digest() * 2,
+            n_frames,
+            width,
+            height,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id bigint, payload binary, n_frames int, width int, height int",
+    )
+
+
+def synthetic_audio_table(
+    spark, n: int = 8, sample_rate: int = 8000, n_samples: int = 4000
+):
+    rows = [
+        (
+            i,
+            hashlib.sha256(f"aud-{i}".encode()).digest() * 2,
+            sample_rate,
+            n_samples,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, payload binary, sample_rate int, n_samples int"
+    )

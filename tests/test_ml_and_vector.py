@@ -327,3 +327,52 @@ def test_ivf_topk(spark):
         assert r["cosine"] == pytest.approx(
             round(cos(vecs[r["vec_id"]], query), 6), abs=2e-6
         )
+
+
+def test_multimodal_resize_frames_audio(spark):
+    """Resize is real nearest-neighbor NumPy; frame sampling emits one row
+    per sampled frame; audio features match a local NumPy replay."""
+    from openeo_processes_dask_spark.training.multimodal import (
+        _fake_decode,
+        _fake_decode_audio,
+        audio_features,
+        resize_images,
+        sample_video_frames,
+        synthetic_audio_table,
+        synthetic_image_table,
+        synthetic_video_table,
+    )
+
+    imgs = synthetic_image_table(spark, n=4, width=16, height=12)
+    resized = resize_images(imgs, 8, 6).collect()
+    assert len(resized) == 4
+    for r in resized:
+        assert (r["width"], r["height"]) == (8, 6)
+        assert len(bytes(r["payload"])) == 8 * 6 * 3
+    # exactness vs local replay for one row
+    row0 = imgs.where("doc_id = 0").first()
+    img = _fake_decode(bytes(row0["payload"]), 16, 12)
+    yi = (np.arange(6) * 12) // 6
+    xi = (np.arange(8) * 16) // 8
+    expected = img[yi][:, xi].tobytes()
+    got0 = next(bytes(r["payload"]) for r in resized if r["doc_id"] == 0)
+    assert got0 == expected
+
+    vids = synthetic_video_table(spark, n=3, n_frames=30)
+    frames = sample_video_frames(vids, every_n=10)
+    pdf = frames.toPandas()
+    assert len(pdf) == 3 * 3  # frames 0, 10, 20 per video
+    assert sorted(pdf.frame_idx.unique().tolist()) == [0, 10, 20]
+
+    auds = synthetic_audio_table(spark, n=3, sample_rate=8000, n_samples=4000)
+    feats = audio_features(auds).collect()
+    assert len(feats) == 3
+    row = next(r for r in feats if r["doc_id"] == 1)
+    a = next(r for r in auds.collect() if r["doc_id"] == 1)
+    y = _fake_decode_audio(bytes(a["payload"]), 4000).astype("float64")
+    assert row["rms"] == pytest.approx(float(np.sqrt(np.mean(y**2))), rel=1e-12)
+    spec = np.abs(np.fft.rfft(y))
+    freqs = np.fft.rfftfreq(len(y), d=1 / 8000)
+    assert row["spectral_centroid"] == pytest.approx(
+        float((freqs * spec).sum() / spec.sum()), rel=1e-9
+    )
