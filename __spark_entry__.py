@@ -1418,6 +1418,31 @@ def q_vector_reproject(spark, sf_dir):
     )
 
 
+def q_apply_dimension_dropnull(spark, sf_dir):
+    """apply_dimension's SHAPE-CHANGING path (reference: cubes/apply.py:
+    96-120): the callback drops nodata, so output length != input length
+    and labels become the arange fallback (preserves_labels=False)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.operators.apply import apply_dimension
+
+    cells = _li_cells(spark, sf_dir)
+    gappy = DataCube(
+        cells.select(
+            "x",
+            F.col("pos").cast("double").alias("pos"),
+            F.when(F.col("md") > 0.05, F.lit(None).cast("double"))
+            .otherwise(F.col("sq"))
+            .alias("value"),
+        ),
+        dims=("x", "pos"),
+    )
+    out = apply_dimension(
+        gappy, lambda s: s.dropna(), "pos", preserves_labels=False
+    )
+    return out.df
+
+
 def q_multimodal_av(spark, sf_dir):
     """Video frame-sampling + audio feature plumbing (mapInPandas 1->N row
     expansion, FFT features over fake-decoded waveforms) — rows-only:
@@ -1609,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": q_streaming_sessions,
         "resample_mercator": q_resample_mercator,
         "multimodal_av": q_multimodal_av,
+        "apply_dimension_dropnull": q_apply_dimension_dropnull,
         "vector_reproject": q_vector_reproject,
         "ivf_topk": q_ivf_topk,
     }
@@ -2067,6 +2093,17 @@ def oracle_sql() -> dict[str, str]:
                                      WHEN 'dc' THEN (cirrus - swir22) * 2.5
                                      ELSE (swir16 - cirrus) * 2.5 END, 6) AS value
             FROM piv CROSS JOIN (VALUES ('midcl'), ('dc'), ('lowcl')) b(band)
+        """,
+        "apply_dimension_dropnull": f"""
+            WITH {_CELLS_CTE},
+            gappy AS (
+              SELECT x, pos,
+                     CASE WHEN md > 0.05 THEN NULL ELSE sq END AS v
+              FROM cells)
+            SELECT x,
+                   row_number() OVER (PARTITION BY x ORDER BY pos) - 1 AS pos,
+                   v AS value
+            FROM gappy WHERE v IS NOT NULL
         """,
         "resample_mercator": """
             SELECT round((radians(x) * 6378137.0) / 1000000) * 1000000 AS x,
