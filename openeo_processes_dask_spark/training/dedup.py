@@ -82,6 +82,12 @@ def ngram_jaccard_pairs(
         )
         # hash the shingle so the shuffle key is 8 bytes, not the n-gram text
         .select("id", _md5_to_long(F.col("sh")).alias("shk"))
+        # persist: this 16-byte-per-row table feeds the size aggregate AND
+        # both sides of the self-join; without it the tokenize+explode+md5
+        # pipeline recomputes 3× (verified: ReusedExchange never matches
+        # the aliased join sides). At cluster scale this is the "write the
+        # shingle table first" step of every published dedup pipeline.
+        .persist()
     )
     if max_doc_freq is not None:
         n_docs = df.count()

@@ -90,3 +90,66 @@ def test_point_in_polygon_box_oracle(xs):
         np.abs(py - 10) > 1e-9
     ) & (np.abs(py - 30) > 1e-9)
     np.testing.assert_array_equal(got[interior], exp[interior])
+
+
+@given(
+    st.floats(-179.9, 179.9, allow_nan=False),
+    st.floats(-84.9, 84.9, allow_nan=False),
+)
+@settings(max_examples=200, deadline=None)
+def test_mercator_roundtrip_and_monotonic(lon, lat):
+    from openeo_processes_dask_spark.functions.crs import transform_xy_scalar
+
+    mx, my = transform_xy_scalar(lon, lat, "EPSG:4326", "EPSG:3857")
+    bl, bt = transform_xy_scalar(mx, my, "EPSG:3857", "EPSG:4326")
+    assert abs(bl - lon) < 1e-9 and abs(bt - lat) < 1e-9
+    # monotonic: a point further east/north maps further east/north
+    mx2, my2 = transform_xy_scalar(
+        min(lon + 0.1, 179.99), min(lat + 0.1, 84.99), "4326", "3857"
+    )
+    assert mx2 > mx and my2 > my
+
+
+def _py_simhash(token_hashes, bits=60):
+    """Pure-Python replay of the packed-aggregate SimHash: majority vote
+    per bit over the md5-derived token hashes."""
+    n = len(token_hashes)
+    sig = 0
+    for b in range(bits):
+        cnt = sum((h >> b) & 1 for h in token_hashes)
+        if 2 * cnt > n:
+            sig |= 1 << b
+    return sig
+
+
+def test_simhash_packed_equals_naive_python(spark_docs=None):
+    """Engine (packed popcount aggregate + F.expr assembly) == naive
+    per-bit Python on deterministic documents."""
+    import hashlib
+
+    from pyspark.sql import SparkSession
+
+    from openeo_processes_dask_spark.training.dedup import simhash_signatures
+
+    spark = SparkSession.getActiveSession() or (
+        SparkSession.builder.master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "the quick brown fox jumps over the lazy cat"),
+        (4, "a"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r["id"]: r["simhash"]
+        for r in simhash_signatures(df, "doc_id", "text").collect()
+    }
+    for doc_id, text in docs:
+        hs = [
+            int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+            for w in text.lower().split()
+        ]
+        assert got[doc_id] == _py_simhash(hs), doc_id
