@@ -1443,6 +1443,18 @@ def q_apply_dimension_dropnull(spark, sf_dir):
     return out.df
 
 
+def q_salted_reduce(spark, sf_dir):
+    """Two-stage salted reduce (session.salted_reduce): identical result
+    to the plain hash aggregate, with the hot-group state spread across
+    n_salts partial reducers — the manual skew lever behind AQE."""
+    _setup(spark)
+    from openeo_processes_dask_spark.session import salted_reduce
+
+    cube = _events_cube(spark, sf_dir)
+    out = salted_reduce(cube, "mean", "t", n_salts=8)
+    return _round6(out.df, "value")
+
+
 def q_multimodal_av(spark, sf_dir):
     """Video frame-sampling + audio feature plumbing (mapInPandas 1->N row
     expansion, FFT features over fake-decoded waveforms) — rows-only:
@@ -1634,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": q_streaming_sessions,
         "resample_mercator": q_resample_mercator,
         "multimodal_av": q_multimodal_av,
+        "salted_reduce": q_salted_reduce,
         "apply_dimension_dropnull": q_apply_dimension_dropnull,
         "vector_reproject": q_vector_reproject,
         "ivf_topk": q_ivf_topk,
@@ -2093,6 +2106,10 @@ def oracle_sql() -> dict[str, str]:
                                      WHEN 'dc' THEN (cirrus - swir22) * 2.5
                                      ELSE (swir16 - cirrus) * 2.5 END, 6) AS value
             FROM piv CROSS JOIN (VALUES ('midcl'), ('dc'), ('lowcl')) b(band)
+        """,
+        "salted_reduce": """
+            SELECT user_id, event_type AS band, round(avg(value), 6) AS value
+            FROM events GROUP BY ALL
         """,
         "apply_dimension_dropnull": f"""
             WITH {_CELLS_CTE},

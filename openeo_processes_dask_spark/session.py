@@ -75,3 +75,71 @@ def repartition_temporal(cube, num_partitions: Optional[int] = None):
     else:
         df = cube.df.repartitionByRange(*cube.other_dims(*tdims))
     return cube.with_df(df)
+
+
+def salted_reduce(cube, reducer: str, dimension: str, n_salts: int = 16):
+    """Skew-resistant two-stage reduce: groupBy(keep + salt) partial
+    aggregate, then combine per keep-group.
+
+    Spark's hash aggregate already partial-aggregates map-side, so for
+    algebraic reducers over *evenly loaded* keys the plain
+    ``reduce_dimension`` is optimal. Reach for this when one group
+    dominates (a hot band, one dense day covering half of 100 TB): the
+    salt spreads the hot group's final-stage state across ``n_salts``
+    reducers, at the cost of one extra (tiny: |groups|·n_salts rows)
+    shuffle. Only DECOMPOSABLE reducers are legal — median/quantiles have
+    no exact partial form and raise.
+
+    The salt is ``rand()``-assigned; any assignment yields the same result
+    because stage two is an exact combine (variance via the (n, Σx, Σx²)
+    moments form).
+    """
+    from pyspark.sql import functions as F
+
+    from openeo_processes_dask_spark.cube import DataCube
+
+    dim = cube.assert_dim(dimension)
+    keep = cube.other_dims(dim)
+    v = F.col(cube.value_col)
+    out_name = cube.value_col
+
+    partials: list
+    if reducer in ("sum", "min", "max"):
+        partials = [getattr(F, reducer)(v).alias("p0")]
+        final = getattr(F, reducer)("p0")
+    elif reducer == "count":
+        partials = [F.count(v).alias("p0")]
+        final = F.sum("p0")
+    elif reducer == "mean":
+        partials = [F.sum(v).alias("p0"), F.count(v).alias("p1")]
+        final = F.sum("p0") / F.sum("p1")
+    elif reducer in ("variance", "sd"):
+        partials = [
+            F.count(v).alias("p0"),
+            F.sum(v).alias("p1"),
+            F.sum(v * v).alias("p2"),
+        ]
+        n, s, s2 = F.sum("p0"), F.sum("p1"), F.sum("p2")
+        final = (s2 - s * s / n) / (n - F.lit(1))
+        if reducer == "sd":
+            final = F.sqrt(final)
+    elif reducer == "any":
+        partials = [F.bool_or(v.cast("boolean")).alias("p0")]
+        final = F.bool_or("p0")
+    elif reducer == "all":
+        partials = [F.bool_and(v.cast("boolean")).alias("p0")]
+        final = F.bool_and("p0")
+    else:
+        raise ValueError(
+            f"Reducer {reducer!r} has no exact partial form — use "
+            "reduce_dimension (median/quantiles must see whole groups)"
+        )
+
+    salt = F.floor(F.rand(seed=42) * n_salts).alias("__salt__")
+    stage1 = cube.df.groupBy(*keep, salt).agg(*partials)
+    stage2 = stage1.groupBy(*keep).agg(final.alias(out_name))
+    roles = {d: cube.meta.role_of(d) for d in keep}
+    return DataCube(
+        stage2, dims=keep, value_col=out_name, roles=roles,
+        crs=cube.meta.crs, attrs=cube.meta.attrs,
+    )

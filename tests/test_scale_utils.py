@@ -74,3 +74,28 @@ def test_period_labels_multi_year(spark):
     decade = aggregate_temporal_period(cube, "decade", "mean")
     labels = sorted(r[0].year for r in decade.df.select("t").collect())
     assert labels == [2010, 2020]
+
+
+@pytest.mark.parametrize(
+    "reducer", ["sum", "min", "max", "count", "mean", "variance", "sd"]
+)
+def test_salted_reduce_matches_plain(small_cube, reducer):
+    from openeo_processes_dask_spark.operators.reduce import reduce_dimension
+    from openeo_processes_dask_spark.session import salted_reduce
+
+    plain = reduce_dimension(small_cube, reducer, "t").df.toPandas()
+    salted = salted_reduce(small_cube, reducer, "t", n_salts=7).df.toPandas()
+    keys = ["x", "y", "band"]
+    p = plain.sort_values(keys).reset_index(drop=True)
+    s = salted.sort_values(keys).reset_index(drop=True)
+    assert len(p) == len(s)
+    np.testing.assert_allclose(
+        s.value.values.astype(float), p.value.values.astype(float), rtol=1e-9
+    )
+
+
+def test_salted_reduce_rejects_holistic(small_cube):
+    from openeo_processes_dask_spark.session import salted_reduce
+
+    with pytest.raises(ValueError):
+        salted_reduce(small_cube, "median", "t")
