@@ -1443,6 +1443,20 @@ def q_apply_dimension_dropnull(spark, sf_dir):
     return out.df
 
 
+def q_resample_bilinear(spark, sf_dir):
+    """Bilinear warp in long format (SURVEY hard-part #3 without halo
+    exchange): metadata-sized (target -> 4 sources + weights) mapping
+    table, broadcast join, weighted mean per target cell. The oracle
+    replays the identical axis-geometry probe and weight arithmetic."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.resample import resample_spatial
+
+    out = resample_spatial(
+        _grid_cube(spark, sf_dir), resolution=2.5, method="bilinear"
+    )
+    return _round6(out.df, "value")
+
+
 def q_salted_reduce(spark, sf_dir):
     """Two-stage salted reduce (session.salted_reduce): identical result
     to the plain hash aggregate, with the hot-group state spread across
@@ -1647,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_mercator": q_resample_mercator,
         "multimodal_av": q_multimodal_av,
         "salted_reduce": q_salted_reduce,
+        "resample_bilinear": q_resample_bilinear,
         "apply_dimension_dropnull": q_apply_dimension_dropnull,
         "vector_reproject": q_vector_reproject,
         "ivf_topk": q_ivf_topk,
@@ -2106,6 +2121,53 @@ def oracle_sql() -> dict[str, str]:
                                      WHEN 'dc' THEN (cirrus - swir22) * 2.5
                                      ELSE (swir16 - cirrus) * 2.5 END, 6) AS value
             FROM piv CROSS JOIN (VALUES ('midcl'), ('dc'), ('lowcl')) b(band)
+        """,
+        "resample_bilinear": f"""
+            WITH {_GRID_CTE},
+            gx AS (SELECT min(v) AS o, max(v) AS m,
+                          min(CASE WHEN d > 0 THEN d END) AS s, count(*) AS n
+                   FROM (SELECT v, v - lag(v) OVER (ORDER BY v) AS d
+                         FROM (SELECT DISTINCT x AS v FROM grid))),
+            gy AS (SELECT min(v) AS o, max(v) AS m,
+                          min(CASE WHEN d > 0 THEN d END) AS s, count(*) AS n
+                   FROM (SELECT v, v - lag(v) OVER (ORDER BY v) AS d
+                         FROM (SELECT DISTINCT y AS v FROM grid))),
+            mapx AS (
+              SELECT t.tx,
+                     gx.o + (t.i0 + o.di) * gx.s AS sx,
+                     CASE WHEN o.di = 0 THEN 1 - t.wx ELSE t.wx END AS wxv
+              FROM (SELECT tx,
+                           least(floor((tx - gx.o) / gx.s), gx.n - 2) AS i0,
+                           (tx - gx.o) / gx.s
+                             - least(floor((tx - gx.o) / gx.s), gx.n - 2) AS wx
+                    FROM (SELECT gx.o + k.generate_series * 2.5 AS tx
+                          FROM generate_series(0, 100000) k, gx
+                          WHERE k.generate_series
+                                <= floor((gx.m - gx.o) / 2.5 + 1e-9)),
+                         gx) t,
+                   gx, (VALUES (0), (1)) o(di)),
+            mapy AS (
+              SELECT t.ty,
+                     gy.o + (t.j0 + o.dj) * gy.s AS sy,
+                     CASE WHEN o.dj = 0 THEN 1 - t.wy ELSE t.wy END AS wyv
+              FROM (SELECT ty,
+                           least(floor((ty - gy.o) / gy.s), gy.n - 2) AS j0,
+                           (ty - gy.o) / gy.s
+                             - least(floor((ty - gy.o) / gy.s), gy.n - 2) AS wy
+                    FROM (SELECT gy.o + k.generate_series * 2.5 AS ty
+                          FROM generate_series(0, 100000) k, gy
+                          WHERE k.generate_series
+                                <= floor((gy.m - gy.o) / 2.5 + 1e-9)),
+                         gy) t,
+                   gy, (VALUES (0), (1)) o(dj)),
+            mapping AS (
+              SELECT tx, ty, sx, sy, wxv * wyv AS w
+              FROM mapx CROSS JOIN mapy
+              WHERE wxv * wyv > 0)
+            SELECT m.tx AS x, m.ty AS y, g.band,
+                   round(sum(m.w * g.value) / sum(m.w), 6) AS value
+            FROM grid g JOIN mapping m ON g.x = m.sx AND g.y = m.sy
+            GROUP BY 1, 2, 3
         """,
         "salted_reduce": """
             SELECT user_id, event_type AS band, round(avg(value), 6) AS value

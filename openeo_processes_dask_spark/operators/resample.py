@@ -118,6 +118,8 @@ def resample_spatial(
         )
         if not resolution:
             return data
+    if method == "bilinear":
+        return _resample_bilinear(data, float(resolution))
     keep = data.other_dims(x_dim, y_dim)
     step = float(resolution)
     new_x = _grid_snap(F.col(x_dim), 0.0, step).alias(x_dim)
@@ -192,3 +194,83 @@ def resample_cube_spatial(
         value = builder(F.col(data.value_col)).alias(data.value_col)
     out = df.groupBy(*keep, x_dim, y_dim).agg(value)
     return data.with_df(out.select(*data.meta.dims, data.value_col))
+
+
+def _axis_geometry(df, col):
+    """(origin, step, count) of a regular axis, from its distinct labels
+    (metadata-sized — the label-space probe every resampler here uses)."""
+    vals = sorted(r[0] for r in df.select(col).distinct().collect())
+    if len(vals) < 2:
+        return (vals[0] if vals else 0.0), 1.0, len(vals)
+    diffs = [b - a for a, b in zip(vals, vals[1:])]
+    step = min(d for d in diffs if d > 0)
+    return vals[0], step, len(vals)
+
+
+def _resample_bilinear(data: DataCube, resolution: float) -> DataCube:
+    """Bilinear warp in long format (reference: cubes/resample.py:23-36
+    lists bilinear among odc.reproject's methods).
+
+    SURVEY.md §7 ranks neighborhood-dependent resampling among the hard
+    parts because a dense-array engine needs tiled halo exchange. The
+    relational formulation needs none: build a metadata-sized mapping
+    table (target cell -> its 4 surrounding source coordinates + weights),
+    broadcast-join it to the cube on (x, y), and take the weighted mean
+    per target cell and slice. One broadcast join + one shuffle, any cube
+    size; missing neighbors (sparse cubes, edges) renormalize by the sum
+    of present weights. Assumes a regular source grid (same assumption
+    the reference's raster warp makes)."""
+    x_dim, y_dim = data.meta.x_dim, data.meta.y_dim
+    keep = data.other_dims(x_dim, y_dim)
+    v = data.value_col
+    spark = data.df.sparkSession
+
+    ox, dx, nx = _axis_geometry(data.df, x_dim)
+    oy, dy, ny = _axis_geometry(data.df, y_dim)
+    max_x, max_y = ox + (nx - 1) * dx, oy + (ny - 1) * dy
+
+    # targets at ox + k*res (multiplied, never accumulated — float
+    # accumulation would drift off the oracle's k*res arithmetic)
+    rows = []
+    kx = int((max_x - ox) / resolution + 1e-9) + 1
+    ky = int((max_y - oy) / resolution + 1e-9) + 1
+    for i in range(kx):
+        tx = ox + i * resolution
+        gx = (tx - ox) / dx
+        i0 = min(int(gx), nx - 2) if nx > 1 else 0
+        wx = gx - i0
+        for j in range(ky):
+            ty = oy + j * resolution
+            gy = (ty - oy) / dy
+            j0 = min(int(gy), ny - 2) if ny > 1 else 0
+            wy = gy - j0
+            for di, dj, w in (
+                (0, 0, (1 - wx) * (1 - wy)),
+                (1, 0, wx * (1 - wy)),
+                (0, 1, (1 - wx) * wy),
+                (1, 1, wx * wy),
+            ):
+                if w > 0:
+                    rows.append(
+                        (tx, ty, ox + (i0 + di) * dx, oy + (j0 + dj) * dy, w)
+                    )
+    mapping = spark.createDataFrame(
+        rows, "tx double, ty double, sx double, sy double, w double"
+    )
+    joined = data.df.join(
+        F.broadcast(mapping),
+        (F.col(x_dim) == F.col("sx")) & (F.col(y_dim) == F.col("sy")),
+    )
+    out = (
+        joined.groupBy(*keep, "tx", "ty")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col(v))
+                / F.sum(F.when(F.col(v).isNotNull(), F.col("w")))
+            ).alias(v)
+        )
+        .withColumnRenamed("tx", x_dim)
+        .withColumnRenamed("ty", y_dim)
+        .select(*data.meta.dims, v)
+    )
+    return data.with_df(out)

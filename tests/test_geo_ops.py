@@ -246,3 +246,24 @@ def test_resample_spatial_mercator_warp(spark, small_cube):
     assert out.meta.crs == "EPSG:3857"
     xs = [r[0] for r in out.df.select("x").distinct().collect()]
     assert xs and all(abs(v / 1000.0 - round(v / 1000.0)) < 1e-9 for v in xs)
+
+
+def test_resample_spatial_bilinear_linear_field(spark):
+    """Bilinear interpolation of a linear field v = 2x + 3y reproduces the
+    field exactly at every target point (the defining property)."""
+    rows = [
+        (float(x), float(y), "b", 2.0 * x + 3.0 * y)
+        for x in range(5)
+        for y in range(4)
+    ]
+    cube = DataCube(
+        spark.createDataFrame(rows, "x double, y double, band string, value double"),
+        dims=("x", "y", "band"),
+    )
+    out = resample_spatial(cube, resolution=0.5, method="bilinear")
+    got = out.df.collect()
+    # targets at 0, 0.5, ..., 4.0 x 0, 0.5, ..., 3.0
+    assert len(got) == 9 * 7
+    for r in got:
+        assert r["value"] == pytest.approx(2.0 * r["x"] + 3.0 * r["y"], abs=1e-9), (
+            r["x"], r["y"])
