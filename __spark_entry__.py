@@ -1443,6 +1443,24 @@ def q_apply_dimension_dropnull(spark, sf_dir):
     return out.df
 
 
+def q_mask_triangle(spark, sf_dir):
+    """mask_polygon with a NON-rectangular (triangle) polygon: exercises
+    the actual ray-casting geometry. For a convex CCW polygon the oracle
+    is the exact half-plane test (all edge cross-products positive); the
+    half-integer vertices guarantee no grid point is ever collinear with
+    an edge, so even-odd and half-plane semantics agree everywhere."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.mask import mask_polygon
+
+    tri = {
+        "type": "Polygon",
+        "coordinates": [
+            [[0.5, 0.5], [20.5, 2.5], [8.5, 9.5], [0.5, 0.5]]
+        ],
+    }
+    return mask_polygon(_grid_cube(spark, sf_dir), tri, replacement=0.0).df
+
+
 def q_resample_bilinear(spark, sf_dir):
     """Bilinear warp in long format (SURVEY hard-part #3 without halo
     exchange): metadata-sized (target -> 4 sources + weights) mapping
@@ -1662,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_av": q_multimodal_av,
         "salted_reduce": q_salted_reduce,
         "resample_bilinear": q_resample_bilinear,
+        "mask_triangle": q_mask_triangle,
         "apply_dimension_dropnull": q_apply_dimension_dropnull,
         "vector_reproject": q_vector_reproject,
         "ivf_topk": q_ivf_topk,
@@ -2121,6 +2140,16 @@ def oracle_sql() -> dict[str, str]:
                                      WHEN 'dc' THEN (cirrus - swir22) * 2.5
                                      ELSE (swir16 - cirrus) * 2.5 END, 6) AS value
             FROM piv CROSS JOIN (VALUES ('midcl'), ('dc'), ('lowcl')) b(band)
+        """,
+        "mask_triangle": f"""
+            WITH {_GRID_CTE}
+            SELECT x, y, band,
+                   CASE WHEN
+                          (20.0 * (y - 0.5) - 2.0 * (x - 0.5)) > 0
+                      AND (-12.0 * (y - 2.5) + 7.0 * (20.5 - x)) > 0
+                      AND (-8.0 * (y - 9.5) + 9.0 * (x - 8.5)) > 0
+                   THEN value ELSE 0.0 END AS value
+            FROM grid
         """,
         "resample_bilinear": f"""
             WITH {_GRID_CTE},
