@@ -90,8 +90,18 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     cube = _events_cube(spark, sf_dir)
     cube = filter_temporal(cube, ["2024-01-01", "2024-02-01"])
     cube = aggregate_temporal_period(cube, "day", "mean")
+    # Snap the INNER aggregate to integer micro-units on both sides
+    # (r01 driver red row; VERDICT.md "What's wrong" #1): unrounded per-user
+    # means carry engine-vs-DuckDB last-ulp summation-order noise into the
+    # outer mean, and a plain round(…,6) inner makes the outer mean land
+    # EXACTLY on round boundaries (grid effect). Integer-valued doubles
+    # < 2^53 sum exactly in any order, so the outer mean is bit-identical
+    # across engines; the final /1e6 + round then sees identical operands.
+    cube = cube.with_df(
+        cube.df.withColumn("value", F.round(F.col("value") * 1e6, 0))
+    )
     cube = reduce_dimension(cube, "mean", "user_id")
-    return _round6(cube.df, "value")
+    return cube.df.withColumn("value", F.round(F.col("value") / 1e6, 6))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1047,10 +1057,41 @@ def q_process_graph(spark, sf_dir):
                     "reducer": "mean",
                 },
             },
+            # Snap the inner aggregate to integer micro-units (see _flagship
+            # — exact outer sum) — expressed IN the graph as an apply
+            # callback chaining multiply→round, so the gate also exercises
+            # the callback→Column compiler with nested nodes and a literal
+            # extra argument. Engine round == bround (half-even) ⇔ oracle
+            # round_even().
+            "rnd": {
+                "process_id": "apply",
+                "arguments": {
+                    "data": {"from_node": "agg"},
+                    "process": {
+                        "process_graph": {
+                            "m": {
+                                "process_id": "multiply",
+                                "arguments": {
+                                    "x": {"from_parameter": "x"},
+                                    "y": 1000000.0,
+                                },
+                            },
+                            "r": {
+                                "process_id": "round",
+                                "arguments": {
+                                    "x": {"from_node": "m"},
+                                    "p": 0,
+                                },
+                                "result": True,
+                            },
+                        }
+                    },
+                },
+            },
             "red": {
                 "process_id": "reduce_dimension",
                 "arguments": {
-                    "data": {"from_node": "agg"},
+                    "data": {"from_node": "rnd"},
                     "reducer": "mean",
                     "dimension": "user_id",
                 },
@@ -1059,7 +1100,7 @@ def q_process_graph(spark, sf_dir):
         }
     }
     out = execute_process_graph(pg, {"data": _events_cube(spark, sf_dir)})
-    return _round6(out.df, "value")
+    return out.df.withColumn("value", F.round(F.col("value") / 1e6, 6))
 
 
 # ----------------------------------------------------------------------
@@ -1697,9 +1738,9 @@ _TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
 def oracle_sql() -> dict[str, str]:
     return {
         "flagship_daily_mean": """
-            SELECT t, band, round(avg(value), 6) AS value FROM (
+            SELECT t, band, round(avg(value_u) / 1e6, 6) AS value FROM (
               SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS t,
-                     event_type AS band, avg(value) AS value
+                     event_type AS band, round(avg(value) * 1e6, 0) AS value_u
               FROM events
               WHERE ts >= '2024-01-01' AND ts < '2024-02-01'
               GROUP BY ALL) GROUP BY ALL
@@ -2006,9 +2047,10 @@ def oracle_sql() -> dict[str, str]:
             FROM cells GROUP BY x
         """,
         "process_graph": """
-            SELECT t, band, round(avg(value), 6) AS value FROM (
+            SELECT t, band, round(avg(value_u) / 1e6, 6) AS value FROM (
               SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS t,
-                     event_type AS band, avg(value) AS value
+                     event_type AS band,
+                     round_even(avg(value) * 1e6, 0) AS value_u
               FROM events
               WHERE ts >= '2024-01-01' AND ts < '2024-02-01'
               GROUP BY ALL) GROUP BY ALL
