@@ -469,7 +469,11 @@ def q_embedding_near_dups(spark, sf_dir):
     )
 
     emb = _table(spark, sf_dir, "embeddings")
-    return pairwise_cosine_above(emb, threshold=0.2, n_planes=6)
+    # test-scale banding: 2 bands x 4 bits (the 100 TB default is 8 x 16,
+    # see training/similarity.py bucket math)
+    return pairwise_cosine_above(
+        emb, threshold=0.2, n_planes=4, n_bands=2
+    )
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -943,22 +947,31 @@ def _lsh_topk_oracle_sql(n_planes: int = 12, k: int = 10, seed: int = 42) -> str
 
 
 def _embedding_near_dups_oracle_sql(
-    threshold: float = 0.2, n_planes: int = 6, seed: int = 42
+    threshold: float = 0.2,
+    n_planes: int = 4,
+    n_bands: int = 2,
+    seed: int = 42,
 ) -> str:
+    """Banded sign-LSH twin: per-band bucket columns, candidates = pairs
+    colliding in >=1 band, exact cosine verify."""
     from openeo_processes_dask_spark.training.similarity import (
         random_hyperplanes,
     )
 
-    planes = random_hyperplanes(64, n_planes, seed)
-    bucket = _lsh_bucket_sql("embedding", planes)
+    planes = random_hyperplanes(64, n_planes * n_bands, seed)
+    band_cols = ", ".join(
+        f"{_lsh_bucket_sql('embedding', planes[b * n_planes:(b + 1) * n_planes])} AS b{b}"
+        for b in range(n_bands)
+    )
+    any_band = " OR ".join(f"a.b{b} = b.b{b}" for b in range(n_bands))
     cos = _COS_SQL.format(a="a.v", b="b.v")
     return f"""
         WITH tagged AS (
-          SELECT vec_id AS id, embedding AS v, {bucket} AS bucket
+          SELECT vec_id AS id, embedding AS v, {band_cols}
           FROM embeddings)
         SELECT a.id AS id1, b.id AS id2, {cos} AS cosine
         FROM tagged a JOIN tagged b
-          ON a.bucket = b.bucket AND a.id < b.id
+          ON ({any_band}) AND a.id < b.id
         WHERE {cos} >= {threshold}
     """
 
@@ -1261,6 +1274,29 @@ def q_resample_cube_spatial_coarse(spark, sf_dir):
         )
     )
     out = resample_cube_spatial(data, target, method="mean")
+    return _round6(out.df, "value")
+
+
+def q_resample_cube_spatial_near(spark, sf_dir):
+    """resample_cube_spatial method='near': target labels at grid+0.25 so
+    every target has a UNIQUE nearest source (no tie-break dependence);
+    each target label is fed by exactly one deterministic source
+    (reference: cubes/resample.py:116-180, nearest reindex)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.resample import (
+        resample_cube_spatial,
+    )
+
+    data = _grid_cube(spark, sf_dir)
+    target = data.with_df(
+        data.df.select(
+            (F.floor(F.col("x") / 4) * 4 + 0.25).alias("x"),
+            (F.floor(F.col("y") / 4) * 4 + 0.25).alias("y"),
+            "band",
+            "value",
+        )
+    )
+    out = resample_cube_spatial(data, target, method="near")
     return _round6(out.df, "value")
 
 
@@ -1707,6 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rearrange": q_rearrange,
         "resample_spatial_grid": q_resample_spatial_grid,
         "resample_cube_spatial_coarse": q_resample_cube_spatial_coarse,
+        "resample_cube_spatial_near": q_resample_cube_spatial_near,
         "apply_neighborhood_mean": q_apply_neighborhood_mean,
         "cummax": q_cummax,
         "rename_labels_dim": q_rename_labels_dim,
@@ -2122,6 +2159,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT mx.t AS x, my.t AS y, g.band, round(avg(g.value), 6) AS value
             FROM grid g JOIN mx ON g.x = mx.s JOIN my ON g.y = my.s
             GROUP BY 1, 2, 3
+        """,
+        "resample_cube_spatial_near": f"""
+            WITH {_GRID_CTE},
+            tx AS (SELECT DISTINCT floor(x / 4) * 4 + 0.25 AS t FROM grid),
+            ty AS (SELECT DISTINCT floor(y / 4) * 4 + 0.25 AS t FROM grid),
+            sx AS (SELECT DISTINCT x AS s FROM grid),
+            sy AS (SELECT DISTINCT y AS s FROM grid),
+            mx AS (SELECT t, arg_min(s, abs(t - s)) AS s
+                   FROM tx CROSS JOIN sx GROUP BY t),
+            my AS (SELECT t, arg_min(s, abs(t - s)) AS s
+                   FROM ty CROSS JOIN sy GROUP BY t)
+            SELECT mx.t AS x, my.t AS y, g.band, round(g.value, 6) AS value
+            FROM grid g JOIN mx ON g.x = mx.s JOIN my ON g.y = my.s
         """,
         "apply_neighborhood_mean": f"""
             WITH {_CELLS_CTE}

@@ -80,10 +80,13 @@ def resolve_parameters(
     except (TypeError, ValueError):  # builtins
         return args, kwargs
     if not has_var_kw:
+        # Prune ONLY the injected special args the callee doesn't accept
+        # (reference: process.py:89-95 prunes exactly these five). Unknown
+        # user kwargs pass through so a typo'd process-graph argument raises
+        # TypeError instead of being silently ignored (ADVICE r01).
         kwargs = {
             k: v for k, v in kwargs.items() if k in sig_params or k not in _INJECTED
         }
-        kwargs = {k: v for k, v in kwargs.items() if k in sig_params}
     return args, kwargs
 
 

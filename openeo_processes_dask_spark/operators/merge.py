@@ -5,9 +5,10 @@ The reference's four-case analysis survives as *semantic* case analysis;
 the *physical* side (its hand-rolled rechunking, merge.py:98-100,192-196)
 is deleted: every case lowers to a relational join on dim columns and
 Catalyst/AQE picks broadcast-hash vs sort-merge. The differing-dims case
-joins on the shared dims only — Spark broadcasts the small (lower-dim) side,
-which is exactly the reference's xarray broadcast (merge.py:245-291) without
-the memory blow-up.
+joins on the shared dims only — AQE broadcasts the lower-dim side when its
+runtime size is under the broadcast threshold (exactly the reference's
+xarray broadcast, merge.py:245-291, without the memory blow-up) and
+degrades to a shuffled join when the "lower-dim" cube is itself huge.
 """
 
 from __future__ import annotations
@@ -147,8 +148,13 @@ def merge_cubes(
             "Merging cubes with differing dimensions requires an overlap_resolver"
         )
     shared = [d for d in hi.meta.dims if d in set(lo.meta.dims)]
+    # No forced broadcast hint: "lower-dim" does NOT mean small — a 3-D
+    # (x,y,t) cube merged into a 4-D one can be terabytes, and F.broadcast
+    # would OOM the driver. AQE / autoBroadcastJoinThreshold picks
+    # broadcast-hash at runtime when lo really is small (the common case),
+    # and falls back to a shuffled join when it is not.
     df = hi.df.join(
-        F.broadcast(lo.df.withColumnRenamed(lo.value_col, "__v2__")),
+        lo.df.withColumnRenamed(lo.value_col, "__v2__"),
         on=shared,
         how="left",
     )

@@ -174,6 +174,38 @@ def resample_cube_spatial(
             F.min_by("__t__", F.struct("__d__", "__t__")).alias("__t__")
         )
 
+    if method == "near":
+        # Nearest regridding maps TARGET→nearest-SOURCE per axis (one source
+        # per target label — deterministic min_by tie-break, every target
+        # label covered, matching the reference's nearest reindex;
+        # source→target + F.first would both drop uncovered targets and
+        # collapse colliding sources nondeterministically). A source label
+        # nearest to several targets fans out (upsampling), so no final
+        # aggregate is needed at all.
+        def near_map(tgt_df, tgt_col, src_df, src_col):
+            t = tgt_df.select(F.col(tgt_col).alias("__t__")).distinct()
+            s = src_df.select(F.col(src_col).alias("__s__")).distinct()
+            pairs = t.crossJoin(s).withColumn(
+                "__d__", F.abs(F.col("__t__") - F.col("__s__"))
+            )
+            return pairs.groupBy("__t__").agg(
+                F.min_by("__s__", F.struct("__d__", "__s__")).alias("__s__")
+            )
+
+        xmap = near_map(target.df, tx, data.df, x_dim)
+        ymap = near_map(target.df, ty, data.df, y_dim)
+        df = (
+            data.df.join(F.broadcast(xmap), data.df[x_dim] == xmap["__s__"])
+            .withColumn(x_dim, xmap["__t__"])
+            .drop("__s__", "__t__")
+        )
+        df = (
+            df.join(F.broadcast(ymap), df[y_dim] == ymap["__s__"])
+            .withColumn(y_dim, ymap["__t__"])
+            .drop("__s__", "__t__")
+        )
+        return data.with_df(df.select(*data.meta.dims, data.value_col))
+
     xmap = axis_map(data.df, x_dim, target.df, tx)
     ymap = axis_map(data.df, y_dim, target.df, ty)
     df = (
@@ -187,11 +219,8 @@ def resample_cube_spatial(
         .drop("__s__", "__t__")
     )
     keep = data.other_dims(x_dim, y_dim)
-    if method == "near":
-        value = F.first(data.value_col).alias(data.value_col)
-    else:
-        builder = resolve_reducer({"med": "median"}.get(method, method))
-        value = builder(F.col(data.value_col)).alias(data.value_col)
+    builder = resolve_reducer({"med": "median"}.get(method, method))
+    value = builder(F.col(data.value_col)).alias(data.value_col)
     out = df.groupBy(*keep, x_dim, y_dim).agg(value)
     return data.with_df(out.select(*data.meta.dims, data.value_col))
 
@@ -230,35 +259,69 @@ def _resample_bilinear(data: DataCube, resolution: float) -> DataCube:
     max_x, max_y = ox + (nx - 1) * dx, oy + (ny - 1) * dy
 
     # targets at ox + k*res (multiplied, never accumulated — float
-    # accumulation would drift off the oracle's k*res arithmetic)
-    rows = []
+    # accumulation would drift off the oracle's k*res arithmetic). The
+    # mapping is generated DISTRIBUTIVELY (spark.range per axis, cross-join,
+    # explode 4 corners): at a 100k×100k target grid a driver-side loop
+    # would be 10^10 iterations on one core, while this stays a Spark job
+    # whose per-axis inputs are label-sized.
     kx = int((max_x - ox) / resolution + 1e-9) + 1
     ky = int((max_y - oy) / resolution + 1e-9) + 1
-    for i in range(kx):
-        tx = ox + i * resolution
-        gx = (tx - ox) / dx
-        i0 = min(int(gx), nx - 2) if nx > 1 else 0
-        wx = gx - i0
-        for j in range(ky):
-            ty = oy + j * resolution
-            gy = (ty - oy) / dy
-            j0 = min(int(gy), ny - 2) if ny > 1 else 0
-            wy = gy - j0
+
+    def axis_targets(origin, step, n, count, t_col, i0_col, w_col):
+        g = (F.col(t_col) - F.lit(origin)) / F.lit(step)
+        i0 = (
+            F.least(F.floor(g), F.lit(n - 2)) if n > 1 else F.lit(0)
+        ).cast("long")
+        return (
+            spark.range(count)
+            .select(
+                (
+                    F.lit(origin) + F.col("id").cast("double") * F.lit(resolution)
+                ).alias(t_col)
+            )
+            .withColumn(i0_col, i0)
+            .withColumn(w_col, g - F.col(i0_col).cast("double"))
+        )
+
+    xt = axis_targets(ox, dx, nx, kx, "tx", "i0", "wx")
+    yt = axis_targets(oy, dy, ny, ky, "ty", "j0", "wy")
+    wx, wy = F.col("wx"), F.col("wy")
+    corners = F.array(
+        *(
+            F.struct(
+                F.lit(di).alias("di"), F.lit(dj).alias("dj"), w.alias("w")
+            )
             for di, dj, w in (
-                (0, 0, (1 - wx) * (1 - wy)),
-                (1, 0, wx * (1 - wy)),
-                (0, 1, (1 - wx) * wy),
+                (0, 0, (F.lit(1.0) - wx) * (F.lit(1.0) - wy)),
+                (1, 0, wx * (F.lit(1.0) - wy)),
+                (0, 1, (F.lit(1.0) - wx) * wy),
                 (1, 1, wx * wy),
-            ):
-                if w > 0:
-                    rows.append(
-                        (tx, ty, ox + (i0 + di) * dx, oy + (j0 + dj) * dy, w)
-                    )
-    mapping = spark.createDataFrame(
-        rows, "tx double, ty double, sx double, sy double, w double"
+            )
+        )
     )
+    mapping = (
+        xt.crossJoin(yt)
+        .select("tx", "ty", "i0", "j0", F.explode(corners).alias("c"))
+        .where(F.col("c.w") > 0)
+        .select(
+            "tx",
+            "ty",
+            (
+                F.lit(ox)
+                + (F.col("i0") + F.col("c.di")).cast("double") * F.lit(dx)
+            ).alias("sx"),
+            (
+                F.lit(oy)
+                + (F.col("j0") + F.col("c.dj")).cast("double") * F.lit(dy)
+            ).alias("sy"),
+            F.col("c.w").alias("w"),
+        )
+    )
+    # No forced broadcast: AQE broadcasts the mapping when its runtime size
+    # is small (the common case); a 100k×100k grid's 4·10^10-row mapping
+    # instead takes the shuffled equi-join path rather than OOMing.
     joined = data.df.join(
-        F.broadcast(mapping),
+        mapping,
         (F.col(x_dim) == F.col("sx")) & (F.col(y_dim) == F.col("sy")),
     )
     out = (

@@ -120,7 +120,10 @@ def salted_reduce(cube, reducer: str, dimension: str, n_salts: int = 16):
             F.sum(v * v).alias("p2"),
         ]
         n, s, s2 = F.sum("p0"), F.sum("p1"), F.sum("p2")
-        final = (s2 - s * s / n) / (n - F.lit(1))
+        # try_divide: a group with exactly one valid value must yield NULL
+        # like var_samp, not raise DIVIDE_BY_ZERO under ANSI mode (ADVICE
+        # r01; same pattern as windows.py rolling variance).
+        final = F.try_divide(s2 - F.try_divide(s * s, n), n - F.lit(1))
         if reducer == "sd":
             final = F.sqrt(final)
     elif reducer == "any":

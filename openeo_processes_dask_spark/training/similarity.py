@@ -109,41 +109,69 @@ def pairwise_cosine_above(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int = 16,
+    n_bands: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: LSH-bucket equi-join (the shuffle is
-    keyed by bucket, never all-pairs), exact cosine verify, id1 < id2."""
-    planes = random_hyperplanes(
-        df.select(F.size(vec_col)).first()[0], n_planes, seed
+    """Embedding near-duplicate pairs: BANDED sign-LSH equi-join (the
+    shuffle is keyed by (band, bucket), never all-pairs), exact cosine
+    verify, id1 < id2. MinHash-style banding, replacing the r01 single-band
+    8-plane default whose 256 global buckets went quadratic at corpus scale
+    (VERDICT r01 #5).
+
+    Bucket math: each band hashes into 2^n_planes buckets; a pair is a
+    candidate iff it collides in >=1 band. For a pair at cosine c,
+    p(bit agrees) = 1 - acos(c)/pi, so recall = 1-(1-p^n_planes)^n_bands.
+    Defaults (16 bits x 8 bands): recall ~0.8 at c=0.95, ~0.999 at c=0.99,
+    while each band spreads an N-vector corpus over 65,536 buckets — the
+    within-bucket self-join is ~ n_bands * N^2 / 2^n_planes candidate pairs
+    instead of N^2/256. Raise n_planes for bigger corpora: the verify cost
+    scales linearly in candidates, so aim 2^n_planes ≈ N / (desired mean
+    bucket size)."""
+    dim = df.select(F.size(vec_col)).first()[0]
+    planes = random_hyperplanes(dim, n_planes * n_bands, seed)
+    bands = F.array(
+        *(
+            lsh_bucket_expr(
+                F.col(vec_col), planes[b * n_planes : (b + 1) * n_planes]
+            )
+            for b in range(n_bands)
+        )
     )
-    with_bucket = df.select(
+    tagged = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+        F.posexplode(bands).alias("band", "bucket"),
     )
-    a, b = with_bucket.alias("a"), with_bucket.alias("b")
+    a, b = tagged.alias("a"), tagged.alias("b")
+    # a pair colliding in several bands must verify once, not once per band
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("a.v").alias("v1"),
+            F.col("b.id").alias("id2"),
+            F.col("b.v").alias("v2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
     dot = F.aggregate(
         F.zip_with(
-            F.col("a.v").cast("array<double>"),
-            F.col("b.v").cast("array<double>"),
+            F.col("v1").cast("array<double>"),
+            F.col("v2").cast("array<double>"),
             lambda x, y: x * y,
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = dot / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+    cos = dot / (_norm(F.col("v1")) * _norm(F.col("v2")))
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id1"),
-            F.col("b.id").alias("id2"),
-            F.round(cos, 6).alias("cosine"),
-        )
+        cands.select("id1", "id2", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 

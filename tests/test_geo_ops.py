@@ -138,6 +138,39 @@ def test_resample_cube_spatial_nearest(spark, small_cube):
     assert 0 < out.df.count() <= small_cube.df.count()
 
 
+def test_resample_cube_spatial_near_deterministic(spark):
+    """method='near' (ADVICE r01): colliding sources must not collapse via
+    unordered first(), and every target label must be covered — mapping is
+    target→nearest-source, one deterministic source per target."""
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.operators.resample import (
+        resample_cube_spatial,
+    )
+
+    src = DataCube(
+        spark.createDataFrame(
+            [(float(x), 0.0, "b", float(10 + x)) for x in range(4)],
+            "x double, y double, band string, value double",
+        ),
+        dims=("x", "y", "band"),
+    )
+    # target 0 -> source 0, target 3 -> source 3 (sources 1, 2 unused);
+    # target 10 is nearest to NO source's own snap but must still be fed
+    # by its nearest source (3) — the old source->target direction dropped it
+    tgt = DataCube(
+        spark.createDataFrame(
+            [(0.0, 0.0, "b", 0.0), (3.0, 0.0, "b", 0.0), (10.0, 0.0, "b", 0.0)],
+            "x double, y double, band string, value double",
+        ),
+        dims=("x", "y", "band"),
+    )
+    out = resample_cube_spatial(src, tgt, method="near")
+    got = {
+        (r["x"], r["value"]) for r in out.df.collect()
+    }
+    assert got == {(0.0, 10.0), (3.0, 13.0), (10.0, 13.0)}
+
+
 def test_filter_spatial(small_cube, small_pdf):
     from openeo_processes_dask_spark.operators.filters import filter_spatial
 

@@ -146,6 +146,29 @@ def test_merge_cubes_broadcast_subcube(small_cube, small_pdf):
     assert_cubes_close(out.df.select(*small_cube.dims, "value"), exp)
 
 
+def test_merge_cubes_case4_no_forced_broadcast(spark, small_cube, small_pdf):
+    """The lower-dim cube may be terabytes (VERDICT r01 #2): case 4 must not
+    force F.broadcast. With autoBroadcastJoinThreshold=-1 a forced hint
+    would still produce a BroadcastExchange; the un-hinted plan must not."""
+    from openeo_processes_dask_spark.operators.reduce import reduce_dimension
+
+    tmean = reduce_dimension(small_cube, "mean", "t")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = merge_cubes(small_cube, tmean, overlap_resolver="subtract")
+        plan = out.df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan
+        # correctness unchanged on the shuffled-join path
+        exp = small_pdf.copy()
+        exp["value"] = exp["value"] - exp.groupby(["x", "y", "band"])[
+            "value"
+        ].transform("mean")
+        assert_cubes_close(out.df.select(*small_cube.dims, "value"), exp)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_mask_and_replacement(small_cube, small_pdf):
     m = apply(small_cube, lambda c: (c > 0).cast("int"))
     out = mask(small_cube, m, replacement=-999.0)

@@ -99,3 +99,26 @@ def test_salted_reduce_rejects_holistic(small_cube):
 
     with pytest.raises(ValueError):
         salted_reduce(small_cube, "median", "t")
+
+
+@pytest.mark.parametrize("reducer", ["variance", "sd"])
+def test_salted_reduce_degenerate_group_null(spark, reducer):
+    """A group with exactly one valid value yields NULL like var_samp —
+    must not raise DIVIDE_BY_ZERO under ANSI mode (ADVICE r01)."""
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.session import salted_reduce
+
+    cube = DataCube(
+        spark.createDataFrame(
+            [("a", 0, 1.0), ("b", 0, 2.0), ("b", 1, 4.0)],
+            "x string, t bigint, value double",
+        ),
+        dims=("x", "t"),
+    )
+    out = {
+        r["x"]: r["value"]
+        for r in salted_reduce(cube, reducer, "t").df.collect()
+    }
+    assert out["a"] is None
+    expected = 2.0 if reducer == "variance" else 2.0 ** 0.5
+    assert abs(out["b"] - expected) < 1e-12
