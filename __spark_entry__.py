@@ -1300,6 +1300,19 @@ def q_resample_cube_spatial_near(spark, sf_dir):
     return _round6(out.df, "value")
 
 
+def q_rename_labels_enumerated(spark, sf_dir):
+    """rename_labels with source omitted (reference: cubes/general.py:
+    197-211): x labels are enumerated 0..29, a 3-element target renames the
+    first three positionally (sorted label order), rest unchanged."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.general import rename_labels
+
+    out = rename_labels(
+        _grid_cube(spark, sf_dir), "x", target=[-1.0, -2.0, -3.0]
+    )
+    return _round6(out.df, "value")
+
+
 def q_apply_neighborhood_mean(spark, sf_dir):
     """apply_neighborhood: centered size-3 rolling mean along pos
     (reference: apply_neighborhood_intertwin.py:8-37)."""
@@ -1744,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_spatial_grid": q_resample_spatial_grid,
         "resample_cube_spatial_coarse": q_resample_cube_spatial_coarse,
         "resample_cube_spatial_near": q_resample_cube_spatial_near,
+        "rename_labels_enumerated": q_rename_labels_enumerated,
         "apply_neighborhood_mean": q_apply_neighborhood_mean,
         "cummax": q_cummax,
         "rename_labels_dim": q_rename_labels_dim,
@@ -2159,6 +2173,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT mx.t AS x, my.t AS y, g.band, round(avg(g.value), 6) AS value
             FROM grid g JOIN mx ON g.x = mx.s JOIN my ON g.y = my.s
             GROUP BY 1, 2, 3
+        """,
+        "rename_labels_enumerated": f"""
+            WITH {_GRID_CTE}
+            SELECT CASE x WHEN 0 THEN -1.0 WHEN 1 THEN -2.0
+                          WHEN 2 THEN -3.0 ELSE x END AS x,
+                   y, band, round(value, 6) AS value
+            FROM grid
         """,
         "resample_cube_spatial_near": f"""
             WITH {_GRID_CTE},

@@ -17,6 +17,14 @@ class DimensionLabelCountMismatch(Exception):
     pass
 
 
+class LabelsNotEnumerated(Exception):
+    pass
+
+
+class LabelExists(Exception):
+    pass
+
+
 class DimensionAlreadyExists(Exception):
     pass
 
@@ -111,17 +119,40 @@ def rename_labels(
     (reference: cubes/general.py:150-222). Compiles to a literal CASE chain
     (equivalently a broadcast map-join without the join)."""
     dim = data.assert_dim(dimension)
-    if source is not None and len(source) != len(target):
+    if source is not None and len(source) > 0 and len(source) != len(target):
         raise DimensionLabelCountMismatch(
             f"LabelMismatch: {len(source)} source vs {len(target)} target labels"
         )
     col = F.col(dim)
-    if source is None:
-        raise NotImplementedError(
-            "Enumerated-label fallback (LabelsNotEnumerated, reference "
-            "general.py:199-210) requires ordered labels; pass source "
-            "explicitly in long format"
-        )
+    if source is None or len(source) == 0:
+        # Enumerated fallback (reference: cubes/general.py:197-211):
+        # positional rename over the SORTED distinct labels — a label-space
+        # probe (metadata-sized collect, same move as the resamplers).
+        # len(target) == len(labels) renames all; fewer targets are legal
+        # only for enumerated (0-based positional) labels and rename the
+        # first len(target); more targets is a LabelMismatch.
+        labels = [
+            r[0] for r in data.df.select(dim).distinct().orderBy(dim).collect()
+        ]
+        tgt_set = set(target)
+        for lab in labels:
+            if lab in tgt_set:
+                raise LabelExists(
+                    f"LabelExists: label {lab!r} already among target labels"
+                )
+        if len(target) == len(labels):
+            source = labels
+        elif len(target) < len(labels):
+            if 0 not in labels:
+                raise LabelsNotEnumerated(
+                    "LabelsNotEnumerated: dimension labels are not enumerated"
+                )
+            source = labels[: len(target)]
+        else:
+            raise DimensionLabelCountMismatch(
+                f"LabelMismatch: {len(target)} target labels for "
+                f"{len(labels)} dimension labels"
+            )
     expr = None
     for s, tgt in zip(source, target):
         expr = F.when(col == s, F.lit(tgt)) if expr is None else expr.when(

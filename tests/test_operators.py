@@ -19,6 +19,7 @@ from openeo_processes_dask_spark.operators.filters import (
     filter_temporal,
 )
 from openeo_processes_dask_spark.operators.general import (
+    DimensionLabelCountMismatch,
     add_dimension,
     drop_dimension,
     rename_dimension,
@@ -208,6 +209,45 @@ def test_dimension_management(small_cube):
     c4 = rename_labels(small_cube, "band", source=["B02"], target=["blue"])
     labels = {r[0] for r in c4.df.select("band").distinct().collect()}
     assert labels == {"blue", "B03", "B04", "B08"}
+
+
+def test_rename_labels_positional_and_enumerated(spark, small_cube):
+    """source omitted (reference: cubes/general.py:197-211): full-length
+    target renames positionally over sorted labels; shorter target is legal
+    only for enumerated (0-based) labels; LabelExists/LabelMismatch guards."""
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.operators.general import (
+        LabelExists,
+        LabelsNotEnumerated,
+    )
+
+    # full-length positional: sorted bands B02,B03,B04,B08 -> b,g,r,nir
+    c = rename_labels(small_cube, "band", target=["b", "g", "r", "nir"])
+    labels = {r[0] for r in c.df.select("band").distinct().collect()}
+    assert labels == {"b", "g", "r", "nir"}
+
+    # enumerated labels 0..3: shorter target renames the first len(target)
+    enum = DataCube(
+        spark.createDataFrame(
+            [(i, "b", float(i)) for i in range(4)],
+            "idx bigint, band string, value double",
+        ),
+        dims=("idx", "band"),
+    )
+    out = rename_labels(enum, "idx", target=[100, 200])
+    assert {r[0] for r in out.df.select("idx").distinct().collect()} == {
+        100, 200, 2, 3,
+    }
+
+    # non-enumerated labels + shorter target
+    with pytest.raises(LabelsNotEnumerated):
+        rename_labels(small_cube, "band", target=["b", "g"])
+    # a target label colliding with an existing one
+    with pytest.raises(LabelExists):
+        rename_labels(small_cube, "band", target=["B03", "x", "y", "z"])
+    # more targets than labels
+    with pytest.raises(DimensionLabelCountMismatch):
+        rename_labels(small_cube, "band", target=list("abcde"))
 
 
 def test_trim_cube(small_cube):
