@@ -85,7 +85,13 @@ class ForestModel:
         self.feature_cols = feature_cols
 
     def predict(self, X: np.ndarray) -> np.ndarray:
-        return np.mean([_predict_tree(t, X) for t in self.trees], axis=0)
+        # strict left-to-right tree sum (np.mean's pairwise reduction order
+        # varies with n) so an exported-rules SQL twin can reproduce the
+        # ensemble bit-for-bit
+        acc = _predict_tree(self.trees[0], X)
+        for t in self.trees[1:]:
+            acc = acc + _predict_tree(t, X)
+        return acc / len(self.trees)
 
 
 @process
@@ -97,16 +103,32 @@ def fit_regr_random_forest(
     seed: int = 42,
     max_depth: int = 8,
     min_leaf: int = 2,
+    max_training_rows: int = 1_000_000,
 ) -> ForestModel:
     """Train a bagged CART forest
     (reference: ml/random_forest.py:22-125; 'sqrt' feature sampling default
     mirrors its max_features handling).
 
-    Distribution model: the (small) training matrix ships to executors once
-    via closure/broadcast; one Spark task per tree. Tree seeds are
-    ``seed + tree_index`` → deterministic forest regardless of scheduling.
+    Distribution model: the training matrix is driver-collected ONCE and
+    shipped to executors via an explicit SparkContext broadcast (one copy
+    per executor, not per task closure); one Spark task per tree. Bagging
+    needs every tree to see the whole matrix, so the collect is inherent to
+    the algorithm — ``max_training_rows`` bounds it with an explicit error
+    instead of silently OOMing the driver when someone points it at raster
+    samples (VERDICT r01 #3; sample/aggregate first, or raise the cap
+    knowingly). Tree seeds are ``seed + tree_index`` → deterministic forest
+    regardless of scheduling.
     """
     feature_cols = [c for c in predictors.columns if c != target]
+    n_rows = predictors.count()
+    if n_rows > max_training_rows:
+        raise ValueError(
+            f"fit_regr_random_forest: training set has {n_rows} rows, above "
+            f"max_training_rows={max_training_rows}. Bagged CART collects "
+            "the full matrix to the driver; downsample the predictors "
+            "(df.sample / aggregate to a vector cube) or raise "
+            "max_training_rows explicitly if the driver has the memory."
+        )
     pdf = predictors.select(*feature_cols, target).toPandas()
     X = pdf[feature_cols].to_numpy(dtype="float64")
     y = pdf[target].to_numpy(dtype="float64")
@@ -118,18 +140,20 @@ def fit_regr_random_forest(
         n_feat = int(max_variables)
 
     spark = predictors.sparkSession
+    bc = spark.sparkContext.broadcast((X, y))
     tree_idx = spark.range(num_trees).select(F.col("id").cast("int").alias("tree"))
     md, ml = max_depth, min_leaf
 
     def train(batches):
         import json as _json
 
+        Xb, yb = bc.value
         for pdf_batch in batches:
             rows = []
             for t in pdf_batch["tree"]:
                 rng = np.random.default_rng(seed + int(t))
-                boot = rng.integers(0, len(y), size=len(y))
-                tree = _build_tree(X[boot], y[boot], rng, md, ml, n_feat)
+                boot = rng.integers(0, len(yb), size=len(yb))
+                tree = _build_tree(Xb[boot], yb[boot], rng, md, ml, n_feat)
                 rows.append({"tree": int(t), "model": _json.dumps(tree)})
             yield pd.DataFrame(rows)
 

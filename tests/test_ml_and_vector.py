@@ -71,6 +71,22 @@ def test_random_forest(spark):
     assert 1 - ss_res / ss_tot > 0.8
 
 
+def test_random_forest_training_row_cap(spark):
+    """The driver collect is bounded: above max_training_rows the fit
+    raises a clear error instead of OOMing the driver (VERDICT r01 #3)."""
+    from openeo_processes_dask_spark.ml.random_forest import (
+        fit_regr_random_forest,
+    )
+
+    train = spark.range(100).selectExpr(
+        "CAST(id AS DOUBLE) AS f1", "CAST(id * 2 AS DOUBLE) AS target"
+    )
+    with pytest.raises(ValueError, match="max_training_rows"):
+        fit_regr_random_forest(
+            train, "target", num_trees=2, max_training_rows=50
+        )
+
+
 def test_aggregate_spatial(spark, small_cube, small_pdf):
     from openeo_processes_dask_spark.operators.aggregate_spatial import (
         aggregate_spatial,
