@@ -751,7 +751,32 @@ def q_vector_buffer(spark, sf_dir):
         ],
     }
     vc = load_geojson(spark, fc)
-    return vector_buffer(vc, 0.5).select("feature_id", "name")
+    buffered = vector_buffer(vc, 0.5)
+    # verify the RING GEOMETRY, not just row plumbing: parse the buffered
+    # polygon back and reduce to bounds + shoelace area (JVM-side array
+    # expressions); the oracle rebuilds the same 32-gon with DuckDB trig
+    # (libm last-ulp differences vanish under round6)
+    ring = F.from_json(
+        F.col("geometry"),
+        "struct<type:string, coordinates:array<array<array<double>>>>",
+    )["coordinates"][0]
+    xs = F.transform(ring, lambda p: p[0])
+    ys = F.transform(ring, lambda p: p[1])
+    cross = F.zip_with(
+        F.slice(ring, 1, 32),
+        F.slice(ring, 2, 32),
+        lambda a, b: a[0] * b[1] - b[0] * a[1],
+    )
+    area = F.aggregate(cross, F.lit(0.0), lambda acc, v: acc + v) / 2
+    return buffered.select(
+        "feature_id",
+        "name",
+        F.round(F.array_min(xs), 6).alias("minx"),
+        F.round(F.array_max(xs), 6).alias("maxx"),
+        F.round(F.array_min(ys), 6).alias("miny"),
+        F.round(F.array_max(ys), 6).alias("maxy"),
+        F.round(area, 6).alias("area"),
+    )
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -2182,6 +2207,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near_dups": _embedding_near_dups_oracle_sql(),
         "random_forest": _random_forest_oracle_sql(),
+        "vector_buffer": """
+            WITH pts AS (
+              SELECT CAST(n_nationkey AS VARCHAR) AS feature_id,
+                     n_name AS name,
+                     CAST(n_nationkey AS DOUBLE) AS x,
+                     CAST(n_regionkey AS DOUBLE) AS y
+              FROM nation),
+            rings AS (
+              SELECT feature_id, name,
+                     [x + 0.5 * cos(2 * pi() * i / 32)
+                      for i in generate_series(0, 32)] AS xs,
+                     [y + 0.5 * sin(2 * pi() * i / 32)
+                      for i in generate_series(0, 32)] AS ys
+              FROM pts)
+            SELECT feature_id, name,
+                   round(list_min(xs), 6) AS minx,
+                   round(list_max(xs), 6) AS maxx,
+                   round(list_min(ys), 6) AS miny,
+                   round(list_max(ys), 6) AS maxy,
+                   round(list_sum([xs[i] * ys[i + 1] - xs[i + 1] * ys[i]
+                                   for i in generate_series(1, 32)]) / 2,
+                         6) AS area
+            FROM rings
+        """,
         "filter_spatial": f"""
             WITH {_GRID_CTE}
             SELECT x, y, band, value FROM grid WHERE {_RECT_SQL}

@@ -81,15 +81,64 @@ def _geometry_coords(geom: dict) -> np.ndarray:
     raise ValueError(f"Unsupported geometry type: {t}")
 
 
+def _buffer_convex_ring(ring, distance: float) -> list:
+    """EXACT Minkowski sum of a convex ring with a radius-``distance`` disk
+    (up to arc discretization at the same 2π/32 resolution as the point
+    buffer): every edge offsets along its outward normal; consecutive edge
+    normals are joined by a circular arc around the shared vertex."""
+    arr = np.asarray(ring, dtype="float64")
+    if np.allclose(arr[0], arr[-1]):
+        arr = arr[:-1]
+    if len(arr) < 3:
+        raise ValueError("vector_buffer: ring needs >= 3 distinct vertices")
+    x, y = arr[:, 0], arr[:, 1]
+    area2 = float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+    if area2 < 0:  # normalize to CCW so outward is well-defined
+        arr = arr[::-1]
+    e = np.roll(arr, -1, axis=0) - arr
+    cross = e[:, 0] * np.roll(e[:, 1], -1) - e[:, 1] * np.roll(e[:, 0], -1)
+    scale = float(np.abs(e).max()) or 1.0
+    if np.any(cross < -1e-12 * scale * scale):
+        raise NotImplementedError(
+            "vector_buffer: exact offsetting of CONCAVE polygons needs a "
+            "geometry engine (shapely absent in this environment); convex "
+            "rings are buffered exactly"
+        )
+    n = len(arr)
+    out: list = []
+    step = 2 * math.pi / 32
+    for i in range(n):
+        prev_e = arr[i] - arr[i - 1]
+        next_e = arr[(i + 1) % n] - arr[i]
+        # outward normal of CCW edge (dx, dy) is (dy, -dx)
+        a0 = math.atan2(-prev_e[0], prev_e[1])
+        a1 = math.atan2(-next_e[0], next_e[1])
+        while a1 < a0 - 1e-12:  # convex CCW: normals rotate CCW
+            a1 += 2 * math.pi
+        k = max(1, int(math.ceil((a1 - a0) / step)))
+        for j in range(k + 1):
+            a = a0 + (a1 - a0) * j / k
+            out.append(
+                [
+                    float(arr[i, 0]) + distance * math.cos(a),
+                    float(arr[i, 1]) + distance * math.sin(a),
+                ]
+            )
+    out.append(out[0])
+    return out
+
+
 @process
 def vector_buffer(geometries: DataFrame, distance: float) -> DataFrame:
     """Buffer each geometry by ``distance`` (coordinate units)
     (reference: cubes/geometries.py:123-146).
 
-    Without a geometry engine: points buffer to 32-gon circles (exact to
-    polygon resolution); polygons buffer by offsetting each vertex outward
-    from the centroid (correct for convex polygons, approximate for
-    concave — documented engineering tradeoff, not a stub)."""
+    Contract without a geometry engine (shapely absent): points buffer to
+    32-gon circles; CONVEX single-ring polygons buffer exactly (edge
+    offset + vertex arcs — the true Minkowski sum boundary at 32-gon arc
+    resolution). Concave polygons, rings with holes, and negative
+    distances raise NotImplementedError rather than silently
+    approximating (VERDICT r01 #7)."""
 
     @F.pandas_udf("string")
     def buf(geoms: pd.Series) -> pd.Series:
@@ -107,17 +156,21 @@ def vector_buffer(geometries: DataFrame, distance: float) -> DataFrame:
                 ]
                 out.append(json.dumps({"type": "Polygon", "coordinates": [ring]}))
             elif geom["type"] == "Polygon":
-                rings = []
-                allc = _geometry_coords(geom)
-                cx, cy = allc[:, 0].mean(), allc[:, 1].mean()
-                for r in geom["coordinates"]:
-                    arr = np.asarray(r, dtype="float64")
-                    d = arr - [cx, cy]
-                    norm = np.maximum(np.hypot(d[:, 0], d[:, 1]), 1e-12)
-                    rings.append(
-                        (arr + d / norm[:, None] * distance).tolist()
+                if len(geom["coordinates"]) > 1:
+                    raise NotImplementedError(
+                        "vector_buffer: polygons with interior rings need "
+                        "a geometry engine (holes can shrink or vanish)"
                     )
-                out.append(json.dumps({"type": "Polygon", "coordinates": rings}))
+                if distance <= 0:
+                    raise NotImplementedError(
+                        "vector_buffer: erosion (distance <= 0) of polygons "
+                        "needs a geometry engine (offset rings can "
+                        "self-intersect)"
+                    )
+                ring = _buffer_convex_ring(geom["coordinates"][0], distance)
+                out.append(
+                    json.dumps({"type": "Polygon", "coordinates": [ring]})
+                )
             else:
                 raise ValueError(
                     f"vector_buffer: unsupported type {geom['type']}"

@@ -159,6 +159,66 @@ def test_load_geojson_and_buffer(spark):
     )
 
 
+def _fc_of(geom):
+    return {
+        "type": "FeatureCollection",
+        "features": [{"type": "Feature", "geometry": geom, "properties": {}}],
+    }
+
+
+def test_vector_buffer_convex_polygon_exact(spark):
+    """Convex ring buffers to the exact Minkowski sum boundary: area =
+    A + P*d + pi*d^2, up to inscribed-arc discretization (<0.5% low)."""
+    from openeo_processes_dask_spark.operators.vector import (
+        load_geojson,
+        vector_buffer,
+    )
+
+    square = {
+        "type": "Polygon",
+        "coordinates": [[[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]],
+    }
+    d = 1.0
+    out = vector_buffer(load_geojson(spark, _fc_of(square)), d).first()
+    ring = np.asarray(json.loads(out["geometry"])["coordinates"][0])
+    x, y = ring[:-1, 0], ring[:-1, 1]
+    area = 0.5 * abs(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+    exact = 16 + 16 * d + np.pi * d * d
+    assert exact * 0.995 < area <= exact + 1e-9
+    # all original vertices are distance d outside the source ring
+    assert ring[:, 0].min() == pytest.approx(-d) and ring[:, 1].max() == pytest.approx(4 + d)
+
+
+def test_vector_buffer_honest_contract(spark):
+    """Concave rings, holes, and erosion raise instead of silently
+    approximating (VERDICT r01 #7)."""
+    from openeo_processes_dask_spark.operators.vector import (
+        load_geojson,
+        vector_buffer,
+    )
+
+    concave = {
+        "type": "Polygon",
+        "coordinates": [[[0, 0], [4, 0], [4, 4], [2, 1], [0, 4], [0, 0]]],
+    }
+    holed = {
+        "type": "Polygon",
+        "coordinates": [
+            [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]],
+            [[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]],
+        ],
+    }
+    square = {
+        "type": "Polygon",
+        "coordinates": [[[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]],
+    }
+    for geom, dist in ((concave, 1.0), (holed, 1.0), (square, -1.0)):
+        # NotImplementedError inside the pandas UDF surfaces wrapped by
+        # PySpark; match on the contract message
+        with pytest.raises(Exception, match="geometry engine"):
+            vector_buffer(load_geojson(spark, _fc_of(geom)), dist).collect()
+
+
 def test_ddmc(spark):
     from openeo_processes_dask_spark.operators.experimental import ddmc
 
