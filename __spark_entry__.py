@@ -1759,6 +1759,71 @@ def q_salted_reduce(spark, sf_dir):
     return _round6(out.df, "value")
 
 
+def q_load_stac_catalog(spark, sf_dir):
+    """load_stac over a two-item local catalog (VERDICT r01 #9): parquet
+    assets derived from lineitem's grid, bbox SEARCH prunes item 1 before
+    any read, row-level bbox re-filter per reference load.py:306-310. The
+    oracle replays the derivation + predicate directly on lineitem."""
+    _setup(spark)
+    import json
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.sources.load import load_stac
+
+    base = os.path.join(
+        tempfile.gettempdir(), "spark_graft_stac_gate"
+    )
+    os.makedirs(base, exist_ok=True)
+    grid = _grid_cube(spark, sf_dir)
+    flat = (
+        grid.df.groupBy("x", "y")
+        .agg(F.sum("value").alias("value"))
+        .withColumn("t", F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    )
+    paths = {}
+    for name, pred, bbox in (
+        ("left", "x < 15", [0, 0, 14, 9]),
+        ("right", "x >= 15", [15, 0, 29, 9]),
+    ):
+        p = os.path.join(base, f"{name}.parquet")
+        flat.where(pred).coalesce(1).write.mode("overwrite").parquet(p)
+        item = {
+            "type": "Feature",
+            "stac_version": "1.0.0",
+            "id": name,
+            "bbox": bbox,
+            "properties": {"datetime": "2024-01-15T00:00:00Z"},
+            "assets": {"data": {"href": p, "type": "parquet"}},
+        }
+        ip = os.path.join(base, f"{name}.json")
+        with open(ip, "w") as fh:
+            json.dump(item, fh)
+        paths[name] = ip
+    catalog = {
+        "type": "Catalog",
+        "stac_version": "1.0.0",
+        "id": "gate",
+        "links": [
+            {"rel": "item", "href": paths["left"]},
+            {"rel": "item", "href": paths["right"]},
+        ],
+    }
+    cat = os.path.join(base, "catalog.json")
+    with open(cat, "w") as fh:
+        json.dump(catalog, fh)
+    cube = load_stac(
+        cat,
+        spatial_extent={
+            "west": -0.5, "east": 14.5, "south": -0.5, "north": 9.5,
+        },
+        spark=spark,
+    )
+    return _round6(
+        cube.df.select("x", "y", "band", "t", "value"), "value"
+    )
+
+
 def q_multimodal_resize(spark, sf_dir):
     """resize_images: REAL nearest-neighbor resize over binary columns,
     verified byte-exactly — the gate md5-hashes every resized RGB payload
@@ -1972,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_mercator": q_resample_mercator,
         "multimodal_av": q_multimodal_av,
         "multimodal_resize": q_multimodal_resize,
+        "load_stac_catalog": q_load_stac_catalog,
         "salted_reduce": q_salted_reduce,
         "resample_bilinear": q_resample_bilinear,
         "mask_triangle": q_mask_triangle,
@@ -2316,6 +2382,13 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _embedding_near_dups_oracle_sql(),
         "random_forest": _random_forest_oracle_sql(),
         "multimodal_features": _multimodal_features_oracle_sql(),
+        "load_stac_catalog": f"""
+            WITH {_GRID_CTE}
+            SELECT x, y, 'data' AS band,
+                   TIMESTAMP '2024-01-15 00:00:00' AS t,
+                   round(sum(value), 6) AS value
+            FROM grid WHERE x < 15 GROUP BY x, y
+        """,
         "multimodal_resize": _multimodal_resize_oracle_sql(),
         "multimodal_av": _multimodal_av_oracle_sql(),
         "vector_buffer": """

@@ -56,7 +56,7 @@ def _read_parquet_nanosafe(spark: SparkSession, path: str) -> DataFrame:
         schema_path = parts[0]
     # Check the parquet LOGICAL type, not the arrow view: arrow reports
     # Spark-written INT96 timestamps as timestamp[ns] too, but those read
-    # fine — only真 TIMESTAMP(NANOS) columns need the legacy-long path.
+    # fine — only true TIMESTAMP(NANOS) columns need the legacy-long path.
     pschema = pq.ParquetFile(schema_path).schema
     nano_cols = [
         pschema.column(i).name
@@ -213,6 +213,41 @@ def create_fake_rastercube(
     )
 
 
+def _stac_item_matches(
+    item: dict, spatial_extent, temporal_extent, properties
+) -> bool:
+    """Catalog-search predicate over one STAC item — the local stand-in for
+    ``catalog.search(bbox=…, datetime=…, query=…)``
+    (reference: cubes/load.py:119-156): bbox intersection, item datetime
+    within the half-open extent, property equality."""
+    import pandas as pd
+
+    if spatial_extent is not None and item.get("bbox"):
+        w, s, e, n = (float(v) for v in item["bbox"][:4])
+        if (
+            e < float(spatial_extent["west"])
+            or w > float(spatial_extent["east"])
+            or n < float(spatial_extent["south"])
+            or s > float(spatial_extent["north"])
+        ):
+            return False
+    if temporal_extent is not None:
+        dt = (item.get("properties") or {}).get("datetime")
+        if dt is not None:
+            t = pd.to_datetime(dt).tz_localize(None)
+            lo, hi = temporal_extent[0], temporal_extent[1]
+            if lo is not None and t < pd.to_datetime(lo):
+                return False
+            if hi is not None and t >= pd.to_datetime(hi):
+                return False
+    if properties:
+        props = item.get("properties") or {}
+        for k, v in properties.items():
+            if not isinstance(v, dict) and props.get(k) != v:
+                return False
+    return True
+
+
 @process
 def load_stac(
     url: str,
@@ -227,11 +262,19 @@ def load_stac(
     The reference's flow: validate STAC url -> catalog search with
     bbox/datetime/property filters -> lazy asset read -> post filters.
     This container has no network and no rasterio/odc, so the supported
-    path is a LOCAL STAC item/collection JSON whose asset hrefs point at
-    parquet files (the driver's fixture pattern, FIXTURES.md F6); the
-    search-pushdown structure (filter at the catalog, then partition-pruned
-    scan, then residual bbox/temporal predicates) is the same shape the
-    networked implementation needs.
+    paths are LOCAL JSON documents whose asset hrefs point at parquet:
+
+    - a single Item ("Feature");
+    - an ItemCollection ("FeatureCollection" of items);
+    - a Catalog/Collection whose ``links`` with ``rel=="item"`` point at
+      item JSONs (resolved relative to the catalog path).
+
+    For catalogs/collections the bbox/datetime/property filters run as the
+    SEARCH step (item granularity, before any asset is read — the local
+    stand-in for the reference's pystac-client search); row-level
+    post-filters then mirror reference load.py:306-310 exactly: bbox is
+    always re-applied, temporal only for single items (the search already
+    filtered collection items by datetime).
     """
     import json
     import os
@@ -240,31 +283,67 @@ def load_stac(
     if url.startswith(("http://", "https://")):
         raise NotImplementedError(
             "Network STAC access is unavailable in this container; pass a "
-            "local item JSON path (asset hrefs -> parquet)"
+            "local item/catalog JSON path (asset hrefs -> parquet)"
         )
     with open(url) as fh:
-        item = json.load(fh)
-    assets = item.get("assets", {})
-    frames = []
-    for name, asset in assets.items():
-        if bands is not None and name not in bands:
-            continue  # band pruning at source (reference: load.py:262-264)
-        href = asset.get("href")
-        if not href or not href.endswith(".parquet"):
-            continue
-        if not os.path.isabs(href):
-            href = os.path.join(os.path.dirname(url), href)
-        df = _read_parquet_nanosafe(spark, href).withColumn(
-            "band", F.lit(name)
+        doc = json.load(fh)
+    base = os.path.dirname(url)
+
+    doc_type = doc.get("type")
+    if doc_type == "Feature":
+        stac_type, items = "ITEM", [doc]
+    elif doc_type == "FeatureCollection":
+        stac_type, items = "ITEMCOLLECTION", list(doc.get("features", []))
+    elif doc_type in ("Catalog", "Collection"):
+        stac_type, items = "CATALOG", []
+        for link in doc.get("links", []):
+            if link.get("rel") != "item" or not link.get("href"):
+                continue
+            href = link["href"]
+            if not os.path.isabs(href):
+                href = os.path.join(base, href)
+            with open(href) as fh:
+                items.append(json.load(fh))
+    else:
+        raise ValueError(f"Unsupported STAC document type: {doc_type!r}")
+
+    if stac_type != "ITEM":
+        # catalog search: prune items BEFORE touching any asset
+        items = [
+            i
+            for i in items
+            if _stac_item_matches(
+                i, spatial_extent, temporal_extent, properties
+            )
+        ]
+    if not items:
+        raise ValueError(
+            f"No STAC items matched the search filters in {url}"
         )
-        frames.append(df)
+
+    frames = []
+    for item in items:
+        for name, asset in (item.get("assets") or {}).items():
+            if bands is not None and name not in bands:
+                continue  # band pruning at source (reference: load.py:262-264)
+            href = asset.get("href")
+            if not href or not href.endswith(".parquet"):
+                continue
+            if not os.path.isabs(href):
+                href = os.path.join(base, href)
+            df = _read_parquet_nanosafe(spark, href).withColumn(
+                "band", F.lit(name)
+            )
+            frames.append(df)
     if not frames:
         raise ValueError(f"No readable parquet assets in {url}")
     df = frames[0]
     for f in frames[1:]:
         df = df.unionByName(f)
     cube = DataCube(df, dims=("x", "y", "t", "band"))
-    # post-filters exactly like the reference (load.py:306-310)
+    # post-filters exactly like the reference (load.py:306-310): bbox
+    # always; temporal only for single items — collection items were
+    # already datetime-filtered by the search step
     from openeo_processes_dask_spark.operators.filters import (
         filter_bbox,
         filter_temporal,
@@ -272,7 +351,7 @@ def load_stac(
 
     if spatial_extent is not None:
         cube = filter_bbox(cube, spatial_extent)
-    if temporal_extent is not None:
+    if temporal_extent is not None and stac_type == "ITEM":
         cube = filter_temporal(cube, temporal_extent)
     return cube
 

@@ -269,6 +269,83 @@ def test_save_and_load_stac(spark, small_cube, tmp_path):
     assert cube.df.count() > 0
 
 
+def test_load_stac_mock_catalog_search(spark, tmp_path):
+    """Two-item local catalog (VERDICT r01 #9): bbox/datetime search prunes
+    at ITEM granularity before any asset read (reference: cubes/load.py:
+    119-156), then the bbox post-filter re-applies row-level
+    (load.py:306-310)."""
+    from openeo_processes_dask_spark.sources.load import load_stac
+
+    def write_asset(name, x0):
+        rows = [
+            (float(x0 + i), 0.0, f"2024-0{m}-15T00:00:00", float(i))
+            for i in range(4)
+            for m in (1, 2)
+        ]
+        p = str(tmp_path / f"{name}.parquet")
+        spark.createDataFrame(
+            rows, "x double, y double, t string, value double"
+        ).withColumn("t", F.to_timestamp("t")).write.parquet(p)
+        return p
+
+    a1 = write_asset("a1", 0)  # x in [0, 3]
+    a2 = write_asset("a2", 100)  # x in [100, 103]
+    items = []
+    for i, (bbox, asset, dt) in enumerate(
+        [
+            ([0, -1, 3, 1], a1, "2024-01-15T00:00:00Z"),
+            ([100, -1, 103, 1], a2, "2024-06-15T00:00:00Z"),
+        ]
+    ):
+        item = {
+            "type": "Feature",
+            "stac_version": "1.0.0",
+            "id": f"item-{i}",
+            "bbox": bbox,
+            "properties": {"datetime": dt},
+            "assets": {"B01": {"href": asset, "type": "parquet"}},
+        }
+        p = tmp_path / f"item{i}.json"
+        p.write_text(json.dumps(item))
+        items.append(p.name)
+    catalog = {
+        "type": "Catalog",
+        "stac_version": "1.0.0",
+        "id": "mock",
+        "links": [{"rel": "item", "href": h} for h in items],
+    }
+    cat_path = tmp_path / "catalog.json"
+    cat_path.write_text(json.dumps(catalog))
+
+    # bbox search selects only item 0; row-level bbox keeps x <= 2
+    cube = load_stac(
+        str(cat_path),
+        spatial_extent={"west": -1, "east": 2.5, "south": -1, "north": 1},
+        spark=spark,
+    )
+    xs = sorted(r[0] for r in cube.df.select("x").distinct().collect())
+    assert xs == [0.0, 1.0, 2.0]
+
+    # datetime search: only item 1 (June) matches; collection items are NOT
+    # row-filtered by time (reference load.py:306-310 skips filter_temporal
+    # for searched collections), so both months of a2 survive
+    cube = load_stac(
+        str(cat_path),
+        temporal_extent=["2024-06-01", "2024-07-01"],
+        spark=spark,
+    )
+    assert cube.df.count() == 8
+    assert cube.df.select(F.min("x")).first()[0] == 100.0
+
+    # property equality narrows the search
+    with pytest.raises(ValueError, match="No STAC items matched"):
+        load_stac(
+            str(cat_path),
+            properties={"datetime": "1999-01-01T00:00:00Z"},
+            spark=spark,
+        )
+
+
 def test_filter_bbox_vector_and_load_vector_cube(spark, tmp_path):
     import json as _json
 
