@@ -981,6 +981,77 @@ def _lsh_topk_oracle_sql(n_planes: int = 12, k: int = 10, seed: int = 42) -> str
     """
 
 
+class _SqlExpr:
+    """SQL-text expression node: lets the shared Krüger-series formula
+    (functions/crs.py `_tm_forward`, generic over an ops namespace) emit
+    its DuckDB oracle directly — one formula, three lanes (Column, scalar,
+    SQL)."""
+
+    def __init__(self, s: str):
+        self.s = s
+
+    def _b(self, op, o):
+        o = o.s if isinstance(o, _SqlExpr) else repr(float(o))
+        return _SqlExpr(f"({self.s} {op} {o})")
+
+    __add__ = lambda self, o: self._b("+", o)  # noqa: E731
+    __sub__ = lambda self, o: self._b("-", o)  # noqa: E731
+    __mul__ = lambda self, o: self._b("*", o)  # noqa: E731
+    __truediv__ = lambda self, o: self._b("/", o)  # noqa: E731
+
+
+def _sql_fn(name):
+    def call(x):
+        return _SqlExpr(f"{name}({x.s})")
+
+    return staticmethod(call)
+
+
+class _SqlOps:
+    sin = _sql_fn("sin")
+    cos = _sql_fn("cos")
+    atan = _sql_fn("atan")
+    asin = _sql_fn("asin")
+    sqrt = _sql_fn("sqrt")
+    log = _sql_fn("ln")
+
+    # DuckDB has no sinh/cosh builtins — exponential identities; the JVM
+    # builtins differ only in the last ulp, absorbed by the gate's round(2)
+    @staticmethod
+    def sinh(x):
+        return _SqlExpr(f"((exp({x.s}) - exp(-({x.s}))) / 2.0)")
+
+    @staticmethod
+    def cosh(x):
+        return _SqlExpr(f"((exp({x.s}) + exp(-({x.s}))) / 2.0)")
+
+    @staticmethod
+    def atan2(a, b):
+        return _SqlExpr(f"atan2({a.s}, {b.s})")
+
+    @staticmethod
+    def lit(v):
+        return _SqlExpr(repr(float(v)))
+
+    @staticmethod
+    def atanh(x):
+        return _SqlExpr(f"(0.5 * ln((1.0 + {x.s}) / (1.0 - {x.s})))")
+
+
+def _crs_utm_oracle_sql() -> str:
+    from openeo_processes_dask_spark.functions.crs import _tm_forward
+
+    lon = _SqlExpr("((x / 10.0) + 7.5)")
+    lat = _SqlExpr("((y / 10.0) + 45.0)")
+    e, n = _tm_forward(_SqlOps, lat, lon, 9.0, True)
+    return f"""
+        WITH {_GRID_CTE}
+        SELECT x, y, band, round({e.s}, 2) AS easting,
+               round({n.s}, 2) AS northing
+        FROM grid
+    """
+
+
 def _multimodal_features_oracle_sql(n: int = 64, w: int = 16, h: int = 12) -> str:
     """Expected image features computed independently in NumPy from the
     shared deterministic fake decode (PCG64 is not SQL-expressible, so the
@@ -1824,6 +1895,27 @@ def q_load_stac_catalog(spark, sf_dir):
     )
 
 
+def q_crs_utm(spark, sf_dir):
+    """EPSG:4326 -> EPSG:32632 (UTM zone 32N) warp as pure JVM expressions
+    (functions/crs.py Krüger series). The oracle is the SAME generic
+    formula emitted as DuckDB SQL by the _SqlOps shim — one series, three
+    lanes; libm last-ulp differences vanish under round(2) (cm)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.functions.crs import transform_xy_cols
+
+    grid = _grid_cube(spark, sf_dir)
+    lon = F.col("x") / F.lit(10.0) + F.lit(7.5)
+    lat = F.col("y") / F.lit(10.0) + F.lit(45.0)
+    e, n = transform_xy_cols(lon, lat, "EPSG:4326", "EPSG:32632")
+    return grid.df.select(
+        "x",
+        "y",
+        "band",
+        F.round(e, 2).alias("easting"),
+        F.round(n, 2).alias("northing"),
+    )
+
+
 def q_multimodal_resize(spark, sf_dir):
     """resize_images: REAL nearest-neighbor resize over binary columns,
     verified byte-exactly — the gate md5-hashes every resized RGB payload
@@ -2038,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_av": q_multimodal_av,
         "multimodal_resize": q_multimodal_resize,
         "load_stac_catalog": q_load_stac_catalog,
+        "crs_utm": q_crs_utm,
         "salted_reduce": q_salted_reduce,
         "resample_bilinear": q_resample_bilinear,
         "mask_triangle": q_mask_triangle,
@@ -2389,6 +2482,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS value
             FROM grid WHERE x < 15 GROUP BY x, y
         """,
+        "crs_utm": _crs_utm_oracle_sql(),
         "multimodal_resize": _multimodal_resize_oracle_sql(),
         "multimodal_av": _multimodal_av_oracle_sql(),
         "vector_buffer": """

@@ -1,25 +1,33 @@
-"""Native CRS transforms for the EPSG:4326 <-> EPSG:3857 pair.
+"""Native CRS transforms: EPSG:4326 <-> EPSG:3857 and EPSG:4326 <-> UTM.
 
 The reference delegates all reprojection to pyproj/odc (cubes/_filter.py:
 284-320, cubes/resample.py:39-113). pyproj is not available in this
-container, but the spherical ("Web") Mercator mapping EPSG:3857 is a public
-closed-form formula (EPSG Guidance Note 7-2, "Popular Visualisation
-Pseudo-Mercator"):
+container, but both projections have public closed-form/series formulas:
 
-    X = R * lon_rad            lon = degrees(X / R)
-    Y = R * ln(tan(pi/4 + lat_rad / 2))
-    lat = degrees(2 * atan(exp(Y / R)) - pi/2)       R = 6378137 m
+- Web Mercator (EPSG Guidance Note 7-2, "Popular Visualisation
+  Pseudo-Mercator"):
+      X = R * lon_rad            lon = degrees(X / R)
+      Y = R * ln(tan(pi/4 + lat_rad / 2))
+      lat = degrees(2 * atan(exp(Y / R)) - pi/2)       R = 6378137 m
 
-Expressed here twice: as Spark Column expressions (radians/tan/ln/atan/exp
-are all JVM built-ins, so a raster warp of 100 TB of cells stays inside
-whole-stage codegen — no Python in the hot path), and as scalar Python for
-driver-side bbox corners. Other CRS pairs fall back to pyproj when present
-and stay gated otherwise.
+- UTM zones (EPSG:326xx north / 327xx south — the most common Sentinel-2
+  case): Krüger's series for the ellipsoidal transverse Mercator, in the
+  third-order-in-n form published in Karney (2011), "Transverse Mercator
+  with an accuracy of a few nanometers" (the same series GeographicLib/
+  pyproj evaluate to higher order). Truncation at n^3 for WGS84
+  (n ≈ 1/594) leaves sub-millimeter error — far below pixel size.
+
+Each transform is expressed twice through a shared formula: as Spark
+Column expressions (sin/cos/sinh/atan2… are JVM built-ins, so a raster
+warp of 100 TB of cells stays inside whole-stage codegen — no Python in
+the hot path), and as scalar Python for driver-side bbox corners. Other
+CRS pairs fall back to pyproj when present and stay gated otherwise.
 """
 
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -29,6 +37,42 @@ R_MERCATOR = 6378137.0
 _ALIASES_4326 = {"epsg:4326", "4326", "wgs84", "crs84", "ogc:crs84"}
 _ALIASES_3857 = {"epsg:3857", "3857", "epsg:900913", "web-mercator"}
 
+_UTM_RE = re.compile(r"^epsg:(32[67])(\d{2})$")
+
+# WGS84 / Krüger series constants (third order in n)
+_WGS84_A = 6378137.0
+_WGS84_F = 1 / 298.257223563
+_N3 = _WGS84_F / (2 - _WGS84_F)
+_TM_A = _WGS84_A / (1 + _N3) * (1 + _N3**2 / 4 + _N3**4 / 64)
+_ALPHA = (
+    _N3 / 2 - 2 * _N3**2 / 3 + 5 * _N3**3 / 16,
+    13 * _N3**2 / 48 - 3 * _N3**3 / 5,
+    61 * _N3**3 / 240,
+)
+_BETA = (
+    _N3 / 2 - 2 * _N3**2 / 3 + 37 * _N3**3 / 96,
+    _N3**2 / 48 + _N3**3 / 15,
+    17 * _N3**3 / 480,
+)
+_DELTA = (
+    2 * _N3 - 2 * _N3**2 / 3 - 2 * _N3**3,
+    7 * _N3**2 / 3 - 8 * _N3**3 / 5,
+    56 * _N3**3 / 15,
+)
+_TM_K0 = 0.9996
+_TM_E0 = 500_000.0
+
+
+def utm_zone(crs) -> tuple[int, bool] | None:
+    """(zone, is_north) for an EPSG UTM code, else None."""
+    m = _UTM_RE.match(str(crs).strip().lower())
+    if not m:
+        return None
+    zone = int(m.group(2))
+    if not 1 <= zone <= 60:
+        return None
+    return zone, m.group(1) == "326"
+
 
 def normalize_crs(crs) -> str:
     s = str(crs).strip().lower()
@@ -36,12 +80,113 @@ def normalize_crs(crs) -> str:
         return "EPSG:4326"
     if s in _ALIASES_3857:
         return "EPSG:3857"
+    if _UTM_RE.match(s):
+        return s.upper()
     return str(crs)
 
 
 def supports(src_crs, dst_crs) -> bool:
     pair = {normalize_crs(src_crs), normalize_crs(dst_crs)}
-    return pair <= {"EPSG:4326", "EPSG:3857"}
+    if pair <= {"EPSG:4326", "EPSG:3857"}:
+        return True
+    others = pair - {"EPSG:4326"}
+    return len(others) <= 1 and all(utm_zone(c) for c in others)
+
+
+class _ColOps:
+    """Math namespace over Spark Columns — the JVM/codegen lane."""
+
+    sin = staticmethod(F.sin)
+    cos = staticmethod(F.cos)
+    atan = staticmethod(F.atan)
+    atan2 = staticmethod(F.atan2)
+    asin = staticmethod(F.asin)
+    sinh = staticmethod(F.sinh)
+    cosh = staticmethod(F.cosh)
+    log = staticmethod(F.log)
+    sqrt = staticmethod(F.sqrt)
+
+    @staticmethod
+    def lit(v):
+        return F.lit(float(v))
+
+    @staticmethod
+    def atanh(x):
+        return F.lit(0.5) * F.log((F.lit(1.0) + x) / (F.lit(1.0) - x))
+
+
+class _ScalarOps:
+    """Scalar twin of _ColOps (driver-side bbox corners)."""
+
+    sin = staticmethod(math.sin)
+    cos = staticmethod(math.cos)
+    atan = staticmethod(math.atan)
+    atan2 = staticmethod(math.atan2)
+    asin = staticmethod(math.asin)
+    sinh = staticmethod(math.sinh)
+    cosh = staticmethod(math.cosh)
+    log = staticmethod(math.log)
+    sqrt = staticmethod(math.sqrt)
+    lit = staticmethod(float)
+    atanh = staticmethod(math.atanh)
+
+
+def _tm_forward(ops, lat_deg, lon_deg, lon0_deg: float, north: bool):
+    """(lat, lon)° -> UTM (E, N). Krüger series, third order in n."""
+    d2r = math.pi / 180.0
+    phi = lat_deg * ops.lit(d2r)
+    dlam = (lon_deg - ops.lit(lon0_deg)) * ops.lit(d2r)
+    e2n = 2 * math.sqrt(_N3) / (1 + _N3)
+    s = ops.sin(phi)
+    t = ops.sinh(ops.atanh(s) - ops.lit(e2n) * ops.atanh(ops.lit(e2n) * s))
+    xi = ops.atan2(t, ops.cos(dlam))
+    eta = ops.atanh(ops.sin(dlam) / ops.sqrt(ops.lit(1.0) + t * t))
+    E = eta
+    N = xi
+    for j, a in enumerate(_ALPHA, start=1):
+        E = E + ops.lit(a) * ops.cos(ops.lit(2.0 * j) * xi) * ops.sinh(
+            ops.lit(2.0 * j) * eta
+        )
+        N = N + ops.lit(a) * ops.sin(ops.lit(2.0 * j) * xi) * ops.cosh(
+            ops.lit(2.0 * j) * eta
+        )
+    fn = 0.0 if north else 10_000_000.0
+    k0A = _TM_K0 * _TM_A
+    return (
+        ops.lit(_TM_E0) + ops.lit(k0A) * E,
+        ops.lit(fn) + ops.lit(k0A) * N,
+    )
+
+
+def _tm_inverse(ops, E, N, lon0_deg: float, north: bool):
+    """UTM (E, N) -> (lon, lat)°. Krüger inverse series."""
+    r2d = 180.0 / math.pi
+    fn = 0.0 if north else 10_000_000.0
+    k0A = _TM_K0 * _TM_A
+    xi = (N - ops.lit(fn)) / ops.lit(k0A)
+    eta = (E - ops.lit(_TM_E0)) / ops.lit(k0A)
+    xi_p = xi
+    eta_p = eta
+    for j, b in enumerate(_BETA, start=1):
+        xi_p = xi_p - ops.lit(b) * ops.sin(ops.lit(2.0 * j) * xi) * ops.cosh(
+            ops.lit(2.0 * j) * eta
+        )
+        eta_p = eta_p - ops.lit(b) * ops.cos(ops.lit(2.0 * j) * xi) * ops.sinh(
+            ops.lit(2.0 * j) * eta
+        )
+    chi = ops.asin(ops.sin(xi_p) / ops.cosh(eta_p))
+    phi = chi
+    for j, d in enumerate(_DELTA, start=1):
+        phi = phi + ops.lit(d) * ops.sin(ops.lit(2.0 * j) * chi)
+    lam = ops.atan2(ops.sinh(eta_p), ops.cos(xi_p))
+    return (
+        ops.lit(lon0_deg) + lam * ops.lit(r2d),
+        phi * ops.lit(r2d),
+    )
+
+
+def _utm_lon0(zone: int) -> float:
+    return float(zone * 6 - 183)
 
 
 def transform_xy_cols(
@@ -65,9 +210,24 @@ def transform_xy_cols(
             - F.lit(math.pi / 2)
         )
         return lon, lat
+    if src == "EPSG:4326" and utm_zone(dst):
+        zone, north = utm_zone(dst)
+        return _tm_forward(_ColOps, y, x, _utm_lon0(zone), north)
+    if utm_zone(src) and dst == "EPSG:4326":
+        zone, north = utm_zone(src)
+        return _tm_inverse(_ColOps, x, y, _utm_lon0(zone), north)
+    if utm_zone(src) and utm_zone(dst):
+        lon, lat = transform_xy_cols(x, y, src, "EPSG:4326")
+        return transform_xy_cols(lon, lat, "EPSG:4326", dst)
+    if utm_zone(src) and dst == "EPSG:3857":
+        lon, lat = transform_xy_cols(x, y, src, "EPSG:4326")
+        return transform_xy_cols(lon, lat, "EPSG:4326", dst)
+    if src == "EPSG:3857" and utm_zone(dst):
+        lon, lat = transform_xy_cols(x, y, src, "EPSG:4326")
+        return transform_xy_cols(lon, lat, "EPSG:4326", dst)
     raise NotImplementedError(
-        f"Native transforms cover EPSG:4326<->3857 only (got {src}->{dst}); "
-        "other pairs need pyproj, unavailable in this container"
+        f"Native transforms cover EPSG:4326<->3857<->UTM (got {src}->{dst});"
+        " other pairs need pyproj, unavailable in this container"
     )
 
 
@@ -86,6 +246,19 @@ def transform_xy_scalar(x: float, y: float, src_crs, dst_crs):
             math.degrees(x / R_MERCATOR),
             math.degrees(2 * math.atan(math.exp(y / R_MERCATOR)) - math.pi / 2),
         )
+    if src == "EPSG:4326" and utm_zone(dst):
+        zone, north = utm_zone(dst)
+        e, n = _tm_forward(_ScalarOps, float(y), float(x), _utm_lon0(zone), north)
+        return float(e), float(n)
+    if utm_zone(src) and dst == "EPSG:4326":
+        zone, north = utm_zone(src)
+        lon, lat = _tm_inverse(
+            _ScalarOps, float(x), float(y), _utm_lon0(zone), north
+        )
+        return float(lon), float(lat)
+    if utm_zone(src) or utm_zone(dst):
+        lon, lat = transform_xy_scalar(x, y, src, "EPSG:4326")
+        return transform_xy_scalar(lon, lat, "EPSG:4326", dst)
     try:  # pragma: no cover - pyproj absent in this container
         from pyproj import Transformer
 

@@ -226,8 +226,54 @@ def test_crs_transforms(spark):
         assert r["bl"] == pytest.approx(r["lon"], rel=1e-12)
         assert r["bt"] == pytest.approx(r["lat"], rel=1e-12)
 
+    # non-UTM, non-Mercator pairs stay gated (Lambert-93 needs pyproj)
     with pytest.raises(NotImplementedError):
-        crs.transform_xy_scalar(0, 0, "EPSG:4326", "EPSG:32633")
+        crs.transform_xy_scalar(0, 0, "EPSG:4326", "EPSG:2154")
+
+
+def test_crs_utm(spark):
+    """UTM via the Krüger/Karney series: published anchor (CN Tower,
+    Wikipedia UTM article: 43.642567N 79.387139W -> 17N 630084 E
+    4833438 N), southern-hemisphere false northing, column/scalar parity,
+    roundtrip identity."""
+    from pyspark.sql import functions as F
+
+    from openeo_processes_dask_spark.functions import crs
+
+    e, n = crs.transform_xy_scalar(
+        -79.387139, 43.642567, "EPSG:4326", "EPSG:32617"
+    )
+    assert e == pytest.approx(630084, abs=1.0)
+    assert n == pytest.approx(4833438, abs=1.5)
+    lon, lat = crs.transform_xy_scalar(e, n, "EPSG:32617", "EPSG:4326")
+    assert lon == pytest.approx(-79.387139, abs=1e-6)
+    assert lat == pytest.approx(43.642567, abs=1e-6)
+
+    # south: false northing 10^7, zone 56 (Sydney)
+    e2, n2 = crs.transform_xy_scalar(
+        151.2149, -33.8574, "EPSG:4326", "EPSG:32756"
+    )
+    assert 0 < e2 < 1_000_000 and 6_000_000 < n2 < 7_000_000
+
+    df = spark.createDataFrame(
+        [(lon, lat) for lon in (6.5, 9.0, 11.9) for lat in (-45.0, 0.5, 60.0)],
+        "lon double, lat double",
+    )
+    x, y = crs.transform_xy_cols(
+        F.col("lon"), F.col("lat"), "EPSG:4326", "EPSG:32632"
+    )
+    bl, bt = crs.transform_xy_cols(x, y, "EPSG:32632", "EPSG:4326")
+    for r in df.select(
+        "lon", "lat", x.alias("e"), y.alias("n"),
+        bl.alias("bl"), bt.alias("bt"),
+    ).collect():
+        se, sn = crs.transform_xy_scalar(
+            r["lon"], r["lat"], "EPSG:4326", "EPSG:32632"
+        )
+        assert r["e"] == pytest.approx(se, rel=1e-12)
+        assert r["n"] == pytest.approx(sn, rel=1e-12)
+        assert r["bl"] == pytest.approx(r["lon"], abs=2e-6)
+        assert r["bt"] == pytest.approx(r["lat"], abs=2e-6)
 
 
 def test_vector_reproject_roundtrip(spark):
