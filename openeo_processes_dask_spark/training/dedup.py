@@ -131,11 +131,14 @@ def minhash_signatures(
     """MinHash signature per document: h_i(s) = (a_i·x + b_i) mod p over the
     shingle digests x, min-reduced per hash function.
 
-    All vectorized inside one projection: the num_hashes permutations are
-    computed with ``transform`` over a literal (a, b) array — no Python, no
-    extra shuffle; the groupBy(min) is the only exchange.
-    Coefficients are seeded LCG-style literals so runs are reproducible.
-    """
+    Plan: explode distinct shingles -> hash-digest -> groupBy(id) with
+    num_hashes min-aggregates in ONE codegen'd hash aggregate (map-side
+    partials, so the exchange carries one partial signature per doc per
+    partition, not the shingles). A zero-shuffle nested-HOF variant
+    (transform over literal coeffs + array_min) was tried and is ~10x
+    SLOWER: Catalyst's project-collapsing inlines the md5 digest chain
+    into every outer lambda and nested HOFs evaluate interpreted, outside
+    codegen. Coefficients are seeded literals so runs are reproducible."""
     import random
 
     rnd = random.Random(seed)
