@@ -1584,6 +1584,107 @@ def q_cummax(spark, sf_dir):
     return cummax(_cells_cube(spark, sf_dir), "pos").df
 
 
+def q_cummin(spark, sf_dir):
+    """cummin along pos (reference: math.py:125-174)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.windows import cummin
+
+    return cummin(_cells_cube(spark, sf_dir), "pos").df
+
+
+def q_cumproduct(spark, sf_dir):
+    """cumproduct along pos (windowed exp∘sum∘ln; reference math.py:125-174).
+    Compared in log space like reduce_product: exact running products land
+    exactly on round boundaries, ln() moves them off the decimal grid."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.windows import cumproduct
+
+    out = cumproduct(_cells_cube(spark, sf_dir), "pos")
+    return out.df.withColumn("value", F.round(F.log(F.col("value")), 6))
+
+
+def q_merge_concat(spark, sf_dir):
+    """merge_cubes case 1 (same dims, same labels, no resolver): concat
+    along a new 'cubes' dimension (reference: merge.py:91-104). Wrapped in
+    inspect() so the debug pass-through is driver-exercised too."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.general import inspect
+    from openeo_processes_dask_spark.operators.merge import merge_cubes
+
+    g = _grid_cube(spark, sf_dir)
+    doubled = g.with_df(g.df.withColumn("value", F.col("value") * 2))
+    out = merge_cubes(g, doubled, label_relation="equal")
+    out = inspect(out, message="merge_concat gate")
+    return _round6(out.df.select("x", "y", "band", "cubes", "value"), "value")
+
+
+def q_merge_disjoint_bands(spark, sf_dir):
+    """merge_cubes case 3 with NO overlap (labels differ in the band dim):
+    pure coordinate union (reference: merge.py:121-243)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.filters import filter_labels
+    from openeo_processes_dask_spark.operators.merge import merge_cubes
+
+    g = _grid_cube(spark, sf_dir)
+    c1 = filter_labels(g, lambda c: c != "R", dimension="band")
+    c2 = filter_labels(g, lambda c: c == "R", dimension="band")
+    c2 = c2.with_df(c2.df.withColumn("value", F.col("value") * 2))
+    out = merge_cubes(c1, c2)
+    return _round6(out.df, "value")
+
+
+def q_merge_case4_subcube(spark, sf_dir):
+    """merge_cubes case 4 (differing dims): subtract the band-reduced mean
+    cube from the full cube — the xarray broadcast case
+    (reference: merge.py:245-291), now AQE-joined without a forced
+    broadcast hint."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.merge import merge_cubes
+    from openeo_processes_dask_spark.operators.reduce import reduce_dimension
+
+    g = _grid_cube(spark, sf_dir)
+    bmean = reduce_dimension(g, "mean", "band")
+    out = merge_cubes(g, bmean, overlap_resolver="subtract")
+    return _round6(out.df, "value")
+
+
+def q_array_ops2(spark, sf_dir):
+    """Second array-family gate: array_filter, array_apply, array_modify,
+    array_find(max), array_labels (reference: arrays.py:144-402)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.arrays import (
+        array_apply,
+        array_filter,
+        array_find,
+        array_labels,
+        array_modify,
+    )
+
+    cells = _li_cells(spark, sf_dir)
+    arrs = (
+        cells.groupBy("x")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("sq")))
+            ).alias("ps")
+        )
+        .select("x", F.transform(F.col("ps"), lambda s: s["sq"]).alias("arr"))
+    )
+    arr = F.col("arr")
+    return arrs.select(
+        "x",
+        F.size(array_filter(arr, lambda v: v > 30)).alias("n_gt30"),
+        F.round(
+            F.element_at(array_apply(arr, lambda v: v * 2 + 1), 1), 6
+        ).alias("app0"),
+        F.size(array_modify(arr, [0.0, 0.0], index=1, length=1)).alias(
+            "n_mod"
+        ),
+        array_find(arr, F.array_max(arr)).alias("find_max"),
+        F.size(array_labels(arr)).alias("n_labels"),
+    )
+
+
 def q_rename_labels_dim(spark, sf_dir):
     """rename_dimension + rename_labels (reference: cubes/general.py:103-222)."""
     _setup(spark)
@@ -2131,6 +2232,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "load_stac_catalog": q_load_stac_catalog,
         "crs_utm": q_crs_utm,
+        "cummin": q_cummin,
+        "cumproduct": q_cumproduct,
+        "merge_concat": q_merge_concat,
+        "merge_disjoint_bands": q_merge_disjoint_bands,
+        "merge_case4_subcube": q_merge_case4_subcube,
+        "array_ops2": q_array_ops2,
         "salted_reduce": q_salted_reduce,
         "resample_bilinear": q_resample_bilinear,
         "mask_triangle": q_mask_triangle,
@@ -2483,6 +2590,51 @@ def oracle_sql() -> dict[str, str]:
             FROM grid WHERE x < 15 GROUP BY x, y
         """,
         "crs_utm": _crs_utm_oracle_sql(),
+        "cummin": f"""
+            WITH {_CELLS_CTE}
+            SELECT x, pos, min(sq) OVER (PARTITION BY x ORDER BY pos) AS value
+            FROM cells
+        """,
+        "cumproduct": f"""
+            WITH {_CELLS_CTE}
+            SELECT x, pos,
+                   round(ln(product(sq) OVER (PARTITION BY x ORDER BY pos)),
+                         6) AS value
+            FROM cells
+        """,
+        "merge_concat": f"""
+            WITH {_GRID_CTE}
+            SELECT x, y, band, 'cube1' AS cubes, round(value, 6) AS value
+            FROM grid
+            UNION ALL
+            SELECT x, y, band, 'cube2' AS cubes, round(value * 2, 6) AS value
+            FROM grid
+        """,
+        "merge_disjoint_bands": f"""
+            WITH {_GRID_CTE}
+            SELECT x, y, band,
+                   round(CASE band WHEN 'R' THEN value * 2 ELSE value END,
+                         6) AS value
+            FROM grid
+        """,
+        "merge_case4_subcube": f"""
+            WITH {_GRID_CTE}
+            SELECT x, y, band,
+                   round(value - avg(value) OVER (PARTITION BY x, y), 6)
+                     AS value
+            FROM grid
+        """,
+        "array_ops2": f"""
+            WITH {_CELLS_CTE},
+            arrs AS (SELECT x, list(sq ORDER BY pos) AS l FROM cells GROUP BY x)
+            SELECT x,
+                   len(list_filter(l, z -> z > 30)) AS n_gt30,
+                   round(l[1] * 2 + 1, 6) AS app0,
+                   len(l) + CASE WHEN len(l) >= 2 THEN 1 ELSE 2 END AS n_mod,
+                   list_position(l, list_max(l)) - 1 AS find_max,
+                   len(l) AS n_labels
+            FROM arrs
+        """,
         "multimodal_resize": _multimodal_resize_oracle_sql(),
         "multimodal_av": _multimodal_av_oracle_sql(),
         "vector_buffer": """
