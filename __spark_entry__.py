@@ -435,6 +435,24 @@ def q_minhash_near_dups(spark, sf_dir):
     return _round6(out, "est_jaccard")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the MinHash pair graph + per-cluster
+    canonical-id summary (training/dedup.py connected_components /
+    dedup_clusters): the step that turns pairwise matches into keep-lists.
+    Oracle: recursive-CTE transitive closure over the SAME pair SQL."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import (
+        connected_components,
+        minhash_near_duplicates,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.2
+    )
+    return connected_components(pairs).orderBy("id")
+
+
 def q_simhash_near_dups(spark, sf_dir):
     _setup(spark)
     from openeo_processes_dask_spark.training.dedup import simhash_near_duplicates
@@ -1036,6 +1054,26 @@ class _SqlOps:
     @staticmethod
     def atanh(x):
         return _SqlExpr(f"(0.5 * ln((1.0 + {x.s}) / (1.0 - {x.s})))")
+
+
+def _dedup_clusters_oracle_sql() -> str:
+    """Twin of q_dedup_clusters: the minhash pair SQL becomes a nested CTE,
+    then a recursive transitive closure takes the per-node minimum
+    reachable id — exact connected components."""
+    mh = _minhash_oracle_sql()
+    return f"""
+        WITH RECURSIVE mh AS ({mh}),
+        edges AS (
+          SELECT id1 AS u, id2 AS v FROM mh
+          UNION SELECT id2, id1 FROM mh),
+        reach(a, b) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+        comp AS (
+          SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a)
+        SELECT id, comp FROM comp ORDER BY id
+    """
 
 
 def _crs_utm_oracle_sql() -> str:
@@ -2238,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_disjoint_bands": q_merge_disjoint_bands,
         "merge_case4_subcube": q_merge_case4_subcube,
         "array_ops2": q_array_ops2,
+        "dedup_clusters": q_dedup_clusters,
         "salted_reduce": q_salted_reduce,
         "resample_bilinear": q_resample_bilinear,
         "mask_triangle": q_mask_triangle,
@@ -2590,6 +2629,7 @@ def oracle_sql() -> dict[str, str]:
             FROM grid WHERE x < 15 GROUP BY x, y
         """,
         "crs_utm": _crs_utm_oracle_sql(),
+        "dedup_clusters": _dedup_clusters_oracle_sql(),
         "cummin": f"""
             WITH {_CELLS_CTE}
             SELECT x, pos, min(sq) OVER (PARTITION BY x ORDER BY pos) AS value

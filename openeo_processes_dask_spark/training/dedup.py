@@ -215,6 +215,86 @@ def minhash_lsh_candidates(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph — the cluster
+    step that turns pairwise matches into canonical-document groups.
+    Returns (id, comp) where comp is the minimum id reachable from id.
+
+    Plan: min-label propagation. Each round is one join + one groupBy
+    (both keyed by node id, so AQE reuses the exchange layout), and the
+    loop stops when a round changes nothing. Rounds needed = graph
+    diameter; near-dup clusters are dense (quasi-cliques — every member
+    matched the same shingles/bands), so diameters are small single digits
+    in practice. The per-round `changed` count is a driver-side scalar
+    action, not a collect of data. For adversarial long-chain graphs at
+    100 TB, swap in large-star/small-star (Kiveris et al. 2014) which
+    converges in O(log n) rounds with the same join shape; the propagation
+    loop here keeps the engine dependency-free and the oracle exact."""
+    fwd = pairs.select(F.col(id1).alias("u"), F.col(id2).alias("v"))
+    rev = pairs.select(F.col(id2).alias("u"), F.col(id1).alias("v"))
+    edges = fwd.union(rev).distinct().persist()
+    labels = edges.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("comp")
+    ).persist()
+    try:
+        for _ in range(max_iterations):
+            nbr = (
+                edges.join(
+                    labels.select(
+                        F.col("id").alias("v"), F.col("comp").alias("vc")
+                    ),
+                    "v",
+                )
+                .groupBy("u")
+                .agg(F.min("vc").alias("nc"))
+                .select(F.col("u").alias("id"), "nc")
+            )
+            new = (
+                labels.join(nbr, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))
+                    ).alias("comp"),
+                )
+                .persist()
+            )
+            changed = (
+                new.join(
+                    labels.select(
+                        "id", F.col("comp").alias("old")
+                    ),
+                    "id",
+                )
+                .where(F.col("comp") < F.col("old"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new
+            if changed == 0:
+                break
+        return labels
+    finally:
+        edges.unpersist()
+
+
+def dedup_clusters(
+    pairs: DataFrame, id1: str = "id1", id2: str = "id2"
+) -> DataFrame:
+    """Cluster summary over near-duplicate pairs: one row per component
+    with the canonical (minimum) id and member count — what a training
+    pipeline keeps after MinHash/SimHash matching."""
+    comp = connected_components(pairs, id1, id2)
+    return comp.groupBy(F.col("comp").alias("keep_id")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str,

@@ -51,6 +51,29 @@ def test_ngram_jaccard_stop_shingle_cut(spark):
     assert cut_pairs[(1, 2)] < full_pairs[(1, 2)] + 1e-9
 
 
+def test_connected_components_chain_and_clusters(spark):
+    """Transitive chains collapse to one component; disjoint pairs stay
+    separate; dedup_clusters reports canonical id + member count."""
+    from openeo_processes_dask_spark.training.dedup import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    # chain 1-2-3-4 (never directly 1-4) + isolated pair 10-11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id1 bigint, id2 bigint"
+    )
+    comp = {
+        r["id"]: r["comp"] for r in connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    clusters = {
+        r["keep_id"]: r["n_members"]
+        for r in dedup_clusters(pairs).collect()
+    }
+    assert clusters == {1: 4, 10: 2}
+
+
 def test_period_labels_multi_year(spark):
     """season / tropical-season / decade / year label expressions over a
     multi-year range (reference period table, tests/test_aggregate.py:101)."""
