@@ -1304,6 +1304,37 @@ def q_streaming_daily_sum(spark, sf_dir):
 
 
 
+def q_streaming_sliding_sum(spark, sf_dir):
+    """Sliding-window streaming aggregate (3-day window, 1-day slide):
+    every event lands in 3 windows; the final drained state must equal the
+    batch expansion (each event duplicated to window starts d-2, d-1, d)."""
+    _setup(spark)
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_aggregate_sliding,
+        stream_events,
+    )
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream_{os.path.basename(sf_dir)}"
+    )
+    if not os.path.isdir(stream_dir):
+        _table(spark, sf_dir, "events").coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(stream_dir)
+    stream = stream_events(spark, stream_dir, max_files_per_trigger=2)
+    out = stream_aggregate_sliding(stream, "3 days", "1 day", "1 hour", "sum")
+    name = f"q_slide_{abs(hash(sf_dir)) % 10_000}"
+    q = run_stream_to_memory(out, name)
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "t", "band", F.round("value", 6).alias("value")
+    )
+
+
 def q_reduce_any(spark, sf_dir):
     """any/all Kleene reducers over a boolean cube."""
     _setup(spark)
@@ -2242,6 +2273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_buffer": q_vector_buffer,
         "multimodal_features": q_multimodal_features,
         "streaming_daily_sum": q_streaming_daily_sum,
+        "streaming_sliding_sum": q_streaming_sliding_sum,
         "reduce_any": q_reduce_any,
         "reduce_count_condition": q_reduce_count_condition,
         "process_graph": q_process_graph,
@@ -2617,6 +2649,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS t,
                    event_type AS band, round(sum(value), 6) AS value
             FROM events GROUP BY ALL
+        """,
+        "streaming_sliding_sum": """
+            WITH ev AS (
+              SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                     event_type AS band, value
+              FROM events)
+            SELECT d - to_days(o) AS t, band, round(sum(value), 6) AS value
+            FROM ev, (VALUES (0), (1), (2)) AS offs(o)
+            GROUP BY ALL
         """,
         "embedding_near_dups": _embedding_near_dups_oracle_sql(),
         "random_forest": _random_forest_oracle_sql(),

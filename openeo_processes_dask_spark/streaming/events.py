@@ -63,6 +63,27 @@ def stream_aggregate_temporal_period(
     )
 
 
+def stream_aggregate_sliding(
+    stream: DataFrame,
+    window_duration: str = "3 days",
+    slide: str = "1 day",
+    watermark: str = "1 hour",
+    reducer: str = "sum",
+) -> DataFrame:
+    """Sliding event-time windows (duration > slide): every event lands in
+    duration/slide overlapping windows — the streaming rolling aggregate.
+    State per (window, band) is bounded by the watermark exactly as in the
+    tumbling case; the fan-out multiplies state rows, not input scans."""
+    builder = resolve_reducer(reducer)
+    value = builder(F.col("value")).alias("value")
+    return (
+        stream.withWatermark("t", watermark)
+        .groupBy(F.window("t", window_duration, slide).alias("__w__"), "band")
+        .agg(value)
+        .select(F.col("__w__.start").alias("t"), "band", "value")
+    )
+
+
 def run_stream_to_memory(
     out: DataFrame, query_name: str = "stream_test", output_mode: str = "complete"
 ):
