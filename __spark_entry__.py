@@ -1335,6 +1335,72 @@ def q_streaming_sliding_sum(spark, sf_dir):
     )
 
 
+def q_save_load_roundtrip(spark, sf_dir):
+    """save_result (band-partitioned parquet sink) -> load_parquet_cube:
+    the write/read cycle must be lossless (reference has no in-repo sink —
+    SURVEY.md §2.1; partitioning by band makes per-band reads prune)."""
+    _setup(spark)
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.sources.load import (
+        load_parquet_cube,
+        save_result,
+    )
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"save_gate_{os.path.basename(sf_dir)}",
+    )
+    save_result(_grid_cube(spark, sf_dir), out_dir)
+    back = load_parquet_cube(spark, out_dir, dims=("x", "y", "band"))
+    return _round6(back.df.select("x", "y", "band", "value"), "value")
+
+
+def q_load_url_geojson(spark, sf_dir):
+    """load_url over a file:// GeoJSON written from nation rows
+    (reference: cubes/load.py:325-401): URL scheme handling + GeoJSON
+    parsing verified by parsing coordinates back out of the loaded rows."""
+    _setup(spark)
+    import json
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.operators.vector import load_url
+
+    n = _table(spark, sf_dir, "nation").collect()
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "Point",
+                    "coordinates": [
+                        float(r["n_nationkey"]),
+                        float(r["n_regionkey"]),
+                    ],
+                },
+                "properties": {"name": r["n_name"]},
+            }
+            for r in n
+        ],
+    }
+    path = os.path.join(tempfile.gettempdir(), "load_url_gate.geojson")
+    with open(path, "w") as fh:
+        json.dump(fc, fh)
+    vc = load_url(f"file://{path}", format="GeoJSON")
+    pt = F.from_json(
+        F.col("geometry"), "struct<type:string, coordinates:array<double>>"
+    )["coordinates"]
+    return vc.select(
+        "feature_id",
+        "name",
+        F.round(pt[0], 6).alias("px"),
+        F.round(pt[1], 6).alias("py"),
+    )
+
+
 def q_reduce_any(spark, sf_dir):
     """any/all Kleene reducers over a boolean cube."""
     _setup(spark)
@@ -2274,6 +2340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "streaming_daily_sum": q_streaming_daily_sum,
         "streaming_sliding_sum": q_streaming_sliding_sum,
+        "save_load_roundtrip": q_save_load_roundtrip,
+        "load_url_geojson": q_load_url_geojson,
         "reduce_any": q_reduce_any,
         "reduce_count_condition": q_reduce_count_condition,
         "process_graph": q_process_graph,
@@ -2671,6 +2739,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "crs_utm": _crs_utm_oracle_sql(),
         "dedup_clusters": _dedup_clusters_oracle_sql(),
+        "save_load_roundtrip": f"""
+            WITH {_GRID_CTE}
+            SELECT x, y, band, round(value, 6) AS value FROM grid
+        """,
+        "load_url_geojson": """
+            SELECT CAST(n_nationkey AS VARCHAR) AS feature_id,
+                   n_name AS name,
+                   round(CAST(n_nationkey AS DOUBLE), 6) AS px,
+                   round(CAST(n_regionkey AS DOUBLE), 6) AS py
+            FROM nation
+        """,
         "cummin": f"""
             WITH {_CELLS_CTE}
             SELECT x, pos, min(sq) OVER (PARTITION BY x ORDER BY pos) AS value
