@@ -1056,6 +1056,63 @@ class _SqlOps:
         return _SqlExpr(f"(0.5 * ln((1.0 + {x.s}) / (1.0 - {x.s})))")
 
 
+def _resample_cubic_oracle_sql(res: float = 2.5) -> str:
+    """Twin of q_resample_cubic: same geometry probe as the bilinear
+    oracle, 4 Catmull-Rom taps per axis with edge-clamped indices; the
+    kernel polynomial is written with the engine's exact op order so
+    weights are bit-identical."""
+
+    def axis(ax, tcol, wcol, gx):
+        d = f"abs(o.d - t.{wcol})"
+        weight = (
+            f"CASE WHEN {d} <= 1.0"
+            f" THEN ((1.5 * {d} - 2.5) * {d} * {d} + 1.0)"
+            f" WHEN {d} < 2.0"
+            f" THEN (((-0.5 * {d} + 2.5) * {d} - 4.0) * {d} + 2.0)"
+            f" ELSE 0.0 END"
+        )
+        return f"""
+            map{ax} AS (
+              SELECT t.t{ax},
+                     {gx}.o + greatest(0, least(t.i0 + o.d, {gx}.n - 1))
+                       * {gx}.s AS s{ax},
+                     {weight} AS w{ax}v
+              FROM (SELECT t{ax},
+                           least(floor((t{ax} - {gx}.o) / {gx}.s),
+                                 {gx}.n - 2) AS i0,
+                           (t{ax} - {gx}.o) / {gx}.s
+                             - least(floor((t{ax} - {gx}.o) / {gx}.s),
+                                     {gx}.n - 2) AS {wcol}
+                    FROM (SELECT {gx}.o + k.generate_series * {res} AS t{ax}
+                          FROM generate_series(0, 100000) k, {gx}
+                          WHERE k.generate_series
+                                <= floor(({gx}.m - {gx}.o) / {res} + 1e-9)),
+                         {gx}) t,
+                   {gx}, (VALUES (-1), (0), (1), (2)) o(d)
+              WHERE {weight} != 0)"""
+
+    return f"""
+        WITH {_GRID_CTE},
+        gx AS (SELECT min(v) AS o, max(v) AS m,
+                      min(CASE WHEN d > 0 THEN d END) AS s, count(*) AS n
+               FROM (SELECT v, v - lag(v) OVER (ORDER BY v) AS d
+                     FROM (SELECT DISTINCT x AS v FROM grid))),
+        gy AS (SELECT min(v) AS o, max(v) AS m,
+                      min(CASE WHEN d > 0 THEN d END) AS s, count(*) AS n
+               FROM (SELECT v, v - lag(v) OVER (ORDER BY v) AS d
+                     FROM (SELECT DISTINCT y AS v FROM grid))),
+        {axis('x', 'tx', 'wx', 'gx')},
+        {axis('y', 'ty', 'wy', 'gy')},
+        mapping AS (
+          SELECT tx, ty, sx, sy, wxv * wyv AS w
+          FROM mapx CROSS JOIN mapy)
+        SELECT m.tx AS x, m.ty AS y, g.band,
+               round(sum(m.w * g.value) / sum(m.w), 6) AS value
+        FROM grid g JOIN mapping m ON g.x = m.sx AND g.y = m.sy
+        GROUP BY 1, 2, 3
+    """
+
+
 def _dedup_clusters_oracle_sql() -> str:
     """Twin of q_dedup_clusters: the minhash pair SQL becomes a nested CTE,
     then a recursive transitive closure takes the per-node minimum
@@ -1701,6 +1758,56 @@ def q_rename_labels_enumerated(spark, sf_dir):
     return _round6(out.df, "value")
 
 
+def q_resample_cubic(spark, sf_dir):
+    """resample_spatial method='cubic': bicubic Catmull-Rom warp via the
+    separable tap-map join (operators/resample.py _resample_convolved).
+    Oracle replays the same geometry probe + kernel polynomial in SQL."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.resample import resample_spatial
+
+    out = resample_spatial(_grid_cube(spark, sf_dir), resolution=2.5,
+                           method="cubic")
+    return _round6(out.df, "value")
+
+
+def q_resample_mode(spark, sf_dir):
+    """resample_spatial method='mode': most frequent value per target cell,
+    deterministic smallest-value tie-break."""
+    _setup(spark)
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.operators.resample import resample_spatial
+
+    df = _table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("double").alias("x"),
+        F.col("l_suppkey").cast("double").alias("y"),
+        F.col("l_returnflag").alias("band"),
+        F.col("l_quantity").alias("value"),
+    )
+    out = resample_spatial(
+        DataCube(df, dims=("x", "y", "band")), resolution=100.0, method="mode"
+    )
+    return _round6(out.df, "value")
+
+
+def q_resample_rms(spark, sf_dir):
+    """resample_spatial method='rms' (odc resampling list,
+    reference cubes/resample.py:23-36)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.operators.resample import resample_spatial
+
+    df = _table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("double").alias("x"),
+        F.col("l_suppkey").cast("double").alias("y"),
+        F.col("l_returnflag").alias("band"),
+        F.col("l_quantity").alias("value"),
+    )
+    out = resample_spatial(
+        DataCube(df, dims=("x", "y", "band")), resolution=100.0, method="rms"
+    )
+    return _round6(out.df, "value")
+
+
 def q_apply_neighborhood_mean(spark, sf_dir):
     """apply_neighborhood: centered size-3 rolling mean along pos
     (reference: apply_neighborhood_intertwin.py:8-37)."""
@@ -2341,6 +2448,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_daily_sum": q_streaming_daily_sum,
         "streaming_sliding_sum": q_streaming_sliding_sum,
         "save_load_roundtrip": q_save_load_roundtrip,
+        "resample_cubic": q_resample_cubic,
+        "resample_mode": q_resample_mode,
+        "resample_rms": q_resample_rms,
         "load_url_geojson": q_load_url_geojson,
         "reduce_any": q_reduce_any,
         "reduce_count_condition": q_reduce_count_condition,
@@ -2742,6 +2852,32 @@ def oracle_sql() -> dict[str, str]:
         "save_load_roundtrip": f"""
             WITH {_GRID_CTE}
             SELECT x, y, band, round(value, 6) AS value FROM grid
+        """,
+        "resample_cubic": _resample_cubic_oracle_sql(),
+        "resample_mode": """
+            WITH snapped AS (
+              SELECT round(CAST(l_partkey AS DOUBLE) / 100) * 100 AS x,
+                     round(CAST(l_suppkey AS DOUBLE) / 100) * 100 AS y,
+                     l_returnflag AS band, l_quantity AS value
+              FROM lineitem),
+            counts AS (
+              SELECT x, y, band, value, count(*) AS n
+              FROM snapped GROUP BY ALL),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY x, y, band ORDER BY n DESC, value ASC) AS rn
+              FROM counts)
+            SELECT x, y, band, round(value, 6) AS value
+            FROM ranked WHERE rn = 1
+        """,
+        "resample_rms": """
+            SELECT round(CAST(l_partkey AS DOUBLE) / 100) * 100 AS x,
+                   round(CAST(l_suppkey AS DOUBLE) / 100) * 100 AS y,
+                   l_returnflag AS band,
+                   round(sqrt(avg(value * value)), 6) AS value
+            FROM (SELECT l_partkey, l_suppkey, l_returnflag,
+                         l_quantity AS value FROM lineitem)
+            GROUP BY 1, 2, 3
         """,
         "load_url_geojson": """
             SELECT CAST(n_nationkey AS VARCHAR) AS feature_id,

@@ -118,8 +118,8 @@ def resample_spatial(
         )
         if not resolution:
             return data
-    if method == "bilinear":
-        return _resample_bilinear(data, float(resolution))
+    if method in ("bilinear", "cubic"):
+        return _resample_convolved(data, float(resolution), method)
     keep = data.other_dims(x_dim, y_dim)
     step = float(resolution)
     new_x = _grid_snap(F.col(x_dim), 0.0, step).alias(x_dim)
@@ -136,6 +136,21 @@ def resample_spatial(
                     data.value_col, F.struct("__dist__", x_dim, y_dim)
                 ).alias(data.value_col)
             )
+        )
+    elif method == "mode":
+        # most frequent value per target cell, deterministic tie-break on
+        # the smallest value (Spark's F.mode picks arbitrarily on ties)
+        v = data.value_col
+        counts = data.df.groupBy(*keep, new_x, new_y, v).agg(
+            F.count(F.lit(1)).alias("__n__")
+        )
+        df = counts.groupBy(*keep, x_dim, y_dim).agg(
+            F.max_by(v, F.struct(F.col("__n__"), -F.col(v))).alias(v)
+        )
+    elif method == "rms":
+        v = F.col(data.value_col)
+        df = data.df.groupBy(*keep, new_x, new_y).agg(
+            F.sqrt(F.avg(v * v)).alias(data.value_col)
         )
     else:
         builder = resolve_reducer(
@@ -236,19 +251,35 @@ def _axis_geometry(df, col):
     return vals[0], step, len(vals)
 
 
-def _resample_bilinear(data: DataCube, resolution: float) -> DataCube:
-    """Bilinear warp in long format (reference: cubes/resample.py:23-36
-    lists bilinear among odc.reproject's methods).
+def _catmull_rom_weight(d):
+    """Keys cubic-convolution kernel (a = -0.5), d = |tap - frac| ∈ [0, 2]."""
+    w1 = (F.lit(1.5) * d - F.lit(2.5)) * d * d + F.lit(1.0)
+    w2 = ((F.lit(-0.5) * d + F.lit(2.5)) * d - F.lit(4.0)) * d + F.lit(2.0)
+    return F.when(d <= 1.0, w1).otherwise(
+        F.when(d < 2.0, w2).otherwise(F.lit(0.0))
+    )
+
+
+def _resample_convolved(
+    data: DataCube, resolution: float, kernel: str
+) -> DataCube:
+    """Bilinear / bicubic warp in long format (reference: cubes/resample.py:
+    23-36 lists both among odc.reproject's methods).
 
     SURVEY.md §7 ranks neighborhood-dependent resampling among the hard
     parts because a dense-array engine needs tiled halo exchange. The
-    relational formulation needs none: build a metadata-sized mapping
-    table (target cell -> its 4 surrounding source coordinates + weights),
-    broadcast-join it to the cube on (x, y), and take the weighted mean
-    per target cell and slice. One broadcast join + one shuffle, any cube
-    size; missing neighbors (sparse cubes, edges) renormalize by the sum
-    of present weights. Assumes a regular source grid (same assumption
-    the reference's raster warp makes)."""
+    relational formulation needs none: build a SEPARABLE mapping — one
+    per-axis tap table (target coord -> tap source coord + 1-D weight),
+    cross the axes (2-D weight = product), equi-join onto the cube on
+    (x, y), and take the weighted mean per target cell and slice. One join
+    + one shuffle, any cube size; missing neighbors (sparse cubes, edges)
+    renormalize by the sum of present weights. The mapping is generated
+    DISTRIBUTIVELY (spark.range per axis + tap explode): at a 100k×100k
+    target grid a driver-side loop would be 10^10 iterations on one core.
+    Bilinear = taps (0, 1) with linear weights; cubic = taps (-1..2) with
+    the Catmull-Rom kernel and edge-clamped indices (negative lobes
+    renormalize exactly when all 16 taps are present). Assumes a regular
+    source grid (same assumption the reference's raster warp makes)."""
     x_dim, y_dim = data.meta.x_dim, data.meta.y_dim
     keep = data.other_dims(x_dim, y_dim)
     v = data.value_col
@@ -259,63 +290,55 @@ def _resample_bilinear(data: DataCube, resolution: float) -> DataCube:
     max_x, max_y = ox + (nx - 1) * dx, oy + (ny - 1) * dy
 
     # targets at ox + k*res (multiplied, never accumulated — float
-    # accumulation would drift off the oracle's k*res arithmetic). The
-    # mapping is generated DISTRIBUTIVELY (spark.range per axis, cross-join,
-    # explode 4 corners): at a 100k×100k target grid a driver-side loop
-    # would be 10^10 iterations on one core, while this stays a Spark job
-    # whose per-axis inputs are label-sized.
+    # accumulation would drift off the oracle's k*res arithmetic)
     kx = int((max_x - ox) / resolution + 1e-9) + 1
     ky = int((max_y - oy) / resolution + 1e-9) + 1
 
-    def axis_targets(origin, step, n, count, t_col, i0_col, w_col):
+    def axis_map(origin, step, n, count, t_col, s_col, w_col):
         g = (F.col(t_col) - F.lit(origin)) / F.lit(step)
         i0 = (
             F.least(F.floor(g), F.lit(n - 2)) if n > 1 else F.lit(0)
         ).cast("long")
-        return (
+        base = (
             spark.range(count)
             .select(
                 (
                     F.lit(origin) + F.col("id").cast("double") * F.lit(resolution)
                 ).alias(t_col)
             )
-            .withColumn(i0_col, i0)
-            .withColumn(w_col, g - F.col(i0_col).cast("double"))
+            .withColumn("__i0__", i0)
+            .withColumn("__f__", g - F.col("__i0__").cast("double"))
+        )
+        f = F.col("__f__")
+        taps = []
+        if kernel == "bilinear":
+            tap_ws = [(0, F.lit(1.0) - f), (1, f)]
+        else:
+            tap_ws = [
+                (di, _catmull_rom_weight(F.abs(F.lit(float(di)) - f)))
+                for di in (-1, 0, 1, 2)
+            ]
+        for di, w in tap_ws:
+            idx = F.col("__i0__") + F.lit(di)
+            if kernel != "bilinear":  # clamped-edge extension
+                idx = F.greatest(F.lit(0), F.least(idx, F.lit(n - 1)))
+            taps.append(F.struct(idx.alias("i"), w.alias("w")))
+        return (
+            base.select(t_col, F.explode(F.array(*taps)).alias("c"))
+            .where(F.col("c.w") != 0)
+            .select(
+                t_col,
+                (
+                    F.lit(origin) + F.col("c.i").cast("double") * F.lit(step)
+                ).alias(s_col),
+                F.col("c.w").alias(w_col),
+            )
         )
 
-    xt = axis_targets(ox, dx, nx, kx, "tx", "i0", "wx")
-    yt = axis_targets(oy, dy, ny, ky, "ty", "j0", "wy")
-    wx, wy = F.col("wx"), F.col("wy")
-    corners = F.array(
-        *(
-            F.struct(
-                F.lit(di).alias("di"), F.lit(dj).alias("dj"), w.alias("w")
-            )
-            for di, dj, w in (
-                (0, 0, (F.lit(1.0) - wx) * (F.lit(1.0) - wy)),
-                (1, 0, wx * (F.lit(1.0) - wy)),
-                (0, 1, (F.lit(1.0) - wx) * wy),
-                (1, 1, wx * wy),
-            )
-        )
-    )
-    mapping = (
-        xt.crossJoin(yt)
-        .select("tx", "ty", "i0", "j0", F.explode(corners).alias("c"))
-        .where(F.col("c.w") > 0)
-        .select(
-            "tx",
-            "ty",
-            (
-                F.lit(ox)
-                + (F.col("i0") + F.col("c.di")).cast("double") * F.lit(dx)
-            ).alias("sx"),
-            (
-                F.lit(oy)
-                + (F.col("j0") + F.col("c.dj")).cast("double") * F.lit(dy)
-            ).alias("sy"),
-            F.col("c.w").alias("w"),
-        )
+    xmap = axis_map(ox, dx, nx, kx, "tx", "sx", "wxv")
+    ymap = axis_map(oy, dy, ny, ky, "ty", "sy", "wyv")
+    mapping = xmap.crossJoin(ymap).select(
+        "tx", "ty", "sx", "sy", (F.col("wxv") * F.col("wyv")).alias("w")
     )
     # No forced broadcast: AQE broadcasts the mapping when its runtime size
     # is small (the common case); a 100k×100k grid's 4·10^10-row mapping

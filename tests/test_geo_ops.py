@@ -327,6 +327,46 @@ def test_resample_spatial_mercator_warp(spark, small_cube):
     assert xs and all(abs(v / 1000.0 - round(v / 1000.0)) < 1e-9 for v in xs)
 
 
+def test_resample_spatial_cubic_linear_field(spark):
+    """Catmull-Rom bicubic reproduces a linear field exactly at interior
+    targets (defining property of the a=-0.5 Keys kernel); clamped edges
+    stay within the field's range."""
+    rows = [
+        (float(x), float(y), "b", 2.0 * x + 3.0 * y)
+        for x in range(8)
+        for y in range(6)
+    ]
+    cube = DataCube(
+        spark.createDataFrame(rows, "x double, y double, band string, value double"),
+        dims=("x", "y", "band"),
+    )
+    out = resample_spatial(cube, resolution=0.5, method="cubic")
+    for r in out.df.collect():
+        exp = 2.0 * r["x"] + 3.0 * r["y"]
+        if 1 <= r["x"] <= 6 and 1 <= r["y"] <= 4:  # full 4x4 support
+            assert r["value"] == pytest.approx(exp, abs=1e-9), (r["x"], r["y"])
+        else:
+            assert abs(r["value"] - exp) < 1.5
+
+
+def test_resample_spatial_mode_rms(spark):
+    rows = [
+        (0.1, 0.0, "b", 5.0), (0.2, 0.0, "b", 5.0), (0.3, 0.0, "b", 7.0),
+        (10.1, 0.0, "b", 1.0), (10.2, 0.0, "b", 2.0),
+    ]
+    cube = DataCube(
+        spark.createDataFrame(rows, "x double, y double, band string, value double"),
+        dims=("x", "y", "band"),
+    )
+    mode = {r["x"]: r["value"] for r in
+            resample_spatial(cube, 10.0, method="mode").df.collect()}
+    assert mode == {0.0: 5.0, 10.0: 1.0}  # tie at x=10 -> smallest value
+    rms = {r["x"]: r["value"] for r in
+           resample_spatial(cube, 10.0, method="rms").df.collect()}
+    assert rms[0.0] == pytest.approx(((25 + 25 + 49) / 3) ** 0.5)
+    assert rms[10.0] == pytest.approx((2.5) ** 0.5)
+
+
 def test_resample_spatial_bilinear_linear_field(spark):
     """Bilinear interpolation of a linear field v = 2x + 3y reproduces the
     field exactly at every target point (the defining property)."""
