@@ -1758,6 +1758,27 @@ def q_rename_labels_enumerated(spark, sf_dir):
     return _round6(out.df, "value")
 
 
+def q_reduce_quantiles(spark, sf_dir):
+    """quantiles reducer (probabilities form): exact interpolated
+    percentiles per (x, band), exploded to one row per probability
+    (reference: math.py:341-387; Spark percentile == np.quantile linear ==
+    DuckDB quantile_cont)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.functions.reducers import quantiles
+
+    df = _table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("x"),
+        F.col("l_returnflag").alias("band"),
+        F.col("l_quantity").alias("value"),
+    )
+    agg = df.groupBy("x", "band").agg(
+        quantiles(F.col("value"), probabilities=[0.25, 0.75]).alias("qs")
+    )
+    return agg.select(
+        "x", "band", F.posexplode("qs").alias("pos", "value")
+    ).withColumn("value", F.round("value", 6))
+
+
 def q_resample_cubic(spark, sf_dir):
     """resample_spatial method='cubic': bicubic Catmull-Rom warp via the
     separable tap-map join (operators/resample.py _resample_convolved).
@@ -2449,6 +2470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sliding_sum": q_streaming_sliding_sum,
         "save_load_roundtrip": q_save_load_roundtrip,
         "resample_cubic": q_resample_cubic,
+        "reduce_quantiles": q_reduce_quantiles,
         "resample_mode": q_resample_mode,
         "resample_rms": q_resample_rms,
         "load_url_geojson": q_load_url_geojson,
@@ -2854,6 +2876,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT x, y, band, round(value, 6) AS value FROM grid
         """,
         "resample_cubic": _resample_cubic_oracle_sql(),
+        "reduce_quantiles": """
+            SELECT x, band, p.i - 1 AS pos, round(qs[p.i], 6) AS value
+            FROM (SELECT l_suppkey AS x, l_returnflag AS band,
+                         quantile_cont(l_quantity, [0.25, 0.75]) AS qs
+                  FROM lineitem GROUP BY 1, 2),
+                 (VALUES (1), (2)) p(i)
+        """,
         "resample_mode": """
             WITH snapped AS (
               SELECT round(CAST(l_partkey AS DOUBLE) / 100) * 100 AS x,
