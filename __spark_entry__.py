@@ -1056,21 +1056,49 @@ class _SqlOps:
         return _SqlExpr(f"(0.5 * ln((1.0 + {x.s}) / (1.0 - {x.s})))")
 
 
-def _resample_cubic_oracle_sql(res: float = 2.5) -> str:
-    """Twin of q_resample_cubic: same geometry probe as the bilinear
-    oracle, 4 Catmull-Rom taps per axis with edge-clamped indices; the
+_KERNEL_SQL = {
+    # weight CASE bodies over the inlined distance expression {d}; op order
+    # mirrors the engine's Column polynomials exactly (bit-identical for
+    # the polynomial kernels; lanczos differs only in libm sin() ulps,
+    # absorbed by the gate's round(6))
+    "cubic": (
+        "(-1), (0), (1), (2)",
+        "CASE WHEN {d} <= 1.0"
+        " THEN ((1.5 * {d} - 2.5) * {d} * {d} + 1.0)"
+        " WHEN {d} < 2.0"
+        " THEN (((-0.5 * {d} + 2.5) * {d} - 4.0) * {d} + 2.0)"
+        " ELSE 0.0 END",
+    ),
+    "cubicspline": (
+        "(-1), (0), (1), (2)",
+        "CASE WHEN {d} <= 1.0"
+        " THEN (2.0 / 3.0 - {d} * {d} + {d} * {d} * {d} * 0.5)"
+        " WHEN {d} < 2.0"
+        " THEN ((2.0 - {d}) * (2.0 - {d}) * (2.0 - {d}) / 6.0)"
+        " ELSE 0.0 END",
+    ),
+    "lanczos": (
+        "(-2), (-1), (0), (1), (2), (3)",
+        "CASE WHEN {d} = 0.0 THEN 1.0"
+        " WHEN {d} < 3.0"
+        " THEN ((3.0 * sin(3.141592653589793 * {d})"
+        " * sin(3.141592653589793 * {d} / 3.0))"
+        " / (9.869604401089358 * {d} * {d}))"
+        " ELSE 0.0 END",
+    ),
+}
+
+
+def _resample_kernel_oracle_sql(kernel: str, res: float = 2.5) -> str:
+    """Twin of the convolution resample gates: same geometry probe as the
+    bilinear oracle, kernel taps per axis with edge-clamped indices; the
     kernel polynomial is written with the engine's exact op order so
-    weights are bit-identical."""
+    weights are bit-identical (lanczos: last-ulp libm, under round(6))."""
+    tap_vals, weight_tpl = _KERNEL_SQL[kernel]
 
     def axis(ax, tcol, wcol, gx):
         d = f"abs(o.d - t.{wcol})"
-        weight = (
-            f"CASE WHEN {d} <= 1.0"
-            f" THEN ((1.5 * {d} - 2.5) * {d} * {d} + 1.0)"
-            f" WHEN {d} < 2.0"
-            f" THEN (((-0.5 * {d} + 2.5) * {d} - 4.0) * {d} + 2.0)"
-            f" ELSE 0.0 END"
-        )
+        weight = weight_tpl.format(d=d)
         return f"""
             map{ax} AS (
               SELECT t.t{ax},
@@ -1088,7 +1116,7 @@ def _resample_cubic_oracle_sql(res: float = 2.5) -> str:
                           WHERE k.generate_series
                                 <= floor(({gx}.m - {gx}.o) / {res} + 1e-9)),
                          {gx}) t,
-                   {gx}, (VALUES (-1), (0), (1), (2)) o(d)
+                   {gx}, (VALUES {tap_vals}) o(d)
               WHERE {weight} != 0)"""
 
     return f"""
@@ -1791,6 +1819,27 @@ def q_resample_cubic(spark, sf_dir):
     return _round6(out.df, "value")
 
 
+def q_resample_cubicspline(spark, sf_dir):
+    """resample_spatial method='cubicspline' (B-spline smoothing kernel,
+    odc resampling list)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.resample import resample_spatial
+
+    out = resample_spatial(_grid_cube(spark, sf_dir), resolution=2.5,
+                           method="cubicspline")
+    return _round6(out.df, "value")
+
+
+def q_resample_lanczos(spark, sf_dir):
+    """resample_spatial method='lanczos' (a=3 windowed sinc, 6 taps/axis)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.resample import resample_spatial
+
+    out = resample_spatial(_grid_cube(spark, sf_dir), resolution=2.5,
+                           method="lanczos")
+    return _round6(out.df, "value")
+
+
 def q_resample_mode(spark, sf_dir):
     """resample_spatial method='mode': most frequent value per target cell,
     deterministic smallest-value tie-break."""
@@ -2471,6 +2520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "save_load_roundtrip": q_save_load_roundtrip,
         "resample_cubic": q_resample_cubic,
         "reduce_quantiles": q_reduce_quantiles,
+        "resample_cubicspline": q_resample_cubicspline,
+        "resample_lanczos": q_resample_lanczos,
         "resample_mode": q_resample_mode,
         "resample_rms": q_resample_rms,
         "load_url_geojson": q_load_url_geojson,
@@ -2875,7 +2926,9 @@ def oracle_sql() -> dict[str, str]:
             WITH {_GRID_CTE}
             SELECT x, y, band, round(value, 6) AS value FROM grid
         """,
-        "resample_cubic": _resample_cubic_oracle_sql(),
+        "resample_cubic": _resample_kernel_oracle_sql("cubic"),
+        "resample_cubicspline": _resample_kernel_oracle_sql("cubicspline"),
+        "resample_lanczos": _resample_kernel_oracle_sql("lanczos"),
         "reduce_quantiles": """
             SELECT x, band, p.i - 1 AS pos, round(qs[p.i], 6) AS value
             FROM (SELECT l_suppkey AS x, l_returnflag AS band,

@@ -118,7 +118,7 @@ def resample_spatial(
         )
         if not resolution:
             return data
-    if method in ("bilinear", "cubic"):
+    if method == "bilinear" or method in _CONV_KERNELS:
         return _resample_convolved(data, float(resolution), method)
     keep = data.other_dims(x_dim, y_dim)
     step = float(resolution)
@@ -260,6 +260,37 @@ def _catmull_rom_weight(d):
     )
 
 
+def _bspline_weight(d):
+    """Cubic B-spline smoothing kernel ('cubicspline' in odc/GDAL)."""
+    w1 = F.lit(2.0 / 3.0) - d * d + d * d * d * F.lit(0.5)
+    p = F.lit(2.0) - d
+    w2 = p * p * p / F.lit(6.0)
+    return F.when(d <= 1.0, w1).otherwise(
+        F.when(d < 2.0, w2).otherwise(F.lit(0.0))
+    )
+
+
+_PI = 3.141592653589793
+
+
+def _lanczos_weight(d):
+    """Lanczos a=3 windowed sinc (odc/GDAL 'lanczos')."""
+    main = (
+        F.lit(3.0) * F.sin(F.lit(_PI) * d) * F.sin(F.lit(_PI) * d / F.lit(3.0))
+    ) / (F.lit(_PI * _PI) * d * d)
+    return F.when(d == 0.0, F.lit(1.0)).otherwise(
+        F.when(d < 3.0, main).otherwise(F.lit(0.0))
+    )
+
+
+# kernel -> (tap offsets, weight builder over d = |tap - frac|)
+_CONV_KERNELS = {
+    "cubic": ((-1, 0, 1, 2), _catmull_rom_weight),
+    "cubicspline": ((-1, 0, 1, 2), _bspline_weight),
+    "lanczos": ((-2, -1, 0, 1, 2, 3), _lanczos_weight),
+}
+
+
 def _resample_convolved(
     data: DataCube, resolution: float, kernel: str
 ) -> DataCube:
@@ -276,10 +307,11 @@ def _resample_convolved(
     renormalize by the sum of present weights. The mapping is generated
     DISTRIBUTIVELY (spark.range per axis + tap explode): at a 100k×100k
     target grid a driver-side loop would be 10^10 iterations on one core.
-    Bilinear = taps (0, 1) with linear weights; cubic = taps (-1..2) with
-    the Catmull-Rom kernel and edge-clamped indices (negative lobes
-    renormalize exactly when all 16 taps are present). Assumes a regular
-    source grid (same assumption the reference's raster warp makes)."""
+    Bilinear = taps (0, 1) with linear weights; cubic/cubicspline = taps
+    (-1..2) with Catmull-Rom / B-spline kernels; lanczos = taps (-2..3)
+    with the a=3 windowed sinc — all with edge-clamped indices (negative
+    lobes renormalize when every tap is present). Assumes a regular source
+    grid (same assumption the reference's raster warp makes)."""
     x_dim, y_dim = data.meta.x_dim, data.meta.y_dim
     keep = data.other_dims(x_dim, y_dim)
     v = data.value_col
@@ -314,9 +346,10 @@ def _resample_convolved(
         if kernel == "bilinear":
             tap_ws = [(0, F.lit(1.0) - f), (1, f)]
         else:
+            offsets, weight_fn = _CONV_KERNELS[kernel]
             tap_ws = [
-                (di, _catmull_rom_weight(F.abs(F.lit(float(di)) - f)))
-                for di in (-1, 0, 1, 2)
+                (di, weight_fn(F.abs(F.lit(float(di)) - f)))
+                for di in offsets
             ]
         for di, w in tap_ws:
             idx = F.col("__i0__") + F.lit(di)
