@@ -1819,6 +1819,20 @@ def q_resample_cubic(spark, sf_dir):
     return _round6(out.df, "value")
 
 
+def q_apply_neighborhood_2d(spark, sf_dir):
+    """apply_neighborhood with the reference's multi-dim size dict
+    (3×3 median over x, y): offset-explode fan-out + one hash aggregate
+    (operators/kernel.py _apply_neighborhood_nd). Median is deliberately
+    non-convolutional — apply_kernel can't express it."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.kernel import apply_neighborhood
+
+    out = apply_neighborhood(
+        _grid_cube(spark, sf_dir), "median", size={"x": 3, "y": 3}
+    )
+    return _round6(out.df, "value")
+
+
 def q_resample_cubicspline(spark, sf_dir):
     """resample_spatial method='cubicspline' (B-spline smoothing kernel,
     odc resampling list)."""
@@ -2521,6 +2535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_cubic": q_resample_cubic,
         "reduce_quantiles": q_reduce_quantiles,
         "resample_cubicspline": q_resample_cubicspline,
+        "apply_neighborhood_2d": q_apply_neighborhood_2d,
         "resample_lanczos": q_resample_lanczos,
         "resample_mode": q_resample_mode,
         "resample_rms": q_resample_rms,
@@ -2929,6 +2944,13 @@ def oracle_sql() -> dict[str, str]:
         "resample_cubic": _resample_kernel_oracle_sql("cubic"),
         "resample_cubicspline": _resample_kernel_oracle_sql("cubicspline"),
         "resample_lanczos": _resample_kernel_oracle_sql("lanczos"),
+        "apply_neighborhood_2d": f"""
+            WITH {_GRID_CTE}
+            SELECT t.x, t.y, t.band, round(median(s.value), 6) AS value
+            FROM grid t JOIN grid s ON s.band = t.band
+              AND abs(s.x - t.x) <= 1 AND abs(s.y - t.y) <= 1
+            GROUP BY 1, 2, 3
+        """,
         "reduce_quantiles": """
             SELECT x, band, p.i - 1 AS pos, round(qs[p.i], 6) AS value
             FROM (SELECT l_suppkey AS x, l_returnflag AS band,

@@ -193,15 +193,44 @@ def apply_kernel(
 def apply_neighborhood(
     data: DataCube,
     reducer,
-    dimension: str,
-    size: int = 3,
+    dimension: str | None = None,
+    size=3,
+    overlap=None,
+    context=None,
     **reducer_kwargs,
 ) -> DataCube:
-    """Centered rolling reduce along one dimension (the reference's
-    rolling→construct→reduce, apply_neighborhood_intertwin.py:8-37) —
-    a window frame ``rowsBetween(-size//2, size//2)``: pure JVM, no pandas.
-    """
+    """Centered rolling reduce over a neighborhood (the reference's
+    rolling→construct→reduce, apply_neighborhood_intertwin.py:8-37).
+
+    Two call forms:
+    - ``dimension=..., size=int`` — 1-D positional window: a JVM window
+      frame ``rowsBetween(-size//2, size//2)``, no pandas, works on any
+      orderable dim (timestamps included).
+    - ``size={'x': 3, 'y': 3, ...}`` — the reference's multi-dim form:
+      each cell fans out to its size_x × size_y × … neighbor positions via
+      one offset explode, then a single hash aggregate reduces every
+      neighborhood (edge cells see fewer contributors — xarray's
+      NaN-padded rolling windows under NaN-skipping reducers). Requires
+      regular numeric axes (labels probed for step, like the resamplers);
+      output restricted to existing labels per shifted dim.
+
+    ``overlap`` (strided tiling for chunk-UDFs) is not a rolling aggregate;
+    use apply_kernel's tiled halo path or run_udf for that — raising keeps
+    the semantics honest rather than silently striding."""
     from pyspark.sql import Window
+
+    if overlap:
+        raise NotImplementedError(
+            "apply_neighborhood(overlap=...) strides tiles for chunk UDFs; "
+            "use apply_kernel(tiled=True) / run_udf for halo-tiled UDFs"
+        )
+    if isinstance(size, dict):
+        sizes = {data.assert_dim(k): int(v) for k, v in size.items()}
+        if len(sizes) > 1:
+            return _apply_neighborhood_nd(data, reducer, sizes, **reducer_kwargs)
+        ((dimension, size),) = sizes.items()
+    if dimension is None:
+        raise ValueError("apply_neighborhood needs dimension= or a size dict")
 
     dim = data.assert_dim(dimension)
     keep = data.other_dims(dim)
@@ -214,3 +243,59 @@ def apply_neighborhood(
     builder = resolve_reducer(reducer)
     value = builder(F.col(data.value_col), **reducer_kwargs).over(w)
     return data.with_df(data.df.withColumn(data.value_col, value))
+
+
+def _apply_neighborhood_nd(
+    data: DataCube, reducer, sizes: dict, **reducer_kwargs
+) -> DataCube:
+    """Multi-dim rolling reduce in long format: contribution fan-out.
+
+    Each cell explodes to the product of per-dim offsets (label-space
+    arithmetic: offset × probed axis step) and a single groupBy reduces
+    every neighborhood — one explode + one shuffle regardless of
+    dimensionality, no halo exchange, no pandas. The offsets table is a
+    literal array (size_x·size_y·… structs, e.g. 9 for 3×3)."""
+    import itertools
+
+    from openeo_processes_dask_spark.operators.resample import _axis_geometry
+
+    v = data.value_col
+    nd_dims = list(sizes)
+    steps = {}
+    for d in nd_dims:
+        _, step, _ = _axis_geometry(data.df, d)
+        steps[d] = step
+    offsets = [
+        [o * steps[d] for o in range(-(sizes[d] // 2), sizes[d] // 2 + 1)]
+        for d in nd_dims
+    ]
+    combos = list(itertools.product(*offsets))
+    structs = [
+        F.struct(
+            *[F.lit(float(c[i])).alias(f"o_{d}") for i, d in enumerate(nd_dims)]
+        )
+        for c in combos
+    ]
+    shifted = data.df.select(
+        *[c for c in data.meta.dims if c not in nd_dims],
+        *nd_dims,
+        v,
+        F.explode(F.array(*structs)).alias("__o__"),
+    ).select(
+        *[
+            (F.col(d) + F.col(f"__o__.o_{d}")).alias(d)
+            if d in sizes
+            else F.col(d)
+            for d in data.meta.dims
+        ],
+        v,
+    )
+    builder = resolve_reducer(reducer)
+    agg = shifted.groupBy(*data.meta.dims).agg(
+        builder(F.col(v), **reducer_kwargs).alias(v)
+    )
+    # targets outside the original axes (shifted past the edge) drop via a
+    # label-space broadcast semi-join per shifted dim
+    for d in nd_dims:
+        agg = agg.join(F.broadcast(data.df.select(d).distinct()), d, "left_semi")
+    return data.with_df(agg.select(*data.meta.dims, v))

@@ -138,6 +138,31 @@ def test_resample_cube_spatial_nearest(spark, small_cube):
     assert 0 < out.df.count() <= small_cube.df.count()
 
 
+def test_apply_neighborhood_2d_mean(spark):
+    """3x3 mean over a tiny dense grid matches hand-computed neighborhood
+    means incl. NaN-skipping edge behavior (fewer contributors)."""
+    from openeo_processes_dask_spark.operators.kernel import apply_neighborhood
+
+    rows = [
+        (float(x), float(y), "b", float(x * 3 + y))
+        for x in range(3)
+        for y in range(3)
+    ]
+    cube = DataCube(
+        spark.createDataFrame(rows, "x double, y double, band string, value double"),
+        dims=("x", "y", "band"),
+    )
+    out = {
+        (r["x"], r["y"]): r["value"]
+        for r in apply_neighborhood(cube, "mean", size={"x": 3, "y": 3}).df.collect()
+    }
+    assert len(out) == 9
+    assert out[(1.0, 1.0)] == pytest.approx(4.0)  # full 3x3: mean of 0..8
+    assert out[(0.0, 0.0)] == pytest.approx((0 + 1 + 3 + 4) / 4)  # corner
+    with pytest.raises(NotImplementedError):
+        apply_neighborhood(cube, "mean", size={"x": 3}, overlap={"x": 1})
+
+
 def test_resample_cube_spatial_near_deterministic(spark):
     """method='near' (ADVICE r01): colliding sources must not collapse via
     unordered first(), and every target label must be covered — mapping is
