@@ -1833,6 +1833,21 @@ def q_apply_neighborhood_2d(spark, sf_dir):
     return _round6(out.df, "value")
 
 
+def q_apply_neighborhood_2d_mean(spark, sf_dir):
+    """apply_neighborhood 3×3 mean over x, y — routes to the SEPARABLE
+    plan (operators/kernel.py _apply_neighborhood_separable): one
+    label-range window pass per dim, zero fan-out. Oracle is the direct
+    rectangle self-join, so this gate proves the two-pass decomposition
+    equals the true 2-D neighborhood mean."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.kernel import apply_neighborhood
+
+    out = apply_neighborhood(
+        _grid_cube(spark, sf_dir), "mean", size={"x": 3, "y": 3}
+    )
+    return _round6(out.df, "value")
+
+
 def q_resample_cubicspline(spark, sf_dir):
     """resample_spatial method='cubicspline' (B-spline smoothing kernel,
     odc resampling list)."""
@@ -2536,6 +2551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reduce_quantiles": q_reduce_quantiles,
         "resample_cubicspline": q_resample_cubicspline,
         "apply_neighborhood_2d": q_apply_neighborhood_2d,
+        "apply_neighborhood_2d_mean": q_apply_neighborhood_2d_mean,
         "resample_lanczos": q_resample_lanczos,
         "resample_mode": q_resample_mode,
         "resample_rms": q_resample_rms,
@@ -2947,6 +2963,13 @@ def oracle_sql() -> dict[str, str]:
         "apply_neighborhood_2d": f"""
             WITH {_GRID_CTE}
             SELECT t.x, t.y, t.band, round(median(s.value), 6) AS value
+            FROM grid t JOIN grid s ON s.band = t.band
+              AND abs(s.x - t.x) <= 1 AND abs(s.y - t.y) <= 1
+            GROUP BY 1, 2, 3
+        """,
+        "apply_neighborhood_2d_mean": f"""
+            WITH {_GRID_CTE}
+            SELECT t.x, t.y, t.band, round(avg(s.value), 6) AS value
             FROM grid t JOIN grid s ON s.band = t.band
               AND abs(s.x - t.x) <= 1 AND abs(s.y - t.y) <= 1
             GROUP BY 1, 2, 3

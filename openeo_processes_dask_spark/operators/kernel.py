@@ -245,19 +245,93 @@ def apply_neighborhood(
     return data.with_df(data.df.withColumn(data.value_col, value))
 
 
+_SEPARABLE_ND = {"sum", "min", "max", "count", "mean"}
+
+
+def _apply_neighborhood_separable(
+    data: DataCube, reducer: str, sizes: dict
+) -> DataCube:
+    """Separable n-D rolling reduce: one label-range window pass per dim.
+
+    sum/min/max compose directly; count becomes 0/1 indicators summed
+    through every pass; mean rides a (sum, count) accumulator pair and
+    divides at the end (try_divide: empty neighborhoods → NULL, matching
+    avg). Each pass is ``rangeBetween(-h·step, h·step)`` ordered by the
+    dim's numeric label and partitioned by every other dim — n window
+    exchanges total, zero row duplication (vs the holistic plan's
+    size_x·size_y·… explode). Ordering is by the integer label index
+    ``round((d − origin)/step)`` so the frame bounds are exact ints —
+    no float range-comparison fuzz."""
+    from pyspark.sql import Window
+
+    from openeo_processes_dask_spark.operators.resample import _axis_geometry
+
+    v = data.value_col
+    df = data.df
+    if reducer == "mean":
+        df = df.withColumn("__s__", F.col(v).cast("double")).withColumn(
+            "__n__", F.col(v).isNotNull().cast("long")
+        )
+        accs = {"__s__": F.sum, "__n__": F.sum}
+    elif reducer == "count":
+        df = df.withColumn("__n__", F.col(v).isNotNull().cast("long"))
+        accs = {"__n__": F.sum}
+    else:
+        df = df.withColumn("__s__", F.col(v))
+        accs = {"__s__": {"sum": F.sum, "min": F.min, "max": F.max}[reducer]}
+
+    for d in sizes:
+        origin, step, _ = _axis_geometry(df, d)
+        idx = F.round((F.col(d) - F.lit(float(origin))) / F.lit(float(step))).cast(
+            "long"
+        )
+        half = sizes[d] // 2
+        others = [c for c in data.meta.dims if c != d]
+        w = (
+            (Window.partitionBy(*others) if others else Window.partitionBy(F.lit(1)))
+            .orderBy(idx)
+            .rangeBetween(-half, half)
+        )
+        df = df.select(
+            *data.meta.dims,
+            *[fn(F.col(c)).over(w).alias(c) for c, fn in accs.items()],
+        )
+
+    if reducer == "mean":
+        out = F.try_divide(F.col("__s__"), F.col("__n__"))
+    elif reducer == "count":
+        out = F.col("__n__")
+    else:
+        out = F.col("__s__")
+    return data.with_df(df.select(*data.meta.dims, out.alias(v)))
+
+
 def _apply_neighborhood_nd(
     data: DataCube, reducer, sizes: dict, **reducer_kwargs
 ) -> DataCube:
-    """Multi-dim rolling reduce in long format: contribution fan-out.
+    """Multi-dim rolling reduce in long format. Two plans by reducer class:
 
-    Each cell explodes to the product of per-dim offsets (label-space
-    arithmetic: offset × probed axis step) and a single groupBy reduces
-    every neighborhood — one explode + one shuffle regardless of
-    dimensionality, no halo exchange, no pandas. The offsets table is a
-    literal array (size_x·size_y·… structs, e.g. 9 for 3×3)."""
+    SEPARABLE reducers (sum/min/max/count, and mean via sum&count) run as
+    one label-RANGE window pass per dim — `rangeBetween(-h·step, h·step)`
+    ordered by the dim — so an n-D neighborhood costs n window exchanges
+    and zero data fan-out. At 100 TB this is the plan that matters: the
+    window exchanges repartition by the untouched dims, no row is ever
+    duplicated.
+
+    HOLISTIC reducers (median/quantiles/sd/…) can't decompose: each cell
+    explodes to the product of per-dim offsets (label-space arithmetic:
+    offset × probed axis step) and a single groupBy reduces every
+    neighborhood — one explode (size_x·size_y·… fan-out) + one shuffle,
+    no halo exchange, no pandas. Both plans share label semantics
+    (regular numeric axes); outputs differ only for sparse cubes, where
+    the fan-out may emit label-present combos whose center cell is
+    missing."""
     import itertools
 
     from openeo_processes_dask_spark.operators.resample import _axis_geometry
+
+    if isinstance(reducer, str) and reducer in _SEPARABLE_ND and not reducer_kwargs:
+        return _apply_neighborhood_separable(data, reducer, sizes)
 
     v = data.value_col
     nd_dims = list(sizes)

@@ -163,6 +163,39 @@ def test_apply_neighborhood_2d_mean(spark):
         apply_neighborhood(cube, "mean", size={"x": 3}, overlap={"x": 1})
 
 
+def test_apply_neighborhood_2d_separable_matches_fanout(spark, monkeypatch):
+    """The separable window plan (sum/min/max/count/mean) must agree with
+    the holistic offset-explode plan on a dense grid, nulls included."""
+    import openeo_processes_dask_spark.operators.kernel as K
+
+    rows = [
+        (float(x), float(y), "b", None if (x, y) == (1, 2) else float(x * 5 + y))
+        for x in range(4)
+        for y in range(5)
+    ]
+    cube = DataCube(
+        spark.createDataFrame(rows, "x double, y double, band string, value double"),
+        dims=("x", "y", "band"),
+    )
+    for red in sorted(K._SEPARABLE_ND):
+        sep = {
+            (r["x"], r["y"]): r["value"]
+            for r in K.apply_neighborhood(cube, red, size={"x": 3, "y": 3}).df.collect()
+        }
+        monkeypatch.setattr(K, "_SEPARABLE_ND", frozenset())
+        fan = {
+            (r["x"], r["y"]): r["value"]
+            for r in K.apply_neighborhood(cube, red, size={"x": 3, "y": 3}).df.collect()
+        }
+        monkeypatch.undo()
+        assert sep.keys() == fan.keys(), red
+        for k in fan:
+            if fan[k] is None:
+                assert sep[k] is None, (red, k)
+            else:
+                assert sep[k] == pytest.approx(fan[k]), (red, k)
+
+
 def test_resample_cube_spatial_near_deterministic(spark):
     """method='near' (ADVICE r01): colliding sources must not collapse via
     unordered first(), and every target label must be covered — mapping is
