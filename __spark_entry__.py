@@ -1820,10 +1820,12 @@ def q_resample_cubic(spark, sf_dir):
 
 
 def q_apply_neighborhood_2d(spark, sf_dir):
-    """apply_neighborhood with the reference's multi-dim size dict
-    (3×3 median over x, y): offset-explode fan-out + one hash aggregate
-    (operators/kernel.py _apply_neighborhood_nd). Median is deliberately
-    non-convolutional — apply_kernel can't express it."""
+    """apply_neighborhood with the reference's multi-dim size dict —
+    reference-faithful STRIDED semantics (apply_neighborhood_intertwin.py:
+    40-43): size 3×3 ⇒ window 3×3 at every 3rd position (non-overlapping
+    tiling), median per tile. Median is deliberately non-convolutional —
+    apply_kernel can't express it. Oracle joins each strided center to
+    its |Δ|≤1 rectangle."""
     _setup(spark)
     from openeo_processes_dask_spark.operators.kernel import apply_neighborhood
 
@@ -1834,16 +1836,18 @@ def q_apply_neighborhood_2d(spark, sf_dir):
 
 
 def q_apply_neighborhood_2d_mean(spark, sf_dir):
-    """apply_neighborhood 3×3 mean over x, y — routes to the SEPARABLE
-    plan (operators/kernel.py _apply_neighborhood_separable): one
-    label-range window pass per dim, zero fan-out. Oracle is the direct
-    rectangle self-join, so this gate proves the two-pass decomposition
-    equals the true 2-D neighborhood mean."""
+    """apply_neighborhood dense 3×3 rolling mean — the reference's
+    size≤0 + overlap spelling (stride clamps to 1) — routes to the
+    SEPARABLE plan (operators/kernel.py _apply_neighborhood_separable):
+    one integer-range window pass per dim, zero fan-out. Oracle is the
+    direct rectangle self-join, so this gate proves the two-pass
+    decomposition equals the true 2-D neighborhood mean."""
     _setup(spark)
     from openeo_processes_dask_spark.operators.kernel import apply_neighborhood
 
     out = apply_neighborhood(
-        _grid_cube(spark, sf_dir), "mean", size={"x": 3, "y": 3}
+        _grid_cube(spark, sf_dir), "mean",
+        size={"x": -1, "y": -1}, overlap={"x": 2, "y": 2},
     )
     return _round6(out.df, "value")
 
@@ -2963,7 +2967,9 @@ def oracle_sql() -> dict[str, str]:
         "apply_neighborhood_2d": f"""
             WITH {_GRID_CTE}
             SELECT t.x, t.y, t.band, round(median(s.value), 6) AS value
-            FROM grid t JOIN grid s ON s.band = t.band
+            FROM (SELECT * FROM grid
+                  WHERE CAST(x AS INT) % 3 = 0 AND CAST(y AS INT) % 3 = 0) t
+            JOIN grid s ON s.band = t.band
               AND abs(s.x - t.x) <= 1 AND abs(s.y - t.y) <= 1
             GROUP BY 1, 2, 3
         """,

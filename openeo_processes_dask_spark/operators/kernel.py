@@ -199,36 +199,40 @@ def apply_neighborhood(
     context=None,
     **reducer_kwargs,
 ) -> DataCube:
-    """Centered rolling reduce over a neighborhood (the reference's
-    rolling→construct→reduce, apply_neighborhood_intertwin.py:8-37).
+    """Strided neighborhood reduce (the reference's rolling→construct→
+    reduce with ``stride``, apply_neighborhood_intertwin.py:8-43).
 
     Two call forms:
-    - ``dimension=..., size=int`` — 1-D positional window: a JVM window
-      frame ``rowsBetween(-size//2, size//2)``, no pandas, works on any
-      orderable dim (timestamps included).
-    - ``size={'x': 3, 'y': 3, ...}`` — the reference's multi-dim form:
-      each cell fans out to its size_x × size_y × … neighbor positions via
-      one offset explode, then a single hash aggregate reduces every
-      neighborhood (edge cells see fewer contributors — xarray's
-      NaN-padded rolling windows under NaN-skipping reducers). Requires
-      regular numeric axes (labels probed for step, like the resamplers);
-      output restricted to existing labels per shifted dim.
-
-    ``overlap`` (strided tiling for chunk-UDFs) is not a rolling aggregate;
-    use apply_kernel's tiled halo path or run_udf for that — raising keeps
-    the semantics honest rather than silently striding."""
+    - ``dimension=..., size=int`` — 1-D positional window extension: a JVM
+      window frame ``rowsBetween(-size//2, size//2)``, no pandas, works on
+      any orderable dim (timestamps included), dense (stride 1).
+    - ``size={'x': …}, overlap={'x': …}`` — the reference's multi-dim
+      form, faithfully strided: the effective window is
+      ``w = size + 2·overlap`` and outputs sit every
+      ``stride = max(size + overlap, 1)`` positions along each dim
+      (reference update_size_and_stride_with_overlap,
+      apply_neighborhood_intertwin.py:40-43; verified against
+      test_apply_neighborhood_intertwin.py expectations). ``overlap``
+      omitted ⇒ stride = size: non-overlapping tiling. Dense rolling is
+      the reference's own ``size≤0 + overlap`` spelling (stride clamps
+      to 1). Window alignment is xarray ``center=True``: position i
+      covers indices ``[i − w//2, i + w − 1 − w//2]`` (left-heavy for
+      even w); edge windows see fewer contributors (NaN-padded rolling
+      under NaN-skipping reducers). Requires regular numeric axes
+      (labels probed for step, like the resamplers)."""
     from pyspark.sql import Window
 
-    if overlap:
-        raise NotImplementedError(
-            "apply_neighborhood(overlap=...) strides tiles for chunk UDFs; "
-            "use apply_kernel(tiled=True) / run_udf for halo-tiled UDFs"
-        )
     if isinstance(size, dict):
         sizes = {data.assert_dim(k): int(v) for k, v in size.items()}
-        if len(sizes) > 1:
-            return _apply_neighborhood_nd(data, reducer, sizes, **reducer_kwargs)
-        ((dimension, size),) = sizes.items()
+        overlaps = {
+            data.assert_dim(k): int(v) for k, v in (overlap or {}).items()
+        }
+        return _apply_neighborhood_nd(data, reducer, sizes, overlaps, **reducer_kwargs)
+    if overlap:
+        raise ValueError(
+            "apply_neighborhood: overlap requires the dict size form "
+            "(size={'dim': n}, overlap={'dim': h})"
+        )
     if dimension is None:
         raise ValueError("apply_neighborhood needs dimension= or a size dict")
 
@@ -249,22 +253,20 @@ _SEPARABLE_ND = {"sum", "min", "max", "count", "mean"}
 
 
 def _apply_neighborhood_separable(
-    data: DataCube, reducer: str, sizes: dict
+    data: DataCube, reducer: str, geom: dict
 ) -> DataCube:
-    """Separable n-D rolling reduce: one label-range window pass per dim.
+    """Separable dense (stride-1) n-D rolling reduce: one integer-range
+    window pass per dim.
 
     sum/min/max compose directly; count becomes 0/1 indicators summed
     through every pass; mean rides a (sum, count) accumulator pair and
     divides at the end (try_divide: empty neighborhoods → NULL, matching
-    avg). Each pass is ``rangeBetween(-h·step, h·step)`` ordered by the
-    dim's numeric label and partitioned by every other dim — n window
-    exchanges total, zero row duplication (vs the holistic plan's
-    size_x·size_y·… explode). Ordering is by the integer label index
-    ``round((d − origin)/step)`` so the frame bounds are exact ints —
-    no float range-comparison fuzz."""
+    avg). Each pass is ``rangeBetween(-(w//2), w−1−w//2)`` (xarray
+    center=True alignment) ordered by the dim's integer label index and
+    partitioned by every other dim — n window exchanges total, zero row
+    duplication (vs the holistic plan's w_x·w_y·… explode). At 100 TB
+    this is the plan that matters: no row is ever duplicated."""
     from pyspark.sql import Window
-
-    from openeo_processes_dask_spark.operators.resample import _axis_geometry
 
     v = data.value_col
     df = data.df
@@ -280,17 +282,13 @@ def _apply_neighborhood_separable(
         df = df.withColumn("__s__", F.col(v))
         accs = {"__s__": {"sum": F.sum, "min": F.min, "max": F.max}[reducer]}
 
-    for d in sizes:
-        origin, step, _ = _axis_geometry(df, d)
-        idx = F.round((F.col(d) - F.lit(float(origin))) / F.lit(float(step))).cast(
-            "long"
-        )
-        half = sizes[d] // 2
+    for d, (origin, step, _n, wsize, _stride) in geom.items():
+        idx = F.round((F.col(d) - F.lit(origin)) / F.lit(step)).cast("long")
         others = [c for c in data.meta.dims if c != d]
         w = (
             (Window.partitionBy(*others) if others else Window.partitionBy(F.lit(1)))
             .orderBy(idx)
-            .rangeBetween(-half, half)
+            .rangeBetween(-(wsize // 2), wsize - 1 - wsize // 2)
         )
         df = df.select(
             *data.meta.dims,
@@ -307,69 +305,78 @@ def _apply_neighborhood_separable(
 
 
 def _apply_neighborhood_nd(
-    data: DataCube, reducer, sizes: dict, **reducer_kwargs
+    data: DataCube, reducer, sizes: dict, overlaps: dict, **reducer_kwargs
 ) -> DataCube:
-    """Multi-dim rolling reduce in long format. Two plans by reducer class:
+    """Strided multi-dim neighborhood reduce in long format, index space.
 
-    SEPARABLE reducers (sum/min/max/count, and mean via sum&count) run as
-    one label-RANGE window pass per dim — `rangeBetween(-h·step, h·step)`
-    ordered by the dim — so an n-D neighborhood costs n window exchanges
-    and zero data fan-out. At 100 TB this is the plan that matters: the
-    window exchanges repartition by the untouched dims, no row is ever
-    duplicated.
+    Per dim: effective window ``w = size + 2·overlap``, output centers
+    every ``stride = max(size + overlap, 1)`` index positions (reference
+    apply_neighborhood_intertwin.py:40-43), window at center i covering
+    indices ``[i − w//2, i + w − 1 − w//2]``. Two plans by shape:
 
-    HOLISTIC reducers (median/quantiles/sd/…) can't decompose: each cell
-    explodes to the product of per-dim offsets (label-space arithmetic:
-    offset × probed axis step) and a single groupBy reduces every
-    neighborhood — one explode (size_x·size_y·… fan-out) + one shuffle,
-    no halo exchange, no pandas. Both plans share label semantics
-    (regular numeric axes); outputs differ only for sparse cubes, where
-    the fan-out may emit label-present combos whose center cell is
-    missing."""
-    import itertools
+    SEPARABLE reducers (sum/min/max/count, mean via sum&count) at
+    stride 1 route to one window pass per dim — zero fan-out
+    (_apply_neighborhood_separable).
 
+    Otherwise: each cell computes, per dim, the arithmetic sequence of
+    stride-multiple centers whose window covers it (≤ ⌈w/stride⌉ values
+    — exactly 1 for non-overlapping tiling) and explodes it; a single
+    groupBy on the center indices reduces every neighborhood. No halo
+    exchange, no pandas, fan-out ∏⌈w_d/stride_d⌉ (vs the dense plan's
+    ∏w_d). Requires regular numeric axes; sparse cubes reduce over the
+    cells that exist (NaN-padded rolling under NaN-skipping reducers)."""
     from openeo_processes_dask_spark.operators.resample import _axis_geometry
-
-    if isinstance(reducer, str) and reducer in _SEPARABLE_ND and not reducer_kwargs:
-        return _apply_neighborhood_separable(data, reducer, sizes)
 
     v = data.value_col
     nd_dims = list(sizes)
-    steps = {}
+    geom = {}
     for d in nd_dims:
-        _, step, _ = _axis_geometry(data.df, d)
-        steps[d] = step
-    offsets = [
-        [o * steps[d] for o in range(-(sizes[d] // 2), sizes[d] // 2 + 1)]
-        for d in nd_dims
-    ]
-    combos = list(itertools.product(*offsets))
-    structs = [
-        F.struct(
-            *[F.lit(float(c[i])).alias(f"o_{d}") for i, d in enumerate(nd_dims)]
-        )
-        for c in combos
-    ]
-    shifted = data.df.select(
-        *[c for c in data.meta.dims if c not in nd_dims],
-        *nd_dims,
-        v,
-        F.explode(F.array(*structs)).alias("__o__"),
-    ).select(
+        origin, step, n = _axis_geometry(data.df, d)
+        ov = overlaps.get(d, 0)
+        w = sizes[d] + 2 * ov
+        if w < 1:
+            raise ValueError(
+                f"apply_neighborhood: effective window size + 2*overlap = {w} "
+                f"< 1 along {d}"
+            )
+        stride = max(sizes[d] + ov, 1)
+        geom[d] = (float(origin), float(step), int(n), w, stride)
+
+    if (
+        isinstance(reducer, str)
+        and reducer in _SEPARABLE_ND
+        and not reducer_kwargs
+        and all(g[4] == 1 for g in geom.values())
+    ):
+        return _apply_neighborhood_separable(data, reducer, geom)
+
+    keep = [c for c in data.meta.dims if c not in sizes]
+    df = data.df.select(*keep, *nd_dims, v)
+    for d in nd_dims:
+        origin, step, n, w, stride = geom[d]
+        j = F.round((F.col(d) - F.lit(origin)) / F.lit(step)).cast("long")
+        lo = F.greatest(j - F.lit(w - 1 - w // 2), F.lit(0))
+        hi = F.least(j + F.lit(w // 2), F.lit(n - 1))
+        first = (-F.floor(-lo / F.lit(stride)) * stride).cast("long")
+        last = (F.floor(hi / F.lit(stride)) * stride).cast("long")
+        cand = F.when(
+            first <= last, F.sequence(first, last, F.lit(stride).cast("long"))
+        ).otherwise(F.array().cast("array<long>"))
+        df = df.withColumn(f"__c_{d}", F.explode(cand))
+
+    builder = resolve_reducer(reducer)
+    agg = df.groupBy(*keep, *[f"__c_{d}" for d in nd_dims]).agg(
+        builder(F.col(v), **reducer_kwargs).alias(v)
+    )
+    out = agg.select(
         *[
-            (F.col(d) + F.col(f"__o__.o_{d}")).alias(d)
+            (F.lit(geom[d][0]) + F.col(f"__c_{d}") * F.lit(geom[d][1]))
+            .cast(data.df.schema[d].dataType)
+            .alias(d)
             if d in sizes
             else F.col(d)
             for d in data.meta.dims
         ],
         v,
     )
-    builder = resolve_reducer(reducer)
-    agg = shifted.groupBy(*data.meta.dims).agg(
-        builder(F.col(v), **reducer_kwargs).alias(v)
-    )
-    # targets outside the original axes (shifted past the edge) drop via a
-    # label-space broadcast semi-join per shifted dim
-    for d in nd_dims:
-        agg = agg.join(F.broadcast(data.df.select(d).distinct()), d, "left_semi")
-    return data.with_df(agg.select(*data.meta.dims, v))
+    return data.with_df(out)

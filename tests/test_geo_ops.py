@@ -138,11 +138,59 @@ def test_resample_cube_spatial_nearest(spark, small_cube):
     assert 0 < out.df.count() <= small_cube.df.count()
 
 
-def test_apply_neighborhood_2d_mean(spark):
-    """3x3 mean over a tiny dense grid matches hand-computed neighborhood
-    means incl. NaN-skipping edge behavior (fewer contributors)."""
+def _ones_cube(spark, nx, ny):
+    rows = [(float(x), float(y), "b", 1.0) for x in range(nx) for y in range(ny)]
+    return DataCube(
+        spark.createDataFrame(rows, "x double, y double, band string, value double"),
+        dims=("x", "y", "band"),
+    )
+
+
+def _nbh(cube, reducer, **kw):
     from openeo_processes_dask_spark.operators.kernel import apply_neighborhood
 
+    return {
+        (r["x"], r["y"]): r["value"]
+        for r in apply_neighborhood(cube, reducer, **kw).df.collect()
+    }
+
+
+def test_apply_neighborhood_reference_stride_semantics(spark):
+    """Reference-faithful strided windows: expectations lifted verbatim
+    from the reference's test_apply_neighborhood_intertwin.py."""
+    # 5x5 ones, size 2x2 -> stride 2, centers {0,2,4}, per-dim sums [1,2,2]
+    out = _nbh(_ones_cube(spark, 5, 5), "sum", size={"x": 2, "y": 2})
+    assert out == {
+        (float(i), float(j)): a * b
+        for i, a in zip((0, 2, 4), (1.0, 2.0, 2.0))
+        for j, b in zip((0, 2, 4), (1.0, 2.0, 2.0))
+    }
+    # 4x4: truncates -> centers {0,2}, [[1,2],[2,4]]
+    out = _nbh(_ones_cube(spark, 4, 4), "sum", size={"x": 2, "y": 2})
+    assert out == {(0.0, 0.0): 1.0, (0.0, 2.0): 2.0, (2.0, 0.0): 2.0, (2.0, 2.0): 4.0}
+    # size 1 + overlap 1 -> w=3, stride 2: [[4,6],[6,9]]
+    out = _nbh(
+        _ones_cube(spark, 4, 4), "sum",
+        size={"x": 1, "y": 1}, overlap={"x": 1, "y": 1},
+    )
+    assert out == {(0.0, 0.0): 4.0, (0.0, 2.0): 6.0, (2.0, 0.0): 6.0, (2.0, 2.0): 9.0}
+    # non-square overlap: x w=3/stride 2, y w=5/stride 3: [[6,6],[9,9]]
+    out = _nbh(
+        _ones_cube(spark, 4, 4), "sum",
+        size={"x": 1, "y": 1}, overlap={"x": 1, "y": 2},
+    )
+    assert out == {(0.0, 0.0): 6.0, (0.0, 3.0): 6.0, (2.0, 0.0): 9.0, (2.0, 3.0): 9.0}
+    # negative size -1 + overlap 2 -> w=3, stride 1: the dense rolling form
+    out = _nbh(
+        _ones_cube(spark, 4, 4), "sum",
+        size={"x": -1, "y": -1}, overlap={"x": 2, "y": 2},
+    )
+    assert out[(1.0, 1.0)] == 9.0 and out[(0.0, 0.0)] == 4.0 and out[(0.0, 1.0)] == 6.0
+
+
+def test_apply_neighborhood_2d_dense_mean(spark):
+    """Dense 3x3 mean (reference size<=0+overlap spelling) matches
+    hand-computed neighborhood means incl. NaN-skipping edges."""
     rows = [
         (float(x), float(y), "b", float(x * 3 + y))
         for x in range(3)
@@ -152,20 +200,18 @@ def test_apply_neighborhood_2d_mean(spark):
         spark.createDataFrame(rows, "x double, y double, band string, value double"),
         dims=("x", "y", "band"),
     )
-    out = {
-        (r["x"], r["y"]): r["value"]
-        for r in apply_neighborhood(cube, "mean", size={"x": 3, "y": 3}).df.collect()
-    }
+    out = _nbh(cube, "mean", size={"x": -1, "y": -1}, overlap={"x": 2, "y": 2})
     assert len(out) == 9
     assert out[(1.0, 1.0)] == pytest.approx(4.0)  # full 3x3: mean of 0..8
     assert out[(0.0, 0.0)] == pytest.approx((0 + 1 + 3 + 4) / 4)  # corner
-    with pytest.raises(NotImplementedError):
-        apply_neighborhood(cube, "mean", size={"x": 3}, overlap={"x": 1})
+    with pytest.raises(ValueError):
+        apply_neighborhood(cube, "mean", size={"x": 0, "y": 0})
 
 
 def test_apply_neighborhood_2d_separable_matches_fanout(spark, monkeypatch):
     """The separable window plan (sum/min/max/count/mean) must agree with
-    the holistic offset-explode plan on a dense grid, nulls included."""
+    the holistic center-explode plan on a dense stride-1 rolling window,
+    nulls included."""
     import openeo_processes_dask_spark.operators.kernel as K
 
     rows = [
@@ -177,15 +223,16 @@ def test_apply_neighborhood_2d_separable_matches_fanout(spark, monkeypatch):
         spark.createDataFrame(rows, "x double, y double, band string, value double"),
         dims=("x", "y", "band"),
     )
+    dense = dict(size={"x": -1, "y": -1}, overlap={"x": 2, "y": 2})
     for red in sorted(K._SEPARABLE_ND):
         sep = {
             (r["x"], r["y"]): r["value"]
-            for r in K.apply_neighborhood(cube, red, size={"x": 3, "y": 3}).df.collect()
+            for r in K.apply_neighborhood(cube, red, **dense).df.collect()
         }
         monkeypatch.setattr(K, "_SEPARABLE_ND", frozenset())
         fan = {
             (r["x"], r["y"]): r["value"]
-            for r in K.apply_neighborhood(cube, red, size={"x": 3, "y": 3}).df.collect()
+            for r in K.apply_neighborhood(cube, red, **dense).df.collect()
         }
         monkeypatch.undo()
         assert sep.keys() == fan.keys(), red
