@@ -382,6 +382,49 @@ def q_dedup_exact(spark, sf_dir):
     return exact_duplicates(docs, "doc_id", "text")
 
 
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified Bernoulli sample (training/sampling.py):
+    per-language keep rates as a pure scan filter — md5-hash uniform, so
+    the DuckDB oracle reproduces the exact row set."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.sampling import sample_stratified
+
+    docs = _table(spark, sf_dir, "documents")
+    out = sample_stratified(
+        docs, {"en": 0.5, "de": 0.25}, "lang", seed=7, default=0.1
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+def q_cap_per_source(spark, sf_dir):
+    """Per-(lang, source) quota cap: top-4 by n_chars (ties on doc_id) —
+    row_number ≤ k compiles to WindowGroupLimit, so map tasks forward at
+    most k rows per group before the exchange (training/sampling.py)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.sampling import cap_per_group
+
+    docs = _table(spark, sf_dir, "documents")
+    out = cap_per_group(
+        docs, ["lang", "source"], 4, [F.col("n_chars").desc(), F.col("doc_id")]
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+def q_pack_contiguous(spark, sf_dir):
+    """GPT-style sequence packing: hash-shard documents, concatenate per
+    shard in doc_id order, cut every 4096 chars; one (doc, segment) row
+    per overlap (training/sampling.py pack_tokens_contiguous). Window
+    cumsum partitioned by shard — never a global single-task window."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.sampling import (
+        assign_shards,
+        pack_tokens_contiguous,
+    )
+
+    docs = assign_shards(_table(spark, sf_dir, "documents"), 8, seed=3)
+    return pack_tokens_contiguous(docs, 4096, "n_chars", shard_col="shard")
+
+
 def q_token_count(spark, sf_dir):
     _setup(spark)
     from openeo_processes_dask_spark.training.textanalysis import token_count
@@ -2527,6 +2570,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_ops": q_date_ops,
         "add_drop_dimension": q_add_drop_dimension,
         "dedup_exact": q_dedup_exact,
+        "sample_stratified": q_sample_stratified,
+        "cap_per_source": q_cap_per_source,
+        "pack_contiguous": q_pack_contiguous,
         "token_count": q_token_count,
         "text_quality": q_text_quality,
         "language_id": q_language_id,
@@ -2747,6 +2793,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
                    min(doc_id) AS keep_id, count(*) AS n_copies
             FROM documents GROUP BY ALL
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE CAST('0x' || substr(md5('7-' || CAST(doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) / 1152921504606846976.0
+                  < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END
+        """,
+        "cap_per_source": """
+            SELECT doc_id, lang, source, n_chars
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY lang, source
+                    ORDER BY n_chars DESC, doc_id) AS rn
+                  FROM documents)
+            WHERE rn <= 4
+        """,
+        "pack_contiguous": """
+            WITH sharded AS (
+              SELECT doc_id, n_chars,
+                     CAST(CAST('0x' || substr(md5('3-' || CAST(doc_id AS VARCHAR)),
+                               1, 15) AS BIGINT) % 8 AS INT) AS shard
+              FROM documents WHERE n_chars > 0),
+            spans AS (
+              SELECT doc_id, shard, n_chars,
+                     CAST(sum(n_chars) OVER (PARTITION BY shard ORDER BY doc_id)
+                          AS BIGINT) AS e
+              FROM sharded),
+            segs AS (
+              SELECT doc_id, shard, e - n_chars AS s, e,
+                     unnest(generate_series((e - n_chars) // 4096,
+                                            (e - 1) // 4096)) AS segment
+              FROM spans)
+            SELECT doc_id, shard, segment,
+                   least(e, (segment + 1) * 4096)
+                   - greatest(s, segment * 4096) AS seg_tokens
+            FROM segs
         """,
         "token_count": f"""
             SELECT doc_id,

@@ -153,9 +153,19 @@ def resample_spatial(
             F.sqrt(F.avg(v * v)).alias(data.value_col)
         )
     else:
-        builder = resolve_reducer(
-            {"q1": "quantiles", "q3": "quantiles", "med": "median"}.get(method, method)
-        )
+        # reference resample_methods_list (cubes/resample.py:23-36) plus the
+        # engine's aggregate extras; unknown names raise like the reference
+        alias = {"q1": "quantiles", "q3": "quantiles", "med": "median",
+                 "average": "mean"}
+        try:
+            builder = resolve_reducer(alias.get(method, method))
+        except KeyError:
+            raise ValueError(
+                f'Selected resampling method "{method}" is not available! '
+                "Please select one of [near, bilinear, cubic, cubicspline, "
+                "lanczos, average, mode, max, min, med, q1, q3, sum, rms, "
+                "mean, or any registered reducer]"
+            )
         kwargs = {}
         if method == "q1":
             kwargs["probabilities"] = [0.25]

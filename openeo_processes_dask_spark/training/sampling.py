@@ -1,0 +1,214 @@
+"""Deterministic sampling, capping, sharding, and sequence packing for
+training-data curation.
+
+At 100 TB these are the gatekeeper ops between a raw corpus and training
+shards. Every construction is hash-deterministic (the md5-long scheme
+shared with dedup.py) rather than ``rand()``-based, so runs are exactly
+reproducible, resumable, and the DuckDB oracle replicates them
+bit-for-bit. The selection ops (sample/stratify) are pure scan filters —
+no shuffle, column-pruned, and the filter sits directly on the parquet
+scan; the capping/packing ops shuffle once on their natural key.
+
+No counterpart in the reference (an EO raster engine); these implement
+the LLM-pipeline lane of the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_spark.training.dedup import _md5_to_long
+
+# 16^15: _md5_to_long's exclusive upper bound; dividing gives U(0,1).
+_HASH_SPAN = float(1 << 60)
+
+
+def _uniform01(col: Column, seed: int) -> Column:
+    """Seeded deterministic U(0,1) per row: md5('<seed>-<value>') → [0, 1).
+
+    Unlike ``F.rand(seed)`` this is a pure function of (seed, value) —
+    independent of partitioning, task retries, and row order, which is
+    what makes 100 TB sampling runs reproducible and auditable."""
+    return (
+        _md5_to_long(F.concat_ws("-", F.lit(str(seed)), col.cast("string")))
+        / F.lit(_HASH_SPAN)
+    )
+
+
+def sample_uniform(
+    df: DataFrame, fraction: float, seed: int = 42, id_col: str = "doc_id"
+) -> DataFrame:
+    """Seeded Bernoulli sample: keep rows whose hash-uniform < fraction.
+
+    A single codegen'd filter on the scan — zero shuffle, zero state.
+    ``df.sample()`` is partition-order-dependent; this is not."""
+    return df.where(_uniform01(F.col(id_col), seed) < F.lit(float(fraction)))
+
+
+def sample_stratified(
+    df: DataFrame,
+    fractions: dict,
+    strata_col: str,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    default: float = 0.0,
+) -> DataFrame:
+    """Per-stratum Bernoulli rates (e.g. downsample by language/source).
+
+    ``fractions`` maps stratum value → keep rate; unlisted strata get
+    ``default``. The rate lookup compiles to a when-chain (fractions maps
+    are human-sized), so this stays a single scan filter like
+    sample_uniform — the 100 TB plan is one pass, no shuffle."""
+    rate = F.lit(float(default))
+    for value, frac in reversed(list(fractions.items())):
+        rate = F.when(F.col(strata_col) == F.lit(value), F.lit(float(frac))).otherwise(
+            rate
+        )
+    return df.where(_uniform01(F.col(id_col), seed) < rate)
+
+
+def cap_per_group(
+    df: DataFrame, group_cols: list, k: int, order_by: list
+) -> DataFrame:
+    """Keep at most k rows per group, ranked by ``order_by`` (e.g. top-k
+    documents per domain by quality — the standard per-source quota cap).
+
+    ``row_number() ≤ k`` compiles to WindowGroupLimit in Spark's physical
+    plan: each map task forwards at most k rows per group BEFORE the
+    exchange, so the shuffle carries ~k·|groups| rows, not the corpus.
+    ``order_by`` must be a total order (break ties on the id) or the cap
+    is nondeterministic."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") <= k)
+        .drop("__rn__")
+    )
+
+
+def assign_shards(
+    df: DataFrame, n_shards: int, seed: int = 42, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic shard id in [0, n_shards): md5-long mod n.
+
+    Sharding by content-stable hash (not ``spark_partition_id`` or
+    round-robin) means the same document lands in the same shard across
+    runs and cluster sizes — prerequisite for incremental re-runs."""
+    h = _md5_to_long(F.concat_ws("-", F.lit(str(seed)), F.col(id_col).cast("string")))
+    return df.withColumn("shard", (h % F.lit(int(n_shards))).cast("int"))
+
+
+def pack_tokens_contiguous(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in order and cut
+    every ``budget`` tokens; documents straddle segment boundaries.
+
+    Returns one row per (document, segment) overlap: the original id,
+    ``shard``, ``segment`` (0-based within shard), and ``seg_tokens`` —
+    how many of the document's tokens land in that segment. Zero-token
+    documents are dropped (they occupy no span).
+
+    Plan: one window cumsum partitioned by ``shard_col`` ordered by
+    ``order_col`` (default: the id), then each document emits its
+    ``floor(start/budget) … floor((end−1)/budget)`` segment range via a
+    sequence explode (fan-out = #segments touched, ~1). Partitioning by
+    shard is what scales: an UNpartitioned global cumsum would funnel
+    every row through one task, so callers at scale must shard first
+    (assign_shards) — pass shard_col=None only for small frames, where
+    a literal single shard is used and documented as such."""
+    order_col = order_col or id_col
+    if shard_col is None:
+        df = df.withColumn("shard", F.lit(0))
+        shard_col = "shard"
+    n = F.col(token_col).cast("long")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        df.where(n > 0)
+        .select(
+            F.col(id_col),
+            F.col(shard_col).alias("shard"),
+            n.alias("__n__"),
+            F.sum(n).over(w).alias("__end__"),
+        )
+        .withColumn("__start__", F.col("__end__") - F.col("__n__"))
+    )
+    b = F.lit(int(budget)).cast("long")
+    seg = F.explode(
+        F.sequence(
+            (F.col("__start__") / b).cast("long"),
+            ((F.col("__end__") - 1) / b).cast("long"),
+        )
+    ).alias("segment")
+    out = spans.select(id_col, "shard", "__start__", "__end__", seg)
+    seg_lo = F.col("segment") * b
+    seg_hi = seg_lo + b
+    return out.select(
+        id_col,
+        "shard",
+        "segment",
+        (
+            F.least(F.col("__end__"), seg_hi) - F.greatest(F.col("__start__"), seg_lo)
+        ).alias("seg_tokens"),
+    )
+
+
+def pack_greedy_first_fit(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    id_col: str = "doc_id",
+    shard_col: str = "shard",
+    order_col: str | None = None,
+) -> DataFrame:
+    """No-split packing: first-fit documents into bins of ``budget``
+    tokens, never splitting a document; oversized documents get a bin of
+    their own. Returns (id, shard, bin, token count).
+
+    First-fit is inherently sequential (bin state), so it runs per shard
+    in an Arrow-batched applyInPandas over documents sorted by
+    ``order_col`` — deterministic given the shard assignment. Bins are
+    numbered within shard. At scale the shard is the parallelism unit:
+    size shards to ~10⁵ documents (assign_shards n_shards) so each group
+    is a comfortable single-task loop; the shuffle is the one groupBy."""
+    import pandas as pd
+
+    order_col = order_col or id_col
+    sel = df.select(
+        F.col(id_col), F.col(shard_col).alias("shard"),
+        F.col(order_col).alias("__ord__"), F.col(token_col).cast("long").alias("__n__"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__ord__", kind="mergesort").reset_index(drop=True)
+        free: list[int] = []  # remaining capacity per open bin
+        bins = []
+        for n in pdf["__n__"]:
+            placed = None
+            for i, room in enumerate(free):
+                if n <= room:
+                    placed = i
+                    free[i] = room - n
+                    break
+            if placed is None:
+                free.append(max(budget - n, 0))
+                placed = len(free) - 1
+            bins.append(placed)
+        pdf["bin"] = pd.Series(bins, dtype="int64")
+        return pdf[[id_col, "shard", "bin", "__n__"]].rename(
+            columns={"__n__": "n_tokens"}
+        )
+
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, shard int, bin bigint, n_tokens bigint"
+    return sel.groupBy("shard").applyInPandas(pack, schema=schema)

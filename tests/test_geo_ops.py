@@ -432,6 +432,18 @@ def test_resample_spatial_mercator_warp(spark, small_cube):
     assert xs and all(abs(v / 1000.0 - round(v / 1000.0)) < 1e-9 for v in xs)
 
 
+def test_resample_spatial_average_alias_and_unknown_method(spark, small_cube):
+    """'average' is the reference's name for mean; unknown methods raise
+    the reference-style ValueError (cubes/resample.py:66-79)."""
+    avg = resample_spatial(small_cube, resolution=2.0, method="average")
+    mean = resample_spatial(small_cube, resolution=2.0, method="mean")
+    got = {tuple(r[:-1]): r[-1] for r in avg.df.collect()}
+    want = {tuple(r[:-1]): r[-1] for r in mean.df.collect()}
+    assert got == want
+    with pytest.raises(ValueError, match="not available"):
+        resample_spatial(small_cube, resolution=2.0, method="nope")
+
+
 def test_resample_spatial_cubic_linear_field(spark):
     """Catmull-Rom bicubic reproduces a linear field exactly at interior
     targets (defining property of the a=-0.5 Keys kernel); clamped edges

@@ -1,0 +1,119 @@
+"""training.sampling: deterministic sampling / capping / packing tests."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_spark.training.sampling import (
+    assign_shards,
+    cap_per_group,
+    pack_greedy_first_fit,
+    pack_tokens_contiguous,
+    sample_stratified,
+    sample_uniform,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, ["en", "de", "fr"][i % 3], (i * 37) % 900 + 5) for i in range(600)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+
+
+def test_sample_uniform_deterministic_and_calibrated(docs):
+    a = sorted(r.doc_id for r in sample_uniform(docs, 0.3, seed=7).collect())
+    b = sorted(r.doc_id for r in sample_uniform(docs, 0.3, seed=7).collect())
+    assert a == b  # partitioning-independent determinism
+    assert 0.2 < len(a) / 600 < 0.4  # calibrated rate
+    c = sorted(r.doc_id for r in sample_uniform(docs, 0.3, seed=8).collect())
+    assert a != c  # seed actually matters
+    # monotone: a smaller fraction is a subset of a larger one (same seed)
+    small = set(r.doc_id for r in sample_uniform(docs, 0.1, seed=7).collect())
+    assert small <= set(a)
+
+
+def test_sample_stratified_rates(docs):
+    out = sample_stratified(
+        docs, {"en": 1.0, "de": 0.0}, "lang", seed=7, default=0.5
+    ).groupBy("lang").count().collect()
+    got = {r["lang"]: r["count"] for r in out}
+    assert got["en"] == 200 and "de" not in got
+    assert 60 < got["fr"] < 140
+
+
+def test_cap_per_group_topk(docs):
+    out = cap_per_group(
+        docs, ["lang"], 5, [F.col("n_tokens").desc(), F.col("doc_id")]
+    ).toPandas()
+    assert (out.groupby("lang").size() == 5).all()
+    want = (
+        docs.toPandas()
+        .sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+        .groupby("lang")
+        .head(5)
+    )
+    assert set(map(tuple, out[["lang", "doc_id"]].values)) == set(
+        map(tuple, want[["lang", "doc_id"]].values)
+    )
+
+
+def test_assign_shards_stable_and_spread(docs):
+    out = assign_shards(docs, 8, seed=3).toPandas()
+    assert out["shard"].between(0, 7).all()
+    assert out["shard"].nunique() == 8
+    again = assign_shards(docs.repartition(13), 8, seed=3).toPandas()
+    merged = out.merge(again, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged["shard_a"] == merged["shard_b"]).all()
+
+
+def test_pack_contiguous_invariants(docs):
+    budget = 1000
+    sharded = assign_shards(docs, 4, seed=3)
+    out = pack_tokens_contiguous(
+        sharded, budget, "n_tokens", shard_col="shard"
+    ).toPandas()
+    src = sharded.toPandas()
+    # every token of every doc is placed exactly once
+    per_doc = out.groupby("doc_id")["seg_tokens"].sum()
+    for _, r in src.iterrows():
+        assert per_doc[r["doc_id"]] == r["n_tokens"]
+    # no segment exceeds budget; all but the last per shard are exactly full
+    seg = out.groupby(["shard", "segment"])["seg_tokens"].sum().reset_index()
+    assert (seg["seg_tokens"] <= budget).all()
+    last = seg.groupby("shard")["segment"].max().reset_index()
+    full = seg.merge(last, on=["shard", "segment"], how="left", indicator=True)
+    assert (
+        full[full["_merge"] == "left_only"]["seg_tokens"] == budget
+    ).all()
+    # a doc spans at most ceil(n/budget)+1 segments
+    spans = out.groupby("doc_id").size()
+    limits = src.set_index("doc_id")["n_tokens"] // budget + 2
+    assert (spans <= limits[spans.index]).all()
+
+
+def test_pack_greedy_first_fit(docs):
+    budget = 1000
+    sharded = assign_shards(docs, 4, seed=3)
+    out = pack_greedy_first_fit(
+        sharded, budget, "n_tokens", shard_col="shard"
+    ).toPandas()
+    src = sharded.toPandas()
+    assert len(out) == len(src)  # no doc dropped or split
+    # bin totals within budget (no oversized docs in this fixture)
+    totals = out.groupby(["shard", "bin"])["n_tokens"].sum()
+    assert (totals <= budget).all()
+    # matches a sequential python first-fit per shard
+    for shard, g in src.sort_values("doc_id").groupby("shard"):
+        free, want = [], {}
+        for _, r in g.iterrows():
+            n = r["n_tokens"]
+            for i, room in enumerate(free):
+                if n <= room:
+                    free[i] = room - n
+                    want[r["doc_id"]] = i
+                    break
+            else:
+                free.append(budget - n)
+                want[r["doc_id"]] = len(free) - 1
+        got = out[out["shard"] == shard].set_index("doc_id")["bin"].to_dict()
+        assert got == want
