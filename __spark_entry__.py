@@ -42,6 +42,15 @@ def _round6(df: DataFrame, *cols: str) -> DataFrame:
     return df
 
 
+def _stopwords_sql() -> str:
+    from openeo_processes_dask_spark.training.textanalysis import STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+_STOPWORDS_SQL = _stopwords_sql()
+
+
 def _li_cells(spark, sf_dir):
     """lineitem pre-aggregated to unique (x, pos) cube cells.
 
@@ -423,6 +432,52 @@ def q_pack_contiguous(spark, sf_dir):
 
     docs = assign_shards(_table(spark, sf_dir, "documents"), 8, seed=3)
     return pack_tokens_contiguous(docs, 4096, "n_chars", shard_col="shard")
+
+
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split (training/sampling.py): pure
+    hash-range projection, exactly replicable in the oracle's md5 math."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.sampling import split_assign
+
+    docs = _table(spark, sf_dir, "documents")
+    out = split_assign(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=11
+    )
+    return out.select("doc_id", "lang", "split")
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style 2-gram repetition counters (training/filtering.py):
+    one no-shuffle fold over sorted gram arrays; integer counts so the
+    unnest+GROUP BY DuckDB twin matches exactly."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.filtering import ngram_repetition
+
+    docs = _table(spark, sf_dir, "documents")
+    out = ngram_repetition(docs.select("doc_id", "text"), 2)
+    return out.select(
+        "doc_id",
+        *[
+            F.col(f"g2_{f}").cast("long").alias(f)
+            for f in ("top_run", "top_chars", "dup_occ", "dup_chars", "tot_chars", "n_grams")
+        ],
+    )
+
+
+def q_gopher_filter(spark, sf_dir):
+    """Gopher rule flags (word band, mean-word-length band, alpha ratio,
+    stopwords, 2-gram dominance, duplicated 5-grams) + combined keep —
+    entirely map-side (test_no_shuffle_in_plan asserts no Exchange)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.filtering import gopher_flags
+
+    docs = _table(spark, sf_dir, "documents")
+    out = gopher_flags(docs.select("doc_id", "text"), min_words=30, min_stopwords=1)
+    return out.select(
+        "doc_id", "ok_words", "ok_word_len", "ok_alpha", "ok_stopwords",
+        "ok_top2gram", "ok_dup5gram", "keep",
+    )
 
 
 def q_token_count(spark, sf_dir):
@@ -2573,6 +2628,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "cap_per_source": q_cap_per_source,
         "pack_contiguous": q_pack_contiguous,
+        "split_assign": q_split_assign,
+        "repetition_stats": q_repetition_stats,
+        "gopher_filter": q_gopher_filter,
         "token_count": q_token_count,
         "text_quality": q_text_quality,
         "language_id": q_language_id,
@@ -2828,6 +2886,90 @@ def oracle_sql() -> dict[str, str]:
                    least(e, (segment + 1) * 4096)
                    - greatest(s, segment * 4096) AS seg_tokens
             FROM segs
+        """,
+        "split_assign": """
+            SELECT doc_id, lang,
+                   CASE WHEN u < 0.8 THEN 'train'
+                        WHEN u < 0.9 THEN 'val'
+                        WHEN u < 1.0 THEN 'test' END AS split
+            FROM (SELECT doc_id, lang,
+                         CAST('0x' || substr(md5('11-' || CAST(doc_id AS VARCHAR)),
+                              1, 15) AS BIGINT) / 1152921504606846976.0 AS u
+                  FROM documents)
+        """,
+        "repetition_stats": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE string_split_regex(lower(trim(text)), '\\s+')
+                     END AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(t) - 1),
+                            i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
+              FROM toks WHERE len(t) >= 2),
+            cnt AS (SELECT doc_id, g, count(*) AS k, length(g) AS lg
+                    FROM grams GROUP BY doc_id, g)
+            SELECT t.doc_id,
+                   CAST(coalesce(max(k), 0) AS BIGINT) AS top_run,
+                   CAST(coalesce(max(k * lg), 0) AS BIGINT) AS top_chars,
+                   CAST(coalesce(sum(k) FILTER (k > 1), 0) AS BIGINT) AS dup_occ,
+                   CAST(coalesce(sum(k * lg) FILTER (k > 1), 0) AS BIGINT) AS dup_chars,
+                   CAST(coalesce(sum(k * lg), 0) AS BIGINT) AS tot_chars,
+                   CAST(coalesce(sum(k), 0) AS BIGINT) AS n_grams
+            FROM toks t LEFT JOIN cnt USING (doc_id)
+            GROUP BY t.doc_id
+        """,
+        "gopher_filter": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE string_split_regex(lower(trim(text)), '\\s+')
+                     END AS t
+              FROM documents),
+            words AS (
+              SELECT doc_id, len(t) AS n_words,
+                     len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+                     len(list_filter(t, w -> list_contains(
+                         {_STOPWORDS_SQL}, w))) AS n_stop,
+                     CAST(coalesce(list_sum(list_transform(t, w -> length(w))), 0)
+                          AS BIGINT) AS word_chars
+              FROM toks),
+            g AS (
+              SELECT doc_id, n, unnest(list_transform(
+                       generate_series(1, len(t) - n + 1),
+                       i -> array_to_string(list_slice(t, i, i + n - 1), ' '))) AS gr
+              FROM toks, (SELECT unnest([2, 5]) AS n) ns
+              WHERE len(t) >= n),
+            cnt AS (SELECT doc_id, n, gr, count(*) AS k, length(gr) AS lg
+                    FROM g GROUP BY doc_id, n, gr),
+            rep AS (
+              SELECT doc_id,
+                     max(CASE WHEN n = 2 THEN k * lg END) AS top2_chars,
+                     sum(CASE WHEN n = 2 THEN k * lg END) AS tot2_chars,
+                     sum(CASE WHEN n = 5 AND k > 1 THEN k * lg ELSE 0 END) AS dup5_chars,
+                     sum(CASE WHEN n = 5 THEN k * lg END) AS tot5_chars
+              FROM cnt GROUP BY doc_id)
+            SELECT w.doc_id,
+                   n_words BETWEEN 30 AND 100000 AS ok_words,
+                   (word_chars::DOUBLE / nullif(n_words, 0) >= 3.0 AND
+                    word_chars::DOUBLE / nullif(n_words, 0) <= 10.0) AS ok_word_len,
+                   n_alpha::DOUBLE / nullif(n_words, 0) >= 0.8 AS ok_alpha,
+                   n_stop >= 1 AS ok_stopwords,
+                   coalesce(top2_chars::DOUBLE / nullif(tot2_chars, 0) <= 0.20,
+                            TRUE) AS ok_top2gram,
+                   coalesce(dup5_chars::DOUBLE / nullif(tot5_chars, 0) <= 0.15,
+                            TRUE) AS ok_dup5gram,
+                   (n_words BETWEEN 30 AND 100000)
+                   AND (word_chars::DOUBLE / nullif(n_words, 0) >= 3.0 AND
+                        word_chars::DOUBLE / nullif(n_words, 0) <= 10.0)
+                   AND n_alpha::DOUBLE / nullif(n_words, 0) >= 0.8
+                   AND n_stop >= 1
+                   AND coalesce(top2_chars::DOUBLE / nullif(tot2_chars, 0) <= 0.20, TRUE)
+                   AND coalesce(dup5_chars::DOUBLE / nullif(tot5_chars, 0) <= 0.15, TRUE)
+                   AS keep
+            FROM words w LEFT JOIN rep USING (doc_id)
         """,
         "token_count": f"""
             SELECT doc_id,

@@ -68,6 +68,30 @@ def sample_stratified(
     return df.where(_uniform01(F.col(id_col), seed) < rate)
 
 
+def split_assign(
+    df: DataFrame,
+    weights: dict,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's hash-uniform
+    lands in one of the cumulative ``weights`` ranges (insertion order).
+    Weights need not sum to 1 — any remainder maps to NULL (held out).
+
+    Like sample_uniform this is a pure projection — no shuffle, stable
+    under repartitioning and re-runs, and a document never migrates
+    between splits when the corpus grows (the property rand()-based
+    splits lack)."""
+    u = _uniform01(F.col(id_col), seed)
+    expr = F.lit(None).cast("string")
+    cum = float(sum(weights.values()))
+    for name, w in reversed(list(weights.items())):
+        expr = F.when(u < F.lit(cum), F.lit(name)).otherwise(expr)
+        cum -= float(w)
+    return df.withColumn(split_col, expr)
+
+
 def cap_per_group(
     df: DataFrame, group_cols: list, k: int, order_by: list
 ) -> DataFrame:

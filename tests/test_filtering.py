@@ -1,0 +1,91 @@
+"""training.filtering: Gopher repetition stats + rule filters, checked
+against straightforward Python recomputation (collections.Counter)."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_spark.training.filtering import (
+    gopher_filter,
+    gopher_flags,
+    ngram_repetition,
+    repetition_removal,
+    word_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "the cat sat on the mat the cat sat again"),
+        (1, "spam spam spam spam spam spam"),
+        (2, "a perfectly ordinary sentence with many distinct tokens here"),
+        (3, "x"),
+        (4, ""),
+        (5, "one two one two one two one two one two"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def py_gram_stats(text: str, n: int):
+    toks = text.lower().split()
+    grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    c = Counter(grams)
+    return {
+        "top_run": max(c.values(), default=0),
+        "top_chars": max((k * len(g) for g, k in c.items()), default=0),
+        "dup_occ": sum(k for k in c.values() if k > 1),
+        "dup_chars": sum(k * len(g) for g, k in c.items() if k > 1),
+        "tot_chars": sum(k * len(g) for g, k in c.items()),
+        "n_grams": len(grams),
+    }
+
+
+@pytest.mark.parametrize("n", [1, 2, 5])
+def test_ngram_repetition_matches_counter(corpus, n):
+    out = ngram_repetition(corpus, n).collect()
+    for r in out:
+        want = py_gram_stats(r["text"], n)
+        for f, v in want.items():
+            assert r[f"g{n}_{f}"] == v, (r["doc_id"], n, f, r[f"g{n}_{f}"], v)
+
+
+def test_word_stats(corpus):
+    rows = {r["doc_id"]: r for r in word_stats(corpus).collect()}
+    assert rows[0]["n_words"] == 10
+    assert rows[0]["n_distinct_words"] == 6  # the cat sat on mat again
+    assert rows[0]["n_stopwords"] == 3  # 'the' ×3 ('on'/'cat' not stopwords)
+    assert rows[4]["n_words"] == 0 and rows[4]["word_chars"] == 0
+    assert rows[2]["n_alpha_words"] == rows[2]["n_words"]
+
+
+def test_gopher_flags_and_filter(corpus):
+    flags = gopher_flags(corpus, min_words=5, min_stopwords=1).collect()
+    by_id = {r["doc_id"]: r for r in flags}
+    # doc 1: one token repeated -> dominated by its 2-gram, fails repetition
+    assert not by_id[1]["ok_top2gram"] and not by_id[1]["keep"]
+    # doc 5: "one two" 2-gram dominates
+    assert not by_id[5]["ok_top2gram"]
+    # doc 2: diverse, passes repetition rules
+    assert by_id[2]["ok_top2gram"] and by_id[2]["ok_dup5gram"]
+    # empty / tiny docs fail word-count but pass (vacuous) gram rules
+    assert by_id[4]["ok_top2gram"] and not by_id[4]["ok_words"]
+    kept = gopher_filter(corpus, min_words=5, min_stopwords=1)
+    assert set(kept.columns) == {"doc_id", "text"}
+    assert [r["doc_id"] for r in kept.collect()] == [
+        r["doc_id"] for r in flags if r["keep"]
+    ]
+
+
+def test_repetition_removal(corpus):
+    kept = {r["doc_id"] for r in repetition_removal(corpus, n=2, max_dup_frac=0.5).collect()}
+    assert 1 not in kept  # pure spam
+    assert 5 not in kept  # alternating two tokens: every 2-gram duplicated
+    assert {2, 3, 4} <= kept  # diverse or gram-free docs survive
+
+
+def test_no_shuffle_in_plan(corpus):
+    """The whole Gopher pass must stay map-side: no Exchange operator."""
+    plan = gopher_flags(corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

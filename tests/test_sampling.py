@@ -117,3 +117,22 @@ def test_pack_greedy_first_fit(docs):
                 want[r["doc_id"]] = len(free) - 1
         got = out[out["shard"] == shard].set_index("doc_id")["bin"].to_dict()
         assert got == want
+
+
+def test_split_assign(docs):
+    from openeo_processes_dask_spark.training.sampling import split_assign
+
+    out = split_assign(docs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=5)
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}  # no NULL leftover
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert sum(counts.values()) == 600
+    # deterministic: same assignment on re-run and under repartitioning
+    again = split_assign(docs.repartition(7), {"train": 0.8, "val": 0.1, "test": 0.1}, seed=5)
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in again.collect()}
+    assert a == b
+    # partial weights hold out the remainder as NULL
+    held = split_assign(docs, {"train": 0.5}, seed=5)
+    n_null = held.where(F.col("split").isNull()).count()
+    assert 0 < n_null < 600
