@@ -568,6 +568,20 @@ def q_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, [float(v) for v in query], k=10)
 
 
+def q_pq_topk(spark, sf_dir):
+    """PQ/ADC approximate top-k (training/similarity.py): 4×16-dim
+    subspaces, 8 seed-sampled centroids each; encode = one projection,
+    score = element_at LUT lookups summed in fixed order, TakeOrdered.
+    Oracle replicates codebooks/encode/LUT with the same fold-left
+    arithmetic."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.similarity import pq_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return pq_topk(emb, [float(v) for v in query], k=12, m=4, ks=8)
+
+
 def q_lsh_topk(spark, sf_dir):
     _setup(spark)
     from openeo_processes_dask_spark.training.similarity import lsh_topk
@@ -1079,6 +1093,75 @@ def _ivf_topk_oracle_sql(
     """
 
 
+def _pq_topk_oracle_sql(
+    m: int = 4, ks: int = 8, k: int = 12, seed: int = 42, dim: int = 64
+) -> str:
+    """Twin of training.similarity.pq_topk: same md5-ordered codebook
+    sample, same per-subspace argmin encode (ties on lower code), same
+    query LUT distances, same fixed-order ADC sum — every distance a
+    left-to-right fold, so rankings match bit-for-bit."""
+    sub = dim // m
+    js = ", ".join(str(j) for j in range(m))
+    d_terms = " + ".join(f"d{j}" for j in range(m))
+    # fixed-order sum ((d0 + d1) + d2) + d3 — mirrors the engine's Column
+    # `+` chain exactly
+    adc = "d0"
+    for j in range(1, m):
+        adc = f"({adc} + d{j})"
+    pivots = ",\n                 ".join(
+        f"max(CASE WHEN e.j = {j} THEN l.d END) AS d{j}" for j in range(m)
+    )
+    sqdist = (
+        f"list_sum([(v[i] - c[i]) * (v[i] - c[i]) "
+        f"for i in generate_series(1, {sub})])"
+    )
+    qdist = (
+        f"list_sum([(qv[i] - c[i]) * (qv[i] - c[i]) "
+        f"for i in generate_series(1, {sub})])"
+    )
+    return f"""
+        WITH cb AS (
+          SELECT row_number() OVER (
+                   ORDER BY md5('{seed}-' || CAST(vec_id AS VARCHAR))) - 1 AS cidx,
+                 embedding AS cvec
+          FROM embeddings
+          ORDER BY md5('{seed}-' || CAST(vec_id AS VARCHAR))
+          LIMIT {ks}),
+        js AS (SELECT unnest([{js}]) AS j),
+        subc AS (
+          SELECT cidx, j,
+                 list_transform(list_slice(cvec, j * {sub} + 1, j * {sub} + {sub}),
+                                x -> CAST(x AS DOUBLE)) AS c
+          FROM cb, js),
+        vs AS (
+          SELECT vec_id, j,
+                 list_transform(list_slice(embedding, j * {sub} + 1, j * {sub} + {sub}),
+                                x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings, js),
+        enc AS (
+          SELECT vec_id, j, cidx AS code FROM (
+            SELECT vs.vec_id, vs.j, s.cidx,
+                   row_number() OVER (PARTITION BY vs.vec_id, vs.j
+                     ORDER BY {sqdist}, s.cidx) AS rn
+            FROM vs JOIN subc s USING (j))
+          WHERE rn = 1),
+        q AS (SELECT j, list_transform(list_slice(embedding, j * {sub} + 1,
+                                                  j * {sub} + {sub}),
+                                       x -> CAST(x AS DOUBLE)) AS qv
+              FROM embeddings, js WHERE vec_id = 0),
+        lut AS (
+          SELECT s.j, s.cidx, {qdist} AS d
+          FROM subc s JOIN q USING (j)),
+        sc AS (
+          SELECT e.vec_id,
+                 {pivots}
+          FROM enc e JOIN lut l ON e.j = l.j AND e.code = l.cidx
+          GROUP BY e.vec_id)
+        SELECT vec_id, round({adc}, 6) AS adc
+        FROM sc ORDER BY {adc}, vec_id LIMIT {k}
+    """
+
+
 def _lsh_topk_oracle_sql(n_planes: int = 12, k: int = 10, seed: int = 42) -> str:
     from openeo_processes_dask_spark.training.similarity import (
         random_hyperplanes,
@@ -1183,6 +1266,10 @@ _KERNEL_SQL = {
         " * sin(3.141592653589793 * {d} / 3.0))"
         " / (9.869604401089358 * {d} * {d}))"
         " ELSE 0.0 END",
+    ),
+    "gauss": (
+        "(-2), (-1), (0), (1), (2), (3)",
+        "CASE WHEN {d} < 3.0 THEN exp(-({d} * {d}) / 2.0) ELSE 0.0 END",
     ),
 }
 
@@ -1516,6 +1603,42 @@ def q_streaming_sliding_sum(spark, sf_dir):
     return spark.table(name).select(
         "t", "band", F.round("value", 6).alias("value")
     )
+
+
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark): drain the
+    events table as ONE micro-batch (single file, AvailableNow) so every
+    distinct (user, band, day) key is emitted exactly once — the emitted
+    KEY SET is deterministic even though which duplicate row wins the
+    state race is not, so the query returns keys only and the oracle is
+    SELECT DISTINCT."""
+    _setup(spark)
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_dedup_exact,
+        stream_events,
+    )
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream1_{os.path.basename(sf_dir)}"
+    )
+    if not os.path.isdir(stream_dir):
+        # single sorted file: one micro-batch == sorted replay (oracle
+        # convention for stateful streaming)
+        _table(spark, sf_dir, "events").orderBy("ts").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stream_dir)
+    stream = stream_events(spark, stream_dir, max_files_per_trigger=None)
+    keyed = stream.withColumn("day", F.date_trunc("day", F.col("t")))
+    out = stream_dedup_exact(keyed, ["user_id", "band", "day"], "1 hour")
+    name = f"q_sdedup_{abs(hash(sf_dir)) % 10_000}"
+    q = run_stream_to_memory(out.select("user_id", "band", "day"), name,
+                             output_mode="append")
+    q.awaitTermination(300)
+    return spark.table(name).select("user_id", "band", "day")
 
 
 def q_save_load_roundtrip(spark, sf_dir):
@@ -1968,6 +2091,17 @@ def q_resample_lanczos(spark, sf_dir):
 
     out = resample_spatial(_grid_cube(spark, sf_dir), resolution=2.5,
                            method="lanczos")
+    return _round6(out.df, "value")
+
+
+def q_resample_gauss(spark, sf_dir):
+    """resample_spatial method='gauss' (σ=1 truncated Gaussian — completes
+    the odc/GDAL resampling method list)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.resample import resample_spatial
+
+    out = resample_spatial(_grid_cube(spark, sf_dir), resolution=2.5,
+                           method="gauss")
     return _round6(out.df, "value")
 
 
@@ -2639,6 +2773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,
+        "pq_topk": q_pq_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "resample_asof": q_resample_asof,
         "ndvi_events": q_ndvi_events,
@@ -2653,11 +2788,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_buffer": q_vector_buffer,
         "multimodal_features": q_multimodal_features,
         "streaming_daily_sum": q_streaming_daily_sum,
+        "streaming_dedup": q_streaming_dedup,
         "streaming_sliding_sum": q_streaming_sliding_sum,
         "save_load_roundtrip": q_save_load_roundtrip,
         "resample_cubic": q_resample_cubic,
         "reduce_quantiles": q_reduce_quantiles,
         "resample_cubicspline": q_resample_cubicspline,
+        "resample_gauss": q_resample_gauss,
         "apply_neighborhood_2d": q_apply_neighborhood_2d,
         "apply_neighborhood_2d_mean": q_apply_neighborhood_2d_mean,
         "resample_lanczos": q_resample_lanczos,
@@ -3135,6 +3272,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s.x, p.param
         """,
         "lsh_topk": _lsh_topk_oracle_sql(n_planes=6),
+        "pq_topk": _pq_topk_oracle_sql(),
         "ivf_topk": _ivf_topk_oracle_sql(),
         "reduce_any": """
             SELECT user_id, event_type AS band, bool_or(value > 100) AS value
@@ -3153,6 +3291,11 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WHERE ts >= '2024-01-01' AND ts < '2024-02-01'
               GROUP BY ALL) GROUP BY ALL
+        """,
+        "streaming_dedup": """
+            SELECT DISTINCT user_id, event_type AS band,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+            FROM events
         """,
         "streaming_daily_sum": """
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS t,
@@ -3186,6 +3329,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "resample_cubic": _resample_kernel_oracle_sql("cubic"),
         "resample_cubicspline": _resample_kernel_oracle_sql("cubicspline"),
+        "resample_gauss": _resample_kernel_oracle_sql("gauss"),
         "resample_lanczos": _resample_kernel_oracle_sql("lanczos"),
         "apply_neighborhood_2d": f"""
             WITH {_GRID_CTE}

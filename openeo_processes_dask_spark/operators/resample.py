@@ -163,7 +163,7 @@ def resample_spatial(
             raise ValueError(
                 f'Selected resampling method "{method}" is not available! '
                 "Please select one of [near, bilinear, cubic, cubicspline, "
-                "lanczos, average, mode, max, min, med, q1, q3, sum, rms, "
+                "lanczos, gauss, average, mode, max, min, med, q1, q3, sum, rms, "
                 "mean, or any registered reducer]"
             )
         kwargs = {}
@@ -293,11 +293,19 @@ def _lanczos_weight(d):
     )
 
 
+def _gauss_weight(d):
+    """Gaussian smoothing kernel (odc/GDAL 'gauss'): σ = 1 source cell,
+    truncated at |d| ≥ 3. The normalization constant cancels in the
+    weighted mean's renormalization, so only exp(-d²/2) matters."""
+    return F.when(d < 3.0, F.exp(-d * d / F.lit(2.0))).otherwise(F.lit(0.0))
+
+
 # kernel -> (tap offsets, weight builder over d = |tap - frac|)
 _CONV_KERNELS = {
     "cubic": ((-1, 0, 1, 2), _catmull_rom_weight),
     "cubicspline": ((-1, 0, 1, 2), _bspline_weight),
     "lanczos": ((-2, -1, 0, 1, 2, 3), _lanczos_weight),
+    "gauss": ((-2, -1, 0, 1, 2, 3), _gauss_weight),
 }
 
 

@@ -377,3 +377,86 @@ def save_result(
     else:
         raise ValueError(f"Unsupported format: {format}")
     return path
+
+
+def save_cube_bucketed(
+    data: DataCube,
+    table: str,
+    n_buckets: int = 64,
+    bucket_cols: tuple[str, ...] | None = None,
+    path: str | None = None,
+):
+    """Sink for the co-located-join layout: bucket the cube's table by its
+    spatial dims (default) so downstream joins/aggregations on those keys
+    run with NO exchange.
+
+    At 100 TB the dominant cost of merge_cubes / mask / resample_cube_*
+    is the shuffle that co-locates the two sides on (x, y). Spark's
+    native bucketing (``bucketBy`` + ``saveAsTable``) bakes that layout
+    into storage once: every bucketed table with the same bucket count
+    and keys hash-partitions identically, so SortMergeJoin reads both
+    sides bucket-for-bucket (``test_bucketed_join_no_exchange`` asserts
+    the plan). ``n_buckets`` should be sized so one bucket ≈ one task's
+    comfortable input (128-512 MB); with ~1 GB/bucket a 100 TB cube is
+    ~100k buckets.
+
+    Floating-point caveat (discovered from the physical plan): Spark
+    DISABLES bucketed scans when join keys are float/double — the planner
+    wraps them in NaN/-0.0 normalization, which defeats the storage
+    partitioning, so every float-keyed join would shuffle anyway. Raster
+    label columns are doubles, so for any float bucket column this sink
+    derives an exact integer grid index ``<col>_idx`` =
+    round((label − origin)/step) from the axis geometry (labels are
+    metadata-sized) and buckets/sorts on those. Two cubes on the same
+    grid get identical indices; join on the ``*_idx`` columns to stay
+    exchange-free (the float equality follows from the shared grid).
+
+    ``path`` makes the table external (data at that location); otherwise
+    it lands in the session's warehouse dir. Returns the table name.
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    cols = list(bucket_cols) if bucket_cols else list(data.meta.spatial_dims)
+    if not cols:
+        cols = list(data.meta.dims)
+    df = data.df
+    types = dict(df.dtypes)
+    keys = []
+    for c in cols:
+        if types.get(c) in ("double", "float"):
+            vals = sorted(r[0] for r in df.select(c).distinct().collect())
+            origin = vals[0] if vals else 0.0
+            diffs = [b - a for a, b in zip(vals, vals[1:])]
+            step = min((d for d in diffs if d > 0), default=1.0)
+            df = df.withColumn(
+                f"{c}_idx",
+                F.round((F.col(c) - F.lit(origin)) / F.lit(step)).cast("long"),
+            )
+            keys.append(f"{c}_idx")
+        else:
+            keys.append(c)
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(int(n_buckets), *keys)
+        .sortBy(*keys)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    return table
+
+
+def load_bucketed_cube(
+    spark: SparkSession,
+    table: str,
+    dims: tuple[str, ...],
+    value_col: str = "value",
+    **cube_kwargs,
+) -> DataCube:
+    """Load a save_cube_bucketed table back as a DataCube. The bucketing
+    metadata lives in the catalog, so joins between two such cubes on the
+    bucket keys skip the exchange entirely."""
+    return DataCube(
+        spark.table(table), dims=dims, value_col=value_col, **cube_kwargs
+    )

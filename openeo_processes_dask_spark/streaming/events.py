@@ -98,3 +98,27 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_exact(
+    stream: DataFrame,
+    key_cols: list | None = None,
+    watermark: str = "1 hour",
+    time_col: str = "t",
+) -> DataFrame:
+    """Streaming exact deduplication: emit only the FIRST event per key,
+    with state bounded by the watermark (``dropDuplicatesWithinWatermark``
+    — keys older than the watermark are evicted, so state never grows
+    unboundedly the way an unbounded ``dropDuplicates`` would).
+
+    This is the streaming twin of training.dedup.exact_duplicates' keep
+    decision: in a training-data ingest pipeline it deduplicates the
+    firehose before it ever lands, instead of a later batch pass. Exact
+    only within the watermark horizon — a duplicate arriving later than
+    the watermark is a new "first" (the standard streaming trade-off;
+    the batch pass remains the ground truth across horizons).
+    """
+    keys = key_cols or ["user_id", "band"]
+    return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -272,3 +272,135 @@ def ivf_topk(
     )
     candidates = assigned.where(F.col("cid").isin(probe_ids)).drop("cid")
     return cosine_topk(candidates, query, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    ks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Per-subspace PQ codebooks from ``ks`` seed-sampled vectors (the
+    same md5-order sampling as ivf_centroids — deterministic in any
+    engine, unlike k-means whose float accumulation order is
+    engine-private). Returns ``codebooks[j][c]`` = the j-th subvector of
+    the c-th sampled vector (plain Python floats, metadata-sized)."""
+    rows = (
+        df.select(
+            F.col(vec_col).alias("v"),
+            F.md5(
+                F.concat_ws("-", F.lit(str(seed)), F.col(id_col).cast("string"))
+            ).alias("__k__"),
+        )
+        .orderBy("__k__")
+        .limit(int(ks))
+        .collect()
+    )
+    dim = len(rows[0]["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    return [
+        [[float(x) for x in row["v"][j * sub : (j + 1) * sub]] for row in rows]
+        for j in range(m)
+    ]
+
+
+def _sq_dist_lit(sub_col, centroid: Sequence[float]):
+    """Σ (v_i − c_i)² as a strict left-to-right fold against a literal
+    centroid — the op order every engine (and the oracle) reproduces."""
+    c = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(sub_col, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode every vector: per subspace, the argmin-distance codebook
+    entry (ties on the lower code — deterministic). Adds ``code0..code{m-1}``
+    int columns.
+
+    This is the 100 TB memory story for ANN: m bytes per vector instead
+    of 4·dim (64-dim float32 → 4-byte codes = 64× smaller), computed in
+    ONE projection — no shuffle, no Python. The argmin compiles to
+    array_min over (dist, code) structs, so the whole encode stays a
+    scan."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    out = df
+    for j, book in enumerate(codebooks):
+        subv = F.slice(v, j * sub + 1, sub)
+        cands = F.array(
+            *[
+                F.struct(
+                    _sq_dist_lit(subv, cent).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c, cent in enumerate(book)
+            ]
+        )
+        out = out.withColumn(f"code{j}", F.array_min(cands).getField("c"))
+    return out
+
+
+def pq_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    m: int = 4,
+    ks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """PQ/ADC approximate top-k: encode the table (one projection), build
+    the query→codebook lookup table driver-side (m·ks floats), score every
+    vector as the fixed-order sum of LUT[j][code_j], and TakeOrdered the k
+    best (ascending approximate squared distance).
+
+    The LUT lookups are element_at over literal arrays — pure codegen, no
+    join, no shuffle; orderBy+limit is per-partition heaps. At corpus
+    scale this composes with IVF: partition by coarse cell, prune to
+    nprobe cells, ADC-scan only those. LUT entries are computed with the
+    same left-to-right fold arithmetic as the engine/oracle distances, so
+    rankings agree bit-for-bit."""
+    query = [float(x) for x in query]
+    books = pq_codebooks(df, m, ks, id_col, vec_col, seed)
+    sub = len(books[0][0])
+    lut = [
+        [
+            sum(
+                (query[j * sub + i] - cent[i]) * (query[j * sub + i] - cent[i])
+                for i in range(sub)
+            )
+            for cent in book
+        ]
+        for j, book in enumerate(books)
+    ]
+    enc = pq_encode(df, books, id_col, vec_col)
+    score = None
+    for j in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(float(d)) for d in lut[j]]), F.col(f"code{j}") + 1
+        )
+        score = term if score is None else score + term
+    return (
+        enc.select(F.col(id_col), F.round(score, 6).alias("adc"))
+        .orderBy(F.col("adc"), F.col(id_col))
+        .limit(k)
+    )

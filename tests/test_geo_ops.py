@@ -503,3 +503,31 @@ def test_resample_spatial_bilinear_linear_field(spark):
     for r in got:
         assert r["value"] == pytest.approx(2.0 * r["x"] + 3.0 * r["y"], abs=1e-9), (
             r["x"], r["y"])
+
+
+def test_resample_spatial_gauss(spark, small_cube):
+    """'gauss' (σ=1 truncated Gaussian): constant fields are reproduced
+    exactly (weights renormalize), and at integer-aligned interior targets
+    the symmetric kernel preserves linear fields."""
+    const = small_cube.with_df(small_cube.df.withColumn("value", F.lit(7.0)))
+    out = resample_spatial(const, resolution=2.0, method="gauss")
+    vals = [r["value"] for r in out.df.collect()]
+    assert vals and all(abs(v - 7.0) < 1e-12 for v in vals)
+    with pytest.raises(ValueError, match="not available"):
+        resample_spatial(small_cube, resolution=2.0, method="nope")
+
+
+def test_resample_spatial_gauss_linear_interior(spark):
+    """Linear field f(x,y)=x on a 9-wide grid, resolution == step: the
+    symmetric gauss taps cancel at interior aligned targets."""
+    from openeo_processes_dask_spark.cube import DataCube
+
+    rows = [(float(x), float(y), "b", float(x)) for x in range(9) for y in range(3)]
+    df = spark.createDataFrame(rows, "x double, y double, band string, value double")
+    cube = DataCube(df, dims=("x", "y", "band"),
+                    roles={"x": "x", "y": "y", "band": "bands"})
+    out = resample_spatial(cube, resolution=1.0, method="gauss")
+    got = {(r["x"], r["y"]): r["value"] for r in out.df.collect()}
+    for (x, y), v in got.items():
+        if 2 <= x <= 6 and y == 1:  # interior in x; y clamps don't matter for f=x
+            assert abs(v - x) < 1e-9, (x, y, v)

@@ -529,3 +529,47 @@ def test_multimodal_resize_frames_audio(spark):
     assert row["spectral_centroid"] == pytest.approx(
         float((freqs * spec).sum() / spec.sum()), rel=1e-9
     )
+
+
+def test_pq_encode_and_topk(spark):
+    """PQ codes match a pure-Python recompute of the same algorithm, and
+    ADC top-k ranks by the LUT sum."""
+    import numpy as np
+
+    from openeo_processes_dask_spark.training.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((40, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    books = pq_codebooks(df, m=2, ks=4)
+    assert len(books) == 2 and len(books[0]) == 4 and len(books[0][0]) == 4
+    enc = {r["vec_id"]: (r["code0"], r["code1"]) for r in pq_encode(df, books).collect()}
+
+    def py_code(v, book):
+        ds = [sum((float(a) - b) ** 2 for a, b in zip(v, c)) for c in book]
+        return min(range(len(ds)), key=lambda i: (ds[i], i))
+
+    for i in range(40):
+        v = [float(x) for x in vecs[i]]
+        assert enc[i] == (py_code(v[:4], books[0]), py_code(v[4:], books[1])), i
+
+    q = [float(x) for x in vecs[0]]
+    top = pq_topk(df, q, k=5, m=2, ks=4).collect()
+    assert len(top) == 5
+    # ADC distances ascend and the scores equal the LUT recompute
+    adcs = [r["adc"] for r in top]
+    assert adcs == sorted(adcs)
+    lut = [
+        [sum((q[j * 4 + i] - c[i]) ** 2 for i in range(4)) for c in books[j]]
+        for j in range(2)
+    ]
+    for r in top:
+        c0, c1 = enc[r["vec_id"]]
+        assert abs(r["adc"] - round(lut[0][c0] + lut[1][c1], 6)) < 1e-9

@@ -184,3 +184,42 @@ def test_stateful_sessionization(spark, tmp_path):
         assert (
             g.session_start.values[1:] > g.session_end.values[:-1]
         ).all()
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: one micro-batch emits each distinct
+    key exactly once; duplicates inside the batch are suppressed."""
+    import pandas as pd
+
+    from openeo_processes_dask_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_dedup_exact,
+        stream_events,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "click", 1.0, ""),
+        (2, "2024-01-01 00:05:00", 10, "click", 2.0, ""),  # dup key
+        (3, "2024-01-01 00:10:00", 11, "click", 3.0, ""),
+        (4, "2024-01-01 00:20:00", 10, "view", 4.0, ""),
+        (5, "2024-01-01 00:30:00", 11, "click", 5.0, ""),  # dup key
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    src = spark.createDataFrame(pdf)
+    stream_dir = str(tmp_path / "dedup_stream")
+    src.coalesce(1).write.parquet(stream_dir)
+
+    stream = stream_events(spark, stream_dir, max_files_per_trigger=None)
+    out = stream_dedup_exact(stream, ["user_id", "band"], "1 hour")
+    q = run_stream_to_memory(out.select("user_id", "band"), "dedup_test",
+                             output_mode="append")
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["band"])
+        for r in spark.sql("select * from dedup_test").collect()
+    }
+    assert got == {(10, "click"), (11, "click"), (10, "view")}
+    assert spark.sql("select count(*) c from dedup_test").first()["c"] == 3
