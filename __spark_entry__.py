@@ -391,6 +391,22 @@ def q_dedup_exact(spark, sf_dir):
     return exact_duplicates(docs, "doc_id", "text")
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup (training/dedup.py dedup_against): the "new"
+    batch is the odd-id docs plus re-ingested copies of the even-id docs
+    (ids shifted +10⁶); against the even-id "seen" corpus, exactly the
+    copies must drop — fingerprints-only LEFT ANTI join."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import dedup_against
+
+    docs = _table(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1).unionByName(
+        seen.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    )
+    return dedup_against(new, seen).select("doc_id", "lang", "source")
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic stratified Bernoulli sample (training/sampling.py):
     per-language keep rates as a pure scan filter — md5-hash uniform, so
@@ -566,6 +582,21 @@ def q_cosine_topk(spark, sf_dir):
     emb = _table(spark, sf_dir, "embeddings")
     query = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     return cosine_topk(emb, [float(v) for v in query], k=10)
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """Distributed k-means (training/clustering.py): micro-unit snapping
+    makes every per-cluster sum exact in any order, so the unrolled-CTE
+    DuckDB twin matches the engine bit-for-bit — no tolerance at all."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, iterations=2)
+    return kmeans_assign(emb, cents)
 
 
 def q_pq_topk(spark, sf_dir):
@@ -1090,6 +1121,70 @@ def _ivf_topk_oracle_sql(
         SELECT vec_id, {final_cos} AS cosine
         FROM cands, q
         ORDER BY cosine DESC, vec_id LIMIT {k}
+    """
+
+
+def _kmeans_oracle_sql(
+    k: int = 8, iterations: int = 2, seed: int = 42, dim: int = 64
+) -> str:
+    """Twin of training.clustering kmeans_fit+assign: same md5-ordered
+    init, same micro-unit snapping (integer sums are order-independent,
+    centroid means bit-identical), Lloyd iterations unrolled as CTE
+    pairs (assign_i, cent_{i+1}); empty clusters coalesce to the previous
+    centroid exactly like the engine."""
+    sqdist = (
+        f"list_sum([(v[i] - cent[i]) * (v[i] - cent[i]) "
+        f"for i in generate_series(1, {dim})])"
+    )
+    ctes = [
+        f"""sv AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                                x -> round(CAST(x AS DOUBLE) * 1000000.0)) AS v
+          FROM embeddings)""",
+        f"""cent0 AS (
+          SELECT row_number() OVER (
+                   ORDER BY md5('{seed}-' || CAST(vec_id AS VARCHAR))) - 1 AS c,
+                 list_transform(embedding,
+                                x -> round(CAST(x AS DOUBLE) * 1000000.0)) AS cent
+          FROM embeddings
+          ORDER BY md5('{seed}-' || CAST(vec_id AS VARCHAR))
+          LIMIT {k})""",
+        f"js AS (SELECT unnest(generate_series(1, {dim})) AS j)",
+    ]
+    for it in range(iterations):
+        ctes.append(
+            f"""assign{it} AS (
+          SELECT vec_id, c FROM (
+            SELECT sv.vec_id, c0.c,
+                   row_number() OVER (PARTITION BY sv.vec_id
+                     ORDER BY {sqdist}, c0.c) AS rn
+            FROM sv, cent{it} c0)
+          WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""mean{it} AS (
+          SELECT a.c, j, sum(v[j]) / count(*) AS m
+          FROM assign{it} a JOIN sv USING (vec_id), js
+          GROUP BY a.c, j)"""
+        )
+        ctes.append(
+            f"""cent{it + 1} AS (
+          SELECT p.c,
+                 coalesce(n.cent, p.cent) AS cent
+          FROM cent{it} p LEFT JOIN
+               (SELECT c, list(m ORDER BY j) AS cent FROM mean{it} GROUP BY c) n
+               USING (c))"""
+        )
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT vec_id, c AS cluster FROM (
+          SELECT sv.vec_id, c0.c,
+                 row_number() OVER (PARTITION BY sv.vec_id
+                   ORDER BY {sqdist}, c0.c) AS rn
+          FROM sv, cent{iterations} c0)
+        WHERE rn = 1
     """
 
 
@@ -2759,6 +2854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_ops": q_date_ops,
         "add_drop_dimension": q_add_drop_dimension,
         "dedup_exact": q_dedup_exact,
+        "dedup_incremental": q_dedup_incremental,
         "sample_stratified": q_sample_stratified,
         "cap_per_source": q_cap_per_source,
         "pack_contiguous": q_pack_contiguous,
@@ -2774,6 +2870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,
         "pq_topk": q_pq_topk,
+        "kmeans_clusters": q_kmeans_clusters,
         "embedding_near_dups": q_embedding_near_dups,
         "resample_asof": q_resample_asof,
         "ndvi_events": q_ndvi_events,
@@ -2988,6 +3085,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
                    min(doc_id) AS keep_id, count(*) AS n_copies
             FROM documents GROUP BY ALL
+        """,
+        "dedup_incremental": """
+            WITH new AS (
+              SELECT doc_id, lang, source, text FROM documents WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT doc_id + 1000000, lang, source, text FROM documents
+              WHERE doc_id % 2 = 0)
+            SELECT doc_id, lang, source FROM new n
+            WHERE NOT EXISTS (
+              SELECT 1 FROM documents s
+              WHERE s.doc_id % 2 = 0
+                AND md5(regexp_replace(lower(trim(s.text)), '\\s+', ' ', 'g'))
+                  = md5(regexp_replace(lower(trim(n.text)), '\\s+', ' ', 'g')))
         """,
         "sample_stratified": """
             SELECT doc_id, lang, source FROM documents
@@ -3273,6 +3383,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lsh_topk": _lsh_topk_oracle_sql(n_planes=6),
         "pq_topk": _pq_topk_oracle_sql(),
+        "kmeans_clusters": _kmeans_oracle_sql(),
         "ivf_topk": _ivf_topk_oracle_sql(),
         "reduce_any": """
             SELECT user_id, event_type AS band, bool_or(value > 100) AS value

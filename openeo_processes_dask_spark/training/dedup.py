@@ -46,6 +46,31 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def dedup_against(
+    df_new: DataFrame,
+    df_seen: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup: rows of ``df_new`` whose content
+    fingerprint does NOT appear in ``df_seen`` — the cross-version
+    anti-join every ongoing corpus build runs (v_{n} against
+    v_{n−1}'s fingerprints).
+
+    Plan: both sides reduce to 32-char digests before the LEFT ANTI join,
+    so the shuffle carries fingerprints, not documents; at scale the seen
+    side is a persisted fingerprint table (what exact_duplicates emits),
+    read with its own column pruning. Within-batch duplicates are kept —
+    compose with exact_duplicates for full dedup."""
+
+    def fp(text):
+        return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+    seen = df_seen.select(fp(F.col(text_col)).alias("fingerprint")).distinct()
+    new_fp = df_new.withColumn("fingerprint", fp(F.col(text_col)))
+    return new_fp.join(seen, "fingerprint", "left_anti").select(*df_new.columns)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -195,9 +195,9 @@ def ivf_centroids(
 ) -> DataFrame:
     """IVF coarse-centroid selection: the ``n_centroids`` vectors with the
     smallest md5(seed-id) — seeded random sampling that any engine
-    reproduces (k-means would sharpen the cells but make the index
-    engine-private; sampling is the standard init and keeps the DuckDB
-    oracle bit-exact). The centroid table is metadata-sized by design."""
+    reproduces. To sharpen the cells, run training.clustering.kmeans_fit
+    (micro-unit snapping keeps even Lloyd iterations engine-exact) and
+    feed its centroids. The centroid table is metadata-sized by design."""
     key = F.md5(
         F.concat_ws("-", F.lit(str(seed)), F.col(id_col).cast("string"))
     )

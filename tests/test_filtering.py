@@ -89,3 +89,20 @@ def test_no_shuffle_in_plan(corpus):
     """The whole Gopher pass must stay map-side: no Exchange operator."""
     plan = gopher_flags(corpus)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_dedup_against(spark):
+    from openeo_processes_dask_spark.training.dedup import dedup_against
+
+    seen = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "  ALPHA   beta "), (11, "delta"), (12, "gamma"), (13, "delta")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup_against(new, seen).collect())
+    # 10 normalizes to seen 'alpha beta'; 12 matches 'gamma'; within-batch
+    # duplicate 13 of 11 is kept (contract: compose with exact_duplicates)
+    assert kept == [11, 13]
+    assert dedup_against(new, seen).columns == ["doc_id", "text"]
