@@ -391,6 +391,40 @@ def q_dedup_exact(spark, sf_dir):
     return exact_duplicates(docs, "doc_id", "text")
 
 
+def q_training_pipeline(spark, sf_dir):
+    """The training-data lane end-to-end in ONE oracle-checked query:
+    Gopher quality filter -> exact dedup (canonical min-id per
+    fingerprint) -> stratified sample -> train/val split -> shard ->
+    contiguous sequence packing. Every stage is shuffle-minimal (filter
+    and sample are scans; dedup is one digest aggregate; packing is a
+    per-shard window) and every stage reuses an operator that also has
+    its own standalone gate."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import exact_duplicates
+    from openeo_processes_dask_spark.training.filtering import gopher_filter
+    from openeo_processes_dask_spark.training.sampling import (
+        assign_shards,
+        pack_tokens_contiguous,
+        sample_stratified,
+        split_assign,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    kept = gopher_filter(docs, min_words=30, min_stopwords=1)
+    canon = exact_duplicates(kept, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    ded = kept.join(canon, "doc_id", "left_semi")
+    samp = sample_stratified(
+        ded, {"en": 1.0, "de": 0.5}, "lang", seed=13, default=0.2
+    )
+    train = split_assign(samp, {"train": 0.9, "val": 0.1}, seed=17).where(
+        F.col("split") == "train"
+    )
+    sharded = assign_shards(train, 4, seed=19)
+    return pack_tokens_contiguous(sharded, 2048, "n_chars", shard_col="shard")
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental dedup (training/dedup.py dedup_against): the "new"
     batch is the odd-id docs plus re-ingested copies of the even-id docs
@@ -2854,6 +2888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_ops": q_date_ops,
         "add_drop_dimension": q_add_drop_dimension,
         "dedup_exact": q_dedup_exact,
+        "training_pipeline": q_training_pipeline,
         "dedup_incremental": q_dedup_incremental,
         "sample_stratified": q_sample_stratified,
         "cap_per_source": q_cap_per_source,
@@ -3085,6 +3120,81 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
                    min(doc_id) AS keep_id, count(*) AS n_copies
             FROM documents GROUP BY ALL
+        """,
+        "training_pipeline": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE string_split_regex(lower(trim(text)), '\\s+')
+                     END AS t
+              FROM documents),
+            words AS (
+              SELECT doc_id, len(t) AS n_words,
+                     len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+                     len(list_filter(t, w -> list_contains(
+                         {_STOPWORDS_SQL}, w))) AS n_stop,
+                     CAST(coalesce(list_sum(list_transform(t, w -> length(w))), 0)
+                          AS BIGINT) AS wc
+              FROM toks),
+            g AS (
+              SELECT doc_id, n, unnest(list_transform(
+                       generate_series(1, len(t) - n + 1),
+                       i -> array_to_string(list_slice(t, i, i + n - 1), ' '))) AS gr
+              FROM toks, (SELECT unnest([2, 5]) AS n) ns
+              WHERE len(t) >= n),
+            cnt AS (SELECT doc_id, n, gr, count(*) AS k, length(gr) AS lg
+                    FROM g GROUP BY doc_id, n, gr),
+            rep AS (
+              SELECT doc_id,
+                     max(CASE WHEN n = 2 THEN k * lg END) AS top2,
+                     sum(CASE WHEN n = 2 THEN k * lg END) AS tot2,
+                     sum(CASE WHEN n = 5 AND k > 1 THEN k * lg ELSE 0 END) AS dup5,
+                     sum(CASE WHEN n = 5 THEN k * lg END) AS tot5
+              FROM cnt GROUP BY doc_id),
+            flt AS (
+              SELECT d.doc_id, d.lang, d.text, d.n_chars
+              FROM documents d JOIN words w USING (doc_id)
+                   LEFT JOIN rep USING (doc_id)
+              WHERE w.n_words BETWEEN 30 AND 100000
+                AND (w.wc::DOUBLE / nullif(w.n_words, 0) >= 3.0 AND
+                     w.wc::DOUBLE / nullif(w.n_words, 0) <= 10.0)
+                AND w.n_alpha::DOUBLE / nullif(w.n_words, 0) >= 0.8
+                AND w.n_stop >= 1
+                AND coalesce(top2::DOUBLE / nullif(tot2, 0) <= 0.20, TRUE)
+                AND coalesce(dup5::DOUBLE / nullif(tot5, 0) <= 0.15, TRUE)),
+            fp AS (SELECT doc_id, lang, n_chars,
+                          md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+                   FROM flt),
+            canon AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+            ded AS (SELECT fp.* FROM fp JOIN canon USING (doc_id)),
+            samp AS (
+              SELECT * FROM ded
+              WHERE CAST('0x' || substr(md5('13-' || CAST(doc_id AS VARCHAR)), 1, 15)
+                         AS BIGINT) / 1152921504606846976.0
+                    < CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5 ELSE 0.2 END),
+            train AS (
+              SELECT * FROM samp
+              WHERE CAST('0x' || substr(md5('17-' || CAST(doc_id AS VARCHAR)), 1, 15)
+                         AS BIGINT) / 1152921504606846976.0 < 0.9),
+            sharded AS (
+              SELECT doc_id, n_chars,
+                     CAST(CAST('0x' || substr(md5('19-' || CAST(doc_id AS VARCHAR)),
+                               1, 15) AS BIGINT) % 4 AS INT) AS shard
+              FROM train WHERE n_chars > 0),
+            spans AS (
+              SELECT doc_id, shard, n_chars,
+                     CAST(sum(n_chars) OVER (PARTITION BY shard ORDER BY doc_id)
+                          AS BIGINT) AS e
+              FROM sharded),
+            segs AS (
+              SELECT doc_id, shard, e - n_chars AS s, e,
+                     unnest(generate_series((e - n_chars) // 2048,
+                                            (e - 1) // 2048)) AS segment
+              FROM spans)
+            SELECT doc_id, shard, segment,
+                   least(e, (segment + 1) * 2048)
+                   - greatest(s, segment * 2048) AS seg_tokens
+            FROM segs
         """,
         "dedup_incremental": """
             WITH new AS (

@@ -153,3 +153,60 @@ def test_simhash_packed_equals_naive_python(spark_docs=None):
             for w in text.lower().split()
         ]
         assert got[doc_id] == _py_simhash(hs), doc_id
+
+
+@given(
+    st.floats(-75, 75),
+    st.floats(-177, 177),
+)
+@settings(max_examples=120, deadline=None)
+def test_crs_scalar_roundtrips(lat, lon):
+    """4326 -> 3857 -> 4326 and 4326 -> UTM -> 4326 roundtrip to
+    micrometer precision (Krüger series is ~nm-accurate in-zone)."""
+    from openeo_processes_dask_spark.functions.crs import transform_xy_scalar
+
+    mx, my = transform_xy_scalar(lon, lat, "EPSG:4326", "EPSG:3857")
+    lon2, lat2 = transform_xy_scalar(mx, my, "EPSG:3857", "EPSG:4326")
+    assert abs(lon2 - lon) < 1e-9 and abs(lat2 - lat) < 1e-9
+
+    zone = int((lon + 180) // 6) + 1
+    epsg = (32600 if lat >= 0 else 32700) + zone
+    E, N = transform_xy_scalar(lon, lat, "EPSG:4326", f"EPSG:{epsg}")
+    lon3, lat3 = transform_xy_scalar(E, N, f"EPSG:{epsg}", "EPSG:4326")
+    assert abs(lon3 - lon) < 1e-8 and abs(lat3 - lat) < 1e-8
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 500)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(16, 512),
+)
+@settings(max_examples=80, deadline=None)
+def test_packing_segment_math(docs, budget):
+    """Pure-python replay of pack_tokens_contiguous' segment arithmetic:
+    per-document seg_tokens sum to the document's tokens, segments are
+    contiguous, and no segment exceeds the budget."""
+    docs = sorted(docs)
+    end = 0
+    seg_fill: dict = {}
+    for doc_id, n in docs:
+        if n <= 0:
+            continue
+        start, end = end, end + n
+        lo, hi = start // budget, (end - 1) // budget
+        total = 0
+        for seg in range(lo, hi + 1):
+            t = min(end, (seg + 1) * budget) - max(start, seg * budget)
+            assert 0 < t <= budget
+            seg_fill[seg] = seg_fill.get(seg, 0) + t
+            total += t
+        assert total == n
+    # every segment except the last is exactly full
+    if seg_fill:
+        last = max(seg_fill)
+        for seg, fill in seg_fill.items():
+            assert fill == budget or seg == last
