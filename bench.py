@@ -61,11 +61,13 @@ def main() -> None:
 
     for name in HEADLINE:
         fn = qs[name]
-        # two timed executions, report the min: the first run can absorb
-        # codegen compilation and host-VM noise spikes; min-of-2 is the
-        # steady-state number a cluster deployment would see
+        # three timed executions, report the min: the first run absorbs
+        # codegen compilation, and this host's VM randomly stretches
+        # single executions 3-10x (measured: the same query 0.7 s and
+        # 2.7 s within one minute), so min-of-3 is the steady-state
+        # number a cluster deployment would see
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             # count() forces full execution without driver materialization
             fn(spark, sf_dir).count()
