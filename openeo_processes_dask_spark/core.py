@@ -30,8 +30,9 @@ class ParameterReference:
         return f"ParameterReference({self.from_parameter!r})"
 
 
-class ProcessParameterMissing(Exception):
-    pass
+from openeo_processes_dask_spark.exceptions import (  # noqa: F401
+    ProcessParameterMissing,
+)
 
 
 def process(fn: Optional[Callable] = None, *, name: Optional[str] = None):

@@ -57,13 +57,10 @@ def guess_dim_role(name: str) -> str:
     return "other"
 
 
-class DimensionNotAvailable(Exception):
-    """Raised when an operator references a dimension absent from the cube
-    (mirrors openeo_processes_dask.process_implementations.exceptions)."""
-
-
-class TooManyDimensions(Exception):
-    pass
+from openeo_processes_dask_spark.exceptions import (  # noqa: F401
+    DimensionNotAvailable,
+    TooManyDimensions,
+)
 
 
 @dataclass(frozen=True)

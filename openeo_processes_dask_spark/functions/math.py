@@ -184,6 +184,14 @@ def power(base, p) -> Column:
 
 @process
 def clip(x, min, max) -> Column:  # noqa: A002 - spec param names
+    # (reference: math.py:332-338) — scalar bounds are validated eagerly;
+    # Column bounds can't be compared driver-side and clip lazily instead
+    if isinstance(min, (int, float)) and isinstance(max, (int, float)) and min > max:
+        from openeo_processes_dask_spark.exceptions import MinMaxSwapped
+
+        raise MinMaxSwapped(
+            "The minimum value should be lower than or equal to the maximum value."
+        )
     return F.greatest(F.least(_c(x), _c(max)), _c(min))
 
 

@@ -145,14 +145,23 @@ def quantiles(
     Spark ``percentile`` is the exact interpolated percentile — matches
     np.quantile(method="linear").
     """
+    from openeo_processes_dask_spark.exceptions import (
+        QuantilesParameterConflict,
+        QuantilesParameterMissing,
+    )
+
     if probabilities is not None and q is not None:
-        raise ValueError(
-            "QuantilesParameterConflict: only one of probabilities/q allowed"
+        raise QuantilesParameterConflict(
+            "The process `quantiles` requires either the `probabilities` or "
+            "`q` parameter to be set."
         )
     if q is not None:
         probabilities = [i / q for i in range(1, q)]
     if probabilities is None:
-        raise ValueError("QuantilesParameterMissing")
+        raise QuantilesParameterMissing(
+            "The process `quantiles` only allows that either the "
+            "`probabilities` or the `q` parameter is set."
+        )
     agg = F.percentile(col, F.array(*[F.lit(float(p)) for p in probabilities]))
     return agg if ignore_nodata else _nullout_if_any_null(col, agg)
 

@@ -23,16 +23,11 @@ from openeo_processes_dask_spark.core import process
 from openeo_processes_dask_spark.functions.math import _c
 
 
-class ArrayElementNotAvailable(Exception):
-    pass
-
-
-class ArrayElementParameterMissing(Exception):
-    pass
-
-
-class ArrayElementParameterConflict(Exception):
-    pass
+from openeo_processes_dask_spark.exceptions import (  # noqa: F401
+    ArrayElementNotAvailable,
+    ArrayElementParameterConflict,
+    ArrayElementParameterMissing,
+)
 
 
 @process

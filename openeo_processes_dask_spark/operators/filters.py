@@ -17,8 +17,9 @@ from openeo_processes_dask_spark.core import process
 from openeo_processes_dask_spark.cube import DataCube, DimensionNotAvailable
 
 
-class TemporalExtentEmpty(Exception):
-    pass
+from openeo_processes_dask_spark.exceptions import (  # noqa: F401
+    TemporalExtentEmpty,
+)
 
 
 def _single_temporal_dim(data: DataCube, dimension: Optional[str]) -> str:
@@ -117,9 +118,18 @@ def filter_bands(data: DataCube, bands: Sequence[str]) -> DataCube:
     """Label-select on the band dim (reference: cubes/_filter.py:133-149) —
     an IN-list predicate, partition-prunable when the source is partitioned
     by band."""
+    from openeo_processes_dask_spark.exceptions import (
+        BandFilterParameterMissing,
+        DimensionMissing,
+    )
+
+    if bands is None:
+        raise BandFilterParameterMissing(
+            "The process `filter_bands` requires the parameters `bands` to be set."
+        )
     bdims = data.meta.band_dims
     if not bdims:
-        raise DimensionNotAvailable(f"No bands dimension in {data.meta.dims}")
+        raise DimensionMissing("A band dimension is missing.")
     return data.with_df(data.df.where(F.col(bdims[0]).isin(list(bands))))
 
 

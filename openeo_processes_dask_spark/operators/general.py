@@ -13,20 +13,13 @@ from openeo_processes_dask_spark.core import process
 from openeo_processes_dask_spark.cube import CubeMeta, DataCube, DimensionNotAvailable
 
 
-class DimensionLabelCountMismatch(Exception):
-    pass
-
-
-class LabelsNotEnumerated(Exception):
-    pass
-
-
-class LabelExists(Exception):
-    pass
-
-
-class DimensionAlreadyExists(Exception):
-    pass
+from openeo_processes_dask_spark.exceptions import (  # noqa: F401
+    DimensionAlreadyExists,
+    DimensionLabelCountMismatch,
+    LabelExists,
+    LabelMismatch,
+    LabelsNotEnumerated,
+)
 
 
 @process

@@ -10,12 +10,11 @@ from openeo_processes_dask_spark.core import process
 from openeo_processes_dask_spark.cube import DataCube, DimensionNotAvailable
 
 
-class NirBandAmbiguous(Exception):
-    pass
-
-
-class BandExists(Exception):
-    pass
+from openeo_processes_dask_spark.exceptions import (  # noqa: F401
+    BandExists,
+    NirBandAmbiguous,
+    RedBandAmbiguous,
+)
 
 
 @process
@@ -37,10 +36,12 @@ def ndvi(
     (reference: indices.py:49-56) — the band dim survives; otherwise the
     band dim is dropped.
     """
+    from openeo_processes_dask_spark.exceptions import DimensionAmbiguous
+
     bdims = data.meta.band_dims
     if not bdims:
-        raise DimensionNotAvailable(
-            f"No bands dimension in {data.meta.dims}"
+        raise DimensionAmbiguous(
+            "Dimension of type `bands` is not available or is ambiguous."
         )
     band = bdims[0]
     keep = data.other_dims(band)

@@ -91,6 +91,12 @@ def apply_kernel(
         raise ValueError("apply_kernel needs spatial dims")
     keep = data.other_dims(x_dim, y_dim)
     karr = np.asarray(kernel, dtype="float64")
+    if any(dim % 2 == 0 for dim in karr.shape):
+        from openeo_processes_dask_spark.exceptions import KernelDimensionsUneven
+
+        raise KernelDimensionsUneven(
+            "Each dimension of the kernel must have an uneven number of elements."
+        )
     v = data.value_col
     df = data.df
     schema = ", ".join(

@@ -102,6 +102,30 @@ def mask(data: DataCube, mask: DataCube, replacement=None) -> DataCube:  # noqa:
             f"Mask has dimensions {extra} not present in the data cube"
         )
     shared = [d for d in data.meta.dims if d in set(mask.meta.dims)]
+    # Shared TEMPORAL dims must agree label-for-label (reference:
+    # cubes/mask.py:40-55) — a silent partial join would unmask those
+    # rows. Label sets are metadata-sized (the same probe the resamplers
+    # run); non-temporal dims follow the spec's subset-broadcast rule.
+    for d in shared:
+        if data.meta.role_of(d) == "temporal":
+            dl = sorted(r[0] for r in data.df.select(d).distinct().collect())
+            ml = sorted(r[0] for r in mask.df.select(d).distinct().collect())
+            if len(dl) != len(ml):
+                from openeo_processes_dask_spark.exceptions import (
+                    DimensionLabelCountMismatch,
+                )
+
+                raise DimensionLabelCountMismatch(
+                    f"data and mask temporal dimensions do no match: data has "
+                    f"{len(dl)} temporal dimensions labels and mask {len(ml)}."
+                )
+            if dl != ml:
+                from openeo_processes_dask_spark.exceptions import LabelMismatch
+
+                raise LabelMismatch(
+                    f"data and mask temporal dimension labels don't match "
+                    f"for dimension {d}."
+                )
     v = data.value_col
     mask_df = mask.df.withColumnRenamed(mask.value_col, "__mask__")
     # Missing dims in the mask = join on the dim subset -> natural broadcast

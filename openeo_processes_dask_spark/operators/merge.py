@@ -22,8 +22,9 @@ from openeo_processes_dask_spark.core import REGISTRY, process
 from openeo_processes_dask_spark.cube import DataCube
 
 
-class OverlapResolverMissing(Exception):
-    pass
+from openeo_processes_dask_spark.exceptions import (  # noqa: F401
+    OverlapResolverMissing,
+)
 
 
 def _resolve_binary(resolver: Union[str, Callable, None]) -> Optional[Callable]:
