@@ -1,0 +1,680 @@
+"""DuckDB oracle SQL generators shared across gate lanes.
+
+Sliced verbatim from the round-2 ``__spark_entry__.py`` (round 3 split);
+query/oracle semantics unchanged. See gates/__init__.py for registry order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from .common import _GRID_CTE
+
+_MD5LONG = "CAST('0x' || substr(md5({v}), 1, 15) AS BIGINT)"
+
+
+def _minhash_oracle_sql(
+    n: int = 3, num_hashes: int = 64, bands: int = 16, threshold: float = 0.2,
+    seed: int = 42,
+) -> str:
+    import random
+
+    from openeo_processes_dask_spark.training.dedup import _P
+
+    rnd = random.Random(seed)
+    coeffs = [
+        (rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)
+    ]
+    rows_per_band = num_hashes // bands
+    mins = ",\n                ".join(
+        f"min(({a} * x + {b}) % {_P}) AS h{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n            UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sigs".format(
+            bi=bi,
+            cols=", ".join(
+                f"CAST(h{bi * rows_per_band + j} AS VARCHAR)"
+                for j in range(rows_per_band)
+            ),
+        )
+        for bi in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN s1.h{i} = s2.h{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    xl = _MD5LONG.format(v="s")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, len(w) - {n - 1}),
+                        i -> array_to_string(w[i:i+{n - 1}], ' '))) AS s
+          FROM toks WHERE len(w) >= {n}),
+        xs AS (SELECT doc_id, {xl} % {_P} AS x FROM sh),
+        sigs AS (SELECT doc_id, {mins} FROM xs GROUP BY doc_id),
+        banded AS ({band_selects}),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        SELECT id1, id2,
+               round(({agree}) / {float(num_hashes)}, 6) AS est_jaccard
+        FROM cands
+        JOIN sigs s1 ON s1.doc_id = id1
+        JOIN sigs s2 ON s2.doc_id = id2
+        WHERE ({agree}) / {float(num_hashes)} >= {threshold}
+    """
+
+
+def _simhash_oracle_sql(max_hamming: int = 6, bands: int = 4) -> str:
+    bits = 60
+    band_bits = 64 // bands
+    mask = (1 << band_bits) - 1
+    h = _MD5LONG.format(v="w")
+    votes = ",\n                ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(bits)
+    )
+    band_selects = "\n            UNION ALL ".join(
+        f"SELECT doc_id, simhash, {bi} AS band, "
+        f"(simhash >> {bi * band_bits}) & {mask} AS chunk FROM sigs"
+        for bi in range(bands)
+    )
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+          FROM documents WHERE trim(text) <> ''),
+        hashes AS (SELECT doc_id, {h} AS h FROM tok),
+        votes AS (SELECT doc_id, {votes} FROM hashes GROUP BY doc_id),
+        sigs AS (SELECT doc_id, {sig} AS simhash FROM votes),
+        banded AS ({band_selects}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        SELECT id1, id2, hamming FROM pairs WHERE hamming <= {max_hamming}
+    """
+
+
+def _plane_sql_literal(plane) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in plane) + "]::DOUBLE[]"
+
+
+def _lsh_bucket_sql(vec: str, planes) -> str:
+    """Sign-LSH bucket id as SQL — same fold-left dot order as the engine."""
+    terms = []
+    for i, plane in enumerate(planes):
+        dot = (
+            f"list_sum([CAST({vec}[i] AS DOUBLE) * ({_plane_sql_literal(plane)})[i] "
+            f"for i in generate_series(1, len({vec}))])"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+_COS_SQL = """round(
+      list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)
+                for i in generate_series(1, len({a}))])
+      / (sqrt(list_sum([CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)
+                for i in generate_series(1, len({a}))]))
+         * sqrt(list_sum([CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)
+                for i in generate_series(1, len({b}))]))), 6)"""
+
+
+_COS_RAW_SQL = """(
+      list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)
+                for i in generate_series(1, len({a}))])
+      / (sqrt(list_sum([CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)
+                for i in generate_series(1, len({a}))]))
+         * sqrt(list_sum([CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)
+                for i in generate_series(1, len({b}))]))))"""
+
+
+def _ivf_topk_oracle_sql(
+    n_centroids: int = 16, nprobe: int = 4, k: int = 10, seed: int = 42
+) -> str:
+    """Twin of training.similarity.ivf_topk: same seeded md5 centroid
+    sample, same max-cosine assignment (fold-left dots are bit-identical
+    across engines), same probe set, same exact re-rank."""
+    probe_cos = _COS_RAW_SQL.format(a="cvec", b="qv")
+    assign_cos = _COS_RAW_SQL.format(a="e.embedding", b="c.cvec")
+    final_cos = _COS_SQL.format(a="embedding", b="qv")
+    return f"""
+        WITH cents AS (
+          SELECT vec_id AS cid, embedding AS cvec
+          FROM embeddings
+          ORDER BY md5('{seed}-' || CAST(vec_id AS VARCHAR))
+          LIMIT {n_centroids}),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        probe AS (
+          SELECT cid FROM cents, q
+          ORDER BY {probe_cos} DESC, cid LIMIT {nprobe}),
+        ranked AS (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {assign_cos} DESC, c.cid) AS rn
+          FROM embeddings e CROSS JOIN cents c),
+        cands AS (
+          SELECT r.vec_id, r.embedding
+          FROM ranked r JOIN probe p USING (cid) WHERE r.rn = 1)
+        SELECT vec_id, {final_cos} AS cosine
+        FROM cands, q
+        ORDER BY cosine DESC, vec_id LIMIT {k}
+    """
+
+
+def _kmeans_oracle_sql(
+    k: int = 8, iterations: int = 2, seed: int = 42, dim: int = 64
+) -> str:
+    """Twin of training.clustering kmeans_fit+assign: same md5-ordered
+    init, same micro-unit snapping (integer sums are order-independent,
+    centroid means bit-identical), Lloyd iterations unrolled as CTE
+    pairs (assign_i, cent_{i+1}); empty clusters coalesce to the previous
+    centroid exactly like the engine."""
+    sqdist = (
+        f"list_sum([(v[i] - cent[i]) * (v[i] - cent[i]) "
+        f"for i in generate_series(1, {dim})])"
+    )
+    ctes = [
+        f"""sv AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                                x -> round(CAST(x AS DOUBLE) * 1000000.0)) AS v
+          FROM embeddings)""",
+        f"""cent0 AS (
+          SELECT row_number() OVER (
+                   ORDER BY md5('{seed}-' || CAST(vec_id AS VARCHAR))) - 1 AS c,
+                 list_transform(embedding,
+                                x -> round(CAST(x AS DOUBLE) * 1000000.0)) AS cent
+          FROM embeddings
+          ORDER BY md5('{seed}-' || CAST(vec_id AS VARCHAR))
+          LIMIT {k})""",
+        f"js AS (SELECT unnest(generate_series(1, {dim})) AS j)",
+    ]
+    for it in range(iterations):
+        ctes.append(
+            f"""assign{it} AS (
+          SELECT vec_id, c FROM (
+            SELECT sv.vec_id, c0.c,
+                   row_number() OVER (PARTITION BY sv.vec_id
+                     ORDER BY {sqdist}, c0.c) AS rn
+            FROM sv, cent{it} c0)
+          WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""mean{it} AS (
+          SELECT a.c, j, sum(v[j]) / count(*) AS m
+          FROM assign{it} a JOIN sv USING (vec_id), js
+          GROUP BY a.c, j)"""
+        )
+        ctes.append(
+            f"""cent{it + 1} AS (
+          SELECT p.c,
+                 coalesce(n.cent, p.cent) AS cent
+          FROM cent{it} p LEFT JOIN
+               (SELECT c, list(m ORDER BY j) AS cent FROM mean{it} GROUP BY c) n
+               USING (c))"""
+        )
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT vec_id, c AS cluster FROM (
+          SELECT sv.vec_id, c0.c,
+                 row_number() OVER (PARTITION BY sv.vec_id
+                   ORDER BY {sqdist}, c0.c) AS rn
+          FROM sv, cent{iterations} c0)
+        WHERE rn = 1
+    """
+
+
+def _pq_topk_oracle_sql(
+    m: int = 4, ks: int = 8, k: int = 12, seed: int = 42, dim: int = 64
+) -> str:
+    """Twin of training.similarity.pq_topk: same md5-ordered codebook
+    sample, same per-subspace argmin encode (ties on lower code), same
+    query LUT distances, same fixed-order ADC sum — every distance a
+    left-to-right fold, so rankings match bit-for-bit."""
+    sub = dim // m
+    js = ", ".join(str(j) for j in range(m))
+    d_terms = " + ".join(f"d{j}" for j in range(m))
+    # fixed-order sum ((d0 + d1) + d2) + d3 — mirrors the engine's Column
+    # `+` chain exactly
+    adc = "d0"
+    for j in range(1, m):
+        adc = f"({adc} + d{j})"
+    pivots = ",\n                 ".join(
+        f"max(CASE WHEN e.j = {j} THEN l.d END) AS d{j}" for j in range(m)
+    )
+    sqdist = (
+        f"list_sum([(v[i] - c[i]) * (v[i] - c[i]) "
+        f"for i in generate_series(1, {sub})])"
+    )
+    qdist = (
+        f"list_sum([(qv[i] - c[i]) * (qv[i] - c[i]) "
+        f"for i in generate_series(1, {sub})])"
+    )
+    return f"""
+        WITH cb AS (
+          SELECT row_number() OVER (
+                   ORDER BY md5('{seed}-' || CAST(vec_id AS VARCHAR))) - 1 AS cidx,
+                 embedding AS cvec
+          FROM embeddings
+          ORDER BY md5('{seed}-' || CAST(vec_id AS VARCHAR))
+          LIMIT {ks}),
+        js AS (SELECT unnest([{js}]) AS j),
+        subc AS (
+          SELECT cidx, j,
+                 list_transform(list_slice(cvec, j * {sub} + 1, j * {sub} + {sub}),
+                                x -> CAST(x AS DOUBLE)) AS c
+          FROM cb, js),
+        vs AS (
+          SELECT vec_id, j,
+                 list_transform(list_slice(embedding, j * {sub} + 1, j * {sub} + {sub}),
+                                x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings, js),
+        enc AS (
+          SELECT vec_id, j, cidx AS code FROM (
+            SELECT vs.vec_id, vs.j, s.cidx,
+                   row_number() OVER (PARTITION BY vs.vec_id, vs.j
+                     ORDER BY {sqdist}, s.cidx) AS rn
+            FROM vs JOIN subc s USING (j))
+          WHERE rn = 1),
+        q AS (SELECT j, list_transform(list_slice(embedding, j * {sub} + 1,
+                                                  j * {sub} + {sub}),
+                                       x -> CAST(x AS DOUBLE)) AS qv
+              FROM embeddings, js WHERE vec_id = 0),
+        lut AS (
+          SELECT s.j, s.cidx, {qdist} AS d
+          FROM subc s JOIN q USING (j)),
+        sc AS (
+          SELECT e.vec_id,
+                 {pivots}
+          FROM enc e JOIN lut l ON e.j = l.j AND e.code = l.cidx
+          GROUP BY e.vec_id)
+        SELECT vec_id, round({adc}, 6) AS adc
+        FROM sc ORDER BY {adc}, vec_id LIMIT {k}
+    """
+
+
+def _lsh_topk_oracle_sql(n_planes: int = 12, k: int = 10, seed: int = 42) -> str:
+    from openeo_processes_dask_spark.training.similarity import (
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(64, n_planes, seed)
+    bucket_e = _lsh_bucket_sql("e.embedding", planes)
+    bucket_q = _lsh_bucket_sql("q.embedding", planes)
+    cos = _COS_SQL.format(a="e.embedding", b="q.embedding")
+    return f"""
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, {cos} AS cosine
+        FROM embeddings e, q
+        WHERE {bucket_e} = {bucket_q}
+        ORDER BY cosine DESC, e.vec_id LIMIT {k}
+    """
+
+
+class _SqlExpr:
+    """SQL-text expression node: lets the shared Krüger-series formula
+    (functions/crs.py `_tm_forward`, generic over an ops namespace) emit
+    its DuckDB oracle directly — one formula, three lanes (Column, scalar,
+    SQL)."""
+
+    def __init__(self, s: str):
+        self.s = s
+
+    def _b(self, op, o):
+        o = o.s if isinstance(o, _SqlExpr) else repr(float(o))
+        return _SqlExpr(f"({self.s} {op} {o})")
+
+    __add__ = lambda self, o: self._b("+", o)  # noqa: E731
+    __sub__ = lambda self, o: self._b("-", o)  # noqa: E731
+    __mul__ = lambda self, o: self._b("*", o)  # noqa: E731
+    __truediv__ = lambda self, o: self._b("/", o)  # noqa: E731
+
+
+def _sql_fn(name):
+    def call(x):
+        return _SqlExpr(f"{name}({x.s})")
+
+    return staticmethod(call)
+
+
+class _SqlOps:
+    sin = _sql_fn("sin")
+    cos = _sql_fn("cos")
+    atan = _sql_fn("atan")
+    asin = _sql_fn("asin")
+    sqrt = _sql_fn("sqrt")
+    log = _sql_fn("ln")
+
+    # DuckDB has no sinh/cosh builtins — exponential identities; the JVM
+    # builtins differ only in the last ulp, absorbed by the gate's round(2)
+    @staticmethod
+    def sinh(x):
+        return _SqlExpr(f"((exp({x.s}) - exp(-({x.s}))) / 2.0)")
+
+    @staticmethod
+    def cosh(x):
+        return _SqlExpr(f"((exp({x.s}) + exp(-({x.s}))) / 2.0)")
+
+    @staticmethod
+    def atan2(a, b):
+        return _SqlExpr(f"atan2({a.s}, {b.s})")
+
+    @staticmethod
+    def lit(v):
+        return _SqlExpr(repr(float(v)))
+
+    @staticmethod
+    def atanh(x):
+        return _SqlExpr(f"(0.5 * ln((1.0 + {x.s}) / (1.0 - {x.s})))")
+
+
+_KERNEL_SQL = {
+    # weight CASE bodies over the inlined distance expression {d}; op order
+    # mirrors the engine's Column polynomials exactly (bit-identical for
+    # the polynomial kernels; lanczos differs only in libm sin() ulps,
+    # absorbed by the gate's round(6))
+    "cubic": (
+        "(-1), (0), (1), (2)",
+        "CASE WHEN {d} <= 1.0"
+        " THEN ((1.5 * {d} - 2.5) * {d} * {d} + 1.0)"
+        " WHEN {d} < 2.0"
+        " THEN (((-0.5 * {d} + 2.5) * {d} - 4.0) * {d} + 2.0)"
+        " ELSE 0.0 END",
+    ),
+    "cubicspline": (
+        "(-1), (0), (1), (2)",
+        "CASE WHEN {d} <= 1.0"
+        " THEN (2.0 / 3.0 - {d} * {d} + {d} * {d} * {d} * 0.5)"
+        " WHEN {d} < 2.0"
+        " THEN ((2.0 - {d}) * (2.0 - {d}) * (2.0 - {d}) / 6.0)"
+        " ELSE 0.0 END",
+    ),
+    "lanczos": (
+        "(-2), (-1), (0), (1), (2), (3)",
+        "CASE WHEN {d} = 0.0 THEN 1.0"
+        " WHEN {d} < 3.0"
+        " THEN ((3.0 * sin(3.141592653589793 * {d})"
+        " * sin(3.141592653589793 * {d} / 3.0))"
+        " / (9.869604401089358 * {d} * {d}))"
+        " ELSE 0.0 END",
+    ),
+    "gauss": (
+        "(-2), (-1), (0), (1), (2), (3)",
+        "CASE WHEN {d} < 3.0 THEN exp(-({d} * {d}) / 2.0) ELSE 0.0 END",
+    ),
+}
+
+
+def _resample_kernel_oracle_sql(kernel: str, res: float = 2.5) -> str:
+    """Twin of the convolution resample gates: same geometry probe as the
+    bilinear oracle, kernel taps per axis with edge-clamped indices; the
+    kernel polynomial is written with the engine's exact op order so
+    weights are bit-identical (lanczos: last-ulp libm, under round(6))."""
+    tap_vals, weight_tpl = _KERNEL_SQL[kernel]
+
+    def axis(ax, tcol, wcol, gx):
+        d = f"abs(o.d - t.{wcol})"
+        weight = weight_tpl.format(d=d)
+        return f"""
+            map{ax} AS (
+              SELECT t.t{ax},
+                     {gx}.o + greatest(0, least(t.i0 + o.d, {gx}.n - 1))
+                       * {gx}.s AS s{ax},
+                     {weight} AS w{ax}v
+              FROM (SELECT t{ax},
+                           least(floor((t{ax} - {gx}.o) / {gx}.s),
+                                 {gx}.n - 2) AS i0,
+                           (t{ax} - {gx}.o) / {gx}.s
+                             - least(floor((t{ax} - {gx}.o) / {gx}.s),
+                                     {gx}.n - 2) AS {wcol}
+                    FROM (SELECT {gx}.o + k.generate_series * {res} AS t{ax}
+                          FROM generate_series(0, 100000) k, {gx}
+                          WHERE k.generate_series
+                                <= floor(({gx}.m - {gx}.o) / {res} + 1e-9)),
+                         {gx}) t,
+                   {gx}, (VALUES {tap_vals}) o(d)
+              WHERE {weight} != 0)"""
+
+    return f"""
+        WITH {_GRID_CTE},
+        gx AS (SELECT min(v) AS o, max(v) AS m,
+                      min(CASE WHEN d > 0 THEN d END) AS s, count(*) AS n
+               FROM (SELECT v, v - lag(v) OVER (ORDER BY v) AS d
+                     FROM (SELECT DISTINCT x AS v FROM grid))),
+        gy AS (SELECT min(v) AS o, max(v) AS m,
+                      min(CASE WHEN d > 0 THEN d END) AS s, count(*) AS n
+               FROM (SELECT v, v - lag(v) OVER (ORDER BY v) AS d
+                     FROM (SELECT DISTINCT y AS v FROM grid))),
+        {axis('x', 'tx', 'wx', 'gx')},
+        {axis('y', 'ty', 'wy', 'gy')},
+        mapping AS (
+          SELECT tx, ty, sx, sy, wxv * wyv AS w
+          FROM mapx CROSS JOIN mapy)
+        SELECT m.tx AS x, m.ty AS y, g.band,
+               round(sum(m.w * g.value) / sum(m.w), 6) AS value
+        FROM grid g JOIN mapping m ON g.x = m.sx AND g.y = m.sy
+        GROUP BY 1, 2, 3
+    """
+
+
+def _dedup_clusters_oracle_sql() -> str:
+    """Twin of q_dedup_clusters: the minhash pair SQL becomes a nested CTE,
+    then a recursive transitive closure takes the per-node minimum
+    reachable id — exact connected components."""
+    mh = _minhash_oracle_sql()
+    return f"""
+        WITH RECURSIVE mh AS ({mh}),
+        edges AS (
+          SELECT id1 AS u, id2 AS v FROM mh
+          UNION SELECT id2, id1 FROM mh),
+        reach(a, b) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+        comp AS (
+          SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a)
+        SELECT id, comp FROM comp ORDER BY id
+    """
+
+
+def _crs_utm_oracle_sql() -> str:
+    from openeo_processes_dask_spark.functions.crs import _tm_forward
+
+    lon = _SqlExpr("((x / 10.0) + 7.5)")
+    lat = _SqlExpr("((y / 10.0) + 45.0)")
+    e, n = _tm_forward(_SqlOps, lat, lon, 9.0, True)
+    return f"""
+        WITH {_GRID_CTE}
+        SELECT x, y, band, round({e.s}, 2) AS easting,
+               round({n.s}, 2) AS northing
+        FROM grid
+    """
+
+
+def _multimodal_features_oracle_sql(n: int = 64, w: int = 16, h: int = 12) -> str:
+    """Expected image features computed independently in NumPy from the
+    shared deterministic fake decode (PCG64 is not SQL-expressible, so the
+    oracle bakes the expected values rather than re-deriving them in SQL —
+    same move as the exported forest rules)."""
+    import hashlib as _hl
+
+    from openeo_processes_dask_spark.training.multimodal import _fake_decode
+
+    rows = []
+    for i in range(n):
+        payload = _hl.sha256(f"img-{i}".encode()).digest() * 4
+        img = _fake_decode(payload, w, h)
+        mean = float(img.astype("float64").mean())
+        rows.append(f"({i}, {w}, {h}, 3, {round(mean, 6)!r})")
+    vals = ", ".join(rows)
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(width AS INT) AS width,
+               CAST(height AS INT) AS height, CAST(channels AS INT) AS channels,
+               CAST(mean_intensity AS DOUBLE) AS mean_intensity
+        FROM (VALUES {vals}) AS t(doc_id, width, height, channels, mean_intensity)
+    """
+
+
+def _multimodal_resize_oracle_sql(
+    n: int = 32, w: int = 16, h: int = 12, tw: int = 8, th: int = 8
+) -> str:
+    """Byte-exact resize digests: same integer-index nearest-neighbor math
+    as training.multimodal.resize_images, md5'd independently."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from openeo_processes_dask_spark.training.multimodal import _fake_decode
+
+    rows = []
+    yi = (np.arange(th) * h) // th
+    xi = (np.arange(tw) * w) // tw
+    for i in range(n):
+        payload = _hl.sha256(f"img-{i}".encode()).digest() * 4
+        img = _fake_decode(payload, w, h)
+        digest = _hl.md5(img[yi][:, xi].tobytes()).hexdigest()
+        rows.append(f"({i}, {tw}, {th}, '{digest}')")
+    vals = ", ".join(rows)
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(width AS INT) AS width,
+               CAST(height AS INT) AS height, digest
+        FROM (VALUES {vals}) AS t(doc_id, width, height, digest)
+    """
+
+
+def _multimodal_av_oracle_sql(
+    n: int = 8, n_frames: int = 30, vw: int = 8, vh: int = 6,
+    every_n: int = 10, sample_rate: int = 8000, n_samples: int = 4000,
+) -> str:
+    """Expected frame means + FFT spectral centroids, recomputed
+    independently from the deterministic fake decodes."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from openeo_processes_dask_spark.training.multimodal import (
+        _fake_decode_audio,
+        _fake_decode_video,
+    )
+
+    rows = []
+    for i in range(n):
+        payload = _hl.sha256(f"vid-{i}".encode()).digest() * 2
+        vid = _fake_decode_video(payload, n_frames, vw, vh)
+        for idx in range(0, n_frames, every_n):
+            v = float(vid[idx].astype("float64").mean())
+            rows.append(f"({i}, {idx}, {round(v, 6)!r})")
+    for i in range(n):
+        payload = _hl.sha256(f"aud-{i}".encode()).digest() * 2
+        y = _fake_decode_audio(payload, n_samples).astype("float64")
+        spec = np.abs(np.fft.rfft(y))
+        freqs = np.fft.rfftfreq(len(y), d=1.0 / sample_rate)
+        centroid = float((freqs * spec).sum() / spec.sum())
+        rows.append(f"({i}, -1, {round(centroid, 6)!r})")
+    vals = ", ".join(rows)
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(idx AS INT) AS idx,
+               CAST(v AS DOUBLE) AS v
+        FROM (VALUES {vals}) AS t(doc_id, idx, v)
+    """
+
+
+def _random_forest_oracle_sql(
+    num_trees: int = 8, max_depth: int = 5, min_leaf: int = 2, seed: int = 42
+) -> str:
+    """Twin of q_random_forest: re-train the identical seeded CART forest in
+    pure NumPy (training is engine-independent given the sorted matrix —
+    same _build_tree, same per-tree rng) from the same parquet, then export
+    every tree as a SQL CASE chain. DuckDB evaluates the ensemble
+    (left-to-right tree sum, matching ForestModel.predict) on the same test
+    rows — a full decision-rules oracle, not a row count."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from openeo_processes_dask_spark.ml.random_forest import _build_tree
+
+    sf = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    pdf = con.sql(
+        f"""
+        SELECT CAST(o_custkey % 50 AS DOUBLE) AS f1,
+               CAST(extract(day FROM o_orderdate) AS DOUBLE) AS f2,
+               o_totalprice AS target
+        FROM '{sf}/orders.parquet'
+        WHERE o_orderkey <= 5000 ORDER BY o_orderkey
+        """
+    ).df()
+    X = pdf[["f1", "f2"]].to_numpy(dtype="float64")
+    y = pdf["target"].to_numpy(dtype="float64")
+    n_feat = max(1, int(np.sqrt(X.shape[1])))
+    trees = []
+    for t in range(num_trees):
+        rng = np.random.default_rng(seed + t)
+        boot = rng.integers(0, len(y), size=len(y))
+        trees.append(
+            _build_tree(X[boot], y[boot], rng, max_depth, min_leaf, n_feat)
+        )
+
+    feats = ["f1", "f2"]
+
+    def tsql(node):
+        if "leaf" in node:
+            return repr(node["leaf"])
+        return (
+            f"(CASE WHEN {feats[node['f']]} <= {node['thr']!r} "
+            f"THEN {tsql(node['l'])} ELSE {tsql(node['r'])} END)"
+        )
+
+    acc = tsql(trees[0])
+    for t in trees[1:]:
+        acc = f"({acc} + {tsql(t)})"
+    return f"""
+        SELECT CAST(o_custkey % 50 AS DOUBLE) AS f1,
+               CAST(extract(day FROM o_orderdate) AS DOUBLE) AS f2,
+               round({acc} / {num_trees}, 4) AS prediction
+        FROM orders WHERE o_orderkey <= 500
+    """
+
+
+def _embedding_near_dups_oracle_sql(
+    threshold: float = 0.2,
+    n_planes: int = 4,
+    n_bands: int = 2,
+    seed: int = 42,
+) -> str:
+    """Banded sign-LSH twin: per-band bucket columns, candidates = pairs
+    colliding in >=1 band, exact cosine verify."""
+    from openeo_processes_dask_spark.training.similarity import (
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(64, n_planes * n_bands, seed)
+    band_cols = ", ".join(
+        f"{_lsh_bucket_sql('embedding', planes[b * n_planes:(b + 1) * n_planes])} AS b{b}"
+        for b in range(n_bands)
+    )
+    any_band = " OR ".join(f"a.b{b} = b.b{b}" for b in range(n_bands))
+    cos = _COS_SQL.format(a="a.v", b="b.v")
+    return f"""
+        WITH tagged AS (
+          SELECT vec_id AS id, embedding AS v, {band_cols}
+          FROM embeddings)
+        SELECT a.id AS id1, b.id AS id2, {cos} AS cosine
+        FROM tagged a JOIN tagged b
+          ON ({any_band}) AND a.id < b.id
+        WHERE {cos} >= {threshold}
+    """

@@ -1,0 +1,440 @@
+"""Reference-parity gate queries (resample as-of, ndvi, kernel, ML, vector, multimodal).
+
+Sliced verbatim from the round-2 ``__spark_entry__.py`` (round 3 split);
+query/oracle semantics unchanged. See gates/__init__.py for registry order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from .common import _CELLS_CTE, _li_cells, _round6, _setup, _table
+from .oracle_builders import _multimodal_features_oracle_sql, _random_forest_oracle_sql
+
+def q_resample_asof(spark, sf_dir):
+    """resample_cube_temporal: as-of align order dates to year starts."""
+    _setup(spark)
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.operators.resample import (
+        resample_cube_temporal,
+    )
+
+    o = _table(spark, sf_dir, "orders")
+    data = DataCube(
+        o.select(
+            F.col("o_orderdate").alias("t"),
+            F.col("o_orderpriority").alias("band"),
+            F.col("o_totalprice").alias("value"),
+        ),
+        dims=("t", "band"),
+    )
+    target = DataCube(
+        o.select(
+            F.date_trunc("year", "o_orderdate").alias("t"),
+            F.col("o_orderpriority").alias("band"),
+            F.col("o_totalprice").alias("value"),
+        ),
+        dims=("t", "band"),
+    )
+    return resample_cube_temporal(data, target).df
+
+
+def q_ndvi_events(spark, sf_dir):
+    """ndvi band-math on the events cube: (click - view)/(click + view)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.operators.aggregate import (
+        aggregate_temporal_period,
+    )
+    from openeo_processes_dask_spark.operators.indices import ndvi
+
+    ev = _table(spark, sf_dir, "events")
+    cube = DataCube(
+        ev.select(
+            F.col("ts").alias("t"),
+            F.col("event_type").alias("band"),
+            "value",
+        ),
+        dims=("t", "band"),
+    )
+    daily = aggregate_temporal_period(cube, "day", "mean")
+    out = ndvi(daily, nir="click", red="view")
+    return _round6(out.df, "value")
+
+
+def q_apply_kernel_grid(spark, sf_dir):
+    """apply_kernel: plus-shaped convolution over a dense (x, y) grid."""
+    _setup(spark)
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.operators.kernel import apply_kernel
+
+    li = _table(spark, sf_dir, "lineitem")
+    grid = li.groupBy(
+        F.pmod("l_partkey", F.lit(30)).cast("int").alias("x"),
+        F.pmod("l_suppkey", F.lit(10)).cast("int").alias("y"),
+    ).agg(F.sum("l_quantity").alias("value"))
+    cube = DataCube(grid, dims=("x", "y"))
+    out = apply_kernel(
+        cube, [[0, 1, 0], [1, 1, 1], [0, 1, 0]], border="0"
+    )
+    return out.df
+
+
+def q_apply_dimension_center(spark, sf_dir):
+    """apply_dimension with a length-preserving pandas callback."""
+    _setup(spark)
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.operators.apply import apply_dimension
+
+    cells = _li_cells(spark, sf_dir)
+    cube = DataCube(
+        cells.select("x", "pos", F.col("sq").alias("value")), dims=("x", "pos")
+    )
+    out = apply_dimension(cube, lambda s: s - s.mean(), "pos")
+    return _round6(out.df, "value")
+
+
+def q_reduce_product(spark, sf_dir):
+    _setup(spark)
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.operators.reduce import reduce_dimension
+
+    cells = _li_cells(spark, sf_dir)
+    cube = DataCube(
+        cells.select("x", "pos", (F.col("sd") + 1.0).alias("value")),
+        dims=("x", "pos"),
+    )
+    out = reduce_dimension(cube, "product", "pos")
+    # Compare ln(product): products of exact-decimal inputs land exactly on
+    # round() boundaries, where the distributed exp∘sum∘ln and DuckDB's
+    # exact product() round apart; ln() moves values off the decimal grid.
+    return out.df.withColumn("value", F.round(F.log(F.col("value")), 6))
+
+
+def q_reduce_first(spark, sf_dir):
+    """first() reducer: value at the lowest pos per x (unique order col)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.operators.reduce import reduce_dimension
+
+    cells = _li_cells(spark, sf_dir)
+    cube = DataCube(
+        cells.select("x", "pos", F.col("sq").alias("value")), dims=("x", "pos")
+    )
+    out = reduce_dimension(cube, "first", "pos")
+    return out.df
+
+
+def q_aggregate_spatial_zonal(spark, sf_dir):
+    """aggregate_spatial: zonal mean over a box polygon + a disjoint one."""
+    _setup(spark)
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.operators.aggregate_spatial import (
+        aggregate_spatial,
+    )
+
+    li = _table(spark, sf_dir, "lineitem")
+    grid = li.groupBy(
+        F.pmod("l_partkey", F.lit(30)).cast("double").alias("x"),
+        F.pmod("l_suppkey", F.lit(10)).cast("double").alias("y"),
+        F.col("l_returnflag").alias("band"),
+    ).agg(F.sum("l_quantity").alias("value"))
+    cube = DataCube(grid, dims=("x", "y", "band"))
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "id": "box",
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[
+                        [1.5, 1.5], [10.5, 1.5], [10.5, 8.5], [1.5, 8.5],
+                        [1.5, 1.5],
+                    ]],
+                },
+                "properties": {},
+            },
+            {
+                "type": "Feature",
+                "id": "far",
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[
+                        [100, 100], [101, 100], [101, 101], [100, 101],
+                        [100, 100],
+                    ]],
+                },
+                "properties": {},
+            },
+        ],
+    }
+    out = aggregate_spatial(cube, fc, "mean")
+    return _round6(out, "value")
+
+
+def q_run_udf_plus1(spark, sf_dir):
+    _setup(spark)
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.operators.udf import run_udf
+
+    cells = _li_cells(spark, sf_dir)
+    cube = DataCube(
+        cells.select("x", "pos", F.col("sq").alias("value")), dims=("x", "pos")
+    )
+    udf = "def apply_datacube(cube, context):\n    return cube + 1\n"
+    return run_udf(cube, udf, chunk_dimension="pos").df
+
+
+def q_fit_curve_linear(spark, sf_dir):
+    """fit_curve with a linear model — Gauss-Newton on a linear model is
+    OLS, so DuckDB's regr_slope/regr_intercept is an exact oracle."""
+    _setup(spark)
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.ml.curve_fitting import fit_curve
+
+    cells = _li_cells(spark, sf_dir).where(F.col("x") % 10 == 0)
+    counts = cells.groupBy("x").count().where(F.col("count") >= 3).select("x")
+    cells = cells.join(counts, "x")
+    cube = DataCube(
+        cells.select(
+            "x", F.col("pos").cast("double").alias("pos"),
+            F.col("sq").alias("value"),
+        ),
+        dims=("x", "pos"),
+        roles={"pos": "other"},
+    )
+    out = fit_curve(cube, [0.0, 0.0], lambda p, t: p[0] * t + p[1], "pos")
+    return out.df.withColumn("value", F.round(F.col("value"), 4))
+
+
+def q_random_forest(spark, sf_dir):
+    """Forest train+predict under a REAL oracle: training is deterministic
+    (seeded bootstrap over an o_orderkey-SORTED matrix), so the oracle
+    generator re-trains the identical forest in pure NumPy and exports the
+    decision rules as SQL CASE chains for DuckDB to evaluate on the same
+    test rows (VERDICT r01 #5 — random_forest leaves no_oracle)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.ml.random_forest import (
+        fit_regr_random_forest,
+        predict_random_forest,
+    )
+
+    o = _table(spark, sf_dir, "orders").select(
+        F.pmod("o_custkey", F.lit(50)).cast("double").alias("f1"),
+        F.dayofmonth("o_orderdate").cast("double").alias("f2"),
+        F.col("o_totalprice").alias("target"),
+        "o_orderkey",
+    )
+    # sort: the bootstrap draws row INDICES, so the matrix row order is part
+    # of the model definition — pin it to o_orderkey (unique) on both sides
+    train = (
+        o.where(F.col("o_orderkey") <= 5000)
+        .orderBy("o_orderkey")
+        .select("f1", "f2", "target")
+    )
+    model = fit_regr_random_forest(train, "target", num_trees=8, max_depth=5)
+    test = o.where(F.col("o_orderkey") <= 500).select("f1", "f2", "target")
+    return predict_random_forest(test, model).select(
+        "f1", "f2", F.round("prediction", 4).alias("prediction")
+    )
+
+
+def q_vector_buffer(spark, sf_dir):
+    """vector_buffer over points derived from nation keys — rows-only."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.vector import (
+        load_geojson,
+        vector_buffer,
+    )
+
+    n = _table(spark, sf_dir, "nation").collect()
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "id": str(r["n_nationkey"]),
+                "geometry": {
+                    "type": "Point",
+                    "coordinates": [float(r["n_nationkey"]), float(r["n_regionkey"])],
+                },
+                "properties": {"name": r["n_name"]},
+            }
+            for r in n
+        ],
+    }
+    vc = load_geojson(spark, fc)
+    buffered = vector_buffer(vc, 0.5)
+    # verify the RING GEOMETRY, not just row plumbing: parse the buffered
+    # polygon back and reduce to bounds + shoelace area (JVM-side array
+    # expressions); the oracle rebuilds the same 32-gon with DuckDB trig
+    # (libm last-ulp differences vanish under round6)
+    ring = F.from_json(
+        F.col("geometry"),
+        "struct<type:string, coordinates:array<array<array<double>>>>",
+    )["coordinates"][0]
+    xs = F.transform(ring, lambda p: p[0])
+    ys = F.transform(ring, lambda p: p[1])
+    cross = F.zip_with(
+        F.slice(ring, 1, 32),
+        F.slice(ring, 2, 32),
+        lambda a, b: a[0] * b[1] - b[0] * a[1],
+    )
+    area = F.aggregate(cross, F.lit(0.0), lambda acc, v: acc + v) / 2
+    return buffered.select(
+        "feature_id",
+        "name",
+        F.round(F.array_min(xs), 6).alias("minx"),
+        F.round(F.array_max(xs), 6).alias("maxx"),
+        F.round(F.array_min(ys), 6).alias("miny"),
+        F.round(F.array_max(ys), 6).alias("maxy"),
+        F.round(area, 6).alias("area"),
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-column decode/feature plumbing (deterministic fake decode) —
+    rows-only."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.multimodal import (
+        image_features,
+        synthetic_image_table,
+    )
+
+    tbl = synthetic_image_table(spark, n=64, width=16, height=12)
+    out = image_features(tbl)
+    return out.select(
+        "doc_id", "width", "height", "channels",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+    )
+
+
+QUERIES = {
+    "resample_asof": q_resample_asof,
+    "ndvi_events": q_ndvi_events,
+    "apply_kernel_grid": q_apply_kernel_grid,
+    "apply_dimension_center": q_apply_dimension_center,
+    "reduce_product": q_reduce_product,
+    "reduce_first": q_reduce_first,
+    "aggregate_spatial_zonal": q_aggregate_spatial_zonal,
+    "run_udf_plus1": q_run_udf_plus1,
+    "fit_curve_linear": q_fit_curve_linear,
+    "random_forest": q_random_forest,
+    "vector_buffer": q_vector_buffer,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES = {
+    "resample_asof": """
+            WITH src AS (SELECT DISTINCT o_orderdate AS s FROM orders),
+            tgt AS (SELECT DISTINCT CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS t
+                    FROM orders),
+            pairs AS (
+              SELECT s, t, abs(epoch_us(s) - epoch_us(t)) AS d,
+                     row_number() OVER (PARTITION BY t ORDER BY abs(epoch_us(s) - epoch_us(t)), s) AS rn
+              FROM src, tgt),
+            best AS (SELECT t, s FROM pairs WHERE rn = 1)
+            SELECT b.t AS t, o.o_orderpriority AS band, o.o_totalprice AS value
+            FROM best b JOIN orders o ON o.o_orderdate = b.s
+        """,
+    "ndvi_events": """
+            WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS t,
+                     event_type AS band, avg(value) AS v
+              FROM events WHERE event_type IN ('click', 'view') GROUP BY ALL),
+            piv AS (
+              SELECT t, max(CASE WHEN band = 'click' THEN v END) AS c,
+                     max(CASE WHEN band = 'view' THEN v END) AS vv
+              FROM daily GROUP BY 1)
+            SELECT t, round((c - vv) / (c + vv), 6) AS value FROM piv
+        """,
+    "apply_kernel_grid": """
+            WITH grid AS (
+              SELECT CAST(l_partkey % 30 AS INTEGER) AS x,
+                     CAST(l_suppkey % 10 AS INTEGER) AS y,
+                     sum(l_quantity) AS value
+              FROM lineitem GROUP BY 1, 2),
+            offsets(dx, dy) AS (VALUES (0, 0), (0, 1), (0, -1), (1, 0), (-1, 0))
+            SELECT g.x, g.y, sum(coalesce(n.value, 0)) AS value
+            FROM grid g
+            CROSS JOIN offsets o
+            LEFT JOIN grid n ON n.x = g.x + o.dx AND n.y = g.y + o.dy
+            GROUP BY g.x, g.y
+        """,
+    "apply_dimension_center": f"""
+            WITH {_CELLS_CTE}
+            SELECT x, pos,
+                   round(sq - avg(sq) OVER (PARTITION BY x), 6) AS value
+            FROM cells
+        """,
+    "reduce_product": f"""
+            WITH {_CELLS_CTE}
+            SELECT x, round(ln(product(sd + 1.0)), 6) AS value
+            FROM cells GROUP BY x
+        """,
+    "reduce_first": f"""
+            WITH {_CELLS_CTE}
+            SELECT x, arg_min(sq, pos) AS value FROM cells GROUP BY x
+        """,
+    "aggregate_spatial_zonal": """
+            WITH grid AS (
+              SELECT CAST(l_partkey % 30 AS DOUBLE) AS x,
+                     CAST(l_suppkey % 10 AS DOUBLE) AS y,
+                     l_returnflag AS band, sum(l_quantity) AS value
+              FROM lineitem GROUP BY 1, 2, 3),
+            agg AS (
+              SELECT 'box' AS feature_id, band, round(avg(value), 6) AS value
+              FROM grid
+              WHERE x > 1.5 AND x < 10.5 AND y > 1.5 AND y < 8.5
+              GROUP BY band)
+            SELECT f.feature_id, g.band, a.value
+            FROM (VALUES ('box'), ('far')) f(feature_id)
+            CROSS JOIN (SELECT DISTINCT band FROM grid) g
+            LEFT JOIN agg a ON a.feature_id = f.feature_id AND a.band = g.band
+        """,
+    "run_udf_plus1": f"""
+            WITH {_CELLS_CTE}
+            SELECT x, pos, sq + 1 AS value FROM cells
+        """,
+    "fit_curve_linear": f"""
+            WITH {_CELLS_CTE},
+            sel AS (
+              SELECT x, CAST(pos AS DOUBLE) AS pos, sq FROM cells
+              WHERE x % 10 = 0),
+            ok AS (SELECT x FROM sel GROUP BY x HAVING count(*) >= 3)
+            SELECT s.x, p.param,
+                   round(CASE WHEN p.param = 0 THEN regr_slope(s.sq, s.pos)
+                              ELSE regr_intercept(s.sq, s.pos) END, 4) AS value
+            FROM sel s JOIN ok USING (x)
+            CROSS JOIN (VALUES (0), (1)) p(param)
+            GROUP BY s.x, p.param
+        """,
+    "random_forest": _random_forest_oracle_sql(),
+    "vector_buffer": """
+            WITH pts AS (
+              SELECT CAST(n_nationkey AS VARCHAR) AS feature_id,
+                     n_name AS name,
+                     CAST(n_nationkey AS DOUBLE) AS x,
+                     CAST(n_regionkey AS DOUBLE) AS y
+              FROM nation),
+            rings AS (
+              SELECT feature_id, name,
+                     [x + 0.5 * cos(2 * pi() * i / 32)
+                      for i in generate_series(0, 32)] AS xs,
+                     [y + 0.5 * sin(2 * pi() * i / 32)
+                      for i in generate_series(0, 32)] AS ys
+              FROM pts)
+            SELECT feature_id, name,
+                   round(list_min(xs), 6) AS minx,
+                   round(list_max(xs), 6) AS maxx,
+                   round(list_min(ys), 6) AS miny,
+                   round(list_max(ys), 6) AS maxy,
+                   round(list_sum([xs[i] * ys[i + 1] - xs[i + 1] * ys[i]
+                                   for i in generate_series(1, 32)]) / 2,
+                         6) AS area
+            FROM rings
+        """,
+    "multimodal_features": _multimodal_features_oracle_sql(),
+}

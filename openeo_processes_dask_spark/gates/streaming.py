@@ -1,0 +1,225 @@
+"""Structured Streaming gate queries (replayed against batch oracles).
+
+Sliced verbatim from the round-2 ``__spark_entry__.py`` (round 3 split);
+query/oracle semantics unchanged. See gates/__init__.py for registry order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from .common import _setup, _table
+
+def q_streaming_daily_sum(spark, sf_dir):
+    """Structured Streaming twin of the daily aggregation: drain the events
+    table through readStream (Trigger.AvailableNow) and return the final
+    windowed state — oracle-checked against the equivalent batch SQL."""
+    _setup(spark)
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_aggregate_temporal_period,
+        stream_events,
+    )
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream_{os.path.basename(sf_dir)}"
+    )
+    if not os.path.isdir(stream_dir):
+        # one-time: re-write the fixture as a streaming source dir (also
+        # normalizes the nanosecond timestamps the stream reader can't take)
+        _table(spark, sf_dir, "events").coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(stream_dir)
+    stream = stream_events(spark, stream_dir, max_files_per_trigger=2)
+    out = stream_aggregate_temporal_period(stream, "1 day", "1 hour", "sum")
+    name = f"q_stream_{abs(hash(sf_dir)) % 10_000}"
+    q = run_stream_to_memory(out, name)
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "t", "band", F.round("value", 6).alias("value")
+    )
+
+
+def q_streaming_sliding_sum(spark, sf_dir):
+    """Sliding-window streaming aggregate (3-day window, 1-day slide):
+    every event lands in 3 windows; the final drained state must equal the
+    batch expansion (each event duplicated to window starts d-2, d-1, d)."""
+    _setup(spark)
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_aggregate_sliding,
+        stream_events,
+    )
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream_{os.path.basename(sf_dir)}"
+    )
+    if not os.path.isdir(stream_dir):
+        _table(spark, sf_dir, "events").coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(stream_dir)
+    stream = stream_events(spark, stream_dir, max_files_per_trigger=2)
+    out = stream_aggregate_sliding(stream, "3 days", "1 day", "1 hour", "sum")
+    name = f"q_slide_{abs(hash(sf_dir)) % 10_000}"
+    q = run_stream_to_memory(out, name)
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "t", "band", F.round("value", 6).alias("value")
+    )
+
+
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark): drain the
+    events table as ONE micro-batch (single file, AvailableNow) so every
+    distinct (user, band, day) key is emitted exactly once — the emitted
+    KEY SET is deterministic even though which duplicate row wins the
+    state race is not, so the query returns keys only and the oracle is
+    SELECT DISTINCT."""
+    _setup(spark)
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_dedup_exact,
+        stream_events,
+    )
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream1_{os.path.basename(sf_dir)}"
+    )
+    if not os.path.isdir(stream_dir):
+        # single sorted file: one micro-batch == sorted replay (oracle
+        # convention for stateful streaming)
+        _table(spark, sf_dir, "events").orderBy("ts").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stream_dir)
+    stream = stream_events(spark, stream_dir, max_files_per_trigger=None)
+    keyed = stream.withColumn("day", F.date_trunc("day", F.col("t")))
+    out = stream_dedup_exact(keyed, ["user_id", "band", "day"], "1 hour")
+    name = f"q_sdedup_{abs(hash(sf_dir)) % 10_000}"
+    q = run_stream_to_memory(out.select("user_id", "band", "day"), name,
+                             output_mode="append")
+    q.awaitTermination(300)
+    return spark.table(name).select("user_id", "band", "day")
+
+
+def q_streaming_sessions(spark, sf_dir):
+    """Stateful streaming sessionization (applyInPandasWithState,
+    streaming/sessions.py) under a full value oracle. The source is ONE
+    time-sorted file, so the state machine's arrival order equals the
+    globally-sorted batch replay the SQL oracle computes. Only sessions
+    closed by a later event are compared: per-user LAST sessions are
+    emitted (or not) depending on ms-resolution watermark timing, so both
+    sides exclude sessions whose end reaches past max(user time) - gap."""
+    _setup(spark)
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_events,
+    )
+    from openeo_processes_dask_spark.streaming.sessions import sessionize
+
+    gap = 86_400  # 1 day
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_sessions_{os.path.basename(sf_dir)}"
+    )
+    if not os.path.isdir(stream_dir):
+        (
+            _table(spark, sf_dir, "events")
+            .select("event_id", "ts", "user_id", "event_type", "value", "props")
+            .repartition(1)
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(stream_dir)
+        )
+    stream = stream_events(spark, stream_dir, max_files_per_trigger=None)
+    sessions = sessionize(stream, gap_seconds=gap, watermark="1 hour")
+    name = f"q_sessions_{abs(hash(sf_dir)) % 10_000}"
+    q = run_stream_to_memory(sessions, name, output_mode="append")
+    q.awaitTermination(300)
+    mx = (
+        _table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("__mt__"))
+    )
+    return (
+        spark.table(name)
+        .join(F.broadcast(mx), "user_id")
+        .where(
+            F.unix_micros(F.col("session_end"))
+            < F.unix_micros(F.col("__mt__")) - gap * 1_000_000
+        )
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            F.round("value_sum", 6).alias("value_sum"),
+        )
+    )
+
+
+QUERIES = {
+    "streaming_daily_sum": q_streaming_daily_sum,
+    "streaming_dedup": q_streaming_dedup,
+    "streaming_sliding_sum": q_streaming_sliding_sum,
+    "streaming_sessions": q_streaming_sessions,
+}
+
+ORACLES = {
+    "streaming_daily_sum": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS t,
+                   event_type AS band, round(sum(value), 6) AS value
+            FROM events GROUP BY ALL
+        """,
+    "streaming_dedup": """
+            SELECT DISTINCT user_id, event_type AS band,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+            FROM events
+        """,
+    "streaming_sliding_sum": """
+            WITH ev AS (
+              SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                     event_type AS band, value
+              FROM events)
+            SELECT d - to_days(o) AS t, band, round(sum(value), 6) AS value
+            FROM ev, (VALUES (0), (1), (2)) AS offs(o)
+            GROUP BY ALL
+        """,
+    "streaming_sessions": """
+            WITH ev AS (
+              SELECT user_id, make_timestamp(epoch_us(ts)) AS t,
+                     coalesce(value, 0) AS v
+              FROM events),
+            mx AS (SELECT user_id, max(t) AS mt FROM ev GROUP BY 1),
+            lagd AS (
+              SELECT user_id, t, v,
+                     CASE WHEN lag(t) OVER w IS NULL
+                               OR epoch_us(t) - epoch_us(lag(t) OVER w)
+                                  > 86400000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+            sess AS (
+              SELECT user_id, t, v,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY t) AS sid
+              FROM lagd),
+            agg AS (
+              SELECT user_id, min(t) AS session_start, max(t) AS session_end,
+                     count(*) AS n_events, round(sum(v), 6) AS value_sum
+              FROM sess GROUP BY user_id, sid)
+            SELECT a.user_id, a.session_start, a.session_end, a.n_events,
+                   a.value_sum
+            FROM agg a JOIN mx USING (user_id)
+            WHERE epoch_us(a.session_end) < epoch_us(mx.mt) - 86400000000
+        """,
+}
