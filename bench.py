@@ -77,6 +77,25 @@ def main() -> None:
         # don't inherit each other's memory footprint
         spark.catalog.clearCache()
 
+    # streaming throughput (VERDICT r02 #7): drain the full events table
+    # through the stateful dedup and sliding-window streams and report
+    # rows/s. Total stays headline-only (comparable with earlier rounds);
+    # the first (untimed) run writes the /tmp stream fixture dir.
+    from openeo_processes_dask_spark.sources.load import load_table
+
+    n_events = load_table(spark, sf_dir, "events").count()
+    streaming: dict[str, float] = {}
+    for name in ("streaming_dedup", "streaming_sliding_sum"):
+        fn = qs[name]
+        fn(spark, sf_dir).count()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        streaming[name + "_rows_per_s"] = round(n_events / best)
+        spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -85,6 +104,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "streaming": streaming,
                 "sf": sf,
             }
         )

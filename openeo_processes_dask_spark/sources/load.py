@@ -223,7 +223,11 @@ def _stac_item_matches(
     import pandas as pd
 
     if spatial_extent is not None and item.get("bbox"):
-        w, s, e, n = (float(v) for v in item["bbox"][:4])
+        bbox = [float(v) for v in item["bbox"]]
+        # 3D STAC bbox is [w, s, zmin, e, n, zmax] — take the 2D corners.
+        w, s, e, n = (
+            (bbox[0], bbox[1], bbox[3], bbox[4]) if len(bbox) >= 6 else bbox[:4]
+        )
         if (
             e < float(spatial_extent["west"])
             or w > float(spatial_extent["east"])
@@ -232,13 +236,27 @@ def _stac_item_matches(
         ):
             return False
     if temporal_extent is not None:
-        dt = (item.get("properties") or {}).get("datetime")
+        props = item.get("properties") or {}
+        lo, hi = temporal_extent[0], temporal_extent[1]
+        dt = props.get("datetime")
         if dt is not None:
             t = pd.to_datetime(dt).tz_localize(None)
-            lo, hi = temporal_extent[0], temporal_extent[1]
             if lo is not None and t < pd.to_datetime(lo):
                 return False
             if hi is not None and t >= pd.to_datetime(hi):
+                return False
+        elif props.get("start_datetime") or props.get("end_datetime"):
+            # datetime=null items declare an interval; match on overlap
+            # with the half-open search extent [lo, hi).
+            t0 = props.get("start_datetime")
+            t1 = props.get("end_datetime")
+            if hi is not None and t0 is not None and (
+                pd.to_datetime(t0).tz_localize(None) >= pd.to_datetime(hi)
+            ):
+                return False
+            if lo is not None and t1 is not None and (
+                pd.to_datetime(t1).tz_localize(None) < pd.to_datetime(lo)
+            ):
                 return False
     if properties:
         props = item.get("properties") or {}
@@ -424,10 +442,29 @@ def save_cube_bucketed(
     keys = []
     for c in cols:
         if types.get(c) in ("double", "float"):
-            vals = sorted(r[0] for r in df.select(c).distinct().collect())
+            vals = sorted(
+                r[0] for r in df.select(c).distinct().collect() if r[0] is not None
+            )
             origin = vals[0] if vals else 0.0
             diffs = [b - a for a, b in zip(vals, vals[1:])]
             step = min((d for d in diffs if d > 0), default=1.0)
+            # The grid must be REGULAR for the derived integer index to be
+            # collision-free: every label has to reconstruct exactly as
+            # origin + idx*step (an irregular axis would let round() map
+            # two distinct labels to the same idx, silently corrupting
+            # every later exchange-free join on the bucket keys).
+            seen = {}
+            for v in vals:
+                idx = round((v - origin) / step)
+                if v != origin + idx * step or idx in seen:
+                    raise ValueError(
+                        f"save_cube_bucketed: axis {c!r} is not a regular "
+                        f"grid (label {v!r} does not reconstruct as origin "
+                        f"{origin!r} + k*step {step!r}); bucketed float "
+                        "axes require labels on a regular grid — "
+                        "resample/snap the axis first"
+                    )
+                seen[idx] = v
             df = df.withColumn(
                 f"{c}_idx",
                 F.round((F.col(c) - F.lit(origin)) / F.lit(step)).cast("long"),

@@ -87,6 +87,12 @@ def kmeans_fit(
         .limit(int(k))
         .collect()
     )
+    if len(rows) < int(k):
+        raise ValueError(
+            f"kmeans_fit: k={k} but the input has only {len(rows)} row(s); "
+            "fitting fewer centroids than requested would silently shrink "
+            "the cluster-id range downstream — pass k <= row count"
+        )
     centroids = [[float(x) for x in row["v"]] for row in rows]
     dim = len(centroids[0])
 

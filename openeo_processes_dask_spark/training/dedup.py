@@ -256,10 +256,17 @@ def connected_components(
     diameter; near-dup clusters are dense (quasi-cliques — every member
     matched the same shingles/bands), so diameters are small single digits
     in practice. The per-round `changed` count is a driver-side scalar
-    action, not a collect of data. For adversarial long-chain graphs at
-    100 TB, swap in large-star/small-star (Kiveris et al. 2014) which
-    converges in O(log n) rounds with the same join shape; the propagation
-    loop here keeps the engine dependency-free and the oracle exact."""
+    action, not a collect of data. Each round's labels are
+    ``localCheckpoint``-ed: persist() truncates execution but NOT the
+    logical plan, so without the checkpoint the per-round self-referencing
+    join doubles the analyzed plan every iteration — exponential in graph
+    diameter, a driver OOM long before the data is the problem. For
+    adversarial long-chain graphs at 100 TB, swap in large-star/small-star
+    (Kiveris et al. 2014) which converges in O(log n) rounds with the same
+    join shape; the propagation loop here keeps the engine dependency-free
+    and the oracle exact. If the loop exhausts ``max_iterations`` while
+    labels are still changing (graph diameter > max_iterations), it raises
+    rather than returning silently wrong component labels."""
     fwd = pairs.select(F.col(id1).alias("u"), F.col(id2).alias("v"))
     rev = pairs.select(F.col(id2).alias("u"), F.col(id1).alias("v"))
     edges = fwd.union(rev).distinct().persist()
@@ -267,6 +274,7 @@ def connected_components(
         "id", F.col("id").alias("comp")
     ).persist()
     try:
+        converged = False
         for _ in range(max_iterations):
             nbr = (
                 edges.join(
@@ -287,7 +295,7 @@ def connected_components(
                         F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))
                     ).alias("comp"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
             changed = (
                 new.join(
@@ -302,7 +310,15 @@ def connected_components(
             labels.unpersist()
             labels = new
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            raise RuntimeError(
+                "connected_components did not converge in "
+                f"{max_iterations} iterations (pair-graph diameter exceeds "
+                "the bound); raise max_iterations, or pre-cluster with "
+                "large-star/small-star for adversarial chain graphs"
+            )
         return labels
     finally:
         edges.unpersist()

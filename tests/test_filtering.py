@@ -106,3 +106,17 @@ def test_dedup_against(spark):
     # duplicate 13 of 11 is kept (contract: compose with exact_duplicates)
     assert kept == [11, 13]
     assert dedup_against(new, seen).columns == ["doc_id", "text"]
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A chain graph with diameter > max_iterations must raise, not return
+    silently wrong component labels (ADVICE r02)."""
+    from openeo_processes_dask_spark.training.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id1 int, id2 int"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=2)
+    comp = connected_components(chain, max_iterations=50).toPandas()
+    assert set(comp["comp"]) == {0}

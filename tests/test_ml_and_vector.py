@@ -72,19 +72,27 @@ def test_random_forest(spark):
 
 
 def test_random_forest_training_row_cap(spark):
-    """The driver collect is bounded: above max_training_rows the fit
-    raises a clear error instead of OOMing the driver (VERDICT r01 #3)."""
+    """Above max_training_rows the fit draws a DETERMINISTIC seeded sample
+    of exactly the cap (VERDICT r02 #4) — same forest regardless of input
+    partitioning, and still a working model."""
     from openeo_processes_dask_spark.ml.random_forest import (
         fit_regr_random_forest,
+        predict_random_forest,
     )
 
-    train = spark.range(100).selectExpr(
-        "CAST(id AS DOUBLE) AS f1", "CAST(id * 2 AS DOUBLE) AS target"
+    train = spark.range(1000).selectExpr(
+        "CAST(id AS DOUBLE) AS f1", "CAST(id % 97 AS DOUBLE) AS f2",
+        "CAST(id * 2 AS DOUBLE) AS target"
     )
-    with pytest.raises(ValueError, match="max_training_rows"):
-        fit_regr_random_forest(
-            train, "target", num_trees=2, max_training_rows=50
-        )
+    m1 = fit_regr_random_forest(
+        train, "target", num_trees=4, max_training_rows=200
+    )
+    m2 = fit_regr_random_forest(
+        train.repartition(13), "target", num_trees=4, max_training_rows=200
+    )
+    assert json.dumps(m1.trees) == json.dumps(m2.trees)
+    pred = predict_random_forest(train, m1).toPandas()
+    assert len(pred) == 1000 and pred["prediction"].notna().all()
 
 
 def test_aggregate_spatial(spark, small_cube, small_pdf):
@@ -633,3 +641,41 @@ def test_kmeans_fit_assign(spark):
     assert all(
         cents[c][d] == pycents[c][d] for c in range(3) for d in range(2)
     ), (cents, pycents)
+
+
+def test_kmeans_fit_input_guards(spark):
+    """k > row count raises instead of silently fitting fewer centroids
+    (ADVICE r02); empty input raises too."""
+    from openeo_processes_dask_spark.training.clustering import kmeans_fit
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])], "vec_id int, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="only 2 row"):
+        kmeans_fit(df, k=5)
+    with pytest.raises(ValueError, match="only 0 row"):
+        kmeans_fit(df.where("vec_id < 0"), k=2)
+
+
+def test_stac_item_matches_3d_bbox_and_interval():
+    """3D STAC bboxes ([w,s,zmin,e,n,zmax]) and datetime=null interval items
+    (start/end_datetime) both search correctly (ADVICE r02)."""
+    from openeo_processes_dask_spark.sources.load import _stac_item_matches
+
+    item3d = {"bbox": [10.0, 46.0, 0.0, 11.0, 47.0, 100.0], "properties": {}}
+    inside = {"west": 10.4, "east": 10.6, "south": 46.4, "north": 46.6}
+    outside = {"west": 20.0, "east": 21.0, "south": 0.0, "north": 1.0}
+    assert _stac_item_matches(item3d, inside, None, None)
+    assert not _stac_item_matches(item3d, outside, None, None)
+
+    interval = {
+        "bbox": [10.0, 46.0, 11.0, 47.0],
+        "properties": {
+            "datetime": None,
+            "start_datetime": "2024-03-01T00:00:00Z",
+            "end_datetime": "2024-06-01T00:00:00Z",
+        },
+    }
+    assert _stac_item_matches(interval, None, ["2024-05-01", "2024-07-01"], None)
+    assert not _stac_item_matches(interval, None, ["2024-07-01", "2024-08-01"], None)
+    assert not _stac_item_matches(interval, None, [None, "2024-03-01"], None)
