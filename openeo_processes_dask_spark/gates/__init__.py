@@ -21,26 +21,13 @@ from . import core, extended, io_misc, parity, streaming, training
 
 _LANES = (core, training, parity, streaming, io_misc, extended)
 
-# Driver-verified in neither CORRECTNESS_r01 nor r02 (46 entries).
-_NEVER_DRIVER_VERIFIED = [
-    "streaming_dedup", "streaming_sliding_sum", "save_load_roundtrip",
-    "resample_cubic", "reduce_quantiles", "resample_cubicspline",
-    "resample_gauss", "apply_neighborhood_2d", "apply_neighborhood_2d_mean",
-    "resample_lanczos", "resample_mode", "resample_rms", "load_url_geojson",
-    "rearrange", "resample_spatial_grid", "resample_cube_spatial_coarse",
-    "resample_cube_spatial_near", "rename_labels_enumerated",
-    "apply_neighborhood_mean", "cummax", "rename_labels_dim",
-    "dimension_labels", "predict_curve_linear", "array_ops", "ddmc",
-    "text_ops", "rqa_trend", "streaming_sessions", "resample_mercator",
-    "multimodal_av", "multimodal_resize", "load_stac_catalog", "crs_utm",
-    "cummin", "cumproduct", "merge_concat", "merge_disjoint_bands",
-    "merge_case4_subcube", "array_ops2", "dedup_clusters", "salted_reduce",
-    "resample_bilinear", "mask_triangle", "apply_dimension_dropnull",
-    "vector_reproject", "ivf_topk",
-]
-
-# New queries added in round 3 (never driver-verified by construction).
-_NEW_R3: list[str] = []
+# Round-4 window (per VERDICT.md r3 "Next round" #3): flagship first, then
+# the three round-3 reds so the driver confirms their fixes
+# (streaming_sessions: NTZ cast; resample_mercator / vector_reproject:
+# signed-zero hash normalization), then queries never checked after r1, then
+# new round-4 queries, then the r2/r3-green tail (least-recently-verified
+# first as space allows).
+_R3_REDS = ["streaming_sessions", "resample_mercator", "vector_reproject"]
 
 # Verified in r1 only — least recently checked of the verified set.
 _R1_ONLY = [
@@ -49,11 +36,34 @@ _R1_ONLY = [
     "apply_polygon", "trim_cube", "order_argsort",
 ]
 
+# New queries added in round 4 (never driver-verified by construction).
+_NEW_R4: list[str] = []
+
+# r2-green queries, in r2-window order — least recently confirmed tail.
+_R2_GREEN = [
+    "filter_temporal", "reduce_mean_over_time", "aggregate_dekad",
+    "merge_multiply", "mask_high_discount", "cumsum", "interpolate_gaps",
+    "dedup_exact", "minhash_near_dups", "simhash_near_dups", "text_quality",
+    "cosine_topk", "ndvi_events", "apply_scale_clip", "resample_asof",
+    "aggregate_spatial_zonal", "filter_bands", "filter_bbox",
+    "filter_labels_text", "add_drop_dimension", "reduce_first",
+    "reduce_product", "reduce_variance", "reduce_spatial_sum",
+    "sort_along_dim", "date_ops", "fit_curve_linear", "random_forest",
+    "run_udf_plus1", "kmeans_clusters", "lsh_topk", "pq_topk",
+    "embedding_near_dups", "ngram_jaccard", "dedup_incremental",
+    "gopher_filter", "repetition_stats", "language_id", "token_count",
+    "sample_stratified", "split_assign", "cap_per_source", "pack_contiguous",
+    "training_pipeline", "apply_dimension_center", "apply_kernel_grid",
+    "aggregate_temporal_halves", "aggregate_week_median", "vector_buffer",
+    "process_graph",
+]
+
 _PRIORITY = (
-    ["flagship_daily_mean", "process_graph"]
-    + _NEVER_DRIVER_VERIFIED
-    + _NEW_R3
+    ["flagship_daily_mean"]
+    + _R3_REDS
+    + _NEW_R4
     + _R1_ONLY
+    + _R2_GREEN
 )
 
 

@@ -562,7 +562,13 @@ def q_resample_mercator(spark, sf_dir):
     out = resample_spatial(
         cube, resolution=1_000_000.0, projection="EPSG:3857", method="mean"
     )
-    return _round6(out.df, "value")
+    # +0.0 normalizes IEEE signed zero: cells in (-0.5e6, 0) snap to -0.0 in
+    # DuckDB (libm round) but +0.0 in Spark (BigDecimal has no -0), which is
+    # value-equal yet hash-different to the driver's byte compare.
+    res = _round6(out.df, "value")
+    return res.withColumn("x", F.col("x") + F.lit(0.0)).withColumn(
+        "y", F.col("y") + F.lit(0.0)
+    )
 
 
 def q_vector_reproject(spark, sf_dir):
@@ -597,10 +603,13 @@ def q_vector_reproject(spark, sf_dir):
     }
     vc = vector_reproject(load_geojson(spark, fc), "EPSG:3857")
     b = geometry_bounds_df(vc)
+    # +0.0 normalizes signed zero: lat=0 gives my = R*ln(tan(pi/4)) ~ -7e-10,
+    # and round(-7e-10, 4) is -0.0 on one engine, +0.0 on the other --
+    # np.allclose-equal but byte-different to the driver hash.
     return b.select(
         "feature_id",
-        F.round(F.col("bounds.west"), 4).alias("mx"),
-        F.round(F.col("bounds.south"), 4).alias("my"),
+        (F.round(F.col("bounds.west"), 4) + F.lit(0.0)).alias("mx"),
+        (F.round(F.col("bounds.south"), 4) + F.lit(0.0)).alias("my"),
     )
 
 
@@ -1051,9 +1060,10 @@ ORACLES = {
             FROM rr GROUP BY user_id, band
         """,
     "resample_mercator": """
-            SELECT round((radians(x) * 6378137.0) / 1000000) * 1000000 AS x,
+            SELECT round((radians(x) * 6378137.0) / 1000000) * 1000000
+                     + 0.0 AS x,
                    round((6378137.0 * ln(tan(pi()/4 + radians(y)/2)))
-                         / 1000000) * 1000000 AS y,
+                         / 1000000) * 1000000 + 0.0 AS y,
                    band, round(avg(value), 6) AS value
             FROM (SELECT CAST(l_partkey % 360 AS DOUBLE) - 179.5 AS x,
                          CAST(l_suppkey % 170 AS DOUBLE) - 84.5 AS y,
@@ -1184,10 +1194,10 @@ ORACLES = {
     "vector_reproject": """
             SELECT CAST(n_nationkey AS VARCHAR) AS feature_id,
                    round(radians(CAST(n_nationkey AS DOUBLE) * 3.0 - 30.0)
-                         * 6378137.0, 4) AS mx,
+                         * 6378137.0, 4) + 0.0 AS mx,
                    round(6378137.0 * ln(tan(pi()/4 +
                          radians(CAST(n_regionkey AS DOUBLE) * 10.0 - 20.0)/2)),
-                         4) AS my
+                         4) + 0.0 AS my
             FROM nation
         """,
 }

@@ -156,8 +156,11 @@ def q_streaming_sessions(spark, sf_dir):
         spark.table(name)
         .join(F.broadcast(mx), "user_id")
         .where(
-            F.unix_micros(F.col("session_end"))
-            < F.unix_micros(F.col("__mt__")) - gap * 1_000_000
+            # Parquet timestamps load as TIMESTAMP_NTZ; unix_micros needs
+            # TIMESTAMP. Session tz is pinned UTC, so the cast is
+            # value-preserving (same pattern: operators/resample.py:44-51).
+            F.unix_micros(F.col("session_end").cast("timestamp"))
+            < F.unix_micros(F.col("__mt__").cast("timestamp")) - gap * 1_000_000
         )
         .select(
             "user_id",

@@ -44,11 +44,17 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
     for c in cols:
         gv, ev = g[c], e[c]
         if pd.api.types.is_float_dtype(gv) or pd.api.types.is_float_dtype(ev):
-            ok = np.allclose(
-                gv.astype(float).fillna(np.nan),
-                ev.astype(float).fillna(np.nan),
-                rtol=0, atol=0, equal_nan=True,
-            )
+            ga = gv.astype(float).fillna(np.nan).to_numpy()
+            ea = ev.astype(float).fillna(np.nan).to_numpy()
+            ok = np.allclose(ga, ea, rtol=0, atol=0, equal_nan=True)
+            # The driver hashes serialized values, so -0.0 vs +0.0 (which
+            # allclose treats as equal) is a driver FAIL. Replicate that.
+            if ok and not (np.signbit(ga) == np.signbit(ea)).all():
+                ok = False
+                problems.append(
+                    f"values[{c}]: signed-zero mismatch (-0.0 vs +0.0) — "
+                    "allclose-equal but driver-hash-different"
+                )
         else:
             ok = gv.astype(str).equals(ev.astype(str))
         if not ok:
