@@ -59,6 +59,21 @@ def main() -> None:
     # first headline number isn't dominated by JVM warmup
     qs["filter_temporal"](spark, sf_dir).count()
 
+    # Host-speed calibration (VERDICT r03 #4): a fixed pure-JVM, no-IO,
+    # no-shuffle codegen loop. Engine changes cannot move this number, so
+    # across rounds calibration_sec isolates host noise from code
+    # regressions: if calibration doubles alongside the headline total, the
+    # host slowed down, not the engine. (r4 reference on a quiet host:
+    # ~0.35 s.)
+    cal_best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 500_000_000, 1, int(cpus)).selectExpr(
+            "sum(id * 2 + 1) AS s"
+        ).collect()
+        cal_best = min(cal_best, time.time() - t0)
+    calibration = round(cal_best, 3)
+
     for name in HEADLINE:
         fn = qs[name]
         # three timed executions, report the min: the first run absorbs
@@ -105,6 +120,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "streaming": streaming,
+                "calibration_sec": calibration,
                 "sf": sf,
             }
         )

@@ -32,6 +32,21 @@ def _md5_to_long(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition compute-heavy text input ONLY when it arrives in fewer
+    partitions than the cluster has cores. The tokenize→shingle→hash
+    explode multiplies rows ~100× downstream of the scan, and Spark cannot
+    re-split a partition mid-stage — so a small-file corpus read as one
+    partition pins the whole signature computation to one core (measured:
+    minhash signatures at sf0.1 arrive as 1 parquet partition; 31/32 cores
+    idle). On a real cluster the corpus has thousands of partitions and
+    this is a no-op — the guard never pays the text shuffle at scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Group by content digest; keep the min id as canonical.
     Returns (keep_id, n_copies, fingerprint)."""
@@ -95,10 +110,8 @@ def ngram_jaccard_pairs(
     """
     # tokens materialized first — see shingles_from_tokens perf contract
     sh = (
-        df.select(
-            F.col(id_col).alias("id"),
-            tokens(F.lower(F.col(text_col))).alias("toks"),
-        )
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t__")))
+        .select("id", tokens(F.lower(F.col("__t__"))).alias("toks"))
         .select(
             "id",
             F.explode(
@@ -170,10 +183,8 @@ def minhash_signatures(
     coeffs = [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)]
 
     sh = (
-        df.select(
-            F.col(id_col).alias("id"),
-            tokens(F.lower(F.col(text_col))).alias("toks"),
-        )
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t__")))
+        .select("id", tokens(F.lower(F.col("__t__"))).alias("toks"))
         .select(
             "id",
             F.explode(
@@ -388,10 +399,11 @@ def simhash_signatures(
     real document; majority vote ``sum(±1) > 0`` ⟺ ``2·cnt_b > n``.
     Docs with zero tokens produce no signature (nothing to vote)."""
     bits = min(bits, 60)
-    tok = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("w"),
-    ).select("id", _md5_to_long(F.col("w")).alias("h"))
+    tok = (
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t__")))
+        .select("id", F.explode(tokens(F.lower(F.col("__t__")))).alias("w"))
+        .select("id", _md5_to_long(F.col("w")).alias("h"))
+    )
     h = F.col("h")
     per, width = 3, 20
     n_packs = (bits + per - 1) // per
