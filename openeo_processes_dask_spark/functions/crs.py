@@ -28,7 +28,11 @@ from __future__ import annotations
 
 import math
 import re
+from typing import Iterator, Tuple
 
+# module-level so typing.get_type_hints can resolve the stringified
+# pandas_udf annotations (PEP 563 is active in this file)
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -115,8 +119,9 @@ class _ColOps:
         return F.lit(0.5) * F.log((F.lit(1.0) + x) / (F.lit(1.0) - x))
 
 
-class _ScalarOps:
-    """Scalar twin of _ColOps (driver-side bbox corners)."""
+class _MathOps:
+    """Scalar twin of _ColOps (driver-side bbox corners) — CPython libm,
+    which matches java.lang.Math bit-for-bit on our anchors."""
 
     sin = staticmethod(math.sin)
     cos = staticmethod(math.cos)
@@ -129,6 +134,26 @@ class _ScalarOps:
     sqrt = staticmethod(math.sqrt)
     lit = staticmethod(float)
     atanh = staticmethod(math.atanh)
+
+
+class _NumpyOps:
+    """NumPy twin of _ColOps: vectorized batch transforms (vector-cube
+    coordinate arrays inside pandas UDFs) AND driver-side scalars — NumPy
+    ufuncs accept both arrays and Python floats."""
+
+    import numpy as _np
+
+    sin = staticmethod(_np.sin)
+    cos = staticmethod(_np.cos)
+    atan = staticmethod(_np.arctan)
+    atan2 = staticmethod(_np.arctan2)
+    asin = staticmethod(_np.arcsin)
+    sinh = staticmethod(_np.sinh)
+    cosh = staticmethod(_np.cosh)
+    log = staticmethod(_np.log)
+    sqrt = staticmethod(_np.sqrt)
+    lit = staticmethod(float)
+    atanh = staticmethod(_np.arctanh)
 
 
 def _tm_forward(ops, lat_deg, lon_deg, lon0_deg: float, north: bool):
@@ -225,14 +250,92 @@ def transform_xy_cols(
     if src == "EPSG:3857" and utm_zone(dst):
         lon, lat = transform_xy_cols(x, y, src, "EPSG:4326")
         return transform_xy_cols(lon, lat, "EPSG:4326", dst)
-    raise NotImplementedError(
-        f"Native transforms cover EPSG:4326<->3857<->UTM (got {src}->{dst});"
-        " other pairs need pyproj, unavailable in this container"
-    )
+    try:
+        import pyproj  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            f"Native transforms cover EPSG:4326<->3857<->UTM (got {src}->{dst});"
+            " other pairs need pyproj, unavailable in this container"
+        ) from None
+    return _pyproj_transform_cols(x, y, src, dst)
+
+
+def _pyproj_transform_cols(
+    x: Column, y: Column, src: str, dst: str
+) -> tuple[Column, Column]:
+    """Arbitrary-CRS lane, active only when pyproj is importable (runtime
+    detect — deployment environments get full reference parity,
+    cubes/resample.py:39-113, for free). Arrow-batched pandas UDF, never
+    row-at-a-time; the Transformer is built once per executor batch. The
+    native closed-form pairs above stay on the JVM/codegen lane — this is
+    the documented slow(er) path for the long tail of EPSG codes."""
+    from pyspark.sql.functions import pandas_udf
+
+    # iterator form: the only multi-input struct-return signature PySpark
+    # accepts, and it builds the Transformer once per partition, not batch
+    @pandas_udf("struct<x: double, y: double>")
+    def _tx(
+        it: Iterator[Tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.DataFrame]:
+        from pyproj import Transformer
+
+        t = Transformer.from_crs(src, dst, always_xy=True)
+        for xs, ys in it:
+            ox, oy = t.transform(xs.to_numpy(), ys.to_numpy())
+            yield pd.DataFrame({"x": ox, "y": oy})
+
+    out = _tx(x, y)
+    return out.getField("x"), out.getField("y")
+
+
+def transform_xy_np(x, y, src_crs, dst_crs):
+    """NumPy twin of transform_xy_cols: vectorized (x, y) array pair in
+    src_crs -> array pair in dst_crs. Used for vector-cube coordinate
+    batches inside pandas UDFs and (via transform_xy_scalar) bbox corners.
+    Non-native pairs fall back to pyproj when importable."""
+    import numpy as np
+
+    src, dst = normalize_crs(src_crs), normalize_crs(dst_crs)
+    if src == dst:
+        return x, y
+    if src == "EPSG:4326" and dst == "EPSG:3857":
+        return (
+            np.radians(x) * R_MERCATOR,
+            R_MERCATOR * np.log(np.tan(math.pi / 4 + np.radians(y) / 2)),
+        )
+    if src == "EPSG:3857" and dst == "EPSG:4326":
+        return (
+            np.degrees(x / R_MERCATOR),
+            np.degrees(2 * np.arctan(np.exp(y / R_MERCATOR)) - math.pi / 2),
+        )
+    if src == "EPSG:4326" and utm_zone(dst):
+        zone, north = utm_zone(dst)
+        return _tm_forward(_NumpyOps, y, x, _utm_lon0(zone), north)
+    if utm_zone(src) and dst == "EPSG:4326":
+        zone, north = utm_zone(src)
+        return _tm_inverse(_NumpyOps, x, y, _utm_lon0(zone), north)
+    if utm_zone(src) or utm_zone(dst):
+        lon, lat = transform_xy_np(x, y, src, "EPSG:4326")
+        return transform_xy_np(lon, lat, "EPSG:4326", dst)
+    try:
+        from pyproj import Transformer
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"Transform {src}->{dst} needs pyproj (unavailable); native "
+            "support covers EPSG:4326<->3857<->UTM"
+        ) from exc
+    t = Transformer.from_crs(src, dst, always_xy=True)
+    return t.transform(x, y)
 
 
 def transform_xy_scalar(x: float, y: float, src_crs, dst_crs):
-    """Driver-side scalar twin of transform_xy_cols (bbox corners)."""
+    """Driver-side scalar twin of transform_xy_cols (bbox corners).
+
+    Uses ``math`` rather than delegating to the NumPy lane: java.lang.Math
+    and CPython's libm agree bit-for-bit on these anchors (measured:
+    tan(pi/4) = 0.9999999999999999 in both) while NumPy's SIMD routines can
+    differ in the last ulp (np.tan(pi/4) = 1.0 exactly) — and scalar/column
+    agreement is the contract resample grids are built on."""
     src, dst = normalize_crs(src_crs), normalize_crs(dst_crs)
     if src == dst:
         return float(x), float(y)
@@ -248,24 +351,16 @@ def transform_xy_scalar(x: float, y: float, src_crs, dst_crs):
         )
     if src == "EPSG:4326" and utm_zone(dst):
         zone, north = utm_zone(dst)
-        e, n = _tm_forward(_ScalarOps, float(y), float(x), _utm_lon0(zone), north)
+        e, n = _tm_forward(_MathOps, float(y), float(x), _utm_lon0(zone), north)
         return float(e), float(n)
     if utm_zone(src) and dst == "EPSG:4326":
         zone, north = utm_zone(src)
         lon, lat = _tm_inverse(
-            _ScalarOps, float(x), float(y), _utm_lon0(zone), north
+            _MathOps, float(x), float(y), _utm_lon0(zone), north
         )
         return float(lon), float(lat)
     if utm_zone(src) or utm_zone(dst):
         lon, lat = transform_xy_scalar(x, y, src, "EPSG:4326")
         return transform_xy_scalar(lon, lat, "EPSG:4326", dst)
-    try:  # pragma: no cover - pyproj absent in this container
-        from pyproj import Transformer
-
-        t = Transformer.from_crs(src, dst, always_xy=True)
-        return t.transform(x, y)
-    except ImportError as exc:
-        raise NotImplementedError(
-            f"Transform {src}->{dst} needs pyproj (unavailable); native "
-            "support covers EPSG:4326<->3857"
-        ) from exc
+    ox, oy = transform_xy_np(float(x), float(y), src, dst)  # pyproj lane
+    return float(ox), float(oy)

@@ -82,6 +82,11 @@ def run_udf(
     if group_cols:
         out_df = df.groupBy(*group_cols).applyInPandas(run, schema=schema)
     else:
+        from openeo_processes_dask_spark.operators.apply import (
+            _guard_single_slice,
+        )
+
+        _guard_single_slice(df, "run_udf")
         out_df = df.groupBy(F.lit(1).alias("__g__")).applyInPandas(
             run, schema=schema
         )

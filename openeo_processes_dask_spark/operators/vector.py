@@ -185,36 +185,26 @@ def vector_reproject(
     geometries: DataFrame, projection: str, crs: Optional[str] = None
 ) -> DataFrame:
     """Reproject every GeoJSON geometry (reference: cubes/geometries.py:
-    149-170). EPSG:4326<->3857 runs natively (functions/crs.py closed-form
-    Mercator, vectorized NumPy inside an Arrow-batched pandas UDF); other
-    CRS pairs would need pyproj and raise from the transform helper."""
-    import math as _math
-
+    149-170). EPSG:4326<->3857<->UTM run natively (functions/crs.py
+    closed-form Mercator + Krüger-series transverse Mercator, vectorized
+    NumPy inside an Arrow-batched pandas UDF); any other pair uses pyproj
+    when importable and raises the documented NotImplementedError
+    otherwise."""
     from openeo_processes_dask_spark.functions import crs as _crs
 
     src = _crs.normalize_crs(crs or "EPSG:4326")
     dst = _crs.normalize_crs(projection)
-    if src != dst and not _crs.supports(src, dst):
-        # raises the documented NotImplementedError for unsupported pairs
+    if src != dst:
+        # driver-side probe: raises the documented NotImplementedError for
+        # pairs neither native nor pyproj-covered, BEFORE any task runs
         _crs.transform_xy_scalar(0.0, 0.0, src, dst)
-    to_merc = src == "EPSG:4326" and dst == "EPSG:3857"
-    r = _crs.R_MERCATOR
-
-    def _tx(arr: np.ndarray) -> np.ndarray:
-        x, y = arr[..., 0], arr[..., 1]
-        if src == dst:
-            return arr
-        if to_merc:
-            nx = np.radians(x) * r
-            ny = r * np.log(np.tan(_math.pi / 4 + np.radians(y) / 2))
-        else:
-            nx = np.degrees(x / r)
-            ny = np.degrees(2 * np.arctan(np.exp(y / r)) - _math.pi / 2)
-        return np.stack([nx, ny], axis=-1)
 
     def _map_coords(coords):
         a = np.asarray(coords, dtype="float64")
-        return _tx(a).tolist()
+        if src == dst:
+            return a.tolist()
+        nx, ny = _crs.transform_xy_np(a[..., 0], a[..., 1], src, dst)
+        return np.stack([nx, ny], axis=-1).tolist()
 
     @F.pandas_udf("string")
     def reproject(geoms: pd.Series) -> pd.Series:

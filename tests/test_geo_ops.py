@@ -531,3 +531,91 @@ def test_resample_spatial_gauss_linear_interior(spark):
     for (x, y), v in got.items():
         if 2 <= x <= 6 and y == 1:  # interior in x; y clamps don't matter for f=x
             assert abs(v - x) < 1e-9, (x, y, v)
+
+
+def test_pyproj_fallback_lane(spark, monkeypatch):
+    """Runtime-detect pyproj lane (reference parity: cubes/resample.py:
+    39-113): with a fake pyproj installed, non-native pairs transform via
+    Transformer.from_crs instead of raising. Driver-side only — executor
+    workers are separate processes, so the Column lane is asserted up to
+    dispatch (returns Columns, no raise), and the numpy/scalar lane
+    end-to-end."""
+    import sys
+    import types
+
+    calls = {}
+
+    class _FakeTransformer:
+        @classmethod
+        def from_crs(cls, src, dst, always_xy=False):
+            calls["pair"] = (str(src), str(dst), always_xy)
+            return cls()
+
+        def transform(self, x, y):
+            return x + 1000.0, y + 2000.0
+
+    fake = types.ModuleType("pyproj")
+    fake.Transformer = _FakeTransformer
+    monkeypatch.setitem(sys.modules, "pyproj", fake)
+
+    from openeo_processes_dask_spark.functions import crs
+
+    # scalar/numpy lane end-to-end
+    ox, oy = crs.transform_xy_scalar(10.0, 20.0, "EPSG:4326", "EPSG:2154")
+    assert (ox, oy) == (1010.0, 2020.0)
+    assert calls["pair"] == ("EPSG:4326", "EPSG:2154", True)
+    arr_x, arr_y = crs.transform_xy_np(
+        np.array([1.0, 2.0]), np.array([3.0, 4.0]), "EPSG:4326", "EPSG:2154"
+    )
+    np.testing.assert_allclose(arr_x, [1001.0, 1002.0])
+    np.testing.assert_allclose(arr_y, [2003.0, 2004.0])
+    # column lane: dispatch succeeds (no NotImplementedError) and yields Columns
+    from pyspark.sql import Column, functions as F
+
+    cx, cy = crs.transform_xy_cols(
+        F.col("x"), F.col("y"), "EPSG:4326", "EPSG:2154"
+    )
+    assert isinstance(cx, Column) and isinstance(cy, Column)
+    # native pairs must NOT touch pyproj
+    calls.clear()
+    crs.transform_xy_scalar(0.0, 0.0, "EPSG:4326", "EPSG:3857")
+    assert not calls
+
+
+def test_vector_reproject_utm(spark):
+    """vector_reproject on a 4326->UTM pair must apply the Krüger transform
+    (it previously fell through to the inverse-Mercator branch for any
+    non-3857 target and produced silently wrong coordinates)."""
+    import json as _json
+
+    from openeo_processes_dask_spark.functions import crs
+    from openeo_processes_dask_spark.operators.vector import (
+        load_geojson,
+        vector_reproject,
+    )
+
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "id": "cn-tower",
+                "geometry": {
+                    "type": "Point",
+                    "coordinates": [-79.387139, 43.642567],
+                },
+                "properties": {},
+            }
+        ],
+    }
+    out = vector_reproject(load_geojson(spark, fc), "EPSG:32617")
+    geom = _json.loads(out.collect()[0]["geometry"])
+    e, n = geom["coordinates"]
+    se, sn = crs.transform_xy_scalar(
+        -79.387139, 43.642567, "EPSG:4326", "EPSG:32617"
+    )
+    assert e == pytest.approx(se, rel=1e-12)
+    assert n == pytest.approx(sn, rel=1e-12)
+    # published anchor: CN Tower -> 17N 630084 E, 4833438 N
+    assert e == pytest.approx(630084, abs=1.0)
+    assert n == pytest.approx(4833438, abs=1.5)

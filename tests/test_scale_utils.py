@@ -145,3 +145,52 @@ def test_salted_reduce_degenerate_group_null(spark, reducer):
     assert out["a"] is None
     expected = 2.0 if reducer == "variance" else 2.0 ** 0.5
     assert abs(out["b"] - expected) < 1e-12
+
+
+def test_single_slice_guard_raises(spark, monkeypatch):
+    """The no-grouping-dims applyInPandas fallback must refuse oversized
+    cubes with a sized message instead of funnelling them into one task
+    (VERDICT r03 #4)."""
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.operators import apply as apply_mod
+    from openeo_processes_dask_spark.operators.apply import apply_dimension
+    from openeo_processes_dask_spark.operators.udf import run_udf
+
+    df = spark.range(100).select(
+        F.col("id").alias("t"), (F.col("id") * 2.0).alias("value")
+    )
+    cube = DataCube(df, dims=("t",))
+    monkeypatch.setattr(apply_mod, "SINGLE_SLICE_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="single-slice limit"):
+        apply_dimension(cube, lambda s: s + 1, "t")
+    # run_udf only takes the whole-cube-as-one-block path when there is no
+    # band/temporal dim to chunk by — use a spatial-only cube
+    xdf = spark.range(100).select(
+        (F.col("id").cast("double")).alias("x"), (F.col("id") * 2.0).alias("value")
+    )
+    xcube = DataCube(xdf, dims=("x",))
+    with pytest.raises(ValueError, match="single-slice limit"):
+        run_udf(
+            xcube,
+            "def apply_datacube(cube, context):\n    return cube + 1\n",
+            runtime="Python",
+        )
+    # under the limit the same calls succeed
+    monkeypatch.setattr(apply_mod, "SINGLE_SLICE_MAX_ROWS", 10_000_000)
+    assert apply_dimension(cube, lambda s: s + 1, "t").df.count() == 100
+
+
+def test_aggregate_spatial_geometry_guard(spark, monkeypatch):
+    """A million-polygon vector cube must fail with a sized message, not a
+    driver OOM (VERDICT r03 #5)."""
+    from openeo_processes_dask_spark.operators import aggregate_spatial as agg_mod
+
+    vc = spark.createDataFrame(
+        [(str(i), '{"type": "Point", "coordinates": [0.0, 0.0]}') for i in range(20)],
+        "feature_id string, geometry string",
+    )
+    monkeypatch.setattr(agg_mod, "MAX_GEOMETRIES", 5)
+    with pytest.raises(ValueError, match="driver-broadcast limit"):
+        agg_mod._features_from(vc)
+    monkeypatch.setattr(agg_mod, "MAX_GEOMETRIES", 100)
+    assert len(agg_mod._features_from(vc)) == 20
