@@ -251,11 +251,84 @@ def minhash_lsh_candidates(
     )
 
 
+def _cc_star(edges: DataFrame, max_iterations: int) -> DataFrame:
+    """Two-phase large-star/small-star connected components (Kiveris et
+    al. 2014, "Connected Components in MapReduce and Beyond"), O(log n)
+    rounds on ANY graph shape — the adversarial-chain-safe lane.
+
+    ``edges``: distinct undirected pairs (a, b), a != b. Each round is two
+    groupBy+join phases, each keyed by node id:
+
+    - large-star: orient every edge both ways; per node u with neighborhood
+      Γ(u), m = min(Γ(u) ∪ {u}); emit (v, m) for every v ∈ Γ(u), v > u.
+    - small-star: orient each edge toward its larger endpoint; per node u,
+      m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u) ∪ {u}.
+
+    Both phases preserve connectivity and only ever decrease the partner
+    of a node, so the edge set converges to stars (member -> component
+    min). Per-round localCheckpoint truncates the logical plan (same
+    rationale as the propagation lane). Returns (id, comp)."""
+    E = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).where(
+        F.col("a") != F.col("b")
+    ).distinct().localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        # large-star
+        bid = E.union(E.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = (
+            bid.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .select("a", F.least(F.col("a"), F.col("mb")).alias("m"))
+        )
+        E_ls = (
+            bid.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star
+        dir_ = E_ls.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        mins2 = dir_.groupBy("a").agg(F.min("b").alias("m"))
+        E_ss = (
+            dir_.join(mins2, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(mins2.select(F.col("a"), F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # converged when the (distinct) edge set is unchanged
+        if (
+            E_ss.count() == E.count()
+            and E_ss.subtract(E).limit(1).count() == 0
+        ):
+            E = E_ss
+            break
+        E = E_ss
+    else:
+        raise RuntimeError(
+            "star connected_components did not converge in "
+            f"{max_iterations} rounds — raise max_iterations (convergence "
+            "is O(log n) rounds, so this indicates a pathological input)"
+        )
+    # E is now a star forest: (member, root). Roots label themselves.
+    return (
+        E.select(F.col("a").alias("id"), F.col("b").alias("comp"))
+        .union(
+            E.select(F.col("b").alias("id"), F.col("b").alias("comp"))
+        )
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id1: str = "id1",
     id2: str = "id2",
     max_iterations: int = 50,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph — the cluster
     step that turns pairwise matches into canonical-document groups.
@@ -277,9 +350,22 @@ def connected_components(
     join shape; the propagation loop here keeps the engine dependency-free
     and the oracle exact. If the loop exhausts ``max_iterations`` while
     labels are still changing (graph diameter > max_iterations), it raises
-    rather than returning silently wrong component labels."""
+    rather than returning silently wrong component labels.
+
+    ``algorithm="star"`` switches to the large-star/small-star lane
+    (:func:`_cc_star`): O(log n) rounds on any graph shape, the right
+    choice when the pair graph may contain long chains (e.g. a 100 TB
+    web-crawl dup graph). Both lanes produce identical labels (comp = min
+    id of the component); propagation stays the default because its
+    round count is observably the cluster diameter and its plan is the
+    cheaper of the two per round on the dense quasi-clique graphs near-dup
+    mining actually emits."""
+    if algorithm not in ("propagation", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     fwd = pairs.select(F.col(id1).alias("u"), F.col(id2).alias("v"))
     rev = pairs.select(F.col(id2).alias("u"), F.col(id1).alias("v"))
+    if algorithm == "star":
+        return _cc_star(fwd.union(rev), max_iterations)
     edges = fwd.union(rev).distinct().persist()
     labels = edges.select(F.col("u").alias("id")).distinct().select(
         "id", F.col("id").alias("comp")
@@ -327,8 +413,8 @@ def connected_components(
             raise RuntimeError(
                 "connected_components did not converge in "
                 f"{max_iterations} iterations (pair-graph diameter exceeds "
-                "the bound); raise max_iterations, or pre-cluster with "
-                "large-star/small-star for adversarial chain graphs"
+                "the bound); raise max_iterations, or rerun with "
+                "algorithm='star' (O(log n) rounds on chain graphs)"
             )
         return labels
     finally:
