@@ -274,16 +274,16 @@ def load_vector_cube(
     geometries: dict = None,
 ) -> DataFrame:
     """(reference: cubes/experimental.py:18-72) URL/filename/dict →
-    VectorCube. Network URLs are gated (no network in this container);
-    local GeoJSON files and inline dicts are fully supported."""
+    VectorCube. URLs (http(s) or file://) fetch driver-side via stdlib
+    urllib — same role as the reference's requests.get; local GeoJSON
+    files and inline dicts load directly."""
+    from openeo_processes_dask_spark.sources.load import fetch_json
+
     spark = spark or SparkSession.getActiveSession()
     if URL is not None:
-        raise NotImplementedError(
-            "Network access unavailable; pass filename= or geometries="
-        )
-    if filename is not None:
-        with open(filename) as fh:
-            geometries = json.load(fh)
+        geometries = fetch_json(URL)
+    elif filename is not None:
+        geometries = fetch_json(filename)
     if geometries is None:
         raise ValueError("One of URL/filename/geometries is required")
     return load_geojson(spark, geometries)
@@ -292,25 +292,24 @@ def load_vector_cube(
 @process
 def load_url(url: str, format: str = "GeoJSON", options: dict = None):  # noqa: A002
     """URL → VectorCube (reference: cubes/load.py:325-401; formats GeoJSON /
-    JSON / Parquet). ``file://`` URLs and plain local paths are fully
-    supported; remote http(s) fetches stay gated (no network in this
-    container) — on a cluster the fetch happens driver-side exactly like
-    the reference's ``requests.get``, so only this branch would change.
-    Parquet reads go through ``spark.read.parquet`` (distributed,
-    predicate-pushdown-capable) rather than a driver download."""
+    JSON / Parquet). ``file://`` URLs, plain local paths, and http(s)
+    URLs are all supported: JSON documents fetch driver-side via stdlib
+    urllib (the reference's ``requests.get`` role); parquet reads go
+    through ``spark.read.parquet`` (distributed, pushdown-capable) for
+    local/Hadoop-FS locations, with http(s) parquet localized once
+    driver-side."""
+    from openeo_processes_dask_spark.sources.load import (
+        _localize_parquet,
+        _read_parquet_nanosafe,
+        fetch_json,
+    )
+
     spark = SparkSession.getActiveSession()
     fmt = (format or "GeoJSON").lower()
-    if url.startswith("file://"):
-        path = url[len("file://") :]
-    elif not url.startswith(("http://", "https://")):
-        path = url
-    else:
-        raise NotImplementedError(
-            "Network access unavailable in this container; use a file:// "
-            "URL or local path for GeoJSON/JSON/Parquet"
-        )
     if fmt == "parquet":
-        return spark.read.parquet(path)
+        # nanosafe: externally-written parquet (pandas/pyarrow default)
+        # carries TIMESTAMP(NANOS), which plain spark.read rejects
+        return _read_parquet_nanosafe(spark, _localize_parquet(spark, url))
     if fmt in ("geojson", "json"):
-        return load_vector_cube(spark, filename=path)
+        return load_geojson(spark, fetch_json(url))
     raise ValueError(f"Unsupported format for load_url: {format}")

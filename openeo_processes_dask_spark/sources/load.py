@@ -32,6 +32,82 @@ TABLES = (
 )
 
 
+def _is_http(url: str) -> bool:
+    return isinstance(url, str) and url.startswith(("http://", "https://"))
+
+
+def fetch_json(src: str, timeout: float = 30.0) -> dict:
+    """Driver-side JSON fetch: http(s) URL (stdlib urllib — the reference
+    uses requests.get the same way, cubes/load.py:337), ``file://`` URL,
+    or local path. Metadata-sized documents only (STAC items/catalogs,
+    GeoJSON feature collections) — bulk data goes through spark.read."""
+    import json
+
+    if _is_http(src):
+        import urllib.request
+
+        try:
+            with urllib.request.urlopen(src, timeout=timeout) as resp:
+                return json.load(resp)
+        except Exception as exc:  # URLError, HTTPError, timeout, bad JSON
+            raise RuntimeError(f"Failed to fetch JSON from {src}: {exc}") from exc
+    if src.startswith("file://"):
+        src = src[len("file://") :]
+    with open(src) as fh:
+        return json.load(fh)
+
+
+def _resolve_href(href: str, base: str) -> str:
+    """Resolve a STAC link/asset href against the document location.
+    Handles http(s) bases (urljoin) and filesystem bases (path join);
+    absolute hrefs — including s3://, gs://, hdfs:// asset urls that
+    Spark's Hadoop FS layer reads natively — pass through untouched."""
+    import os
+    import re
+
+    if re.match(r"^[a-z][a-z0-9+.-]*://", href) or os.path.isabs(href):
+        return href
+    if _is_http(base):
+        from urllib.parse import urljoin
+
+        return urljoin(base + "/", href)
+    return os.path.join(base, href)
+
+
+def _localize_parquet(spark: SparkSession, href: str) -> str:
+    """Make a parquet href spark-readable. Filesystem paths and Hadoop-FS
+    urls (s3a://, gs://, hdfs://...) pass through — Spark reads those
+    distributed, with pushdown. Plain http(s) parquet has no FS driver, so
+    it downloads ONCE driver-side to a local cache (exactly what the
+    reference does for remote assets it can't range-read); fine for
+    fixture-sized assets, while real deployments point at object-store
+    urls that never take this branch."""
+    if not _is_http(href):
+        return href
+    import hashlib
+    import os
+    import tempfile
+    import urllib.request
+
+    cache = os.path.join(tempfile.gettempdir(), "spark_http_assets")
+    os.makedirs(cache, exist_ok=True)
+    local = os.path.join(
+        cache, hashlib.md5(href.encode()).hexdigest()[:16] + ".parquet"
+    )
+    if not os.path.exists(local):
+        tmp = local + ".part"
+        with urllib.request.urlopen(href, timeout=60) as resp, open(
+            tmp, "wb"
+        ) as out:
+            while True:
+                chunk = resp.read(1 << 20)
+                if not chunk:
+                    break
+                out.write(chunk)
+        os.replace(tmp, local)
+    return local
+
+
 def _read_parquet_nanosafe(spark: SparkSession, path: str) -> DataFrame:
     """Read parquet that may contain TIMESTAMP(NANOS) columns (Spark has no
     nanosecond timestamp type and errors on them by default).
@@ -279,13 +355,19 @@ def load_stac(
 
     The reference's flow: validate STAC url -> catalog search with
     bbox/datetime/property filters -> lazy asset read -> post filters.
-    This container has no network and no rasterio/odc, so the supported
-    paths are LOCAL JSON documents whose asset hrefs point at parquet:
+    Supported documents — local paths, ``file://`` or ``http(s)://`` URLs
+    (http fetched driver-side via stdlib urllib, the same role as the
+    reference's requests.get / pystac-client) — with parquet asset hrefs
+    (local, http(s), or any Hadoop-FS url like s3a://, which Spark reads
+    distributed):
 
     - a single Item ("Feature");
     - an ItemCollection ("FeatureCollection" of items);
     - a Catalog/Collection whose ``links`` with ``rel=="item"`` point at
-      item JSONs (resolved relative to the catalog path).
+      item JSONs (resolved relative to the catalog location).
+
+    COG/Zarr raster assets (reference load.py:245-304 via odc/rasterio/
+    zarr) remain gated: no raster codec is available in this container.
 
     For catalogs/collections the bbox/datetime/property filters run as the
     SEARCH step (item granularity, before any asset is read — the local
@@ -294,18 +376,12 @@ def load_stac(
     always re-applied, temporal only for single items (the search already
     filtered collection items by datetime).
     """
-    import json
     import os
 
     spark = spark or SparkSession.getActiveSession()
-    if url.startswith(("http://", "https://")):
-        raise NotImplementedError(
-            "Network STAC access is unavailable in this container; pass a "
-            "local item/catalog JSON path (asset hrefs -> parquet)"
-        )
-    with open(url) as fh:
-        doc = json.load(fh)
-    base = os.path.dirname(url)
+    doc = fetch_json(url)
+    src = url[len("file://") :] if url.startswith("file://") else url
+    base = src.rsplit("/", 1)[0] if _is_http(src) else os.path.dirname(src)
 
     doc_type = doc.get("type")
     if doc_type == "Feature":
@@ -317,11 +393,7 @@ def load_stac(
         for link in doc.get("links", []):
             if link.get("rel") != "item" or not link.get("href"):
                 continue
-            href = link["href"]
-            if not os.path.isabs(href):
-                href = os.path.join(base, href)
-            with open(href) as fh:
-                items.append(json.load(fh))
+            items.append(fetch_json(_resolve_href(link["href"], base)))
     else:
         raise ValueError(f"Unsupported STAC document type: {doc_type!r}")
 
@@ -347,8 +419,7 @@ def load_stac(
             href = asset.get("href")
             if not href or not href.endswith(".parquet"):
                 continue
-            if not os.path.isabs(href):
-                href = os.path.join(base, href)
+            href = _localize_parquet(spark, _resolve_href(href, base))
             df = _read_parquet_nanosafe(spark, href).withColumn(
                 "band", F.lit(name)
             )

@@ -1,0 +1,131 @@
+"""http(s) source lanes (reference: cubes/load.py:325-401 requests.get,
+94-322 pystac-client): served from a local http.server — the fetch path is
+byte-identical to a remote deployment, minus DNS."""
+
+from __future__ import annotations
+
+import functools
+import http.server
+import json
+import os
+import threading
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def http_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("httproot")
+
+    # GeoJSON FeatureCollection
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "id": str(i),
+                "geometry": {"type": "Point", "coordinates": [float(i), 0.0]},
+                "properties": {"name": f"p{i}"},
+            }
+            for i in range(4)
+        ],
+    }
+    (root / "points.geojson").write_text(json.dumps(fc))
+
+    # parquet asset + STAC item + catalog (item linked relatively)
+    pdf = pd.DataFrame(
+        {
+            "x": [0.0, 1.0, 2.0],
+            "y": [0.0, 0.0, 0.0],
+            "t": pd.to_datetime(["2021-01-01"] * 3),
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+    pdf.to_parquet(root / "asset_b1.parquet")
+    item = {
+        "type": "Feature",
+        "stac_version": "1.0.0",
+        "id": "item-1",
+        "bbox": [-1.0, -1.0, 3.0, 1.0],
+        "geometry": None,
+        "properties": {"datetime": "2021-01-01T00:00:00Z"},
+        "assets": {"b1": {"href": "asset_b1.parquet"}},
+    }
+    (root / "item1.json").write_text(json.dumps(item))
+    catalog = {
+        "type": "Catalog",
+        "stac_version": "1.0.0",
+        "id": "cat",
+        "description": "test",
+        "links": [{"rel": "item", "href": "item1.json"}],
+    }
+    (root / "catalog.json").write_text(json.dumps(catalog))
+    return root
+
+
+@pytest.fixture(scope="module")
+def http_base(http_root):
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(http_root)
+    )
+    handler.log_message = lambda *a, **k: None
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def test_load_url_geojson_http(spark, http_base):
+    from openeo_processes_dask_spark.operators.vector import load_url
+
+    vc = load_url(f"{http_base}/points.geojson", format="GeoJSON")
+    rows = vc.collect()
+    assert len(rows) == 4
+    assert {r["feature_id"] for r in rows} == {"0", "1", "2", "3"}
+
+
+def test_load_url_parquet_http(spark, http_base):
+    from openeo_processes_dask_spark.operators.vector import load_url
+
+    df = load_url(f"{http_base}/asset_b1.parquet", format="Parquet")
+    assert df.count() == 3
+    # nanosafe read: `t` is converted to micros and keeps its raw-nanos
+    # pushdown partner `__t_ns__` (engine contract, sources/load.py)
+    assert {"x", "y", "t", "value"} <= set(df.columns)
+    assert df.schema["t"].dataType.typeName().startswith("timestamp")
+
+
+def test_load_vector_cube_url(spark, http_base):
+    from openeo_processes_dask_spark.operators.vector import load_vector_cube
+
+    vc = load_vector_cube(spark, URL=f"{http_base}/points.geojson")
+    assert vc.count() == 4
+
+
+def test_load_stac_catalog_http(spark, http_base):
+    """Catalog over http: catalog json -> relative item link -> relative
+    parquet asset href, all resolved against the URL base."""
+    from openeo_processes_dask_spark.sources.load import load_stac
+
+    cube = load_stac(f"{http_base}/catalog.json")
+    got = cube.df.orderBy("x").collect()
+    assert [r["value"] for r in got] == [1.0, 2.0, 3.0]
+    assert got[0]["band"] == "b1"
+
+
+def test_load_stac_http_search_filters(spark, http_base):
+    from openeo_processes_dask_spark.sources.load import load_stac
+
+    with pytest.raises(ValueError, match="No STAC items matched"):
+        load_stac(
+            f"{http_base}/catalog.json",
+            temporal_extent=["2030-01-01", "2031-01-01"],
+        )
+
+
+def test_fetch_json_error_message(spark):
+    from openeo_processes_dask_spark.sources.load import fetch_json
+
+    with pytest.raises(RuntimeError, match="Failed to fetch JSON"):
+        fetch_json("http://127.0.0.1:9/nothing.json", timeout=2)

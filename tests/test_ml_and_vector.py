@@ -441,8 +441,10 @@ def test_load_url_local(spark, tmp_path):
     spark.range(5).write.parquet(pq)
     assert load_url(pq, format="Parquet").count() == 5
 
-    with pytest.raises(NotImplementedError):
-        load_url("https://example.com/fc.geojson")
+    # http(s) is a supported lane now (tests/test_http_sources.py); an
+    # unreachable host surfaces as a clear fetch error, not a gate
+    with pytest.raises(RuntimeError, match="Failed to fetch JSON"):
+        load_url("https://nonexistent.invalid/fc.geojson")
 
 
 def test_ivf_topk(spark):
