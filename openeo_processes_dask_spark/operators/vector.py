@@ -128,22 +128,49 @@ def _buffer_convex_ring(ring, distance: float) -> list:
     return out
 
 
+def _has_shapely() -> bool:
+    try:
+        import shapely.geometry  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _buffer_geojson_shapely(geojson_str: str, distance: float) -> str:
+    """shapely-backed buffer of one GeoJSON geometry — the runtime-detect
+    lane for everything the native geometry code refuses (concave rings,
+    holes, erosion, multi-geometries). Reference parity:
+    cubes/geometries.py:123-146 buffers through shapely the same way."""
+    from shapely.geometry import mapping, shape
+
+    geom = shape(json.loads(geojson_str))
+    return json.dumps(mapping(geom.buffer(distance, quad_segs=8)))
+
+
 @process
 def vector_buffer(geometries: DataFrame, distance: float) -> DataFrame:
     """Buffer each geometry by ``distance`` (coordinate units)
     (reference: cubes/geometries.py:123-146).
 
-    Contract without a geometry engine (shapely absent): points buffer to
-    32-gon circles; CONVEX single-ring polygons buffer exactly (edge
-    offset + vertex arcs — the true Minkowski sum boundary at 32-gon arc
-    resolution). Concave polygons, rings with holes, and negative
+    With shapely importable (runtime detect, driver-side probe), every
+    geometry type/distance buffers through it — full reference parity in a
+    deployed environment (executors must also have shapely, the standard
+    Spark deployment contract). Without it: points buffer to 32-gon
+    circles; CONVEX single-ring polygons buffer exactly (edge offset +
+    vertex arcs — the true Minkowski sum boundary at 32-gon arc
+    resolution); concave polygons, rings with holes, and negative
     distances raise NotImplementedError rather than silently
     approximating (VERDICT r01 #7)."""
+    use_shapely = _has_shapely()
 
     @F.pandas_udf("string")
     def buf(geoms: pd.Series) -> pd.Series:
         out = []
         for g in geoms:
+            if use_shapely:
+                out.append(_buffer_geojson_shapely(g, distance))
+                continue
             geom = json.loads(g)
             if geom["type"] == "Point":
                 cx, cy = geom["coordinates"]

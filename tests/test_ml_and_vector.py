@@ -681,3 +681,81 @@ def test_stac_item_matches_3d_bbox_and_interval():
     assert _stac_item_matches(interval, None, ["2024-05-01", "2024-07-01"], None)
     assert not _stac_item_matches(interval, None, ["2024-07-01", "2024-08-01"], None)
     assert not _stac_item_matches(interval, None, [None, "2024-03-01"], None)
+
+
+def test_vector_buffer_shapely_lane(spark, monkeypatch):
+    """Runtime-detect shapely lane (reference parity: geometries.py:
+    123-146): with a fake shapely importable, the buffer delegates every
+    geometry — including the concave rings the native lane refuses.
+    Driver-side unit test of the lane function + the dispatch probe;
+    executors are separate processes, so execution through Spark is
+    exercised only when real shapely is deployed."""
+    import sys
+    import types
+
+    import json as _json
+
+    calls = {}
+
+    class _FakeGeom:
+        def __init__(self, gj):
+            self.gj = gj
+
+        def buffer(self, distance, quad_segs=8):
+            calls["buffer"] = (self.gj["type"], distance, quad_segs)
+            return _FakeGeom({"type": "Polygon", "coordinates": [[[0.0, 0.0]]]})
+
+    shapely = types.ModuleType("shapely")
+    geometry = types.ModuleType("shapely.geometry")
+    geometry.shape = lambda gj: _FakeGeom(gj)
+    geometry.mapping = lambda g: g.gj
+    shapely.geometry = geometry
+    monkeypatch.setitem(sys.modules, "shapely", shapely)
+    monkeypatch.setitem(sys.modules, "shapely.geometry", geometry)
+
+    from openeo_processes_dask_spark.operators.vector import (
+        _buffer_geojson_shapely,
+        _has_shapely,
+    )
+
+    assert _has_shapely()
+    concave = {
+        "type": "Polygon",
+        "coordinates": [
+            [[0, 0], [4, 0], [4, 4], [2, 1], [0, 4], [0, 0]]
+        ],
+    }
+    out = _json.loads(_buffer_geojson_shapely(_json.dumps(concave), 1.5))
+    assert out == {"type": "Polygon", "coordinates": [[[0.0, 0.0]]]}
+    assert calls["buffer"] == ("Polygon", 1.5, 8)
+
+
+def test_vector_buffer_native_still_gates_concave(spark):
+    """Without shapely the concave raise is unchanged."""
+    import json as _json
+
+    from openeo_processes_dask_spark.operators.vector import (
+        _has_shapely,
+        load_geojson,
+        vector_buffer,
+    )
+
+    assert not _has_shapely()  # container contract
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "id": "c",
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [
+                        [[0, 0], [4, 0], [4, 4], [2, 1], [0, 4], [0, 0]]
+                    ],
+                },
+                "properties": {},
+            }
+        ],
+    }
+    with pytest.raises(Exception, match="CONCAVE"):
+        vector_buffer(load_geojson(spark, fc), 1.0).collect()
