@@ -239,6 +239,24 @@ def q_dedup_clusters(spark, sf_dir):
     return connected_components(pairs).orderBy("id")
 
 
+def q_dedup_clusters_star(spark, sf_dir):
+    """Same pair graph as dedup_clusters, clustered with the O(log n)
+    large-star/small-star lane (training/dedup.py _cc_star, Kiveris et
+    al. 2014) — must produce byte-identical labels to the propagation
+    lane and the recursive-CTE oracle."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import (
+        connected_components,
+        minhash_near_duplicates,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.2
+    )
+    return connected_components(pairs, algorithm="star").orderBy("id")
+
+
 def q_simhash_near_dups(spark, sf_dir):
     _setup(spark)
     from openeo_processes_dask_spark.training.dedup import simhash_near_duplicates
@@ -346,6 +364,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "embedding_near_dups": q_embedding_near_dups,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_star": q_dedup_clusters_star,
     "ivf_topk": q_ivf_topk,
 }
 
@@ -646,5 +665,6 @@ ORACLES = {
     "kmeans_clusters": _kmeans_oracle_sql(),
     "embedding_near_dups": _embedding_near_dups_oracle_sql(),
     "dedup_clusters": _dedup_clusters_oracle_sql(),
+    "dedup_clusters_star": _dedup_clusters_oracle_sql(),
     "ivf_topk": _ivf_topk_oracle_sql(),
 }

@@ -411,13 +411,31 @@ def load_stac(
             f"No STAC items matched the search filters in {url}"
         )
 
+    from openeo_processes_dask_spark.sources.raster import (
+        RASTER_SUFFIXES,
+        load_raster,
+    )
+
     frames = []
     for item in items:
         for name, asset in (item.get("assets") or {}).items():
             if bands is not None and name not in bands:
                 continue  # band pruning at source (reference: load.py:262-264)
             href = asset.get("href")
-            if not href or not href.endswith(".parquet"):
+            if not href:
+                continue
+            if href.rstrip("/").endswith(RASTER_SUFFIXES):
+                # COG/Zarr lane (reference load.py:245-304): distributed
+                # tile decode; runtime-detects rasterio/zarr
+                cube = load_raster(
+                    spark,
+                    _resolve_href(href, base),
+                    band=name,
+                    time=(item.get("properties") or {}).get("datetime"),
+                )
+                frames.append(cube.df)
+                continue
+            if not href.endswith(".parquet"):
                 continue
             href = _localize_parquet(spark, _resolve_href(href, base))
             df = _read_parquet_nanosafe(spark, href).withColumn(
