@@ -257,6 +257,33 @@ def q_dedup_clusters_star(spark, sf_dir):
     return connected_components(pairs, algorithm="star").orderBy("id")
 
 
+def q_segment_dedup(spark, sf_dir):
+    """Sub-document exact dedup at 10-word-chunk granularity
+    (training/dedup.py segment_duplicates — the RefinedWeb/FineWeb
+    boilerplate-removal move): explode chunks -> digest -> one hash
+    aggregate; only digests shuffle."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import segment_duplicates
+
+    docs = _table(spark, sf_dir, "documents")
+    return segment_duplicates(docs, "doc_id", "text", segment_words=10)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (training/dedup.py decontaminate): docs
+    sharing any 5-gram with the held-out 'benchmark' slice (doc_id % 53
+    == 0) are flagged with their offending-shingle count. Digest-only
+    broadcast join — document text never shuffles."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import decontaminate
+
+    docs = _table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 53 == 0)
+    train = docs.where(F.col("doc_id") % 53 != 0)
+    out = decontaminate(train, bench, "doc_id", "text", n=5)
+    return out.select(F.col("id").alias("doc_id"), "n_shared")
+
+
 def q_simhash_near_dups(spark, sf_dir):
     _setup(spark)
     from openeo_processes_dask_spark.training.dedup import simhash_near_duplicates
@@ -366,6 +393,8 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_star": q_dedup_clusters_star,
     "ivf_topk": q_ivf_topk,
+    "segment_dedup": q_segment_dedup,
+    "decontaminate": q_decontaminate,
 }
 
 ORACLES = {
@@ -644,6 +673,36 @@ ORACLES = {
             JOIN sizes s1 ON s1.doc_id = id1
             JOIN sizes s2 ON s2.doc_id = id2
             WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.2
+        """,
+    "segment_dedup": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+              FROM documents WHERE trim(text) != ''),
+            blocks AS (
+              SELECT doc_id,
+                     array_to_string(t[(b*10+1):(b*10+10)], ' ') AS seg
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(
+                       0, CAST(ceil(len(t) / 10.0) AS INT) - 1)) AS b))
+            SELECT md5(seg) AS fingerprint, count(*) AS n_copies,
+                   count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keep_id
+            FROM blocks WHERE seg != ''
+            GROUP BY 1 HAVING count(*) > 1
+        """,
+    "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(generate_series(1, len(w) - 4),
+                            i -> array_to_string(w[i:i+4], ' '))) AS s
+              FROM toks WHERE len(w) >= 5),
+            bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 53 = 0)
+            SELECT a.doc_id, count(*) AS n_shared
+            FROM sh a JOIN bench USING (s)
+            WHERE a.doc_id % 53 != 0
+            GROUP BY 1
         """,
     "minhash_near_dups": _minhash_oracle_sql(),
     "simhash_near_dups": _simhash_oracle_sql(),

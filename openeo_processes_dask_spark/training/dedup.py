@@ -158,6 +158,132 @@ def ngram_jaccard_pairs(
     )
 
 
+def segment_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    segment_words: int | None = 20,
+    paragraph_regex: str | None = None,
+    min_words: int = 1,
+) -> DataFrame:
+    """Sub-document exact dedup — the RefinedWeb/FineWeb move: boilerplate
+    (headers, footers, license blocks) repeats across documents that are
+    NOT whole-document duplicates, so dedup at segment granularity.
+
+    Two segmentations:
+    - ``segment_words=k`` (default): non-overlapping k-word chunks —
+      robust when documents carry no layout structure;
+    - ``paragraph_regex``: split the raw text on a separator regex
+      (e.g. ``"\\n{2,}"``) — classic paragraph dedup.
+
+    Returns one row per DUPLICATED segment fingerprint: (fingerprint,
+    n_copies, n_docs, keep_id) with n_copies > 1 — the removal list a
+    pipeline anti-joins against its exploded segments.
+
+    Plan: explode segments → md5 digest (segments themselves never
+    shuffle, only 16-byte digests) → one hash aggregate. Identical shape
+    to exact dedup, so it scales the same way."""
+    if (segment_words is None) == (paragraph_regex is None):
+        raise ValueError("pass exactly one of segment_words/paragraph_regex")
+    base = _spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t__"))
+    )
+    if paragraph_regex is not None:
+        seg = base.select(
+            "id",
+            F.explode(F.split(F.col("__t__"), paragraph_regex)).alias("seg"),
+        ).select(
+            "id",
+            F.regexp_replace(F.lower(F.trim(F.col("seg"))), r"\s+", " ").alias(
+                "seg"
+            ),
+        )
+        seg = seg.where(
+            F.size(F.split(F.col("seg"), " ")) >= min_words
+        ).where(F.col("seg") != "")
+    else:
+        k = int(segment_words)
+        toks = base.select("id", tokens(F.lower(F.col("__t__"))).alias("toks"))
+        n_blocks = F.ceil(F.size("toks") / F.lit(k)).cast("int")
+        # guard: sequence(0, -1) counts DOWN in Spark, so an empty doc
+        # would emit two phantom blocks without the when()
+        blocks = F.when(
+            n_blocks > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_blocks - 1),
+                lambda b: F.concat_ws(" ", F.slice(F.col("toks"), b * k + 1, k)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        seg = (
+            toks.select("id", F.explode(blocks).alias("seg"))
+            .where(F.col("seg") != "")
+            .where(F.size(F.split(F.col("seg"), " ")) >= min_words)
+        )
+    return (
+        seg.select("id", F.md5(F.col("seg")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("id").alias("n_docs"),
+            F.min("id").alias("keep_id"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / open-eval
+    hygiene step): flag training documents sharing any word ``n``-gram
+    with an evaluation set, so eval answers don't leak into training.
+
+    Returns (id, n_shared) for CONTAMINATED documents only — the list a
+    pipeline anti-joins away. n_shared = number of distinct offending
+    shingles in the document.
+
+    Plan: benchmark shingles reduce to DISTINCT digests (the benchmark is
+    eval-sized — thousands of rows — so its digest set broadcasts); the
+    corpus side explodes distinct shingle digests once and inner-joins.
+    The join is digest-on-digest: document text never shuffles. At 100 TB
+    the corpus side is a scan + explode + broadcast-hash-join — no
+    exchange at all (AQE broadcasts the benchmark side)."""
+    bench_keys = (
+        _spread(benchmark.select(F.col(bench_text_col).alias("__t__")))
+        .select(tokens(F.lower(F.col("__t__"))).alias("toks"))
+        .select(
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("toks"), n))
+            ).alias("sh")
+        )
+        .select(_md5_to_long(F.col("sh")).alias("shk"))
+        .distinct()
+    )
+    doc_sh = (
+        _spread(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t__"))
+        )
+        .select("id", tokens(F.lower(F.col("__t__"))).alias("toks"))
+        .select(
+            "id",
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("toks"), n))
+            ).alias("sh"),
+        )
+        .select("id", _md5_to_long(F.col("sh")).alias("shk"))
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_keys), "shk")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

@@ -237,3 +237,68 @@ def test_connected_components_star_chain(spark):
         ).collect()
     }
     assert prop == star2
+
+
+def test_segment_duplicates_chunks_and_paragraphs(spark):
+    """Sub-document dedup: the shared 10-word boilerplate block dedups
+    across docs that are NOT whole-document duplicates; paragraph mode
+    splits on the separator regex."""
+    from openeo_processes_dask_spark.training.dedup import segment_duplicates
+
+    boiler = "this site uses cookies accept our policy to continue reading"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, boiler + " one two three four five six seven eight nine ten"),
+            (3, "totally unrelated content with ten different words right here now"),
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = segment_duplicates(docs, "doc_id", "text", segment_words=10)
+    rows = out.collect()
+    assert len(rows) == 1  # only the boilerplate chunk repeats
+    assert rows[0]["n_copies"] == 2
+    assert rows[0]["n_docs"] == 2
+    assert rows[0]["keep_id"] == 1
+
+    para_docs = spark.createDataFrame(
+        [
+            (1, "shared footer text\n\nunique body one"),
+            (2, "unique body two\n\nshared footer text"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pout = segment_duplicates(
+        para_docs, "doc_id", "text",
+        segment_words=None, paragraph_regex=r"\n{2,}",
+    ).collect()
+    assert len(pout) == 1 and pout[0]["n_docs"] == 2
+
+    with pytest.raises(ValueError, match="exactly one"):
+        segment_duplicates(docs, "doc_id", "text",
+                           segment_words=10, paragraph_regex=r"\n")
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    """A train doc embedding a benchmark 8-gram is flagged; clean docs are
+    not; the returned n_shared counts distinct offending shingles."""
+    from openeo_processes_dask_spark.training.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france the answer is paris of course")],
+        "qid bigint, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains the benchmark 8-gram "what is the capital of france the answer"
+            (1, "quiz leak what is the capital of france the answer is paris end"),
+            (2, "completely clean document about cooking pasta with tomato sauce daily"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["id"]: r["n_shared"] for r in decontaminate(
+        train, bench, "doc_id", "text", n=8
+    ).collect()}
+    assert 1 in out and 2 not in out
+    assert out[1] >= 1
