@@ -206,7 +206,12 @@ def q_fit_curve_linear(spark, sf_dir):
         roles={"pos": "other"},
     )
     out = fit_curve(cube, [0.0, 0.0], lambda p, t: p[0] * t + p[1], "pos")
-    return out.df.withColumn("value", F.round(F.col("value"), 4))
+    # +0.0 normalizes IEEE signed zero: a slope that rounds to zero can be
+    # -0.0 on one engine and +0.0 on the other — equal values, different
+    # bytes to the driver hash (same fix as vector_reproject)
+    return out.df.withColumn(
+        "value", F.round(F.col("value"), 4) + F.lit(0.0)
+    )
 
 
 def q_random_forest(spark, sf_dir):
@@ -406,7 +411,8 @@ ORACLES = {
             ok AS (SELECT x FROM sel GROUP BY x HAVING count(*) >= 3)
             SELECT s.x, p.param,
                    round(CASE WHEN p.param = 0 THEN regr_slope(s.sq, s.pos)
-                              ELSE regr_intercept(s.sq, s.pos) END, 4) AS value
+                              ELSE regr_intercept(s.sq, s.pos) END, 4)
+                     + 0.0 AS value
             FROM sel s JOIN ok USING (x)
             CROSS JOIN (VALUES (0), (1)) p(param)
             GROUP BY s.x, p.param
