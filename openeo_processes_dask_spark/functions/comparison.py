@@ -87,3 +87,14 @@ def between(x, min, max, exclude_max: bool = False) -> Column:  # noqa: A002
     x = _c(x)
     upper = (x < _c(max)) if exclude_max else (x <= _c(max))
     return (x >= _c(min)) & upper
+
+
+# Reference exposes xarray-style null tests beside the openEO names
+# (cubes/utils.py:17-25): register the exact ids as aliases.
+process(is_nodata, name="isnull")
+
+
+@process
+def notnull(x) -> Column:
+    """Inverse of isnull (reference: cubes/utils.py:24-25)."""
+    return _c(x).isNotNull()

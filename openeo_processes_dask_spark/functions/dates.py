@@ -75,3 +75,11 @@ def date_shift(date, value, unit: str) -> Column:
         a if isinstance(a, Column) else F.lit(a) for a in unit_args[unit]
     )
     return d + F.make_interval(y, mo, w, dd, h, mi, s.cast("double"))
+
+
+@process
+def datetime_from_str(date) -> Column:
+    """Parse an (RFC 3339) string into a timestamp
+    (reference: dates.py:12-14, np.datetime64). Column lane:
+    to_timestamp handles date-only and full datetime forms."""
+    return F.to_timestamp(_c(date))

@@ -124,3 +124,8 @@ def rqa_deforestation(
         crs=data.meta.crs,
         attrs=data.meta.attrs,
     )
+
+
+# The reference's public module-level name is ``rqadeforestation``
+# (experimental/rqadeforestation.py) — register the exact id as an alias.
+process(rqa_deforestation, name="rqadeforestation")
