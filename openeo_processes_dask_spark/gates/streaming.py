@@ -111,6 +111,52 @@ def q_streaming_dedup(spark, sf_dir):
     return spark.table(name).select("user_id", "band", "day")
 
 
+def q_streaming_dedup_static(spark, sf_dir):
+    """Stream-static LEFT ANTI dedup (streaming/events.py
+    stream_dedup_against): streamed events whose (band, day) key appears
+    in the static seen-set (keys touched by even user_ids) are dropped
+    mid-stream — a real cross-row anti join, not a self-partition. The
+    join is stateless, so the surviving ROW SET is deterministic;
+    returned as distinct keys against a plain SQL anti-join oracle."""
+    _setup(spark)
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_dedup_against,
+        stream_events,
+    )
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream1_{os.path.basename(sf_dir)}"
+    )
+    if not os.path.isdir(stream_dir):
+        _table(spark, sf_dir, "events").orderBy("ts").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stream_dir)
+    stream = stream_events(spark, stream_dir, max_files_per_trigger=None)
+    keyed = stream.withColumn("day", F.date_trunc("day", F.col("t")))
+    # seen = keys already ingested on every-third calendar day: the event
+    # stream is dense (every (band, day) key occurs), so the seen filter
+    # must cut at KEY granularity to leave a non-trivial survivor set
+    seen = (
+        _table(spark, sf_dir, "events")
+        .where(F.dayofmonth("ts") % 3 == 0)
+        .select(
+            F.col("event_type").alias("band"),
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+        )
+    )
+    out = stream_dedup_against(keyed, seen, ["band", "day"])
+    name = f"q_sdstat_{abs(hash(sf_dir)) % 10_000}"
+    q = run_stream_to_memory(
+        out.select("user_id", "band", "day"), name, output_mode="append"
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("user_id", "band", "day").distinct()
+
+
 def q_streaming_sessions(spark, sf_dir):
     """Stateful streaming sessionization (applyInPandasWithState,
     streaming/sessions.py) under a full value oracle. The source is ONE
@@ -177,6 +223,7 @@ QUERIES = {
     "streaming_dedup": q_streaming_dedup,
     "streaming_sliding_sum": q_streaming_sliding_sum,
     "streaming_sessions": q_streaming_sessions,
+    "streaming_dedup_static": q_streaming_dedup_static,
 }
 
 ORACLES = {
@@ -189,6 +236,18 @@ ORACLES = {
             SELECT DISTINCT user_id, event_type AS band,
                    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
             FROM events
+        """,
+    "streaming_dedup_static": """
+            WITH seen AS (
+              SELECT DISTINCT event_type AS band,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+              FROM events WHERE day(ts) % 3 = 0)
+            SELECT DISTINCT e.user_id, e.event_type AS band,
+                   CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS day
+            FROM events e
+            ANTI JOIN seen s
+              ON s.band = e.event_type
+             AND s.day = CAST(date_trunc('day', e.ts) AS TIMESTAMP)
         """,
     "streaming_sliding_sum": """
             WITH ev AS (

@@ -122,3 +122,22 @@ def stream_dedup_exact(
     return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def stream_dedup_against(
+    stream: DataFrame,
+    seen: DataFrame,
+    key_cols: list | None = None,
+) -> DataFrame:
+    """Stream-static LEFT ANTI join: drop streamed rows whose key already
+    exists in a static "seen" table — the streaming twin of
+    training.dedup.dedup_against, i.e. ingest v_{n} while filtering
+    everything already in v_{n-1}'s fingerprint table.
+
+    Plan shape at scale: the static side reduces to DISTINCT keys before
+    the join (digests, not payloads), and Spark re-plans the static side
+    per micro-batch, broadcasting it when small. Stateless — no watermark
+    needed, unlike within-stream dedup: the state IS the static table."""
+    keys = key_cols or ["user_id", "band"]
+    seen_keys = seen.select(*keys).distinct()
+    return stream.join(seen_keys, keys, "left_anti")

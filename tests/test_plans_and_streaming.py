@@ -223,3 +223,37 @@ def test_streaming_dedup_exact(spark, tmp_path):
     }
     assert got == {(10, "click"), (11, "click"), (10, "view")}
     assert spark.sql("select count(*) c from dedup_test").first()["c"] == 3
+
+
+def test_stream_dedup_against_static(spark, tmp_path):
+    """Stream-static anti join: rows whose key is in the static seen table
+    never reach the sink; stateless so no watermark is required."""
+    import pandas as pd
+
+    from openeo_processes_dask_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_dedup_against,
+        stream_events,
+    )
+
+    src = str(tmp_path / "stream_src")
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(6),
+            "ts": pd.to_datetime(["2021-01-01 10:00"] * 3 + ["2021-01-02 10:00"] * 3),
+            "user_id": [1, 2, 3, 1, 2, 3],
+            "event_type": ["a", "b", "a", "a", "b", "b"],
+            "value": [1.0] * 6,
+            "props": ["{}"] * 6,
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    stream = stream_events(spark, src, max_files_per_trigger=None)
+    seen = spark.createDataFrame([("a",)], "band string")
+    out = stream_dedup_against(stream, seen, ["band"])
+    q = run_stream_to_memory(
+        out.select("user_id", "band"), "t_sdstat", output_mode="append"
+    )
+    q.awaitTermination(120)
+    rows = {(r["user_id"], r["band"]) for r in spark.table("t_sdstat").collect()}
+    assert rows == {(2, "b"), (3, "b")}
