@@ -42,6 +42,27 @@ def q_save_load_roundtrip(spark, sf_dir):
     return _round6(back.df.select("x", "y", "band", "value"), "value")
 
 
+def q_zorder_roundtrip(spark, sf_dir):
+    """save_cube_zordered (Morton-curve range-partitioned parquet, tight
+    per-file x/y stats for bbox pruning — sources/load.py) -> plain read:
+    the layout is a layout, values must roundtrip exactly."""
+    _setup(spark)
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.sources.load import (
+        load_parquet_cube,
+        save_cube_zordered,
+    )
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"zorder_gate_{os.path.basename(sf_dir)}"
+    )
+    save_cube_zordered(_grid_cube(spark, sf_dir), out_dir, n_files=8)
+    back = load_parquet_cube(spark, out_dir, dims=("x", "y", "band"))
+    return _round6(back.df.select("x", "y", "band", "value"), "value")
+
+
 def q_load_url_geojson(spark, sf_dir):
     """load_url over a file:// GeoJSON written from nation rows
     (reference: cubes/load.py:325-401): URL scheme handling + GeoJSON
@@ -256,6 +277,7 @@ def q_load_stac_catalog(spark, sf_dir):
 
 QUERIES = {
     "save_load_roundtrip": q_save_load_roundtrip,
+    "zorder_roundtrip": q_zorder_roundtrip,
     "load_url_geojson": q_load_url_geojson,
     "reduce_any": q_reduce_any,
     "reduce_count_condition": q_reduce_count_condition,
@@ -265,6 +287,10 @@ QUERIES = {
 
 ORACLES = {
     "save_load_roundtrip": f"""
+            WITH {_GRID_CTE}
+            SELECT x, y, band, round(value, 6) AS value FROM grid
+        """,
+    "zorder_roundtrip": f"""
             WITH {_GRID_CTE}
             SELECT x, y, band, round(value, 6) AS value FROM grid
         """,

@@ -573,6 +573,84 @@ def save_cube_bucketed(
     return table
 
 
+def zorder_value(
+    x, y, x_min: float, x_step: float, y_min: float, y_step: float,
+    bits: int = 16,
+):
+    """Morton (Z-order) index of an (x, y) pair as a pure Column
+    expression: quantize each axis to ``bits`` bits, interleave. 2×bits
+    shift/mask terms, all inside whole-stage codegen — no UDF."""
+    def q(col, lo, step):
+        idx = F.round((col - F.lit(float(lo))) / F.lit(float(step))).cast(
+            "long"
+        )
+        return F.greatest(
+            F.lit(0).cast("long"),
+            F.least(idx, F.lit((1 << bits) - 1).cast("long")),
+        )
+
+    qx, qy = q(x, x_min, x_step), q(y, y_min, y_step)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        z = z + F.shiftleft(F.shiftright(qx, b).bitwiseAND(F.lit(1)), 2 * b)
+        z = z + F.shiftleft(
+            F.shiftright(qy, b).bitwiseAND(F.lit(1)), 2 * b + 1
+        )
+    return z
+
+
+def save_cube_zordered(
+    data: DataCube,
+    path: str,
+    n_files: int = 64,
+    bits: int = 16,
+):
+    """Sink for the bbox-pruning layout: range-partition the cube's table
+    along the Morton (Z-order) curve of its spatial dims and sort each
+    file by the curve, so every written file covers a COMPACT (x, y)
+    rectangle and its parquet footer min/max statistics on x and y are
+    tight.
+
+    Why this matters at 100 TB: ``filter_bbox`` compiles to x/y range
+    predicates that Spark pushes into the parquet scan — but pushdown can
+    only skip a file/row-group whose column stats EXCLUDE the range. In
+    an unordered layout every file spans the whole extent, so stats
+    exclude nothing and a city-sized bbox still scans the planet. Under
+    the Z-order layout the same query reads only the files whose curve
+    range intersects the bbox — file count proportional to query area,
+    not corpus size. (Same mechanism Delta/Iceberg OPTIMIZE ZORDER
+    exploits; here it is plain parquet + repartitionByRange, no table
+    format needed.)
+
+    Quantization uses min/max only (two scalar aggregates — no label
+    collection), so irregular axes are fine: the curve is a layout hint,
+    never a correctness input. The helper ``__z__`` column is dropped on
+    write. ``n_files`` should target 128-512 MB per file at scale.
+    """
+    x_dim, y_dim = data.meta.x_dim, data.meta.y_dim
+    if x_dim is None or y_dim is None:
+        raise ValueError("save_cube_zordered needs x and y spatial dims")
+    lo_hi = data.df.agg(
+        F.min(x_dim), F.max(x_dim), F.min(y_dim), F.max(y_dim)
+    ).first()
+    x_min, x_max, y_min, y_max = (float(v) for v in lo_hi)
+    cells = (1 << bits) - 1
+    x_step = ((x_max - x_min) / cells) or 1.0
+    y_step = ((y_max - y_min) / cells) or 1.0
+    z = zorder_value(
+        F.col(x_dim), F.col(y_dim), x_min, x_step, y_min, y_step, bits
+    )
+    (
+        data.df.withColumn("__z__", z)
+        .repartitionByRange(int(n_files), "__z__")
+        .sortWithinPartitions("__z__")
+        .drop("__z__")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
 def load_bucketed_cube(
     spark: SparkSession,
     table: str,

@@ -72,3 +72,79 @@ def test_unbucketed_join_has_exchange(spark, bucketed_pair):
         assert "Exchange" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_zordered_layout_tight_file_stats(spark, tmp_path):
+    """Z-order sink: every written file covers a compact (x, y) rectangle,
+    so parquet footer min/max stats can prune bbox queries — the sum of
+    per-file bbox areas must be a small fraction of what an unordered
+    layout gives (where every file spans the full extent)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.sources.load import save_cube_zordered
+
+    n = 64
+    df = (
+        spark.range(n * n)
+        .select(
+            (F.col("id") % n).cast("double").alias("x"),
+            (F.col("id") / n).cast("long").cast("double").alias("y"),
+            (F.col("id") * 1.0).alias("value"),
+        )
+        # scatter rows so the input has NO spatial locality to begin with
+        .repartition(8)
+    )
+    cube = DataCube(df, dims=("x", "y"))
+    out = str(tmp_path / "zorder")
+    save_cube_zordered(cube, out, n_files=16)
+
+    files = sorted(glob.glob(out + "/*.parquet"))
+    assert len(files) >= 8  # range partitioner may merge a few
+    full_area = float(n - 1) * float(n - 1)
+    total = 0.0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        xs, ys = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in ("x", "y") and col.statistics is not None:
+                    (xs if name == "x" else ys).append(
+                        (col.statistics.min, col.statistics.max)
+                    )
+        x_lo, x_hi = min(a for a, _ in xs), max(b for _, b in xs)
+        y_lo, y_hi = min(a for a, _ in ys), max(b for _, b in ys)
+        total += (x_hi - x_lo) * (y_hi - y_lo)
+    naive = len(files) * full_area  # unordered: every file spans everything
+    assert total < 0.3 * naive, (total, naive)
+
+    # and the layout is only a layout: values roundtrip exactly
+    back = spark.read.parquet(out)
+    assert back.count() == n * n
+    assert back.agg(F.sum("value")).first()[0] == df.agg(F.sum("value")).first()[0]
+
+
+def test_zorder_value_locality():
+    """Morton curve sanity: neighbors in (x, y) are near on the curve,
+    quadrants separate."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    from pyspark.sql import functions as F
+
+    from openeo_processes_dask_spark.sources.load import zorder_value
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (255.0, 255.0)], "x double, y double"
+    )
+    z = df.select(
+        zorder_value(F.col("x"), F.col("y"), 0.0, 1.0, 0.0, 1.0, bits=8).alias("z")
+    ).collect()
+    vals = [r["z"] for r in z]
+    assert vals[0] == 0 and vals[1] == 1 and vals[2] == 2
+    assert vals[3] == (1 << 16) - 1  # all 16 bits set
