@@ -210,3 +210,49 @@ def test_packing_segment_math(docs, budget):
         last = max(seg_fill)
         for seg, fill in seg_fill.items():
             assert fill == budget or seg == last
+
+
+@given(
+    st.floats(-179.9, 179.9),
+    st.floats(-84.9, 84.9),
+)
+@settings(max_examples=200, deadline=None)
+def test_mercator_roundtrip_property(lon, lat):
+    from openeo_processes_dask_spark.functions import crs
+
+    mx, my = crs.transform_xy_scalar(lon, lat, "EPSG:4326", "EPSG:3857")
+    blon, blat = crs.transform_xy_scalar(mx, my, "EPSG:3857", "EPSG:4326")
+    assert abs(blon - lon) < 1e-9
+    assert abs(blat - lat) < 1e-9
+
+
+@given(
+    st.integers(1, 60),
+    st.booleans(),
+    st.floats(-2.9, 2.9),   # lon offset from zone central meridian
+    st.floats(-80.0, 84.0),
+)
+@settings(max_examples=200, deadline=None)
+def test_utm_roundtrip_property(zone, north, dlon, lat):
+    """Krüger forward∘inverse roundtrips within ~2 mm anywhere in a zone
+    (third-order series, Karney 2011; higher-order terms would tighten
+    this to nanometers)."""
+    from openeo_processes_dask_spark.functions import crs
+
+    if north and lat < 0:
+        lat = -lat
+    if not north and lat > 0:
+        lat = -lat
+    lon = (zone * 6 - 183) + dlon
+    epsg = f"EPSG:{326 if north else 327}{zone:02d}"
+    e, n = crs.transform_xy_scalar(lon, lat, "EPSG:4326", epsg)
+    blon, blat = crs.transform_xy_scalar(e, n, epsg, "EPSG:4326")
+    # 2e-8 deg ~ 2 mm: the n^3-truncated forward and inverse series are
+    # not exact inverses of each other (composition error ~n^4 per term,
+    # observed up to ~6e-9 deg mid-latitude) — sub-centimeter everywhere,
+    # far below raster pixel size
+    assert abs(blon - lon) < 2e-8
+    assert abs(blat - lat) < 2e-8
+    # easting stays near the central meridian band, northing hemisphere-valid
+    assert 100_000 < e < 900_000
+    assert (0 <= n <= 10_000_000) if north else (0 < n <= 10_000_000)
