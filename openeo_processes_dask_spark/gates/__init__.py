@@ -39,7 +39,7 @@ _R1_ONLY = [
 # New queries added in round 4 (never driver-verified by construction).
 _NEW_R4: list[str] = [
     "dedup_clusters_star", "segment_dedup", "decontaminate",
-    "streaming_dedup_static", "zorder_roundtrip",
+    "streaming_dedup_static", "zorder_roundtrip", "tfidf_top_terms",
 ]
 
 # r2-green queries, in r2-window order — least recently confirmed tail.

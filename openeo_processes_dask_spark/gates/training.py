@@ -284,6 +284,23 @@ def q_decontaminate(spark, sf_dir):
     return out.select(F.col("id").alias("doc_id"), "n_shared")
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Corpus TF-IDF keyword extraction (training/textanalysis.py
+    tfidf_top_terms): one (id, term) aggregate + vocabulary-sized df
+    aggregate + WindowGroupLimit top-k; deterministic ties (score DESC,
+    term ASC) make the DuckDB window oracle exact."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.textanalysis import (
+        tfidf_top_terms,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, "doc_id", "text", k=3)
+    return out.select(
+        F.col("id").alias("doc_id"), "term", "rank", "tfidf"
+    )
+
+
 def q_simhash_near_dups(spark, sf_dir):
     _setup(spark)
     from openeo_processes_dask_spark.training.dedup import simhash_near_duplicates
@@ -395,6 +412,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "segment_dedup": q_segment_dedup,
     "decontaminate": q_decontaminate,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 ORACLES = {
@@ -703,6 +721,29 @@ ORACLES = {
             FROM sh a JOIN bench USING (s)
             WHERE a.doc_id % 53 != 0
             GROUP BY 1
+        """,
+    "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+                     '\\s+')) AS term
+              FROM documents WHERE trim(text) != ''),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM toks GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT doc_id, term,
+                     round(CAST(tf AS DOUBLE)
+                           * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+            ranked AS (
+              SELECT doc_id, term,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY tfidf DESC, term) AS rank,
+                     tfidf
+              FROM scored)
+            SELECT doc_id, term, rank, tfidf
+            FROM ranked WHERE rank <= 3
         """,
     "minhash_near_dups": _minhash_oracle_sql(),
     "simhash_near_dups": _simhash_oracle_sql(),

@@ -177,3 +177,60 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         language_id(t).alias("lang_pred"),
         doc_fingerprint(t).alias("fingerprint"),
     )
+
+
+def tfidf_top_terms(
+    df, id_col: str, text_col: str, k: int = 5, min_df: int = 1
+):
+    """Top-``k`` terms per document by TF-IDF — corpus-level keyword
+    extraction (document profiling / topic heuristics in training-data
+    curation).
+
+    tf = in-document term count; idf = ln(N / df) with df = number of
+    documents containing the term. Deterministic ties: 6-decimal score
+    DESC, then term ASC.
+
+    Plan at 100 TB: one tokenize+explode, ONE (id, term) hash aggregate
+    (tf), one term-keyed aggregate (df — output is vocabulary-sized, tiny
+    vs corpus), a broadcast-joinable df table back onto tf, and a
+    row_number ≤ k filter that compiles to WindowGroupLimit — map tasks
+    forward at most k rows per document before the final exchange. Terms
+    shuffle as strings once; documents never shuffle whole.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    n_docs = df.count()
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    # AQE picks broadcast when the vocabulary is small; a web-scale
+    # vocabulary (100M+ terms) shuffle-joins on the term key instead
+    scored = tf.join(dfreq, "term").select(
+        "id",
+        "term",
+        (
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df"))
+        ).alias("tfidf"),
+    )
+    # rank over the ROUNDED score: two terms can tie mathematically
+    # (tf1*ln(N/df1) == tf2*ln(N/df2)) while the doubles differ in the
+    # last ulp per engine — ranking the 6-decimal value with a term
+    # tiebreak keeps the order (and the oracle compare) deterministic
+    scored = scored.withColumn("tfidf", F.round("tfidf", 6))
+    w = Window.partitionBy("id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id", "term", "rank", "tfidf")
+    )
