@@ -678,3 +678,32 @@ def _embedding_near_dups_oracle_sql(
           ON ({any_band}) AND a.id < b.id
         WHERE {cos} >= {threshold}
     """
+
+
+def _random_projection_oracle_sql(
+    in_dim: int = 64, out_dim: int = 8, seed: int = 42
+) -> str:
+    """SQL twin of training.similarity.random_projection: same md5-seeded
+    ±1 matrix (regenerated here), same literal 1/sqrt(out_dim) scale
+    (repr'd Python double on both engines — letting DuckDB compute
+    1/sqrt(8) itself could differ by one ulp from Python's
+    double-rounding), same index-order sum."""
+    import math
+
+    from openeo_processes_dask_spark.training.similarity import (
+        sign_projection_matrix,
+    )
+
+    mat = sign_projection_matrix(in_dim, out_dim, seed)
+    scale = 1.0 / math.sqrt(out_dim)
+    selects = []
+    for j in range(out_dim):
+        signs = ", ".join(str(int(v)) for v in mat[:, j])
+        selects.append(
+            f"SELECT vec_id, {j} AS j,\n"
+            f"       round(list_sum(list_transform(generate_series(1, {in_dim}),\n"
+            f"             i -> CAST(embedding[i] AS DOUBLE) * ([{signs}])[i]))\n"
+            f"             * {scale!r}, 6) AS pval\n"
+            "FROM embeddings"
+        )
+    return "\nUNION ALL ".join(selects)

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F  # noqa: F401
 from .common import _STOPWORDS_SQL, _TOKS, _round6, _setup, _table
 from .oracle_builders import (
     _dedup_clusters_oracle_sql,
+    _random_projection_oracle_sql,
     _embedding_near_dups_oracle_sql,
     _ivf_topk_oracle_sql,
     _kmeans_oracle_sql,
@@ -301,6 +302,23 @@ def q_tfidf_top_terms(spark, sf_dir):
     )
 
 
+def q_random_projection(spark, sf_dir):
+    """Seeded ±1 Johnson–Lindenstrauss projection of the embedding column
+    (training/similarity.py random_projection): literal matrix baked into
+    the plan, one fused fold per output component, no shuffle/UDF.
+    Components exploded to rows for an engine-portable compare."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.similarity import (
+        random_projection,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    out = random_projection(emb, "embedding", out_dim=8, seed=42)
+    return out.select("vec_id", F.posexplode("proj")).toDF(
+        "vec_id", "j", "pval"
+    )
+
+
 def q_simhash_near_dups(spark, sf_dir):
     _setup(spark)
     from openeo_processes_dask_spark.training.dedup import simhash_near_duplicates
@@ -413,6 +431,7 @@ QUERIES = {
     "segment_dedup": q_segment_dedup,
     "decontaminate": q_decontaminate,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "random_projection": q_random_projection,
 }
 
 ORACLES = {
@@ -745,6 +764,7 @@ ORACLES = {
             SELECT doc_id, term, rank, tfidf
             FROM ranked WHERE rank <= 3
         """,
+    "random_projection": _random_projection_oracle_sql(),
     "minhash_near_dups": _minhash_oracle_sql(),
     "simhash_near_dups": _simhash_oracle_sql(),
     "cosine_topk": """

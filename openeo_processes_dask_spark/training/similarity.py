@@ -404,3 +404,56 @@ def pq_topk(
         .orderBy(F.col("adc"), F.col(id_col))
         .limit(k)
     )
+
+
+def sign_projection_matrix(
+    in_dim: int, out_dim: int, seed: int = 42
+) -> np.ndarray:
+    """±1 Johnson–Lindenstrauss projection matrix, derived from md5 so ANY
+    engine reproduces it bit-for-bit (same portability move as the
+    MinHash coefficients): sign(i, j) = parity of the first hex digit of
+    md5(f"{seed}:{i}:{j}")."""
+    import hashlib
+
+    m = np.empty((in_dim, out_dim))
+    for i in range(in_dim):
+        for j in range(out_dim):
+            h = hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()
+            m[i, j] = 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+    # entries stay exact ±1 (the most portable possible literals);
+    # callers apply the 1/sqrt(out_dim) JL scale once on the summed dot
+    return m
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Seeded sign random projection (Johnson–Lindenstrauss): reduce an
+    embedding column to ``out_dim`` while approximately preserving
+    pairwise distances — the standard pre-step before clustering/indexing
+    a 100 TB embedding corpus (cheaper k-means, smaller PQ codebooks).
+
+    The matrix is literal (seeded, metadata-sized: in_dim × out_dim
+    floats baked into the plan), so each output component is one fused
+    fold over the input array — pure JVM expressions, a single scan, no
+    shuffle, no UDF. Adds ``proj`` (array<double>, rounded 1e-6 for
+    engine-portable comparison) beside the input columns."""
+    import math
+
+    in_dim = int(df.select(F.size(F.col(vec_col)).alias("n")).first()["n"])
+    mat = sign_projection_matrix(in_dim, out_dim, seed)
+    scale = 1.0 / math.sqrt(out_dim)
+    comps = [
+        F.round(
+            _dot_lit(F.col(vec_col), mat[:, j]) * F.lit(scale), 6
+        ).alias(f"__p{j}__")
+        for j in range(out_dim)
+    ]
+    tmp = df.select("*", *comps)
+    return tmp.select(
+        *df.columns,
+        F.array(*[F.col(f"__p{j}__") for j in range(out_dim)]).alias("proj"),
+    )
