@@ -256,3 +256,26 @@ def test_utm_roundtrip_property(zone, north, dlon, lat):
     # easting stays near the central meridian band, northing hemisphere-valid
     assert 100_000 < e < 900_000
     assert (0 <= n <= 10_000_000) if north else (0 < n <= 10_000_000)
+
+
+@given(st.integers(0, 2**31 - 1))
+@settings(max_examples=25, deadline=None)
+def test_sign_projection_preserves_distances(seed):
+    """JL property of the md5-seeded ±1 matrix: for random unit vectors,
+    projected squared distances concentrate around the originals (loose
+    3x bound — this guards against a broken matrix, e.g. all-ones or
+    biased signs, not against JL's own variance)."""
+    from openeo_processes_dask_spark.training.similarity import (
+        sign_projection_matrix,
+    )
+
+    rng = np.random.default_rng(seed)
+    m = sign_projection_matrix(64, 16, seed=42) / np.sqrt(16)
+    a, b = rng.normal(size=64), rng.normal(size=64)
+    a, b = a / np.linalg.norm(a), b / np.linalg.norm(b)
+    d_orig = float(np.sum((a - b) ** 2))
+    d_proj = float(np.sum(((a - b) @ m) ** 2))
+    assert d_proj < 3.0 * d_orig + 1e-9
+    assert d_proj > d_orig / 3.0 - 1e-9
+    # sign balance: a healthy ±1 matrix is near zero-mean
+    assert abs(sign_projection_matrix(64, 16, seed=42).mean()) < 0.2
