@@ -478,7 +478,10 @@ def q_predict_curve_linear(spark, sf_dir):
 
     params = fit_curve(cube, [0.0, 0.0], model, "pos")
     out = predict_curve(params, model, "pos", [0.0, 10.0])
-    return out.df.withColumn("value", F.round(F.col("value"), 4))
+    # +0.0 normalizes IEEE signed zero (same class as fit_curve_linear)
+    return out.df.withColumn(
+        "value", F.round(F.col("value"), 4) + F.lit(0.0)
+    )
 
 
 def q_array_ops(spark, sf_dir):
@@ -1000,7 +1003,7 @@ ORACLES = {
               SELECT s.x, regr_slope(s.sq, s.pos) AS m,
                      regr_intercept(s.sq, s.pos) AS b
               FROM sel s JOIN ok USING (x) GROUP BY s.x)
-            SELECT x, t.pos, round(m * t.pos + b, 4) AS value
+            SELECT x, t.pos, round(m * t.pos + b, 4) + 0.0 AS value
             FROM fits CROSS JOIN (VALUES (0.0), (10.0)) t(pos)
         """,
     "array_ops": f"""
