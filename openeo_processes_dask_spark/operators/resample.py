@@ -88,10 +88,12 @@ def resample_spatial(
 
     Long-format regridding = snap (x, y) to the target grid + one hash
     aggregate per method — a single shuffle, no warping machinery.
-    CRS warps for the EPSG:4326<->3857 pair run as pure JVM expressions
-    (functions/crs.py) composed in front of the snap, so the whole warp +
-    regrid is one codegen'd stage + one shuffle; other CRS pairs would
-    need pyproj (absent here) and stay gated. ``method='near'`` picks the
+    CRS warps for the EPSG:4326<->3857<->UTM pairs run as pure JVM
+    expressions (functions/crs.py) composed in front of the snap, so the
+    whole warp + regrid is one codegen'd stage + one shuffle; any other
+    CRS pair goes through the runtime-detected pyproj lane (Arrow-batched
+    pandas UDF) when the library is deployed, and raises the documented
+    NotImplementedError otherwise. ``method='near'`` picks the
     value whose source pixel is closest to the grid center (min_by
     distance); aggregating methods reduce all source pixels in the target
     cell.
