@@ -63,6 +63,44 @@ def q_zorder_roundtrip(spark, sf_dir):
     return _round6(back.df.select("x", "y", "band", "value"), "value")
 
 
+class _SyntheticRasterSrc:
+    """Deterministic RasterSource for the load_raster gate: 48x40 raster,
+    value = 100*row + col, 0.5-unit pixels anchored at (10, 50) north-up.
+    Module-level so Spark workers unpickle it by import (gates/ is on
+    PYTHONPATH); the driver gate thereby executes the full distributed
+    tile-decode path with no codec dependency."""
+
+    width = 48
+    height = 40
+    transform = (0.5, 0.0, 10.0, 0.0, -0.5, 50.0)
+
+    @staticmethod
+    def read_window(band, col_off, row_off, w, h):
+        import numpy as np
+
+        rows, cols = np.mgrid[row_off : row_off + h, col_off : col_off + w]
+        return (100.0 * rows + cols) * band
+
+
+def q_load_raster_tiles(spark, sf_dir):
+    """Distributed raster decode (sources/raster.py load_raster): tile
+    planning + mapInPandas windowed read + affine pixel centers, executed
+    for real through a deterministic synthetic RasterSource (the codec
+    adapter seam — rasterio/zarr plug into the same protocol). Oracle
+    regenerates the raster arithmetically in SQL."""
+    _setup(spark)
+    from openeo_processes_dask_spark.sources.raster import load_raster
+
+    cube = load_raster(
+        spark,
+        "synthetic://gate.tif",
+        band="b1",
+        tile=16,
+        opener=lambda href: _SyntheticRasterSrc(),
+    )
+    return _round6(cube.df.select("x", "y", "band", "value"), "value")
+
+
 def q_load_url_geojson(spark, sf_dir):
     """load_url over a file:// GeoJSON written from nation rows
     (reference: cubes/load.py:325-401): URL scheme handling + GeoJSON
@@ -278,6 +316,7 @@ def q_load_stac_catalog(spark, sf_dir):
 QUERIES = {
     "save_load_roundtrip": q_save_load_roundtrip,
     "zorder_roundtrip": q_zorder_roundtrip,
+    "load_raster_tiles": q_load_raster_tiles,
     "load_url_geojson": q_load_url_geojson,
     "reduce_any": q_reduce_any,
     "reduce_count_condition": q_reduce_count_condition,
@@ -293,6 +332,14 @@ ORACLES = {
     "zorder_roundtrip": f"""
             WITH {_GRID_CTE}
             SELECT x, y, band, round(value, 6) AS value FROM grid
+        """,
+    "load_raster_tiles": """
+            SELECT 0.5 * (c + 0.5) + 10.0 AS x,
+                   -0.5 * (r + 0.5) + 50.0 AS y,
+                   'b1' AS band,
+                   round(CAST(100 * r + c AS DOUBLE), 6) AS value
+            FROM (SELECT unnest(generate_series(0, 39)) AS r),
+                 (SELECT unnest(generate_series(0, 47)) AS c)
         """,
     "load_url_geojson": """
             SELECT CAST(n_nationkey AS VARCHAR) AS feature_id,
