@@ -4,15 +4,14 @@ Each lane module exports ``QUERIES`` (name -> (spark, sf_dir) -> DataFrame)
 and ``ORACLES`` (name -> DuckDB SQL).  :func:`all_queries` /
 :func:`all_oracles` merge the lanes and apply the driver-window rotation.
 
-Rotation policy (round 3, per VERDICT.md "What's wrong" #1): the driver's
-correctness gate only runs the FIRST 50 entries of ``queries()``.  Round 2
-left 46 registry entries with no driver row ever, and ``process_graph``
-(round 1's sole FAIL, fixed in d5008b7) rotated out before the driver could
-confirm the fix.  So the order is now: flagship (slot 1, always), then
-``process_graph``, then every never-driver-verified query, then this round's
-new queries, then least-recently-verified (r1-only), then the r2-green tail.
-Future rounds should keep rotating: move freshly driver-verified names to
-the back, never-verified names to the front.
+Rotation policy: the driver's correctness gate only runs the FIRST 50
+entries of ``queries()``, so the order rotates per round — flagship (slot
+1, always), then last round's reds (so the driver confirms their fixes),
+then this round's new queries, then least-recently-driver-verified, then
+the most-recently-green tail.  The union of CORRECTNESS_r01..r03 covers
+all pre-r4 queries; tools/check_oracle.py (a strict local replica of the
+driver compare, including signed-zero hashing) sweeps the full registry
+between rounds.
 """
 
 from __future__ import annotations
