@@ -39,7 +39,7 @@ _R1_ONLY = [
 _NEW_R4: list[str] = [
     "dedup_clusters_star", "segment_dedup", "decontaminate",
     "streaming_dedup_static", "zorder_roundtrip", "tfidf_top_terms",
-    "random_projection", "load_raster_tiles",
+    "random_projection", "load_raster_tiles", "logreg_quality",
 ]
 
 # r2-green queries, in r2-window order — least recently confirmed tail.

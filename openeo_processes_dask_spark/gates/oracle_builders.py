@@ -707,3 +707,72 @@ def _random_projection_oracle_sql(
             "FROM embeddings"
         )
     return "\nUNION ALL ".join(selects)
+
+
+def _logreg_quality_oracle_sql(
+    dim: int = 32, iterations: int = 3, lr: float = 1.0
+) -> str:
+    """Twin of q_logreg_quality: re-train the identical integer-micro
+    logistic regression sequentially in Python (training/classifier.py is
+    deterministic and partitioning-independent — test_logreg_matches_
+    numpy_exactly proves the engine matches this exact replay), then emit
+    the learned micro-unit weights as a VALUES table for a sparse-dot +
+    sigmoid SQL evaluation."""
+    import hashlib
+    import math
+    import os
+
+    import duckdb
+
+    sf = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, text, lang FROM '{sf}/documents.parquet'"
+    ).fetchall()
+
+    cnts: dict = {}
+    ys: dict = {}
+    for doc_id, text, lang in rows:
+        t = (text or "").strip().lower()
+        if not t:
+            continue
+        ys[doc_id] = 1.0 if lang == "en" else 0.0
+        d = cnts.setdefault(doc_id, {})
+        for tok in t.split():
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % dim
+            d[b] = d.get(b, 0) + 1
+    n = len(cnts)
+    w = [0] * (dim + 1)
+
+    def snap(v):
+        return int(math.floor(abs(v) + 0.5) * (1 if v >= 0 else -1))
+
+    for _ in range(iterations):
+        g = [0] * (dim + 1)
+        for i, d in cnts.items():
+            s = w[0] + sum(c * w[1 + b] for b, c in d.items())
+            p = 1.0 / (1.0 + math.exp(-s / 1e6))
+            gd = snap((p - ys[i]) * 1e6)
+            g[0] += gd
+            for b, c in d.items():
+                g[1 + b] += gd * c
+        w = [wi - snap(lr * gi / n) for wi, gi in zip(w, g)]
+
+    vals = ", ".join(f"({b}, {w[1 + b]})" for b in range(dim))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+                 '\\s+')) AS tok
+          FROM documents WHERE trim(text) != ''),
+        bk AS (SELECT doc_id,
+                      {_MD5LONG.format(v="tok")} % {dim} AS bucket
+               FROM toks),
+        cnt AS (SELECT doc_id, bucket, count(*) AS cnt
+                FROM bk GROUP BY 1, 2),
+        wts(bucket, wv) AS (VALUES {vals}),
+        s AS (SELECT doc_id, SUM(cnt * wv) + {w[0]} AS s
+              FROM cnt JOIN wts USING (bucket) GROUP BY doc_id)
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-s / 1000000.0)), 6) AS score
+        FROM s
+    """

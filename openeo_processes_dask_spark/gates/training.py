@@ -12,6 +12,7 @@ from pyspark.sql import functions as F  # noqa: F401
 from .common import _STOPWORDS_SQL, _TOKS, _round6, _setup, _table
 from .oracle_builders import (
     _dedup_clusters_oracle_sql,
+    _logreg_quality_oracle_sql,
     _random_projection_oracle_sql,
     _embedding_near_dups_oracle_sql,
     _ivf_topk_oracle_sql,
@@ -302,6 +303,33 @@ def q_tfidf_top_terms(spark, sf_dir):
     )
 
 
+def q_logreg_quality(spark, sf_dir):
+    """Model-based quality classifier (training/classifier.py): hashed
+    bag-of-words features + full-batch logistic regression with integer
+    micro-unit gradients — deterministic for ANY input partitioning, so
+    the oracle re-trains the identical model sequentially and evaluates
+    the learned weights in SQL. Label: lang == 'en'."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.classifier import (
+        fit_logreg,
+        hashed_features,
+        predict_logreg,
+    )
+
+    dim = 32
+    docs = _table(spark, sf_dir, "documents")
+    feats = hashed_features(docs, "doc_id", "text", dim=dim)
+    labels = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("lang") == "en").cast("double").alias("y"),
+    )
+    w = fit_logreg(feats, labels, dim, iterations=3, lr=1.0)
+    out = predict_logreg(feats, w, dim)
+    return out.select(
+        F.col("id").alias("doc_id"), F.round("score", 6).alias("score")
+    )
+
+
 def q_random_projection(spark, sf_dir):
     """Seeded ±1 Johnson–Lindenstrauss projection of the embedding column
     (training/similarity.py random_projection): literal matrix baked into
@@ -432,6 +460,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "tfidf_top_terms": q_tfidf_top_terms,
     "random_projection": q_random_projection,
+    "logreg_quality": q_logreg_quality,
 }
 
 ORACLES = {
@@ -765,6 +794,7 @@ ORACLES = {
             FROM ranked WHERE rank <= 3
         """,
     "random_projection": _random_projection_oracle_sql(),
+    "logreg_quality": _logreg_quality_oracle_sql(),
     "minhash_near_dups": _minhash_oracle_sql(),
     "simhash_near_dups": _simhash_oracle_sql(),
     "cosine_topk": """

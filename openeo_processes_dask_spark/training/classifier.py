@@ -1,0 +1,138 @@
+"""Distributed quality classification: hashed bag-of-words features +
+full-batch logistic regression — the model-based document-filtering step
+(FineWeb-Edu / DCLM-style classifiers) beside the rule-based Gopher lane.
+
+Engine-reproducibility design (same philosophy as training/clustering.py):
+float accumulation order is engine-private, so every distributed SUM here
+runs over INTEGERS —
+
+  1. features are (id, bucket, cnt) sparse counts with bucket =
+     md5long(token) % dim (the hashing trick; md5 so any engine derives
+     identical buckets);
+  2. weights live in integer MICRO-UNITS; the per-document raw score is
+     Σ cnt·w_b + w_bias — exact int64 arithmetic in any order;
+  3. per-row gradient contributions snap to micro-units BEFORE the sum
+     (round((p − y)·10⁶)·cnt), so the gradient aggregate is an exact
+     integer sum and the weight update is deterministic integer math.
+
+The only transcendental is the sigmoid, evaluated on bit-identical
+integer-derived operands; its last-ulp noise is absorbed by the micro
+snap except on astronomically-unlikely rounding boundaries — the same
+convention every transcendental-bearing oracle in gates/ uses.
+
+Scale shape per iteration: one hash aggregate per document (sparse dot,
+map-side partials), one metadata-sized join back, one hash aggregate per
+bucket (dim rows collected). Weights stay on the driver between rounds
+(dim+1 ints) exactly like k-means centroids. Documents never shuffle —
+only (id, bucket, cnt) triples and per-doc scalars.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_spark.training.dedup import _md5_to_long, _spread
+from openeo_processes_dask_spark.training.textanalysis import tokens
+
+_SCALE = 1_000_000.0
+
+
+def hashed_features(
+    df: DataFrame, id_col: str, text_col: str, dim: int = 64
+) -> DataFrame:
+    """Sparse hashed bag-of-words: (id, bucket, cnt) with bucket =
+    md5long(token) % dim. Sparse is the honest 100 TB shape — no dense
+    vocabulary-sized arrays per row."""
+    return (
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t__")))
+        .select("id", F.explode(tokens(F.lower(F.col("__t__")))).alias("w"))
+        .select("id", F.pmod(_md5_to_long(F.col("w")), F.lit(dim)).alias("bucket"))
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _raw_scores(feats: DataFrame, w_micro: list[int], dim: int) -> DataFrame:
+    """(id, s) with s = integer micro-unit raw score Σ cnt·w_b + w_bias."""
+    w_arr = F.array(*[F.lit(int(w_micro[1 + b])) for b in range(dim)])
+    return feats.groupBy("id").agg(
+        (
+            F.sum(
+                F.col("cnt")
+                * F.element_at(w_arr, (F.col("bucket") + 1).cast("int"))
+            )
+            + F.lit(int(w_micro[0]))
+        ).alias("s")
+    )
+
+
+def fit_logreg(
+    feats: DataFrame,
+    labels: DataFrame,
+    dim: int,
+    iterations: int = 3,
+    lr: float = 1.0,
+) -> list[int]:
+    """Full-batch gradient descent; returns dim+1 micro-unit integer
+    weights, [bias, w_0 .. w_dim-1]. ``labels``: (id, y) with y in {0, 1}.
+    Deterministic: identical weights for any partitioning of the input."""
+    data = feats.join(labels, "id").persist()
+    try:
+        n = data.select("id").distinct().count()
+        if n == 0:
+            raise ValueError("fit_logreg: empty training set")
+        w = [0] * (dim + 1)
+        for _ in range(int(iterations)):
+            scores = _raw_scores(data.select("id", "bucket", "cnt"), w, dim)
+            # gd = round((sigmoid(s/1e6) - y) * 1e6): the micro-snapped
+            # per-document residual — everything summed after this is int
+            gd = (
+                scores.join(labels, "id")
+                .select(
+                    "id",
+                    F.round(
+                        (
+                            F.lit(1.0)
+                            / (F.lit(1.0) + F.exp(-F.col("s") / F.lit(_SCALE)))
+                            - F.col("y")
+                        )
+                        * F.lit(_SCALE)
+                    ).cast("long").alias("gd"),
+                )
+            )
+            g_bias = gd.agg(F.sum("gd")).first()[0] or 0
+            g_rows = (
+                data.join(gd, "id")
+                .groupBy("bucket")
+                .agg(F.sum(F.col("gd") * F.col("cnt")).alias("g"))
+                .collect()
+            )
+            g = [0] * dim
+            for r in g_rows:
+                g[int(r["bucket"])] = int(r["g"])
+            # integer update: w -= round(lr * g / n), half-away-from-zero
+            # like F.round so the NumPy oracle twin reproduces it exactly
+            def upd(wi, gi):
+                d = lr * gi / n
+                return wi - int(math.floor(abs(d) + 0.5) * (1 if d >= 0 else -1))
+
+            w = [upd(w[0], g_bias)] + [upd(w[1 + b], g[b]) for b in range(dim)]
+        return w
+    finally:
+        data.unpersist()
+
+
+def predict_logreg(
+    feats: DataFrame, w_micro: list[int], dim: int
+) -> DataFrame:
+    """(id, score) with score = sigmoid of the micro-unit raw score."""
+    scores = _raw_scores(feats, w_micro, dim)
+    return scores.select(
+        "id",
+        (
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("s") / F.lit(_SCALE)))
+        ).alias("score"),
+    )

@@ -136,3 +136,76 @@ def test_split_assign(docs):
     held = split_assign(docs, {"train": 0.5}, seed=5)
     n_null = held.where(F.col("split").isNull()).count()
     assert 0 < n_null < 600
+
+
+def test_logreg_matches_numpy_exactly(spark):
+    """Distributed integer-micro GD must produce BIT-IDENTICAL weights to
+    a sequential NumPy replay, independent of input partitioning — the
+    property the DuckDB oracle twin relies on."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from openeo_processes_dask_spark.training.classifier import (
+        fit_logreg,
+        hashed_features,
+        predict_logreg,
+    )
+
+    dim, iters, lr = 16, 3, 1.0
+    texts = [
+        (i, ("good quality prose with many words " * 3) if i % 2 == 0
+         else ("spam spam buy now click " * 4), float(1 - i % 2))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in texts], "id bigint, text string"
+    )
+    labels = spark.createDataFrame(
+        [(i, y) for i, _, y in texts], "id bigint, y double"
+    )
+    feats = hashed_features(docs, "id", "text", dim=dim)
+    w1 = fit_logreg(feats, labels, dim, iterations=iters, lr=lr)
+    w2 = fit_logreg(
+        feats.repartition(13), labels.repartition(7), dim,
+        iterations=iters, lr=lr,
+    )
+    assert w1 == w2  # partitioning-independent integers
+
+    # sequential NumPy replay with the same md5 buckets + integer math
+    def md5long(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    cnts = {}
+    ys = {}
+    for i, t, y in texts:
+        ys[i] = y
+        for tok in t.lower().split():
+            b = md5long(tok) % dim
+            cnts.setdefault(i, {}).setdefault(b, 0)
+            cnts[i][b] += 1
+    n = len(texts)
+    w = [0] * (dim + 1)
+    for _ in range(iters):
+        g = [0] * (dim + 1)
+        for i in cnts:
+            s = w[0] + sum(c * w[1 + b] for b, c in cnts[i].items())
+            p = 1.0 / (1.0 + math.exp(-s / 1e6))
+            d = (p - ys[i]) * 1e6
+            gd = int(math.floor(abs(d) + 0.5) * (1 if d >= 0 else -1))
+            g[0] += gd
+            for b, c in cnts[i].items():
+                g[1 + b] += gd * c
+        def upd(wi, gi):
+            d = lr * gi / n
+            return wi - int(math.floor(abs(d) + 0.5) * (1 if d >= 0 else -1))
+        w = [upd(w[j], g[j]) for j in range(dim + 1)]
+    assert w1 == w
+
+    # and the classifier actually separates the two classes
+    pred = {r["id"]: r["score"] for r in
+            predict_logreg(feats, w1, dim).collect()}
+    good = np.mean([pred[i] for i, _, y in texts if y == 1.0])
+    bad = np.mean([pred[i] for i, _, y in texts if y == 0.0])
+    assert good > 0.9 and bad < 0.1
