@@ -90,11 +90,20 @@ def normalize_crs(crs) -> str:
 
 
 def supports(src_crs, dst_crs) -> bool:
+    """True when transform_xy_* can handle the pair: natively (closed-form
+    4326<->3857<->UTM) or via the runtime-detected pyproj lane."""
     pair = {normalize_crs(src_crs), normalize_crs(dst_crs)}
     if pair <= {"EPSG:4326", "EPSG:3857"}:
         return True
     others = pair - {"EPSG:4326"}
-    return len(others) <= 1 and all(utm_zone(c) for c in others)
+    if len(others) <= 1 and all(utm_zone(c) for c in others):
+        return True
+    try:
+        import pyproj  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
 
 
 class _ColOps:

@@ -37,15 +37,18 @@ MAX_GEOMETRIES = 100_000
 def _features_from(geometries) -> list[tuple[str, dict]]:
     """Normalize GeoJSON dict / VectorCube DataFrame → [(feature_id, geometry)]."""
     if isinstance(geometries, DataFrame):
-        n = geometries.count()
-        if n > MAX_GEOMETRIES:
+        # take(limit+1) guards and fetches in ONE bounded job — a separate
+        # count() would scan all N geometries twice just to build the error
+        rows = geometries.select("feature_id", "geometry").take(
+            MAX_GEOMETRIES + 1
+        )
+        if len(rows) > MAX_GEOMETRIES:
             raise ValueError(
-                f"aggregate_spatial: {n} geometries exceeds the "
+                f"aggregate_spatial: geometry set exceeds the "
                 f"driver-broadcast limit ({MAX_GEOMETRIES}); partition the "
                 "vector cube and aggregate per partition, or rasterize the "
                 "zones to a cube and use a mask+groupBy instead"
             )
-        rows = geometries.select("feature_id", "geometry").collect()
         return [(r["feature_id"], json.loads(r["geometry"])) for r in rows]
     t = geometries.get("type")
     if t == "FeatureCollection":

@@ -95,16 +95,27 @@ def _localize_parquet(spark: SparkSession, href: str) -> str:
         cache, hashlib.md5(href.encode()).hexdigest()[:16] + ".parquet"
     )
     if not os.path.exists(local):
-        tmp = local + ".part"
-        with urllib.request.urlopen(href, timeout=60) as resp, open(
-            tmp, "wb"
-        ) as out:
-            while True:
-                chunk = resp.read(1 << 20)
-                if not chunk:
-                    break
-                out.write(chunk)
-        os.replace(tmp, local)
+        # unique temp per process + atomic replace: concurrent drivers
+        # localizing the same href must not interleave writes into a
+        # shared .part file (a corrupted cache entry would poison every
+        # later run). Cache is keyed by href only — a changed remote
+        # asset needs the cache dir cleared; fixture-scale trade-off.
+        import tempfile as _tf
+
+        fd, tmp = _tf.mkstemp(dir=cache, suffix=".part")
+        try:
+            with urllib.request.urlopen(href, timeout=60) as resp, os.fdopen(
+                fd, "wb"
+            ) as out:
+                while True:
+                    chunk = resp.read(1 << 20)
+                    if not chunk:
+                        break
+                    out.write(chunk)
+            os.replace(tmp, local)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     return local
 
 
@@ -122,10 +133,13 @@ def _read_parquet_nanosafe(spark: SparkSession, path: str) -> DataFrame:
 
     import pyarrow.parquet as pq
 
-    schema_path = path
-    if os.path.isdir(path):  # Spark-written dataset dir: sniff one part file
-        parts = sorted(glob.glob(os.path.join(path, "*.parquet"))) or sorted(
-            glob.glob(os.path.join(path, "*", "*.parquet"))
+    # pyarrow's footer sniff needs a filesystem path; Spark itself accepts
+    # the file:// URI form, so only the sniff side strips it
+    fs_path = path[len("file://") :] if path.startswith("file://") else path
+    schema_path = fs_path
+    if os.path.isdir(fs_path):  # Spark-written dataset dir: sniff one part
+        parts = sorted(glob.glob(os.path.join(fs_path, "*.parquet"))) or sorted(
+            glob.glob(os.path.join(fs_path, "*", "*.parquet"))
         )
         if not parts:
             return spark.read.parquet(path)
@@ -383,25 +397,35 @@ def load_stac(
     src = url[len("file://") :] if url.startswith("file://") else url
     base = src.rsplit("/", 1)[0] if _is_http(src) else os.path.dirname(src)
 
+    # items carry their OWN base: a catalog-linked item in a subdirectory
+    # (the normal static-catalog layout) resolves its relative asset hrefs
+    # against the item document's location, not the catalog's
     doc_type = doc.get("type")
     if doc_type == "Feature":
-        stac_type, items = "ITEM", [doc]
+        stac_type, items = "ITEM", [(doc, base)]
     elif doc_type == "FeatureCollection":
-        stac_type, items = "ITEMCOLLECTION", list(doc.get("features", []))
+        stac_type = "ITEMCOLLECTION"
+        items = [(f, base) for f in doc.get("features", [])]
     elif doc_type in ("Catalog", "Collection"):
         stac_type, items = "CATALOG", []
         for link in doc.get("links", []):
             if link.get("rel") != "item" or not link.get("href"):
                 continue
-            items.append(fetch_json(_resolve_href(link["href"], base)))
+            item_loc = _resolve_href(link["href"], base)
+            item_base = (
+                item_loc.rsplit("/", 1)[0]
+                if _is_http(item_loc)
+                else os.path.dirname(item_loc)
+            )
+            items.append((fetch_json(item_loc), item_base))
     else:
         raise ValueError(f"Unsupported STAC document type: {doc_type!r}")
 
     if stac_type != "ITEM":
         # catalog search: prune items BEFORE touching any asset
         items = [
-            i
-            for i in items
+            (i, b)
+            for i, b in items
             if _stac_item_matches(
                 i, spatial_extent, temporal_extent, properties
             )
@@ -417,7 +441,7 @@ def load_stac(
     )
 
     frames = []
-    for item in items:
+    for item, item_base in items:
         for name, asset in (item.get("assets") or {}).items():
             if bands is not None and name not in bands:
                 continue  # band pruning at source (reference: load.py:262-264)
@@ -426,24 +450,41 @@ def load_stac(
                 continue
             if href.rstrip("/").endswith(RASTER_SUFFIXES):
                 # COG/Zarr lane (reference load.py:245-304): distributed
-                # tile decode; runtime-detects rasterio/zarr
+                # tile decode; runtime-detects rasterio/zarr. The cube's
+                # t dim needs SOME timestamp: datetime=null items declare
+                # an interval — use its start (reference load.py uses the
+                # same fallback when stacking items onto the t axis)
+                props = item.get("properties") or {}
+                t_val = props.get("datetime") or props.get("start_datetime")
+                if t_val is None:
+                    raise ValueError(
+                        f"STAC item {item.get('id')!r}: raster asset "
+                        f"{name!r} has neither datetime nor start_datetime; "
+                        "cannot place it on the cube's t axis"
+                    )
                 cube = load_raster(
                     spark,
-                    _resolve_href(href, base),
+                    _resolve_href(href, item_base),
                     band=name,
-                    time=(item.get("properties") or {}).get("datetime"),
+                    time=t_val,
                 )
                 frames.append(cube.df)
                 continue
             if not href.endswith(".parquet"):
                 continue
-            href = _localize_parquet(spark, _resolve_href(href, base))
+            href = _localize_parquet(spark, _resolve_href(href, item_base))
             df = _read_parquet_nanosafe(spark, href).withColumn(
                 "band", F.lit(name)
             )
             frames.append(df)
     if not frames:
         raise ValueError(f"No readable parquet assets in {url}")
+    if len({tuple(sorted(f.columns)) for f in frames}) > 1:
+        # heterogeneous assets (raster lane has no __t_ns__ pushdown
+        # partner, parquet lane may): normalize to the cube schema rather
+        # than unionByName-with-missing, which would leave NULL partner
+        # values that the filter_temporal twin predicate would wrongly drop
+        frames = [f.select("x", "y", "t", "band", "value") for f in frames]
     df = frames[0]
     for f in frames[1:]:
         df = df.unionByName(f)
@@ -633,6 +674,10 @@ def save_cube_zordered(
     lo_hi = data.df.agg(
         F.min(x_dim), F.max(x_dim), F.min(y_dim), F.max(y_dim)
     ).first()
+    if lo_hi is None or lo_hi[0] is None:
+        # empty cube: nothing to order — write the (empty) dataset as-is
+        data.df.write.mode("overwrite").parquet(path)
+        return path
     x_min, x_max, y_min, y_max = (float(v) for v in lo_hi)
     cells = (1 << bits) - 1
     x_step = ((x_max - x_min) / cells) or 1.0

@@ -394,6 +394,12 @@ def _cc_star(edges: DataFrame, max_iterations: int) -> DataFrame:
     of a node, so the edge set converges to stars (member -> component
     min). Per-round localCheckpoint truncates the logical plan (same
     rationale as the propagation lane). Returns (id, comp)."""
+    # every node in the input gets a label — including nodes whose only
+    # pair is a self-loop (the propagation lane labels them comp=id; the
+    # a != b edge filter below would otherwise drop them entirely)
+    all_nodes = edges.select(F.col("u").alias("id")).union(
+        edges.select(F.col("v").alias("id"))
+    ).distinct()
     E = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).where(
         F.col("a") != F.col("b")
     ).distinct().localCheckpoint(eager=True)
@@ -439,14 +445,19 @@ def _cc_star(edges: DataFrame, max_iterations: int) -> DataFrame:
             f"{max_iterations} rounds — raise max_iterations (convergence "
             "is O(log n) rounds, so this indicates a pathological input)"
         )
-    # E is now a star forest: (member, root). Roots label themselves.
-    return (
+    # E is now a star forest: (member, root). Roots label themselves;
+    # isolated nodes (self-loop-only input pairs) label themselves too.
+    labeled = (
         E.select(F.col("a").alias("id"), F.col("b").alias("comp"))
         .union(
             E.select(F.col("b").alias("id"), F.col("b").alias("comp"))
         )
         .distinct()
     )
+    isolated = all_nodes.join(labeled.select("id"), "id", "left_anti").select(
+        "id", F.col("id").alias("comp")
+    )
+    return labeled.union(isolated)
 
 
 def connected_components(

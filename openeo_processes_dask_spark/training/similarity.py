@@ -443,7 +443,10 @@ def random_projection(
     engine-portable comparison) beside the input columns."""
     import math
 
-    in_dim = int(df.select(F.size(F.col(vec_col)).alias("n")).first()["n"])
+    first = df.select(F.size(F.col(vec_col)).alias("n")).first()
+    if first is None:
+        raise ValueError("random_projection: empty input DataFrame")
+    in_dim = int(first["n"])
     mat = sign_projection_matrix(in_dim, out_dim, seed)
     scale = 1.0 / math.sqrt(out_dim)
     comps = [

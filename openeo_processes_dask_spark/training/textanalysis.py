@@ -200,11 +200,12 @@ def tfidf_top_terms(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from openeo_processes_dask_spark.training.dedup import _spread
+
     n_docs = df.count()
-    tok = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
-    )
+    tok = _spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t__"))
+    ).select("id", F.explode(tokens(F.lower(F.col("__t__")))).alias("term"))
     tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = (
         tf.groupBy("term")

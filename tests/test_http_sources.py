@@ -129,3 +129,67 @@ def test_fetch_json_error_message(spark):
 
     with pytest.raises(RuntimeError, match="Failed to fetch JSON"):
         fetch_json("http://127.0.0.1:9/nothing.json", timeout=2)
+
+
+def test_load_url_file_uri_parquet_dir(spark, tmp_path):
+    """file:// URL to a Spark-written parquet DATASET DIRECTORY must load
+    (regression: the nanosafe footer sniff needs the filesystem path, not
+    the URI)."""
+    from openeo_processes_dask_spark.operators.vector import load_url
+
+    pq = str(tmp_path / "ds")
+    spark.range(7).write.parquet(pq)
+    assert load_url(f"file://{pq}", format="Parquet").count() == 7
+
+
+def test_load_stac_item_in_subdirectory(spark, tmp_path):
+    """Catalog links an item in items/; the item's relative asset href
+    resolves against the ITEM's directory per STAC, not the catalog's
+    (regression)."""
+    import json
+
+    import pandas as pd
+
+    from openeo_processes_dask_spark.sources.load import load_stac
+
+    (tmp_path / "items").mkdir()
+    pd.DataFrame(
+        {
+            "x": [0.0], "y": [0.0],
+            "t": pd.to_datetime(["2021-01-01"]),
+            "value": [42.0],
+        }
+    ).to_parquet(tmp_path / "items" / "a.parquet")
+    (tmp_path / "items" / "i1.json").write_text(json.dumps({
+        "type": "Feature", "stac_version": "1.0.0", "id": "i1",
+        "bbox": [-1, -1, 1, 1], "geometry": None,
+        "properties": {"datetime": "2021-01-01T00:00:00Z"},
+        "assets": {"b": {"href": "a.parquet"}},
+    }))
+    (tmp_path / "catalog.json").write_text(json.dumps({
+        "type": "Catalog", "stac_version": "1.0.0", "id": "c",
+        "description": "t",
+        "links": [{"rel": "item", "href": "items/i1.json"}],
+    }))
+    cube = load_stac(str(tmp_path / "catalog.json"))
+    assert [r["value"] for r in cube.df.collect()] == [42.0]
+
+
+def test_load_stac_raster_item_without_datetime(spark, tmp_path):
+    """A raster item with datetime null falls back to start_datetime; with
+    neither, the error names the item (regression: used to crash in
+    DataCube dim validation)."""
+    import json
+
+    from openeo_processes_dask_spark.sources.load import load_stac
+
+    item = {
+        "type": "Feature", "stac_version": "1.0.0", "id": "no-dt",
+        "bbox": [0, 0, 1, 1], "geometry": None,
+        "properties": {"datetime": None},
+        "assets": {"red": {"href": "band.tif"}},
+    }
+    p = tmp_path / "i.json"
+    p.write_text(json.dumps(item))
+    with pytest.raises(ValueError, match="neither datetime nor start_datetime"):
+        load_stac(str(p))

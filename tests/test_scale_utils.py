@@ -302,3 +302,21 @@ def test_decontaminate_flags_ngram_overlap(spark):
     ).collect()}
     assert 1 in out and 2 not in out
     assert out[1] >= 1
+
+
+def test_connected_components_star_self_loops(spark):
+    """Self-loop-only nodes keep a label under the star lane (regression:
+    they were silently dropped, diverging from propagation)."""
+    from openeo_processes_dask_spark.training.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(5, 5), (1, 2), (7, 7)], "id1 bigint, id2 bigint"
+    )
+    star = {
+        r["id"]: r["comp"]
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    prop = {
+        r["id"]: r["comp"] for r in connected_components(pairs).collect()
+    }
+    assert star == prop == {1: 1, 2: 1, 5: 5, 7: 7}
