@@ -120,3 +120,60 @@ def test_connected_components_nonconvergence_raises(spark):
         connected_components(chain, max_iterations=2)
     comp = connected_components(chain, max_iterations=50).toPandas()
     assert set(comp["comp"]) == {0}
+
+
+def test_plan_shapes_of_new_operators(spark, tmp_path):
+    """Physical-plan assertions for the round-4 operators (same pattern
+    as test_no_shuffle_in_plan): the claims in the docstrings — top-k
+    compiles to WindowGroupLimit, the benchmark digest set broadcasts,
+    bbox predicates reach the parquet scan of a z-ordered layout — are
+    checked against the plans, not asserted from memory."""
+    from pyspark.sql import functions as F
+
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.sources.load import save_cube_zordered
+    from openeo_processes_dask_spark.training.dedup import decontaminate
+    from openeo_processes_dask_spark.training.textanalysis import (
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i % 7} common text body number {i}") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+
+    # tfidf top-k: rank<=k must compile to WindowGroupLimit (map tasks
+    # forward at most k rows per doc before the exchange)
+    plan = (
+        tfidf_top_terms(docs, "doc_id", "text", k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+
+    # decontaminate: the benchmark digest set joins via broadcast
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    plan = (
+        decontaminate(docs, bench, "doc_id", "text", n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+    # z-ordered layout: bbox range predicates are pushed to the scan
+    n = 32
+    cube = DataCube(
+        spark.range(n * n).select(
+            (F.col("id") % n).cast("double").alias("x"),
+            (F.col("id") / n).cast("long").cast("double").alias("y"),
+            (F.col("id") * 1.0).alias("value"),
+        ),
+        dims=("x", "y"),
+    )
+    out = str(tmp_path / "z")
+    save_cube_zordered(cube, out, n_files=8)
+    q = spark.read.parquet(out).where(
+        (F.col("x") >= 3.0) & (F.col("x") <= 6.0)
+        & (F.col("y") >= 3.0) & (F.col("y") <= 6.0)
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters:" in plan
+    assert "GreaterThanOrEqual(x,3.0)" in plan
