@@ -776,3 +776,50 @@ def _logreg_quality_oracle_sql(
                round(1.0 / (1.0 + exp(-s / 1000000.0)), 6) AS score
         FROM s
     """
+
+
+def _subsequence_topk_oracle_sql(
+    pattern=(10.0, 200.0, 10.0, 200.0, 10.0), k: int = 20
+) -> str:
+    """SQL twin of training.tsearch.subsequence_topk on the events table:
+    same z-normalized literal pattern (repr'd Python doubles), same
+    windowing (per (user_id, band) series ordered by (ts, event_id)),
+    same 6-decimal rounding + tiebreak ordering."""
+    from openeo_processes_dask_spark.training.tsearch import _znorm_lit
+
+    m = len(pattern)
+    q = _znorm_lit([float(v) for v in pattern])
+    q_lit = "[" + ", ".join(repr(v) for v in q) + "]"
+    return f"""
+        WITH ser AS (
+          SELECT user_id, event_type AS band,
+                 list(value ORDER BY ts, event_id) AS vals,
+                 list(CAST(ts AS TIMESTAMP) ORDER BY ts, event_id) AS tss
+          FROM events GROUP BY 1, 2),
+        win AS (
+          SELECT user_id, band, tss[i] AS t, vals[i:i+{m - 1}] AS w
+          FROM ser,
+               LATERAL (SELECT unnest(generate_series(1, len(vals) - {m - 1}))
+                        AS i)),
+        stats AS (
+          SELECT user_id, band, t, w,
+                 list_sum(w) / {float(m)} AS mu
+          FROM win),
+        stats2 AS (
+          SELECT *, sqrt(list_sum([(x - mu) * (x - mu) FOR x IN w])
+                         / {float(m)}) AS sd
+          FROM stats),
+        zn AS (
+          SELECT user_id, band, t,
+                 CASE WHEN sd = 0 THEN [0.0 FOR x IN w]
+                      ELSE [(x - mu) / sd FOR x IN w] END AS z
+          FROM stats2)
+        SELECT user_id, band, t,
+               round(sqrt(list_sum([(z[i] - ({q_lit})[i])
+                                    * (z[i] - ({q_lit})[i])
+                                    FOR i IN generate_series(1, {m})])), 6)
+                 AS dist
+        FROM zn
+        ORDER BY dist, user_id, band, t
+        LIMIT {k}
+    """

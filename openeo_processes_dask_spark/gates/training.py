@@ -13,6 +13,7 @@ from .common import _STOPWORDS_SQL, _TOKS, _round6, _setup, _table
 from .oracle_builders import (
     _dedup_clusters_oracle_sql,
     _logreg_quality_oracle_sql,
+    _subsequence_topk_oracle_sql,
     _random_projection_oracle_sql,
     _embedding_near_dups_oracle_sql,
     _ivf_topk_oracle_sql,
@@ -330,6 +331,33 @@ def q_logreg_quality(spark, sf_dir):
     )
 
 
+def q_subsequence_topk(spark, sf_dir):
+    """Time-series subsequence search (training/tsearch.py, PAPERS.md
+    REPOSE/Odyssey family): top-20 windows across all (user, band) event
+    series by z-normalized Euclidean distance to a literal spike pattern.
+    One collect_list window pass, fold-expression distances,
+    TakeOrderedAndProject top-k."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.tsearch import subsequence_topk
+
+    ev = _table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("band"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "value",
+    )
+    return subsequence_topk(
+        ev,
+        pattern=[10.0, 200.0, 10.0, 200.0, 10.0],
+        key_cols=["user_id", "band"],
+        time_col="ts",
+        value_col="value",
+        k=20,
+        tiebreak_cols=["user_id", "band", "ts", "event_id"],
+    )
+
+
 def q_random_projection(spark, sf_dir):
     """Seeded ±1 Johnson–Lindenstrauss projection of the embedding column
     (training/similarity.py random_projection): literal matrix baked into
@@ -461,6 +489,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "random_projection": q_random_projection,
     "logreg_quality": q_logreg_quality,
+    "subsequence_topk": q_subsequence_topk,
 }
 
 ORACLES = {
@@ -795,6 +824,7 @@ ORACLES = {
         """,
     "random_projection": _random_projection_oracle_sql(),
     "logreg_quality": _logreg_quality_oracle_sql(),
+    "subsequence_topk": _subsequence_topk_oracle_sql(),
     "minhash_near_dups": _minhash_oracle_sql(),
     "simhash_near_dups": _simhash_oracle_sql(),
     "cosine_topk": """

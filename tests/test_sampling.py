@@ -209,3 +209,30 @@ def test_logreg_matches_numpy_exactly(spark):
     good = np.mean([pred[i] for i, _, y in texts if y == 1.0])
     bad = np.mean([pred[i] for i, _, y in texts if y == 0.0])
     assert good > 0.9 and bad < 0.1
+
+
+def test_subsequence_topk_finds_planted_pattern(spark):
+    """The planted spike window must rank first with distance ~0; a
+    constant series (sd=0) must not crash and sits at z=0 distance from
+    nothing in particular."""
+    import numpy as np
+
+    from openeo_processes_dask_spark.training.tsearch import subsequence_topk
+
+    pattern = [1.0, 5.0, 1.0, 5.0, 1.0]
+    rows = []
+    rng = np.random.default_rng(0)
+    for key in ("a", "b"):
+        vals = list(rng.uniform(10, 20, size=40))
+        if key == "b":
+            # plant a scaled+shifted copy of the pattern (z-norm invariant)
+            vals[17:22] = [100 + 7 * v for v in pattern]
+        for i, v in enumerate(vals):
+            rows.append((key, i, float(v)))
+    rows += [("c", i, 3.0) for i in range(10)]  # constant series, sd=0
+    df = spark.createDataFrame(rows, "k string, i bigint, value double")
+    out = subsequence_topk(
+        df, pattern, key_cols=["k"], time_col="i", value_col="value", k=3
+    ).collect()
+    assert out[0]["k"] == "b" and out[0]["t"] == 17
+    assert out[0]["dist"] < 1e-6
