@@ -118,7 +118,12 @@ def q_reduce_variance(spark, sf_dir):
     )
     cube = DataCube(df, dims=("x", "t", "band"))
     out = reduce_dimension(cube, "variance", "t")
-    return out.df.withColumn("value", F.round(F.col("value"), 2))
+    # +0.0: var of near-constant groups can cancel to a tiny NEGATIVE on
+    # one engine (catastrophic cancellation under parallel accumulation)
+    # and round to -0.0 — signed-zero hash hazard
+    return out.df.withColumn(
+        "value", F.round(F.col("value"), 2) + F.lit(0.0)
+    )
 
 
 def q_reduce_spatial_sum(spark, sf_dir):
@@ -358,7 +363,7 @@ ORACLES = {
         """,
     "reduce_variance": """
             SELECT l_suppkey AS x, l_returnflag AS band,
-                   round(var_samp(l_extendedprice), 2) AS value
+                   round(var_samp(l_extendedprice), 2) + 0.0 AS value
             FROM lineitem GROUP BY ALL
         """,
     "reduce_spatial_sum": """

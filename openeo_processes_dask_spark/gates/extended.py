@@ -387,7 +387,8 @@ def q_merge_case4_subcube(spark, sf_dir):
     g = _grid_cube(spark, sf_dir)
     bmean = reduce_dimension(g, "mean", "band")
     out = merge_cubes(g, bmean, overlap_resolver="subtract")
-    return _round6(out.df, "value")
+    # +0.0: value-minus-mean near zero — signed-zero hash hazard
+    return out.df.withColumn("value", F.round(F.col("value"), 6) + F.lit(0.0))
 
 
 def q_array_ops2(spark, sf_dir):
@@ -542,7 +543,11 @@ def q_ddmc(spark, sf_dir):
     )
     df = cells.select("x", band.alias("band"), F.col("sq").alias("value"))
     out = ddmc(DataCube(df, dims=("x", "band")))
-    return _round6(out.df, "value")
+    # +0.0: band-difference values can be exactly zero — signed-zero
+    # convention (DIVERGENCES.md oracle conventions)
+    return out.df.withColumn(
+        "value", F.round(F.col("value"), 6) + F.lit(0.0)
+    )
 
 
 def q_resample_mercator(spark, sf_dir):
@@ -764,9 +769,13 @@ def q_rqa_trend(spark, sf_dir):
     daily = aggregate_temporal_period(cube, "day", "mean")
     out = rqa_deforestation(daily, threshold=10.0)
     # short groups produce NaN driver-side; Arrow maps pandas NaN to NULL,
-    # and Spark's isnan(NULL) is false — filter both representations
-    return _round6(
-        out.df.where(F.col("value").isNotNull() & ~F.isnan("value")), "value"
+    # and Spark's isnan(NULL) is false — filter both representations.
+    # +0.0 normalizes signed zero: a trend slope that rounds to zero can
+    # come out -0.0 from DuckDB's regr_slope (whose parallel accumulation
+    # order varies run-to-run) and +0.0 here — intermittent hash breaker.
+    filtered = out.df.where(F.col("value").isNotNull() & ~F.isnan("value"))
+    return filtered.withColumn(
+        "value", F.round(F.col("value"), 6) + F.lit(0.0)
     )
 
 
@@ -1029,7 +1038,8 @@ ORACLES = {
             SELECT x, b.band,
                    round(CASE b.band WHEN 'midcl' THEN (nir08 - nir09) * 2.5
                                      WHEN 'dc' THEN (cirrus - swir22) * 2.5
-                                     ELSE (swir16 - cirrus) * 2.5 END, 6) AS value
+                                     ELSE (swir16 - cirrus) * 2.5 END, 6)
+                     + 0.0 AS value
             FROM piv CROSS JOIN (VALUES ('midcl'), ('dc'), ('lowcl')) b(band)
         """,
     "text_ops": """
@@ -1059,7 +1069,7 @@ ORACLES = {
               WHERE a.n >= 3),
             rr AS (SELECT user_id, band, tau, avg(r) AS rr
                    FROM pairs GROUP BY ALL)
-            SELECT user_id, band, round(regr_slope(rr, tau), 6) AS value
+            SELECT user_id, band, round(regr_slope(rr, tau), 6) + 0.0 AS value
             FROM rr GROUP BY user_id, band
         """,
     "resample_mercator": """
@@ -1108,7 +1118,7 @@ ORACLES = {
             WITH {_GRID_CTE}
             SELECT x, y, band,
                    round(value - avg(value) OVER (PARTITION BY x, y), 6)
-                     AS value
+                     + 0.0 AS value
             FROM grid
         """,
     "array_ops2": f"""

@@ -60,7 +60,11 @@ def q_ndvi_events(spark, sf_dir):
     )
     daily = aggregate_temporal_period(cube, "day", "mean")
     out = ndvi(daily, nir="click", red="view")
-    return _round6(out.df, "value")
+    # +0.0: (click-view)/(click+view) near zero over parallel-avg inputs
+    # — signed-zero hash hazard
+    return out.df.withColumn(
+        "value", F.round(F.col("value"), 6) + F.lit(0.0)
+    )
 
 
 def q_apply_kernel_grid(spark, sf_dir):
@@ -92,7 +96,10 @@ def q_apply_dimension_center(spark, sf_dir):
         cells.select("x", "pos", F.col("sq").alias("value")), dims=("x", "pos")
     )
     out = apply_dimension(cube, lambda s: s - s.mean(), "pos")
-    return _round6(out.df, "value")
+    # +0.0: demeaned values that are mathematically zero can round to
+    # -0.0 under one engine's parallel avg accumulation and +0.0 under
+    # the other's — intermittent hash breaker (same class as rqa_trend)
+    return out.df.withColumn("value", F.round(F.col("value"), 6) + F.lit(0.0))
 
 
 def q_reduce_product(spark, sf_dir):
@@ -353,7 +360,7 @@ ORACLES = {
               SELECT t, max(CASE WHEN band = 'click' THEN v END) AS c,
                      max(CASE WHEN band = 'view' THEN v END) AS vv
               FROM daily GROUP BY 1)
-            SELECT t, round((c - vv) / (c + vv), 6) AS value FROM piv
+            SELECT t, round((c - vv) / (c + vv), 6) + 0.0 AS value FROM piv
         """,
     "apply_kernel_grid": """
             WITH grid AS (
@@ -371,7 +378,7 @@ ORACLES = {
     "apply_dimension_center": f"""
             WITH {_CELLS_CTE}
             SELECT x, pos,
-                   round(sq - avg(sq) OVER (PARTITION BY x), 6) AS value
+                   round(sq - avg(sq) OVER (PARTITION BY x), 6) + 0.0 AS value
             FROM cells
         """,
     "reduce_product": f"""
