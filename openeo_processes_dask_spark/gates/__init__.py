@@ -40,7 +40,7 @@ _NEW_R4: list[str] = [
     "dedup_clusters_star", "segment_dedup", "decontaminate",
     "streaming_dedup_static", "zorder_roundtrip", "tfidf_top_terms",
     "random_projection", "load_raster_tiles", "logreg_quality",
-    "subsequence_topk",
+    "subsequence_topk", "multimodal_dedup",
 ]
 
 # r2-green queries, in r2-window order — least recently confirmed tail.

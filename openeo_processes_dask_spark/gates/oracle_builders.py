@@ -823,3 +823,26 @@ def _subsequence_topk_oracle_sql(
         ORDER BY dist, user_id, band, t
         LIMIT {k}
     """
+
+
+def _multimodal_dedup_oracle_sql(n: int = 32, groups: int = 16) -> str:
+    """Twin of q_multimodal_dedup: the fixture plants payloads keyed on
+    i % groups, so expected digests/keep-ids/copy-counts are computed
+    independently in Python (hashlib.md5 == Spark md5 on the same bytes)
+    and baked as VALUES — the multimodal-fixture oracle convention."""
+    import hashlib as _hl
+
+    rows = {}
+    for i in range(n):
+        payload = _hl.sha256(f"img-{i % groups}".encode()).digest() * 4
+        fp = _hl.md5(payload).hexdigest()
+        keep, cnt = rows.get(fp, (i, 0))
+        rows[fp] = (min(keep, i), cnt + 1)
+    vals = ", ".join(
+        f"('{fp}', {keep}, {cnt})" for fp, (keep, cnt) in sorted(rows.items())
+    )
+    return f"""
+        SELECT fingerprint, CAST(keep_id AS BIGINT) AS keep_id,
+               CAST(n_copies AS BIGINT) AS n_copies
+        FROM (VALUES {vals}) AS t(fingerprint, keep_id, n_copies)
+    """

@@ -10,7 +10,11 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 
 from .common import _CELLS_CTE, _li_cells, _round6, _setup, _table
-from .oracle_builders import _multimodal_features_oracle_sql, _random_forest_oracle_sql
+from .oracle_builders import (
+    _multimodal_dedup_oracle_sql,
+    _multimodal_features_oracle_sql,
+    _random_forest_oracle_sql,
+)
 
 def q_resample_asof(spark, sf_dir):
     """resample_cube_temporal: as-of align order dates to year starts."""
@@ -306,6 +310,26 @@ def q_vector_buffer(spark, sf_dir):
     )
 
 
+def q_multimodal_dedup(spark, sf_dir):
+    """Exact binary-payload dedup (training/multimodal.py
+    binary_duplicates): 32 synthetic images planted in 16 duplicate pairs
+    (payload keyed on doc_id % 16); identical files dedup before any
+    codec opens them — digest-only shuffle, payloads never move."""
+    _setup(spark)
+    import hashlib
+
+    from openeo_processes_dask_spark.training.multimodal import (
+        binary_duplicates,
+    )
+
+    rows = [
+        (i, hashlib.sha256(f"img-{i % 16}".encode()).digest() * 4)
+        for i in range(32)
+    ]
+    tbl = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    return binary_duplicates(tbl)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-column decode/feature plumbing (deterministic fake decode) —
     rows-only."""
@@ -336,6 +360,7 @@ QUERIES = {
     "random_forest": q_random_forest,
     "vector_buffer": q_vector_buffer,
     "multimodal_features": q_multimodal_features,
+    "multimodal_dedup": q_multimodal_dedup,
 }
 
 ORACLES = {
@@ -450,4 +475,5 @@ ORACLES = {
             FROM rings
         """,
     "multimodal_features": _multimodal_features_oracle_sql(),
+    "multimodal_dedup": _multimodal_dedup_oracle_sql(),
 }

@@ -302,3 +302,27 @@ def synthetic_audio_table(
     return spark.createDataFrame(
         rows, "doc_id bigint, payload binary, sample_rate int, n_samples int"
     )
+
+
+def binary_duplicates(
+    df, id_col: str = "doc_id", payload_col: str = "payload"
+):
+    """Exact dedup over opaque binary payloads (image/audio/video bytes) —
+    the first pass of every multimodal ingest, run BEFORE any decode:
+    identical files dedup without a codec ever opening them.
+
+    Plan: md5 of the payload column (Spark's md5 accepts binary natively,
+    JVM-side) → one digest-keyed hash aggregate. Column pruning means the
+    scan reads ONLY the payload + id columns, and the shuffle carries
+    16-byte digests — payload bytes never leave their executor. Returns
+    (fingerprint, keep_id, n_copies) like text exact_duplicates."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(F.col(id_col), F.md5(F.col(payload_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
