@@ -101,6 +101,48 @@ def q_load_raster_tiles(spark, sf_dir):
     return _round6(cube.df.select("x", "y", "band", "value"), "value")
 
 
+class _SentinelRasterSrc:
+    """Two-band 32x24 synthetic raster with STAC-style per-band metadata
+    (VERDICT r04 #2): raw = band*1000 + 100*row + col, EXCEPT pixels where
+    (row+col) % 11 == band carry the band's nodata sentinel.  Per-band
+    scale/offset: value = raw*scale + offset, sentinel -> NULL."""
+
+    width = 32
+    height = 24
+    count = 2
+    transform = (1.0, 0.0, 0.0, 0.0, -1.0, 24.0)
+    nodatavals = (-1.0, -2.0)
+    scales = (0.5, 1.0)
+    offsets = (2.0, 0.0)
+
+    @staticmethod
+    def read_window(band, col_off, row_off, w, h):
+        import numpy as np
+
+        rows, cols = np.mgrid[row_off : row_off + h, col_off : col_off + w]
+        raw = band * 1000.0 + 100.0 * rows + cols
+        return np.where((rows + cols) % 11 == band, -float(band), raw)
+
+
+def q_load_raster_nodata(spark, sf_dir):
+    """Raster decode with nodata/scale/offset metadata applied at load
+    (VERDICT r04 #2; reference cubes/load.py:185-215): multiband read
+    (ADVICE r04 — band_index=None stacks ALL bands), per-band sentinel ->
+    NULL masked on raw values, value = raw*scale + offset.  Oracle
+    regenerates both bands arithmetically and masks the same sentinel."""
+    _setup(spark)
+    from openeo_processes_dask_spark.sources.raster import load_raster
+
+    cube = load_raster(
+        spark,
+        "synthetic://nodata.tif",
+        band="s",
+        tile=16,
+        opener=lambda href: _SentinelRasterSrc(),
+    )
+    return _round6(cube.df.select("x", "y", "band", "value"), "value")
+
+
 def q_load_url_geojson(spark, sf_dir):
     """load_url over a file:// GeoJSON written from nation rows
     (reference: cubes/load.py:325-401): URL scheme handling + GeoJSON
@@ -313,15 +355,89 @@ def q_load_stac_catalog(spark, sf_dir):
     )
 
 
+def q_load_stac_properties(spark, sf_dir):
+    """load_stac catalog search with STAC Query-extension OPERATOR
+    property filters (VERDICT r04 #1 — the one silent-divergence defect):
+    a three-item catalog tagged with eo:cloud_cover 5/20/80 and platform
+    names; ``{"eo:cloud_cover": {"lt": 25}, "platform": {"startsWith":
+    "sentinel"}}`` must keep exactly the first two items (reference
+    forwards these dicts verbatim to catalog.search(query=…),
+    cubes/load.py:153-156). Oracle replays the derivation with the same
+    x-range the surviving items carry."""
+    _setup(spark)
+    import json
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.sources.load import load_stac
+
+    base = os.path.join(
+        tempfile.gettempdir(), "spark_graft_stac_props_gate"
+    )
+    os.makedirs(base, exist_ok=True)
+    grid = _grid_cube(spark, sf_dir)
+    flat = (
+        grid.df.groupBy("x", "y")
+        .agg(F.sum("value").alias("value"))
+        .withColumn("t", F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    )
+    links = []
+    for name, pred, cloud, platform in (
+        ("a", "x < 10", 5, "sentinel-2a"),
+        ("b", "x >= 10 AND x < 20", 20, "sentinel-2b"),
+        ("c", "x >= 20", 80, "landsat-8"),
+    ):
+        p = os.path.join(base, f"{name}.parquet")
+        flat.where(pred).coalesce(1).write.mode("overwrite").parquet(p)
+        item = {
+            "type": "Feature",
+            "stac_version": "1.0.0",
+            "id": name,
+            "bbox": [0, 0, 29, 9],
+            "properties": {
+                "datetime": "2024-01-15T00:00:00Z",
+                "eo:cloud_cover": cloud,
+                "platform": platform,
+            },
+            "assets": {"data": {"href": p, "type": "parquet"}},
+        }
+        ip = os.path.join(base, f"{name}.json")
+        with open(ip, "w") as fh:
+            json.dump(item, fh)
+        links.append({"rel": "item", "href": ip})
+    catalog = {
+        "type": "Catalog",
+        "stac_version": "1.0.0",
+        "id": "props-gate",
+        "links": links,
+    }
+    cat = os.path.join(base, "catalog.json")
+    with open(cat, "w") as fh:
+        json.dump(catalog, fh)
+    cube = load_stac(
+        cat,
+        properties={
+            "eo:cloud_cover": {"lt": 25},
+            "platform": {"startsWith": "sentinel"},
+        },
+        spark=spark,
+    )
+    return _round6(
+        cube.df.select("x", "y", "band", "t", "value"), "value"
+    )
+
+
 QUERIES = {
     "save_load_roundtrip": q_save_load_roundtrip,
     "zorder_roundtrip": q_zorder_roundtrip,
     "load_raster_tiles": q_load_raster_tiles,
+    "load_raster_nodata": q_load_raster_nodata,
     "load_url_geojson": q_load_url_geojson,
     "reduce_any": q_reduce_any,
     "reduce_count_condition": q_reduce_count_condition,
     "process_graph": q_process_graph,
     "load_stac_catalog": q_load_stac_catalog,
+    "load_stac_properties": q_load_stac_properties,
 }
 
 ORACLES = {
@@ -340,6 +456,23 @@ ORACLES = {
                    round(CAST(100 * r + c AS DOUBLE), 6) AS value
             FROM (SELECT unnest(generate_series(0, 39)) AS r),
                  (SELECT unnest(generate_series(0, 47)) AS c)
+        """,
+    "load_raster_nodata": """
+            WITH px AS (
+              SELECT r, c, b,
+                     b * 1000.0 + 100.0 * r + c AS raw,
+                     (r + c) % 11 = b AS is_nodata
+              FROM (SELECT unnest(generate_series(0, 23)) AS r),
+                   (SELECT unnest(generate_series(0, 31)) AS c),
+                   (SELECT unnest([1, 2]) AS b)
+            )
+            SELECT c + 0.5 AS x,
+                   24.0 - (r + 0.5) AS y,
+                   's_b' || b AS band,
+                   CASE WHEN is_nodata THEN NULL
+                        WHEN b = 1 THEN round(raw * 0.5 + 2.0, 6)
+                        ELSE round(raw, 6) END AS value
+            FROM px
         """,
     "load_url_geojson": """
             SELECT CAST(n_nationkey AS VARCHAR) AS feature_id,
@@ -372,5 +505,12 @@ ORACLES = {
                    TIMESTAMP '2024-01-15 00:00:00' AS t,
                    round(sum(value), 6) AS value
             FROM grid WHERE x < 15 GROUP BY x, y
+        """,
+    "load_stac_properties": f"""
+            WITH {_GRID_CTE}
+            SELECT x, y, 'data' AS band,
+                   TIMESTAMP '2024-01-15 00:00:00' AS t,
+                   round(sum(value), 6) AS value
+            FROM grid WHERE x < 20 GROUP BY x, y
         """,
 }

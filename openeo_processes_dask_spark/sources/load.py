@@ -351,8 +351,57 @@ def _stac_item_matches(
     if properties:
         props = item.get("properties") or {}
         for k, v in properties.items():
-            if not isinstance(v, dict) and props.get(k) != v:
+            if not _stac_property_matches(props.get(k), v):
                 return False
+    return True
+
+
+def _stac_property_matches(actual, condition) -> bool:
+    """Evaluate one STAC Query-extension condition against an item property
+    (reference: cubes/load.py:153-156 forwards ``properties`` verbatim to
+    ``catalog.search(query=…)``; the Query extension defines the operator
+    set).  A scalar condition is equality; a dict maps operator -> operand,
+    all of which must hold (the extension ANDs operators on one field).
+
+    Supported: eq, neq, lt, lte, gt, gte, in, startsWith, endsWith,
+    contains.  Unknown operators raise — silently over-matching would hand
+    the user unfiltered scenes with no error.  A missing property never
+    matches an operator condition (catalog-search semantics: the filter
+    selects items that HAVE the property satisfying it).
+    """
+    if not isinstance(condition, dict):
+        return actual == condition
+    for op, operand in condition.items():
+        if actual is None:
+            return False
+        if op == "eq":
+            ok = actual == operand
+        elif op in ("neq", "ne"):
+            ok = actual != operand
+        elif op == "lt":
+            ok = actual < operand
+        elif op in ("lte", "le"):
+            ok = actual <= operand
+        elif op == "gt":
+            ok = actual > operand
+        elif op in ("gte", "ge"):
+            ok = actual >= operand
+        elif op == "in":
+            ok = actual in operand
+        elif op == "startsWith":
+            ok = isinstance(actual, str) and actual.startswith(operand)
+        elif op == "endsWith":
+            ok = isinstance(actual, str) and actual.endswith(operand)
+        elif op == "contains":
+            ok = operand in actual
+        else:
+            raise ValueError(
+                f"Unsupported STAC Query-extension operator {op!r} "
+                f"(supported: eq, neq, lt, lte, gt, gte, in, startsWith, "
+                f"endsWith, contains)"
+            )
+        if not ok:
+            return False
     return True
 
 
@@ -462,11 +511,26 @@ def load_stac(
                         f"{name!r} has neither datetime nor start_datetime; "
                         "cannot place it on the cube's t axis"
                     )
+                # per-asset nodata/scale/offset from STAC raster-extension
+                # metadata, band names from eo:bands (reference applies the
+                # same asset metadata at load, cubes/load.py:185-215 —
+                # without the mask a COG's 0/-9999 sentinel flows into
+                # means unmasked)
+                rb = asset.get("raster:bands") or []
+                eo = asset.get("eo:bands") or []
+                band_names = [
+                    bb.get("name") or f"{name}_b{i + 1}"
+                    for i, bb in enumerate(eo)
+                ] or None
                 cube = load_raster(
                     spark,
                     _resolve_href(href, item_base),
                     band=name,
                     time=t_val,
+                    nodata=[bb.get("nodata") for bb in rb] or None,
+                    scale=[bb.get("scale") for bb in rb] or None,
+                    offset=[bb.get("offset") for bb in rb] or None,
+                    band_names=band_names,
                 )
                 frames.append(cube.df)
                 continue

@@ -8,14 +8,28 @@ and ``mapInPandas`` opens the file per partition and reads its tiles —
 so a 100 GB COG decodes across the cluster, never through the driver,
 and tiles stream through Arrow batches without materializing the raster.
 
-The codec sits behind an ``opener`` adapter (RasterSource protocol:
-``width``, ``height``, ``transform`` (GDAL affine 6-tuple), and
-``read_window(band, col_off, row_off, w, h) -> 2D ndarray``).
+The codec sits behind an ``opener`` adapter (RasterSource protocol):
+
+- ``width``, ``height`` — pixel dimensions;
+- ``transform`` — six floats in **rasterio Affine order**
+  ``(a, b, c, d, e, f)`` with ``x = a*col + b*row + c`` and
+  ``y = d*col + e*row + f``.  This is NOT GDAL ``GetGeoTransform()``
+  order, which permutes the same coefficients as ``(c, a, b, f, d, e)``;
+- ``read_window(band, col_off, row_off, w, h) -> 2D ndarray``;
+- optional ``count`` — number of bands (default 1 when absent);
+- optional ``nodatavals`` / ``scales`` / ``offsets`` — per-band tuples
+  (rasterio naming) applied as ``value = raw*scale + offset`` with
+  nodata → NULL, unless the caller overrides them;
+- optional ``close()`` — released deterministically (driver metadata
+  probe and every per-partition opener close in a ``finally``; a 10k
+  asset load must not leak 10k file handles).
+
 ``opener=None`` runtime-detects rasterio (``.tif``/``.tiff``) or zarr
 (``.zarr``) — deployed environments get real COG/Zarr for free; this
 container has neither, so the default raises the documented
 NotImplementedError while every Spark-side piece (tile planning, Arrow
-batch shape, coordinate math, schema) runs under test via a fake opener.
+batch shape, coordinate math, schema, nodata/scale/offset, multiband)
+runs under test via fake openers.
 """
 
 from __future__ import annotations
@@ -33,6 +47,14 @@ from openeo_processes_dask_spark.cube import DataCube
 DEFAULT_TILE = 512
 
 
+def _close_source(src) -> None:
+    """Call ``src.close()`` if the RasterSource exposes one (rasterio
+    datasets do; synthetic/zarr sources usually don't)."""
+    close = getattr(src, "close", None)
+    if callable(close):
+        close()
+
+
 def _rasterio_opener(href: str):
     try:
         import rasterio
@@ -48,12 +70,20 @@ def _rasterio_opener(href: str):
         width = src.width
         height = src.height
         transform = tuple(src.transform)[:6]
+        count = src.count
+        nodatavals = tuple(src.nodatavals)
+        scales = tuple(src.scales)
+        offsets = tuple(src.offsets)
 
         @staticmethod
         def read_window(band: int, col_off: int, row_off: int, w: int, h: int):
             from rasterio.windows import Window
 
             return src.read(band, window=Window(col_off, row_off, w, h))
+
+        @staticmethod
+        def close():
+            src.close()
 
     return _Src()
 
@@ -72,6 +102,7 @@ def _zarr_opener(href: str):
 
     class _Src:
         height, width = arr.shape[-2], arr.shape[-1]
+        count = arr.shape[0] if ndim >= 3 else 1
         # zarr carries no geotransform; identity unless sidecar metadata
         transform = tuple(arr.attrs.get("transform", (1.0, 0.0, 0.0, 0.0, 1.0, 0.0)))
 
@@ -91,22 +122,97 @@ def _default_opener(href: str):
     return _rasterio_opener(href)
 
 
+def _per_band(value, n: int, src, src_attr: str, default):
+    """Resolve a per-band parameter: explicit scalar replicates, explicit
+    list validates length, None falls back to source metadata
+    (rasterio-style per-band tuple) then to ``default``."""
+    if value is None:
+        meta = getattr(src, src_attr, None)
+        if meta is None:
+            return [default] * n
+        if not isinstance(meta, (list, tuple)):
+            return [meta] * n
+        got = [m if m is not None else default for m in meta]
+    elif isinstance(value, (list, tuple)):
+        got = [v if v is not None else default for v in value]
+    else:
+        return [value] * n
+    if len(got) < n:
+        got = got + [default] * (n - len(got))
+    return got[:n]
+
+
 def load_raster(
     spark: SparkSession,
     href: str,
     band: str = "band_1",
-    band_index: int = 1,
+    band_index: Optional[int] = None,
     time=None,
     tile: int = DEFAULT_TILE,
     opener: Optional[Callable] = None,
+    nodata=None,
+    scale=None,
+    offset=None,
+    band_names=None,
 ) -> DataCube:
     """One raster asset → DataCube(x, y[, t], band, value), decoded
-    distributed. ``opener(href)`` must return a RasterSource (module
-    docstring); None runtime-detects rasterio/zarr by extension."""
+    distributed.
+
+    ``opener(href)`` must return a RasterSource (module docstring); None
+    runtime-detects rasterio/zarr by extension.
+
+    ``band_index=None`` reads ALL bands of the asset (reference stacks
+    every band of an asset via odc.stac, cubes/load.py:245-304 — reading
+    only band 1 of a multiband COG would be silent data loss); an int
+    reads that single 1-based band under the name ``band``.  Multiband
+    names come from ``band_names`` (length must match) or default to
+    ``f"{band}_b{i}"``.
+
+    ``nodata`` / ``scale`` / ``offset`` (scalar or per-band list) default
+    to the source's own metadata (rasterio ``nodatavals/scales/offsets``)
+    and apply as ``value = raw*scale + offset`` with raw==nodata → NULL —
+    the reference applies the same STAC asset metadata at load
+    (cubes/load.py:185-215); without the mask a COG's 0 / -9999 sentinel
+    would flow into means unmasked.
+    """
     opener = opener or _default_opener
     src = opener(href)  # DRIVER: metadata only
-    width, height = int(src.width), int(src.height)
-    a, b, c, d, e, f = (float(v) for v in src.transform)
+    try:
+        width, height = int(src.width), int(src.height)
+        a, b, c, d, e, f = (float(v) for v in src.transform)
+        n_bands = int(getattr(src, "count", 1) or 1)
+        if band_index is not None:
+            indices = [int(band_index)]
+            names = [band]
+        else:
+            indices = list(range(1, n_bands + 1))
+            if band_names is not None:
+                if len(band_names) != n_bands:
+                    raise ValueError(
+                        f"band_names has {len(band_names)} entries but "
+                        f"{href!r} has {n_bands} bands"
+                    )
+                names = list(band_names)
+            elif n_bands == 1:
+                names = [band]
+            else:
+                names = [f"{band}_b{i}" for i in indices]
+        # metadata tuples are indexed by absolute band number (1-based)
+        all_nodata = _per_band(nodata, n_bands, src, "nodatavals", None)
+        all_scale = _per_band(scale, n_bands, src, "scales", 1.0)
+        all_offset = _per_band(offset, n_bands, src, "offsets", 0.0)
+        per_band = [
+            (
+                i,
+                names[j],
+                all_nodata[i - 1] if i - 1 < len(all_nodata) else None,
+                float(all_scale[i - 1]) if i - 1 < len(all_scale) else 1.0,
+                float(all_offset[i - 1]) if i - 1 < len(all_offset) else 0.0,
+            )
+            for j, i in enumerate(indices)
+        ]
+    finally:
+        _close_source(src)
 
     tiles = [
         (co, ro, min(tile, width - co), min(tile, height - ro))
@@ -127,30 +233,46 @@ def load_raster(
         import numpy as np
 
         src = None  # one open per partition, not per tile
-        for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                if src is None:
-                    src = opener(href)
-                arr = np.asarray(
-                    src.read_window(
-                        band_index, row.col_off, row.row_off, row.w, row.h
-                    ),
-                    dtype="float64",
-                )
-                rows, cols = np.mgrid[0 : row.h, 0 : row.w]
-                cols = cols + row.col_off + 0.5  # pixel centers
-                rows = rows + row.row_off + 0.5
-                out = pd.DataFrame(
-                    {
-                        "x": (a * cols + b * rows + c).ravel(),
-                        "y": (d * cols + e * rows + f).ravel(),
-                        "band": band,
-                        "value": arr.ravel(),
-                    }
-                )
-                if has_t:
-                    out.insert(2, "t", t_val)
-                yield out
+        try:
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    if src is None:
+                        src = opener(href)
+                    for b_idx, b_name, b_nodata, b_scale, b_offset in per_band:
+                        raw = np.asarray(
+                            src.read_window(
+                                b_idx, row.col_off, row.row_off, row.w, row.h
+                            ),
+                            dtype="float64",
+                        )
+                        val = raw * b_scale + b_offset
+                        if b_nodata is not None:
+                            # mask on RAW values (sentinel is pre-scale);
+                            # NaN crosses Arrow as NULL
+                            if isinstance(b_nodata, float) and math.isnan(
+                                b_nodata
+                            ):
+                                mask = np.isnan(raw)
+                            else:
+                                mask = raw == float(b_nodata)
+                            val = np.where(mask, np.nan, val)
+                        rows, cols = np.mgrid[0 : row.h, 0 : row.w]
+                        cols = cols + row.col_off + 0.5  # pixel centers
+                        rows = rows + row.row_off + 0.5
+                        out = pd.DataFrame(
+                            {
+                                "x": (a * cols + b * rows + c).ravel(),
+                                "y": (d * cols + e * rows + f).ravel(),
+                                "band": b_name,
+                                "value": val.ravel(),
+                            }
+                        )
+                        if has_t:
+                            out.insert(2, "t", t_val)
+                        yield out
+        finally:
+            if src is not None:
+                _close_source(src)
 
     df = plan.mapInPandas(read_tiles, schema=schema)
     dims = ("x", "y", "t", "band") if has_t else ("x", "y", "band")

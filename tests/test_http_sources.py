@@ -193,3 +193,87 @@ def test_load_stac_raster_item_without_datetime(spark, tmp_path):
     p.write_text(json.dumps(item))
     with pytest.raises(ValueError, match="neither datetime nor start_datetime"):
         load_stac(str(p))
+
+
+class TestStacQueryExtension:
+    """STAC Query-extension operator semantics in _stac_property_matches
+    (VERDICT r04 #1: dict-valued conditions used to be silently skipped,
+    over-matching every item; reference forwards them to
+    catalog.search(query=...), cubes/load.py:153-156)."""
+
+    def _m(self, actual, cond):
+        from openeo_processes_dask_spark.sources.load import (
+            _stac_property_matches,
+        )
+
+        return _stac_property_matches(actual, cond)
+
+    def test_scalar_equality(self):
+        assert self._m("sentinel-2a", "sentinel-2a")
+        assert not self._m("sentinel-2a", "landsat-8")
+
+    def test_eq_neq(self):
+        assert self._m(5, {"eq": 5})
+        assert not self._m(5, {"eq": 6})
+        assert self._m(5, {"neq": 6})
+        assert not self._m(5, {"neq": 5})
+
+    def test_ordering_operators(self):
+        assert self._m(5, {"lt": 10})
+        assert not self._m(15, {"lt": 10})
+        assert self._m(10, {"lte": 10})
+        assert not self._m(11, {"lte": 10})
+        assert self._m(15, {"gt": 10})
+        assert not self._m(5, {"gt": 10})
+        assert self._m(10, {"gte": 10})
+        assert not self._m(9, {"gte": 10})
+
+    def test_in_and_string_operators(self):
+        assert self._m("b", {"in": ["a", "b"]})
+        assert not self._m("c", {"in": ["a", "b"]})
+        assert self._m("sentinel-2a", {"startsWith": "sentinel"})
+        assert not self._m("landsat-8", {"startsWith": "sentinel"})
+        assert self._m("sentinel-2a", {"endsWith": "2a"})
+        assert not self._m("sentinel-2a", {"endsWith": "8"})
+        assert self._m("sentinel-2a", {"contains": "inel"})
+        assert not self._m("sentinel-2a", {"contains": "xyz"})
+
+    def test_multiple_operators_are_anded(self):
+        assert self._m(5, {"gte": 0, "lt": 10})
+        assert not self._m(15, {"gte": 0, "lt": 10})
+
+    def test_missing_property_never_matches_operator(self):
+        assert not self._m(None, {"lt": 10})
+        assert not self._m(None, {"eq": 5})
+
+    def test_unknown_operator_raises(self):
+        with pytest.raises(ValueError, match="Unsupported STAC Query"):
+            self._m(5, {"between": [0, 10]})
+
+    def test_item_matches_end_to_end(self):
+        from openeo_processes_dask_spark.sources.load import (
+            _stac_item_matches,
+        )
+
+        item = {
+            "properties": {
+                "datetime": "2024-01-15T00:00:00Z",
+                "eo:cloud_cover": 7,
+                "platform": "sentinel-2a",
+            }
+        }
+        assert _stac_item_matches(
+            item, None, None, {"eo:cloud_cover": {"lt": 10}}
+        )
+        assert not _stac_item_matches(
+            item, None, None, {"eo:cloud_cover": {"gt": 10}}
+        )
+        assert _stac_item_matches(
+            item, None, None,
+            {"eo:cloud_cover": {"lt": 10},
+             "platform": {"startsWith": "sentinel"}},
+        )
+        # a filter on a property the item lacks must NOT over-match
+        assert not _stac_item_matches(
+            item, None, None, {"view:off_nadir": {"lt": 5}}
+        )

@@ -102,3 +102,126 @@ def test_n_tiles():
     assert n_tiles(1024, 512, 512) == 2
     assert n_tiles(1025, 513, 512) == 6
     assert n_tiles(10, 10, 512) == 1
+
+
+def _make_multiband_opener(log_path=None):
+    """3-band 4x4 raster, value = band*1000 + 10*row + col; band 2 carries
+    nodata sentinel -999 at (0,0), per-band scale/offset metadata. When
+    log_path is given, every open/close appends a line — the handle-leak
+    regression gate (VERDICT r04 #5)."""
+
+    class _FakeSrc:
+        width = 4
+        height = 4
+        count = 3
+        transform = (1.0, 0.0, 0.0, 0.0, -1.0, 4.0)
+        nodatavals = (None, -999.0, None)
+        scales = (1.0, 2.0, 1.0)
+        offsets = (0.0, 5.0, 0.0)
+
+        def __init__(self):
+            if log_path:
+                with open(log_path, "a") as fh:
+                    fh.write("open\n")
+
+        @staticmethod
+        def read_window(band, col_off, row_off, w, h):
+            rows, cols = np.mgrid[row_off : row_off + h, col_off : col_off + w]
+            out = band * 1000.0 + 10.0 * rows + cols
+            if band == 2 and col_off == 0 and row_off == 0:
+                out = out.copy()
+                out[0, 0] = -999.0
+            return out
+
+        def close(self):
+            if log_path:
+                with open(log_path, "a") as fh:
+                    fh.write("close\n")
+
+    return lambda href: _FakeSrc()
+
+
+def test_load_raster_multiband_all_bands(spark):
+    """band_index=None reads every band (ADVICE r04: default band_index=1
+    silently dropped bands 2..n of a multiband COG)."""
+    from openeo_processes_dask_spark.sources.raster import load_raster
+
+    cube = load_raster(
+        spark, "mem://mb.tif", band="data", opener=_make_multiband_opener()
+    )
+    pdf = cube.df.toPandas()
+    assert sorted(set(pdf["band"])) == ["data_b1", "data_b2", "data_b3"]
+    # every band has all 16 pixels (band 2's sentinel row is NULL, not gone)
+    assert len(pdf) == 3 * 16
+
+
+def test_load_raster_nodata_scale_offset(spark):
+    """Source metadata applies: value = raw*scale + offset, nodata→NULL,
+    masked on RAW values (reference cubes/load.py:185-215)."""
+    from openeo_processes_dask_spark.sources.raster import load_raster
+
+    cube = load_raster(
+        spark, "mem://mb.tif", band="data", opener=_make_multiband_opener()
+    )
+    pdf = cube.df.toPandas().set_index(["band", "x", "y"])
+    # band 1: no scaling -> raw
+    assert pdf.loc[("data_b1", 0.5, 3.5)]["value"] == 1000.0
+    # band 2 at (0,0) raw==-999 -> NULL
+    assert pdf.loc[("data_b2", 0.5, 3.5)]["value"] is None or np.isnan(
+        pdf.loc[("data_b2", 0.5, 3.5)]["value"]
+    )
+    # band 2 elsewhere: raw*2 + 5
+    assert pdf.loc[("data_b2", 1.5, 3.5)]["value"] == 2001.0 * 2 + 5
+    # band 3: raw again
+    assert pdf.loc[("data_b3", 0.5, 3.5)]["value"] == 3000.0
+
+
+def test_load_raster_explicit_overrides_beat_metadata(spark):
+    from openeo_processes_dask_spark.sources.raster import load_raster
+
+    cube = load_raster(
+        spark,
+        "mem://mb.tif",
+        band="one",
+        band_index=1,
+        scale=10.0,
+        offset=1.0,
+        opener=_make_multiband_opener(),
+    )
+    pdf = cube.df.toPandas().set_index(["x", "y"])
+    assert pdf.loc[(0.5, 3.5)]["value"] == 1000.0 * 10 + 1
+
+
+def test_load_raster_band_names_validates_length(spark):
+    from openeo_processes_dask_spark.sources.raster import load_raster
+
+    with pytest.raises(ValueError, match="band_names has 2"):
+        load_raster(
+            spark,
+            "mem://mb.tif",
+            band_names=["r", "g"],
+            opener=_make_multiband_opener(),
+        )
+
+
+def test_load_raster_closes_every_open(spark, tmp_path):
+    """Handle-leak gate: driver metadata probe and every per-partition
+    opener must close (VERDICT r04 #5 — at a 10k-asset load an unclosed
+    rasterio dataset per partition is fd exhaustion)."""
+    from openeo_processes_dask_spark.sources.raster import load_raster
+
+    log = str(tmp_path / "opens.log")
+    cube = load_raster(
+        spark,
+        "mem://mb.tif",
+        band="data",
+        tile=2,  # 2x2 tile grid -> multiple partitions/opens
+        opener=_make_multiband_opener(log_path=log),
+    )
+    cube.df.collect()
+    with open(log) as fh:
+        lines = [ln.strip() for ln in fh if ln.strip()]
+    opens = lines.count("open")
+    closes = lines.count("close")
+    assert opens >= 2  # driver probe + at least one executor partition
+    assert opens == closes
