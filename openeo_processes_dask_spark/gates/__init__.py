@@ -84,5 +84,22 @@ def all_queries() -> dict:
     return _merged("QUERIES")
 
 
+#: builder-function -> SQL memo, so repeated all_oracles() calls don't
+#: re-run the expensive replay builders (RF retrain, logreg GD replay)
+_ORACLE_MEMO: dict = {}
+
+
 def all_oracles() -> dict:
-    return _merged("ORACLES")
+    """ORACLES values may be SQL strings or zero-arg callables returning
+    SQL (ADVICE r04: the replay builders read ORACLE_SF_DIR parquet and
+    retrain models — resolving them HERE instead of at module import keeps
+    ``import openeo_processes_dask_spark.gates`` working on machines
+    without the fixture data)."""
+    out = {}
+    for k, v in _merged("ORACLES").items():
+        if callable(v):
+            if v not in _ORACLE_MEMO:
+                _ORACLE_MEMO[v] = v()
+            v = _ORACLE_MEMO[v]
+        out[k] = v
+    return out

@@ -847,7 +847,7 @@ QUERIES = {
 }
 
 ORACLES = {
-    "resample_cubic": _resample_kernel_oracle_sql("cubic"),
+    "resample_cubic": lambda k="cubic": _resample_kernel_oracle_sql(k),
     "reduce_quantiles": """
             SELECT x, band, p.i - 1 AS pos, round(qs[p.i], 6) AS value
             FROM (SELECT l_suppkey AS x, l_returnflag AS band,
@@ -855,8 +855,8 @@ ORACLES = {
                   FROM lineitem GROUP BY 1, 2),
                  (VALUES (1), (2)) p(i)
         """,
-    "resample_cubicspline": _resample_kernel_oracle_sql("cubicspline"),
-    "resample_gauss": _resample_kernel_oracle_sql("gauss"),
+    "resample_cubicspline": lambda k="cubicspline": _resample_kernel_oracle_sql(k),
+    "resample_gauss": lambda k="gauss": _resample_kernel_oracle_sql(k),
     "apply_neighborhood_2d": f"""
             WITH {_GRID_CTE}
             SELECT t.x, t.y, t.band, round(median(s.value), 6) AS value
@@ -873,7 +873,7 @@ ORACLES = {
               AND abs(s.x - t.x) <= 1 AND abs(s.y - t.y) <= 1
             GROUP BY 1, 2, 3
         """,
-    "resample_lanczos": _resample_kernel_oracle_sql("lanczos"),
+    "resample_lanczos": lambda k="lanczos": _resample_kernel_oracle_sql(k),
     "resample_mode": """
             WITH snapped AS (
               SELECT round(CAST(l_partkey AS DOUBLE) / 100) * 100 AS x,
@@ -1084,9 +1084,9 @@ ORACLES = {
                   FROM lineitem)
             GROUP BY 1, 2, 3
         """,
-    "multimodal_av": _multimodal_av_oracle_sql(),
-    "multimodal_resize": _multimodal_resize_oracle_sql(),
-    "crs_utm": _crs_utm_oracle_sql(),
+    "multimodal_av": _multimodal_av_oracle_sql,
+    "multimodal_resize": _multimodal_resize_oracle_sql,
+    "crs_utm": _crs_utm_oracle_sql,
     "cummin": f"""
             WITH {_CELLS_CTE}
             SELECT x, pos, min(sq) OVER (PARTITION BY x ORDER BY pos) AS value

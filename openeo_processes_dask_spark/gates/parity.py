@@ -449,7 +449,7 @@ ORACLES = {
             CROSS JOIN (VALUES (0), (1)) p(param)
             GROUP BY s.x, p.param
         """,
-    "random_forest": _random_forest_oracle_sql(),
+    "random_forest": _random_forest_oracle_sql,
     "vector_buffer": """
             WITH pts AS (
               SELECT CAST(n_nationkey AS VARCHAR) AS feature_id,
@@ -474,6 +474,6 @@ ORACLES = {
                          6) AS area
             FROM rings
         """,
-    "multimodal_features": _multimodal_features_oracle_sql(),
-    "multimodal_dedup": _multimodal_dedup_oracle_sql(),
+    "multimodal_features": _multimodal_features_oracle_sql,
+    "multimodal_dedup": _multimodal_dedup_oracle_sql,
 }

@@ -822,11 +822,11 @@ ORACLES = {
             SELECT doc_id, term, rank, tfidf
             FROM ranked WHERE rank <= 3
         """,
-    "random_projection": _random_projection_oracle_sql(),
-    "logreg_quality": _logreg_quality_oracle_sql(),
-    "subsequence_topk": _subsequence_topk_oracle_sql(),
-    "minhash_near_dups": _minhash_oracle_sql(),
-    "simhash_near_dups": _simhash_oracle_sql(),
+    "random_projection": _random_projection_oracle_sql,
+    "logreg_quality": _logreg_quality_oracle_sql,
+    "subsequence_topk": _subsequence_topk_oracle_sql,
+    "minhash_near_dups": _minhash_oracle_sql,
+    "simhash_near_dups": _simhash_oracle_sql,
     "cosine_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,
@@ -840,11 +840,11 @@ ORACLES = {
             FROM embeddings, q
             ORDER BY cosine DESC, vec_id LIMIT 10
         """,
-    "lsh_topk": _lsh_topk_oracle_sql(n_planes=6),
-    "pq_topk": _pq_topk_oracle_sql(),
-    "kmeans_clusters": _kmeans_oracle_sql(),
-    "embedding_near_dups": _embedding_near_dups_oracle_sql(),
-    "dedup_clusters": _dedup_clusters_oracle_sql(),
-    "dedup_clusters_star": _dedup_clusters_oracle_sql(),
-    "ivf_topk": _ivf_topk_oracle_sql(),
+    "lsh_topk": lambda: _lsh_topk_oracle_sql(n_planes=6),
+    "pq_topk": _pq_topk_oracle_sql,
+    "kmeans_clusters": _kmeans_oracle_sql,
+    "embedding_near_dups": _embedding_near_dups_oracle_sql,
+    "dedup_clusters": _dedup_clusters_oracle_sql,
+    "dedup_clusters_star": _dedup_clusters_oracle_sql,
+    "ivf_topk": _ivf_topk_oracle_sql,
 }

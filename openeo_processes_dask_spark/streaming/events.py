@@ -102,7 +102,7 @@ def run_stream_to_memory(
 
 def stream_dedup_exact(
     stream: DataFrame,
-    key_cols: list | None = None,
+    key_cols: list,
     watermark: str = "1 hour",
     time_col: str = "t",
 ) -> DataFrame:
@@ -118,16 +118,21 @@ def stream_dedup_exact(
     the watermark is a new "first" (the standard streaming trade-off;
     the batch pass remains the ground truth across horizons).
     """
-    keys = key_cols or ["user_id", "band"]
+    if not key_cols:
+        raise ValueError(
+            "stream_dedup_exact requires explicit key_cols — guessing key "
+            "columns on an arbitrary schema risks deduplicating on "
+            "coincidentally-named columns"
+        )
     return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
-        keys
+        list(key_cols)
     )
 
 
 def stream_dedup_against(
     stream: DataFrame,
     seen: DataFrame,
-    key_cols: list | None = None,
+    key_cols: list,
 ) -> DataFrame:
     """Stream-static LEFT ANTI join: drop streamed rows whose key already
     exists in a static "seen" table — the streaming twin of
@@ -138,6 +143,12 @@ def stream_dedup_against(
     the join (digests, not payloads), and Spark re-plans the static side
     per micro-batch, broadcasting it when small. Stateless — no watermark
     needed, unlike within-stream dedup: the state IS the static table."""
-    keys = key_cols or ["user_id", "band"]
+    if not key_cols:
+        raise ValueError(
+            "stream_dedup_against requires explicit key_cols — guessing "
+            "key columns on an arbitrary schema risks anti-joining on "
+            "coincidentally-named columns"
+        )
+    keys = list(key_cols)
     seen_keys = seen.select(*keys).distinct()
     return stream.join(seen_keys, keys, "left_anti")

@@ -257,3 +257,19 @@ def test_stream_dedup_against_static(spark, tmp_path):
     q.awaitTermination(120)
     rows = {(r["user_id"], r["band"]) for r in spark.table("t_sdstat").collect()}
     assert rows == {(2, "b"), (3, "b")}
+
+
+def test_stream_dedup_requires_explicit_keys(spark):
+    """key_cols is required (ADVICE r04): the old fixture-specific default
+    ['user_id','band'] would silently dedup any schema that happened to
+    carry those names."""
+    from openeo_processes_dask_spark.streaming.events import (
+        stream_dedup_against,
+        stream_dedup_exact,
+    )
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="explicit key_cols"):
+        stream_dedup_exact(df, [])
+    with pytest.raises(ValueError, match="explicit key_cols"):
+        stream_dedup_against(df, df, [])

