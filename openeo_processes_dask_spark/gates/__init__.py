@@ -20,54 +20,72 @@ from . import core, extended, io_misc, parity, streaming, training
 
 _LANES = (core, training, parity, streaming, io_misc, extended)
 
-# Round-4 window (per VERDICT.md r3 "Next round" #3): flagship first, then
-# the three round-3 reds so the driver confirms their fixes
-# (streaming_sessions: NTZ cast; resample_mercator / vector_reproject:
-# signed-zero hash normalization), then queries never checked after r1, then
-# new round-4 queries, then the r2/r3-green tail (least-recently-verified
-# first as space allows).
-_R3_REDS = ["streaming_sessions", "resample_mercator", "vector_reproject"]
-
-# Verified in r1 only — least recently checked of the verified set.
-_R1_ONLY = [
-    "multimodal_features", "streaming_daily_sum", "reduce_any",
-    "reduce_count_condition", "filter_spatial", "mask_polygon",
-    "apply_polygon", "trim_cube", "order_argsort",
+# Round-5 window (per VERDICT.md r4 "Next round" #3): flagship first, then
+# the three new round-5 queries (never driver-verified by construction),
+# then the 23 queries whose most recent driver check is r2 — the least
+# recently verified of the whole registry (CORRECTNESS_r01..r04 union) —
+# then the r3-green set, then the r4-green tail. The first 27 + 23 of the
+# r3 list fill the 50-slot driver window; every remaining query is at most
+# two rounds stale and rotates forward in r6.
+_NEW_R5: list[str] = [
+    "load_stac_properties", "load_raster_nodata", "load_stac_resampled",
 ]
 
-# New queries added in round 4 (never driver-verified by construction).
-_NEW_R4: list[str] = [
+# Most recent driver check = r2 (23 queries — VERDICT r04 #3's list).
+_R2_STALE = [
+    "aggregate_temporal_halves", "apply_kernel_grid", "fit_curve_linear",
+    "random_forest", "ngram_jaccard", "pq_topk", "training_pipeline",
+    "vector_buffer", "aggregate_week_median", "apply_dimension_center",
+    "cap_per_source", "dedup_incremental", "embedding_near_dups",
+    "gopher_filter", "kmeans_clusters", "language_id", "lsh_topk",
+    "pack_contiguous", "repetition_stats", "run_udf_plus1",
+    "sample_stratified", "split_assign", "token_count",
+]
+
+# Most recent driver check = r3, in r3-window order.
+_R3_GREEN = [
+    "apply_dimension_dropnull", "apply_neighborhood_2d",
+    "apply_neighborhood_2d_mean", "apply_neighborhood_mean", "array_ops",
+    "array_ops2", "crs_utm", "cummax", "cummin", "cumproduct", "ddmc",
+    "dedup_clusters", "dimension_labels", "ivf_topk", "load_stac_catalog",
+    "load_url_geojson", "mask_triangle", "merge_case4_subcube",
+    "merge_concat", "merge_disjoint_bands", "multimodal_av",
+    "multimodal_resize", "predict_curve_linear", "process_graph",
+    "rearrange", "reduce_quantiles", "rename_labels_dim",
+    "rename_labels_enumerated", "resample_bilinear",
+    "resample_cube_spatial_coarse", "resample_cube_spatial_near",
+    "resample_cubic", "resample_cubicspline", "resample_gauss",
+    "resample_lanczos", "resample_mode", "resample_rms",
+    "resample_spatial_grid", "rqa_trend", "salted_reduce",
+    "save_load_roundtrip", "streaming_dedup", "streaming_sliding_sum",
+    "text_ops",
+]
+
+# Most recent driver check = r4 — the freshest tail.
+_R4_GREEN = [
+    "streaming_sessions", "resample_mercator", "vector_reproject",
     "dedup_clusters_star", "segment_dedup", "decontaminate",
     "streaming_dedup_static", "zorder_roundtrip", "tfidf_top_terms",
     "random_projection", "load_raster_tiles", "logreg_quality",
-    "subsequence_topk", "multimodal_dedup",
-]
-
-# r2-green queries, in r2-window order — least recently confirmed tail.
-_R2_GREEN = [
-    "filter_temporal", "reduce_mean_over_time", "aggregate_dekad",
-    "merge_multiply", "mask_high_discount", "cumsum", "interpolate_gaps",
-    "dedup_exact", "minhash_near_dups", "simhash_near_dups", "text_quality",
-    "cosine_topk", "ndvi_events", "apply_scale_clip", "resample_asof",
-    "aggregate_spatial_zonal", "filter_bands", "filter_bbox",
-    "filter_labels_text", "add_drop_dimension", "reduce_first",
-    "reduce_product", "reduce_variance", "reduce_spatial_sum",
-    "sort_along_dim", "date_ops", "fit_curve_linear", "random_forest",
-    "run_udf_plus1", "kmeans_clusters", "lsh_topk", "pq_topk",
-    "embedding_near_dups", "ngram_jaccard", "dedup_incremental",
-    "gopher_filter", "repetition_stats", "language_id", "token_count",
-    "sample_stratified", "split_assign", "cap_per_source", "pack_contiguous",
-    "training_pipeline", "apply_dimension_center", "apply_kernel_grid",
-    "aggregate_temporal_halves", "aggregate_week_median", "vector_buffer",
-    "process_graph",
+    "subsequence_topk", "multimodal_dedup", "multimodal_features",
+    "streaming_daily_sum", "reduce_any", "reduce_count_condition",
+    "filter_spatial", "mask_polygon", "apply_polygon", "trim_cube",
+    "order_argsort", "filter_temporal", "reduce_mean_over_time",
+    "aggregate_dekad", "merge_multiply", "mask_high_discount", "cumsum",
+    "interpolate_gaps", "dedup_exact", "minhash_near_dups",
+    "simhash_near_dups", "text_quality", "cosine_topk", "ndvi_events",
+    "apply_scale_clip", "resample_asof", "aggregate_spatial_zonal",
+    "filter_bands", "filter_bbox", "filter_labels_text",
+    "add_drop_dimension", "reduce_first", "reduce_product",
+    "reduce_variance", "reduce_spatial_sum", "sort_along_dim", "date_ops",
 ]
 
 _PRIORITY = (
     ["flagship_daily_mean"]
-    + _R3_REDS
-    + _NEW_R4
-    + _R1_ONLY
-    + _R2_GREEN
+    + _NEW_R5
+    + _R2_STALE
+    + _R3_GREEN
+    + _R4_GREEN
 )
 
 

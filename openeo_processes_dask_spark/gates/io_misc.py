@@ -355,21 +355,12 @@ def q_load_stac_catalog(spark, sf_dir):
     )
 
 
-def q_load_stac_properties(spark, sf_dir):
-    """load_stac catalog search with STAC Query-extension OPERATOR
-    property filters (VERDICT r04 #1 — the one silent-divergence defect):
-    a three-item catalog tagged with eo:cloud_cover 5/20/80 and platform
-    names; ``{"eo:cloud_cover": {"lt": 25}, "platform": {"startsWith":
-    "sentinel"}}`` must keep exactly the first two items (reference
-    forwards these dicts verbatim to catalog.search(query=…),
-    cubes/load.py:153-156). Oracle replays the derivation with the same
-    x-range the surviving items carry."""
-    _setup(spark)
+def _stac_props_catalog(spark, sf_dir) -> str:
+    """Write (once per tmpdir) the three-item property-tagged catalog the
+    STAC property/resolution gates share; returns the catalog path."""
     import json
     import os
     import tempfile
-
-    from openeo_processes_dask_spark.sources.load import load_stac
 
     base = os.path.join(
         tempfile.gettempdir(), "spark_graft_stac_props_gate"
@@ -414,12 +405,50 @@ def q_load_stac_properties(spark, sf_dir):
     cat = os.path.join(base, "catalog.json")
     with open(cat, "w") as fh:
         json.dump(catalog, fh)
+    return cat
+
+
+def q_load_stac_properties(spark, sf_dir):
+    """load_stac catalog search with STAC Query-extension OPERATOR
+    property filters (VERDICT r04 #1 — the one silent-divergence defect):
+    a three-item catalog tagged with eo:cloud_cover 5/20/80 and platform
+    names; ``{"eo:cloud_cover": {"lt": 25}, "platform": {"startsWith":
+    "sentinel"}}`` must keep exactly the first two items (reference
+    forwards these dicts verbatim to catalog.search(query=…),
+    cubes/load.py:153-156). Oracle replays the derivation with the same
+    x-range the surviving items carry."""
+    _setup(spark)
+    from openeo_processes_dask_spark.sources.load import load_stac
+
+    cat = _stac_props_catalog(spark, sf_dir)
     cube = load_stac(
         cat,
         properties={
             "eo:cloud_cover": {"lt": 25},
             "platform": {"startsWith": "sentinel"},
         },
+        spark=spark,
+    )
+    return _round6(
+        cube.df.select("x", "y", "band", "t", "value"), "value"
+    )
+
+
+def q_load_stac_resampled(spark, sf_dir):
+    """load_stac with resolution/resampling kwargs (VERDICT r04 #4;
+    reference signature cubes/load.py:94-118 resamples at load): the two
+    kept items regrid to a 4-unit mean grid inside the load — the oracle
+    replays load + snap + mean, i.e. the explicit load→resample_spatial
+    twin."""
+    _setup(spark)
+    from openeo_processes_dask_spark.sources.load import load_stac
+
+    cat = _stac_props_catalog(spark, sf_dir)
+    cube = load_stac(
+        cat,
+        properties={"eo:cloud_cover": {"lt": 25}},
+        resolution=4.0,
+        resampling="mean",
         spark=spark,
     )
     return _round6(
@@ -438,6 +467,7 @@ QUERIES = {
     "process_graph": q_process_graph,
     "load_stac_catalog": q_load_stac_catalog,
     "load_stac_properties": q_load_stac_properties,
+    "load_stac_resampled": q_load_stac_resampled,
 }
 
 ORACLES = {
@@ -512,5 +542,18 @@ ORACLES = {
                    TIMESTAMP '2024-01-15 00:00:00' AS t,
                    round(sum(value), 6) AS value
             FROM grid WHERE x < 20 GROUP BY x, y
+        """,
+    "load_stac_resampled": f"""
+            WITH {_GRID_CTE},
+            loaded AS (
+              SELECT x, y, sum(value) AS value
+              FROM grid WHERE x < 20 GROUP BY x, y
+            )
+            SELECT round(x / 4) * 4 AS x,
+                   round(y / 4) * 4 AS y,
+                   'data' AS band,
+                   TIMESTAMP '2024-01-15 00:00:00' AS t,
+                   round(avg(value), 6) AS value
+            FROM loaded GROUP BY 1, 2
         """,
 }

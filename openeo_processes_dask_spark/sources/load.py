@@ -412,6 +412,9 @@ def load_stac(
     temporal_extent=None,
     bands=None,
     properties=None,
+    resolution: float = 0.0,
+    projection=None,
+    resampling: str = "mean",
     spark: SparkSession | None = None,
 ) -> DataCube:
     """STAC loader (reference: cubes/load.py:94-322).
@@ -565,6 +568,21 @@ def load_stac(
         cube = filter_bbox(cube, spatial_extent)
     if temporal_extent is not None and stac_type == "ITEM":
         cube = filter_temporal(cube, temporal_extent)
+    if resolution or projection is not None:
+        # resample-at-load kwargs (reference signature cubes/load.py:94-118
+        # resamples via odc.stac at read): compositionally identical to an
+        # explicit resample_spatial after load — same grid snap, same
+        # method — so the two spellings hash-match by construction
+        from openeo_processes_dask_spark.operators.resample import (
+            resample_spatial,
+        )
+
+        cube = resample_spatial(
+            cube,
+            resolution=resolution,
+            projection=projection,
+            method=resampling,
+        )
     return cube
 
 

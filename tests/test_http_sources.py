@@ -277,3 +277,41 @@ class TestStacQueryExtension:
         assert not _stac_item_matches(
             item, None, None, {"view:off_nadir": {"lt": 5}}
         )
+
+
+def test_load_stac_resolution_kwargs_match_explicit_resample(spark, tmp_path):
+    """load_stac(resolution=, resampling=) is compositionally identical to
+    load_stac() followed by resample_spatial (VERDICT r04 #4; reference
+    signature cubes/load.py:94-118)."""
+    import json
+
+    from openeo_processes_dask_spark.operators.resample import (
+        resample_spatial,
+    )
+    from openeo_processes_dask_spark.sources.load import load_stac
+
+    from pyspark.sql import functions as F
+
+    pdf = spark.createDataFrame(
+        [(float(x), float(y), float(x * 10 + y)) for x in range(8) for y in range(8)],
+        "x double, y double, value double",
+    ).withColumn("t", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    p = str(tmp_path / "a.parquet")
+    pdf.coalesce(1).write.parquet(p)
+    item = {
+        "type": "Feature", "stac_version": "1.0.0", "id": "a",
+        "bbox": [0, 0, 7, 7],
+        "properties": {"datetime": "2024-01-01T00:00:00Z"},
+        "assets": {"data": {"href": p, "type": "parquet"}},
+    }
+    ip = tmp_path / "i.json"
+    ip.write_text(json.dumps(item))
+
+    fused = load_stac(str(ip), resolution=3.0, resampling="max", spark=spark)
+    explicit = resample_spatial(
+        load_stac(str(ip), spark=spark), resolution=3.0, method="max"
+    )
+    cols = ["x", "y", "band", "value"]
+    got = sorted(map(tuple, fused.df.select(*cols).collect()))
+    want = sorted(map(tuple, explicit.df.select(*cols).collect()))
+    assert got == want and len(got) > 0
