@@ -114,6 +114,13 @@ def main() -> None:
             fn(spark, sf_dir).count()
             best = min(best, time.time() - t0)
         streaming[name + "_rows_per_s"] = round(n_events / best)
+        # calibration-normalized twin (VERDICT r04 #7): rows/s scales
+        # inversely with host speed while calibration_sec scales directly,
+        # so their product is host-invariant — across rounds a move in
+        # THIS number is the engine, a move in rows_per_s alone is the VM
+        streaming[name + "_rows_x_cal"] = round(
+            n_events / best * calibration
+        )
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)

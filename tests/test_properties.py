@@ -279,3 +279,109 @@ def test_sign_projection_preserves_distances(seed):
     assert d_proj > d_orig / 3.0 - 1e-9
     # sign balance: a healthy ±1 matrix is near zero-mean
     assert abs(sign_projection_matrix(64, 16, seed=42).mean()) < 0.2
+
+
+# ---------------------------------------------------------------------------
+# Calendar-period labels vs a brute Python oracle (VERDICT r04 #8): the
+# dekad/season/tropical-season/decade closed-form column expressions
+# (operators/aggregate.py period_label_expr) re-express the reference's
+# interval generator (cubes/aggregate.py:104-203), whose season/year edges
+# (Dec -> following winter, decade-ad 1-based decades) are historically
+# where such generators break.
+
+def _brute_period_start(dt, period):
+    import datetime as _dt
+
+    y, m, d = dt.year, dt.month, dt.day
+    if period == "day":
+        return _dt.datetime(y, m, d)
+    if period == "month":
+        return _dt.datetime(y, m, 1)
+    if period == "year":
+        return _dt.datetime(y, 1, 1)
+    if period == "week":  # Spark date_trunc: Monday
+        monday = _dt.datetime(y, m, d) - _dt.timedelta(days=dt.weekday())
+        return monday
+    if period == "dekad":
+        return _dt.datetime(y, m, 1 if d <= 10 else (11 if d <= 20 else 21))
+    if period == "season":
+        if m == 12:
+            return _dt.datetime(y, 12, 1)
+        if m <= 2:
+            return _dt.datetime(y - 1, 12, 1)
+        if m <= 5:
+            return _dt.datetime(y, 3, 1)
+        if m <= 8:
+            return _dt.datetime(y, 6, 1)
+        return _dt.datetime(y, 9, 1)
+    if period == "tropical-season":
+        if m >= 11:
+            return _dt.datetime(y, 11, 1)
+        if m <= 4:
+            return _dt.datetime(y - 1, 11, 1)
+        return _dt.datetime(y, 5, 1)
+    if period == "decade":
+        return _dt.datetime(y // 10 * 10, 1, 1)
+    if period == "decade-ad":
+        return _dt.datetime((y - 1) // 10 * 10 + 1, 1, 1)
+    raise AssertionError(period)
+
+
+_PERIODS = [
+    "day", "week", "month", "year", "dekad", "season", "tropical-season",
+    "decade", "decade-ad",
+]
+
+_EDGE_DATES = [
+    # season year-wrap: Dec belongs to the FOLLOWING winter, Jan/Feb to the
+    # winter that started the PREVIOUS December
+    "1999-12-31 23:59:59", "2000-01-01 00:00:00", "2000-02-29 12:00:00",
+    "2024-12-01 00:00:00", "2024-11-30 23:59:59",
+    # tropical-season wrap: Apr -> previous Nov, May -> this May
+    "2024-04-30 23:59:59", "2024-05-01 00:00:00", "2024-10-31 00:00:00",
+    # dekad boundaries incl. short February
+    "2024-01-10 23:59:59", "2024-01-11 00:00:00", "2024-01-20 23:59:59",
+    "2024-01-21 00:00:00", "2023-02-28 00:00:00", "2024-02-29 00:00:00",
+    # decade vs decade-ad: 2000 is decade 2000- but decade-ad 1991-
+    "2000-06-15 00:00:00", "2001-06-15 00:00:00", "2010-01-01 00:00:00",
+    "1991-01-01 00:00:00", "1990-12-31 00:00:00",
+]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.datetimes(
+            min_value=__import__("datetime").datetime(1900, 1, 3),
+            max_value=__import__("datetime").datetime(2099, 12, 31),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_period_labels_match_brute_oracle(spark, ts_list):
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from openeo_processes_dask_spark.operators.aggregate import (
+        period_label_expr,
+    )
+
+    # seconds resolution: make_timestamp takes whole seconds; sub-second
+    # parts don't move any period boundary
+    ts_list = [t.replace(microsecond=0) for t in ts_list]
+    ts_list += [
+        _dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S") for s in _EDGE_DATES
+    ]
+    df = spark.createDataFrame([(t,) for t in ts_list], "t timestamp")
+    exprs = [
+        period_label_expr(F.col("t"), p).alias(p.replace("-", "_"))
+        for p in _PERIODS
+    ]
+    rows = df.select("t", *exprs).collect()
+    for row in rows:
+        for p in _PERIODS:
+            got = row[p.replace("-", "_")]
+            want = _brute_period_start(row["t"], p)
+            assert got == want, (row["t"], p, got, want)
