@@ -29,6 +29,7 @@ _LANES = (core, training, parity, streaming, io_misc, extended)
 # two rounds stale and rotates forward in r6.
 _NEW_R5: list[str] = [
     "load_stac_properties", "load_raster_nodata", "load_stac_resampled",
+    "pii_redact", "c4_clean", "bigram_nll", "domain_stats",
 ]
 
 # Most recent driver check = r2 (23 queries — VERDICT r04 #3's list).

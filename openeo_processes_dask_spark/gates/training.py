@@ -460,6 +460,122 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+def _pii_synth_text(doc_id):
+    """Deterministic PII-bearing text from doc_id — the same construction
+    the DuckDB oracle rebuilds, so the regex machinery (not the fixture)
+    is what the gate checks."""
+    s = doc_id.cast("string")
+    return F.concat(
+        F.lit("contact user"), s,
+        F.lit("@mail.example.org or 10."),
+        (doc_id % 256).cast("string"),
+        F.lit(".0.1 call 555-"),
+        F.lpad((doc_id * 7 % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((doc_id * 13 % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn "),
+        F.lpad((doc_id % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((doc_id % 100).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((doc_id * 3 % 10000).cast("string"), 4, "0"),
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII detect + redact (training/pii.py — LLM-pipeline lane): emails,
+    IPv4s, SSNs and phone numbers synthesized deterministically from
+    doc_id are counted on the raw text and masked to bracket tokens, all
+    as chained regexp Column expressions (map-only, no UDF, no shuffle).
+    The oracle rebuilds the same text and applies the same RE2-compatible
+    patterns in DuckDB."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.pii import pii_redact, pii_stats
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", _pii_synth_text(F.col("doc_id")).alias("text")
+    )
+    out = pii_redact(
+        pii_stats(docs), text_col="text", out_col="redacted"
+    )
+    return out.select(
+        "doc_id", "redacted", "pii_email", "pii_ipv4", "pii_ssn",
+        "pii_phone", "pii_total",
+    )
+
+
+def q_c4_clean(spark, sf_dir):
+    """C4-style line cleaning (training/filtering.py c4_clean): a 5-line
+    synthetic doc per row — fine sentence / javascript marker / no-punct
+    fragment / too-short line / parity-dependent closer — keeps exactly
+    the punctuation-terminated >=3-word marker-free lines. Oracle replays
+    the line filter with DuckDB list_filter."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.filtering import c4_clean
+
+    docs = _table(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(
+                F.lit("document "), F.col("doc_id").cast("string"),
+                F.lit(" begins with a fine sentence."),
+            ),
+            F.lit("enable javascript to continue"),
+            F.substring("text", 1, 30),
+            F.lit("short."),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("does this final line survive the pass?"),
+            ).otherwise(F.lit("final line with no punctuation")),
+        ).alias("text"),
+    )
+    out = c4_clean(synth)
+    return out.select(
+        "doc_id", "clean_text", "n_lines_kept", "n_lines_total"
+    )
+
+
+def q_bigram_nll(spark, sf_dir):
+    """Bigram-LM perplexity scoring (training/lm.py — the CCNet/KenLM
+    corpus-quality pattern): add-0.5-smoothed conditional probabilities
+    from two hash aggregates, joined back onto bigram instances, one
+    per-doc aggregate. Oracle retrains the identical model in SQL CTEs."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.lm import bigram_nll
+
+    docs = _table(spark, sf_dir, "documents")
+    out = bigram_nll(docs, "doc_id", "text", k=0.5)
+    return _round6(out.select("doc_id", "n_bigrams", "nll"), "nll")
+
+
+def q_domain_stats(spark, sf_dir):
+    """URL -> registered-domain extraction + per-domain corpus stats
+    (training/urlops.py): three URL spellings (www-prefixed, subdomain,
+    scheme-less) synthesized from doc_id must collapse onto one domain
+    key; one hash aggregate. Oracle replays the regex in DuckDB."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.urlops import per_domain_stats
+
+    docs = _table(spark, sf_dir, "documents")
+    site = (F.col("doc_id") % 7).cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("http://www.site"), site, F.lit(".org/x")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("https://sub.site"), site, F.lit(".org/y?q=1")),
+        )
+        .otherwise(F.concat(F.lit("site"), site, F.lit(".org/z")))
+    )
+    return per_domain_stats(
+        docs.withColumn("url", url), size_col="n_chars"
+    ).select("domain", "n_docs", "total_size")
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "training_pipeline": q_training_pipeline,
@@ -490,6 +606,10 @@ QUERIES = {
     "random_projection": q_random_projection,
     "logreg_quality": q_logreg_quality,
     "subsequence_topk": q_subsequence_topk,
+    "pii_redact": q_pii_redact,
+    "c4_clean": q_c4_clean,
+    "bigram_nll": q_bigram_nll,
+    "domain_stats": q_domain_stats,
 }
 
 ORACLES = {
@@ -847,4 +967,127 @@ ORACLES = {
     "dedup_clusters": _dedup_clusters_oracle_sql,
     "dedup_clusters_star": _dedup_clusters_oracle_sql,
     "ivf_topk": _ivf_topk_oracle_sql,
+    "pii_redact": """
+            WITH synth AS (
+              SELECT doc_id,
+                     'contact user' || doc_id || '@mail.example.org or 10.'
+                     || (doc_id % 256) || '.0.1 call 555-'
+                     || lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0')
+                     || '-'
+                     || lpad(CAST(doc_id * 13 % 10000 AS VARCHAR), 4, '0')
+                     || ' ssn '
+                     || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                     || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+                     || lpad(CAST(doc_id * 3 % 10000 AS VARCHAR), 4, '0')
+                     AS t
+              FROM documents
+            ), red AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(t,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                         '[EMAIL]', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                       '[IP]', 'g'),
+                       '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'),
+                       '\\b\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b',
+                       '[PHONE]', 'g') AS redacted,
+                     len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS pii_email,
+                     len(regexp_extract_all(t,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                       AS pii_ipv4,
+                     len(regexp_extract_all(t,
+                       '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS pii_ssn,
+                     len(regexp_extract_all(t,
+                       '\\b\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b'))
+                       AS pii_phone
+              FROM synth
+            )
+            SELECT doc_id, redacted, pii_email, pii_ipv4, pii_ssn,
+                   pii_phone,
+                   pii_email + pii_ipv4 + pii_ssn + pii_phone AS pii_total
+            FROM red
+        """,
+    "c4_clean": """
+            WITH synth AS (
+              SELECT doc_id,
+                     'document ' || doc_id
+                     || ' begins with a fine sentence.' || chr(10)
+                     || 'enable javascript to continue' || chr(10)
+                     || substr(text, 1, 30) || chr(10)
+                     || 'short.' || chr(10)
+                     || CASE WHEN doc_id % 2 = 0
+                             THEN 'does this final line survive the pass?'
+                             ELSE 'final line with no punctuation' END AS t
+              FROM documents
+            ), split AS (
+              SELECT doc_id, t,
+                     list_filter(string_split(t, chr(10)),
+                       x -> regexp_matches(trim(x), '[.!?"'']$')
+                            AND len(regexp_split_to_array(trim(x), '\\s+')) >= 3
+                            AND NOT contains(lower(trim(x)), 'javascript')
+                            AND NOT contains(lower(trim(x)), 'cookie policy')
+                     ) AS kept
+              FROM synth
+            )
+            SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+                   len(kept) AS n_lines_kept,
+                   len(string_split(t, chr(10))) AS n_lines_total
+            FROM split
+        """,
+    "bigram_nll": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> x != '') AS l
+              FROM documents
+            ), eligible AS (
+              SELECT * FROM toks WHERE len(l) >= 2
+            ), idx AS (
+              SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM eligible
+            ), bg AS (
+              SELECT doc_id, l[i] AS w1, l[i + 1] AS w2 FROM idx
+            ), c12 AS (
+              SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+            ), c1 AS (
+              SELECT w1, count(*) AS c1 FROM bg GROUP BY 1
+            ), v AS (
+              SELECT count(*) AS v FROM (
+                SELECT w1 AS w FROM bg UNION SELECT w2 AS w FROM bg)
+            ), p AS (
+              SELECT c12.w1, c12.w2,
+                     (c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v) AS p
+              FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+            )
+            SELECT bg.doc_id, count(*) AS n_bigrams,
+                   round(avg(-ln(p.p)), 6) AS nll
+            FROM bg JOIN p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+            GROUP BY bg.doc_id
+        """,
+    "domain_stats": """
+            WITH urls AS (
+              SELECT doc_id, n_chars,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'http://www.site' || (doc_id % 7) || '.org/x'
+                          WHEN doc_id % 3 = 1
+                          THEN 'https://sub.site' || (doc_id % 7) || '.org/y?q=1'
+                          ELSE 'site' || (doc_id % 7) || '.org/z' END AS url
+              FROM documents
+            ), hosts AS (
+              SELECT doc_id, n_chars,
+                     regexp_extract(
+                       regexp_replace(
+                         lower(regexp_extract(url,
+                           '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)',
+                           1)),
+                         '^www\\.', ''),
+                       '([^.]+\\.[^.]+)$', 1) AS domain
+              FROM urls
+            )
+            SELECT domain, count(*) AS n_docs, sum(n_chars) AS total_size
+            FROM hosts GROUP BY domain
+        """,
 }
