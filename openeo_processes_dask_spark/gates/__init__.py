@@ -30,6 +30,7 @@ _LANES = (core, training, parity, streaming, io_misc, extended)
 _NEW_R5: list[str] = [
     "load_stac_properties", "load_raster_nodata", "load_stac_resampled",
     "pii_redact", "c4_clean", "bigram_nll", "domain_stats",
+    "boilerplate_removal", "streaming_pii_redact",
 ]
 
 # Most recent driver check = r2 (23 queries — VERDICT r04 #3's list).

@@ -75,6 +75,50 @@ def q_streaming_sliding_sum(spark, sf_dir):
     )
 
 
+def q_streaming_pii_redact(spark, sf_dir):
+    """Stateless curation ops run unchanged mid-stream: synthesize a
+    PII-bearing column from the streamed events' user_id, redact it with
+    the SAME chained-regexp expressions the batch lane uses
+    (training/pii.py — stateless Column transforms need no watermark or
+    state store), aggregate per redacted form. Oracle replays in batch
+    SQL: stream-vs-batch equality is exactly what stateless ops promise."""
+    _setup(spark)
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_events,
+    )
+    from openeo_processes_dask_spark.training.pii import pii_redact
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream_{os.path.basename(sf_dir)}"
+    )
+    if not os.path.isdir(stream_dir):
+        _table(spark, sf_dir, "events").coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(stream_dir)
+    stream = stream_events(spark, stream_dir, max_files_per_trigger=2)
+    synth = stream.withColumn(
+        "text",
+        F.concat(
+            F.lit("user"), F.col("user_id").cast("string"),
+            F.lit("@mail.test reports ip 10."),
+            (F.col("user_id") % 256).cast("string"),
+            F.lit(".0.9 grp "),
+            (F.col("user_id") % 10).cast("string"),
+        ),
+    )
+    red = pii_redact(synth, text_col="text", out_col="redacted")
+    name = f"q_spii_{abs(hash(sf_dir)) % 10_000}"
+    q = run_stream_to_memory(red.select("redacted"), name, output_mode="append")
+    q.awaitTermination(300)
+    return (
+        spark.table(name).groupBy("redacted").agg(F.count("*").alias("n"))
+    )
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Streaming exact dedup (dropDuplicatesWithinWatermark): drain the
     events table as ONE micro-batch (single file, AvailableNow) so every
@@ -224,6 +268,7 @@ QUERIES = {
     "streaming_sliding_sum": q_streaming_sliding_sum,
     "streaming_sessions": q_streaming_sessions,
     "streaming_dedup_static": q_streaming_dedup_static,
+    "streaming_pii_redact": q_streaming_pii_redact,
 }
 
 ORACLES = {
@@ -248,6 +293,18 @@ ORACLES = {
             ANTI JOIN seen s
               ON s.band = e.event_type
              AND s.day = CAST(date_trunc('day', e.ts) AS TIMESTAMP)
+        """,
+    "streaming_pii_redact": """
+            SELECT regexp_replace(regexp_replace(
+                     'user' || user_id || '@mail.test reports ip 10.'
+                       || (user_id % 256) || '.0.9 grp '
+                       || (user_id % 10),
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                     '[EMAIL]', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                   '[IP]', 'g') AS redacted,
+                   count(*) AS n
+            FROM events GROUP BY 1
         """,
     "streaming_sliding_sum": """
             WITH ev AS (

@@ -576,6 +576,40 @@ def q_domain_stats(spark, sf_dir):
     ).select("domain", "n_docs", "total_size")
 
 
+def q_boilerplate_removal(spark, sf_dir):
+    """Corpus-level boilerplate-line removal (training/dedup.py
+    remove_boilerplate_lines — the RefinedWeb/Dolma pass): a banner line
+    shared by every even doc (250 docs >= min_docs=100) is deleted
+    corpus-wide, a rare shared line (doc_id % 97) survives, and each
+    doc's unique line is untouched. Oracle replays digest counting +
+    ordered rebuild in SQL."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import (
+        remove_boilerplate_lines,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("subscribe to our newsletter today."),
+            ),
+            F.concat(
+                F.lit("document "), F.col("doc_id").cast("string"),
+                F.lit(" body line one."),
+            ),
+            F.when(
+                F.col("doc_id") % 97 == 0, F.lit("rare shared line here.")
+            ),
+        ).alias("text"),
+    )
+    out = remove_boilerplate_lines(synth, "doc_id", "text", min_docs=100)
+    return out.select("doc_id", "text")
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "training_pipeline": q_training_pipeline,
@@ -610,6 +644,7 @@ QUERIES = {
     "c4_clean": q_c4_clean,
     "bigram_nll": q_bigram_nll,
     "domain_stats": q_domain_stats,
+    "boilerplate_removal": q_boilerplate_removal,
 }
 
 ORACLES = {
@@ -1066,6 +1101,39 @@ ORACLES = {
                    round(avg(-ln(p.p)), 6) AS nll
             FROM bg JOIN p ON bg.w1 = p.w1 AND bg.w2 = p.w2
             GROUP BY bg.doc_id
+        """,
+    "boilerplate_removal": """
+            WITH synth AS (
+              SELECT doc_id,
+                     concat_ws(chr(10),
+                       CASE WHEN doc_id % 2 = 0
+                            THEN 'subscribe to our newsletter today.' END,
+                       'document ' || doc_id || ' body line one.',
+                       CASE WHEN doc_id % 97 = 0
+                            THEN 'rare shared line here.' END) AS t
+              FROM documents
+            ), splits AS (
+              SELECT doc_id, string_split(t, chr(10)) AS l FROM synth
+            ), idx AS (
+              SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i
+              FROM splits
+            ), lines AS (
+              SELECT doc_id, i, l[i] AS line,
+                     regexp_replace(lower(trim(l[i])), '\\s+', ' ', 'g')
+                       AS norm
+              FROM idx
+            ), boiler AS (
+              SELECT norm FROM lines WHERE norm != ''
+              GROUP BY norm HAVING count(DISTINCT doc_id) >= 100
+            ), kept AS (
+              SELECT doc_id, i, line FROM lines
+              WHERE norm NOT IN (SELECT norm FROM boiler)
+            ), rebuilt AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
+              FROM kept GROUP BY doc_id
+            )
+            SELECT s.doc_id, coalesce(r.text, '') AS text
+            FROM synth s LEFT JOIN rebuilt r USING (doc_id)
         """,
     "domain_stats": """
             WITH urls AS (

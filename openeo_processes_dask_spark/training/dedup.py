@@ -231,6 +231,58 @@ def segment_duplicates(
     )
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 10,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Corpus-level boilerplate-LINE removal (the RefinedWeb/Dolma pass
+    that :func:`segment_duplicates` only REPORTS): any line whose
+    normalized form appears in >= ``min_docs`` distinct documents
+    (cookie banners, nav menus, subscribe prompts) is deleted from every
+    document, and the text is rebuilt with surviving lines in original
+    order. Documents whose lines are all boilerplate come back with ''.
+
+    Plan: posexplode lines → one digest-keyed hash aggregate to find the
+    boilerplate set (16-byte digests shuffle, line text stays put) →
+    LEFT ANTI join of the exploded lines against that set (boilerplate
+    relations are tiny — frequency >= min_docs — so AQE broadcasts) →
+    per-doc ordered rebuild via collect_list + array_sort, one shuffle
+    keyed by doc id. No UDFs.
+    """
+    out_col = out_col or text_col
+    norm = F.regexp_replace(F.lower(F.trim(F.col("line"))), r"\s+", " ")
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"),
+    ).withColumn("__d", F.md5(norm))
+    boiler = (
+        lines.where(norm != "")
+        .groupBy("__d")
+        .agg(F.countDistinct("__id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("__d")
+    )
+    kept = lines.join(boiler, "__d", "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("__rebuilt")
+    )
+    return (
+        df.join(rebuilt, df[id_col] == rebuilt["__id"], "left")
+        .drop("__id")
+        .withColumn(out_col, F.coalesce(F.col("__rebuilt"), F.lit("")))
+        .drop("__rebuilt")
+    )
+
+
 def decontaminate(
     df: DataFrame,
     benchmark: DataFrame,

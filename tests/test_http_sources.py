@@ -315,3 +315,30 @@ def test_load_stac_resolution_kwargs_match_explicit_resample(spark, tmp_path):
     got = sorted(map(tuple, fused.df.select(*cols).collect()))
     want = sorted(map(tuple, explicit.df.select(*cols).collect()))
     assert got == want and len(got) > 0
+
+
+def test_localize_parquet_warns_on_large_asset(spark, http_base, monkeypatch):
+    """Driver-side http localization warns past the size threshold
+    (VERDICT r04 nit: a multi-GB http-only asset serializes through one
+    machine; object-store urls bypass this lane entirely)."""
+    import warnings
+
+    from openeo_processes_dask_spark.sources import load as load_mod
+
+    monkeypatch.setattr(load_mod, "LOCALIZE_WARN_BYTES", 10)
+    # force a fresh download: clear the href from the cache
+    import hashlib
+    import os
+    import tempfile
+
+    href = http_base + "/asset_b1.parquet"
+    cached = os.path.join(
+        tempfile.gettempdir(), "spark_http_assets",
+        hashlib.md5(href.encode()).hexdigest()[:16] + ".parquet",
+    )
+    if os.path.exists(cached):
+        os.unlink(cached)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        load_mod._localize_parquet(spark, href)
+    assert any("driver-side download" in str(w.message) for w in caught)

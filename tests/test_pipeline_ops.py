@@ -91,8 +91,8 @@ def test_bigram_nll_matches_hand_computation(spark):
     out = {r["doc_id"]: r for r in bigram_nll(df, k=0.5).collect()}
     # doc 3 has < 2 tokens: unscorable, absent
     assert set(out) == {1, 2}
-    V = 4  # a, b, c, x... x never appears in any bigram -> vocab is a,b,c
-    V = 3
+    V = 3  # vocab over bigram positions is {a, b, c}; doc 3's lone "x"
+    # never enters a bigram so it contributes nothing to the model
     c12 = {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
     c1 = {"a": 3, "b": 2}
     def p(w1, w2):
@@ -150,3 +150,48 @@ def test_url_domain_extraction(spark):
     stats = {r["domain"]: (r["n_docs"], r["total_size"]) for r in
              per_domain_stats(df, size_col="size").collect()}
     assert stats == {"example.com": (3, 60), "other.org": (2, 10)}
+
+
+def test_pii_and_c4_plans_are_map_only(spark):
+    """PII stats/redact and C4 cleaning must compile to pure projections:
+    no Exchange, no Python evaluation — at 100 TB these run at parquet
+    scan speed or they are mis-designed."""
+    from openeo_processes_dask_spark.training.filtering import c4_clean
+    from openeo_processes_dask_spark.training.pii import pii_redact, pii_stats
+
+    df = spark.createDataFrame([(1, "x y z.")], "id bigint, text string")
+    for out in (pii_stats(df), pii_redact(df), c4_clean(df)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_remove_boilerplate_lines(spark):
+    from openeo_processes_dask_spark.training.dedup import (
+        remove_boilerplate_lines,
+    )
+
+    banner = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\nunique content of doc one.\nmore doc one text."),
+            (2, f"unique doc two line.\n{banner}"),
+            (3, f"SUBSCRIBE  to our   newsletter\ndoc three body."),  # norm match
+            (4, banner),  # all boilerplate -> ''
+            (5, "no banner at all here."),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in remove_boilerplate_lines(
+        docs, "doc_id", "text", min_docs=3
+    ).collect()}
+    assert out[1] == "unique content of doc one.\nmore doc one text."
+    assert out[2] == "unique doc two line."
+    assert out[3] == "doc three body."
+    assert out[4] == ""
+    assert out[5] == "no banner at all here."
+    # below-threshold shared lines survive (banner is in 4 distinct docs)
+    out2 = {r["doc_id"]: r["text"] for r in remove_boilerplate_lines(
+        docs, "doc_id", "text", min_docs=5
+    ).collect()}
+    assert banner in out2[1]
