@@ -513,8 +513,19 @@ def load_stac(
     frames = []
     for item, item_base in items:
         for name, asset in (item.get("assets") or {}).items():
-            if bands is not None and name not in bands:
-                continue  # band pruning at source (reference: load.py:262-264)
+            # band pruning at source (reference: load.py:262-264): an
+            # asset matches by its key OR by any of its eo:bands names —
+            # bands=["red"] must select the red band inside a multiband
+            # "data" asset, not skip the asset wholesale
+            eo_names = [
+                bb.get("name")
+                for bb in (asset.get("eo:bands") or [])
+                if bb.get("name")
+            ]
+            if bands is not None and name not in bands and not (
+                set(eo_names) & set(bands)
+            ):
+                continue
             href = asset.get("href")
             if not href:
                 continue
@@ -543,15 +554,44 @@ def load_stac(
                     bb.get("name") or f"{name}_b{i + 1}"
                     for i, bb in enumerate(eo)
                 ] or None
-                cube = load_raster(
-                    spark,
-                    _resolve_href(href, item_base),
-                    band=name,
-                    time=t_val,
+                resolved = _resolve_href(href, item_base)
+                meta = dict(
                     nodata=[bb.get("nodata") for bb in rb] or None,
                     scale=[bb.get("scale") for bb in rb] or None,
                     offset=[bb.get("offset") for bb in rb] or None,
+                )
+                if (
+                    bands is not None
+                    and name not in bands
+                    and band_names is not None
+                ):
+                    # matched via eo:bands names: decode ONLY the
+                    # requested bands of the asset (1-based indices)
+                    def _nth(lst, j):
+                        return lst[j] if lst and j < len(lst) else None
+
+                    for j, b_name in enumerate(band_names):
+                        if b_name not in bands:
+                            continue
+                        cube = load_raster(
+                            spark,
+                            resolved,
+                            band=b_name,
+                            band_index=j + 1,
+                            time=t_val,
+                            nodata=_nth(meta["nodata"], j),
+                            scale=_nth(meta["scale"], j),
+                            offset=_nth(meta["offset"], j),
+                        )
+                        frames.append(cube.df)
+                    continue
+                cube = load_raster(
+                    spark,
+                    resolved,
+                    band=name,
+                    time=t_val,
                     band_names=band_names,
+                    **meta,
                 )
                 frames.append(cube.df)
                 continue

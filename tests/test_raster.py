@@ -225,3 +225,50 @@ def test_load_raster_closes_every_open(spark, tmp_path):
     closes = lines.count("close")
     assert opens >= 2  # driver probe + at least one executor partition
     assert opens == closes
+
+
+def test_load_stac_bands_match_eo_band_names(spark, tmp_path, monkeypatch):
+    """load_stac(bands=["nir"]) must select the nir band INSIDE a
+    multiband asset via its eo:bands names — not skip the asset because
+    its key ("data") isn't in bands (reference prunes by measurement
+    name, cubes/load.py:262-264)."""
+    import json
+
+    from openeo_processes_dask_spark.sources import raster as raster_mod
+    from openeo_processes_dask_spark.sources.load import load_stac
+
+    monkeypatch.setattr(
+        raster_mod, "_default_opener", _make_multiband_opener()
+    )
+    item = {
+        "type": "Feature", "stac_version": "1.0.0", "id": "mb",
+        "bbox": [0, 0, 4, 4], "geometry": None,
+        "properties": {"datetime": "2021-01-01T00:00:00Z"},
+        "assets": {
+            "data": {
+                "href": "mb.tif",
+                "eo:bands": [
+                    {"name": "red"}, {"name": "nir"}, {"name": "swir"},
+                ],
+                "raster:bands": [
+                    {}, {"nodata": -999.0, "scale": 2.0, "offset": 5.0}, {},
+                ],
+            }
+        },
+    }
+    p = tmp_path / "i.json"
+    p.write_text(json.dumps(item))
+    cube = load_stac(str(p), bands=["nir"], spark=spark)
+    pdf = cube.df.toPandas()
+    assert set(pdf["band"]) == {"nir"}
+    assert len(pdf) == 16
+    vals = pdf.set_index(["x", "y"])["value"]
+    # band 2 scaled: raw*2 + 5; sentinel at (row 0, col 0) -> NULL
+    assert vals.loc[(1.5, 3.5)] == 2001.0 * 2 + 5
+    import numpy as np
+
+    assert np.isnan(vals.loc[(0.5, 3.5)]) or vals.loc[(0.5, 3.5)] is None
+
+    # asset-key selection still works and yields all three bands
+    cube2 = load_stac(str(p), bands=["data"], spark=spark)
+    assert set(cube2.df.toPandas()["band"]) == {"red", "nir", "swir"}
