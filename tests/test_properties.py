@@ -385,3 +385,111 @@ def test_period_labels_match_brute_oracle(spark, ts_list):
             got = row[p.replace("-", "_")]
             want = _brute_period_start(row["t"], p)
             assert got == want, (row["t"], p, got, want)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction properties: idempotence (a redacted corpus re-redacts to
+# itself) and token-only deltas (the only change redaction may make is
+# replacing matches with bracket tokens).
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(
+                ["word", "a-b", "x.y", "bob@ex.com", "10.0.0.1",
+                 "555-123-4567", "123-45-6789", "9.8", "call", "..."]
+            ),
+            min_size=0,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_pii_redact_idempotent(spark, texts):
+    from openeo_processes_dask_spark.training.pii import pii_redact
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id bigint, text string"
+    )
+    once = pii_redact(df)
+    twice = pii_redact(once)
+    a = {r["id"]: r["text"] for r in once.collect()}
+    b = {r["id"]: r["text"] for r in twice.collect()}
+    assert a == b
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("abc xyz\nqrs tuv")),
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_pii_redact_leaves_clean_text_alone(spark, texts):
+    from openeo_processes_dask_spark.training.pii import pii_redact
+
+    # alphabet has no digits and no @: nothing can match any detector
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id bigint, text string"
+    )
+    out = {r["id"]: r["text"] for r in pii_redact(df).collect()}
+    assert out == {i: t for i, t in enumerate(texts)}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(
+                ["shared banner line", "alpha beta", "gamma delta",
+                 "unique %d", "epsilon zeta eta"]
+            ),
+            min_size=0,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_remove_boilerplate_matches_brute_python(spark, doc_lines):
+    from openeo_processes_dask_spark.training.dedup import (
+        remove_boilerplate_lines,
+    )
+
+    docs = [
+        (i, "\n".join(ln % i if "%d" in ln else ln for ln in lines))
+        for i, lines in enumerate(doc_lines)
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    min_docs = 2
+    # brute Python oracle over the same normalization
+    import re
+
+    def norm(s):
+        return re.sub(r"\s+", " ", s.strip().lower())
+
+    from collections import defaultdict
+
+    seen = defaultdict(set)
+    for i, t in docs:
+        for ln in t.split("\n"):
+            if norm(ln):
+                seen[norm(ln)].add(i)
+    boiler = {k for k, v in seen.items() if len(v) >= min_docs}
+    want = {
+        i: "\n".join(ln for ln in t.split("\n") if norm(ln) not in boiler)
+        for i, t in docs
+    }
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate_lines(
+            df, "doc_id", "text", min_docs=min_docs
+        ).collect()
+    }
+    assert got == want
