@@ -31,6 +31,8 @@ _NEW_R5: list[str] = [
     "load_stac_properties", "load_raster_nodata", "load_stac_resampled",
     "pii_redact", "c4_clean", "bigram_nll", "domain_stats",
     "boilerplate_removal", "streaming_pii_redact",
+    "span_dedup_stats", "span_removal", "dsir_weights", "unicode_clean",
+    "corpus_stats", "interval_join", "streaming_cap",
 ]
 
 # Most recent driver check = r2 (23 queries — VERDICT r04 #3's list).

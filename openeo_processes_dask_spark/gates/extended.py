@@ -800,6 +800,34 @@ def q_text_ops(spark, sf_dir):
     )
 
 
+def q_interval_join(spark, sf_dir):
+    """Bucketized range join (operators/interval.py interval_join): every
+    event joined to every [purchase, purchase+2h] interval containing it
+    — NO equi-key, which a naive BETWEEN join would execute as a nested
+    loop. The operator explodes each interval onto its covered hour
+    buckets and hash-joins on the bucket id with BETWEEN as residual;
+    each event sits in exactly one bucket so no pair dedup is needed."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.interval import interval_join
+
+    ev = _table(spark, sf_dir, "events")
+    iv = ev.where(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 13 == 0)
+    ).select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+    )
+    j = interval_join(
+        ev.select("ts", "value"), iv, "ts", "start", "end",
+        bucket_seconds=3600,
+    )
+    return j.groupBy("interval_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+    )
+
+
 QUERIES = {
     "resample_cubic": q_resample_cubic,
     "reduce_quantiles": q_reduce_quantiles,
@@ -844,9 +872,21 @@ QUERIES = {
     "mask_triangle": q_mask_triangle,
     "apply_dimension_dropnull": q_apply_dimension_dropnull,
     "vector_reproject": q_vector_reproject,
+    "interval_join": q_interval_join,
 }
 
 ORACLES = {
+    "interval_join": """
+            WITH iv AS (
+              SELECT event_id AS interval_id, ts AS s,
+                     ts + INTERVAL 2 HOUR AS e
+              FROM events
+              WHERE event_type = 'purchase' AND user_id % 13 = 0)
+            SELECT interval_id, count(*) AS n_events,
+                   round(sum(value), 6) AS value_sum
+            FROM iv JOIN events ev ON ev.ts >= iv.s AND ev.ts <= iv.e
+            GROUP BY 1
+        """,
     "resample_cubic": lambda k="cubic": _resample_kernel_oracle_sql(k),
     "reduce_quantiles": """
             SELECT x, band, p.i - 1 AS pos, round(qs[p.i], 6) AS value

@@ -262,6 +262,45 @@ def q_streaming_sessions(spark, sf_dir):
     )
 
 
+def q_streaming_cap(spark, sf_dir):
+    """Streaming per-key quota (streaming/sessions.py stream_cap_per_key):
+    admit at most 5 events per user over the stream, state = one counter
+    per key. Single sorted file = one micro-batch, and admission within a
+    batch is (t, event_id)-ordered, so the admitted set and ranks are
+    deterministic and the oracle is a plain row_number window."""
+    _setup(spark)
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        run_stream_to_memory,
+    )
+    from openeo_processes_dask_spark.streaming.sessions import (
+        stream_cap_per_key,
+    )
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream1_{os.path.basename(sf_dir)}"
+    )
+    if not os.path.isdir(stream_dir):
+        _table(spark, sf_dir, "events").orderBy("ts").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stream_dir)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(stream_dir)
+        .select("user_id", "event_id", F.col("ts").alias("t"), "value")
+    )
+    out = stream_cap_per_key(stream, k=5)
+    name = f"q_scap_{abs(hash(sf_dir)) % 10_000}"
+    q = run_stream_to_memory(
+        out.select("user_id", "event_id", "rank"), name, output_mode="append"
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("user_id", "event_id", "rank")
+
+
 QUERIES = {
     "streaming_daily_sum": q_streaming_daily_sum,
     "streaming_dedup": q_streaming_dedup,
@@ -269,9 +308,18 @@ QUERIES = {
     "streaming_sessions": q_streaming_sessions,
     "streaming_dedup_static": q_streaming_dedup_static,
     "streaming_pii_redact": q_streaming_pii_redact,
+    "streaming_cap": q_streaming_cap,
 }
 
 ORACLES = {
+    "streaming_cap": """
+            SELECT user_id, event_id, rank FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rank
+              FROM events)
+            WHERE rank <= 5
+        """,
     "streaming_daily_sum": """
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS t,
                    event_type AS band, round(sum(value), 6) AS value

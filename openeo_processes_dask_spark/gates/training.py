@@ -610,6 +610,103 @@ def q_boilerplate_removal(spark, sf_dir):
     return out.select("doc_id", "text")
 
 
+def q_span_dedup_stats(spark, sf_dir):
+    """Duplicated-substring-span coverage (training/dedup.py
+    duplicate_span_stats — Lee et al. 2021): overlapping 5-token sliding
+    windows, digest-counted corpus-wide, merged to maximal islands per
+    doc. Digests shuffle, text never does; islands merge in one JVM
+    window pass."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import (
+        duplicate_span_stats,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    out = duplicate_span_stats(docs, "doc_id", "text", k=5)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_runs", "dup_tokens", "longest_run"
+    )
+
+
+def q_span_removal(spark, sf_dir):
+    """Span-level dedup REWRITE (training/dedup.py remove_duplicate_spans):
+    every duplicated 5-token span survives only in its min-id document;
+    other occurrences are cut (overlaps merged) and the doc is rebuilt
+    from the surviving token stream — all in JVM expressions
+    (filter/exists over arrays_zip), no Python."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    out = remove_duplicate_spans(docs, "doc_id", "text", k=5)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        F.length(F.col("text")).alias("n_chars_clean"),
+    )
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (training/importance.py, Xie et al. 2023):
+    hashed-bigram (512 buckets) log-ratio of target (lang='en') vs raw
+    corpus distributions, integer micro-unit per-doc sums — bit-identical
+    across engines and partitionings. The 512-row weight table
+    broadcasts; only (id, bucket) pairs shuffle."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.importance import dsir_weights
+
+    docs = _table(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    out = dsir_weights(docs, target, "doc_id", "text", n_buckets=512)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_grams", "weight_micro"
+    )
+
+
+def q_unicode_clean(spark, sf_dir):
+    """Unicode hygiene (training/unicode.py): CRLF + NEL/LS/PS -> \\n,
+    control/zero-width/BOM strip (JVM regex chain), NFC composition on
+    the non-ASCII rows only (Arrow pandas UDF leg; ASCII rows — where NFC
+    is the identity — never touch Python). Dirt is injected
+    deterministically so the op has something to clean: every doc gets
+    CR LF + a zero-width space, every third doc a decomposed e+combining
+    acute that NFC must compose."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.unicode import unicode_clean
+
+    docs = _table(spark, sf_dir, "documents")
+    nfd_bit = F.when(
+        F.col("doc_id") % 3 == 0, F.lit("e\u0301 ")
+    ).otherwise(F.lit(""))
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            nfd_bit, F.lit("x\r\n"), F.col("text"), F.lit("\u200b")
+        ).alias("text"),
+    )
+    out = unicode_clean(dirty, "text")
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        F.length(F.col("text")).alias("n_chars_clean"),
+    )
+
+
+def q_corpus_stats(spark, sf_dir):
+    """Per-(source, lang) corpus report (training/textanalysis.py
+    corpus_stats): doc/token counts + exact interpolated length
+    percentiles; the shuffle carries two ints per row."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.textanalysis import (
+        corpus_stats,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    return corpus_stats(docs, ("source", "lang"), "text")
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "training_pipeline": q_training_pipeline,
@@ -645,7 +742,44 @@ QUERIES = {
     "bigram_nll": q_bigram_nll,
     "domain_stats": q_domain_stats,
     "boilerplate_removal": q_boilerplate_removal,
+    "span_dedup_stats": q_span_dedup_stats,
+    "span_removal": q_span_removal,
+    "dsir_weights": q_dsir_weights,
+    "unicode_clean": q_unicode_clean,
+    "corpus_stats": q_corpus_stats,
 }
+
+# Shared SQL fragments for the span-dedup oracles: overlapping 5-token
+# span digests with 0-based positions, and their corpus-wide counts.
+_SPAN_TOKS = """
+            toks AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+              FROM documents WHERE trim(text) != ''),
+            spans AS (
+              SELECT doc_id, i - 1 AS pos,
+                     md5(array_to_string(w[i:i+4], ' ')) AS d
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(1, len(w) - 4)) AS i)
+              WHERE len(w) >= 5)
+"""
+
+_SPAN_RUNS = """
+            marked AS (
+              SELECT doc_id, pos,
+                     max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS pm
+              FROM hits),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(CASE WHEN pm IS NULL OR pos > pm + 4
+                         THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM marked),
+            runs AS (
+              SELECT doc_id, island, min(pos) AS s, max(pos) + 4 AS e
+              FROM isl GROUP BY 1, 2)
+"""
 
 ORACLES = {
     "dedup_exact": """
@@ -1157,5 +1291,113 @@ ORACLES = {
             )
             SELECT domain, count(*) AS n_docs, sum(n_chars) AS total_size
             FROM hosts GROUP BY domain
+        """,
+    "span_dedup_stats": f"""
+            WITH {_SPAN_TOKS},
+            dups AS (SELECT d FROM spans GROUP BY d HAVING count(*) >= 2),
+            hits AS (SELECT doc_id, pos FROM spans JOIN dups USING (d)),
+            {_SPAN_RUNS}
+            SELECT doc_id, count(*) AS n_runs,
+                   CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+                   max(e - s + 1) AS longest_run
+            FROM runs GROUP BY 1
+        """,
+    "span_removal": f"""
+            WITH {_SPAN_TOKS},
+            grp AS (SELECT d, min(doc_id) AS keep_id FROM spans
+                    GROUP BY d HAVING count(*) >= 2),
+            hits AS (SELECT s.doc_id, s.pos FROM spans s JOIN grp USING (d)
+                     WHERE s.doc_id != grp.keep_id),
+            {_SPAN_RUNS},
+            tokpos AS (
+              SELECT doc_id, i - 1 AS pos, w[i] AS tok
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)),
+            kept AS (
+              SELECT t.doc_id, t.pos, t.tok FROM tokpos t
+              WHERE NOT EXISTS (SELECT 1 FROM runs r
+                                WHERE r.doc_id = t.doc_id
+                                AND t.pos BETWEEN r.s AND r.e)),
+            rebuilt AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
+              FROM kept GROUP BY doc_id),
+            cutdocs AS (SELECT DISTINCT doc_id FROM hits)
+            SELECT d.doc_id,
+                   md5(CASE WHEN c.doc_id IS NULL THEN d.text
+                            ELSE coalesce(rb.txt, '') END) AS text_md5,
+                   length(CASE WHEN c.doc_id IS NULL THEN d.text
+                               ELSE coalesce(rb.txt, '') END) AS n_chars_clean
+            FROM documents d
+            LEFT JOIN cutdocs c USING (doc_id)
+            LEFT JOIN rebuilt rb USING (doc_id)
+        """,
+    "dsir_weights": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+              FROM documents WHERE trim(text) != ''),
+            grams AS (
+              SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+              WHERE len(w) >= 2),
+            bk AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 512
+                       AS bucket
+              FROM grams),
+            raw AS (SELECT bucket, count(*) AS c_raw FROM bk GROUP BY 1),
+            tgt AS (SELECT bk.bucket, count(*) AS c_tgt
+                    FROM bk JOIN documents USING (doc_id)
+                    WHERE lang = 'en' GROUP BY 1),
+            buckets AS (SELECT unnest(generate_series(0, 511)) AS bucket),
+            tot AS (
+              SELECT b.bucket,
+                     CAST(coalesce(c_raw, 0) AS BIGINT) AS c_raw,
+                     CAST(coalesce(c_tgt, 0) AS BIGINT) AS c_tgt
+              FROM buckets b
+              LEFT JOIN raw USING (bucket) LEFT JOIN tgt USING (bucket)),
+            wt AS (
+              SELECT bucket,
+                     CAST(round((
+                       ln((c_tgt + 1.0)
+                          / ((SELECT sum(c_tgt) FROM tot) + 512.0))
+                       - ln((c_raw + 1.0)
+                            / ((SELECT sum(c_raw) FROM tot) + 512.0))
+                     ) * 1e6) AS BIGINT) AS w_micro
+              FROM tot)
+            SELECT bk.doc_id, count(*) AS n_grams,
+                   CAST(sum(w_micro) AS BIGINT) AS weight_micro
+            FROM bk JOIN wt USING (bucket)
+            GROUP BY 1
+        """,
+    "unicode_clean": """
+            WITH dirty AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'e' || chr(769) || ' ' ELSE '' END
+                     || 'x' || chr(13) || chr(10) || text || chr(8203) AS t
+              FROM documents),
+            cleaned AS (
+              SELECT doc_id, nfc_normalize(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(t, '\\r\\n|\\r', chr(10), 'g'),
+                    '[\\x{2028}\\x{2029}\\x{0085}]', chr(10), 'g'),
+                  '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x{7f}-\\x{9f}' ||
+                  '\\x{200b}-\\x{200d}\\x{2060}\\x{feff}]', '', 'g')) AS c
+              FROM dirty)
+            SELECT doc_id, md5(c) AS text_md5,
+                   length(c) AS n_chars_clean
+            FROM cleaned
+        """,
+    "corpus_stats": """
+            SELECT source, lang, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                            END) AS BIGINT) AS total_tokens,
+                   round(avg(length(text)), 6) AS mean_chars,
+                   quantile_cont(length(text), 0.5) AS p50_chars,
+                   quantile_cont(length(text), 0.9) AS p90_chars
+            FROM documents GROUP BY 1, 2
         """,
 }

@@ -119,3 +119,74 @@ def sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+CAP_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("t", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("rank", IntegerType()),
+    ]
+)
+
+CAP_STATE = StructType([StructField("n", LongType())])
+
+
+def stream_cap_per_key(
+    events: DataFrame,
+    k: int,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming per-key quota: emit at most ``k`` events per user over the
+    stream's lifetime (the batch lane's ``sampling.cap_per_group``, made
+    incremental — dataset quotas enforced while ingesting, not in a
+    post-pass).
+
+    State per key is ONE integer (events admitted so far): bounded by the
+    number of distinct keys, independent of stream length. Within a
+    micro-batch, rows are admitted in (t, event_id) order so a single-batch
+    replay is deterministic (`rank` = admission order, 1-based); across
+    batches admission follows arrival order, as any online quota must.
+
+    Output: (user_id, event_id, t, value, rank) for admitted events only.
+    """
+
+    def update(
+        key: Tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["t", "event_id"])
+        n = state.get[0] if state.exists else 0
+        take = rows.iloc[: max(0, k - n)]
+        state.update((n + len(take),))
+        if len(take):
+            yield pd.DataFrame(
+                {
+                    "user_id": take["user_id"].astype("int64"),
+                    "event_id": take["event_id"].astype("int64"),
+                    "t": take["t"],
+                    "value": take["value"].astype("float64"),
+                    "rank": (
+                        n + pd.RangeIndex(1, len(take) + 1)
+                    ).astype("int32"),
+                }
+            )
+
+    return (
+        events.withWatermark("t", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=CAP_OUTPUT,
+            stateStructType=CAP_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

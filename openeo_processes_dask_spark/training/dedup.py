@@ -769,3 +769,178 @@ def simhash_near_duplicates(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-substring-span dedup (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better"): the reference corpus move that whole-
+# document and fixed-chunk dedup both miss — a 50-token license block pasted
+# mid-article duplicates a SPAN, not a document or an aligned chunk.
+# ---------------------------------------------------------------------------
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Positions of every k-token span whose digest occurs >= ``min_count``
+    times corpus-wide (overlapping sliding windows, stride 1 — unlike
+    :func:`segment_duplicates`' aligned chunks, a duplicated run is caught
+    at ANY offset).
+
+    Returns (id, pos, fingerprint, n_copies, keep_id): ``pos`` is the
+    0-based token index where the duplicated span starts and ``keep_id``
+    the min document id over the digest (the canonical holder a removal
+    policy keeps).
+
+    Plan at 100 TB: tokens -> one codegen'd ``transform(sequence)`` builds
+    all span digests per doc JVM-side -> posexplode -> ONE digest-keyed
+    hash aggregate (16-byte digests shuffle; text never leaves its
+    scan partition) -> equi-join positions back on digest. Same shuffle
+    topology as exact dedup, ~n_tokens rows instead of ~n_docs.
+    """
+    base = _spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t__"))
+    )
+    toks = base.select("id", tokens(F.lower(F.col("__t__"))).alias("w"))
+    n_spans = F.size("w") - (k - 1)
+    digests = F.when(
+        n_spans <= 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_spans),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("w"), i, k))),
+        )
+    )
+    spans = toks.select(
+        "id", F.posexplode(digests).alias("pos", "fingerprint")
+    )
+    dup = (
+        spans.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("id").alias("keep_id"),
+        )
+        .where(F.col("n_copies") >= min_count)
+    )
+    return spans.join(dup, "fingerprint").select(
+        "id", "pos", "fingerprint", "n_copies", "keep_id"
+    )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span coverage: merge the overlapping span
+    hits of :func:`duplicate_spans` into maximal islands (gaps-and-islands
+    over token positions — pure JVM window functions) and report
+    (id, n_runs, dup_tokens, longest_run).
+
+    ``dup_tokens`` is the exact number of token positions covered by at
+    least one duplicated span — the quantity Lee et al. report as the
+    fraction of the corpus that is duplicated text.
+
+    Plan: one window per doc id (max-position running high-water mark ->
+    island break flag -> running island id), then two hash aggregates.
+    Token positions shuffle once, keyed by doc id.
+    """
+    from pyspark.sql import Window
+
+    hits = duplicate_spans(df, id_col, text_col, k, min_count).select(
+        "id", "pos"
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_max = F.max("pos").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # span [pos, pos+k-1] overlaps the running island iff pos <= prev_max
+    # + k - 1; a strictly larger pos starts a new island
+    brk = F.when(
+        prev_max.isNull() | (F.col("pos") > prev_max + (k - 1)), 1
+    ).otherwise(0)
+    islands = hits.withColumn(
+        "island", F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    runs = islands.groupBy("id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + (k - 1)).alias("e")
+    )
+    return runs.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+        F.max(F.col("e") - F.col("s") + 1).alias("longest_run"),
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    min_count: int = 2,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Rewrite each document with its non-canonical duplicated spans cut
+    out (the Lee et al. removal policy: every duplicated span survives
+    only in the minimum-id document holding it; every other occurrence's
+    k tokens are deleted, with overlapping cuts merged).
+
+    Plan: duplicated span positions (digest-keyed, see
+    :func:`duplicate_spans`) -> drop the canonical holder's rows -> LEFT
+    ANTI join of exploded token positions against the covered-position
+    explode is avoided: instead the merged cut intervals per doc are
+    collected into ONE array column (bounded: intervals are maximal and
+    disjoint, so there are at most n_tokens/k of them) and a single
+    ``filter(arrays_zip(tokens, positions))`` drops covered tokens
+    JVM-side. Documents shuffle once, keyed by id, carrying interval
+    structs — not exploded token rows.
+    """
+    from pyspark.sql import Window
+
+    out_col = out_col or text_col
+    cuts = duplicate_spans(df, id_col, text_col, k, min_count).where(
+        F.col("id") != F.col("keep_id")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_max = F.max("pos").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(
+        prev_max.isNull() | (F.col("pos") > prev_max + (k - 1)), 1
+    ).otherwise(0)
+    runs = (
+        cuts.withColumn(
+            "island",
+            F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("id", "island")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + (k - 1)).alias("e"))
+        .groupBy("id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("__cuts"))
+    )
+    base = df.join(
+        runs, df[id_col] == runs["id"], "left"
+    ).drop(runs["id"])
+    toks = tokens(F.lower(F.col(text_col)))
+    zipped = F.arrays_zip(
+        toks.alias("tok"),
+        F.sequence(F.lit(0), F.size(toks) - 1).alias("p"),
+    )
+    kept = F.filter(
+        zipped,
+        lambda z: ~F.exists(
+            F.col("__cuts"),
+            lambda c: (z["p"] >= c["s"]) & (z["p"] <= c["e"]),
+        ),
+    )
+    rebuilt = F.array_join(F.transform(kept, lambda z: z["tok"]), " ")
+    empty_toks = F.size(toks) == 0
+    return base.withColumn(
+        out_col,
+        F.when(F.col("__cuts").isNull() | empty_toks, F.col(text_col))
+        .otherwise(rebuilt),
+    ).drop("__cuts")

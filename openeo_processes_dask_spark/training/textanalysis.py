@@ -235,3 +235,36 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select("id", "term", "rank", "tfidf")
     )
+
+
+def corpus_stats(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-slice corpus report — the dataset card every training run
+    starts from: document and token counts plus exact interpolated length
+    quantiles per (source, language) slice.
+
+    One hash aggregate over (group_cols); lengths are computed in the
+    scan projection so the shuffle carries two ints per row, never text.
+    ``percentile`` is Spark's exact interpolated percentile — the same
+    definition as DuckDB/Postgres ``quantile_cont``, which keeps the
+    oracle comparison exact (the approx sketch would not be).  Exact
+    percentile holds the GROUP's values, so this is safe when slices fit
+    an executor (thousands of sources x a length column); for heavier
+    cardinalities swap in approx_percentile and drop the oracle to
+    rows-only.
+    """
+    lens = df.select(
+        *group_cols,
+        F.length(F.col(text_col)).cast("long").alias("__chars"),
+        token_count(F.col(text_col)).cast("long").alias("__toks"),
+    )
+    return lens.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__toks").alias("total_tokens"),
+        F.round(F.avg("__chars"), 6).alias("mean_chars"),
+        F.percentile("__chars", F.lit(0.5)).alias("p50_chars"),
+        F.percentile("__chars", F.lit(0.9)).alias("p90_chars"),
+    )

@@ -1,0 +1,304 @@
+"""Round-5 training-lane operators: duplicated-substring spans, DSIR
+importance weights, unicode hygiene, interval join, corpus stats, and the
+streaming per-key quota cap."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog end one"),
+        (2, "prefix words the quick brown fox jumps over the lazy dog and more"),
+        (3, "totally unrelated content here nothing shared with others at all"),
+        (4, ""),
+        (5, "the quick brown fox jumps over the lazy dog end one"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_duplicate_span_stats(docs):
+    from openeo_processes_dask_spark.training.dedup import duplicate_span_stats
+
+    out = {
+        r["id"]: (r["n_runs"], r["dup_tokens"], r["longest_run"])
+        for r in duplicate_span_stats(docs, "doc_id", "text", k=5).collect()
+    }
+    # docs 1 and 5 are identical (11 tokens): one full-cover run each;
+    # doc 2 shares the 9-token middle; docs 3/4 have no duplicated span
+    assert out[1] == (1, 11, 11)
+    assert out[5] == (1, 11, 11)
+    assert out[2] == (1, 9, 9)
+    assert 3 not in out and 4 not in out
+
+
+def test_remove_duplicate_spans_keeps_canonical(docs):
+    from openeo_processes_dask_spark.training.dedup import (
+        remove_duplicate_spans,
+    )
+
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_spans(docs, "doc_id", "text", k=5).collect()
+    }
+    # canonical (min-id) holder keeps its text verbatim
+    assert out[1] == "the quick brown fox jumps over the lazy dog end one"
+    # doc 2 loses the shared middle, keeps its unique prefix/suffix
+    assert out[2] == "prefix words and more"
+    # untouched and empty docs come back unchanged
+    assert out[3].startswith("totally unrelated")
+    assert out[4] == ""
+    # the full duplicate is cut to nothing
+    assert out[5] == ""
+
+
+def test_dsir_weights_orders_target_like_docs(spark):
+    from openeo_processes_dask_spark.training.importance import dsir_weights
+
+    corpus = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(10)]
+        + [(i, "omega psi chi phi") for i in range(10, 20)],
+        ["doc_id", "text"],
+    )
+    target = corpus.where(F.col("doc_id") < 10)  # the alpha-beta domain
+    w = {
+        r["id"]: r["weight_micro"]
+        for r in dsir_weights(corpus, target, "doc_id", "text").collect()
+    }
+    # every alpha-domain doc must outscore every omega-domain doc
+    assert min(w[i] for i in range(10)) > max(w[i] for i in range(10, 20))
+    # identical docs get identical integer weights (bit-stable)
+    assert len({w[i] for i in range(10)}) == 1
+
+
+def test_unicode_clean(spark):
+    from openeo_processes_dask_spark.training.unicode import unicode_clean
+
+    rows = [
+        (1, "plain ascii"),
+        (2, "crlf\r\nline"),
+        (3, "ctrl\x07char\x00s"),
+        (4, "zero\u200bwidth\ufeff"),
+        (5, "nfd e\u0301 composes"),
+        (6, "seps and here"),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r["id"]: r["text"] for r in unicode_clean(df, "text").collect()}
+    assert out[1] == "plain ascii"
+    assert out[2] == "crlf\nline"
+    assert out[3] == "ctrlchars"
+    assert out[4] == "zerowidth"
+    assert out[5] == "nfd \u00e9 composes"  # NFC composed single codepoint
+    assert out[6] == "seps\nand\nhere"
+    assert out[7] is None
+
+
+def test_unicode_clean_ascii_skips_python_lane(spark):
+    """The NFC pandas UDF must only appear on the non-ASCII leg: the
+    ASCII leg's plan contains no ArrowEvalPython/Python node."""
+    from openeo_processes_dask_spark.training.unicode import unicode_clean
+
+    df = spark.createDataFrame([(1, "x")], ["id", "text"])
+    plan = (
+        unicode_clean(df, "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the union has exactly one Python eval node (the non-ASCII leg)
+    assert plan.count("ArrowEvalPython") + plan.count("BatchEvalPython") == 1
+
+
+def test_interval_join_inclusive_and_left(spark):
+    from openeo_processes_dask_spark.operators.interval import interval_join
+
+    ev = spark.createDataFrame(
+        [(i, f"2024-01-01 00:{m:02d}:00", float(i)) for i, m in
+         enumerate([0, 10, 30, 59])],
+        ["event_id", "ts_s", "value"],
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    iv = spark.createDataFrame(
+        [
+            (100, "2024-01-01 00:00:00", "2024-01-01 00:10:00"),  # 3 events
+            (200, "2024-01-01 00:40:00", "2024-01-01 00:50:00"),  # empty
+        ],
+        ["interval_id", "s_s", "e_s"],
+    ).select(
+        "interval_id",
+        F.col("s_s").cast("timestamp").alias("start"),
+        F.col("e_s").cast("timestamp").alias("end"),
+    )
+    inner = interval_join(ev, iv, "ts", "start", "end", bucket_seconds=600)
+    got = sorted(
+        (r["interval_id"], r["event_id"]) for r in inner.collect()
+    )
+    # boundary ends are inclusive: events at :00 and :10 both match
+    assert got == [(100, 0), (100, 1)]
+    left = interval_join(
+        ev, iv, "ts", "start", "end", bucket_seconds=600, how="left_interval"
+    )
+    ids = [r["interval_id"] for r in left.collect()]
+    assert sorted(ids) == [100, 100, 200]
+    empty = [r for r in left.collect() if r["interval_id"] == 200][0]
+    assert empty["event_id"] is None
+
+
+def test_interval_join_rejects_unknown_how(spark):
+    from openeo_processes_dask_spark.operators.interval import interval_join
+
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        interval_join(df, df, how="outer")
+
+
+def test_corpus_stats_matches_pandas(spark):
+    import numpy as np
+
+    from openeo_processes_dask_spark.training.textanalysis import corpus_stats
+
+    rows = [
+        (1, "a bb ccc", "s1", "en"),
+        (2, "dd ee", "s1", "en"),
+        (3, "f", "s1", "de"),
+        (4, "", "s2", "en"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source", "lang"])
+    out = {
+        (r["source"], r["lang"]): r
+        for r in corpus_stats(df, ("source", "lang"), "text").collect()
+    }
+    r = out[("s1", "en")]
+    assert r["n_docs"] == 2 and r["total_tokens"] == 5
+    assert r["mean_chars"] == pytest.approx((8 + 5) / 2)
+    assert r["p50_chars"] == pytest.approx(np.quantile([8, 5], 0.5))
+    assert out[("s2", "en")]["total_tokens"] == 0
+
+
+def test_stream_cap_per_key(spark, tmp_path):
+    from openeo_processes_dask_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        run_stream_to_memory,
+    )
+    from openeo_processes_dask_spark.streaming.sessions import (
+        stream_cap_per_key,
+    )
+
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", i % 2, "click", 1.0, "{}")
+        for i in range(10)
+    ]
+    src = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    d = os.path.join(str(tmp_path), "stream")
+    src.orderBy("ts").coalesce(1).write.parquet(d)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(d)
+        .select("user_id", "event_id", F.col("ts").alias("t"), "value")
+    )
+    out = stream_cap_per_key(stream, k=2)
+    q = run_stream_to_memory(
+        out.select("user_id", "event_id", "rank"), "t_cap", "append"
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["event_id"], r["rank"])
+        for r in spark.table("t_cap").collect()
+    )
+    # first 2 events per user in event-time order
+    assert got == [(0, 0, 1), (0, 2, 2), (1, 1, 1), (1, 3, 2)]
+
+
+def test_unicode_clean_idempotent(spark):
+    """clean(clean(x)) == clean(x) over a nasty-string corpus."""
+    from openeo_processes_dask_spark.training.unicode import unicode_clean
+
+    nasty = [
+        "a\r\nb\rc\nd", "\x00\x01\x02", "é́e", "​‌‍",
+        "mixed é \r\n \x07 text  line", "", "   ", "plain",
+        "﻿bom lead", "tab\tkept\nnewline kept",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(nasty)], ["id", "text"]
+    )
+    once = unicode_clean(df, "text").select("id", F.col("text").alias("t1"))
+    twice = unicode_clean(
+        once.select("id", F.col("t1").alias("text")), "text"
+    ).select("id", F.col("text").alias("t2"))
+    joined = once.join(twice, "id")
+    assert joined.where(~F.col("t1").eqNullSafe(F.col("t2"))).count() == 0
+
+
+def test_interval_join_matches_naive_theta(spark):
+    """Bucketized interval join == naive BETWEEN cross-filter on seeded
+    random data, across bucket widths (narrower/wider than intervals)."""
+    import random
+
+    from openeo_processes_dask_spark.operators.interval import interval_join
+
+    rng = random.Random(42)
+    base = 1_700_000_000
+    ev_rows = [
+        (i, base + rng.randrange(0, 86_400)) for i in range(300)
+    ]
+    iv_rows = []
+    for j in range(40):
+        s = base + rng.randrange(0, 86_400)
+        iv_rows.append((j, s, s + rng.randrange(0, 14_400)))
+    ev = spark.createDataFrame(ev_rows, ["event_id", "sec"]).select(
+        "event_id", F.timestamp_seconds("sec").alias("ts")
+    )
+    iv = spark.createDataFrame(iv_rows, ["interval_id", "s", "e"]).select(
+        "interval_id",
+        F.timestamp_seconds("s").alias("start"),
+        F.timestamp_seconds("e").alias("end"),
+    )
+    naive = sorted(
+        (r["interval_id"], r["event_id"])
+        for r in iv.crossJoin(ev)
+        .where((F.col("ts") >= F.col("start")) & (F.col("ts") <= F.col("end")))
+        .collect()
+    )
+    assert naive, "fixture should produce matches"
+    for bucket in (600, 3600, 86_400):
+        got = sorted(
+            (r["interval_id"], r["event_id"])
+            for r in interval_join(
+                ev, iv, "ts", "start", "end", bucket_seconds=bucket
+            ).collect()
+        )
+        assert got == naive, f"bucket={bucket}"
+
+
+def test_dsir_weights_partitioning_invariant(spark):
+    """Integer micro-unit weights are bit-identical under repartition."""
+    from openeo_processes_dask_spark.training.importance import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} common w{i % 3} tail words here") for i in range(60)],
+        ["doc_id", "text"],
+    )
+    tgt = docs.where(F.col("doc_id") % 2 == 0)
+    a = {
+        r["id"]: r["weight_micro"]
+        for r in dsir_weights(docs, tgt, "doc_id", "text").collect()
+    }
+    b = {
+        r["id"]: r["weight_micro"]
+        for r in dsir_weights(
+            docs.repartition(13), tgt.repartition(7), "doc_id", "text"
+        ).collect()
+    }
+    assert a == b
