@@ -818,16 +818,19 @@ def duplicate_spans(
     spans = toks.select(
         "id", F.posexplode(digests).alias("pos", "fingerprint")
     )
-    dup = (
-        spans.groupBy("fingerprint")
-        .agg(
-            F.count(F.lit(1)).alias("n_copies"),
-            F.min("id").alias("keep_id"),
-        )
+    # ONE shuffle keyed by digest, ONE evaluation of the tokenize+md5
+    # explode: a groupBy + join-back would recompute the span explode for
+    # the probe side (no subtree reuse) and shuffle it twice. The window
+    # aggregates over the whole digest partition (no orderBy -> full
+    # frame), so every span row picks up its corpus-wide count in place.
+    from pyspark.sql import Window
+
+    wf = Window.partitionBy("fingerprint")
+    return (
+        spans.withColumn("n_copies", F.count(F.lit(1)).over(wf))
+        .withColumn("keep_id", F.min("id").over(wf))
         .where(F.col("n_copies") >= min_count)
-    )
-    return spans.join(dup, "fingerprint").select(
-        "id", "pos", "fingerprint", "n_copies", "keep_id"
+        .select("id", "pos", "fingerprint", "n_copies", "keep_id")
     )
 
 
