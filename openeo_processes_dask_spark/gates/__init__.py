@@ -33,6 +33,8 @@ _NEW_R5: list[str] = [
     "boilerplate_removal", "streaming_pii_redact",
     "span_dedup_stats", "span_removal", "dsir_weights", "unicode_clean",
     "corpus_stats", "interval_join", "streaming_cap",
+    "contamination_ratio", "vocabulary", "column_stats",
+    "compact_roundtrip",
 ]
 
 # Most recent driver check = r2 (23 queries — VERDICT r04 #3's list).

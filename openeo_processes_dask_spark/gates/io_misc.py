@@ -456,9 +456,55 @@ def q_load_stac_resampled(spark, sf_dir):
     )
 
 
+def q_column_stats(spark, sf_dir):
+    """ANALYZE-style per-column profile (sources/maintenance.py
+    analyze_table): count / non-null / exact distinct / min / max for
+    four documents columns in ONE aggregate pass, stacked to long format
+    by a literal struct-array explode (no second scan)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.sources.maintenance import analyze_table
+
+    docs = _table(spark, sf_dir, "documents")
+    return analyze_table(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
+def q_compact_roundtrip(spark, sf_dir):
+    """Small-file compaction (sources/maintenance.py compact_parquet):
+    the documents table scattered over 64 tiny files is rewritten near a
+    byte target (Hadoop FS sizes, not row guesses), then re-read and
+    aggregated — compaction must be value-lossless. File-count assertions
+    live in pytest; the gate checks the data."""
+    _setup(spark)
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.sources.maintenance import (
+        compact_parquet,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"compact_gate_{os.path.basename(sf_dir)}"
+    )
+    src, dst = base + "_src", base + "_dst"
+    if not os.path.isdir(src):
+        _table(spark, sf_dir, "documents").repartition(64).write.mode(
+            "overwrite"
+        ).parquet(src)
+    compact_parquet(spark, src, dst, target_file_bytes=4 << 20)
+    back = spark.read.parquet(dst)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 QUERIES = {
     "save_load_roundtrip": q_save_load_roundtrip,
     "zorder_roundtrip": q_zorder_roundtrip,
+    "column_stats": q_column_stats,
+    "compact_roundtrip": q_compact_roundtrip,
     "load_raster_tiles": q_load_raster_tiles,
     "load_raster_nodata": q_load_raster_nodata,
     "load_url_geojson": q_load_url_geojson,
@@ -471,6 +517,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    "column_stats": """
+            SELECT 'doc_id' AS "column", count(*) AS n_rows,
+                   count(doc_id) AS n_nonnull,
+                   count(DISTINCT doc_id) AS n_distinct,
+                   CAST(min(doc_id) AS VARCHAR) AS min_value,
+                   CAST(max(doc_id) AS VARCHAR) AS max_value
+            FROM documents
+            UNION ALL
+            SELECT 'lang', count(*), count(lang), count(DISTINCT lang),
+                   min(lang), max(lang) FROM documents
+            UNION ALL
+            SELECT 'source', count(*), count(source),
+                   count(DISTINCT source), min(source), max(source)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*), count(n_chars),
+                   count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
+                   CAST(max(n_chars) AS VARCHAR)
+            FROM documents
+        """,
+    "compact_roundtrip": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM documents GROUP BY 1
+        """,
     "save_load_roundtrip": f"""
             WITH {_GRID_CTE}
             SELECT x, y, band, round(value, 6) AS value FROM grid

@@ -707,6 +707,40 @@ def q_corpus_stats(spark, sf_dir):
     return corpus_stats(docs, ("source", "lang"), "text")
 
 
+def q_contamination_ratio(spark, sf_dir):
+    """Graded decontamination (training/dedup.py contamination_ratio):
+    fraction of each doc's distinct 5-grams appearing in the eval slice
+    (doc_id % 53 == 0), as integer parts-per-million — bit-stable on any
+    engine. Same broadcast topology as the binary decontaminate gate."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import (
+        contamination_ratio,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 53 == 0)
+    train = docs.where(F.col("doc_id") % 53 != 0)
+    out = contamination_ratio(
+        train, bench, "doc_id", "text", n=5, threshold_ppm=10_000
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "n_shingles", "n_shared",
+        "ratio_ppm", "contaminated",
+    )
+
+
+def q_vocabulary(spark, sf_dir):
+    """Corpus vocabulary top-100 (training/textanalysis.py vocabulary):
+    one vocabulary-sized term aggregate, global top-k compiled to
+    TakeOrderedAndProject (every map task forwards ≤ k rows), rank over
+    the k-sized result only."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.textanalysis import vocabulary
+
+    docs = _table(spark, sf_dir, "documents")
+    return vocabulary(docs, "text", k=100, id_col="doc_id")
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "training_pipeline": q_training_pipeline,
@@ -747,6 +781,8 @@ QUERIES = {
     "dsir_weights": q_dsir_weights,
     "unicode_clean": q_unicode_clean,
     "corpus_stats": q_corpus_stats,
+    "contamination_ratio": q_contamination_ratio,
+    "vocabulary": q_vocabulary,
 }
 
 # Shared SQL fragments for the span-dedup oracles: overlapping 5-token
@@ -1389,6 +1425,45 @@ ORACLES = {
             SELECT doc_id, md5(c) AS text_md5,
                    length(c) AS n_chars_clean
             FROM cleaned
+        """,
+    "contamination_ratio": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(generate_series(1, len(w) - 4),
+                            i -> array_to_string(w[i:i+4], ' '))) AS s
+              FROM toks WHERE len(w) >= 5),
+            bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 53 = 0)
+            SELECT a.doc_id, count(*) AS n_shingles,
+                   CAST(sum(CASE WHEN b.s IS NULL THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_shared,
+                   CAST(floor(sum(CASE WHEN b.s IS NULL THEN 0 ELSE 1 END)
+                              * 1000000.0 / count(*)) AS BIGINT)
+                     AS ratio_ppm,
+                   floor(sum(CASE WHEN b.s IS NULL THEN 0 ELSE 1 END)
+                         * 1000000.0 / count(*)) >= 10000 AS contaminated
+            FROM sh a LEFT JOIN bench b USING (s)
+            WHERE a.doc_id % 53 != 0
+            GROUP BY 1
+        """,
+    "vocabulary": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                       AS term
+              FROM documents WHERE trim(text) != ''),
+            agg AS (
+              SELECT term, count(*) AS n_total,
+                     count(DISTINCT doc_id) AS n_docs
+              FROM toks GROUP BY 1),
+            ranked AS (
+              SELECT row_number() OVER (ORDER BY n_total DESC, term)
+                       AS rank, term, n_total, n_docs
+              FROM agg)
+            SELECT rank, term, n_total, n_docs
+            FROM ranked WHERE rank <= 100
         """,
     "corpus_stats": """
             SELECT source, lang, count(*) AS n_docs,

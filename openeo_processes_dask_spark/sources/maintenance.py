@@ -1,0 +1,109 @@
+"""Table maintenance for long-lived 100 TB datasets: column statistics
+(the ANALYZE pass feeding size estimation and data-quality dashboards)
+and small-file compaction (the classic failure mode of incremental
+ingest — a million 2 MB files turn every scan into driver-side listing
+pain and per-task overhead).
+
+No reference counterpart (the reference computes on in-memory xarray);
+these are the operational companions a Spark deployment needs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def analyze_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-column statistics in ONE aggregate pass over the data:
+    (column, n_rows, n_nonnull, n_distinct, min_value, max_value) with
+    min/max rendered as strings so heterogeneous columns stack into one
+    long-format result.
+
+    ``exact=True`` uses countDistinct — Spark plans the multi-distinct
+    aggregate with an Expand (one duplicated stream per distinct column),
+    acceptable for scheduled ANALYZE jobs. For interactive profiling of a
+    100 TB table pass ``exact=False``: approx_count_distinct (HyperLogLog)
+    keeps it a single non-expanded pass.
+
+    The stack from the single aggregate row to long format is a literal
+    array-of-structs explode — metadata-sized, no second scan.
+    """
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in cols:
+        nd = F.countDistinct(F.col(c)) if exact else F.approx_count_distinct(c)
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            nd.alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n_rows").alias("n_rows"),
+                F.col(f"__nn_{c}").alias("n_nonnull"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_value"),
+                F.col(f"__mx_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("s")).select("s.*")
+
+
+def _fs_file_sizes(spark: SparkSession, path: str) -> list[int]:
+    """Sizes of the data files under ``path`` via the Hadoop FileSystem
+    API — works for any configured scheme (file://, hdfs://, s3a://...),
+    not just the local disk."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    sizes = []
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if not name.startswith(("_", ".")):
+            sizes.append(status.getLen())
+    return sizes
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 << 20,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Rewrite the parquet dataset at ``src`` into ``dst`` with file
+    sizes near ``target_file_bytes``. Returns the output file count.
+
+    The partition count comes from the ACTUAL on-disk byte size (Hadoop
+    FS listing), not a row-count guess — compression ratio is preserved
+    through a rewrite, so bytes-in ≈ bytes-out per row. ``sort_by``
+    optionally re-sorts within output files (repartition + sortWithin-
+    Partitions) so min/max page statistics stay selective after
+    compaction — without it, mixing many small time-ordered files
+    destroys the effective row-group zone maps.
+    """
+    sizes = _fs_file_sizes(spark, src)
+    total = sum(sizes)
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src)
+    if sort_by:
+        out = df.repartition(n).sortWithinPartitions(*sort_by)
+    else:
+        out = df.repartition(n)
+    out.write.mode("overwrite").parquet(dst)
+    return len(_fs_file_sizes(spark, dst))

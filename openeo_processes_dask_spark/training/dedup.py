@@ -947,3 +947,70 @@ def remove_duplicate_spans(
         F.when(F.col("__cuts").isNull() | empty_toks, F.col(text_col))
         .otherwise(rebuilt),
     ).drop("__cuts")
+
+
+def contamination_ratio(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+    threshold_ppm: int = 50_000,
+) -> DataFrame:
+    """Graded decontamination: instead of :func:`decontaminate`'s binary
+    any-shared-shingle flag, score every document by the FRACTION of its
+    distinct word n-grams that appear in the eval set (the PaLM/Llama
+    report style "% contaminated" measure), so a pipeline can drop on a
+    threshold rather than on a single collision.
+
+    Returns one row per document that has >= 1 shingle: (id, n_shingles,
+    n_shared, ratio_ppm, contaminated). ``ratio_ppm`` is the integer
+    parts-per-million floor((n_shared * 1e6) / n_shingles) — integer
+    arithmetic, so the value is bit-identical on any engine; documents
+    shorter than ``n`` tokens have no shingles and are absent (trivially
+    uncontaminated).
+
+    Plan: same broadcast topology as decontaminate (eval digest set
+    broadcasts, corpus side is scan + explode + broadcast LEFT join +
+    one hash aggregate); text never shuffles.
+    """
+    bench_keys = (
+        _spread(benchmark.select(F.col(bench_text_col).alias("__t__")))
+        .select(tokens(F.lower(F.col("__t__"))).alias("toks"))
+        .select(
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("toks"), n))
+            ).alias("sh")
+        )
+        .select(_md5_to_long(F.col("sh")).alias("shk"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    doc_sh = (
+        _spread(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t__"))
+        )
+        .select("id", tokens(F.lower(F.col("__t__"))).alias("toks"))
+        .select(
+            "id",
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("toks"), n))
+            ).alias("sh"),
+        )
+        .select("id", _md5_to_long(F.col("sh")).alias("shk"))
+    )
+    scored = (
+        doc_sh.join(F.broadcast(bench_keys), "shk", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_shared"),
+        )
+    )
+    ratio_ppm = F.floor(
+        (F.col("n_shared") * F.lit(1_000_000)) / F.col("n_shingles")
+    ).cast("bigint")
+    return scored.withColumn("ratio_ppm", ratio_ppm).withColumn(
+        "contaminated", F.col("ratio_ppm") >= F.lit(threshold_ppm)
+    )

@@ -268,3 +268,47 @@ def corpus_stats(
         F.percentile("__chars", F.lit(0.5)).alias("p50_chars"),
         F.percentile("__chars", F.lit(0.9)).alias("p90_chars"),
     )
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 1000,
+    min_count: int = 1,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Corpus vocabulary: global top-``k`` terms by total count with
+    document frequency — the table a tokenizer-training or stopword-
+    mining pass starts from.
+
+    Returns (rank, term, n_total, n_docs), rank 1-based, deterministic
+    ties (count DESC, term ASC).
+
+    Plan: one (term) hash aggregate (partial map-side combine makes the
+    shuffle vocabulary-sized, not token-sized), then a global top-k that
+    compiles to TakeOrderedAndProject — every partition forwards at most
+    k rows, no full sort. The rank projection windows over the already-
+    k-sized result."""
+    from pyspark.sql import Window
+
+    rid = (
+        F.col(id_col) if id_col else F.monotonically_increasing_id()
+    )
+    agg = (
+        df.select(
+            rid.alias("__rid"),
+            tokens(F.lower(F.col(text_col))).alias("toks"),
+        )
+        .select("__rid", F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("__rid").alias("n_docs"),
+        )
+        .where(F.col("n_total") >= min_count)
+    )
+    topk = agg.orderBy(F.col("n_total").desc(), F.col("term")).limit(k)
+    w = Window.orderBy(F.col("n_total").desc(), F.col("term"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "term", "n_total", "n_docs"
+    )

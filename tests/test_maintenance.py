@@ -1,0 +1,103 @@
+"""Table maintenance (ANALYZE stats, small-file compaction) and the
+contamination-ratio / vocabulary corpus ops."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_analyze_table_stats(spark):
+    from openeo_processes_dask_spark.sources.maintenance import analyze_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "a", 30.0), (4, None, 5.0)],
+        ["id", "cat", "v"],
+    )
+    out = {r["column"]: r for r in analyze_table(df).collect()}
+    assert out["id"]["n_rows"] == 4
+    assert out["id"]["n_distinct"] == 4
+    assert out["cat"]["n_nonnull"] == 3
+    assert out["cat"]["n_distinct"] == 2
+    assert out["cat"]["min_value"] == "a" and out["cat"]["max_value"] == "b"
+    assert out["v"]["n_nonnull"] == 3
+    assert out["v"]["min_value"] == "5.0"
+
+
+def test_analyze_table_approx_mode_runs(spark):
+    from openeo_processes_dask_spark.sources.maintenance import analyze_table
+
+    df = spark.range(100).withColumn("k", F.col("id") % 10)
+    out = {r["column"]: r for r in analyze_table(df, exact=False).collect()}
+    # HLL is approximate; for 10 distinct values it is exact in practice
+    assert out["k"]["n_distinct"] == 10
+
+
+def test_compact_parquet_reduces_files_losslessly(spark, tmp_path):
+    from openeo_processes_dask_spark.sources.maintenance import (
+        _fs_file_sizes,
+        compact_parquet,
+    )
+
+    src = os.path.join(str(tmp_path), "src")
+    dst = os.path.join(str(tmp_path), "dst")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.parquet(src)
+    assert len(_fs_file_sizes(spark, src)) == 40
+    n_out = compact_parquet(spark, src, dst, target_file_bytes=64 << 20)
+    assert n_out < 40
+    back = spark.read.parquet(dst)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+
+
+def test_compact_parquet_sorted_files(spark, tmp_path):
+    from openeo_processes_dask_spark.sources.maintenance import compact_parquet
+
+    src = os.path.join(str(tmp_path), "s2")
+    dst = os.path.join(str(tmp_path), "d2")
+    spark.range(1000).repartition(10).write.parquet(src)
+    compact_parquet(spark, src, dst, target_file_bytes=64 << 20,
+                    sort_by=["id"])
+    back = spark.read.parquet(dst).collect()
+    assert sorted(r["id"] for r in back) == list(range(1000))
+
+
+def test_contamination_ratio(spark):
+    from openeo_processes_dask_spark.training.dedup import contamination_ratio
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "one two three four five unique tail a b"),
+            (2, "totally different words nothing shared at all here"),
+            (3, "short"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "one two three four five something else")], ["doc_id", "text"]
+    )
+    out = {
+        r["id"]: r
+        for r in contamination_ratio(
+            corpus, bench, "doc_id", "text", n=5, threshold_ppm=100_000
+        ).collect()
+    }
+    # doc 1: 5 distinct 5-grams, 1 shared -> 200000 ppm, contaminated
+    assert out[1]["n_shingles"] == 5 and out[1]["n_shared"] == 1
+    assert out[1]["ratio_ppm"] == 200_000 and out[1]["contaminated"]
+    assert out[2]["n_shared"] == 0 and not out[2]["contaminated"]
+    assert 3 not in out  # < n tokens: no shingles, absent
+
+
+def test_vocabulary_topk(spark):
+    from openeo_processes_dask_spark.training.textanalysis import vocabulary
+
+    df = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a b d"), (3, "b")], ["doc_id", "text"]
+    )
+    out = vocabulary(df, "text", k=3, id_col="doc_id").collect()
+    got = [(r["rank"], r["term"], r["n_total"], r["n_docs"]) for r in out]
+    assert got == [(1, "a", 3, 2), (2, "b", 3, 3), (3, "c", 1, 1)]
