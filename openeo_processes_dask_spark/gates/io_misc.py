@@ -500,11 +500,59 @@ def q_compact_roundtrip(spark, sf_dir):
     )
 
 
+def q_manifest_timetravel(spark, sf_dir):
+    """Manifest-versioned table (sources/manifest.py): documents as v1,
+    a TARGETED delete of lang='de' (only files holding German rows are
+    rewritten; the rest are re-referenced) as v2, an upsert batch as v3.
+    The gate reads all three versions — time travel must see each
+    snapshot exactly; the untouched-file assertions live in
+    tests/test_manifest.py."""
+    _setup(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from openeo_processes_dask_spark.sources.manifest import (
+        create_table,
+        delete_rows,
+        read_table,
+        upsert_rows,
+    )
+
+    d = os.path.join(
+        tempfile.gettempdir(), f"manifest_gate_{os.path.basename(sf_dir)}"
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    create_table(docs.repartition(8), d)
+    delete_rows(spark, d, F.col("lang") == "de")
+    ups = docs.where(F.col("doc_id") % 100 == 0).withColumn(
+        "n_chars", F.lit(-1).cast("long")
+    )
+    upsert_rows(spark, d, ups, ["doc_id"])
+    out = None
+    for v in (1, 2, 3):
+        snap = (
+            read_table(spark, d, version=v)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+            )
+            .withColumn("version", F.lit(v))
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out.select("version", "lang", "n_docs", "total_chars")
+
+
 QUERIES = {
     "save_load_roundtrip": q_save_load_roundtrip,
     "zorder_roundtrip": q_zorder_roundtrip,
     "column_stats": q_column_stats,
     "compact_roundtrip": q_compact_roundtrip,
+    "manifest_timetravel": q_manifest_timetravel,
     "load_raster_tiles": q_load_raster_tiles,
     "load_raster_nodata": q_load_raster_nodata,
     "load_url_geojson": q_load_url_geojson,
@@ -517,6 +565,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "manifest_timetravel": """
+            WITH v1 AS (
+              SELECT 1 AS version, lang, count(*) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS total_chars
+              FROM documents GROUP BY lang),
+            v2 AS (
+              SELECT 2, lang, count(*),
+                     CAST(sum(n_chars) AS BIGINT)
+              FROM documents WHERE lang != 'de' GROUP BY lang),
+            v3 AS (
+              SELECT 3, lang, count(*),
+                     CAST(sum(CASE WHEN doc_id % 100 = 0 THEN -1
+                              ELSE n_chars END) AS BIGINT)
+              FROM documents WHERE lang != 'de' OR doc_id % 100 = 0
+              GROUP BY lang)
+            SELECT * FROM v1 UNION ALL SELECT * FROM v2
+            UNION ALL SELECT * FROM v3
+        """,
     "column_stats": """
             SELECT 'doc_id' AS "column", count(*) AS n_rows,
                    count(doc_id) AS n_nonnull,

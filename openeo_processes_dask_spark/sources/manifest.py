@@ -1,0 +1,233 @@
+"""Manifest-versioned parquet tables: snapshot isolation, time travel,
+and TARGETED mutation (delete/upsert) for append-mostly 100 TB datasets —
+the Iceberg/Delta core idea reduced to its load-bearing minimum.
+
+Why a manifest: plain ``overwrite`` semantics force a full rewrite for
+any mutation. With a manifest, version N+1 lists the files it contains;
+a delete rewrites ONLY the files that actually hold matching rows and
+re-references every untouched file. A GDPR erasure of one user from a
+100 TB corpus touches a handful of files instead of all of them, and
+every previous version stays readable (time travel) until explicitly
+vacuumed.
+
+Layout::
+
+    table_dir/
+      data/batch-<n>/part-*.parquet     (immutable once written)
+      _manifest/v<n>.json               {"version", "files": [...], "parent"}
+
+All filesystem access goes through the Hadoop FileSystem API, so
+``table_dir`` may be file://, hdfs://, s3a://, ... Single-writer model:
+concurrent writers need an external lock (documented, not implemented —
+the versioned-manifest structure is what this module demonstrates).
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST_DIR = "_manifest"
+_DATA_DIR = "data"
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+
+
+def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    fs, hpath, _ = _fs(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text(spark: SparkSession, path: str) -> str:
+    fs, hpath, jvm = _fs(spark, path)
+    stream = fs.open(hpath)
+    try:
+        return bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        ).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def _list_parquet(spark: SparkSession, path: str) -> list[str]:
+    fs, hpath, _ = _fs(spark, path)
+    it = fs.listFiles(hpath, True)
+    files = []
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            files.append(status.getPath().toString())
+    return sorted(files)
+
+
+def _rel(table_dir: str, full: str) -> str:
+    """Store paths relative to the table root so the table can move."""
+    marker = f"/{_DATA_DIR}/"
+    i = full.rindex(marker)
+    return full[i + 1 :]
+
+
+def _versions(spark: SparkSession, table_dir: str) -> list[int]:
+    fs, hpath, _ = _fs(spark, posixpath.join(table_dir, _MANIFEST_DIR))
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def read_manifest(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> dict:
+    versions = _versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no manifest under {table_dir}")
+    v = version if version is not None else versions[-1]
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    path = posixpath.join(table_dir, _MANIFEST_DIR, f"v{v:05d}.json")
+    return json.loads(_read_text(spark, path))
+
+
+def _commit(
+    spark: SparkSession, table_dir: str, files: list[str], parent: int
+) -> int:
+    v = parent + 1
+    manifest = {"version": v, "parent": parent, "files": sorted(files)}
+    path = posixpath.join(table_dir, _MANIFEST_DIR, f"v{v:05d}.json")
+    _write_text(spark, path, json.dumps(manifest, indent=1))
+    return v
+
+
+def _write_batch(
+    df: DataFrame, table_dir: str, batch_tag: str
+) -> list[str]:
+    dest = posixpath.join(table_dir, _DATA_DIR, f"batch-{batch_tag}")
+    df.write.mode("error").parquet(dest)
+    return [
+        _rel(table_dir, f) for f in _list_parquet(df.sparkSession, dest)
+    ]
+
+
+def create_table(df: DataFrame, table_dir: str) -> int:
+    """Write ``df`` as version 1 of a new manifest table."""
+    spark = df.sparkSession
+    if _versions(spark, table_dir):
+        raise FileExistsError(f"{table_dir} already has a manifest")
+    files = _write_batch(df, table_dir, "00001")
+    return _commit(spark, table_dir, files, parent=0)
+
+
+def read_table(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: exactly the files the chosen manifest lists —
+    concurrent later commits never change what this scan sees."""
+    m = read_manifest(spark, table_dir, version)
+    if not m["files"]:
+        raise ValueError(f"version {m['version']} of {table_dir} is empty")
+    full = [posixpath.join(table_dir, f) for f in m["files"]]
+    return spark.read.parquet(*full)
+
+
+def append_table(df: DataFrame, table_dir: str) -> int:
+    """Append-only commit: new files added, no existing file touched."""
+    spark = df.sparkSession
+    m = read_manifest(spark, table_dir)
+    tag = f"{m['version'] + 1:05d}"
+    files = _write_batch(df, table_dir, tag)
+    return _commit(spark, table_dir, m["files"] + files, m["version"])
+
+
+def delete_rows(
+    spark: SparkSession,
+    table_dir: str,
+    predicate,
+) -> int:
+    """Targeted delete: commit a version without the rows matching
+    ``predicate`` (a Column), rewriting ONLY the files that contain at
+    least one matching row.
+
+    Plan: one scan evaluates the predicate alongside
+    ``_metadata.file_path`` and aggregates the distinct AFFECTED file
+    set (file-count-sized — safe to collect). Untouched files are
+    re-referenced as-is in the new manifest; affected files are re-read,
+    anti-filtered, and written as a new batch. At 100 TB with a
+    selective predicate this is I/O proportional to the affected files,
+    not the table, and parquet min/max pruning on the predicate columns
+    cuts the discovery scan too.
+    """
+    m = read_manifest(spark, table_dir)
+    full = {f: posixpath.join(table_dir, f) for f in m["files"]}
+    scan = spark.read.parquet(*full.values()).select(
+        F.col("_metadata.file_path").alias("__f")
+    ).where(predicate)
+    affected_full = {r["__f"] for r in scan.distinct().collect()}
+    # Hadoop may render the URI differently (file:/ vs file:///) — match
+    # on the stable table-relative suffix
+    affected = {
+        f for f, fl in full.items()
+        if any(af.endswith(f) for af in affected_full)
+    }
+    if not affected:
+        return _commit(spark, table_dir, m["files"], m["version"])
+    kept_rows = (
+        spark.read.parquet(*[full[f] for f in affected])
+        .where(~predicate)
+    )
+    tag = f"{m['version'] + 1:05d}"
+    new_files = _write_batch(kept_rows, table_dir, tag)
+    survivors = [f for f in m["files"] if f not in affected]
+    return _commit(spark, table_dir, survivors + new_files, m["version"])
+
+
+def upsert_rows(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """Merge-into: rows whose key matches an update are replaced, new
+    keys are inserted — as ONE commit. The delete half is targeted (only
+    files containing a matching key are rewritten); the insert half is a
+    plain append batch. The update key set is evaluated via a semi-join
+    (broadcast when small), never collected."""
+    m = read_manifest(spark, table_dir)
+    full = {f: posixpath.join(table_dir, f) for f in m["files"]}
+    keys = updates.select(*key_cols).distinct()
+    scan = (
+        spark.read.parquet(*full.values())
+        .select(*key_cols, F.col("_metadata.file_path").alias("__f"))
+        .join(keys, key_cols, "left_semi")
+    )
+    affected_full = {r["__f"] for r in scan.select("__f").distinct().collect()}
+    affected = {
+        f for f, fl in full.items()
+        if any(af.endswith(f) for af in affected_full)
+    }
+    tag = f"{m['version'] + 1:05d}"
+    if affected:
+        kept = spark.read.parquet(*[full[f] for f in affected]).join(
+            keys, key_cols, "left_anti"
+        )
+        batch = kept.unionByName(updates)
+    else:
+        batch = updates
+    new_files = _write_batch(batch, table_dir, tag)
+    survivors = [f for f in m["files"] if f not in affected]
+    return _commit(spark, table_dir, survivors + new_files, m["version"])

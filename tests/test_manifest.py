@@ -1,0 +1,88 @@
+"""Manifest-versioned tables: time travel, targeted delete, upsert."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_spark.sources.manifest import (
+    append_table,
+    create_table,
+    delete_rows,
+    read_manifest,
+    read_table,
+    upsert_rows,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    d = os.path.join(str(tmp_path), "tbl")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 10).alias("grp"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    v = create_table(df.repartition(8), d)
+    assert v == 1
+    return d
+
+
+def test_create_and_read(spark, table):
+    df = read_table(spark, table)
+    assert df.count() == 100
+    assert read_manifest(spark, table)["version"] == 1
+
+
+def test_append_then_time_travel(spark, table):
+    extra = spark.range(100, 120).select(
+        F.col("id"), (F.col("id") % 10).alias("grp"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    v2 = append_table(extra, table)
+    assert v2 == 2
+    assert read_table(spark, table, version=1).count() == 100
+    assert read_table(spark, table).count() == 120
+
+
+def test_targeted_delete_rewrites_only_affected_files(spark, table):
+    m1 = read_manifest(spark, table)
+    # delete one specific id: it lives in exactly one of the 8 files
+    v2 = delete_rows(spark, table, F.col("id") == 7)
+    m2 = read_manifest(spark, table)
+    assert v2 == 2
+    survivors = set(m1["files"]) & set(m2["files"])
+    assert len(survivors) == len(m1["files"]) - 1, (
+        "exactly one file should be rewritten"
+    )
+    df = read_table(spark, table)
+    assert df.count() == 99
+    assert df.where(F.col("id") == 7).count() == 0
+    # time travel still sees the deleted row
+    assert read_table(spark, table, version=1).where(
+        F.col("id") == 7
+    ).count() == 1
+
+
+def test_delete_no_match_is_metadata_only(spark, table):
+    m1 = read_manifest(spark, table)
+    v2 = delete_rows(spark, table, F.col("id") == 10_000)
+    m2 = read_manifest(spark, table)
+    assert v2 == 2 and m2["files"] == m1["files"]
+
+
+def test_upsert_replaces_and_inserts(spark, table):
+    updates = spark.createDataFrame(
+        [(5, 5, 999.0), (200, 0, 111.0)], ["id", "grp", "v"]
+    ).select("id", "grp", F.col("v").cast("double"))
+    v2 = upsert_rows(spark, table, updates, ["id"])
+    assert v2 == 2
+    df = read_table(spark, table)
+    assert df.count() == 101
+    assert df.where(F.col("id") == 5).first()["v"] == 999.0
+    assert df.where(F.col("id") == 200).first()["v"] == 111.0
+    # old version untouched
+    assert read_table(spark, table, version=1).where(
+        F.col("id") == 5
+    ).first()["v"] == 10.0
