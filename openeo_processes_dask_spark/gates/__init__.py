@@ -34,7 +34,7 @@ _NEW_R5: list[str] = [
     "span_dedup_stats", "span_removal", "dsir_weights", "unicode_clean",
     "corpus_stats", "interval_join", "streaming_cap",
     "contamination_ratio", "vocabulary", "column_stats",
-    "compact_roundtrip", "manifest_timetravel",
+    "compact_roundtrip", "manifest_timetravel", "streaming_sink",
 ]
 
 # Most recent driver check = r2 (23 queries — VERDICT r04 #3's list).

@@ -301,6 +301,47 @@ def q_streaming_cap(spark, sf_dir):
     return spark.table(name).select("user_id", "event_id", "rank")
 
 
+def q_streaming_sink(spark, sf_dir):
+    """Durable streaming ETL (streaming/events.py run_stream_to_parquet):
+    stream the events fixture through a stateless transform into a
+    checkpointed parquet sink, then read the sink back. Exactly-once:
+    re-running the gate over the already-drained source appends nothing
+    (checkpoint + _spark_metadata), so the aggregate stays equal to the
+    batch oracle on every run."""
+    _setup(spark)
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.streaming.events import (
+        run_stream_to_parquet,
+        stream_events,
+    )
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream1_{os.path.basename(sf_dir)}"
+    )
+    if not os.path.isdir(stream_dir):
+        _table(spark, sf_dir, "events").orderBy("ts").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stream_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), f"sink_gate_{os.path.basename(sf_dir)}"
+    )
+    out_dir, ckpt = base + "_out", base + "_ckpt"
+    stream = stream_events(spark, stream_dir, max_files_per_trigger=None)
+    shaped = stream.where(F.col("value") > 100).select(
+        "user_id", "band", F.date_trunc("day", F.col("t")).alias("day"),
+        "value",
+    )
+    q = run_stream_to_parquet(shaped, out_dir, ckpt)
+    q.awaitTermination(300)
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("band", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+    )
+
+
 QUERIES = {
     "streaming_daily_sum": q_streaming_daily_sum,
     "streaming_dedup": q_streaming_dedup,
@@ -309,9 +350,17 @@ QUERIES = {
     "streaming_dedup_static": q_streaming_dedup_static,
     "streaming_pii_redact": q_streaming_pii_redact,
     "streaming_cap": q_streaming_cap,
+    "streaming_sink": q_streaming_sink,
 }
 
 ORACLES = {
+    "streaming_sink": """
+            SELECT event_type AS band,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   count(*) AS n, round(sum(value), 6) AS value_sum
+            FROM events WHERE value > 100
+            GROUP BY 1, 2
+        """,
     "streaming_cap": """
             SELECT user_id, event_id, rank FROM (
               SELECT user_id, event_id,

@@ -231,3 +231,72 @@ def upsert_rows(
     new_files = _write_batch(batch, table_dir, tag)
     survivors = [f for f in m["files"] if f not in affected]
     return _commit(spark, table_dir, survivors + new_files, m["version"])
+
+
+def vacuum(
+    spark: SparkSession,
+    table_dir: str,
+    keep_versions: int = 1,
+) -> list[str]:
+    """Delete data files referenced ONLY by manifests older than the
+    newest ``keep_versions`` versions, then drop those manifests. Returns
+    the deleted file list (table-relative). Time travel keeps working for
+    the retained versions; this is the storage-reclaim half of the
+    targeted-mutation story (rewritten files stay on disk until
+    vacuumed)."""
+    versions = _versions(spark, table_dir)
+    if len(versions) <= keep_versions:
+        return []
+    keep, drop = versions[-keep_versions:], versions[:-keep_versions]
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(read_manifest(spark, table_dir, v)["files"])
+    doomed: set[str] = set()
+    for v in drop:
+        doomed.update(
+            f
+            for f in read_manifest(spark, table_dir, v)["files"]
+            if f not in referenced
+        )
+    jvm = spark._jvm
+    for f in sorted(doomed):
+        fs, hpath, _ = _fs(spark, posixpath.join(table_dir, f))
+        fs.delete(hpath, False)
+    for v in drop:
+        path = posixpath.join(table_dir, _MANIFEST_DIR, f"v{v:05d}.json")
+        fs, hpath, _ = _fs(spark, path)
+        fs.delete(hpath, False)
+    return sorted(doomed)
+
+
+def compact_table(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 << 20,
+    small_file_bytes: int | None = None,
+) -> int:
+    """Compaction as a manifest commit: coalesce the CURRENT version's
+    small files into target-sized ones and commit the result as a new
+    version — old versions stay readable, large files are re-referenced
+    untouched. ``small_file_bytes`` (default: half the target) is the
+    threshold below which a file is considered compaction-worthy."""
+    import math
+
+    small = small_file_bytes or target_file_bytes // 2
+    m = read_manifest(spark, table_dir)
+    sized = []
+    for f in m["files"]:
+        fs, hpath, _ = _fs(spark, posixpath.join(table_dir, f))
+        sized.append((f, fs.getFileStatus(hpath).getLen()))
+    smalls = [f for f, sz in sized if sz < small]
+    bigs = [f for f, sz in sized if sz >= small]
+    if len(smalls) <= 1:
+        return m["version"]
+    total = sum(sz for f, sz in sized if f in set(smalls))
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(
+        *[posixpath.join(table_dir, f) for f in smalls]
+    ).repartition(n)
+    tag = f"{m['version'] + 1:05d}"
+    new_files = _write_batch(df, table_dir, tag)
+    return _commit(spark, table_dir, bigs + new_files, m["version"])

@@ -152,3 +152,24 @@ def stream_dedup_against(
     keys = list(key_cols)
     seen_keys = seen.select(*keys).distinct()
     return stream.join(seen_keys, keys, "left_anti")
+
+
+def run_stream_to_parquet(
+    out: DataFrame, path: str, checkpoint: str
+) -> "StreamingQuery":
+    """Drain the stream into a parquet directory sink with EXACTLY-ONCE
+    file semantics: the checkpoint records which source files each batch
+    consumed and the sink's ``_spark_metadata`` log records which output
+    files each batch committed, so a crash-and-restart (or a re-run over
+    an already-drained source) appends nothing twice. This is the
+    durable end of a streaming ETL — memory sinks are for tests, parquet
+    sinks are what a 100 TB ingest actually writes. Append mode only
+    (file sinks cannot retract)."""
+    return (
+        out.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -86,3 +86,36 @@ def test_upsert_replaces_and_inserts(spark, table):
     assert read_table(spark, table, version=1).where(
         F.col("id") == 5
     ).first()["v"] == 10.0
+
+
+def test_vacuum_reclaims_old_files(spark, table):
+    from openeo_processes_dask_spark.sources.manifest import vacuum
+
+    delete_rows(spark, table, F.col("grp") == 3)
+    deleted = vacuum(spark, table, keep_versions=1)
+    # v1's rewritten files are gone; v2 still reads fine
+    assert deleted, "old files should be reclaimed"
+    assert read_table(spark, table).count() == 90
+    with pytest.raises((FileNotFoundError, ValueError)):
+        read_table(spark, table, version=1)
+
+
+def test_vacuum_noop_when_all_kept(spark, table):
+    from openeo_processes_dask_spark.sources.manifest import vacuum
+
+    assert vacuum(spark, table, keep_versions=5) == []
+    assert read_table(spark, table).count() == 100
+
+
+def test_compact_table_commits_new_version(spark, table):
+    from openeo_processes_dask_spark.sources.manifest import compact_table
+
+    m1 = read_manifest(spark, table)
+    assert len(m1["files"]) == 8
+    v2 = compact_table(spark, table, target_file_bytes=64 << 20)
+    assert v2 == 2
+    m2 = read_manifest(spark, table)
+    assert len(m2["files"]) < len(m1["files"])
+    assert read_table(spark, table).count() == 100
+    # time travel to the pre-compaction layout still works
+    assert read_table(spark, table, version=1).count() == 100
