@@ -123,6 +123,19 @@ def main() -> None:
         )
         spark.catalog.clearCache()
 
+    # round-5 additions tracked OUTSIDE the headline total (so `value`
+    # stays comparable with the r1-seeded BASELINE), min-of-2
+    extras: dict[str, float] = {}
+    for name in ("span_dedup_stats", "dsir_weights", "interval_join"):
+        fn = qs[name]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        extras[name] = round(best, 3)
+        spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -132,6 +145,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "streaming": streaming,
+                "extras": extras,
                 "calibration_sec": calibration,
                 "sf": sf,
             }

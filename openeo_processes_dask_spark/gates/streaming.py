@@ -342,6 +342,61 @@ def q_streaming_sink(spark, sf_dir):
     )
 
 
+def q_streaming_session_window(spark, sf_dir):
+    """Built-in session windows (F.session_window + state store) — the
+    let-Catalyst-do-it twin of the custom applyInPandasWithState
+    sessionizer (streaming_sessions gate): same gap semantics, JVM state
+    store instead of Python state. Spark's session end = last event +
+    gap (half-open window), and append mode emits a session once the
+    GLOBAL watermark (max event time - delay) passes its end; the oracle
+    replays both rules in SQL."""
+    _setup(spark)
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_events,
+    )
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_sessions_{os.path.basename(sf_dir)}"
+    )
+    if not os.path.isdir(stream_dir):
+        (
+            _table(spark, sf_dir, "events")
+            .select("event_id", "ts", "user_id", "event_type", "value", "props")
+            .repartition(1)
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(stream_dir)
+        )
+    stream = stream_events(spark, stream_dir, max_files_per_trigger=None)
+    sessions = (
+        stream.withWatermark("t", "1 hour")
+        .groupBy(
+            F.session_window(F.col("t"), "1 day").alias("__w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 6).alias(
+                "value_sum"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("__w.start").alias("session_start"),
+            F.col("__w.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+    name = f"q_swin_{abs(hash(sf_dir)) % 10_000}"
+    q = run_stream_to_memory(sessions, name, output_mode="append")
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 QUERIES = {
     "streaming_daily_sum": q_streaming_daily_sum,
     "streaming_dedup": q_streaming_dedup,
@@ -351,9 +406,35 @@ QUERIES = {
     "streaming_pii_redact": q_streaming_pii_redact,
     "streaming_cap": q_streaming_cap,
     "streaming_sink": q_streaming_sink,
+    "streaming_session_window": q_streaming_session_window,
 }
 
 ORACLES = {
+    "streaming_session_window": """
+            WITH ev AS (
+              SELECT user_id, make_timestamp(epoch_us(ts)) AS t,
+                     coalesce(value, 0) AS v
+              FROM events),
+            wm AS (SELECT max(t) - INTERVAL 1 HOUR AS w FROM ev),
+            lagd AS (
+              SELECT user_id, t, v,
+                     CASE WHEN lag(t) OVER w IS NULL
+                               OR epoch_us(t) - epoch_us(lag(t) OVER w)
+                                  >= 86400000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+            sess AS (
+              SELECT user_id, t, v,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY t) AS sid
+              FROM lagd),
+            agg AS (
+              SELECT user_id, min(t) AS session_start,
+                     max(t) + INTERVAL 1 DAY AS session_end,
+                     count(*) AS n_events, round(sum(v), 6) AS value_sum
+              FROM sess GROUP BY user_id, sid)
+            SELECT user_id, session_start, session_end, n_events, value_sum
+            FROM agg, wm WHERE epoch_us(session_end) <= epoch_us(wm.w)
+        """,
     "streaming_sink": """
             SELECT event_type AS band,
                    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

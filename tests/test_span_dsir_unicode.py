@@ -302,3 +302,44 @@ def test_dsir_weights_partitioning_invariant(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_plan_shapes_of_r5_operators(spark):
+    """Physical-plan contracts for the round-5 operators: the interval
+    join must NOT fall back to a nested loop, vocabulary's global top-k
+    must compile to TakeOrderedAndProject, and contamination's eval
+    digest set must broadcast."""
+    from openeo_processes_dask_spark.operators.interval import interval_join
+    from openeo_processes_dask_spark.training.dedup import contamination_ratio
+    from openeo_processes_dask_spark.training.textanalysis import vocabulary
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], ["event_id", "s"]
+    ).select("event_id", F.col("s").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-01 01:00:00")],
+        ["interval_id", "a", "b"],
+    ).select(
+        "interval_id",
+        F.col("a").cast("timestamp").alias("start"),
+        F.col("b").cast("timestamp").alias("end"),
+    )
+    plan = (
+        interval_join(ev, iv, "ts", "start", "end")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    docs = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    plan = (
+        vocabulary(docs, "text", k=5, id_col="doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+    plan = (
+        contamination_ratio(docs, docs, "doc_id", "text", n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
