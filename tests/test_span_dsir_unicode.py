@@ -343,3 +343,36 @@ def test_plan_shapes_of_r5_operators(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_bucket_cap_star_pattern(spark):
+    """max_bucket_size: oversized LSH buckets emit star pairs (linear)
+    instead of all-pairs (quadratic), and connected components over the
+    capped pairs equal the uncapped ones on a duplicate family."""
+    from openeo_processes_dask_spark.training.dedup import (
+        connected_components,
+        minhash_near_duplicates,
+    )
+
+    fam = "the same long boilerplate passage repeated across many docs"
+    docs = spark.createDataFrame(
+        [(i, f"{fam} v{i}") for i in range(12)]
+        + [(100, "a completely different document with its own words")],
+        ["doc_id", "text"],
+    )
+    uncapped = minhash_near_duplicates(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.2
+    )
+    capped = minhash_near_duplicates(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.2,
+        max_bucket_size=4,
+    )
+    n_un, n_cap = uncapped.count(), capped.count()
+    assert n_cap < n_un  # 12-member family: 66 all-pairs vs 11 star pairs
+    cc_u = sorted(
+        (r["id"], r["comp"]) for r in connected_components(uncapped).collect()
+    )
+    cc_c = sorted(
+        (r["id"], r["comp"]) for r in connected_components(capped).collect()
+    )
+    assert cc_u == cc_c
