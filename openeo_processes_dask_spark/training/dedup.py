@@ -382,6 +382,27 @@ def minhash_signatures(
     )
 
 
+def _bucket_cap(banded: DataFrame, key_cols: list[str], cap: int):
+    """Skew guard shared by the banded LSH lanes: split a banded relation
+    into (rows in buckets <= cap, star pairs for oversized buckets). The
+    star pattern — bucket-min id paired with every other member — keeps
+    oversized buckets LINEAR instead of quadratic, and is lossless for a
+    connected-components consumer (the family stays one component)."""
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy(*key_cols)
+    sized = banded.withColumn("__n", F.count(F.lit(1)).over(wb)).withColumn(
+        "__m", F.min("id").over(wb)
+    )
+    star = (
+        sized.where((F.col("__n") > cap) & (F.col("id") != F.col("__m")))
+        .select(F.col("__m").alias("id1"), F.col("id").alias("id2"))
+        .distinct()
+    )
+    small = sized.where(F.col("__n") <= cap).drop("__n", "__m")
+    return small, star
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     bands: int = 16,
@@ -432,21 +453,8 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        wb = Window.partitionBy("band", "bucket")
-        sized = banded.withColumn("__n", F.count(F.lit(1)).over(wb)).withColumn(
-            "__m", F.min("id").over(wb)
-        )
-        big_pairs = (
-            sized.where(
-                (F.col("__n") > max_bucket_size) & (F.col("id") != F.col("__m"))
-            )
-            .select(F.col("__m").alias("id1"), F.col("id").alias("id2"))
-            .distinct()
-        )
-        banded = sized.where(F.col("__n") <= max_bucket_size).select(
-            "id", "band", "bucket"
+        banded, big_pairs = _bucket_cap(
+            banded, ["band", "bucket"], max_bucket_size
         )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
@@ -764,10 +772,16 @@ def simhash_near_duplicates(
     text_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate pairs via banded 16-bit chunks of the 64-bit signature
     (pigeonhole: hamming ≤ 3 ⇒ some band of 4 is identical), verified with
-    an exact popcount. Returns (id1, id2, hamming)."""
+    an exact popcount. Returns (id1, id2, hamming).
+
+    ``max_bucket_size``: same dup-family skew guard as the MinHash lane
+    (see minhash_lsh_candidates) — oversized chunk buckets emit star
+    pairs instead of all-pairs; star pairs are hamming-verified through a
+    signature join like any other candidate."""
     # persist: both sides of the banded self-join read the signatures
     sigs = simhash_signatures(df, id_col, text_col).persist()
     band_bits = 64 // bands
@@ -791,10 +805,13 @@ def simhash_near_duplicates(
             )
         ).alias("bb"),
     ).select("id", "simhash", F.col("bb.band"), F.col("bb.chunk"))
+    star = None
+    if max_bucket_size is not None:
+        banded, star = _bucket_cap(banded, ["band", "chunk"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     hamming = F.bit_count(xor)
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -809,6 +826,22 @@ def simhash_near_duplicates(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+    if star is not None:
+        s1 = sigs.select(F.col("id").alias("id1"), F.col("simhash").alias("h1"))
+        s2 = sigs.select(F.col("id").alias("id2"), F.col("simhash").alias("h2"))
+        star_pairs = (
+            star.join(s1, "id1")
+            .join(s2, "id2")
+            .select(
+                "id1", "id2",
+                F.bit_count(
+                    F.col("h1").bitwiseXOR(F.col("h2"))
+                ).alias("hamming"),
+            )
+            .where(F.col("hamming") <= max_hamming)
+        )
+        pairs = pairs.unionByName(star_pairs).distinct()
+    return pairs
 
 
 # ---------------------------------------------------------------------------

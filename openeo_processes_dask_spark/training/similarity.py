@@ -112,6 +112,7 @@ def pairwise_cosine_above(
     n_planes: int = 16,
     n_bands: int = 8,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: BANDED sign-LSH equi-join (the
     shuffle is keyed by (band, bucket), never all-pairs), exact cosine
@@ -143,6 +144,21 @@ def pairwise_cosine_above(
         F.col(vec_col).alias("v"),
         F.posexplode(bands).alias("band", "bucket"),
     )
+    star = None
+    if max_bucket_size is not None:
+        # dup-family skew guard (same star pattern as the MinHash/SimHash
+        # text lanes, training/dedup.py _bucket_cap): mass-duplicated
+        # embeddings put hundreds of ids in one bucket, and all-pairs is
+        # quadratic there; bucket-min star pairs are linear and lossless
+        # for the clustering consumer. Star pairs are cosine-verified via
+        # a vector join like any other candidate.
+        from openeo_processes_dask_spark.training.dedup import _bucket_cap
+
+        tagged, star = _bucket_cap(
+            tagged.select("id", "v", "band", "bucket"),
+            ["band", "bucket"],
+            max_bucket_size,
+        )
     a, b = tagged.alias("a"), tagged.alias("b")
     # a pair colliding in several bands must verify once, not once per band
     cands = (
@@ -160,6 +176,20 @@ def pairwise_cosine_above(
         )
         .dropDuplicates(["id1", "id2"])
     )
+    if star is not None:
+        vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        star_cands = (
+            star.join(
+                vecs.select(F.col("id").alias("id1"), F.col("v").alias("v1")),
+                "id1",
+            )
+            .join(
+                vecs.select(F.col("id").alias("id2"), F.col("v").alias("v2")),
+                "id2",
+            )
+            .select("id1", "id2", "v1", "v2")
+        )
+        cands = cands.unionByName(star_cands).dropDuplicates(["id1", "id2"])
     dot = F.aggregate(
         F.zip_with(
             F.col("v1").cast("array<double>"),

@@ -376,3 +376,42 @@ def test_minhash_bucket_cap_star_pattern(spark):
         (r["id"], r["comp"]) for r in connected_components(capped).collect()
     )
     assert cc_u == cc_c
+
+
+def test_simhash_and_embedding_bucket_caps(spark):
+    """The SimHash and sign-LSH embedding lanes accept the same skew cap;
+    capped results stay hamming/cosine-verified and cluster-equivalent."""
+    from openeo_processes_dask_spark.training.dedup import (
+        connected_components,
+        simhash_near_duplicates,
+    )
+    from openeo_processes_dask_spark.training.similarity import (
+        pairwise_cosine_above,
+    )
+
+    fam = "the same long boilerplate passage repeated across many docs"
+    docs = spark.createDataFrame(
+        [(i, f"{fam} v{i}") for i in range(10)]
+        + [(100, "a completely different document with its own words")],
+        ["doc_id", "text"],
+    )
+    un = simhash_near_duplicates(docs, "doc_id", "text", max_hamming=6)
+    cap = simhash_near_duplicates(
+        docs, "doc_id", "text", max_hamming=6, max_bucket_size=3
+    )
+    assert cap.count() < un.count()
+    cc_u = sorted((r["id"], r["comp"]) for r in connected_components(un).collect())
+    cc_c = sorted((r["id"], r["comp"]) for r in connected_components(cap).collect())
+    assert cc_u == cc_c
+
+    vecs = spark.createDataFrame(
+        [(i, [1.0, 0.01 * i, 0.5]) for i in range(8)]
+        + [(50, [-1.0, 0.3, -0.9])],
+        ["vec_id", "embedding"],
+    )
+    un_v = pairwise_cosine_above(vecs, threshold=0.99)
+    cap_v = pairwise_cosine_above(vecs, threshold=0.99, max_bucket_size=3)
+    assert cap_v.count() < un_v.count()
+    cc_u = sorted((r["id"], r["comp"]) for r in connected_components(un_v).collect())
+    cc_c = sorted((r["id"], r["comp"]) for r in connected_components(cap_v).collect())
+    assert cc_u == cc_c
