@@ -35,7 +35,7 @@ _NEW_R5: list[str] = [
     "corpus_stats", "interval_join", "streaming_cap",
     "contamination_ratio", "vocabulary", "column_stats",
     "compact_roundtrip", "manifest_timetravel", "streaming_sink",
-    "streaming_session_window",
+    "streaming_session_window", "streaming_upsert",
 ]
 
 # Most recent driver check = r2 (23 queries — VERDICT r04 #3's list).

@@ -397,6 +397,69 @@ def q_streaming_session_window(spark, sf_dir):
     return spark.table(name)
 
 
+def q_streaming_upsert(spark, sf_dir):
+    """Streaming merge-into (streaming/events.py
+    run_stream_upsert_manifest): two micro-batches (events split by
+    calendar half, distinct mod-times pin batch order) each become one
+    manifest upsert commit keyed by (user_id, band, day). Key ranges are
+    disjoint across the halves, so the final table equals the global
+    per-key max regardless of batch order, and the manifest must be at
+    version 2."""
+    _setup(spark)
+    import os
+    import shutil
+    import tempfile
+    import time as _t
+
+    from openeo_processes_dask_spark.sources.manifest import read_manifest
+    from openeo_processes_dask_spark.streaming.events import (
+        run_stream_upsert_manifest,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"supsert_gate_{os.path.basename(sf_dir)}"
+    )
+    src, tbl, ckpt = base + "_src", base + "_tbl", base + "_ckpt"
+    shutil.rmtree(tbl, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    if not os.path.isdir(src):
+        ev = _table(spark, sf_dir, "events")
+        ev.where(F.dayofmonth("ts") < 16).coalesce(1).write.parquet(src)
+        _t.sleep(1.1)
+        ev.where(F.dayofmonth("ts") >= 16).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    from openeo_processes_dask_spark.streaming.events import EVENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(
+            "user_id",
+            F.col("event_type").alias("band"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "value",
+        )
+    )
+    q = run_stream_upsert_manifest(
+        stream, tbl, ["user_id", "band", "day"], ckpt
+    )
+    q.awaitTermination(300)
+    from openeo_processes_dask_spark.sources.manifest import read_table
+
+    version = read_manifest(spark, tbl)["version"]
+    return (
+        read_table(spark, tbl)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+        .withColumn("version", F.lit(version).cast("int"))
+    )
+
+
 QUERIES = {
     "streaming_daily_sum": q_streaming_daily_sum,
     "streaming_dedup": q_streaming_dedup,
@@ -407,9 +470,20 @@ QUERIES = {
     "streaming_cap": q_streaming_cap,
     "streaming_sink": q_streaming_sink,
     "streaming_session_window": q_streaming_session_window,
+    "streaming_upsert": q_streaming_upsert,
 }
 
 ORACLES = {
+    "streaming_upsert": """
+            WITH one AS (
+              SELECT user_id, event_type AS band,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     max(value) AS v
+              FROM events GROUP BY 1, 2, 3)
+            SELECT band, count(*) AS n_keys,
+                   round(sum(v), 6) AS value_sum, 2 AS version
+            FROM one GROUP BY 1
+        """,
     "streaming_session_window": """
             WITH ev AS (
               SELECT user_id, make_timestamp(epoch_us(ts)) AS t,

