@@ -21,12 +21,13 @@ from . import core, extended, io_misc, parity, streaming, training
 _LANES = (core, training, parity, streaming, io_misc, extended)
 
 # Round-5 window (per VERDICT.md r4 "Next round" #3): flagship first, then
-# the three new round-5 queries (never driver-verified by construction),
-# then the 23 queries whose most recent driver check is r2 — the least
-# recently verified of the whole registry (CORRECTNESS_r01..r04 union) —
-# then the r3-green set, then the r4-green tail. The first 27 + 23 of the
-# r3 list fill the 50-slot driver window; every remaining query is at most
-# two rounds stale and rotates forward in r6.
+# the 25 new round-5 queries (never driver-verified by construction), then
+# the 23 queries whose most recent driver check is r2 — the least recently
+# verified of the whole registry (CORRECTNESS_r01..r04 union). 1 + 25 + 23
+# = 49 fills the 50-slot driver window with one r3 entry; the r3/r4 tails
+# rotate forward in r6. NOTE: the window is exactly full — adding another
+# r5 gate would push a stale query out, so further r5 additions are
+# pytest/check_oracle-verified only.
 _NEW_R5: list[str] = [
     "load_stac_properties", "load_raster_nodata", "load_stac_resampled",
     "pii_redact", "c4_clean", "bigram_nll", "domain_stats",

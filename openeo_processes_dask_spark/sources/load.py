@@ -849,3 +849,92 @@ def load_bucketed_cube(
     return DataCube(
         spark.table(table), dims=dims, value_col=value_col, **cube_kwargs
     )
+
+
+def save_cube_time_partitioned(
+    data: DataCube,
+    path: str,
+    granularity: str = "month",
+    time_dim: str | None = None,
+) -> str:
+    """Sink for the time-pruned layout: Hive-partition the cube by a
+    calendar bucket of its temporal dim so ``filter_temporal`` compiles
+    to PARTITION pruning (whole directories skipped at planning time),
+    not just row-group stat pruning.
+
+    At 100 TB a year of satellite data partitioned monthly means a
+    2-month temporal filter lists 2/12 of the directories and reads none
+    of the rest — directory-level pruning is the only pruning that also
+    skips FILE LISTING cost, which dominates on object stores. The
+    partition column is a derived ``__part`` string (yyyy-MM / yyyy-MM-dd
+    / yyyy); the temporal column itself stays in the data files so values
+    roundtrip exactly. ``test_time_partitioned_pruning`` asserts the
+    PartitionFilters entry in the scan."""
+    fmt = {"day": "yyyy-MM-dd", "month": "yyyy-MM", "year": "yyyy"}
+    if granularity not in fmt:
+        raise ValueError(
+            f"granularity must be one of {sorted(fmt)}, got {granularity!r}"
+        )
+    tdims = data.meta.temporal_dims
+    td = time_dim or (tdims[0] if tdims else None)
+    if td is None:
+        raise ValueError("cube has no temporal dim to partition by")
+    (
+        data.df.withColumn(
+            "__part", F.date_format(F.col(td), fmt[granularity])
+        )
+        .write.mode("overwrite")
+        .partitionBy("__part")
+        .parquet(path)
+    )
+    return path
+
+
+def load_time_partitioned_cube(
+    spark: SparkSession,
+    path: str,
+    dims: tuple[str, ...],
+    value_col: str = "value",
+    start: str | None = None,
+    end: str | None = None,
+    time_dim: str = "t",
+    **cube_kwargs,
+) -> DataCube:
+    """Read a save_cube_time_partitioned dataset back as a DataCube.
+
+    ``start``/``end`` (ISO strings, [start, end) like filter_temporal)
+    are applied to BOTH the ``__part`` partition column (string-prefix
+    comparison — yyyy[-MM[-dd]] sorts lexicographically, so the calendar
+    range maps to a string range over any granularity) and the temporal
+    column itself: the former becomes directory-level PartitionFilters
+    (unmatched partitions are never listed), the latter trims the
+    boundary partitions row-exactly. Without start/end the whole dataset
+    loads and later temporal filters prune via row-group stats only —
+    pass the range HERE to get directory pruning."""
+    df = spark.read.parquet(path)
+    # partition labels are the bound TRUNCATED to the partition
+    # granularity (yyyy[-MM[-dd]] prefixes sort lexicographically), so
+    # the comparison must truncate the bound to the label's own length —
+    # '2024-01' >= '2024-01-15' is false as strings, but the January
+    # partition must be read for a Jan-15 start. length(__part) is a
+    # function of the partition value only, so the predicate still
+    # resolves at planning time as a PartitionFilter.
+    if start is not None:
+        df = df.where(
+            F.col("__part")
+            >= F.substring(F.lit(str(start)), 1, 10).substr(
+                F.lit(1), F.length("__part")
+            )
+        ).where(F.col(time_dim) >= F.lit(start).cast("timestamp"))
+    if end is not None:
+        # inclusive bound on the truncated label: the boundary partition
+        # is read, the row predicate trims it exactly ([start, end) rows)
+        df = df.where(
+            F.col("__part")
+            <= F.substring(F.lit(str(end)), 1, 10).substr(
+                F.lit(1), F.length("__part")
+            )
+        ).where(F.col(time_dim) < F.lit(end).cast("timestamp"))
+    return DataCube(
+        df.drop("__part"), dims=dims, value_col=value_col, **cube_kwargs
+    )

@@ -101,3 +101,80 @@ def test_vocabulary_topk(spark):
     out = vocabulary(df, "text", k=3, id_col="doc_id").collect()
     got = [(r["rank"], r["term"], r["n_total"], r["n_docs"]) for r in out]
     assert got == [(1, "a", 3, 2), (2, "b", 3, 3), (3, "c", 1, 1)]
+
+
+def _scan_partition_counts(df):
+    """Execute df and return numPartitions per FileSourceScan node."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+
+    def walk(node):
+        out = []
+        if "FileSourceScan" in node.getClass().getSimpleName():
+            m, it = {}, node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                m[kv._1()] = kv._2().value()
+            out.append(m.get("numPartitions"))
+        ch = node.children().iterator()
+        while ch.hasNext():
+            out += walk(ch.next())
+        return out
+
+    return walk(plan)
+
+
+def test_time_partitioned_pruning(spark, tmp_path):
+    """save_cube_time_partitioned + ranged load: the calendar range must
+    prune at DIRECTORY level (2 of 30 day-partitions scanned), and the
+    roundtrip must be row-exact against the unpartitioned filter."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from openeo_processes_dask_spark.sources.load import (
+        events_cube,
+        load_time_partitioned_cube,
+        save_cube_time_partitioned,
+    )
+
+    cube = events_cube(spark, "/root/testdata/sf0.001")
+    d = os.path.join(str(tmp_path), "tp")
+    save_cube_time_partitioned(cube, d, granularity="day")
+    back = load_time_partitioned_cube(
+        spark, d, dims=cube.dims, start="2024-01-10", end="2024-01-12"
+    )
+    exp = cube.df.where(
+        (F.col("t") >= "2024-01-10") & (F.col("t") < "2024-01-12")
+    ).count()
+    assert back.df.count() == exp and exp > 0
+    # end is midnight-aligned: its truncated day partition is read (the
+    # inclusive truncated bound) and row-filtered to zero -> 3 of 30
+    counts = _scan_partition_counts(back.df)
+    assert counts and counts[0] == 3, counts
+    # a mid-day end bound needs its boundary partition's rows: 2 of 30
+    back2 = load_time_partitioned_cube(
+        spark, d, dims=cube.dims,
+        start="2024-01-10", end="2024-01-11 12:00:00",
+    )
+    counts2 = _scan_partition_counts(back2.df)
+    assert counts2 and counts2[0] == 2, counts2
+    exp2 = cube.df.where(
+        (F.col("t") >= "2024-01-10") & (F.col("t") < "2024-01-11 12:00:00")
+    ).count()
+    assert back2.df.count() == exp2 and exp2 > 0
+    plan = back.df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(__part" in plan
+
+
+def test_time_partitioned_rejects_bad_granularity(spark, tmp_path):
+    import pytest as _pytest
+
+    from openeo_processes_dask_spark.sources.load import (
+        events_cube,
+        save_cube_time_partitioned,
+    )
+
+    cube = events_cube(spark, "/root/testdata/sf0.001")
+    with _pytest.raises(ValueError):
+        save_cube_time_partitioned(cube, str(tmp_path), granularity="week")
