@@ -415,3 +415,47 @@ def test_simhash_and_embedding_bucket_caps(spark):
     cc_u = sorted((r["id"], r["comp"]) for r in connected_components(un_v).collect())
     cc_c = sorted((r["id"], r["comp"]) for r in connected_components(cap_v).collect())
     assert cc_u == cc_c
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static INNER join: each streamed event is enriched with a
+    static dimension row (the broadcast-dim pattern of a streaming ETL);
+    stateless, so stream results equal the batch join."""
+    from openeo_processes_dask_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        run_stream_to_memory,
+    )
+
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", i % 3, "click", float(i), "{}")
+        for i in range(9)
+    ]
+    src = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    d = os.path.join(str(tmp_path), "enrich_src")
+    src.coalesce(1).write.parquet(d)
+    dim = spark.createDataFrame(
+        [(0, "bronze"), (1, "silver"), (2, "gold")], ["user_id", "tier"]
+    )
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
+        .select("event_id", "user_id", "value")
+        .join(F.broadcast(dim), "user_id")
+    )
+    q = run_stream_to_memory(
+        stream.select("event_id", "tier", "value"), "t_enrich", "append"
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["event_id"], r["tier"]) for r in spark.table("t_enrich").collect()
+    )
+    exp = sorted(
+        (r["event_id"], r["tier"])
+        for r in src.join(dim, "user_id").collect()
+    )
+    assert got == exp and len(got) == 9
