@@ -236,3 +236,43 @@ def pack_greedy_first_fit(
     id_type = dict(df.dtypes)[id_col]
     schema = f"{id_col} {id_type}, shard int, bin bigint, n_tokens bigint"
     return sel.groupBy("shard").applyInPandas(pack, schema=schema)
+
+
+def mix_corpus(
+    df: DataFrame,
+    weights: dict,
+    token_budget: int,
+    group_col: str = "source",
+    token_col: str = "n_chars",
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data mixing: sample the corpus so each group contributes (at most)
+    its target share of a token budget — the mixture step every training
+    run configures (e.g. wiki 0.3 / web 0.6 / code 0.1 of 1T tokens).
+
+    Per-group keep rate = min(1, budget*weight / group_tokens), computed
+    from ONE metadata-sized aggregate (``len(weights)`` rows collected),
+    then applied as a seeded-hash Bernoulli scan filter — the corpus pass
+    itself is a single shuffle-free filter, identical in shape to
+    sample_stratified, so the 100 TB plan is one scan. Expected sampled
+    tokens per group ≈ budget*weight (Bernoulli, not exact-count; exact
+    quotas would need a per-group sort — cap_per_group does that when
+    row-exactness matters more than a second shuffle). Groups missing
+    from ``weights`` are dropped. Rates are rounded to 9 decimals so the
+    plan (and any SQL twin) is reproducible across engines.
+    """
+    totals = {
+        r["g"]: r["tok"]
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.sum(F.col(token_col)).alias("tok"))
+        .collect()
+    }
+    rates = {}
+    for g, w in weights.items():
+        tot = totals.get(g, 0)
+        if tot:
+            rates[g] = round(min(1.0, token_budget * float(w) / tot), 9)
+    return sample_stratified(
+        df, rates, group_col, seed=seed, id_col=id_col, default=0.0
+    )

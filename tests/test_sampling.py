@@ -236,3 +236,37 @@ def test_subsequence_topk_finds_planted_pattern(spark):
     ).collect()
     assert out[0]["k"] == "b" and out[0]["t"] == 17
     assert out[0]["dist"] < 1e-6
+
+
+def test_mix_corpus_hits_budget_shares(spark):
+    from pyspark.sql import functions as F
+
+    from openeo_processes_dask_spark.training.sampling import mix_corpus
+
+    df = spark.createDataFrame(
+        [(i, "web" if i < 8000 else "wiki", 100) for i in range(10_000)],
+        ["doc_id", "source", "n_chars"],
+    )
+    # web has 800k tokens, wiki 200k; budget 100k split 50/50
+    out = mix_corpus(
+        df, {"web": 0.5, "wiki": 0.5}, 100_000,
+        group_col="source", token_col="n_chars",
+    )
+    got = {
+        r["source"]: r["tok"]
+        for r in out.groupBy("source").agg(F.sum("n_chars").alias("tok")).collect()
+    }
+    # Bernoulli: expect ~50k tokens per group, tolerate 20%
+    assert abs(got["web"] - 50_000) < 10_000
+    assert abs(got["wiki"] - 50_000) < 10_000
+    # unlisted groups are dropped
+    df2 = df.withColumn(
+        "source", F.when(F.col("doc_id") % 2 == 0, "junk").otherwise("web")
+    )
+    out2 = mix_corpus(df2, {"web": 1.0}, 10_000)
+    assert out2.where(F.col("source") == "junk").count() == 0
+    # determinism: same seed -> identical row set
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in mix_corpus(
+        df, {"web": 0.5, "wiki": 0.5}, 100_000).collect())
+    assert a == b
