@@ -25,9 +25,8 @@ _LANES = (core, training, parity, streaming, io_misc, extended)
 # the 23 queries whose most recent driver check is r2 — the least recently
 # verified of the whole registry (CORRECTNESS_r01..r04 union). 1 + 25 + 23
 # = 49 fills the 50-slot driver window with one r3 entry; the r3/r4 tails
-# rotate forward in r6. NOTE: the window is exactly full — adding another
-# r5 gate would push a stale query out, so further r5 additions are
-# pytest/check_oracle-verified only.
+# rotate forward in r6. The window is now exactly full — any further r5
+# additions are pytest/check_oracle-verified only.
 _NEW_R5: list[str] = [
     "load_stac_properties", "load_raster_nodata", "load_stac_resampled",
     "pii_redact", "c4_clean", "bigram_nll", "domain_stats",
@@ -36,7 +35,7 @@ _NEW_R5: list[str] = [
     "corpus_stats", "interval_join", "streaming_cap",
     "contamination_ratio", "vocabulary", "column_stats",
     "compact_roundtrip", "manifest_timetravel", "streaming_sink",
-    "streaming_session_window", "streaming_upsert",
+    "streaming_session_window", "streaming_upsert", "corpus_mix",
 ]
 
 # Most recent driver check = r2 (23 queries — VERDICT r04 #3's list).
@@ -120,12 +119,19 @@ def all_oracles() -> dict:
     SQL (ADVICE r04: the replay builders read ORACLE_SF_DIR parquet and
     retrain models — resolving them HERE instead of at module import keeps
     ``import openeo_processes_dask_spark.gates`` working on machines
-    without the fixture data)."""
+    without the fixture data). The memo is keyed by (builder, fixture
+    dir): builders read ORACLE_SF_DIR at call time, so a process that
+    switches fixture directories must not get SQL replayed from the old
+    one."""
+    import os
+
+    sf = os.environ.get("ORACLE_SF_DIR")
     out = {}
     for k, v in _merged("ORACLES").items():
         if callable(v):
-            if v not in _ORACLE_MEMO:
-                _ORACLE_MEMO[v] = v()
-            v = _ORACLE_MEMO[v]
+            key = (v, sf)
+            if key not in _ORACLE_MEMO:
+                _ORACLE_MEMO[key] = v()
+            v = _ORACLE_MEMO[key]
         out[k] = v
     return out

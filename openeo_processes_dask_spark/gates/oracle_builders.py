@@ -846,3 +846,38 @@ def _multimodal_dedup_oracle_sql(n: int = 32, groups: int = 16) -> str:
                CAST(n_copies AS BIGINT) AS n_copies
         FROM (VALUES {vals}) AS t(fingerprint, keep_id, n_copies)
     """
+
+
+def _corpus_mix_oracle_sql() -> str:
+    """Twin of training.sampling.mix_corpus: replays the driver-side rate
+    computation (group token totals -> Python round(min(1, budget*w/tot),
+    9)) on the same parquet, then inlines the rates as literals so the
+    md5-uniform filter is bit-identical. Python rounding is used HERE too
+    (not SQL round) so banker's-rounding edge cases cannot diverge."""
+    import os
+
+    import duckdb
+
+    sf_dir = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    weights = {"src0": 0.4, "src1": 0.4, "src2": 0.2}
+    budget = 50_000
+    totals = dict(
+        duckdb.sql(
+            f"SELECT source, CAST(sum(n_chars) AS BIGINT) "
+            f"FROM '{sf_dir}/documents.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    cases = []
+    for g, w in weights.items():
+        tot = totals.get(g, 0)
+        if tot:
+            r = round(min(1.0, budget * float(w) / tot), 9)
+            cases.append(f"WHEN '{g}' THEN {r!r}")
+    case_sql = "CASE source " + " ".join(cases) + " ELSE -1.0 END"
+    return f"""
+        SELECT doc_id, source, n_chars
+        FROM documents
+        WHERE CAST('0x' || substr(md5('42-' || CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) / 1152921504606846976.0
+              < {case_sql}
+    """

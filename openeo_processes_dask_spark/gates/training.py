@@ -11,6 +11,7 @@ from pyspark.sql import functions as F  # noqa: F401
 
 from .common import _STOPWORDS_SQL, _TOKS, _round6, _setup, _table
 from .oracle_builders import (
+    _corpus_mix_oracle_sql,
     _dedup_clusters_oracle_sql,
     _logreg_quality_oracle_sql,
     _subsequence_topk_oracle_sql,
@@ -741,6 +742,24 @@ def q_vocabulary(spark, sf_dir):
     return vocabulary(docs, "text", k=100, id_col="doc_id")
 
 
+def q_corpus_mix(spark, sf_dir):
+    """Data mixing toward a token budget (training/sampling.py
+    mix_corpus): per-source keep rates from ONE metadata aggregate,
+    applied as a seeded md5-Bernoulli scan filter — the corpus pass is a
+    single shuffle-free scan. The oracle builder replays the identical
+    driver-side rate arithmetic (Python rounding included) on the same
+    parquet, so the row set matches bit-for-bit."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.sampling import mix_corpus
+
+    docs = _table(spark, sf_dir, "documents")
+    out = mix_corpus(
+        docs, {"src0": 0.4, "src1": 0.4, "src2": 0.2}, 50_000,
+        group_col="source", token_col="n_chars", seed=42,
+    )
+    return out.select("doc_id", "source", "n_chars")
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "training_pipeline": q_training_pipeline,
@@ -783,6 +802,7 @@ QUERIES = {
     "corpus_stats": q_corpus_stats,
     "contamination_ratio": q_contamination_ratio,
     "vocabulary": q_vocabulary,
+    "corpus_mix": q_corpus_mix,
 }
 
 # Shared SQL fragments for the span-dedup oracles: overlapping 5-token
@@ -1345,10 +1365,13 @@ ORACLES = {
             hits AS (SELECT s.doc_id, s.pos FROM spans s JOIN grp USING (d)
                      WHERE s.doc_id != grp.keep_id),
             {_SPAN_RUNS},
+            tokso AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS wo
+              FROM documents WHERE trim(text) != ''),
             tokpos AS (
-              SELECT doc_id, i - 1 AS pos, w[i] AS tok
-              FROM toks,
-                   LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)),
+              SELECT doc_id, i - 1 AS pos, wo[i] AS tok
+              FROM tokso,
+                   LATERAL (SELECT unnest(generate_series(1, len(wo))) AS i)),
             kept AS (
               SELECT t.doc_id, t.pos, t.tok FROM tokpos t
               WHERE NOT EXISTS (SELECT 1 FROM runs r
@@ -1465,6 +1488,7 @@ ORACLES = {
             SELECT rank, term, n_total, n_docs
             FROM ranked WHERE rank <= 100
         """,
+    "corpus_mix": _corpus_mix_oracle_sql,
     "corpus_stats": """
             SELECT source, lang, count(*) AS n_docs,
                    CAST(sum(CASE WHEN trim(text) = '' THEN 0

@@ -66,11 +66,17 @@ def interval_join(
     joined = iv.join(ev, cond, "inner").drop("__b")
     if how == "inner":
         return joined
-    matched = joined.select(*intervals.columns)
-    missing = intervals.join(
-        matched.select(*intervals.columns).distinct(),
-        on=intervals.columns,
-        how="left_anti",
+    matched = joined.select(*intervals.columns).distinct().alias("__m")
+    iv_all = intervals.alias("__iv")
+    # null-safe anti-join: an interval carrying a NULL in any payload
+    # column must still count as matched (bare column equality would
+    # emit it again as unmatched)
+    anti_cond = None
+    for c in intervals.columns:
+        term = F.col(f"__iv.{c}").eqNullSafe(F.col(f"__m.{c}"))
+        anti_cond = term if anti_cond is None else (anti_cond & term)
+    missing = iv_all.join(matched, anti_cond, "left_anti").select(
+        *[F.col(f"__iv.{c}") for c in intervals.columns]
     )
     for c in events.columns:
         if c not in missing.columns:

@@ -186,9 +186,11 @@ def delete_rows(
     }
     if not affected:
         return _commit(spark, table_dir, m["files"], m["version"])
-    kept_rows = (
-        spark.read.parquet(*[full[f] for f in affected])
-        .where(~predicate)
+    # tri-state guard: a row where the predicate evaluates to NULL must
+    # be KEPT (a bare ~predicate drops it — NULL is not TRUE, but ~NULL
+    # is NULL, which where() also drops). Delete exactly the IS TRUE set.
+    kept_rows = spark.read.parquet(*[full[f] for f in affected]).where(
+        ~predicate.eqNullSafe(F.lit(True))
     )
     tag = f"{m['version'] + 1:05d}"
     new_files = _write_batch(kept_rows, table_dir, tag)

@@ -238,6 +238,13 @@ def load_raster(
                 for row in pdf.itertuples(index=False):
                     if src is None:
                         src = opener(href)
+                    # pixel grid + affine coords depend on the tile, not
+                    # the band — computed once per tile, reused per band
+                    rows, cols = np.mgrid[0 : row.h, 0 : row.w]
+                    cols = cols + row.col_off + 0.5  # pixel centers
+                    rows = rows + row.row_off + 0.5
+                    xs = (a * cols + b * rows + c).ravel()
+                    ys = (d * cols + e * rows + f).ravel()
                     for b_idx, b_name, b_nodata, b_scale, b_offset in per_band:
                         raw = np.asarray(
                             src.read_window(
@@ -256,13 +263,10 @@ def load_raster(
                             else:
                                 mask = raw == float(b_nodata)
                             val = np.where(mask, np.nan, val)
-                        rows, cols = np.mgrid[0 : row.h, 0 : row.w]
-                        cols = cols + row.col_off + 0.5  # pixel centers
-                        rows = rows + row.row_off + 0.5
                         out = pd.DataFrame(
                             {
-                                "x": (a * cols + b * rows + c).ravel(),
-                                "y": (d * cols + e * rows + f).ravel(),
+                                "x": xs,
+                                "y": ys,
                                 "band": b_name,
                                 "value": val.ravel(),
                             }

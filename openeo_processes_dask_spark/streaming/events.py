@@ -190,9 +190,12 @@ def run_stream_upsert_manifest(
     readers keep snapshot isolation (a reader pinned to version N never
     sees a half-applied batch).
 
-    Within a batch, rows are reduced to one per key (latest by the
-    ``__seq`` column if present, else arbitrary-deterministic via max)
-    before the upsert, since a merge with duplicate keys is undefined.
+    Within a batch, rows are reduced to one per key — a WHOLE row, never
+    a per-column mix: the winner is max over the struct of value columns,
+    with ``__seq`` (if present) leading the struct so it acts as
+    latest-by-sequence; without ``__seq`` the struct order itself is the
+    deterministic tiebreak. (An independent per-column max would
+    fabricate rows combining fields from different inputs.)
     """
     from openeo_processes_dask_spark.sources.manifest import (
         create_table,
@@ -203,8 +206,14 @@ def run_stream_upsert_manifest(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         val_cols = [c for c in batch_df.columns if c not in key_cols]
-        one = batch_df.groupBy(*key_cols).agg(
-            *[F.max(c).alias(c) for c in val_cols]
+        ordered = sorted(val_cols, key=lambda c: c != "__seq")
+        one = (
+            batch_df.groupBy(*key_cols)
+            .agg(
+                F.max(F.struct(*ordered)).alias("__row")
+            )
+            .select(*key_cols, *[F.col(f"__row.{c}").alias(c) for c in ordered])
+            .select(*key_cols, *val_cols)
         )
         try:
             read_manifest(spark, table_dir)

@@ -386,8 +386,14 @@ def _bucket_cap(banded: DataFrame, key_cols: list[str], cap: int):
     """Skew guard shared by the banded LSH lanes: split a banded relation
     into (rows in buckets <= cap, star pairs for oversized buckets). The
     star pattern — bucket-min id paired with every other member — keeps
-    oversized buckets LINEAR instead of quadratic, and is lossless for a
-    connected-components consumer (the family stays one component)."""
+    oversized buckets LINEAR instead of quadratic. For a
+    connected-components consumer this is lossless WHEN the hub (bucket
+    min) verifies against the members — the typical oversized bucket is a
+    near-identical family where it does (asserted in tests). A bucket
+    whose hub fails downstream verification can lose member-member pairs
+    the all-pairs join would have kept: the documented recall/cost trade
+    of any hub-based capping; keep the cap comfortably above typical
+    family sizes if pairwise recall inside mega-buckets matters."""
     from pyspark.sql import Window
 
     wb = Window.partitionBy(*key_cols)
@@ -907,6 +913,30 @@ def duplicate_spans(
     )
 
 
+def _merge_spans_to_runs(hits: DataFrame, k: int) -> DataFrame:
+    """Gaps-and-islands merge of overlapping k-token span hits: (id, pos)
+    rows -> maximal disjoint runs (id, island, s, e). One JVM window pass
+    keyed by doc id; shared by the stats and the removal lanes so the
+    overlap rule lives in exactly one place."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_max = F.max("pos").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    # span [pos, pos+k-1] overlaps the running island iff pos <= prev_max
+    # + k - 1; a strictly larger pos starts a new island
+    brk = F.when(
+        prev_max.isNull() | (F.col("pos") > prev_max + (k - 1)), 1
+    ).otherwise(0)
+    return (
+        hits.withColumn(
+            "island",
+            F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("id", "island")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + (k - 1)).alias("e"))
+    )
+
+
 def duplicate_span_stats(
     df: DataFrame,
     id_col: str,
@@ -927,26 +957,10 @@ def duplicate_span_stats(
     island break flag -> running island id), then two hash aggregates.
     Token positions shuffle once, keyed by doc id.
     """
-    from pyspark.sql import Window
-
     hits = duplicate_spans(df, id_col, text_col, k, min_count).select(
         "id", "pos"
     )
-    w = Window.partitionBy("id").orderBy("pos")
-    prev_max = F.max("pos").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    # span [pos, pos+k-1] overlaps the running island iff pos <= prev_max
-    # + k - 1; a strictly larger pos starts a new island
-    brk = F.when(
-        prev_max.isNull() | (F.col("pos") > prev_max + (k - 1)), 1
-    ).otherwise(0)
-    islands = hits.withColumn(
-        "island", F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    runs = islands.groupBy("id", "island").agg(
-        F.min("pos").alias("s"), (F.max("pos") + (k - 1)).alias("e")
-    )
+    runs = _merge_spans_to_runs(hits, k)
     return runs.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_runs"),
         F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
@@ -977,31 +991,25 @@ def remove_duplicate_spans(
     JVM-side. Documents shuffle once, keyed by id, carrying interval
     structs — not exploded token rows.
     """
-    from pyspark.sql import Window
-
     out_col = out_col or text_col
     cuts = duplicate_spans(df, id_col, text_col, k, min_count).where(
         F.col("id") != F.col("keep_id")
     )
-    w = Window.partitionBy("id").orderBy("pos")
-    prev_max = F.max("pos").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    brk = F.when(
-        prev_max.isNull() | (F.col("pos") > prev_max + (k - 1)), 1
-    ).otherwise(0)
     runs = (
-        cuts.withColumn(
-            "island",
-            F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .groupBy("id", "island")
-        .agg(F.min("pos").alias("s"), (F.max("pos") + (k - 1)).alias("e"))
+        _merge_spans_to_runs(cuts.select("id", "pos"), k)
         .groupBy("id")
         .agg(F.collect_list(F.struct("s", "e")).alias("__cuts"))
     )
     base = df.join(
         runs, df[id_col] == runs["id"], "left"
     ).drop(runs["id"])
-    toks = tokens(F.lower(F.col(text_col)))
+    # rebuild from the ORIGINAL-case token stream: digesting lowercases
+    # (duplicate detection is case-insensitive) but the rewrite must not
+    # destroy the casing of text outside the cuts. Both tokenizations
+    # split on \\s+, so positions align 1:1. Whitespace runs between kept
+    # tokens still collapse to single spaces — inherent to a token-stream
+    # rebuild and documented above.
+    toks = tokens(F.col(text_col))
     zipped = F.arrays_zip(
         toks.alias("tok"),
         F.sequence(F.lit(0), F.size(toks) - 1).alias("p"),

@@ -87,19 +87,23 @@ def bigram_nll(
         .distinct()
         .count()
     )
-    prob = c12.join(c1, "w1").select(
-        "w1",
-        "w2",
-        (
-            (F.col("c12") + F.lit(k)) / (F.col("c1") + F.lit(k * vocab))
-        ).alias("__p"),
-    )
-    joined = scored.join(prob, ["w1", "w2"], "left").select(
-        id_col,
-        # unseen bigram (cross-corpus scoring): back off to the floor
-        # p = k / (k·V) = 1/V — the smoothed mass of an unseen pair
-        # under an unseen context
-        F.coalesce(F.col("__p"), F.lit(1.0 / vocab)).alias("__p"),
+    # cross-corpus scoring joins pair counts and context counts
+    # SEPARATELY: an unseen pair under a SEEN context must get the add-k
+    # floor k/(c1 + k·V) of that context's distribution — coalescing the
+    # whole conditional to 1/V would hand unseen pairs under frequent
+    # contexts MORE mass than rare seen pairs (inverting the quality
+    # signal) and break per-context normalization. Unseen context:
+    # c12 = c1 = 0 -> k/(k·V) = 1/V, the uniform floor.
+    joined = (
+        scored.join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .select(
+            id_col,
+            (
+                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(k))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k * vocab))
+            ).alias("__p"),
+        )
     )
     return joined.groupBy(id_col).agg(
         F.count("*").alias("n_bigrams"),

@@ -171,3 +171,40 @@ def test_streaming_upsert_into_manifest(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert read_manifest(spark, tbl)["version"] == 2
+
+
+def test_delete_rows_keeps_null_predicate_rows(spark, tmp_path):
+    """Tri-state regression: rows where the delete predicate evaluates
+    to NULL must survive (only the IS TRUE set is deleted)."""
+    d = os.path.join(str(tmp_path), "nulltbl")
+    df = spark.createDataFrame(
+        [(1, "de"), (2, None), (3, "en")], ["id", "lang"]
+    )
+    create_table(df.coalesce(1), d)
+    delete_rows(spark, d, F.col("lang") == "de")
+    left = sorted(r["id"] for r in read_table(spark, d).collect())
+    assert left == [2, 3]
+
+
+def test_streaming_upsert_picks_whole_rows(spark, tmp_path):
+    """Row-mix regression: within-batch key reduction must pick ONE real
+    row, never combine per-column maxima from different rows."""
+    from openeo_processes_dask_spark.streaming.events import (
+        run_stream_upsert_manifest,
+    )
+
+    src = os.path.join(str(tmp_path), "rowsrc")
+    tbl = os.path.join(str(tmp_path), "rowtbl")
+    ckpt = os.path.join(str(tmp_path), "rowckpt")
+    spark.createDataFrame(
+        [(1, 1, 5.0, "stale"), (1, 2, 3.0, "zzz-new")],
+        ["k", "__seq", "v", "status"],
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "k long, __seq long, v double, status string"
+    ).parquet(src)
+    q = run_stream_upsert_manifest(stream, tbl, ["k"], ckpt)
+    q.awaitTermination(120)
+    row = read_table(spark, tbl).collect()[0]
+    # latest-by-__seq: the (3.0, 'zzz-new') row wins as a WHOLE
+    assert (row["v"], row["status"]) == (3.0, "zzz-new")

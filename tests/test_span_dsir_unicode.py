@@ -459,3 +459,72 @@ def test_stream_static_enrichment_join(spark, tmp_path):
         for r in src.join(dim, "user_id").collect()
     )
     assert got == exp and len(got) == 9
+
+
+def test_interval_join_left_with_null_payload(spark):
+    """Null-safe anti-join regression: an unmatched-check on an interval
+    row carrying a NULL payload column must not duplicate it."""
+    from openeo_processes_dask_spark.operators.interval import interval_join
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:05:00")], ["event_id", "s"]
+    ).select("event_id", F.col("s").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [(10, "2024-01-01 00:00:00", "2024-01-01 01:00:00", None),
+         (20, "2024-01-02 00:00:00", "2024-01-02 01:00:00", None)],
+        "interval_id long, a string, b string, label string",
+    ).select(
+        "interval_id",
+        F.col("a").cast("timestamp").alias("start"),
+        F.col("b").cast("timestamp").alias("end"),
+        "label",
+    )
+    out = interval_join(
+        ev, iv, "ts", "start", "end", how="left_interval"
+    ).collect()
+    ids = sorted(r["interval_id"] for r in out)
+    assert ids == [10, 20]  # matched once + unmatched once, no dupes
+
+
+def test_remove_duplicate_spans_preserves_case(spark):
+    """Case regression: detection is case-insensitive, but the rewrite
+    must keep the original casing of surviving tokens."""
+    from openeo_processes_dask_spark.training.dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon End"),
+            (2, "My Unique Prefix ALPHA Beta GAMMA delta epsilon plus Tail"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_spans(docs, "doc_id", "text", k=5).collect()
+    }
+    assert out[1] == "alpha beta gamma delta epsilon End"
+    assert out[2] == "My Unique Prefix plus Tail"
+
+
+def test_bigram_nll_backoff_under_seen_context(spark):
+    """Backoff regression: under a frequent seen context, an UNSEEN pair
+    must be less probable (higher nll contribution) than coalescing to
+    the uniform floor would make it, and never beat a seen pair."""
+    from openeo_processes_dask_spark.training.lm import bigram_nll
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat with the dog") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    score = spark.createDataFrame(
+        [(100, "the cat"), (101, "the zebra")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["nll"]
+        for r in bigram_nll(score, "doc_id", "text", k=0.5,
+                            train_df=train).collect()
+    }
+    # seen pair scores better (lower nll) than unseen pair, same context
+    assert out[100] < out[101]
