@@ -208,7 +208,21 @@ def upsert_rows(
     keys are inserted — as ONE commit. The delete half is targeted (only
     files containing a matching key are rewritten); the insert half is a
     plain append batch. The update key set is evaluated via a semi-join
-    (broadcast when small), never collected."""
+    (broadcast when small), never collected.
+
+    Update rows with a NULL in any key column are rejected: the
+    semi/anti joins use SQL equality, under which a NULL key matches
+    nothing — the row would silently INSERT next to the row it was meant
+    to replace."""
+    null_key = None
+    for c in key_cols:
+        term = F.col(c).isNull()
+        null_key = term if null_key is None else (null_key | term)
+    if updates.where(null_key).limit(1).count():
+        raise ValueError(
+            f"upsert_rows: updates contain NULL in key column(s) "
+            f"{key_cols} — NULL keys match nothing under SQL equality"
+        )
     m = read_manifest(spark, table_dir)
     full = {f: posixpath.join(table_dir, f) for f in m["files"]}
     keys = updates.select(*key_cols).distinct()

@@ -208,3 +208,11 @@ def test_streaming_upsert_picks_whole_rows(spark, tmp_path):
     row = read_table(spark, tbl).collect()[0]
     # latest-by-__seq: the (3.0, 'zzz-new') row wins as a WHOLE
     assert (row["v"], row["status"]) == (3.0, "zzz-new")
+
+
+def test_upsert_rejects_null_keys(spark, table):
+    updates = spark.createDataFrame(
+        [(None, 0, 1.0)], "id long, grp long, v double"
+    )
+    with pytest.raises(ValueError, match="NULL in key"):
+        upsert_rows(spark, table, updates, ["id"])
