@@ -83,26 +83,50 @@ def aggregate_spatial(
         (fid, _extract_rings(geom)) for fid, geom in features
     ]
 
+    # per-feature bbox, precomputed on the driver: the ray cast builds a
+    # (rows × edges) matrix per feature, so restricting it to rows inside
+    # the feature's bounding box first cuts both the arithmetic and the
+    # peak memory by ~(extent / bbox) — for the common zonal shape (many
+    # small polygons tiling a large extent) that is a feature-count-sized
+    # speedup, and it is exact (the ray cast still decides membership)
+    boxed = [
+        (
+            fid,
+            rings,
+            min(r[:, 0].min() for r in rings),
+            max(r[:, 0].max() for r in rings),
+            min(r[:, 1].min() for r in rings),
+            max(r[:, 1].max() for r in rings),
+        )
+        for fid, rings in rings_per_feature
+    ]
+
     @pandas_udf("array<string>")
     def containing(xs: pd.Series, ys: pd.Series) -> pd.Series:
         px = xs.values.astype("float64")
         py = ys.values.astype("float64")
         hits: list[list[str]] = [[] for _ in range(len(px))]
-        for fid, rings in rings_per_feature:
-            acc = np.zeros(len(px), dtype=bool)
+        for fid, rings, bxmin, bxmax, bymin, bymax in boxed:
+            cand = (
+                (px >= bxmin) & (px <= bxmax) & (py >= bymin) & (py <= bymax)
+            )
+            if not cand.any():
+                continue
+            cpx, cpy = px[cand], py[cand]
+            acc = np.zeros(len(cpx), dtype=bool)
             for ring in rings:
                 x0, y0 = ring[:-1, 0], ring[:-1, 1]
                 x1, y1 = ring[1:, 0], ring[1:, 1]
-                straddle = (y0[None, :] > py[:, None]) != (
-                    y1[None, :] > py[:, None]
+                straddle = (y0[None, :] > cpy[:, None]) != (
+                    y1[None, :] > cpy[:, None]
                 )
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    xint = x0[None, :] + (py[:, None] - y0[None, :]) / (
+                    xint = x0[None, :] + (cpy[:, None] - y0[None, :]) / (
                         y1[None, :] - y0[None, :]
                     ) * (x1[None, :] - x0[None, :])
-                crossings = (straddle & (px[:, None] < xint)).sum(axis=1)
+                crossings = (straddle & (cpx[:, None] < xint)).sum(axis=1)
                 acc ^= (crossings % 2).astype(bool)
-            for i in np.nonzero(acc)[0]:
+            for i in np.nonzero(cand)[0][acc]:
                 hits[i].append(fid)
         return pd.Series(hits)
 
