@@ -70,23 +70,37 @@ def _point_in_polygons(x: Column, y: Column, geometries) -> Column:
     """Vectorized even-odd ray casting; polygons are closure-captured and
     Arrow-shipped once per executor (equivalent of a broadcast variable)."""
     rings = _extract_rings(geometries)
+    # overall bbox, computed once on the driver: points outside it are
+    # definitively outside, so the O(rows × edges) ray-cast matrices are
+    # built only for the bbox-candidate slice of each Arrow batch (same
+    # exact-result pre-filter as aggregate_spatial's per-feature boxes)
+    allc = np.vstack(rings)
+    bxmin, bymin = allc[:, 0].min(), allc[:, 1].min()
+    bxmax, bymax = allc[:, 0].max(), allc[:, 1].max()
 
     @pandas_udf("boolean")
     def inside(xs: pd.Series, ys: pd.Series) -> pd.Series:
         px = xs.values.astype("float64")
         py = ys.values.astype("float64")
         acc = np.zeros(len(px), dtype=bool)
-        for ring in rings:
-            x0, y0 = ring[:-1, 0], ring[:-1, 1]
-            x1, y1 = ring[1:, 0], ring[1:, 1]
-            # edges straddling the horizontal ray from each point
-            straddle = (y0[None, :] > py[:, None]) != (y1[None, :] > py[:, None])
-            with np.errstate(divide="ignore", invalid="ignore"):
-                xint = x0[None, :] + (py[:, None] - y0[None, :]) / (
-                    y1[None, :] - y0[None, :]
-                ) * (x1[None, :] - x0[None, :])
-            crossings = (straddle & (px[:, None] < xint)).sum(axis=1)
-            acc ^= (crossings % 2).astype(bool)
+        cand = (px >= bxmin) & (px <= bxmax) & (py >= bymin) & (py <= bymax)
+        if cand.any():
+            cpx, cpy = px[cand], py[cand]
+            cacc = np.zeros(len(cpx), dtype=bool)
+            for ring in rings:
+                x0, y0 = ring[:-1, 0], ring[:-1, 1]
+                x1, y1 = ring[1:, 0], ring[1:, 1]
+                # edges straddling the horizontal ray from each point
+                straddle = (y0[None, :] > cpy[:, None]) != (
+                    y1[None, :] > cpy[:, None]
+                )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    xint = x0[None, :] + (cpy[:, None] - y0[None, :]) / (
+                        y1[None, :] - y0[None, :]
+                    ) * (x1[None, :] - x0[None, :])
+                crossings = (straddle & (cpx[:, None] < xint)).sum(axis=1)
+                cacc ^= (crossings % 2).astype(bool)
+            acc[cand] = cacc
         return pd.Series(acc)
 
     return inside(x, y)
