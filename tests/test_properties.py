@@ -493,3 +493,87 @@ def test_remove_boilerplate_matches_brute_python(spark, doc_lines):
         ).collect()
     }
     assert got == want
+
+
+# --- process-graph compiler fuzz ------------------------------------------
+
+def _random_scalar_pg(rng, depth=4):
+    """Random arithmetic process graph over parameter 'x' (always >= 1 to
+    keep sqrt/ln/divide well-defined), plus the Python lambda computing
+    the same function."""
+    import math
+
+    ops = [
+        ("add", lambda a, b: a + b, 2),
+        ("subtract", lambda a, b: a - b, 2),
+        ("multiply", lambda a, b: a * b, 2),
+        ("absolute", lambda a: abs(a), 1),
+    ]
+    nodes = {}
+    counter = [0]
+
+    def fresh():
+        counter[0] += 1
+        return f"n{counter[0]}"
+
+    def build(d):
+        """returns (node_ref_or_const, python_fn_taking_x)"""
+        r = rng.random()
+        if d <= 0 or r < 0.25:
+            if rng.random() < 0.5:
+                c = rng.randint(1, 9)
+                return c, (lambda x, c=c: c)
+            return {"from_parameter": "x"}, (lambda x: x)
+        name, pyop, arity = ops[rng.randrange(len(ops))]
+        args = {}
+        fns = []
+        for i, key in enumerate(["x", "y"][:arity]):
+            sub, fn = build(d - 1)
+            args[key] = (
+                {"from_node": sub} if isinstance(sub, str) else sub
+            )
+            fns.append(fn)
+        nid = fresh()
+        nodes[nid] = {"process_id": name, "arguments": args}
+        if arity == 1:
+            return nid, (lambda x, f=fns[0], p=pyop: p(f(x)))
+        return nid, (
+            lambda x, f=fns[0], g=fns[1], p=pyop: p(f(x), g(x))
+        )
+
+    root, fn = build(depth)
+    if not isinstance(root, str):
+        # degenerate draw (constant/param at the root): wrap in add(root, 0)
+        nid = fresh()
+        nodes[nid] = {
+            "process_id": "add",
+            "arguments": {
+                "x": {"from_node": root} if isinstance(root, str) else root,
+                "y": 0,
+            },
+        }
+        prev = fn
+        root, fn = nid, (lambda x, f=prev: f(x) + 0)
+    nodes[root]["result"] = True
+    return {"process_graph": nodes}, fn
+
+
+def test_process_graph_compiler_fuzz(spark):
+    """100 random arithmetic graphs compile to Columns that agree with
+    direct Python evaluation on a batch of inputs."""
+    import random
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from openeo_processes_dask_spark.plans import execute_process_graph
+
+    rng = random.Random(20260814)
+    xs = [1.0, 2.0, 3.5, 10.0]
+    df = spark.createDataFrame([(x,) for x in xs], ["x"])
+    for trial in range(100):
+        pg, fn = _random_scalar_pg(rng)
+        col = execute_process_graph(pg, named_parameters={"x": F.col("x")})
+        got = [r["v"] for r in df.select(col.alias("v")).collect()]
+        exp = [float(fn(x)) for x in xs]
+        assert got == pytest.approx(exp, rel=1e-9), (trial, pg)
