@@ -40,8 +40,10 @@ def multiply(x, y) -> Column:
 @process
 def divide(x, y) -> Column:
     # Reference divides floats (NaN/inf on zero). SQL x/0 -> NULL; that is
-    # our nodata, consistent with the NULL convention.
-    return _c(x) / _c(y)
+    # our nodata, consistent with the NULL convention. try_divide, not /:
+    # under ANSI mode (the Spark 4 DEFAULT) a bare / THROWS on a zero
+    # divisor, poisoning the whole job for one bad cell.
+    return F.try_divide(_c(x), _c(y))
 
 
 # --- rounding (reference: math.py:212-226) ------------------------------
@@ -157,9 +159,11 @@ def artanh(x) -> Column:
 @process
 def mod(x, y) -> Column:
     # NumPy mod: result takes the sign of the divisor (reference: math.py:301)
-    # — SQL % takes the sign of the dividend, so re-wrap.
+    # — SQL % takes the sign of the dividend, so re-wrap. try_mod, not %:
+    # ANSI mode (Spark 4 default) throws on a zero divisor; NULL is the
+    # nodata answer (reference yields NaN there).
     x, y = _c(x), _c(y)
-    return ((x % y) + y) % y
+    return F.try_mod(F.try_mod(x, y) + y, y)
 
 
 @process
@@ -208,9 +212,11 @@ def linear_scale_range(
 
 @process
 def normalized_difference(x, y) -> Column:
-    # (reference: math.py:412-414)
+    # (reference: math.py:412-414). try_divide: x + y == 0 (both bands
+    # zero — common over water/nodata) must give NULL, not an ANSI
+    # DIVIDE_BY_ZERO that kills the job.
     x, y = _c(x), _c(y)
-    return (x - y) / (x + y)
+    return F.try_divide(x - y, x + y)
 
 
 # --- constants (reference: math.py:75-95) -------------------------------

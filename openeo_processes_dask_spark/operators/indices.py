@@ -53,7 +53,8 @@ def ndvi(
         .agg(F.first(v))
     )
     value = (
-        (F.col(nir) - F.col(red)) / (F.col(nir) + F.col(red))
+        # try_divide: nir + red == 0 -> NULL nodata, not an ANSI error
+        F.try_divide(F.col(nir) - F.col(red), F.col(nir) + F.col(red))
     ).alias(v)
     if target_band is None:
         df = pivoted.select(*keep, value)

@@ -124,3 +124,28 @@ def test_dates(row):
     assert r[4].startswith("2020-02-29")
     assert r[5].startswith("2021-02-28")
     assert r[6].startswith("2019-12-31")
+
+
+def test_zero_divisors_are_null_under_ansi(spark):
+    """ANSI mode (Spark 4 default) turns x/0 and x%0 into job-killing
+    exceptions; the engine's divide/mod/normalized_difference must give
+    NULL (nodata) instead — one bad cell must not poison a 100 TB job."""
+    from pyspark.sql import functions as F
+
+    from openeo_processes_dask_spark.functions.math import (
+        divide,
+        mod,
+        normalized_difference,
+    )
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    df = spark.createDataFrame([(7.0, 0.0), (7.0, -3.0)], ["a", "b"])
+    got = df.select(
+        divide(F.col("a"), F.col("b")).alias("d"),
+        mod(F.col("a"), F.col("b")).alias("m"),
+        normalized_difference(F.col("b"), F.col("b")).alias("nd"),
+    ).collect()
+    assert got[0]["d"] is None and got[0]["m"] is None
+    assert got[0]["nd"] is None  # (0-0)/(0+0)
+    assert got[1]["d"] == pytest.approx(-7 / 3)
+    assert got[1]["m"] == pytest.approx(-2.0)  # numpy sign-of-divisor
