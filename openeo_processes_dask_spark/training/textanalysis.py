@@ -312,3 +312,73 @@ def vocabulary(
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "rank", "term", "n_total", "n_docs"
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval over the corpus for one bag-of-terms
+    query — the classic lexical search a curation pipeline uses to find
+    topic-relevant documents (idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    the Lucene-style always-positive form).
+
+    Returns (rank, id, score) for the global top-k, deterministic ties
+    (6-decimal score DESC, id ASC).
+
+    Plan at 100 TB: the query is literal, so per-document term counts are
+    ONE codegen'd projection over the token array (no explode, no join
+    for scoring); df counts for the |query| terms are one tiny aggregate
+    collected to the driver (|query| numbers) and inlined as literals;
+    the global top-k compiles to TakeOrderedAndProject. One scan + one
+    scalar subquery-free pass."""
+    from pyspark.sql import Window
+
+    terms = sorted(set(t.lower() for t in query_terms))
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("w")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size("w")).alias("avgdl"),
+        *[
+            F.sum(
+                F.when(F.array_contains("w", t), 1).otherwise(0)
+            ).alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).first()
+    n_docs, avgdl = stats["n"], float(stats["avgdl"] or 1.0)
+    import math as _m
+
+    idf = [
+        _m.log(1.0 + (n_docs - stats[f"df_{i}"] + 0.5) / (stats[f"df_{i}"] + 0.5))
+        for i in range(len(terms))
+    ]
+    dl = F.size("w").cast("double")
+    norm = F.lit(k1) * (F.lit(1 - b) + F.lit(b) * dl / F.lit(avgdl))
+    score = None
+    for i, t in enumerate(terms):
+        # factory + _in_list: a default-arg closure (lambda x, t=t: ...)
+        # makes PySpark bind t as a lambda VARIABLE (see language_id's
+        # marker_filter note), and a bare == inside the lambda hits the
+        # lambda type-coercion bug (see _in_list)
+        def _tf_filter(term):
+            return lambda x: _in_list(x, [term])
+
+        tf = F.size(F.filter(F.col("w"), _tf_filter(t))).cast("double")
+        term = F.lit(idf[i]) * (tf * (k1 + 1)) / (tf + norm)
+        score = term if score is None else (score + term)
+    scored = base.select(
+        "id", F.round(score, 6).alias("score")
+    ).where(F.col("score") > 0)
+    topk = scored.orderBy(F.col("score").desc(), F.col("id")).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "id", "score"
+    )

@@ -178,3 +178,45 @@ def test_time_partitioned_rejects_bad_granularity(spark, tmp_path):
     cube = events_cube(spark, "/root/testdata/sf0.001")
     with _pytest.raises(ValueError):
         save_cube_time_partitioned(cube, str(tmp_path), granularity="week")
+
+
+def test_bm25_topk_matches_reference_formula(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from openeo_processes_dask_spark.training.textanalysis import bm25_topk
+
+    corpus = {
+        1: "the cat sat on the mat",
+        2: "the dog chased the cat and the cat ran",
+        3: "dogs and cats living together",
+        4: "nothing relevant here at all whatsoever",
+    }
+    df = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    got = bm25_topk(df, ["cat", "dog"], k=3)
+    rows = [(r["rank"], r["id"], r["score"]) for r in got.collect()]
+
+    # independent python BM25
+    toks = {i: t.split() for i, t in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    def score(doc, terms, k1=1.2, b=0.75):
+        s = 0.0
+        for t in terms:
+            dfreq = sum(1 for v in toks.values() if t in v)
+            idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+            tf = toks[doc].count(t)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks[doc]) / avgdl))
+        return round(s, 6)
+    exp = sorted(
+        ((score(i, ["cat", "dog"]), i) for i in corpus),
+        key=lambda p: (-p[0], p[1]),
+    )
+    exp = [(r + 1, i, s) for r, (s, i) in enumerate(exp) if s > 0][:3]
+    assert rows == exp
+    # plan: global top-k must be TakeOrderedAndProject, no explode join
+    from openeo_processes_dask_spark.diagnostics import plan_report
+
+    r = plan_report(bm25_topk(df, ["cat"], k=2))
+    assert "TakeOrderedAndProject" in r.text and r.python_free

@@ -271,12 +271,21 @@ def test_sign_projection_preserves_distances(seed):
 
     rng = np.random.default_rng(seed)
     m = sign_projection_matrix(64, 16, seed=42) / np.sqrt(16)
-    a, b = rng.normal(size=64), rng.normal(size=64)
-    a, b = a / np.linalg.norm(a), b / np.linalg.norm(b)
-    d_orig = float(np.sum((a - b) ** 2))
-    d_proj = float(np.sum(((a - b) @ m) ** 2))
-    assert d_proj < 3.0 * d_orig + 1e-9
-    assert d_proj > d_orig / 3.0 - 1e-9
+    # average the distance ratio over 20 pairs: a SINGLE pair's ratio is
+    # (1/k)*chi^2_k-distributed (std ~0.35 at k=16), so a fixed per-pair
+    # bound eventually fails on some hypothesis seed (observed: ratio
+    # 0.19 at seed 42525, a ~4-sigma draw). The 20-pair mean has std
+    # ~0.08; [0.5, 2.0] is a >6-sigma corridor that still catches a
+    # broken matrix (all-ones or biased signs push the mean far outside).
+    ratios = []
+    for _ in range(20):
+        a, b = rng.normal(size=64), rng.normal(size=64)
+        a, b = a / np.linalg.norm(a), b / np.linalg.norm(b)
+        d_orig = float(np.sum((a - b) ** 2))
+        d_proj = float(np.sum(((a - b) @ m) ** 2))
+        ratios.append(d_proj / d_orig)
+    mean_ratio = float(np.mean(ratios))
+    assert 0.5 < mean_ratio < 2.0, mean_ratio
     # sign balance: a healthy ±1 matrix is near zero-mean
     assert abs(sign_projection_matrix(64, 16, seed=42).mean()) < 0.2
 
