@@ -203,11 +203,12 @@ def clip(x, min, max) -> Column:  # noqa: A002 - spec param names
 def linear_scale_range(
     x, inputMin, inputMax, outputMin: float = 0.0, outputMax: float = 1.0
 ) -> Column:
-    # (reference: math.py:292-298)
+    # (reference: math.py:292-298). try_divide: a degenerate range
+    # (inputMin == inputMax) gives NULL under ANSI instead of an error.
     x = _c(x)
-    return ((x - _c(inputMin)) / (_c(inputMax) - _c(inputMin))) * (
-        _c(outputMax) - _c(outputMin)
-    ) + _c(outputMin)
+    return F.try_divide(
+        x - _c(inputMin), _c(inputMax) - _c(inputMin)
+    ) * (_c(outputMax) - _c(outputMin)) + _c(outputMin)
 
 
 @process

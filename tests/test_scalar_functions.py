@@ -149,3 +149,10 @@ def test_zero_divisors_are_null_under_ansi(spark):
     assert got[0]["nd"] is None  # (0-0)/(0+0)
     assert got[1]["d"] == pytest.approx(-7 / 3)
     assert got[1]["m"] == pytest.approx(-2.0)  # numpy sign-of-divisor
+
+    from openeo_processes_dask_spark.functions.math import linear_scale_range
+
+    degenerate = df.select(
+        linear_scale_range(F.col("a"), 5.0, 5.0).alias("s")
+    ).collect()
+    assert degenerate[0]["s"] is None  # zero input range -> NULL
