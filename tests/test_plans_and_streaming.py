@@ -273,3 +273,73 @@ def test_stream_dedup_requires_explicit_keys(spark):
         stream_dedup_exact(df, [])
     with pytest.raises(ValueError, match="explicit key_cols"):
         stream_dedup_against(df, df, [])
+
+
+def test_process_graph_with_source_node(spark, small_cube, tmp_path):
+    """Entry point A end-to-end INCLUDING the source: a process graph
+    whose root is a load_stac node (no preloaded cube parameter) flows
+    into apply and reduce_dimension — the full reference lifecycle
+    (SURVEY.md section 3, entry point A)."""
+    import json
+
+    flat = str(tmp_path / "pg_flat.parquet")
+    one_band = small_cube.df.where(F.col("band") == "B04").drop("band")
+    one_band.write.parquet(flat)
+    item = {
+        "type": "Feature",
+        "stac_version": "1.0.0",
+        "id": "pg-item",
+        "assets": {"B04": {"href": flat, "type": "parquet"}},
+    }
+    path = tmp_path / "pg_item.json"
+    path.write_text(json.dumps(item))
+    pg = {
+        "process_graph": {
+            "load": {
+                "process_id": "load_stac",
+                "arguments": {"url": str(path), "bands": ["B04"]},
+            },
+            "double": {
+                "process_id": "apply",
+                "arguments": {
+                    "data": {"from_node": "load"},
+                    "process": {
+                        "process_graph": {
+                            "m": {
+                                "process_id": "multiply",
+                                "arguments": {
+                                    "x": {"from_parameter": "x"},
+                                    "y": 2,
+                                },
+                                "result": True,
+                            }
+                        }
+                    },
+                },
+            },
+            "reduce": {
+                "process_id": "reduce_dimension",
+                "arguments": {
+                    "data": {"from_node": "double"},
+                    "reducer": "mean",
+                    "dimension": "t",
+                },
+                "result": True,
+            },
+        }
+    }
+    from openeo_processes_dask_spark.plans import execute_process_graph
+
+    out = execute_process_graph(pg)
+    df = out.df if hasattr(out, "df") else out
+    rows = df.collect()
+    assert rows, "graph with a source node must produce rows"
+    # spot-check the arithmetic: mean(2v) == 2*mean(v) per (x, y, band)
+    exp = (
+        small_cube.df.where(F.col("band") == "B04")
+        .groupBy("x", "y")
+        .agg(F.avg(F.col("value") * 2).alias("value"))
+    )
+    got_sum = sum(r["value"] for r in rows if r["value"] is not None)
+    exp_sum = sum(r["value"] for r in exp.collect() if r["value"] is not None)
+    assert got_sum == pytest.approx(exp_sum, rel=1e-9)
