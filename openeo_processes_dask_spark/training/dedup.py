@@ -1095,3 +1095,95 @@ def contamination_ratio(
     return scored.withColumn("ratio_ppm", ratio_ppm).withColumn(
         "contaminated", F.col("ratio_ppm") >= F.lit(threshold_ppm)
     )
+
+
+def remove_duplicate_spans_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    min_count: int = 2,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Byte-exact variant of :func:`remove_duplicate_spans`: cuts the
+    original SUBSTRINGS covered by non-canonical duplicated spans, so
+    casing, whitespace runs, and newlines outside the cuts survive
+    verbatim (the divergence note in DIVERGENCES.md, closed).
+
+    Design: detection is identical (JVM digest window — text never
+    shuffles for matching). Only documents that actually HAVE cuts enter
+    the Python lane: the cut-interval relation inner-joins the corpus
+    (hash join on id), and an Arrow-batched ``mapInPandas`` locates token
+    boundaries with ``re.finditer`` and splices the original string.
+    Untouched documents pass through JVM-only via the anti-join leg — at
+    a typical few-percent duplication rate, Python sees a few percent of
+    the corpus.
+    """
+    import pandas as pd
+
+    out_col = out_col or text_col
+    cuts = duplicate_spans(df, id_col, text_col, k, min_count).where(
+        F.col("id") != F.col("keep_id")
+    )
+    runs = (
+        _merge_spans_to_runs(cuts.select("id", "pos"), k)
+        .groupBy("id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("s", "e"))).alias("__cuts")
+        )
+    )
+    base = df
+    if out_col != text_col:
+        base = df.withColumn(out_col, F.col(text_col))
+    src_cols = base.columns
+    affected = base.join(
+        runs, base[id_col] == runs["id"], "inner"
+    ).drop(runs["id"])
+    untouched = base.join(runs, base[id_col] == runs["id"], "left_anti")
+
+    out_schema = ", ".join(
+        f"`{name}` {dtype}" for name, dtype in base.dtypes
+    )
+
+    def splice(batches):
+        import re as _re
+
+        for pdf in batches:
+            texts = []
+            for txt, cut_list in zip(pdf[text_col], pdf["__cuts"]):
+                if txt is None:
+                    texts.append(None)
+                    continue
+                spans = [
+                    (m.start(), m.end())
+                    for m in _re.finditer(r"\S+", txt)
+                ]
+                drop = [False] * len(spans)
+                for c in cut_list:
+                    for i in range(int(c["s"]), min(int(c["e"]) + 1, len(spans))):
+                        drop[i] = True
+                # keep original bytes BETWEEN ADJACENT kept tokens; when
+                # a cut sits between two kept tokens, the gap spanning the
+                # cut region must NOT be copied verbatim (it contains the
+                # dropped tokens) — emit only the separator immediately
+                # preceding the kept token (the bytes between the LAST
+                # dropped token and it)
+                pieces = []
+                prev_idx = None
+                for i, ((st, en), d) in enumerate(zip(spans, drop)):
+                    if d:
+                        continue
+                    if prev_idx is not None:
+                        if i == prev_idx + 1:
+                            pieces.append(txt[spans[prev_idx][1]:st])
+                        else:
+                            pieces.append(txt[spans[i - 1][1]:st])
+                    pieces.append(txt[st:en])
+                    prev_idx = i
+                texts.append("".join(pieces))
+            res = pdf[src_cols].copy()
+            res[out_col] = texts
+            yield res
+
+    rewritten = affected.mapInPandas(splice, schema=out_schema)
+    return untouched.unionByName(rewritten)

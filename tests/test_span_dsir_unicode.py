@@ -528,3 +528,58 @@ def test_bigram_nll_backoff_under_seen_context(spark):
     }
     # seen pair scores better (lower nll) than unseen pair, same context
     assert out[100] < out[101]
+
+
+def test_remove_duplicate_spans_exact_preserves_bytes(spark):
+    """Byte-exact removal: whitespace runs, newlines and casing OUTSIDE
+    the cuts survive verbatim; the cut substring (and the gaps inside
+    it) disappears."""
+    from openeo_processes_dask_spark.training.dedup import (
+        remove_duplicate_spans_exact,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon End"),
+            (2, "My  Unique\n\nPrefix ALPHA Beta GAMMA delta epsilon plus\tTail"),
+            (3, "nothing shared at all here whatsoever okay"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_spans_exact(
+            docs, "doc_id", "text", k=5
+        ).collect()
+    }
+    # canonical + untouched: byte-identical
+    assert out[1] == "alpha beta gamma delta epsilon End"
+    assert out[3] == "nothing shared at all here whatsoever okay"
+    # doc 2: the 5-token duplicated run is cut; double space, newlines
+    # and tab OUTSIDE the cut survive exactly
+    assert out[2] == "My  Unique\n\nPrefix plus\tTail"
+
+    # out_col variant keeps the original column intact
+    out2 = remove_duplicate_spans_exact(
+        docs, "doc_id", "text", k=5, out_col="clean"
+    )
+    r2 = {r["doc_id"]: (r["text"], r["clean"]) for r in out2.collect()}
+    assert r2[2][0].startswith("My  Unique")
+    assert "ALPHA" in r2[2][0] and "ALPHA" not in r2[2][1]
+
+
+def test_remove_duplicate_spans_exact_python_lane_is_targeted(spark):
+    """Only documents WITH cuts reach the Python splice: the untouched
+    leg of the union has no Python eval node feeding it (one MapInPandas
+    total, on the affected side)."""
+    from openeo_processes_dask_spark.diagnostics import plan_report
+    from openeo_processes_dask_spark.training.dedup import (
+        remove_duplicate_spans_exact,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} unique tokens only here") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    r = plan_report(remove_duplicate_spans_exact(docs, "doc_id", "text", k=3))
+    assert r.text.count("MapInPandas") == 1
