@@ -17,9 +17,11 @@ Layout::
       _manifest/v<n>.json               {"version", "files": [...], "parent"}
 
 All filesystem access goes through the Hadoop FileSystem API, so
-``table_dir`` may be file://, hdfs://, s3a://, ... Single-writer model:
-concurrent writers need an external lock (documented, not implemented —
-the versioned-manifest structure is what this module demonstrates).
+``table_dir`` may be file://, hdfs://, s3a://, ... Concurrency: commits
+are atomic create-exclusive on the manifest file (HDFS/local); a losing
+racer gets :class:`CommitConflict` and retries against the new head. On
+stores without atomic create (plain S3), front with a lock service —
+the same caveat Delta/Iceberg carry.
 """
 
 from __future__ import annotations
@@ -40,9 +42,17 @@ def _fs(spark: SparkSession, path: str):
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
 
 
-def _write_text(spark: SparkSession, path: str, text: str) -> None:
+def _write_text(
+    spark: SparkSession, path: str, text: str, overwrite: bool = True
+) -> None:
+    """``overwrite=False`` is the optimistic-concurrency primitive:
+    Hadoop ``create(path, overwrite=false)`` is atomic create-exclusive
+    on HDFS and local filesystems, so two committers racing to the same
+    version number cannot both succeed. (On S3-family stores without
+    atomic create, deploy a lock service or a commit coordinator — the
+    same caveat Delta/Iceberg carry.)"""
     fs, hpath, _ = _fs(spark, path)
-    out = fs.create(hpath, True)
+    out = fs.create(hpath, overwrite)
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
@@ -104,13 +114,29 @@ def read_manifest(
     return json.loads(_read_text(spark, path))
 
 
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first — re-read the latest
+    manifest and retry the mutation against it."""
+
+
 def _commit(
     spark: SparkSession, table_dir: str, files: list[str], parent: int
 ) -> int:
     v = parent + 1
     manifest = {"version": v, "parent": parent, "files": sorted(files)}
     path = posixpath.join(table_dir, _MANIFEST_DIR, f"v{v:05d}.json")
-    _write_text(spark, path, json.dumps(manifest, indent=1))
+    try:
+        # create-exclusive: losing a commit race raises instead of
+        # silently overwriting the winner's manifest
+        _write_text(spark, path, json.dumps(manifest, indent=1),
+                    overwrite=False)
+    except Exception as exc:  # Hadoop raises FileAlreadyExistsException
+        if "exist" in str(exc).lower():
+            raise CommitConflict(
+                f"version {v} of {table_dir} was committed concurrently — "
+                "re-read the manifest and retry"
+            ) from exc
+        raise
     return v
 
 

@@ -216,3 +216,19 @@ def test_upsert_rejects_null_keys(spark, table):
     )
     with pytest.raises(ValueError, match="NULL in key"):
         upsert_rows(spark, table, updates, ["id"])
+
+
+def test_commit_conflict_raises(spark, table):
+    """Optimistic concurrency: a racing commit to the same version loses
+    with CommitConflict instead of overwriting the winner."""
+    from openeo_processes_dask_spark.sources.manifest import (
+        CommitConflict,
+        _commit,
+        read_manifest,
+    )
+
+    m = read_manifest(spark, table)
+    _commit(spark, table, m["files"], m["version"])  # v2: first writer wins
+    with pytest.raises(CommitConflict):
+        _commit(spark, table, m["files"], m["version"])  # racing v2
+    assert read_manifest(spark, table)["version"] == 2
