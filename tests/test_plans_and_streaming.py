@@ -343,3 +343,61 @@ def test_process_graph_with_source_node(spark, small_cube, tmp_path):
     got_sum = sum(r["value"] for r in rows if r["value"] is not None)
     exp_sum = sum(r["value"] for r in exp.collect() if r["value"] is not None)
     assert got_sum == pytest.approx(exp_sum, rel=1e-9)
+
+
+def test_watermark_controls_finalization_not_admission(spark, tmp_path):
+    """Pin Spark's REAL late-data contract (it surprises people, and the
+    first version of this test assumed the folklore version): for
+    windowed aggregations the watermark is a lower bound for STATE
+    EVICTION and append-mode FINALIZATION — it does not reject late
+    input. A row far behind the watermark still lands in its window; in
+    append mode that window (being past the watermark) is finalized and
+    emitted in the same batch, while windows newer than the watermark
+    stay open and unemitted. (Guaranteed dropping needs
+    dropDuplicatesWithinWatermark / stream-stream join semantics, not
+    plain aggregation.)"""
+    import os
+    import time as _t
+
+    from openeo_processes_dask_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_aggregate_temporal_period,
+    )
+
+    d = os.path.join(str(tmp_path), "wm")
+    mk = lambda rows: spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "props",
+    )
+    mk([(1, "2024-01-10 12:00:00", 1, "a", 10.0, "{}"),
+        (2, "2024-01-20 12:00:00", 1, "a", 20.0, "{}")]
+       ).coalesce(1).write.parquet(d)
+    _t.sleep(1.1)
+    mk([(3, "2024-01-05 12:00:00", 1, "a", 100.0, "{}")]
+       ).coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .select("user_id", F.col("ts").alias("t"),
+                F.col("event_type").alias("band"), "value")
+    )
+    out = stream_aggregate_temporal_period(
+        stream, "1 day", watermark="2 days", reducer="sum"
+    )
+    q = run_stream_to_memory(out, "t_wm", output_mode="append")
+    q.awaitTermination(120)
+    got = {str(r["t"])[:10]: r["value"] for r in spark.table("t_wm").collect()}
+    # batch 1 set the watermark to Jan 18; the Jan-05 straggler in batch 2
+    # is ADMITTED and its (already-expired) window finalizes immediately
+    assert got.get("2024-01-05") == 100.0
+    assert got.get("2024-01-10") == 10.0
+    # the Jan-20 window ends past the watermark: still open, not emitted
+    assert "2024-01-20" not in got
