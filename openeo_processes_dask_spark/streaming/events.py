@@ -5,9 +5,14 @@ is the Spark-native extension: the same cube operators expressed over an
 unbounded events source with watermarked event-time windows, so a pipeline
 written against the batch cube API has a streaming twin.
 
-Late data: the watermark bounds state; rows later than the watermark are
-dropped by Spark — the streaming analogue of the reference's "data outside
-the interval set is ignored" batch semantics.
+Late data: the watermark is a lower bound for state EVICTION and
+append-mode finalization — for plain aggregations Spark does NOT reject
+late input (a straggler behind the watermark is admitted; its already-
+expired window finalizes immediately — pinned in
+tests/test_plans_and_streaming.py::test_watermark_controls_finalization
+_not_admission). Guaranteed late-row dropping applies to
+dropDuplicatesWithinWatermark and the stateful applyInPandasWithState
+timeout paths.
 """
 
 from __future__ import annotations

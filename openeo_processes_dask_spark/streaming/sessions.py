@@ -55,8 +55,10 @@ def sessionize(
     State machine per user: extend the open session while each event lands
     within ``gap_seconds`` of its end; otherwise emit the closed session and
     open a new one. The event-time timeout flushes sessions once the
-    watermark passes their gap horizon — bounded state, late events beyond
-    the watermark dropped by Spark.
+    watermark passes their gap horizon — bounded state; late events beyond
+    the watermark ARE dropped here (applyInPandasWithState's event-time
+    timeout path filters them — unlike plain aggregations, where the
+    watermark only governs eviction/finalization).
     """
     gap_us = gap_seconds * 1_000_000
 
