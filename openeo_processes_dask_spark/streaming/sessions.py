@@ -55,10 +55,13 @@ def sessionize(
     State machine per user: extend the open session while each event lands
     within ``gap_seconds`` of its end; otherwise emit the closed session and
     open a new one. The event-time timeout flushes sessions once the
-    watermark passes their gap horizon — bounded state; late events beyond
-    the watermark ARE dropped here (applyInPandasWithState's event-time
-    timeout path filters them — unlike plain aggregations, where the
-    watermark only governs eviction/finalization).
+    watermark passes their gap horizon — bounded state. Late events are
+    NOT filtered by Spark before an applyInPandasWithState function
+    (measured: numRowsDroppedByWatermark stays 0 and the straggler
+    reaches update()), and this state machine assumes event-time order —
+    an 18-day-old straggler would otherwise fold into whatever session
+    is currently open. update() therefore drops rows below the current
+    watermark explicitly (GroupState.getCurrentWatermarkMs).
     """
     gap_us = gap_seconds * 1_000_000
 
@@ -76,6 +79,17 @@ def sessionize(
                 state.remove()
         else:
             rows = pd.concat(list(pdfs)).sort_values("t")
+            # explicit late-data gate: Spark does not pre-filter rows
+            # below the watermark for stateful UDFs (see class docstring)
+            wm_ms = state.getCurrentWatermarkMs()
+            if wm_ms > 0:
+                unit = rows["t"].dtype.str
+                div = 1_000_000 if unit.endswith("[ns]") else 1_000
+                rows = rows[rows["t"].astype("int64") // div >= wm_ms]
+            if rows.empty:
+                # nothing admissible this batch: leave state (and its
+                # armed timeout) untouched
+                return
             ts_us = rows["t"].astype("int64")  # ns -> handled below
             # pandas datetime64[us/ns] → microseconds
             unit_div = 1000 if rows["t"].dtype.str.endswith("[ns]") else 1

@@ -401,3 +401,48 @@ def test_watermark_controls_finalization_not_admission(spark, tmp_path):
     assert got.get("2024-01-10") == 10.0
     # the Jan-20 window ends past the watermark: still open, not emitted
     assert "2024-01-20" not in got
+
+
+def test_sessionize_drops_below_watermark_stragglers(spark, tmp_path):
+    """A straggler far below the watermark must NOT fold into the open
+    session (Spark does not pre-filter stateful-UDF input; sessionize
+    gates on GroupState.getCurrentWatermarkMs itself)."""
+    import os
+    import time as _t
+
+    from openeo_processes_dask_spark.streaming.events import (
+        run_stream_to_memory,
+    )
+    from openeo_processes_dask_spark.streaming.sessions import sessionize
+
+    d = os.path.join(str(tmp_path), "sess")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "t_s string, user_id long, value double"
+    ).selectExpr("CAST(t_s AS TIMESTAMP) AS t", "user_id", "value")
+    mk([("2024-01-01 00:00:00", 1, 1.0),
+        ("2024-01-20 00:00:00", 1, 2.0)]).coalesce(1).write.parquet(d)
+    _t.sleep(1.1)
+    mk([("2024-01-02 00:00:00", 1, 50.0)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    _t.sleep(1.1)
+    # closer batch: ends the open Jan-20 session
+    mk([("2024-01-25 00:00:00", 1, 3.0)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    stream = (
+        spark.readStream.schema("t timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = sessionize(stream, gap_seconds=3600, watermark="1 hour")
+    q = run_stream_to_memory(out, "t_sess_wm", output_mode="append")
+    q.awaitTermination(120)
+    sessions = {
+        str(r["session_start"])[:10]: (r["n_events"], r["value_sum"])
+        for r in spark.table("t_sess_wm").collect()
+    }
+    assert sessions["2024-01-01"] == (1, 1.0)
+    # the Jan-20 session closed by Jan-25 must NOT contain the straggler
+    assert sessions["2024-01-20"] == (1, 2.0)
+    assert "2024-01-02" not in sessions
