@@ -938,3 +938,69 @@ def load_time_partitioned_cube(
     return DataCube(
         df.drop("__part"), dims=dims, value_col=value_col, **cube_kwargs
     )
+
+
+def save_cube_time_zordered(
+    data: DataCube,
+    path: str,
+    granularity: str = "month",
+    files_per_period: int = 8,
+    bits: int = 16,
+    time_dim: str | None = None,
+) -> str:
+    """The composed 100 TB spatiotemporal layout: Hive calendar
+    partitions (directory-level temporal pruning —
+    :func:`save_cube_time_partitioned`) with Morton-ordered files INSIDE
+    each partition (tight x/y footer stats — :func:`save_cube_zordered`).
+    A "bbox over two months" query then lists 2 directories and reads
+    only the files whose curve range intersects the bbox: both prunes
+    compose multiplicatively.
+
+    Implementation: one global min/max probe quantizes the curve (shared
+    across partitions so a bbox maps to the same curve range everywhere),
+    then rows are hash-distributed by (period, z-bucket) and sorted by
+    (period, z) within tasks — the partitionBy writer emits one compact
+    z-run per (period, bucket) file."""
+    fmt = {"day": "yyyy-MM-dd", "month": "yyyy-MM", "year": "yyyy"}
+    if granularity not in fmt:
+        raise ValueError(
+            f"granularity must be one of {sorted(fmt)}, got {granularity!r}"
+        )
+    x_dim, y_dim = data.meta.x_dim, data.meta.y_dim
+    if x_dim is None or y_dim is None:
+        raise ValueError("save_cube_time_zordered needs x and y dims")
+    tdims = data.meta.temporal_dims
+    td = time_dim or (tdims[0] if tdims else None)
+    if td is None:
+        raise ValueError("cube has no temporal dim to partition by")
+    lo_hi = data.df.agg(
+        F.min(x_dim), F.max(x_dim), F.min(y_dim), F.max(y_dim)
+    ).first()
+    if lo_hi is None or lo_hi[0] is None:
+        data.df.write.mode("overwrite").parquet(path)
+        return path
+    x_min, x_max, y_min, y_max = (float(v) for v in lo_hi)
+    cells = (1 << bits) - 1
+    x_step = ((x_max - x_min) / cells) or 1.0
+    y_step = ((y_max - y_min) / cells) or 1.0
+    z = zorder_value(
+        F.col(x_dim), F.col(y_dim), x_min, x_step, y_min, y_step, bits
+    )
+    zmax = float((1 << (2 * bits)) - 1)
+    bucket = F.floor(
+        F.col("__z__") / F.lit(zmax + 1.0) * files_per_period
+    ).cast("int")
+    (
+        data.df.withColumn(
+            "__part", F.date_format(F.col(td), fmt[granularity])
+        )
+        .withColumn("__z__", z)
+        .withColumn("__zb", bucket)
+        .repartition("__part", "__zb")
+        .sortWithinPartitions("__part", "__z__")
+        .drop("__z__", "__zb")
+        .write.mode("overwrite")
+        .partitionBy("__part")
+        .parquet(path)
+    )
+    return path

@@ -220,3 +220,75 @@ def test_bm25_topk_matches_reference_formula(spark):
 
     r = plan_report(bm25_topk(df, ["cat"], k=2))
     assert "TakeOrderedAndProject" in r.text and r.python_free
+
+
+def test_time_zordered_composes_both_prunes(spark, tmp_path):
+    """Calendar partitions + Morton files: a month+bbox query must prune
+    directories (numPartitions) AND skip files via x/y footer stats
+    (numFiles below the per-period file count)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.sources.load import (
+        save_cube_time_zordered,
+    )
+
+    n = 64
+    df = (
+        spark.range(n * n)
+        .select(
+            (F.col("id") % n).cast("double").alias("x"),
+            (F.col("id") / n).cast("long").cast("double").alias("y"),
+        )
+        .crossJoin(
+            spark.range(3).select(
+                F.make_timestamp(
+                    F.lit(2024), F.col("id") + 1, F.lit(15),
+                    F.lit(12), F.lit(0), F.lit(0)
+                ).alias("t")
+            )
+        )
+        .select("x", "y", "t", F.lit("b").alias("band"),
+                (F.col("x") + F.col("y")).alias("value"))
+    )
+    cube = DataCube(df, dims=("x", "y", "t", "band"))
+    d = os.path.join(str(tmp_path), "tz")
+    save_cube_time_zordered(cube, d, granularity="month",
+                            files_per_period=8)
+    q = (
+        spark.read.parquet(d)
+        .where(F.col("__part") == "2024-02")
+        .where((F.col("x") < 8) & (F.col("y") < 8))
+    )
+    counts = _scan_partition_counts(q.select("x", "y", "value"))
+    assert counts and counts[0] == 1  # one month directory listed
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"numFiles: (\d+)", plan)
+    # metric walk for numFiles
+    q2 = spark.read.parquet(d).where(F.col("__part") == "2024-02").where(
+        (F.col("x") < 8) & (F.col("y") < 8)
+    ).select("x", "y", "value")
+    q2.collect()
+    node = q2._jdf.queryExecution().executedPlan()
+
+    def files_read(nd):
+        out = []
+        if "FileSourceScan" in nd.getClass().getSimpleName():
+            it = nd.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numFiles":
+                    out.append(kv._2().value())
+        ch = nd.children().iterator()
+        while ch.hasNext():
+            out += files_read(ch.next())
+        return out
+
+    nf = files_read(node)
+    assert nf and nf[0] < 8, nf  # bbox skipped files inside the month
+    # correctness: the pruned read returns exactly the filtered rows
+    assert q2.count() == 8 * 8
