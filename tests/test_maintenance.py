@@ -264,11 +264,6 @@ def test_time_zordered_composes_both_prunes(spark, tmp_path):
     )
     counts = _scan_partition_counts(q.select("x", "y", "value"))
     assert counts and counts[0] == 1  # one month directory listed
-    plan = q._jdf.queryExecution().executedPlan().toString()
-    import re
-
-    m = re.search(r"numFiles: (\d+)", plan)
-    # metric walk for numFiles
     q2 = spark.read.parquet(d).where(F.col("__part") == "2024-02").where(
         (F.col("x") < 8) & (F.col("y") < 8)
     ).select("x", "y", "value")
