@@ -342,3 +342,99 @@ def compact_table(
     tag = f"{m['version'] + 1:05d}"
     new_files = _write_batch(df, table_dir, tag)
     return _commit(spark, table_dir, bigs + new_files, m["version"])
+
+
+def collect_file_stats(
+    spark: SparkSession,
+    table_dir: str,
+    columns: list[str],
+) -> int:
+    """Attach per-file min/max/rowcount statistics for ``columns`` to the
+    CURRENT manifest (committed as a new version) — the Iceberg move that
+    lets readers skip files from the MANIFEST alone, without listing or
+    opening a single parquet footer. On an object store at 100 TB,
+    footer-probing a million files costs more than many queries; a
+    manifest with stats answers "which files can hold x BETWEEN a AND b"
+    driver-side.
+
+    One distributed job: scan the current files, group by
+    ``_metadata.file_path``, min/max per column. Stats are stored under
+    ``stats[<relpath>][<col>] = [min, max]`` (JSON-serialized scalars).
+    """
+    m = read_manifest(spark, table_dir)
+    full = {f: posixpath.join(table_dir, f) for f in m["files"]}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    rows = (
+        spark.read.parquet(*full.values())
+        .groupBy(F.col("_metadata.file_path").alias("__f"))
+        .agg(*aggs)
+        .collect()
+    )
+
+    def _scalar(v):
+        return v.isoformat() if hasattr(v, "isoformat") else v
+
+    stats = {}
+    for r in rows:
+        rel = next((f for f in m["files"] if r["__f"].endswith(f)), None)
+        if rel is None:
+            continue
+        stats[rel] = {
+            c: [_scalar(r[f"__mn_{c}"]), _scalar(r[f"__mx_{c}"])]
+            for c in columns
+        }
+        stats[rel]["__rows"] = r["__n"]
+    v = m["version"] + 1
+    manifest = {
+        "version": v,
+        "parent": m["version"],
+        "files": m["files"],
+        "stats": stats,
+    }
+    path = posixpath.join(table_dir, _MANIFEST_DIR, f"v{v:05d}.json")
+    _write_text(spark, path, json.dumps(manifest, indent=1), overwrite=False)
+    return v
+
+
+def read_table_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    bounds: dict,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read that skips files from MANIFEST statistics alone:
+    ``bounds`` maps column -> (lo, hi) (inclusive; None = unbounded), and
+    a file is read only if its [min, max] interval intersects every
+    bound. Falls back to reading a file when it has no stats for a
+    bounded column (never silently wrong). The residual row-level
+    predicate is the CALLER's to apply — this prunes I/O, it does not
+    filter rows."""
+    m = read_manifest(spark, table_dir, version)
+    stats = m.get("stats", {})
+    keep = []
+    for f in m["files"]:
+        fstats = stats.get(f)
+        ok = True
+        if fstats:
+            for col, (lo, hi) in bounds.items():
+                if col not in fstats:
+                    continue
+                mn, mx = fstats[col]
+                if lo is not None and mx is not None and mx < lo:
+                    ok = False
+                    break
+                if hi is not None and mn is not None and mn > hi:
+                    ok = False
+                    break
+        if ok:
+            keep.append(f)
+    if not keep:
+        # empty selection: preserve schema via an always-false filter on
+        # one file
+        one = posixpath.join(table_dir, m["files"][0])
+        return spark.read.parquet(one).where(F.lit(False))
+    return spark.read.parquet(
+        *[posixpath.join(table_dir, f) for f in keep]
+    )

@@ -232,3 +232,37 @@ def test_commit_conflict_raises(spark, table):
     with pytest.raises(CommitConflict):
         _commit(spark, table, m["files"], m["version"])  # racing v2
     assert read_manifest(spark, table)["version"] == 2
+
+
+def test_manifest_stats_prune_files(spark, tmp_path):
+    """collect_file_stats + read_table_pruned: a narrow range reads only
+    the files whose manifest [min, max] intersects it — no footer probes,
+    the decision is driver-side from the manifest JSON."""
+    import os
+
+    from openeo_processes_dask_spark.sources.manifest import (
+        collect_file_stats,
+        read_table_pruned,
+    )
+
+    d = os.path.join(str(tmp_path), "stats_tbl")
+    # 8 range-partitioned files over id 0..799 -> disjoint id intervals
+    df = spark.range(800).select(
+        F.col("id"), (F.col("id") * 1.5).alias("v")
+    )
+    create_table(df.repartitionByRange(8, "id"), d)
+    v2 = collect_file_stats(spark, d, ["id"])
+    assert v2 == 2
+    m = read_manifest(spark, d)
+    assert len(m["stats"]) == len(m["files"])
+    narrow = read_table_pruned(spark, d, {"id": (100, 150)})
+    assert len(narrow.inputFiles()) < len(m["files"])
+    # pruning is I/O-only: rows outside the bound from boundary files
+    # remain until the caller filters
+    assert narrow.where(
+        (F.col("id") >= 100) & (F.col("id") <= 150)
+    ).count() == 51
+    # unbounded read sees everything; empty selection keeps the schema
+    assert read_table_pruned(spark, d, {}).count() == 800
+    empty = read_table_pruned(spark, d, {"id": (10_000, 20_000)})
+    assert empty.count() == 0 and "v" in empty.columns
