@@ -490,3 +490,105 @@ def random_projection(
         *df.columns,
         F.array(*[F.col(f"__p{j}__") for j in range(out_dim)]).alias("proj"),
     )
+
+
+def semdedup(
+    df: DataFrame,
+    k: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    iterations: int = 3,
+    max_cluster_pairs_per_vector: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over an embedding column — k-means partitions the
+    space, exact cosine runs ONLY within each cluster, and connected
+    components over the above-threshold pairs pick one canonical
+    (minimum-id) representative per semantic duplicate group.
+
+    Returns (id, keep): ``keep`` is false for members that a more-
+    canonical near-semantic-twin shadows. Vectors whose cluster contains
+    no near twin keep themselves.
+
+    Plan at 100 TB: k-means is the engine's deterministic integer-exact
+    Lloyd (centroid-sized driver traffic); the within-cluster self-join
+    is an equi-join on the cluster id, so pair count is
+    sum(|cluster|²)/2, never N² — pick k ≈ N/1000 to bound cluster
+    sizes, and ``max_cluster_pairs_per_vector`` star-caps pathological
+    mega-clusters the same way the LSH lanes do (training/dedup.py
+    _bucket_cap)."""
+    from openeo_processes_dask_spark.training.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from openeo_processes_dask_spark.training.dedup import (
+        _bucket_cap,
+        connected_components,
+    )
+
+    cents = kmeans_fit(
+        df, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col,
+        seed=seed,
+    )
+    assigned = kmeans_assign(df, cents, id_col=id_col, vec_col=vec_col)
+    tagged = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .join(
+            assigned.select(F.col(id_col).alias("id"), "cluster"), "id"
+        )
+    )
+    star = None
+    if max_cluster_pairs_per_vector is not None:
+        tagged, star = _bucket_cap(
+            tagged.select("id", "v", "cluster"), ["cluster"],
+            max_cluster_pairs_per_vector,
+        )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"), F.col("a.v").alias("v1"),
+            F.col("b.id").alias("id2"), F.col("b.v").alias("v2"),
+        )
+    )
+    if star is not None:
+        vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        cands = cands.unionByName(
+            star.join(
+                vecs.select(F.col("id").alias("id1"), F.col("v").alias("v1")),
+                "id1",
+            ).join(
+                vecs.select(F.col("id").alias("id2"), F.col("v").alias("v2")),
+                "id2",
+            ).select("id1", "v1", "id2", "v2")
+        ).dropDuplicates(["id1", "id2"])
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("v1").cast("array<double>"),
+            F.col("v2").cast("array<double>"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (_norm(F.col("v1")) * _norm(F.col("v2")))
+    pairs = cands.select(
+        "id1", "id2", F.round(cos, 6).alias("cosine")
+    ).where(F.col("cosine") >= threshold)
+    comp = connected_components(pairs)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            "id",
+            (F.col("comp").isNull() | (F.col("comp") == F.col("id"))).alias(
+                "keep"
+            ),
+        )
+    )

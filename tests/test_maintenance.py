@@ -287,3 +287,32 @@ def test_time_zordered_composes_both_prunes(spark, tmp_path):
     assert nf and nf[0] < 8, nf  # bbox skipped files inside the month
     # correctness: the pruned read returns exactly the filtered rows
     assert q2.count() == 8 * 8
+
+
+def test_semdedup_keeps_canonical_per_semantic_group(spark):
+    """SemDeDup: near-identical embeddings collapse to the min-id member;
+    distinct directions all survive."""
+    from pyspark.sql import functions as F
+
+    from openeo_processes_dask_spark.training.similarity import semdedup
+
+    import math
+
+    def unit(angle):
+        return [math.cos(angle), math.sin(angle), 0.0]
+
+    rows = (
+        [(i, unit(0.001 * i)) for i in range(5)]        # one tight group
+        + [(10 + i, unit(1.5 + 0.001 * i)) for i in range(3)]  # another
+        + [(100, unit(0.7)), (101, unit(2.6))]          # loners
+    )
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["id"]: r["keep"] for r in semdedup(
+        df, k=4, threshold=0.999).collect()}
+    assert out[0] and not any(out[i] for i in range(1, 5))
+    assert out[10] and not out[11] and not out[12]
+    assert out[100] and out[101]
+    # star-capped variant keeps the same survivors
+    out2 = {r["id"]: r["keep"] for r in semdedup(
+        df, k=4, threshold=0.999, max_cluster_pairs_per_vector=2).collect()}
+    assert out == out2
