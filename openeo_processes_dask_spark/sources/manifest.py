@@ -120,10 +120,23 @@ class CommitConflict(RuntimeError):
 
 
 def _commit(
-    spark: SparkSession, table_dir: str, files: list[str], parent: int
+    spark: SparkSession,
+    table_dir: str,
+    files: list[str],
+    parent: int,
+    stats: dict | None = None,
 ) -> int:
+    """``stats``: per-file statistics carried into the new version.
+    Mutating commits pass the parent's stats restricted to surviving
+    files, so collect_file_stats' work outlives the next delete/upsert —
+    new files simply lack stats and are read conservatively until the
+    next stats collection."""
     v = parent + 1
     manifest = {"version": v, "parent": parent, "files": sorted(files)}
+    if stats:
+        kept = {f: st for f, st in stats.items() if f in set(files)}
+        if kept:
+            manifest["stats"] = kept
     path = posixpath.join(table_dir, _MANIFEST_DIR, f"v{v:05d}.json")
     try:
         # create-exclusive: losing a commit race raises instead of
@@ -177,7 +190,10 @@ def append_table(df: DataFrame, table_dir: str) -> int:
     m = read_manifest(spark, table_dir)
     tag = f"{m['version'] + 1:05d}"
     files = _write_batch(df, table_dir, tag)
-    return _commit(spark, table_dir, m["files"] + files, m["version"])
+    return _commit(
+        spark, table_dir, m["files"] + files, m["version"],
+        stats=m.get("stats"),
+    )
 
 
 def delete_rows(
@@ -211,7 +227,9 @@ def delete_rows(
         if any(af.endswith(f) for af in affected_full)
     }
     if not affected:
-        return _commit(spark, table_dir, m["files"], m["version"])
+        return _commit(
+            spark, table_dir, m["files"], m["version"], stats=m.get("stats")
+        )
     # tri-state guard: a row where the predicate evaluates to NULL must
     # be KEPT (a bare ~predicate drops it — NULL is not TRUE, but ~NULL
     # is NULL, which where() also drops). Delete exactly the IS TRUE set.
@@ -221,7 +239,10 @@ def delete_rows(
     tag = f"{m['version'] + 1:05d}"
     new_files = _write_batch(kept_rows, table_dir, tag)
     survivors = [f for f in m["files"] if f not in affected]
-    return _commit(spark, table_dir, survivors + new_files, m["version"])
+    return _commit(
+        spark, table_dir, survivors + new_files, m["version"],
+        stats=m.get("stats"),
+    )
 
 
 def upsert_rows(
@@ -272,7 +293,10 @@ def upsert_rows(
         batch = updates
     new_files = _write_batch(batch, table_dir, tag)
     survivors = [f for f in m["files"] if f not in affected]
-    return _commit(spark, table_dir, survivors + new_files, m["version"])
+    return _commit(
+        spark, table_dir, survivors + new_files, m["version"],
+        stats=m.get("stats"),
+    )
 
 
 def vacuum(
@@ -341,7 +365,10 @@ def compact_table(
     ).repartition(n)
     tag = f"{m['version'] + 1:05d}"
     new_files = _write_batch(df, table_dir, tag)
-    return _commit(spark, table_dir, bigs + new_files, m["version"])
+    return _commit(
+        spark, table_dir, bigs + new_files, m["version"],
+        stats=m.get("stats"),
+    )
 
 
 def collect_file_stats(

@@ -266,3 +266,30 @@ def test_manifest_stats_prune_files(spark, tmp_path):
     assert read_table_pruned(spark, d, {}).count() == 800
     empty = read_table_pruned(spark, d, {"id": (10_000, 20_000)})
     assert empty.count() == 0 and "v" in empty.columns
+
+
+def test_stats_survive_targeted_mutations(spark, tmp_path):
+    """Stats carry forward through delete/append: untouched files keep
+    theirs (pruning still works), rewritten/new files are conservatively
+    unstated until the next collect_file_stats."""
+    import os
+
+    from openeo_processes_dask_spark.sources.manifest import (
+        collect_file_stats,
+        read_table_pruned,
+    )
+
+    d = os.path.join(str(tmp_path), "stats_mut")
+    df = spark.range(800).select(F.col("id"), (F.col("id") * 2.0).alias("v"))
+    create_table(df.repartitionByRange(8, "id"), d)
+    collect_file_stats(spark, d, ["id"])
+    delete_rows(spark, d, F.col("id") == 700)  # rewrites one file
+    m = read_manifest(spark, d)
+    assert m["version"] == 3 and "stats" in m
+    # 7 surviving originals keep stats; the rewritten batch has none
+    assert len(m["stats"]) == 7
+    narrow = read_table_pruned(spark, d, {"id": (100, 150)})
+    # pruned: files excluded by stats are gone, but the stat-less new
+    # file is conservatively included
+    assert len(narrow.inputFiles()) < len(m["files"])
+    assert narrow.where((F.col("id") >= 100) & (F.col("id") <= 150)).count() == 51
