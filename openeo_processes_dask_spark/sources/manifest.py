@@ -144,7 +144,8 @@ def _commit(
         _write_text(spark, path, json.dumps(manifest, indent=1),
                     overwrite=False)
     except Exception as exc:  # Hadoop raises FileAlreadyExistsException
-        if "exist" in str(exc).lower():
+        msg = str(exc)
+        if "FileAlreadyExistsException" in msg or "already exists" in msg.lower():
             raise CommitConflict(
                 f"version {v} of {table_dir} was committed concurrently — "
                 "re-read the manifest and retry"
@@ -156,7 +157,19 @@ def _commit(
 def _write_batch(
     df: DataFrame, table_dir: str, batch_tag: str
 ) -> list[str]:
-    dest = posixpath.join(table_dir, _DATA_DIR, f"batch-{batch_tag}")
+    """Batch directories get a UNIQUE suffix: the manifest CAS is the
+    only race arbiter. Without it, two writers racing from the same
+    parent would collide on the shared data/batch-<v+1> dir (an
+    AnalysisException, not the documented CommitConflict), and a writer
+    that crashed between batch write and commit would wedge every future
+    mutation at that version. Orphaned never-referenced batches are
+    garbage a future vacuum extension can sweep (they are never listed
+    in any manifest, so readers never see them)."""
+    import uuid
+
+    dest = posixpath.join(
+        table_dir, _DATA_DIR, f"batch-{batch_tag}-{uuid.uuid4().hex[:8]}"
+    )
     df.write.mode("error").parquet(dest)
     return [
         _rel(table_dir, f) for f in _list_parquet(df.sparkSession, dest)
@@ -413,16 +426,7 @@ def collect_file_stats(
             for c in columns
         }
         stats[rel]["__rows"] = r["__n"]
-    v = m["version"] + 1
-    manifest = {
-        "version": v,
-        "parent": m["version"],
-        "files": m["files"],
-        "stats": stats,
-    }
-    path = posixpath.join(table_dir, _MANIFEST_DIR, f"v{v:05d}.json")
-    _write_text(spark, path, json.dumps(manifest, indent=1), overwrite=False)
-    return v
+    return _commit(spark, table_dir, m["files"], m["version"], stats=stats)
 
 
 def read_table_pruned(
@@ -439,6 +443,8 @@ def read_table_pruned(
     predicate is the CALLER's to apply — this prunes I/O, it does not
     filter rows."""
     m = read_manifest(spark, table_dir, version)
+    if not m["files"]:
+        raise ValueError(f"version {m['version']} of {table_dir} is empty")
     stats = m.get("stats", {})
     keep = []
     for f in m["files"]:

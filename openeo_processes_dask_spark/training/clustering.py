@@ -121,10 +121,16 @@ def kmeans_assign(
     centroids: Sequence[Sequence[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
-    """(id, cluster) for every vector against fitted centroids — one
-    shuffle-free projection."""
+    """(id[, vec], cluster) for every vector against fitted centroids —
+    one shuffle-free projection. ``keep_vec`` carries the vector column
+    through so consumers that need (vector, cluster) together (e.g.
+    semdedup's within-cluster join) avoid a corpus-wide re-join."""
+    cols = [F.col(id_col)]
+    if keep_vec:
+        cols.append(F.col(vec_col))
     return df.select(
-        F.col(id_col),
+        *cols,
         _assign_expr(_snap_micro(F.col(vec_col)), centroids).alias("cluster"),
     )

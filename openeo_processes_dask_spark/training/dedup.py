@@ -1146,7 +1146,40 @@ def remove_duplicate_spans_exact(
     )
 
     def splice(batches):
-        import re as _re
+        # token spans MUST replicate Spark's tokens() positions exactly —
+        # a Python \S+ scan diverges on (a) leading non-space whitespace
+        # (F.trim strips ONLY spaces, so '\nfoo' has an empty token 0),
+        # (b) trailing separators (F.split limit=-1 keeps a trailing ''),
+        # (c) unicode spaces like NBSP (Java \s is ASCII; NBSP is token
+        # text). A mismatch silently shifts every cut index. Pinned
+        # against live Spark in test_exact_spans_tokenization_parity.
+        sep = set(" \t\n\x0b\f\r")
+
+        def spark_token_spans(txt):
+            lo, hi = 0, len(txt)
+            while lo < hi and txt[lo] == " ":
+                lo += 1
+            while hi > lo and txt[hi - 1] == " ":
+                hi -= 1
+            if lo == hi:
+                return []
+            spans = []
+            i = lo
+            if txt[i] in sep:
+                spans.append((i, i))
+                while i < hi and txt[i] in sep:
+                    i += 1
+            while i < hi:
+                j = i
+                while j < hi and txt[j] not in sep:
+                    j += 1
+                spans.append((i, j))
+                i = j
+                while i < hi and txt[i] in sep:
+                    i += 1
+            if txt[hi - 1] in sep:
+                spans.append((hi, hi))
+            return spans
 
         for pdf in batches:
             texts = []
@@ -1154,21 +1187,18 @@ def remove_duplicate_spans_exact(
                 if txt is None:
                     texts.append(None)
                     continue
-                spans = [
-                    (m.start(), m.end())
-                    for m in _re.finditer(r"\S+", txt)
-                ]
+                spans = spark_token_spans(txt)
                 drop = [False] * len(spans)
                 for c in cut_list:
                     for i in range(int(c["s"]), min(int(c["e"]) + 1, len(spans))):
                         drop[i] = True
-                # keep original bytes BETWEEN ADJACENT kept tokens; when
-                # a cut sits between two kept tokens, the gap spanning the
-                # cut region must NOT be copied verbatim (it contains the
-                # dropped tokens) — emit only the separator immediately
-                # preceding the kept token (the bytes between the LAST
-                # dropped token and it)
-                pieces = []
+                # bytes before the first token and after the last token
+                # are outside every cut — always preserved. Between kept
+                # tokens: adjacent kept pairs keep their true gap; a kept
+                # token after a cut keeps only the separator between the
+                # LAST dropped token and itself (copying the whole gap
+                # would resurrect the dropped text).
+                pieces = [txt[: spans[0][0]]] if spans else [txt]
                 prev_idx = None
                 for i, ((st, en), d) in enumerate(zip(spans, drop)):
                     if d:
@@ -1180,6 +1210,8 @@ def remove_duplicate_spans_exact(
                             pieces.append(txt[spans[i - 1][1]:st])
                     pieces.append(txt[st:en])
                     prev_idx = i
+                if spans:
+                    pieces.append(txt[spans[-1][1]:])
                 texts.append("".join(pieces))
             res = pdf[src_cols].copy()
             res[out_col] = texts

@@ -48,7 +48,11 @@ def cosine_topk(
     """Brute-force cosine top-k: exact baseline. orderBy+limit compiles to
     TakeOrderedAndProject — per-partition heaps, only k rows shuffle."""
     qn = float(np.sqrt(np.dot(query, query)))
-    sim = _dot_lit(F.col(vec_col), query) / (_norm(F.col(vec_col)) * F.lit(qn))
+    # try_divide: a zero-norm vector yields NULL (sorted last / filtered)
+    # instead of an ANSI DIVIDE_BY_ZERO that kills the job
+    sim = F.try_divide(
+        _dot_lit(F.col(vec_col), query), _norm(F.col(vec_col)) * F.lit(qn)
+    )
     return (
         df.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
@@ -199,7 +203,7 @@ def pairwise_cosine_above(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = dot / (_norm(F.col("v1")) * _norm(F.col("v2")))
+    cos = F.try_divide(dot, _norm(F.col("v1")) * _norm(F.col("v2")))
     return (
         cands.select("id1", "id2", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
@@ -289,7 +293,7 @@ def ivf_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = dot / (_norm(F.col(vec_col)) * _norm(F.col("cvec")))
+    cos = F.try_divide(dot, _norm(F.col(vec_col)) * _norm(F.col("cvec")))
     assigned = (
         df.crossJoin(F.broadcast(cent_df))
         .withColumn("__cos__", cos)
@@ -532,12 +536,12 @@ def semdedup(
         df, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col,
         seed=seed,
     )
-    assigned = kmeans_assign(df, cents, id_col=id_col, vec_col=vec_col)
-    tagged = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .join(
-            assigned.select(F.col(id_col).alias("id"), "cluster"), "id"
-        )
+    # keep_vec: cluster assignment is a shuffle-free projection, so the
+    # (id, vector, cluster) relation needs NO corpus-wide self-join
+    tagged = kmeans_assign(
+        df, cents, id_col=id_col, vec_col=vec_col, keep_vec=True
+    ).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cluster"
     )
     star = None
     if max_cluster_pairs_per_vector is not None:
@@ -577,7 +581,7 @@ def semdedup(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = dot / (_norm(F.col("v1")) * _norm(F.col("v2")))
+    cos = F.try_divide(dot, _norm(F.col("v1")) * _norm(F.col("v2")))
     pairs = cands.select(
         "id1", "id2", F.round(cos, 6).alias("cosine")
     ).where(F.col("cosine") >= threshold)

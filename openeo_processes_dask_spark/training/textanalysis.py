@@ -354,6 +354,11 @@ def bm25_topk(
         ],
     ).first()
     n_docs, avgdl = stats["n"], float(stats["avgdl"] or 1.0)
+    if not n_docs:
+        # empty corpus: empty (rank, id, score) result with the schema
+        return base.select(
+            F.lit(1).alias("rank"), "id", F.lit(0.0).alias("score")
+        ).where(F.lit(False))
     import math as _m
 
     idf = [

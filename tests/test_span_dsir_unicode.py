@@ -583,3 +583,41 @@ def test_remove_duplicate_spans_exact_python_lane_is_targeted(spark):
     )
     r = plan_report(remove_duplicate_spans_exact(docs, "doc_id", "text", k=3))
     assert r.text.count("MapInPandas") == 1
+
+
+def test_exact_spans_tokenization_parity(spark):
+    """The Python splice's token spans must replicate Spark's tokens()
+    positions on the adversarial inputs where \\S+ scanning diverges:
+    leading non-space whitespace (empty token 0), trailing separators
+    (trailing empty token), and NBSP (token text in Java ASCII \\s)."""
+    from openeo_processes_dask_spark.training.dedup import (
+        remove_duplicate_spans_exact,
+    )
+
+    shared = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, shared),
+            (2, "\nlead " + shared + " tail\n"),       # empty tokens both ends
+            (3, "x y " + shared + " z"),          # NBSP inside a token
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_spans_exact(
+            docs, "doc_id", "text", k=5
+        ).collect()
+    }
+    assert out[1] == shared                     # canonical, untouched
+    assert out[2] == "\nlead tail\n"            # cut exact, ends preserved
+    assert out[3] == "x y z"               # NBSP token intact
+
+
+def test_bm25_empty_corpus_returns_empty(spark):
+    from openeo_processes_dask_spark.training.textanalysis import bm25_topk
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = bm25_topk(empty, ["anything"], k=5)
+    assert out.count() == 0
+    assert set(out.columns) == {"rank", "id", "score"}
