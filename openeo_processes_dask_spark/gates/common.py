@@ -123,3 +123,16 @@ def _cells_cube(spark, sf_dir):
 
 
 _TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+
+
+def _round6n(df: DataFrame, *cols: str) -> DataFrame:
+    """round6 with a +1e-9 nudge first: the convolution kernels produce
+    dyadic-rational values that can land EXACTLY on a .5 * 1e-6 rounding
+    boundary, where Spark's BigDecimal HALF_UP and DuckDB's libm round
+    disagree by one final digit (seen at sf0.1: 16933.8046875 ->
+    ...688 vs ...687). The shared nudge moves both engines off the
+    boundary identically; non-boundary values are unaffected at 6
+    decimals."""
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c) + F.lit(1e-9), 6))
+    return df

@@ -147,10 +147,14 @@ def q_aggregate_temporal_halves(spark, sf_dir):
     from openeo_processes_dask_spark.cube import DataCube
     from openeo_processes_dask_spark.operators.aggregate import aggregate_temporal
 
+    # money as integer cents: a double sum at sf0.1 reaches ~4e9 where
+    # the 6-decimal round sits at ULP resolution and sum order flips the
+    # last digit between engines (seen in the sf0.1 robustness sweep) —
+    # integer accumulation is exact at every scale factor
     df = _table(spark, sf_dir, "orders").select(
         F.col("o_orderdate").alias("t"),
         F.col("o_orderpriority").alias("band"),
-        F.col("o_totalprice").alias("value"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("value"),
     )
     cube = DataCube(df, dims=("t", "band"))
     out = aggregate_temporal(
@@ -159,7 +163,7 @@ def q_aggregate_temporal_halves(spark, sf_dir):
         labels=["h1", "h2"],
         reducer="sum",
     )
-    return _round6(out.df, "value")
+    return out.df
 
 
 def q_aggregate_dekad(spark, sf_dir):
@@ -375,7 +379,9 @@ ORACLES = {
             binned AS (
               SELECT CASE WHEN o_orderdate >= '1995-01-01' AND o_orderdate < '1998-01-01' THEN 'h1'
                           WHEN o_orderdate >= '1998-01-01' AND o_orderdate < '2002-01-01' THEN 'h2' END AS t,
-                     o_orderpriority AS band, round(sum(o_totalprice), 6) AS value
+                     o_orderpriority AS band,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS value
               FROM orders WHERE o_orderdate IS NOT NULL GROUP BY ALL)
             SELECT l.t, g.band, b.value
             FROM labels l

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 
 from .common import (
+    _round6n,
     _CELLS_CTE,
     _GRID_CTE,
     _IDX_CTE,
@@ -202,7 +203,7 @@ def q_resample_cubic(spark, sf_dir):
 
     out = resample_spatial(_grid_cube(spark, sf_dir), resolution=2.5,
                            method="cubic")
-    return _round6(out.df, "value")
+    return _round6n(out.df, "value")
 
 
 def q_apply_neighborhood_2d(spark, sf_dir):
@@ -246,7 +247,7 @@ def q_resample_cubicspline(spark, sf_dir):
 
     out = resample_spatial(_grid_cube(spark, sf_dir), resolution=2.5,
                            method="cubicspline")
-    return _round6(out.df, "value")
+    return _round6n(out.df, "value")
 
 
 def q_resample_lanczos(spark, sf_dir):
@@ -256,7 +257,7 @@ def q_resample_lanczos(spark, sf_dir):
 
     out = resample_spatial(_grid_cube(spark, sf_dir), resolution=2.5,
                            method="lanczos")
-    return _round6(out.df, "value")
+    return _round6n(out.df, "value")
 
 
 def q_resample_gauss(spark, sf_dir):
@@ -267,7 +268,7 @@ def q_resample_gauss(spark, sf_dir):
 
     out = resample_spatial(_grid_cube(spark, sf_dir), resolution=2.5,
                            method="gauss")
-    return _round6(out.df, "value")
+    return _round6n(out.df, "value")
 
 
 def q_resample_mode(spark, sf_dir):

@@ -463,7 +463,7 @@ def _resample_kernel_oracle_sql(kernel: str, res: float = 2.5) -> str:
           SELECT tx, ty, sx, sy, wxv * wyv AS w
           FROM mapx CROSS JOIN mapy)
         SELECT m.tx AS x, m.ty AS y, g.band,
-               round(sum(m.w * g.value) / sum(m.w), 6) AS value
+               round(sum(m.w * g.value) / sum(m.w) + 1e-9, 6) AS value
         FROM grid g JOIN mapping m ON g.x = m.sx AND g.y = m.sy
         GROUP BY 1, 2, 3
     """
