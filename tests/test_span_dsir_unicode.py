@@ -621,3 +621,27 @@ def test_bm25_empty_corpus_returns_empty(spark):
     out = bm25_topk(empty, ["anything"], k=5)
     assert out.count() == 0
     assert set(out.columns) == {"rank", "id", "score"}
+
+
+def test_interval_join_extra_on_residual(spark):
+    """extra_on adds a residual predicate (e.g. same user) to the
+    bucketized join."""
+    from openeo_processes_dask_spark.operators.interval import interval_join
+
+    ev = spark.createDataFrame(
+        [(1, 7, "2024-01-01 00:05:00"), (2, 8, "2024-01-01 00:06:00")],
+        ["event_id", "user_id", "s"],
+    ).select("event_id", "user_id", F.col("s").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [(10, 7, "2024-01-01 00:00:00", "2024-01-01 01:00:00")],
+        ["interval_id", "owner", "a", "b"],
+    ).select(
+        "interval_id", "owner",
+        F.col("a").cast("timestamp").alias("start"),
+        F.col("b").cast("timestamp").alias("end"),
+    )
+    out = interval_join(
+        ev, iv, "ts", "start", "end",
+        extra_on=F.col("user_id") == F.col("owner"),
+    ).collect()
+    assert [(r["interval_id"], r["event_id"]) for r in out] == [(10, 1)]
