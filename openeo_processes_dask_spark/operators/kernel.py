@@ -354,7 +354,25 @@ def _apply_neighborhood_nd(
         and not reducer_kwargs
         and all(g[4] == 1 for g in geom.values())
     ):
-        return _apply_neighborhood_separable(data, reducer, geom)
+        # density probe: the separable two-pass is exact ONLY on a dense
+        # grid — with holes, a neighbor's contribution rides a partial
+        # row at (center_dim_d, neighbor_other_dims), and if THAT cell is
+        # a hole the contribution is silently lost (caught by the
+        # sf0.001 registry sweep: sparse fixture -> undercounted means).
+        # One metadata-sized aggregate decides; sparse cubes take the
+        # exact offset-explode plan below.
+        probe = data.df.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.countDistinct(c).alias(f"d_{i}")
+                for i, c in enumerate(data.meta.dims)
+            ],
+        ).first()
+        expected = 1
+        for i in range(len(data.meta.dims)):
+            expected *= probe[f"d_{i}"]
+        if probe["n"] == expected:
+            return _apply_neighborhood_separable(data, reducer, geom)
 
     keep = [c for c in data.meta.dims if c not in sizes]
     df = data.df.select(*keep, *nd_dims, v)
@@ -374,6 +392,24 @@ def _apply_neighborhood_nd(
     agg = df.groupBy(*keep, *[f"__c_{d}" for d in nd_dims]).agg(
         builder(F.col(v), **reducer_kwargs).alias(v)
     )
+    if all(g[4] == 1 for g in geom.values()):
+        # dense-rolling semantics (stride 1): one output row per PRESENT
+        # input cell — without this, a hole adjacent to data would gain a
+        # phantom center (its neighborhood is non-empty even though the
+        # cell itself does not exist). Strided tiling (stride > 1) keeps
+        # every tile reachable from data, as its gates' oracles encode.
+        present = data.df.select(
+            *keep,
+            *[
+                F.round(
+                    (F.col(d) - F.lit(geom[d][0])) / F.lit(geom[d][1])
+                ).cast("long").alias(f"__c_{d}")
+                for d in nd_dims
+            ],
+        ).distinct()
+        agg = agg.join(
+            present, on=[*keep, *[f"__c_{d}" for d in nd_dims]], how="left_semi"
+        )
     out = agg.select(
         *[
             (F.lit(geom[d][0]) + F.col(f"__c_{d}") * F.lit(geom[d][1]))
