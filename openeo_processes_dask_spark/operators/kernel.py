@@ -203,6 +203,7 @@ def apply_neighborhood(
     size=3,
     overlap=None,
     context=None,
+    assume_dense: bool | None = None,
     **reducer_kwargs,
 ) -> DataCube:
     """Strided neighborhood reduce (the reference's rolling→construct→
@@ -233,7 +234,10 @@ def apply_neighborhood(
         overlaps = {
             data.assert_dim(k): int(v) for k, v in (overlap or {}).items()
         }
-        return _apply_neighborhood_nd(data, reducer, sizes, overlaps, **reducer_kwargs)
+        return _apply_neighborhood_nd(
+            data, reducer, sizes, overlaps, assume_dense=assume_dense,
+            **reducer_kwargs,
+        )
     if overlap:
         raise ValueError(
             "apply_neighborhood: overlap requires the dict size form "
@@ -311,7 +315,12 @@ def _apply_neighborhood_separable(
 
 
 def _apply_neighborhood_nd(
-    data: DataCube, reducer, sizes: dict, overlaps: dict, **reducer_kwargs
+    data: DataCube,
+    reducer,
+    sizes: dict,
+    overlaps: dict,
+    assume_dense: bool | None = None,
+    **reducer_kwargs,
 ) -> DataCube:
     """Strided multi-dim neighborhood reduce in long format, index space.
 
@@ -354,24 +363,29 @@ def _apply_neighborhood_nd(
         and not reducer_kwargs
         and all(g[4] == 1 for g in geom.values())
     ):
-        # density probe: the separable two-pass is exact ONLY on a dense
+        # density gate: the separable two-pass is exact ONLY on a dense
         # grid — with holes, a neighbor's contribution rides a partial
         # row at (center_dim_d, neighbor_other_dims), and if THAT cell is
         # a hole the contribution is silently lost (caught by the
         # sf0.001 registry sweep: sparse fixture -> undercounted means).
-        # One metadata-sized aggregate decides; sparse cubes take the
-        # exact offset-explode plan below.
-        probe = data.df.agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.countDistinct(c).alias(f"d_{i}")
-                for i, c in enumerate(data.meta.dims)
-            ],
-        ).first()
-        expected = 1
-        for i in range(len(data.meta.dims)):
-            expected *= probe[f"d_{i}"]
-        if probe["n"] == expected:
+        # assume_dense=True skips the probe (the caller KNOWS the cube is
+        # dense — e.g. a freshly materialized raster — and a pre-scan at
+        # 100 TB is not free); False forces the exact plan; None (default)
+        # decides with one aggregate.
+        dense = assume_dense
+        if dense is None:
+            probe = data.df.agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.countDistinct(c).alias(f"d_{i}")
+                    for i, c in enumerate(data.meta.dims)
+                ],
+            ).first()
+            expected = 1
+            for i in range(len(data.meta.dims)):
+                expected *= probe[f"d_{i}"]
+            dense = probe["n"] == expected
+        if dense:
             return _apply_neighborhood_separable(data, reducer, geom)
 
     keep = [c for c in data.meta.dims if c not in sizes]
