@@ -1345,7 +1345,8 @@ ORACLES = {
                        '([^.]+\\.[^.]+)$', 1) AS domain
               FROM urls
             )
-            SELECT domain, count(*) AS n_docs, sum(n_chars) AS total_size
+            SELECT domain, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_size
             FROM hosts GROUP BY domain
         """,
     "span_dedup_stats": f"""

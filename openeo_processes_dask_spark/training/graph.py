@@ -1,0 +1,114 @@
+"""Link-graph analytics for crawl corpus curation.
+
+Crawl pipelines weight documents by the authority of their host — a
+domain-level PageRank (or harmonic centrality, as Common Crawl publishes)
+feeds quality scoring and crawl-frontier prioritization. No reference
+counterpart (LLM-pipeline lane; the reference is a raster operator
+library).
+
+The engine's usual bit-stability rule applies: every iterative update is
+integer micro-unit arithmetic, so sums are associative/commutative and the
+result is bit-identical under any partitioning, any engine — which is what
+lets a DuckDB oracle replay it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: total rank mass in integer units; 1e12 keeps per-node ranks well above
+#: the floor-division granularity for any realistic node count while the
+#: damped sums stay far inside int64 (85 * 1e12 << 2^63)
+SCALE = 1_000_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_interval: int = 5,
+) -> DataFrame:
+    """PageRank over a directed edge list, fixed iteration count.
+
+    Returns (node, rank) with rank in integer micro-units of ``SCALE``
+    total initial mass (divide by ``SCALE`` for probabilities). Update
+    rule per iteration, all in int64::
+
+        share(u)  = rank(u) div outdeg(u)          -- floor
+        rank'(v)  = base + (damping_pct * sum_{u->v} share(u)) div 100
+        base      = ((100 - damping_pct) * (SCALE div N)) div 100
+
+    Dangling-node mass (nodes with no out-edges) is dropped rather than
+    redistributed — the standard simplification; ranks remain a strict
+    ordering, just not a normalized distribution.
+
+    Plan at 100 TB: ``edges`` dominates; each iteration is ONE shuffle
+    join of the node-sized rank relation into the edge relation on
+    ``src`` plus ONE hash aggregate on ``dst`` — the canonical
+    distributed PageRank shape. The out-degree relation is computed once
+    and joined by the same ``src`` key, so AQE reuses the exchange; for a
+    domain-level graph (node count in the millions) the rank relation is
+    broadcastable and the edge relation never shuffles at all. Lineage is
+    truncated every ``checkpoint_interval`` iterations (localCheckpoint —
+    same driver-plan-blowup reasoning as connected_components,
+    training/dedup.py:572).
+    """
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    if not 0 <= damping_pct <= 100:
+        raise ValueError(f"damping_pct must be in [0, 100], got {damping_pct}")
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # N and the two derived constants are driver-side scalars (metadata,
+    # not data); inlined as literals so the per-iteration plan is pure
+    # integer column arithmetic
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    init = SCALE // n
+    base = ((100 - damping_pct) * init) // 100
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.withColumn("rank", F.lit(init).cast("long"))
+    for it in range(iterations):
+        # every relation here re-derives from `e`, so joins use explicit
+        # DataFrame aliases (attribute-id ambiguity otherwise)
+        shares = (
+            ranks.alias("r")
+            .join(outdeg.alias("d"), F.col("r.node") == F.col("d.src"))
+            .select(
+                F.col("d.src").alias("u"),
+                F.expr("r.rank div d.outdeg").alias("share"),
+            )
+        )
+        inc = (
+            e.alias("e")
+            .join(shares.alias("s"), F.col("e.src") == F.col("s.u"))
+            .groupBy(F.col("e.dst").alias("dst"))
+            .agg(F.sum("s.share").alias("inc"))
+        )
+        ranks = (
+            nodes.alias("n")
+            .join(inc.alias("i"), F.col("n.node") == F.col("i.dst"), "left")
+            .select(
+                F.col("n.node").alias("node"),
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(i.inc, 0L)) div 100"
+                    )
+                ).cast("long").alias("rank"),
+            )
+        )
+        if (it + 1) % checkpoint_interval == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -44,6 +44,16 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
     for c in cols:
         gv, ev = g[c], e[c]
         if pd.api.types.is_float_dtype(gv) or pd.api.types.is_float_dtype(ev):
+            # The driver hashes serialized values, so int64 150000 on one
+            # side vs float64 150000.0 on the other (DuckDB hugeint ->
+            # pandas float) is a driver FAIL even when numerically equal.
+            if pd.api.types.is_float_dtype(gv) != pd.api.types.is_float_dtype(ev):
+                problems.append(
+                    f"values[{c}]: dtype mismatch spark={gv.dtype} "
+                    f"duck={ev.dtype} — numerically comparable but "
+                    "driver-hash-different (CAST the oracle column)"
+                )
+                continue
             ga = gv.astype(float).fillna(np.nan).to_numpy()
             ea = ev.astype(float).fillna(np.nan).to_numpy()
             ok = np.allclose(ga, ea, rtol=0, atol=0, equal_nan=True)
