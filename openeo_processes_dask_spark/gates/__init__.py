@@ -20,38 +20,23 @@ from . import core, extended, io_misc, parity, streaming, training
 
 _LANES = (core, training, parity, streaming, io_misc, extended)
 
-# Round-5 window (per VERDICT.md r4 "Next round" #3): flagship first, then
-# the 25 new round-5 queries (never driver-verified by construction), then
-# the 23 queries whose most recent driver check is r2 — the least recently
-# verified of the whole registry (CORRECTNESS_r01..r04 union). 1 + 25 + 23
-# = 49 fills the 50-slot driver window with one r3 entry; the r3/r4 tails
-# rotate forward in r6. The window is now exactly full — any further r5
-# additions are pytest/check_oracle-verified only.
-_NEW_R5: list[str] = [
-    "load_stac_properties", "load_raster_nodata", "load_stac_resampled",
-    "pii_redact", "c4_clean", "bigram_nll", "domain_stats",
-    "boilerplate_removal", "streaming_pii_redact",
-    "span_dedup_stats", "span_removal", "dsir_weights", "unicode_clean",
-    "corpus_stats", "interval_join", "streaming_cap",
-    "contamination_ratio", "vocabulary", "column_stats",
-    "compact_roundtrip", "manifest_timetravel", "streaming_sink",
-    "streaming_session_window", "streaming_upsert", "corpus_mix",
+# Round-6 window: flagship first, then domain_stats (the ONE r5 red — a
+# DuckDB hugeint-vs-bigint oracle dtype defect, fixed by casting the
+# oracle's sum; the driver must confirm), then the 5 new round-6 queries
+# (never driver-verified by construction), then the 43 queries whose most
+# recent driver check is r3 — the least recently verified of the whole
+# registry (CORRECTNESS_r01..r05 union). 1 + 1 + 5 + 43 = exactly the
+# 50-slot driver window; the r5/r4 tails rotate forward in r7.
+_RED_R5 = ["domain_stats"]
+
+_NEW_R6: list[str] = [
+    "bm25_topk", "semdedup", "pagerank",
+    "time_partitioned_roundtrip", "stat_pruned_read",
 ]
 
-# Most recent driver check = r2 (23 queries — VERDICT r04 #3's list).
-_R2_STALE = [
-    "aggregate_temporal_halves", "apply_kernel_grid", "fit_curve_linear",
-    "random_forest", "ngram_jaccard", "pq_topk", "training_pipeline",
-    "vector_buffer", "aggregate_week_median", "apply_dimension_center",
-    "cap_per_source", "dedup_incremental", "embedding_near_dups",
-    "gopher_filter", "kmeans_clusters", "language_id", "lsh_topk",
-    "pack_contiguous", "repetition_stats", "run_udf_plus1",
-    "sample_stratified", "split_assign", "token_count",
-]
-
-# Most recent driver check = r3, in r3-window order.
-_R3_GREEN = [
-    "apply_dimension_dropnull", "apply_neighborhood_2d",
+# Most recent driver check = r3 (43 queries), in r3-window order.
+_R3_STALE = [
+    "apply_neighborhood_2d",
     "apply_neighborhood_2d_mean", "apply_neighborhood_mean", "array_ops",
     "array_ops2", "crs_utm", "cummax", "cummin", "cumproduct", "ddmc",
     "dedup_clusters", "dimension_labels", "ivf_topk", "load_stac_catalog",
@@ -66,6 +51,27 @@ _R3_GREEN = [
     "resample_spatial_grid", "rqa_trend", "salted_reduce",
     "save_load_roundtrip", "streaming_dedup", "streaming_sliding_sum",
     "text_ops",
+]
+
+# Most recent driver check = r5 (the r5 window minus its one red), in
+# r5-window order.
+_R5_GREEN = [
+    "load_stac_properties", "load_raster_nodata", "load_stac_resampled",
+    "pii_redact", "c4_clean", "bigram_nll",
+    "boilerplate_removal", "streaming_pii_redact",
+    "span_dedup_stats", "span_removal", "dsir_weights", "unicode_clean",
+    "corpus_stats", "interval_join", "streaming_cap",
+    "contamination_ratio", "vocabulary", "column_stats",
+    "compact_roundtrip", "manifest_timetravel", "streaming_sink",
+    "streaming_session_window", "streaming_upsert", "corpus_mix",
+    "aggregate_temporal_halves", "apply_kernel_grid", "fit_curve_linear",
+    "random_forest", "ngram_jaccard", "pq_topk", "training_pipeline",
+    "vector_buffer", "aggregate_week_median", "apply_dimension_center",
+    "cap_per_source", "dedup_incremental", "embedding_near_dups",
+    "gopher_filter", "kmeans_clusters", "language_id", "lsh_topk",
+    "pack_contiguous", "repetition_stats", "run_udf_plus1",
+    "sample_stratified", "split_assign", "token_count",
+    "apply_dimension_dropnull",
 ]
 
 # Most recent driver check = r4 — the freshest tail.
@@ -89,9 +95,10 @@ _R4_GREEN = [
 
 _PRIORITY = (
     ["flagship_daily_mean"]
-    + _NEW_R5
-    + _R2_STALE
-    + _R3_GREEN
+    + _RED_R5
+    + _NEW_R6
+    + _R3_STALE
+    + _R5_GREEN
     + _R4_GREEN
 )
 

@@ -63,6 +63,87 @@ def q_zorder_roundtrip(spark, sf_dir):
     return _round6(back.df.select("x", "y", "band", "value"), "value")
 
 
+def q_time_partitioned_roundtrip(spark, sf_dir):
+    """Time-partitioned layout (sources/load.py
+    save_cube_time_partitioned): the events cube Hive-partitioned by day,
+    re-read with a [Jan 5, Jan 12) range — the range must compile to
+    directory-level PartitionFilters (metric-asserted in
+    tests/test_maintenance.py) AND return exactly the rows a plain
+    range-filtered scan returns. Daily per-band aggregate of the pruned
+    read."""
+    _setup(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from openeo_processes_dask_spark.sources.load import (
+        load_time_partitioned_cube,
+        save_cube_time_partitioned,
+    )
+
+    d = os.path.join(
+        tempfile.gettempdir(), f"timepart_gate_{os.path.basename(sf_dir)}"
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    save_cube_time_partitioned(
+        _events_cube(spark, sf_dir), d, granularity="day"
+    )
+    back = load_time_partitioned_cube(
+        spark,
+        d,
+        dims=("user_id", "t", "band"),
+        start="2024-01-05",
+        end="2024-01-12",
+    )
+    daily = back.df.groupBy(
+        F.date_trunc("day", F.col("t")).alias("day"), "band"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("total"),
+    )
+    return daily
+
+
+def q_stat_pruned_read(spark, sf_dir):
+    """Manifest file statistics + stat-pruned scan (sources/manifest.py
+    collect_file_stats / read_table_pruned): documents range-partitioned
+    so per-file doc_id intervals are disjoint, stats committed to the
+    manifest, then a narrow doc_id range read via MANIFEST stats alone
+    (no footer probes — file-skip assertions in tests/test_manifest.py).
+    The residual row predicate is applied as documented, so the result
+    must equal a plain filtered scan."""
+    _setup(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from openeo_processes_dask_spark.sources.manifest import (
+        collect_file_stats,
+        create_table,
+        read_table_pruned,
+    )
+
+    d = os.path.join(
+        tempfile.gettempdir(), f"statprune_gate_{os.path.basename(sf_dir)}"
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    create_table(docs.repartitionByRange(8, "doc_id"), d)
+    collect_file_stats(spark, d, ["doc_id"])
+    lo, hi = 120, 260
+    pruned = read_table_pruned(spark, d, {"doc_id": (lo, hi)}).where(
+        F.col("doc_id").between(lo, hi)
+    )
+    return pruned.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 class _SyntheticRasterSrc:
     """Deterministic RasterSource for the load_raster gate: 48x40 raster,
     value = 100*row + col, 0.5-unit pixels anchored at (10, 50) north-up.
@@ -562,9 +643,27 @@ QUERIES = {
     "load_stac_catalog": q_load_stac_catalog,
     "load_stac_properties": q_load_stac_properties,
     "load_stac_resampled": q_load_stac_resampled,
+    "time_partitioned_roundtrip": q_time_partitioned_roundtrip,
+    "stat_pruned_read": q_stat_pruned_read,
 }
 
 ORACLES = {
+    "time_partitioned_roundtrip": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   event_type AS band, count(*) AS n,
+                   round(sum(value), 6) AS total
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-05'
+              AND ts < TIMESTAMP '2024-01-12'
+            GROUP BY ALL
+        """,
+    "stat_pruned_read": """
+            SELECT lang, source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM documents WHERE doc_id BETWEEN 120 AND 260
+            GROUP BY lang, source
+        """,
     "manifest_timetravel": """
             WITH v1 AS (
               SELECT 1 AS version, lang, count(*) AS n_docs,

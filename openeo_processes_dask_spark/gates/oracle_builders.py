@@ -881,3 +881,97 @@ def _corpus_mix_oracle_sql() -> str:
                    AS BIGINT) / 1152921504606846976.0
               < {case_sql}
     """
+
+
+def _pagerank_oracle_sql(
+    iterations: int = 4, damping_pct: int = 85, n_mod: int = 101
+) -> str:
+    """Twin of training.graph.pagerank over the q_pagerank synthetic edge
+    list: identical integer micro-unit update rule (floor-divided shares,
+    damped integer sums — order-independent, so bit-exact), iterations
+    unrolled as CTE pairs. Every arithmetic step casts back to BIGINT so
+    DuckDB's hugeint sums don't leak float into the compare."""
+    scale = 1_000_000_000_000
+    base_pct = 100 - damping_pct
+    ctes = [
+        f"""edges AS (
+          SELECT DISTINCT doc_id % {n_mod} AS src,
+                 (doc_id * 7 + 3) % {n_mod} AS dst
+          FROM documents)""",
+        """nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges)""",
+        f"""const AS (
+          SELECT CAST({scale} // count(*) AS BIGINT) AS init,
+                 CAST(({base_pct} * ({scale} // count(*))) // 100 AS BIGINT)
+                   AS base
+          FROM nodes)""",
+        """outdeg AS (
+          SELECT src, count(*) AS deg FROM edges GROUP BY src)""",
+        """r0 AS (
+          SELECT node, (SELECT init FROM const) AS rank FROM nodes)""",
+    ]
+    for it in range(iterations):
+        ctes.append(
+            f"""inc{it} AS (
+          SELECT e.dst AS node,
+                 CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+          FROM edges e
+          JOIN r{it} r ON e.src = r.node
+          JOIN outdeg d ON e.src = d.src
+          GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""r{it + 1} AS (
+          SELECT n.node,
+                 CAST((SELECT base FROM const)
+                      + ({damping_pct} * coalesce(i.s, 0)) // 100
+                      AS BIGINT) AS rank
+          FROM nodes n LEFT JOIN inc{it} i ON i.node = n.node)"""
+        )
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT node, rank FROM r{iterations}
+    """
+
+
+def _semdedup_oracle_sql(
+    k: int = 8, iterations: int = 2, threshold: float = 0.2, dim: int = 64
+) -> str:
+    """Twin of training.similarity.semdedup: the unrolled-CTE k-means
+    assignment (bit-exact — integer micro-unit Lloyd), within-cluster
+    cosine at 6-decimal rounding, recursive transitive closure for the
+    components, keep = no above-threshold twin or already the minimum id
+    of its group."""
+    km = _kmeans_oracle_sql(k=k, iterations=iterations, dim=dim)
+    dot = f"list_sum([sa.v[i] * sb.v[i] for i in generate_series(1, {dim})])"
+    return f"""
+        WITH RECURSIVE asg AS ({km}),
+        svd AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        nrm AS (
+          SELECT vec_id,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nv
+          FROM svd),
+        prs AS (
+          SELECT a.vec_id AS u, b.vec_id AS w
+          FROM asg a
+          JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          JOIN svd sa ON sa.vec_id = a.vec_id
+          JOIN svd sb ON sb.vec_id = b.vec_id
+          JOIN nrm na ON na.vec_id = a.vec_id
+          JOIN nrm nb ON nb.vec_id = b.vec_id
+          WHERE round({dot} / (na.nv * nb.nv), 6) >= {threshold}),
+        edg AS (SELECT u, w FROM prs UNION SELECT w, u FROM prs),
+        reach(a, b) AS (
+          SELECT u, w FROM edg
+          UNION
+          SELECT r.a, e.w FROM reach r JOIN edg e ON r.b = e.u),
+        comp AS (
+          SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a)
+        SELECT e.vec_id AS id,
+               (c.comp IS NULL OR c.comp = e.vec_id) AS keep
+        FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+    """

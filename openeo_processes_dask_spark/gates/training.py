@@ -13,6 +13,8 @@ from .common import _STOPWORDS_SQL, _TOKS, _round6, _setup, _table
 from .oracle_builders import (
     _corpus_mix_oracle_sql,
     _dedup_clusters_oracle_sql,
+    _pagerank_oracle_sql,
+    _semdedup_oracle_sql,
     _logreg_quality_oracle_sql,
     _subsequence_topk_oracle_sql,
     _random_projection_oracle_sql,
@@ -760,6 +762,48 @@ def q_corpus_mix(spark, sf_dir):
     return out.select("doc_id", "source", "n_chars")
 
 
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 ranked retrieval (training/textanalysis.py bm25_topk):
+    three-term query over the documents corpus, literal-inlined idf, one
+    codegen'd scoring scan, TakeOrderedAndProject top-25. Oracle replays
+    the exact formula (Lucene always-positive idf, same association
+    order) in SQL; 6-decimal rounding on both sides absorbs libm ulps."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.textanalysis import bm25_topk
+
+    docs = _table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "join", "filter"], k=25)
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (training/similarity.py semdedup, Abbas et al. 2023):
+    integer-exact k-means partitions the embedding space, exact cosine
+    runs only within clusters, connected components pick the minimum-id
+    canonical per semantic group. Oracle composes the unrolled-CTE
+    k-means twin with a recursive transitive closure."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.similarity import semdedup
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return semdedup(emb, k=8, threshold=0.2, iterations=2)
+
+
+def q_pagerank(spark, sf_dir):
+    """Domain-authority PageRank (training/graph.py): a deterministic
+    101-node link graph synthesized from doc_id, 4 integer micro-unit
+    iterations — bit-identical under any partitioning, so the unrolled-
+    CTE oracle matches exactly (zero tolerance)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.graph import pagerank
+
+    docs = _table(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 101).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 101).alias("dst"),
+    ).distinct()
+    return pagerank(edges, iterations=4)
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "training_pipeline": q_training_pipeline,
@@ -803,6 +847,9 @@ QUERIES = {
     "contamination_ratio": q_contamination_ratio,
     "vocabulary": q_vocabulary,
     "corpus_mix": q_corpus_mix,
+    "bm25_topk": q_bm25_topk,
+    "semdedup": q_semdedup,
+    "pagerank": q_pagerank,
 }
 
 # Shared SQL fragments for the span-dedup oracles: overlapping 5-token
@@ -1499,5 +1546,58 @@ ORACLES = {
                    quantile_cont(length(text), 0.5) AS p50_chars,
                    quantile_cont(length(text), 0.9) AS p90_chars
             FROM documents GROUP BY 1, 2
+        """,
+    "pagerank": _pagerank_oracle_sql,
+    "semdedup": _semdedup_oracle_sql,
+    # BM25: the engine inlines idf/avgdl literals computed from one tiny
+    # driver aggregate; the oracle recomputes them as scalar subqueries
+    # with the same association order. round-6 on both sides.
+    "bm25_topk": """
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE string_split_regex(lower(trim(text)), '\\s+')
+                     END AS w
+              FROM documents),
+            st AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM toks),
+            dfs AS (
+              SELECT
+                sum(CASE WHEN list_contains(w, 'filter') THEN 1 ELSE 0 END)
+                  AS df0,
+                sum(CASE WHEN list_contains(w, 'join') THEN 1 ELSE 0 END)
+                  AS df1,
+                sum(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END)
+                  AS df2
+              FROM toks),
+            sc AS (
+              SELECT id,
+                round(
+                  ln(1 + ((SELECT n FROM st) - (SELECT df0 FROM dfs) + 0.5)
+                         / ((SELECT df0 FROM dfs) + 0.5))
+                    * (CAST(len(list_filter(w, x -> x = 'filter')) AS DOUBLE)
+                       * (1.2 + 1))
+                    / (CAST(len(list_filter(w, x -> x = 'filter')) AS DOUBLE)
+                       + 1.2 * (0.25 + 0.75 * CAST(len(w) AS DOUBLE)
+                                / (SELECT avgdl FROM st)))
+                  + ln(1 + ((SELECT n FROM st) - (SELECT df1 FROM dfs) + 0.5)
+                         / ((SELECT df1 FROM dfs) + 0.5))
+                    * (CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE)
+                       * (1.2 + 1))
+                    / (CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE)
+                       + 1.2 * (0.25 + 0.75 * CAST(len(w) AS DOUBLE)
+                                / (SELECT avgdl FROM st)))
+                  + ln(1 + ((SELECT n FROM st) - (SELECT df2 FROM dfs) + 0.5)
+                         / ((SELECT df2 FROM dfs) + 0.5))
+                    * (CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE)
+                       * (1.2 + 1))
+                    / (CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE)
+                       + 1.2 * (0.25 + 0.75 * CAST(len(w) AS DOUBLE)
+                                / (SELECT avgdl FROM st))),
+                6) AS score
+              FROM toks)
+            SELECT row_number() OVER (ORDER BY score DESC, id) AS rank,
+                   id, score
+            FROM sc WHERE score > 0
+            ORDER BY score DESC, id LIMIT 25
         """,
 }
