@@ -79,6 +79,23 @@ def main() -> None:
         cal_best = min(cal_best, time.time() - t0)
     calibration = round(cal_best, 3)
 
+    # Second calibration lane (round 6): the ALU loop above tracks CPU
+    # speed but NOT shuffle/exchange cost, and this host's noise hits the
+    # two differently — an interleaved A/B of identical minhash code
+    # measured 2.4-9.8 s for the SAME query in one session while the ALU
+    # calibration barely moved. A fixed small hash-aggregate + exchange
+    # job gives the shuffle-sensitive twin: engine-independent, so a
+    # round-over-round move in a shuffle-heavy query that tracks
+    # calibration_shuffle_sec is the host, not the engine.
+    cal_sh_best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 20_000_000, 1, int(cpus)).selectExpr(
+            "id % 1000000 AS k", "id AS v"
+        ).groupBy("k").sum("v").selectExpr("sum(`sum(v)`)").collect()
+        cal_sh_best = min(cal_sh_best, time.time() - t0)
+    calibration_shuffle = round(cal_sh_best, 3)
+
     for name in HEADLINE:
         fn = qs[name]
         # three timed executions, report the min: the first run absorbs
@@ -147,6 +164,7 @@ def main() -> None:
                 "streaming": streaming,
                 "extras": extras,
                 "calibration_sec": calibration,
+                "calibration_shuffle_sec": calibration_shuffle,
                 "sf": sf,
             }
         )
