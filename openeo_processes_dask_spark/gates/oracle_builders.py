@@ -975,3 +975,80 @@ def _semdedup_oracle_sql(
                (c.comp IS NULL OR c.comp = e.vec_id) AS keep
         FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
     """
+
+
+def _bpe_tokens_oracle_sql(num_merges: int = 30) -> str:
+    """Twin of training.bpe learn_bpe + bpe_token_counts: an INDEPENDENT
+    serial BPE (fresh dict-of-tuples formulation, no engine imports)
+    learns the same merges from the same corpus — same tie-breaks
+    (pair-count DESC, pair ASC), same left-to-right non-overlapping
+    merge — then encodes every document and emits the per-doc token
+    counts as VALUES."""
+    import os
+
+    import duckdb
+
+    sf = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    eow = "</w>"
+
+    freqs: dict = {}
+    for _, text in rows:
+        for w in (text or "").strip().lower().split():
+            freqs[w] = freqs.get(w, 0) + 1
+    vocab = {tuple(list(w) + [eow]): f for w, f in freqs.items()}
+    merges = []
+    for _ in range(num_merges):
+        pc: dict = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + f
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        nv: dict = {}
+        for syms, f in vocab.items():
+            s, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    s.append(best[0] + best[1])
+                    i += 2
+                else:
+                    s.append(syms[i])
+                    i += 1
+            nv[tuple(s)] = nv.get(tuple(s), 0) + f
+        vocab = nv
+
+    def encode_len(word):
+        syms = list(word) + [eow]
+        for best in merges:
+            if len(syms) == 1:
+                break
+            s, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    s.append(best[0] + best[1])
+                    i += 2
+                else:
+                    s.append(syms[i])
+                    i += 1
+            syms = s
+        return len(syms)
+
+    wlen: dict = {}
+    vals = []
+    for doc_id, text in rows:
+        n = 0
+        for w in (text or "").strip().lower().split():
+            if w not in wlen:
+                wlen[w] = encode_len(w)
+            n += wlen[w]
+        vals.append(f"({doc_id}, {n})")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(id, n_tokens)"
+    )

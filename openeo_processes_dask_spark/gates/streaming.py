@@ -460,7 +460,59 @@ def q_streaming_upsert(spark, sf_dir):
     )
 
 
+def q_streaming_attribution(spark, sf_dir):
+    """Watermarked stream-stream join (streaming/events.py
+    stream_stream_join): view→click attribution — two streams read from
+    the same events source, inner-joined on user_id with the click
+    bounded to [view, view + 30 min]. The time bound on BOTH event-time
+    columns is what lets Spark evict join state (the unbounded-join
+    killer at stream scale). Drained AvailableNow; the emitted pair set
+    is deterministic for an inner join, aggregated per user against the
+    identical batch-SQL join."""
+    _setup(spark)
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_events,
+        stream_stream_join,
+    )
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream1_{os.path.basename(sf_dir)}"
+    )
+    if not os.path.isdir(stream_dir):
+        _table(spark, sf_dir, "events").orderBy("ts").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stream_dir)
+    views = stream_events(spark, stream_dir, max_files_per_trigger=None).where(
+        F.col("band") == "view"
+    )
+    clicks = stream_events(spark, stream_dir, max_files_per_trigger=None).where(
+        F.col("band") == "click"
+    )
+    out = stream_stream_join(
+        views, clicks, on="user_id", within="30 minutes", how="inner"
+    )
+    name = f"q_ssjoin_{abs(hash(sf_dir)) % 10_000}"
+    q = run_stream_to_memory(
+        out.select("l_user_id", "l_t", "r_t", "r_value"), name,
+        output_mode="append",
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy(F.col("l_user_id").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("r_value"), 6).alias("click_value"),
+        )
+    )
+
+
 QUERIES = {
+    "streaming_attribution": q_streaming_attribution,
     "streaming_daily_sum": q_streaming_daily_sum,
     "streaming_dedup": q_streaming_dedup,
     "streaming_sliding_sum": q_streaming_sliding_sum,
@@ -474,6 +526,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_attribution": """
+            WITH v AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'view'),
+                 c AS (SELECT user_id, ts, value FROM events
+                       WHERE event_type = 'click')
+            SELECT v.user_id AS user_id, count(*) AS n_pairs,
+                   round(sum(c.value), 6) AS click_value
+            FROM v JOIN c ON v.user_id = c.user_id
+                 AND c.ts >= v.ts
+                 AND c.ts <= v.ts + INTERVAL 30 MINUTE
+            GROUP BY v.user_id
+        """,
     "streaming_upsert": """
             WITH one AS (
               SELECT user_id, event_type AS band,

@@ -13,6 +13,7 @@ from .common import _STOPWORDS_SQL, _TOKS, _round6, _setup, _table
 from .oracle_builders import (
     _corpus_mix_oracle_sql,
     _dedup_clusters_oracle_sql,
+    _bpe_tokens_oracle_sql,
     _pagerank_oracle_sql,
     _semdedup_oracle_sql,
     _logreg_quality_oracle_sql,
@@ -788,6 +789,24 @@ def q_semdedup(spark, sf_dir):
     return semdedup(emb, k=8, threshold=0.2, iterations=2)
 
 
+def q_bpe_tokens(spark, sf_dir):
+    """Distributed BPE tokenizer training + encoding (training/bpe.py):
+    30 merges learned from one corpus-sized word-frequency aggregate
+    (merge learning runs on the vocabulary-sized capped type table),
+    then every document encoded by an Arrow-batched UDF. Oracle is an
+    independent serial BPE replayed by the builder — same tie-breaks —
+    emitting per-doc token counts as VALUES."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.bpe import (
+        bpe_token_counts,
+        learn_bpe,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, num_merges=30)
+    return bpe_token_counts(docs, merges)
+
+
 def q_pagerank(spark, sf_dir):
     """Domain-authority PageRank (training/graph.py): a deterministic
     101-node link graph synthesized from doc_id, 4 integer micro-unit
@@ -850,6 +869,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "semdedup": q_semdedup,
     "pagerank": q_pagerank,
+    "bpe_tokens": q_bpe_tokens,
 }
 
 # Shared SQL fragments for the span-dedup oracles: overlapping 5-token
@@ -1549,6 +1569,7 @@ ORACLES = {
         """,
     "pagerank": _pagerank_oracle_sql,
     "semdedup": _semdedup_oracle_sql,
+    "bpe_tokens": _bpe_tokens_oracle_sql,
     # BM25: the engine inlines idf/avgdl literals computed from one tiny
     # driver aggregate; the oracle recomputes them as scalar subqueries
     # with the same association order. round-6 on both sides.

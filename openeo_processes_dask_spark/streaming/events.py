@@ -159,6 +159,53 @@ def stream_dedup_against(
     return stream.join(seen_keys, keys, "left_anti")
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str = "t",
+    right_time: str = "t",
+    watermark: str = "1 hour",
+    within: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join: match right-stream rows to
+    left-stream rows with the same ``on`` key whose event time falls in
+    ``[left_time, left_time + within]`` — the view→click attribution /
+    request→response correlation shape.
+
+    Both sides carry a watermark and the join condition bounds BOTH
+    event-time columns, which is what lets Spark EVICT join state: a
+    buffered left row can be dropped once the right watermark passes
+    ``left_time + within`` (and vice versa) — without the time bound the
+    state store grows forever, the classic unbounded-join failure at
+    100 TB/day rates. Output column names are prefixed ``l_``/``r_`` (a
+    stream-stream join of two same-schema streams would otherwise emit
+    ambiguous duplicate names).
+
+    Late data: rows behind their stream's watermark may miss matches
+    whose state was already evicted — the standard streaming trade;
+    size ``watermark`` to the real out-of-orderness.
+    """
+    lw = left.withWatermark(left_time, watermark)
+    rw = right.withWatermark(right_time, watermark)
+    l = lw.select(
+        [F.col(c).alias(f"l_{c}") for c in lw.columns]
+    )
+    r = rw.select(
+        [F.col(c).alias(f"r_{c}") for c in rw.columns]
+    )
+    cond = (
+        (F.col(f"l_{on}") == F.col(f"r_{on}"))
+        & (F.col(f"r_{right_time}") >= F.col(f"l_{left_time}"))
+        & (
+            F.col(f"r_{right_time}")
+            <= F.col(f"l_{left_time}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return l.join(r, cond, how)
+
+
 def run_stream_to_parquet(
     out: DataFrame, path: str, checkpoint: str
 ) -> "StreamingQuery":
