@@ -1052,3 +1052,66 @@ def _bpe_tokens_oracle_sql(num_merges: int = 30) -> str:
         + ", ".join(vals)
         + ") AS t(id, n_tokens)"
     )
+
+
+def _image_near_dups_oracle_sql(
+    id_cap: int = 120, max_hamming: int = 4
+) -> str:
+    """Twin of q_image_near_dups: regenerates the same raw-RGB fixture in
+    NumPy (same seeds), computes dHash serially, and brute-forces ALL
+    pairs at hamming <= max_hamming — the banded join must equal the
+    exact answer (bands > max_hamming gives provably complete recall)."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    sf = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT doc_id FROM '{sf}/documents.parquet' "
+            f"WHERE doc_id < {id_cap} ORDER BY doc_id"
+        ).fetchall()
+    ]
+    width = height = 16
+
+    def render(i):
+        base = np.random.default_rng(i % 17).integers(
+            0, 256, size=(height, width, 3), dtype=np.uint8
+        )
+        n_noise = i % 2
+        if n_noise:
+            rng = np.random.default_rng(1_000_003 + i)
+            for _ in range(n_noise):
+                r = int(rng.integers(0, height))
+                c = int(rng.integers(0, width))
+                base = base.copy()
+                base[r, c, :] = 255 - base[r, c, :]
+        return base
+
+    def dhash(img):
+        gray = img.astype("float64").mean(axis=2)
+        h, w = gray.shape
+        rows = (np.arange(8) * h) // 8
+        cols = (np.arange(9) * w) // 9
+        g = gray[np.ix_(rows, cols)]
+        bits = (g[:, 1:] > g[:, :-1]).ravel()
+        v = 0
+        for bit in bits:
+            v = (v << 1) | int(bit)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    hs = {i: dhash(render(i)) for i in ids}
+    vals = []
+    for a in ids:
+        for b in ids:
+            if a < b:
+                d = bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+                if d <= max_hamming:
+                    vals.append(f"({a}, {b}, {d})")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(id1, id2, hamming)"
+    )

@@ -14,6 +14,7 @@ from .oracle_builders import (
     _corpus_mix_oracle_sql,
     _dedup_clusters_oracle_sql,
     _bpe_tokens_oracle_sql,
+    _image_near_dups_oracle_sql,
     _pagerank_oracle_sql,
     _semdedup_oracle_sql,
     _logreg_quality_oracle_sql,
@@ -789,6 +790,29 @@ def q_semdedup(spark, sf_dir):
     return semdedup(emb, k=8, threshold=0.2, iterations=2)
 
 
+def q_image_near_dups(spark, sf_dir):
+    """Perceptual image near-dup dedup (training/multimodal.py
+    image_dhash over the REAL raw-RGB decode lane +
+    training/dedup.py banded_hamming_pairs): family-structured raw
+    images, 64-bit dHash, banded Hamming join at 8 bands / <=4 bits —
+    bands > max_hamming makes banding lossless, so the oracle's NumPy
+    all-pairs replay must match exactly."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import (
+        banded_hamming_pairs,
+    )
+    from openeo_processes_dask_spark.training.multimodal import (
+        image_dhash,
+        synthetic_raw_image_table,
+    )
+
+    ids = _table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 120
+    ).select("doc_id")
+    sigs = image_dhash(synthetic_raw_image_table(ids))
+    return banded_hamming_pairs(sigs, max_hamming=4, bands=8, sig_col="dhash")
+
+
 def q_bpe_tokens(spark, sf_dir):
     """Distributed BPE tokenizer training + encoding (training/bpe.py):
     30 merges learned from one corpus-sized word-frequency aggregate
@@ -870,6 +894,7 @@ QUERIES = {
     "semdedup": q_semdedup,
     "pagerank": q_pagerank,
     "bpe_tokens": q_bpe_tokens,
+    "image_near_dups": q_image_near_dups,
 }
 
 # Shared SQL fragments for the span-dedup oracles: overlapping 5-token
@@ -1570,6 +1595,7 @@ ORACLES = {
     "pagerank": _pagerank_oracle_sql,
     "semdedup": _semdedup_oracle_sql,
     "bpe_tokens": _bpe_tokens_oracle_sql,
+    "image_near_dups": _image_near_dups_oracle_sql,
     # BM25: the engine inlines idf/avgdl literals computed from one tiny
     # driver aggregate; the oracle recomputes them as scalar subqueries
     # with the same association order. round-6 on both sides.

@@ -1219,3 +1219,88 @@ def remove_duplicate_spans_exact(
 
     rewritten = affected.mapInPandas(splice, schema=out_schema)
     return untouched.unionByName(rewritten)
+
+
+def banded_hamming_pairs(
+    sigs: DataFrame,
+    max_hamming: int,
+    bands: int = 8,
+    id_col: str = "id",
+    sig_col: str = "sig",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Generic banded near-dup join over any 64-bit signature column
+    (SimHash, image dHash, audio fingerprints): split the signature into
+    ``bands`` bit-chunks, equi-join on (band, chunk), verify with
+    bit_count(xor) <= ``max_hamming``. Returns (id1, id2, hamming).
+
+    Recall is EXACT when ``bands > max_hamming`` (pigeonhole: fewer
+    flipped bits than bands means at least one chunk is untouched, so
+    every qualifying pair shares a bucket) — the banding then changes
+    COST, not the answer, which is what lets a DuckDB all-pairs oracle
+    hash-match. Cost is the usual LSH shape: one shuffle keyed by
+    (band, chunk), pair count driven by bucket sizes, with the shared
+    ``max_bucket_size`` star-cap guard for pathological buckets."""
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
+            "for exact recall"
+        )
+    band_bits = 64 // bands
+    mask = (1 << band_bits) - 1
+    sigs = sigs.select(
+        F.col(id_col).alias("id"), F.col(sig_col).cast("long").alias("sig")
+    )
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright(F.col("sig"), bi * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band"), F.col("bb.chunk"))
+    star = None
+    if max_bucket_size is not None:
+        banded, star = _bucket_cap(banded, ["band", "chunk"], max_bucket_size)
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    if star is not None:
+        s1 = sigs.select(F.col("id").alias("id1"), F.col("sig").alias("h1"))
+        s2 = sigs.select(F.col("id").alias("id2"), F.col("sig").alias("h2"))
+        star_pairs = (
+            star.join(s1, "id1")
+            .join(s2, "id2")
+            .select(
+                "id1", "id2",
+                F.bit_count(
+                    F.col("h1").bitwiseXOR(F.col("h2"))
+                ).alias("hamming"),
+            )
+            .where(F.col("hamming") <= max_hamming)
+        )
+        pairs = pairs.unionByName(star_pairs).distinct()
+    return pairs

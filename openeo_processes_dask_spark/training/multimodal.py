@@ -326,3 +326,111 @@ def binary_duplicates(
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+def decode_raw_rgb(payload: bytes, width: int, height: int) -> np.ndarray:
+    """REAL decode for raw interleaved RGB payloads (h*w*3 uint8 bytes) —
+    no codec library needed, so unlike :func:`decode_image` this lane is
+    fully functional in any container. Raises on size mismatch rather
+    than guessing a stride."""
+    expect = width * height * 3
+    if len(payload) != expect:
+        raise ValueError(
+            f"raw RGB payload is {len(payload)} bytes, expected "
+            f"{expect} for {width}x{height}x3"
+        )
+    return np.frombuffer(payload, dtype=np.uint8).reshape(height, width, 3)
+
+
+def _dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash: grayscale, 9x8 NN downsample, horizontal
+    gradient sign, packed row-major (bit 63 = top-left comparison) into a
+    SIGNED int64 (two's complement — matches Spark/DuckDB BIGINT)."""
+    gray = img.astype("float64").mean(axis=2)
+    h, w = gray.shape
+    rows = (np.arange(8) * h) // 8
+    cols = (np.arange(9) * w) // 9
+    g = gray[np.ix_(rows, cols)]
+    bits = (g[:, 1:] > g[:, :-1]).ravel()
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_dhash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """(id, dhash) over raw-RGB binary images — the perceptual signature
+    whose Hamming distance survives re-encoding/minor edits, feeding
+    :func:`...dedup.banded_hamming_pairs` for near-duplicate IMAGE dedup
+    (binary_duplicates only catches byte-exact copies).
+
+    Plan: mapInPandas, one pass, payload never shuffles — only the
+    (id, 64-bit hash) relation leaves the scan, exactly like the text
+    digest lanes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                img = decode_raw_rgb(
+                    bytes(row[payload_col]), int(row[width_col]),
+                    int(row[height_col]),
+                )
+                out.append(
+                    {"id": row[id_col], "dhash": _dhash64(img)}
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema="id bigint, dhash bigint")
+
+
+def synthetic_raw_image_table(
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 16,
+    height: int = 16,
+    n_families: int = 17,
+    noise_pixels_mod: int = 2,
+) -> DataFrame:
+    """Deterministic raw-RGB fixture with NEAR-duplicate structure: each
+    id renders its family's base image (seeded by id % n_families) with
+    id % noise_pixels_mod pixels perturbed (seeded by id) — family
+    members are perceptual near-dups, cross-family images are unrelated.
+    Generated distributively (mapInPandas over the id relation), and
+    replayable in NumPy by the gate's oracle builder."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                i = int(row[id_col])
+                base = np.random.default_rng(i % n_families).integers(
+                    0, 256, size=(height, width, 3), dtype=np.uint8
+                )
+                n_noise = i % noise_pixels_mod
+                if n_noise:
+                    rng = np.random.default_rng(1_000_003 + i)
+                    for _ in range(n_noise):
+                        r = int(rng.integers(0, height))
+                        c = int(rng.integers(0, width))
+                        base = base.copy()
+                        base[r, c, :] = 255 - base[r, c, :]
+                out.append(
+                    {
+                        "doc_id": i,
+                        "payload": base.tobytes(),
+                        "width": width,
+                        "height": height,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return ids.select(F.col(id_col)).mapInPandas(
+        run, schema="doc_id bigint, payload binary, width int, height int"
+    )

@@ -1,0 +1,72 @@
+"""Perceptual image dedup: decode_raw_rgb + image_dhash +
+banded_hamming_pairs."""
+
+import numpy as np
+import pytest
+
+from openeo_processes_dask_spark.training.dedup import banded_hamming_pairs
+from openeo_processes_dask_spark.training.multimodal import (
+    _dhash64,
+    decode_raw_rgb,
+    image_dhash,
+    synthetic_raw_image_table,
+)
+
+
+def test_decode_raw_rgb_roundtrip_and_size_check():
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(3, 2, 3)
+    back = decode_raw_rgb(img.tobytes(), width=2, height=3)
+    assert (back == img).all()
+    with pytest.raises(ValueError):
+        decode_raw_rgb(img.tobytes()[:-1], width=2, height=3)
+
+
+def test_dhash_invariant_to_brightness_sensitive_to_structure():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 200, size=(16, 16, 3), dtype=np.uint8)
+    # uniform brightness shift preserves every gradient sign
+    brighter = np.clip(img.astype(int) + 40, 0, 255).astype(np.uint8)
+    assert _dhash64(img) == _dhash64(brighter)
+    # structural change (transpose) produces a different hash
+    assert _dhash64(img) != _dhash64(img.transpose(1, 0, 2))
+
+
+def test_image_dhash_matches_local(spark):
+    ids = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    tbl = synthetic_raw_image_table(ids)
+    got = {r["id"]: r["dhash"] for r in image_dhash(tbl).collect()}
+    local = {
+        r["doc_id"]: _dhash64(
+            decode_raw_rgb(bytes(r["payload"]), r["width"], r["height"])
+        )
+        for r in tbl.collect()
+    }
+    assert got == local
+
+
+def test_banded_hamming_pairs_exact_recall(spark):
+    ids = spark.range(0, 60).withColumnRenamed("id", "doc_id")
+    sigs = image_dhash(synthetic_raw_image_table(ids))
+    got = {
+        (r["id1"], r["id2"], r["hamming"])
+        for r in banded_hamming_pairs(
+            sigs, max_hamming=4, bands=8, sig_col="dhash"
+        ).collect()
+    }
+    # brute force over the same signatures
+    rows = {r["id"]: r["dhash"] for r in sigs.collect()}
+    exp = set()
+    for i in rows:
+        for j in rows:
+            if i < j:
+                d = bin((rows[i] ^ rows[j]) & ((1 << 64) - 1)).count("1")
+                if d <= 4:
+                    exp.add((i, j, d))
+    assert got == exp
+    assert exp, "fixture must actually contain near-dup pairs"
+
+
+def test_banded_hamming_rejects_insufficient_bands(spark):
+    sigs = spark.createDataFrame([(1, 5), (2, 7)], ["id", "sig"])
+    with pytest.raises(ValueError):
+        banded_hamming_pairs(sigs, max_hamming=8, bands=8)
