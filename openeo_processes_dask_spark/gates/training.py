@@ -790,6 +790,28 @@ def q_semdedup(spark, sf_dir):
     return semdedup(emb, k=8, threshold=0.2, iterations=2)
 
 
+def q_bm25_index_search(spark, sf_dir):
+    """Inverted-index multi-query BM25 (training/retrieval.py): postings
+    + doc stats built once, three queries answered by joins with integer
+    micro-unit score sums (order-independent, bit-exact) and a
+    WindowGroupLimit per-query top-10. Oracle replays the whole index
+    and scoring in SQL."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.retrieval import (
+        bm25_search,
+        build_inverted_index,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    postings, stats = build_inverted_index(docs)
+    queries = spark.createDataFrame(
+        [(1, ["spark", "join"]), (2, ["filter", "hash"]),
+         (3, ["window", "table"])],
+        ["query_id", "terms"],
+    )
+    return bm25_search(postings, stats, queries, k=10)
+
+
 def q_image_near_dups(spark, sf_dir):
     """Perceptual image near-dup dedup (training/multimodal.py
     image_dhash over the REAL raw-RGB decode lane +
@@ -895,6 +917,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "bpe_tokens": q_bpe_tokens,
     "image_near_dups": q_image_near_dups,
+    "bm25_index_search": q_bm25_index_search,
 }
 
 # Shared SQL fragments for the span-dedup oracles: overlapping 5-token
@@ -1596,6 +1619,46 @@ ORACLES = {
     "semdedup": _semdedup_oracle_sql,
     "bpe_tokens": _bpe_tokens_oracle_sql,
     "image_near_dups": _image_near_dups_oracle_sql,
+    "bm25_index_search": """
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE string_split_regex(lower(trim(text)), '\\s+')
+                     END AS w
+              FROM documents),
+            st AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM toks),
+            postings AS (
+              SELECT term, id, count(*) AS tf
+              FROM (SELECT id, unnest(w) AS term FROM toks)
+              GROUP BY term, id),
+            dstats AS (SELECT id, len(w) AS dl FROM toks),
+            tdf AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+            q AS (SELECT * FROM (VALUES
+                   (1, 'spark'), (1, 'join'), (2, 'filter'), (2, 'hash'),
+                   (3, 'window'), (3, 'table'))
+                  AS t(query_id, term)),
+            m AS (
+              SELECT q.query_id, p.id,
+                     CAST(round(
+                       ln(1 + ((SELECT n FROM st) - tdf.df + 0.5)
+                              / (tdf.df + 0.5))
+                       * (CAST(p.tf AS DOUBLE) * (1.2 + 1))
+                       / (CAST(p.tf AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * CAST(s.dl AS DOUBLE)
+                                   / (SELECT avgdl FROM st)))
+                       * 1000000.0) AS BIGINT) AS c
+              FROM q JOIN tdf USING (term) JOIN postings p USING (term)
+              JOIN dstats s ON s.id = p.id),
+            sc AS (
+              SELECT query_id, id, CAST(sum(c) AS BIGINT) AS s_micro
+              FROM m GROUP BY 1, 2 HAVING sum(c) > 0)
+            SELECT query_id, rank, id, s_micro / 1000000.0 AS score
+            FROM (SELECT query_id, id, s_micro,
+                         row_number() OVER (PARTITION BY query_id
+                           ORDER BY s_micro DESC, id) AS rank
+                  FROM sc)
+            WHERE rank <= 10
+        """,
     # BM25: the engine inlines idf/avgdl literals computed from one tiny
     # driver aggregate; the oracle recomputes them as scalar subqueries
     # with the same association order. round-6 on both sides.

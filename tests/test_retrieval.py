@@ -1,0 +1,80 @@
+"""training/retrieval.py — inverted index + multi-query BM25."""
+
+import math
+
+from openeo_processes_dask_spark.training.retrieval import (
+    bm25_search,
+    build_inverted_index,
+)
+
+CORPUS = {
+    1: "the cat sat on the mat",
+    2: "the dog chased the cat and the cat ran",
+    3: "dogs and cats living together",
+    4: "nothing relevant here at all whatsoever",
+    5: "cat cat cat dog",
+}
+
+
+def _df(spark):
+    return spark.createDataFrame(list(CORPUS.items()), ["doc_id", "text"])
+
+
+def _python_bm25(terms, k1=1.2, b=0.75):
+    toks = {i: t.split() for i, t in CORPUS.items()}
+    n = len(CORPUS)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for i, ws in toks.items():
+        s = 0
+        for t in terms:
+            dfreq = sum(1 for v in toks.values() if t in v)
+            idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+            tf = ws.count(t)
+            if tf:
+                c = idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(ws) / avgdl)
+                )
+                s += round(c * 1e6)
+        if s > 0:
+            out[i] = s / 1e6
+    return out
+
+
+def test_bm25_search_matches_python_replay(spark):
+    postings, stats = build_inverted_index(_df(spark))
+    queries = spark.createDataFrame(
+        [(10, ["cat", "dog"]), (20, ["mat"]), (30, ["zebra"])],
+        ["query_id", "terms"],
+    )
+    rows = bm25_search(postings, stats, queries, k=3).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["id"], r["score"])
+        )
+    for q, terms in [(10, ["cat", "dog"]), (20, ["mat"]), (30, ["zebra"])]:
+        exp = _python_bm25(terms)
+        ranked = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        exp_rows = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+        assert got.get(q, []) == exp_rows, q
+    assert 30 not in got  # zero-hit query emits nothing
+
+
+def test_bm25_search_duplicate_query_terms_counted_once(spark):
+    postings, stats = build_inverted_index(_df(spark))
+    q1 = spark.createDataFrame([(1, ["cat"])], ["query_id", "terms"])
+    q2 = spark.createDataFrame([(1, ["cat", "cat"])], ["query_id", "terms"])
+    r1 = [(r["id"], r["score"]) for r in bm25_search(postings, stats, q1).collect()]
+    r2 = [(r["id"], r["score"]) for r in bm25_search(postings, stats, q2).collect()]
+    assert r1 == r2
+
+
+def test_bm25_search_topk_plan_is_window_group_limit(spark):
+    from openeo_processes_dask_spark.diagnostics import plan_report
+
+    postings, stats = build_inverted_index(_df(spark))
+    queries = spark.createDataFrame([(1, ["cat"])], ["query_id", "terms"])
+    r = plan_report(bm25_search(postings, stats, queries, k=2))
+    assert "WindowGroupLimit" in r.text
+    assert r.python_free
