@@ -790,6 +790,41 @@ def q_semdedup(spark, sf_dir):
     return semdedup(emb, k=8, threshold=0.2, iterations=2)
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Per-vector absmax int8 quantization (training/similarity.py
+    quantize_embeddings): codes, scale, and reconstruction error in one
+    map-only Column pass. Codes serialize to a comma string so the
+    compare is representation-stable; oracle replays the same absmax /
+    round / reconstruct arithmetic on DuckDB lists."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    out = quantize_embeddings(emb)
+    return out.select(
+        "id",
+        F.array_join(
+            F.transform(F.col("codes"), lambda c: c.cast("string")), ","
+        ).alias("codes_str"),
+        "scale",
+        "mean_abs_err",
+    )
+
+
+def q_chunk_text(spark, sf_dir):
+    """Sliding-window chunking (training/textanalysis.py chunk_text):
+    32-token windows every 24 tokens with the no-degenerate-tail rule —
+    pure sequence/explode/slice Columns, map-only. Oracle replays the
+    start arithmetic and slices in SQL."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.textanalysis import chunk_text
+
+    docs = _table(spark, sf_dir, "documents")
+    return chunk_text(docs, chunk_tokens=32, overlap=8)
+
+
 def q_bm25_index_search(spark, sf_dir):
     """Inverted-index multi-query BM25 (training/retrieval.py): postings
     + doc stats built once, three queries answered by joins with integer
@@ -918,6 +953,8 @@ QUERIES = {
     "bpe_tokens": q_bpe_tokens,
     "image_near_dups": q_image_near_dups,
     "bm25_index_search": q_bm25_index_search,
+    "quantize_embeddings": q_quantize_embeddings,
+    "chunk_text": q_chunk_text,
 }
 
 # Shared SQL fragments for the span-dedup oracles: overlapping 5-token
@@ -1619,6 +1656,54 @@ ORACLES = {
     "semdedup": _semdedup_oracle_sql,
     "bpe_tokens": _bpe_tokens_oracle_sql,
     "image_near_dups": _image_near_dups_oracle_sql,
+    "quantize_embeddings": """
+            WITH sv AS (
+              SELECT vec_id AS id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            q AS (
+              SELECT id, v,
+                     list_max(list_transform(v, x -> abs(x))) / 127.0
+                       AS scale
+              FROM sv),
+            q2 AS (
+              SELECT id, v, scale,
+                     CASE WHEN scale = 0 THEN 1.0 ELSE scale END AS safe
+              FROM q),
+            c AS (
+              SELECT id, v, scale,
+                     list_transform(v, x -> CAST(round(x / safe) AS INT))
+                       AS codes
+              FROM q2)
+            SELECT id, array_to_string(codes, ',') AS codes_str,
+                   round(scale, 6) AS scale,
+                   round(list_sum([abs(v[i] - codes[i] * scale)
+                                   for i in generate_series(1, len(v))])
+                         / len(v), 6) AS mean_abs_err
+            FROM c
+        """,
+    "chunk_text": """
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE string_split_regex(trim(text), '\\s+')
+                     END AS w
+              FROM documents),
+            t2 AS (SELECT id, w, len(w) AS n FROM toks WHERE len(w) > 0),
+            sts AS (
+              SELECT id, w, n,
+                     list_filter(generate_series(0, n - 1, 24),
+                                 s -> s = 0 OR s < n - 8) AS st
+              FROM t2),
+            ex AS (
+              SELECT id, w, n, i.i - 1 AS chunk_id, st[i.i] AS s
+              FROM sts,
+                   LATERAL (SELECT unnest(generate_series(1, len(st))) AS i) i)
+            SELECT id, chunk_id,
+                   len(w[s + 1 : s + 32]) AS n_tokens,
+                   array_to_string(w[s + 1 : s + 32], ' ') AS chunk
+            FROM ex
+        """,
     "bm25_index_search": """
             WITH toks AS (
               SELECT doc_id AS id,

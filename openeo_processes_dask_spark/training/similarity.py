@@ -596,3 +596,43 @@ def semdedup(
             ),
         )
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector absmax int8 quantization: scale = max|x| / 127,
+    code_i = round(x_i / scale) in [-127, 127] — the 4x memory cut that
+    makes a 100 TB embedding store fit hot storage, reconstruction
+    x ~ code * scale. Returns (id, codes array<int>, scale,
+    mean_abs_err).
+
+    Pure Column expressions (transform/aggregate folds), map-only, no
+    shuffle, no UDF; an all-zero vector quantizes to zero codes with
+    scale 0 (reconstruction exact). mean_abs_err is the per-vector mean
+    |x - code*scale| — the audit number a quantized ANN deployment
+    watches."""
+    v = F.col(vec_col).cast("array<double>")
+    absmax = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = absmax / F.lit(127.0)
+    safe = F.when(scale == 0.0, F.lit(1.0)).otherwise(scale)
+    codes = F.transform(v, lambda x: F.round(x / safe).cast("int"))
+    err = F.aggregate(
+        F.zip_with(
+            v,
+            codes,
+            lambda x, c: F.abs(x - c.cast("double") * scale),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.greatest(F.size(v), F.lit(1)).cast("double")
+    return df.select(
+        F.col(id_col).alias("id"),
+        codes.alias("codes"),
+        F.round(scale, 6).alias("scale"),
+        F.round(err, 6).alias("mean_abs_err"),
+    )

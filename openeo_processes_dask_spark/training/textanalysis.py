@@ -387,3 +387,55 @@ def bm25_topk(
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "rank", "id", "score"
     )
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking — the context-window splitter of
+    RAG indexing and long-document training prep. Emits
+    (id, chunk_id, n_tokens, chunk) with chunks of ``chunk_tokens``
+    whitespace tokens starting every ``chunk_tokens - overlap`` tokens.
+    A trailing start is kept only while it still covers unseen tokens
+    (``start < n - overlap``), so no chunk is a strict subset of its
+    predecessor. Empty documents emit nothing.
+
+    Pure Column expressions: token array once, one ``sequence`` +
+    ``explode`` fan-out, per-chunk ``slice`` — map-only over the scan,
+    no shuffle, no UDF; chunk count per doc is ceil((n - overlap) /
+    step), so output size is input-token-bound exactly like the
+    segment-dedup explode."""
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})"
+        )
+    step = chunk_tokens - overlap
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("w")
+    ).withColumn("n", F.size("w")).where(F.col("n") > 0)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.col("n") - 1, F.lit(step)),
+        lambda s: (s == 0) | (s < F.col("n") - F.lit(overlap)),
+    )
+    return (
+        toks.select(
+            "id", "w", F.posexplode(starts).alias("chunk_id", "start")
+        )
+        .select(
+            "id",
+            "chunk_id",
+            F.slice(
+                F.col("w"), F.col("start") + 1, F.lit(chunk_tokens)
+            ).alias("ck"),
+        )
+        .select(
+            "id",
+            "chunk_id",
+            F.size("ck").alias("n_tokens"),
+            F.array_join("ck", " ").alias("chunk"),
+        )
+    )

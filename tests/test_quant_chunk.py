@@ -1,0 +1,71 @@
+"""quantize_embeddings (similarity.py) + chunk_text (textanalysis.py)."""
+
+import pytest
+
+from openeo_processes_dask_spark.training.similarity import (
+    quantize_embeddings,
+)
+from openeo_processes_dask_spark.training.textanalysis import chunk_text
+
+
+def test_quantize_roundtrip_and_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    rows = {r["id"]: r for r in quantize_embeddings(df).collect()}
+    r1 = rows[1]
+    # absmax 1.0 -> scale 1/127; codes = round(x * 127)
+    assert r1["codes"] == [127, -64, 32, 0]
+    assert r1["scale"] == round(1.0 / 127.0, 6)
+    assert 0 <= r1["mean_abs_err"] < 1.0 / 127.0
+    r2 = rows[2]
+    assert r2["codes"] == [0, 0, 0, 0]
+    assert r2["scale"] == 0.0
+    assert r2["mean_abs_err"] == 0.0
+
+
+def test_quantize_codes_bounded(spark):
+    import random
+
+    random.seed(3)
+    vecs = [
+        (i, [random.uniform(-2, 2) for _ in range(16)]) for i in range(20)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    for r in quantize_embeddings(df).collect():
+        assert all(-127 <= c <= 127 for c in r["codes"])
+
+
+def test_chunk_text_windows(spark):
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, words), (2, ""), (3, "solo")],
+                               ["doc_id", "text"])
+    out = chunk_text(df, chunk_tokens=4, overlap=2)
+    rows = sorted(
+        (r["id"], r["chunk_id"], r["n_tokens"], r["chunk"])
+        for r in out.collect()
+    )
+    # n=10, step=2, keep start 0 and starts < 10-2=8 -> 0,2,4,6
+    assert [r[:3] for r in rows if r[0] == 1] == [
+        (1, 0, 4), (1, 1, 4), (1, 2, 4), (1, 3, 4),
+    ]
+    assert rows[0][3] == "w0 w1 w2 w3"
+    assert [r for r in rows if r[0] == 2] == []  # empty doc -> no chunks
+    assert [r[:3] for r in rows if r[0] == 3] == [(3, 0, 1)]
+
+
+def test_chunk_text_no_degenerate_tail(spark):
+    # n == chunk_tokens: the second start (step) would cover only seen
+    # tokens and must be dropped
+    df = spark.createDataFrame(
+        [(1, " ".join("x" * 1 for _ in range(4)))], ["doc_id", "text"]
+    )
+    out = chunk_text(df, chunk_tokens=4, overlap=2).collect()
+    assert len(out) == 1
+
+
+def test_chunk_text_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_text(df, chunk_tokens=4, overlap=4)
