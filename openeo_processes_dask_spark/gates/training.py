@@ -790,6 +790,30 @@ def q_semdedup(spark, sf_dir):
     return semdedup(emb, k=8, threshold=0.2, iterations=2)
 
 
+def q_latest_crawl(spark, sf_dir):
+    """Re-crawl dedup (training/urlops.py latest_per_url): keep the
+    newest fetch per URL — one window rank per url compiling to
+    WindowGroupLimit (plan-asserted in tests/test_pipeline_ops.py).
+    URLs synthesized deterministically from events; event_id breaks
+    timestamp ties. Oracle is the identical window SQL."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.urlops import latest_per_url
+
+    ev = _table(spark, sf_dir, "events")
+    crawls = ev.select(
+        F.concat(
+            F.lit("http://site"), (F.col("user_id") % 20).cast("string"),
+            F.lit(".org/p"), (F.col("event_id") % 37).cast("string"),
+        ).alias("url"),
+        F.col("ts").alias("crawl_ts"),
+        "value",
+        "event_id",
+    )
+    return latest_per_url(crawls, tie_col="event_id").select(
+        "url", "crawl_ts", "value", "event_id"
+    )
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Per-vector absmax int8 quantization (training/similarity.py
     quantize_embeddings): codes, scale, and reconstruction error in one
@@ -955,6 +979,7 @@ QUERIES = {
     "bm25_index_search": q_bm25_index_search,
     "quantize_embeddings": q_quantize_embeddings,
     "chunk_text": q_chunk_text,
+    "latest_crawl": q_latest_crawl,
 }
 
 # Shared SQL fragments for the span-dedup oracles: overlapping 5-token
@@ -1656,6 +1681,18 @@ ORACLES = {
     "semdedup": _semdedup_oracle_sql,
     "bpe_tokens": _bpe_tokens_oracle_sql,
     "image_near_dups": _image_near_dups_oracle_sql,
+    "latest_crawl": """
+            SELECT url, crawl_ts, value, event_id FROM (
+              SELECT url, crawl_ts, value, event_id,
+                     row_number() OVER (PARTITION BY url
+                       ORDER BY crawl_ts DESC, event_id DESC) AS rn
+              FROM (
+                SELECT 'http://site' || (user_id % 20) || '.org/p'
+                         || (event_id % 37) AS url,
+                       CAST(ts AS TIMESTAMP) AS crawl_ts, value, event_id
+                FROM events))
+            WHERE rn = 1
+        """,
     "quantize_embeddings": """
             WITH sv AS (
               SELECT vec_id AS id,

@@ -42,3 +42,33 @@ def per_domain_stats(
     if size_col is not None:
         aggs.append(F.sum(size_col).alias("total_size"))
     return out.groupBy("domain").agg(*aggs)
+
+
+def latest_per_url(
+    df: DataFrame,
+    url_col: str = "url",
+    time_col: str = "crawl_ts",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Keep only the NEWEST crawl of each URL — the re-crawl dedup every
+    web-corpus refresh starts with (a URL re-fetched weekly contributes
+    one document, not fifty-two). Ties on the timestamp break by
+    ``tie_col`` descending (default: the time column only — pass a
+    snapshot/sequence column for total determinism when timestamps can
+    collide).
+
+    Plan: one window rank per URL — row_number over (url, time DESC)
+    then rank = 1, which Spark executes as a single hash exchange on the
+    url plus a WindowGroupLimit (only the winning row crosses the final
+    stage); no self-join, no driver state."""
+    from pyspark.sql import Window
+
+    order = [F.col(time_col).desc()]
+    if tie_col is not None:
+        order.append(F.col(tie_col).desc())
+    w = Window.partitionBy(url_col).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -195,3 +195,59 @@ def test_remove_boilerplate_lines(spark):
         docs, "doc_id", "text", min_docs=5
     ).collect()}
     assert banner in out2[1]
+
+
+def test_latest_per_url_keeps_newest(spark):
+    import datetime as dt
+
+    from openeo_processes_dask_spark.training.urlops import latest_per_url
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", t0, 1.0, 1),
+        ("a", t0 + dt.timedelta(days=2), 2.0, 2),
+        ("a", t0 + dt.timedelta(days=1), 3.0, 3),
+        ("b", t0, 4.0, 4),
+        # timestamp tie on c -> tie_col (seq) decides
+        ("c", t0, 5.0, 5),
+        ("c", t0, 6.0, 6),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, crawl_ts timestamp, value double, seq int"
+    )
+    got = {
+        r["url"]: (r["value"], r["seq"])
+        for r in latest_per_url(df, tie_col="seq").collect()
+    }
+    assert got == {"a": (2.0, 2), "b": (4.0, 4), "c": (6.0, 6)}
+
+
+def test_latest_per_url_plan_is_window_group_limit(spark):
+    import datetime as dt
+
+    from openeo_processes_dask_spark.diagnostics import plan_report
+    from openeo_processes_dask_spark.training.urlops import latest_per_url
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1), 1.0, 1)],
+        "url string, crawl_ts timestamp, value double, seq int",
+    )
+    r = plan_report(latest_per_url(df, tie_col="seq"))
+    assert "WindowGroupLimit" in r.text and r.python_free
+
+
+def test_quantize_and_chunk_plans_python_free(spark):
+    from openeo_processes_dask_spark.diagnostics import plan_report
+    from openeo_processes_dask_spark.training.similarity import (
+        quantize_embeddings,
+    )
+    from openeo_processes_dask_spark.training.textanalysis import chunk_text
+
+    emb = spark.createDataFrame(
+        [(1, [0.5, -1.0])], ["vec_id", "embedding"]
+    )
+    r1 = plan_report(quantize_embeddings(emb))
+    assert r1.python_free and r1.exchanges == 0
+    docs = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    r2 = plan_report(chunk_text(docs, chunk_tokens=3, overlap=1))
+    assert r2.python_free and r2.exchanges == 0
