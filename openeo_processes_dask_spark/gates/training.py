@@ -790,6 +790,21 @@ def q_semdedup(spark, sf_dir):
     return semdedup(emb, k=8, threshold=0.2, iterations=2)
 
 
+def q_quantized_topk(spark, sf_dir):
+    """int8 ADC top-k (training/similarity.py quantized_topk): the query
+    vector (vec_id 0) and every stored vector quantize with the same
+    absmax rule; the ranking key is an exact INTEGER dot times two
+    scalars — bit-replayable in SQL, TakeOrderedAndProject top-12."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.similarity import (
+        quantized_topk,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return quantized_topk(emb, query, k=12)
+
+
 def q_latest_crawl(spark, sf_dir):
     """Re-crawl dedup (training/urlops.py latest_per_url): keep the
     newest fetch per URL — one window rank per url compiling to
@@ -980,6 +995,7 @@ QUERIES = {
     "quantize_embeddings": q_quantize_embeddings,
     "chunk_text": q_chunk_text,
     "latest_crawl": q_latest_crawl,
+    "quantized_topk": q_quantized_topk,
 }
 
 # Shared SQL fragments for the span-dedup oracles: overlapping 5-token
@@ -1681,6 +1697,43 @@ ORACLES = {
     "semdedup": _semdedup_oracle_sql,
     "bpe_tokens": _bpe_tokens_oracle_sql,
     "image_near_dups": _image_near_dups_oracle_sql,
+    "quantized_topk": """
+            WITH qv AS (
+              SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
+              FROM embeddings WHERE vec_id = 0),
+            qs AS (
+              SELECT q, list_max(list_transform(q, x -> abs(x))) / 127.0
+                       AS qa
+              FROM qv),
+            qc AS (
+              SELECT qa,
+                     list_transform(q, x -> CAST(round(
+                       x / (CASE WHEN qa = 0 THEN 1.0 ELSE qa END))
+                       AS BIGINT)) AS qcodes
+              FROM qs),
+            sv AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            dv AS (
+              SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) / 127.0
+                       AS scale
+              FROM sv),
+            cv AS (
+              SELECT vec_id, scale,
+                     list_transform(v, x -> CAST(round(
+                       x / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END))
+                       AS BIGINT)) AS codes
+              FROM dv)
+            SELECT vec_id,
+                   round(CAST(list_sum([cv.codes[i] * qc.qcodes[i]
+                                        for i in generate_series(1,
+                                          len(cv.codes))]) AS DOUBLE)
+                         * cv.scale * qc.qa, 6) AS qdot
+            FROM cv, qc
+            ORDER BY qdot DESC, vec_id LIMIT 12
+        """,
     "latest_crawl": """
             SELECT url, crawl_ts, value, event_id FROM (
               SELECT url, crawl_ts, value, event_id,

@@ -69,3 +69,50 @@ def test_chunk_text_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         chunk_text(df, chunk_tokens=4, overlap=4)
+
+
+def test_quantized_topk_matches_python_replay(spark):
+    import math
+    import random
+
+    from openeo_processes_dask_spark.training.similarity import (
+        quantized_topk,
+    )
+
+    random.seed(11)
+    vecs = [
+        (i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(30)
+    ]
+    query = vecs[0][1]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    got = [(r["vec_id"], r["qdot"]) for r in quantized_topk(df, query, k=5).collect()]
+
+    def rha(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    qa = max(abs(x) for x in query) / 127.0
+    qc = [int(rha(x / qa)) for x in query]
+    exp = []
+    for i, v in vecs:
+        s = max(abs(x) for x in v) / 127.0
+        safe = s if s else 1.0
+        c = [int(rha(x / safe)) for x in v]
+        idot = sum(a * b for a, b in zip(c, qc))
+        exp.append((i, round(idot * s * qa, 6)))
+    exp = sorted(exp, key=lambda p: (-p[1], p[0]))[:5]
+    assert got == exp
+    # the quantized ranking tracks the exact one: the query itself wins
+    assert got[0][0] == 0
+
+
+def test_quantized_topk_plan_take_ordered(spark):
+    from openeo_processes_dask_spark.diagnostics import plan_report
+    from openeo_processes_dask_spark.training.similarity import (
+        quantized_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.3, -0.4])], ["vec_id", "embedding"]
+    )
+    r = plan_report(quantized_topk(df, [0.5, 0.5], k=1))
+    assert "TakeOrderedAndProject" in r.text and r.python_free
