@@ -790,6 +790,29 @@ def q_semdedup(spark, sf_dir):
     return semdedup(emb, k=8, threshold=0.2, iterations=2)
 
 
+def q_quality_selection(spark, sf_dir):
+    """Per-source quality-fraction cut (training/sampling.py
+    top_quality_fraction): keep the top 25% of each source by the
+    composite quality score — the FineWeb/DCLM classifier-threshold
+    curation step. The score is discrete (quarters — exact dyadic
+    doubles, cross-engine identical) and rank ties break by doc_id, so
+    the selected SET is deterministic. One window exchange per source."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.sampling import (
+        top_quality_fraction,
+    )
+    from openeo_processes_dask_spark.training.textanalysis import (
+        quality_score,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", "source", quality_score(F.col("text")).alias("score")
+    )
+    return top_quality_fraction(
+        docs, "score", 0.25, group_col="source"
+    ).select("doc_id", "source", F.round("score", 6).alias("score"))
+
+
 def q_quantized_topk(spark, sf_dir):
     """int8 ADC top-k (training/similarity.py quantized_topk): the query
     vector (vec_id 0) and every stored vector quantize with the same
@@ -996,6 +1019,7 @@ QUERIES = {
     "chunk_text": q_chunk_text,
     "latest_crawl": q_latest_crawl,
     "quantized_topk": q_quantized_topk,
+    "quality_selection": q_quality_selection,
 }
 
 # Shared SQL fragments for the span-dedup oracles: overlapping 5-token
@@ -1697,6 +1721,34 @@ ORACLES = {
     "semdedup": _semdedup_oracle_sql,
     "bpe_tokens": _bpe_tokens_oracle_sql,
     "image_near_dups": _image_near_dups_oracle_sql,
+    "quality_selection": f"""
+            WITH feats AS (
+              SELECT doc_id, source,
+                CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+                (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                  / greatest(length(text), 1) AS punct,
+                len(list_filter({_TOKS}, w -> w IN ('and','das','de','der','des','die','el','est','et','is','la','le','les','los','nicht','of','que','shi','the','to','und','wo','y','bu','le')))
+                  / greatest(CAST(len({_TOKS}) AS DOUBLE), 1) AS stop_ratio,
+                list_sum(list_transform({_TOKS}, w -> length(w)))
+                  / greatest(CAST(len({_TOKS}) AS DOUBLE), 1) AS mwl
+              FROM documents),
+            sc AS (
+              SELECT doc_id, source,
+                ((CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
+                 + (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.0 END)
+                 + (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.0 END)
+                 + (CASE WHEN stop_ratio >= 0.01 THEN 1.0 ELSE 0.0 END)) / 4.0
+                  AS score
+              FROM feats),
+            r AS (
+              SELECT doc_id, source, score,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY score DESC, doc_id) AS rk,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM sc)
+            SELECT doc_id, source, round(score, 6) AS score
+            FROM r WHERE rk <= ceil(0.25 * n)
+        """,
     "quantized_topk": """
             WITH qv AS (
               SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q

@@ -276,3 +276,40 @@ def mix_corpus(
     return sample_stratified(
         df, rates, group_col, seed=seed, id_col=id_col, default=0.0
     )
+
+
+def top_quality_fraction(
+    df: DataFrame,
+    score_col: str,
+    fraction: float,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``fraction`` of rows by ``score_col`` — per
+    ``group_col`` when given (so one dominant source cannot crowd the
+    others out of the budget): the quality-threshold curation cut
+    (FineWeb/DCLM-style classifier-score selection).
+
+    Deterministic: ranks by (score DESC, id ASC) — a total order — and
+    keeps rank <= ceil(fraction * group_count), so the selected SET is
+    exact and engine-independent (a percent_rank cut would tie-break
+    arbitrarily on equal scores).
+
+    Plan: one window rank + one window count over the same partition key
+    — a single hash exchange on the group (or a global rank for the
+    ungrouped cut); no second scan, no driver state."""
+    if not 0 <= fraction <= 1:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    from pyspark.sql import Window
+
+    keys = [group_col] if group_col else []
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    wc = Window.partitionBy(*keys)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .where(F.col("__rk") <= F.ceil(F.lit(fraction) * F.col("__n")))
+        .drop("__rk", "__n")
+    )

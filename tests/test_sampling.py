@@ -270,3 +270,46 @@ def test_mix_corpus_hits_budget_shares(spark):
     b = sorted(r["doc_id"] for r in mix_corpus(
         df, {"web": 0.5, "wiki": 0.5}, 100_000).collect())
     assert a == b
+
+
+def test_top_quality_fraction_grouped_and_global(spark):
+    import pytest
+
+    from openeo_processes_dask_spark.training.sampling import (
+        top_quality_fraction,
+    )
+
+    rows = [
+        # group a: scores 4,3,2,1 -> top 50% keeps ids 1,2
+        (1, "a", 4.0), (2, "a", 3.0), (3, "a", 2.0), (4, "a", 1.0),
+        # group b: 3 rows -> ceil(1.5)=2 kept; tie on 5.0 -> lower id
+        (5, "b", 5.0), (6, "b", 5.0), (7, "b", 0.0),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "score"])
+    got = sorted(
+        r["doc_id"]
+        for r in top_quality_fraction(
+            df, "score", 0.5, group_col="source"
+        ).collect()
+    )
+    assert got == [1, 2, 5, 6]
+    # ungrouped: top 50% of all 7 -> ceil(3.5)=4 rows
+    got_all = sorted(
+        r["doc_id"]
+        for r in top_quality_fraction(df, "score", 0.5).collect()
+    )
+    assert got_all == [1, 2, 5, 6]
+    with pytest.raises(ValueError):
+        top_quality_fraction(df, "score", 1.5)
+
+
+def test_top_quality_fraction_edge_fractions(spark):
+    from openeo_processes_dask_spark.training.sampling import (
+        top_quality_fraction,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], ["doc_id", "score"]
+    )
+    assert top_quality_fraction(df, "score", 0.0).count() == 0
+    assert top_quality_fraction(df, "score", 1.0).count() == 2
