@@ -790,6 +790,46 @@ def q_semdedup(spark, sf_dir):
     return semdedup(emb, k=8, threshold=0.2, iterations=2)
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """Round-6 curation lane end-to-end in ONE oracle-checked query:
+    per-source quality-fraction cut (top 50%) -> exact dedup canonical ->
+    32/8 sliding-window chunking -> content-stable chunk sharding ->
+    256-token contiguous packing. Every stage reuses an operator with its
+    own standalone gate; the oracle composes their SQL twins as CTEs.
+    Shuffle audit: quality cut = one window exchange on source; dedup =
+    one digest aggregate + semi join; chunking = map-only; packing = one
+    window cumsum per shard."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import exact_duplicates
+    from openeo_processes_dask_spark.training.sampling import (
+        assign_shards,
+        pack_tokens_contiguous,
+        top_quality_fraction,
+    )
+    from openeo_processes_dask_spark.training.textanalysis import (
+        chunk_text,
+        quality_score,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text",
+        quality_score(F.col("text")).alias("score"),
+    )
+    kept = top_quality_fraction(docs, "score", 0.5, group_col="source")
+    canon = exact_duplicates(kept, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    ded = kept.join(canon, "doc_id", "left_semi")
+    chunks = chunk_text(ded, id_col="doc_id", chunk_tokens=32, overlap=8)
+    ck = chunks.withColumn(
+        "cid", (F.col("id") * 100 + F.col("chunk_id")).cast("long")
+    )
+    sharded = assign_shards(ck, 4, seed=23, id_col="cid")
+    return pack_tokens_contiguous(
+        sharded, 256, "n_tokens", id_col="cid", shard_col="shard"
+    ).select("cid", "shard", "segment", "seg_tokens")
+
+
 def q_quality_selection(spark, sf_dir):
     """Per-source quality-fraction cut (training/sampling.py
     top_quality_fraction): keep the top 25% of each source by the
@@ -1020,6 +1060,7 @@ QUERIES = {
     "latest_crawl": q_latest_crawl,
     "quantized_topk": q_quantized_topk,
     "quality_selection": q_quality_selection,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 # Shared SQL fragments for the span-dedup oracles: overlapping 5-token
@@ -1721,6 +1762,77 @@ ORACLES = {
     "semdedup": _semdedup_oracle_sql,
     "bpe_tokens": _bpe_tokens_oracle_sql,
     "image_near_dups": _image_near_dups_oracle_sql,
+    "curation_pipeline": f"""
+            WITH feats AS (
+              SELECT doc_id, source, text,
+                CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+                (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                  / greatest(length(text), 1) AS punct,
+                len(list_filter({_TOKS}, w -> w IN ('and','das','de','der','des','die','el','est','et','is','la','le','les','los','nicht','of','que','shi','the','to','und','wo','y','bu','le')))
+                  / greatest(CAST(len({_TOKS}) AS DOUBLE), 1) AS stop_ratio,
+                list_sum(list_transform({_TOKS}, w -> length(w)))
+                  / greatest(CAST(len({_TOKS}) AS DOUBLE), 1) AS mwl
+              FROM documents),
+            sc AS (
+              SELECT doc_id, source, text,
+                ((CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
+                 + (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.0 END)
+                 + (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.0 END)
+                 + (CASE WHEN stop_ratio >= 0.01 THEN 1.0 ELSE 0.0 END)) / 4.0
+                  AS score
+              FROM feats),
+            ranked AS (
+              SELECT doc_id, text, score,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY score DESC, doc_id) AS rk,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM sc),
+            kept AS (
+              SELECT doc_id, text FROM ranked WHERE rk <= ceil(0.5 * n)),
+            canon AS (
+              SELECT min(doc_id) AS doc_id
+              FROM kept
+              GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+            ded AS (
+              SELECT k.doc_id, k.text FROM kept k
+              WHERE EXISTS (SELECT 1 FROM canon c WHERE c.doc_id = k.doc_id)),
+            toks AS (
+              SELECT doc_id AS id,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE string_split_regex(trim(text), '\\s+')
+                     END AS w
+              FROM ded),
+            t2 AS (SELECT id, w, len(w) AS n FROM toks WHERE len(w) > 0),
+            sts AS (
+              SELECT id, w, n,
+                     list_filter(generate_series(0, n - 1, 24),
+                                 s -> s = 0 OR s < n - 8) AS st
+              FROM t2),
+            chunks AS (
+              SELECT id * 100 + (i.i - 1) AS cid,
+                     len(w[st[i.i] + 1 : st[i.i] + 32]) AS n_tokens
+              FROM sts,
+                   LATERAL (SELECT unnest(generate_series(1, len(st))) AS i) i),
+            sharded AS (
+              SELECT cid, n_tokens,
+                     CAST(CAST('0x' || substr(md5('23-' || CAST(cid AS VARCHAR)),
+                               1, 15) AS BIGINT) % 4 AS INT) AS shard
+              FROM chunks WHERE n_tokens > 0),
+            spans AS (
+              SELECT cid, shard, n_tokens,
+                     CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY cid)
+                          AS BIGINT) AS e
+              FROM sharded),
+            segs AS (
+              SELECT cid, shard, e - n_tokens AS s, e,
+                     unnest(generate_series((e - n_tokens) // 256,
+                                            (e - 1) // 256)) AS segment
+              FROM spans)
+            SELECT cid, shard, segment,
+                   least(e, (segment + 1) * 256)
+                   - greatest(s, segment * 256) AS seg_tokens
+            FROM segs
+        """,
     "quality_selection": f"""
             WITH feats AS (
               SELECT doc_id, source,
