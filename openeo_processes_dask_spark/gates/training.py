@@ -790,6 +790,25 @@ def q_semdedup(spark, sf_dir):
     return semdedup(emb, k=8, threshold=0.2, iterations=2)
 
 
+def q_rolling_anomaly(spark, sf_dir):
+    """Rolling z-score anomaly detection (training/anomaly.py): each
+    event scored against the trailing 20 same-band events (current row
+    excluded), alert at |z| > 2.5 — one window pass, one exchange on the
+    band. Oracle is the identical frame-excluding window SQL."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.anomaly import anomalies
+
+    ev = _table(spark, sf_dir, "events")
+    out = anomalies(
+        ev, "value", ["ts", "event_id"], partition_cols=["event_type"],
+        window=20, threshold=2.5,
+    )
+    return out.select(
+        "event_id", F.col("event_type").alias("band"), "value",
+        F.round("zscore", 6).alias("zscore"),
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     """Round-6 curation lane end-to-end in ONE oracle-checked query:
     per-source quality-fraction cut (top 50%) -> exact dedup canonical ->
@@ -1061,6 +1080,7 @@ QUERIES = {
     "quantized_topk": q_quantized_topk,
     "quality_selection": q_quality_selection,
     "curation_pipeline": q_curation_pipeline,
+    "rolling_anomaly": q_rolling_anomaly,
 }
 
 # Shared SQL fragments for the span-dedup oracles: overlapping 5-token
@@ -1762,6 +1782,21 @@ ORACLES = {
     "semdedup": _semdedup_oracle_sql,
     "bpe_tokens": _bpe_tokens_oracle_sql,
     "image_near_dups": _image_near_dups_oracle_sql,
+    "rolling_anomaly": """
+            SELECT event_id, band, value, round(z, 6) AS zscore
+            FROM (
+              SELECT event_id, event_type AS band, value,
+                     CASE WHEN count(value) OVER w >= 2
+                            AND stddev_samp(value) OVER w > 0
+                          THEN (value - avg(value) OVER w)
+                               / stddev_samp(value) OVER w
+                     END AS z
+              FROM events
+              WINDOW w AS (PARTITION BY event_type
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+            WHERE abs(z) > 2.5
+        """,
     "curation_pipeline": f"""
             WITH feats AS (
               SELECT doc_id, source, text,

@@ -1,0 +1,58 @@
+"""training/anomaly.py — rolling z-score anomaly detection."""
+
+import statistics
+
+import pytest
+
+from openeo_processes_dask_spark.training.anomaly import (
+    anomalies,
+    rolling_zscore,
+)
+
+
+def test_rolling_zscore_matches_statistics(spark):
+    vals = [10.0, 11.0, 9.0, 10.5, 50.0, 10.2]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["seq", "value"])
+    got = {
+        r["seq"]: r["zscore"]
+        for r in rolling_zscore(df, "value", ["seq"], window=4).collect()
+    }
+    # seq 0: no history; seq 1: one history row -> NULL
+    assert got[0] is None and got[1] is None
+    for i in range(2, len(vals)):
+        hist = vals[max(0, i - 4) : i]
+        exp = (vals[i] - statistics.mean(hist)) / statistics.stdev(hist)
+        assert got[i] == pytest.approx(exp, rel=1e-9), i
+    # the spike at seq 4 is a huge positive outlier
+    assert got[4] > 10
+
+
+def test_rolling_zscore_zero_variance_is_null(spark):
+    df = spark.createDataFrame(
+        [(i, 5.0) for i in range(4)] + [(4, 9.0)], ["seq", "value"]
+    )
+    got = {
+        r["seq"]: r["zscore"]
+        for r in rolling_zscore(df, "value", ["seq"], window=3).collect()
+    }
+    assert got[3] is None  # constant history -> sd 0 -> NULL, not inf
+    assert got[4] is None
+
+
+def test_anomalies_partitioned(spark):
+    rows = [("a", i, 1.0 + (i % 3) * 0.1) for i in range(30)]
+    rows[20] = ("a", 20, 99.0)
+    rows += [("b", i, float(i)) for i in range(10)]  # steady ramp: no alarms? z bounded
+    df = spark.createDataFrame(rows, ["k", "seq", "value"])
+    out = anomalies(
+        df, "value", ["seq"], partition_cols=["k"], window=10,
+        threshold=3.0,
+    ).collect()
+    assert [(r["k"], r["seq"]) for r in out] == [("a", 20)]
+
+
+def test_rolling_zscore_rejects_tiny_window(spark):
+    df = spark.createDataFrame([(1, 1.0)], ["seq", "value"])
+    with pytest.raises(ValueError):
+        rolling_zscore(df, "value", ["seq"], window=1)

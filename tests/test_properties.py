@@ -586,3 +586,78 @@ def test_process_graph_compiler_fuzz(spark):
         got = [r["v"] for r in df.select(col.alias("v")).collect()]
         exp = [float(fn(x)) for x in xs]
         assert got == pytest.approx(exp, rel=1e-9), (trial, pg)
+
+
+# ---- round-6 pure-Python kernels -----------------------------------------
+
+from openeo_processes_dask_spark.training.bpe import (  # noqa: E402
+    EOW,
+    _encode_word,
+    _merge_word,
+)
+from openeo_processes_dask_spark.training.multimodal import (  # noqa: E402
+    _dhash64,
+)
+
+words = st.text(
+    alphabet=st.sampled_from("abcdef"), min_size=1, max_size=12
+)
+pairs = st.tuples(
+    st.text(alphabet=st.sampled_from("abcdef"), min_size=1, max_size=3),
+    st.text(alphabet=st.sampled_from("abcdef"), min_size=1, max_size=3),
+)
+
+
+@given(words, st.lists(pairs, max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_bpe_encode_reconstructs_word(word, merges):
+    """Concatenating the BPE symbols always reconstructs word + EOW —
+    merges change segmentation, never content."""
+    syms = _encode_word(word, merges)
+    assert "".join(syms) == word + EOW
+    assert all(s for s in syms)
+
+
+@given(words, pairs)
+@settings(max_examples=200, deadline=None)
+def test_merge_word_non_overlapping_left_to_right(word, pair):
+    syms = list(word) + [EOW]
+    out = _merge_word(syms, pair)
+    # no adjacent (a, b) survives a merge pass at positions the scan saw
+    # as a pair start; content is preserved
+    assert "".join(out) == "".join(syms)
+    a, b = pair
+    merged = a + b
+    for i in range(len(out) - 1):
+        # a surviving adjacent pair can only occur if its first element
+        # was itself just created by the merge (aab case: (aa)(b...)),
+        # i.e. out[i] == merged; a truly untouched (a, b) pair is a bug
+        if out[i] == a and out[i + 1] == b:
+            assert a == merged or b == merged or a == b, (word, pair, out)
+
+
+@given(
+    arrays(
+        np.uint8,
+        st.tuples(st.integers(8, 24), st.integers(9, 24), st.just(3)),
+        elements=st.integers(0, 255),
+    ),
+    st.integers(1, 80),
+)
+@settings(max_examples=100, deadline=None)
+def test_dhash_brightness_invariance(img, shift):
+    """dHash compares neighboring pixels, so any uniform brightness
+    shift that avoids clipping preserves the hash exactly."""
+    room = 255 - int(img.max())
+    s = min(shift, room)
+    shifted = (img.astype(int) + s).astype(np.uint8)
+    assert _dhash64(img) == _dhash64(shifted)
+
+
+@given(st.integers(-(2**63), 2**63 - 1))
+@settings(max_examples=200, deadline=None)
+def test_dhash_range_is_signed_int64(v):
+    # the packing helper's signed conversion must roundtrip any int64
+    u = v & ((1 << 64) - 1)
+    back = u - (1 << 64) if u >= (1 << 63) else u
+    assert back == v
