@@ -1115,3 +1115,56 @@ def _image_near_dups_oracle_sql(
         + ", ".join(vals)
         + ") AS t(id1, id2, hamming)"
     )
+
+
+def _audio_near_dups_oracle_sql(id_cap: int = 99, min_shared: int = 8) -> str:
+    """Twin of q_audio_near_dups: regenerates the melody fixture in
+    NumPy (same seeds), extracts the same consecutive-peak-bin landmarks
+    serially, and counts shared landmarks over all pairs — the equi-join
+    must equal the exact answer."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    sf = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT doc_id FROM '{sf}/documents.parquet' "
+            f"WHERE doc_id < {id_cap} ORDER BY doc_id"
+        ).fetchall()
+    ]
+    n_samples, n_families, frame, hop = 2048, 11, 256, 128
+
+    def render(i):
+        fam = np.random.default_rng(900 + i % n_families)
+        notes = fam.integers(5, 100, size=n_samples // 256)
+        t = np.arange(n_samples, dtype="float64")
+        freq = np.repeat(notes, 256)[: len(t)].astype("float64")
+        y = 0.7 * np.sin(2 * np.pi * freq * t / 256.0)
+        noise = np.random.default_rng(7_000_000 + i)
+        y += 0.02 * (noise.random(n_samples) * 2 - 1)
+        pcm = np.clip(y * 32767.0, -32768, 32767).astype("<i2")
+        return pcm.astype("float64") / 32768.0
+
+    def marks(y):
+        peaks = []
+        for s in range(0, len(y) - frame + 1, hop):
+            spec = np.abs(np.fft.rfft(y[s : s + frame]))
+            peaks.append(int(np.argmax(spec[1:])) + 1)
+        return {int(a * 100_000 + b) for a, b in zip(peaks, peaks[1:])}
+
+    ms = {i: marks(render(i)) for i in ids}
+    vals = []
+    for a in ids:
+        for b in ids:
+            if a < b:
+                shared = len(ms[a] & ms[b])
+                if shared >= min_shared:
+                    vals.append(f"({a}, {b}, {shared})")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(id1, id2, n_shared)"
+    )

@@ -13,6 +13,7 @@ from .common import _STOPWORDS_SQL, _TOKS, _round6, _setup, _table
 from .oracle_builders import (
     _corpus_mix_oracle_sql,
     _dedup_clusters_oracle_sql,
+    _audio_near_dups_oracle_sql,
     _bpe_tokens_oracle_sql,
     _image_near_dups_oracle_sql,
     _pagerank_oracle_sql,
@@ -790,6 +791,26 @@ def q_semdedup(spark, sf_dir):
     return semdedup(emb, k=8, threshold=0.2, iterations=2)
 
 
+def q_audio_near_dups(spark, sf_dir):
+    """Audio near-dup via spectral landmarks (training/multimodal.py
+    decode_raw_pcm16 — a REAL codec-free decode — + audio_landmarks +
+    audio_near_duplicates): melody-structured PCM16 fixtures, Shazam-
+    style consecutive-peak-bin fingerprints, equi-join on the landmark
+    key with a shared-count floor. Oracle is a NumPy all-pairs replay."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.multimodal import (
+        audio_landmarks,
+        audio_near_duplicates,
+        synthetic_raw_audio_table,
+    )
+
+    ids = _table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 99
+    ).select("doc_id")
+    lm = audio_landmarks(synthetic_raw_audio_table(ids))
+    return audio_near_duplicates(lm, min_shared=8)
+
+
 def q_rolling_anomaly(spark, sf_dir):
     """Rolling z-score anomaly detection (training/anomaly.py): each
     event scored against the trailing 20 same-band events (current row
@@ -1081,6 +1102,7 @@ QUERIES = {
     "quality_selection": q_quality_selection,
     "curation_pipeline": q_curation_pipeline,
     "rolling_anomaly": q_rolling_anomaly,
+    "audio_near_dups": q_audio_near_dups,
 }
 
 # Shared SQL fragments for the span-dedup oracles: overlapping 5-token
@@ -1782,6 +1804,7 @@ ORACLES = {
     "semdedup": _semdedup_oracle_sql,
     "bpe_tokens": _bpe_tokens_oracle_sql,
     "image_near_dups": _image_near_dups_oracle_sql,
+    "audio_near_dups": _audio_near_dups_oracle_sql,
     "rolling_anomaly": """
             SELECT event_id, band, value, round(z, 6) AS zscore
             FROM (

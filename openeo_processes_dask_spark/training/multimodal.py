@@ -434,3 +434,109 @@ def synthetic_raw_image_table(
     return ids.select(F.col(id_col)).mapInPandas(
         run, schema="doc_id bigint, payload binary, width int, height int"
     )
+
+
+def decode_raw_pcm16(payload: bytes) -> np.ndarray:
+    """REAL decode for raw little-endian PCM16 mono payloads — like
+    :func:`decode_raw_rgb`, fully functional with no codec library.
+    Returns float64 waveform in [-1, 1)."""
+    if len(payload) % 2:
+        raise ValueError(
+            f"PCM16 payload length must be even, got {len(payload)}"
+        )
+    return np.frombuffer(payload, dtype="<i2").astype("float64") / 32768.0
+
+
+def audio_landmarks(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame: int = 256,
+    hop: int = 128,
+) -> DataFrame:
+    """Shazam-style spectral landmark fingerprints over raw PCM16 audio:
+    frame the waveform, take each frame's dominant FFT bin (DC excluded,
+    first-index tie rule), and hash CONSECUTIVE peak-bin pairs —
+    landmarks survive volume changes and clipping at the edges, unlike
+    a waveform digest. Emits distinct (id, landmark) rows.
+
+    Plan: mapInPandas over the payload scan (audio bytes never shuffle);
+    the landmark relation — a few ints per second of audio — is what
+    joins downstream, the same digest-only discipline as every dedup
+    lane."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                y = decode_raw_pcm16(bytes(row[payload_col]))
+                peaks = []
+                for s in range(0, len(y) - frame + 1, hop):
+                    spec = np.abs(np.fft.rfft(y[s : s + frame]))
+                    peaks.append(int(np.argmax(spec[1:])) + 1)
+                marks = {
+                    int(a * 100_000 + b)
+                    for a, b in zip(peaks, peaks[1:])
+                }
+                for m in sorted(marks):
+                    out.append({"id": row[id_col], "landmark": m})
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema="id bigint, landmark bigint")
+
+
+def audio_near_duplicates(
+    landmarks: DataFrame, min_shared: int = 8
+) -> DataFrame:
+    """(id1, id2, n_shared) for audio pairs sharing >= ``min_shared``
+    landmarks — an equi-join on the landmark key, never all-pairs;
+    bucket sizes are bounded by landmark selectivity exactly like
+    shingle joins (frequency-cap upstream if a landmark degenerates)."""
+    a = landmarks.alias("a")
+    b = landmarks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.landmark") == F.col("b.landmark"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id1"), F.col("b.id").alias("id2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def synthetic_raw_audio_table(
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    n_samples: int = 2048,
+    n_families: int = 11,
+) -> DataFrame:
+    """Deterministic raw-PCM16 fixture with near-dup structure: each id
+    renders its family's MELODY (a family-seeded sequence of 256-sample
+    notes — time-varying, so consecutive-peak landmarks are plentiful)
+    plus a small id-seeded noise floor — family members share spectral
+    landmarks, cross-family audio does not. NumPy-replayable by the
+    oracle builder."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                i = int(row[id_col])
+                fam = np.random.default_rng(900 + i % n_families)
+                notes = fam.integers(5, 100, size=n_samples // 256)
+                t = np.arange(n_samples, dtype="float64")
+                freq = np.repeat(notes, 256)[: len(t)].astype("float64")
+                y = 0.7 * np.sin(2 * np.pi * freq * t / 256.0)
+                noise = np.random.default_rng(7_000_000 + i)
+                y += 0.02 * (noise.random(n_samples) * 2 - 1)
+                pcm = np.clip(y * 32767.0, -32768, 32767).astype("<i2")
+                out.append({"doc_id": i, "payload": pcm.tobytes()})
+            yield pd.DataFrame(out)
+
+    return ids.select(F.col(id_col)).mapInPandas(
+        run, schema="doc_id bigint, payload binary"
+    )
