@@ -1168,3 +1168,65 @@ def _audio_near_dups_oracle_sql(id_cap: int = 99, min_shared: int = 8) -> str:
         + ", ".join(vals)
         + ") AS t(id1, id2, n_shared)"
     )
+
+
+def _video_near_dups_oracle_sql(id_cap: int = 105, min_shared: int = 4) -> str:
+    """Twin of q_video_near_dups: regenerates the frame sequences in
+    NumPy (same seeds), hashes every frame with the serial dHash, and
+    counts shared DISTINCT frame hashes over all pairs."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    sf = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT doc_id FROM '{sf}/documents.parquet' "
+            f"WHERE doc_id < {id_cap} ORDER BY doc_id"
+        ).fetchall()
+    ]
+    width = height = 16
+    n_frames, n_families = 6, 7
+
+    def dhash(img):
+        gray = img.astype("float64").mean(axis=2)
+        h, w = gray.shape
+        rows = (np.arange(8) * h) // 8
+        cols = (np.arange(9) * w) // 9
+        g = gray[np.ix_(rows, cols)]
+        bits = (g[:, 1:] > g[:, :-1]).ravel()
+        v = 0
+        for bit in bits:
+            v = (v << 1) | int(bit)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def hashes(i):
+        out = set()
+        for j in range(n_frames):
+            img = np.random.default_rng(
+                5000 + (i % n_families) * 1000 + j
+            ).integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+            if (i + j) % 3 == 0:
+                rng = np.random.default_rng(9_000_000 + i * 100 + j)
+                r = int(rng.integers(0, height))
+                c = int(rng.integers(0, width))
+                img = img.copy()
+                img[r, c, :] = 255 - img[r, c, :]
+            out.add(dhash(img))
+        return out
+
+    hs = {i: hashes(i) for i in ids}
+    vals = []
+    for a in ids:
+        for b in ids:
+            if a < b:
+                shared = len(hs[a] & hs[b])
+                if shared >= min_shared:
+                    vals.append(f"({a}, {b}, {shared})")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(id1, id2, n_shared)"
+    )

@@ -15,6 +15,7 @@ from .oracle_builders import (
     _dedup_clusters_oracle_sql,
     _audio_near_dups_oracle_sql,
     _bpe_tokens_oracle_sql,
+    _video_near_dups_oracle_sql,
     _image_near_dups_oracle_sql,
     _pagerank_oracle_sql,
     _semdedup_oracle_sql,
@@ -791,6 +792,26 @@ def q_semdedup(spark, sf_dir):
     return semdedup(emb, k=8, threshold=0.2, iterations=2)
 
 
+def q_video_near_dups(spark, sf_dir):
+    """Video near-dup via frame-hash overlap (training/multimodal.py
+    video_frame_hashes over concatenated raw-RGB frames +
+    training/dedup.py shared_key_pairs): re-encoded/trimmed copies match
+    on surviving frame dHashes even when byte digests differ. Oracle is
+    a NumPy all-pairs replay of the same fixture."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import shared_key_pairs
+    from openeo_processes_dask_spark.training.multimodal import (
+        synthetic_raw_video_table,
+        video_frame_hashes,
+    )
+
+    ids = _table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 105
+    ).select("doc_id")
+    fh = video_frame_hashes(synthetic_raw_video_table(ids))
+    return shared_key_pairs(fh, min_shared=4, key_col="dhash")
+
+
 def q_audio_near_dups(spark, sf_dir):
     """Audio near-dup via spectral landmarks (training/multimodal.py
     decode_raw_pcm16 — a REAL codec-free decode — + audio_landmarks +
@@ -1103,6 +1124,7 @@ QUERIES = {
     "curation_pipeline": q_curation_pipeline,
     "rolling_anomaly": q_rolling_anomaly,
     "audio_near_dups": q_audio_near_dups,
+    "video_near_dups": q_video_near_dups,
 }
 
 # Shared SQL fragments for the span-dedup oracles: overlapping 5-token
@@ -1805,6 +1827,7 @@ ORACLES = {
     "bpe_tokens": _bpe_tokens_oracle_sql,
     "image_near_dups": _image_near_dups_oracle_sql,
     "audio_near_dups": _audio_near_dups_oracle_sql,
+    "video_near_dups": _video_near_dups_oracle_sql,
     "rolling_anomaly": """
             SELECT event_id, band, value, round(z, 6) AS zscore
             FROM (

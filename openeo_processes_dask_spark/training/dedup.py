@@ -1304,3 +1304,30 @@ def banded_hamming_pairs(
         )
         pairs = pairs.unionByName(star_pairs).distinct()
     return pairs
+
+
+def shared_key_pairs(
+    df: DataFrame,
+    min_shared: int,
+    id_col: str = "id",
+    key_col: str = "key",
+) -> DataFrame:
+    """(id1, id2, n_shared) for id pairs sharing >= ``min_shared``
+    distinct keys — the generic "how many fingerprints overlap" join
+    behind audio-landmark and video-frame-hash near-dup (and any other
+    set-overlap signature). Equi-join on the key, never all-pairs;
+    frequency-cap degenerate keys upstream exactly like shingles."""
+    rel = df.select(
+        F.col(id_col).alias("id"), F.col(key_col).alias("key")
+    ).distinct()
+    a, b = rel.alias("a"), rel.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

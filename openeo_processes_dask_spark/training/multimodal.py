@@ -540,3 +540,93 @@ def synthetic_raw_audio_table(
     return ids.select(F.col(id_col)).mapInPandas(
         run, schema="doc_id bigint, payload binary"
     )
+
+
+def video_frame_hashes(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """(id, frame_idx, dhash) over raw-RGB VIDEO payloads (frames
+    concatenated: n_frames * h * w * 3 bytes — the codec-free raw lane,
+    like decode_raw_rgb). Each frame gets the same 64-bit dHash as the
+    image lane; downstream,
+    :func:`...dedup.shared_key_pairs` over the distinct (id, dhash)
+    relation finds videos sharing enough frames — re-encoded or
+    trimmed copies match on their surviving frames even when byte
+    digests differ. One mapInPandas pass; payloads never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                w, h = int(row[width_col]), int(row[height_col])
+                payload = bytes(row[payload_col])
+                fsize = w * h * 3
+                if fsize == 0 or len(payload) % fsize:
+                    raise ValueError(
+                        f"video payload of {len(payload)} bytes is not a "
+                        f"multiple of the {fsize}-byte {w}x{h}x3 frame"
+                    )
+                for j in range(len(payload) // fsize):
+                    img = np.frombuffer(
+                        payload[j * fsize : (j + 1) * fsize], dtype=np.uint8
+                    ).reshape(h, w, 3)
+                    out.append(
+                        {
+                            "id": row[id_col],
+                            "frame_idx": j,
+                            "dhash": _dhash64(img),
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        run, schema="id bigint, frame_idx int, dhash bigint"
+    )
+
+
+def synthetic_raw_video_table(
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 16,
+    height: int = 16,
+    n_frames: int = 6,
+    n_families: int = 7,
+) -> DataFrame:
+    """Raw-RGB video fixture with near-dup structure: family-seeded
+    frame sequence, one id-seeded noisy pixel on every third frame —
+    family members share most frame hashes. NumPy-replayable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                i = int(row[id_col])
+                frames = []
+                for j in range(n_frames):
+                    img = np.random.default_rng(
+                        5000 + (i % n_families) * 1000 + j
+                    ).integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+                    if (i + j) % 3 == 0:
+                        rng = np.random.default_rng(9_000_000 + i * 100 + j)
+                        r = int(rng.integers(0, height))
+                        c = int(rng.integers(0, width))
+                        img = img.copy()
+                        img[r, c, :] = 255 - img[r, c, :]
+                    frames.append(img.tobytes())
+                out.append(
+                    {
+                        "doc_id": i,
+                        "payload": b"".join(frames),
+                        "width": width,
+                        "height": height,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return ids.select(F.col(id_col)).mapInPandas(
+        run, schema="doc_id bigint, payload binary, width int, height int"
+    )

@@ -70,3 +70,43 @@ def test_banded_hamming_rejects_insufficient_bands(spark):
     sigs = spark.createDataFrame([(1, 5), (2, 7)], ["id", "sig"])
     with pytest.raises(ValueError):
         banded_hamming_pairs(sigs, max_hamming=8, bands=8)
+
+
+def test_video_frame_hashes_and_near_dups(spark):
+    from openeo_processes_dask_spark.training.dedup import shared_key_pairs
+    from openeo_processes_dask_spark.training.multimodal import (
+        synthetic_raw_video_table,
+        video_frame_hashes,
+    )
+
+    ids = spark.range(0, 21).withColumnRenamed("id", "doc_id")
+    fh = video_frame_hashes(synthetic_raw_video_table(ids))
+    rows = fh.collect()
+    # 21 videos x 6 frames
+    assert len(rows) == 21 * 6
+    pairs = {
+        (r["id1"], r["id2"])
+        for r in shared_key_pairs(
+            fh, min_shared=4, key_col="dhash"
+        ).collect()
+    }
+    assert pairs, "families must match"
+    for a, b in pairs:
+        assert a % 7 == b % 7, (a, b)
+    # a full family triple (0, 7, 14)
+    assert (0, 7) in pairs and (0, 14) in pairs and (7, 14) in pairs
+
+
+def test_video_frame_hashes_rejects_ragged_payload(spark):
+    import pytest
+
+    from openeo_processes_dask_spark.training.multimodal import (
+        video_frame_hashes,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00" * 100), 4, 4)],
+        "doc_id bigint, payload binary, width int, height int",
+    )
+    with pytest.raises(Exception):
+        video_frame_hashes(df).collect()
