@@ -511,8 +511,54 @@ def q_streaming_attribution(spark, sf_dir):
     )
 
 
+def q_streaming_anomaly(spark, sf_dir):
+    """Online rolling-anomaly detection (streaming/sessions.py
+    stream_anomaly, applyInPandasWithState): per-band last-20-values
+    state, z-scored on arrival, alert at |z| > 2.5 — the streaming twin
+    of the batch rolling_anomaly gate, sharing its exact window SQL
+    oracle (single sorted batch => identical replay)."""
+    _setup(spark)
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.streaming.sessions import stream_anomaly
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream1_{os.path.basename(sf_dir)}"
+    )
+    if not os.path.isdir(stream_dir):
+        _table(spark, sf_dir, "events").orderBy("ts").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stream_dir)
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .parquet(stream_dir)
+        .select(
+            "event_id", F.col("ts").alias("t"),
+            F.col("event_type").alias("band"), "value",
+        )
+    )
+    out = stream_anomaly(stream, window=20, threshold=2.5)
+    name = f"q_sanom_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "event_id", "band", "value", F.round("zscore", 6).alias("zscore")
+    )
+
+
 QUERIES = {
     "streaming_attribution": q_streaming_attribution,
+    "streaming_anomaly": q_streaming_anomaly,
     "streaming_daily_sum": q_streaming_daily_sum,
     "streaming_dedup": q_streaming_dedup,
     "streaming_sliding_sum": q_streaming_sliding_sum,
@@ -526,6 +572,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_anomaly": """
+            SELECT event_id, band, value, round(z, 6) AS zscore
+            FROM (
+              SELECT event_id, event_type AS band, value,
+                     CASE WHEN count(value) OVER w >= 2
+                            AND stddev_samp(value) OVER w > 0
+                          THEN (value - avg(value) OVER w)
+                               / stddev_samp(value) OVER w
+                     END AS z
+              FROM events
+              WINDOW w AS (PARTITION BY event_type
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+            WHERE abs(z) > 2.5
+        """,
     "streaming_attribution": """
             WITH v AS (SELECT user_id, ts FROM events
                        WHERE event_type = 'view'),

@@ -17,9 +17,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -202,6 +204,87 @@ def stream_cap_per_key(
             update,
             outputStructType=CAP_OUTPUT,
             stateStructType=CAP_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+ANOM_OUTPUT = StructType(
+    [
+        StructField("band", StringType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("zscore", DoubleType()),
+    ]
+)
+
+ANOM_STATE = StructType(
+    [StructField("hist", ArrayType(DoubleType()))]
+)
+
+
+def stream_anomaly(
+    events: DataFrame,
+    window: int = 20,
+    threshold: float = 2.5,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``training.anomaly.anomalies``: each event is
+    z-scored against the trailing ``window`` same-band values ONLINE and
+    emitted immediately when |z| exceeds ``threshold`` — drift alarms
+    while ingesting, not in a post-pass.
+
+    State per band is the last ``window`` values (a fixed-size array —
+    bounded by #bands x window, independent of stream length). Within a
+    micro-batch rows process in (t, event_id) order, so a single-batch
+    drain replays the batch operator exactly (the gate's oracle); across
+    batches the history follows arrival order, as any online detector
+    must. Unscorable points (short or constant history) score NULL and
+    never alert — same rule as the batch lane.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+
+    def update(
+        key: Tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (band,) = key
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["t", "event_id"])
+        hist = list(state.get[0]) if state.exists else []
+        out = []
+        for eid, val in zip(
+            rows["event_id"].astype("int64"), rows["value"].astype("float64")
+        ):
+            v = float(val)
+            if len(hist) >= 2:
+                m = sum(hist) / len(hist)
+                var = sum((x - m) ** 2 for x in hist) / (len(hist) - 1)
+                if var > 0:
+                    z = (v - m) / var**0.5
+                    if abs(z) > threshold:
+                        out.append((band, int(eid), v, z))
+            hist.append(v)
+            if len(hist) > window:
+                hist = hist[-window:]
+        state.update((hist,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["band", "event_id", "value", "zscore"]
+            )
+
+    return (
+        events.withWatermark("t", watermark)
+        .groupBy("band")
+        .applyInPandasWithState(
+            update,
+            outputStructType=ANOM_OUTPUT,
+            stateStructType=ANOM_STATE,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -489,23 +489,14 @@ def audio_near_duplicates(
     landmarks: DataFrame, min_shared: int = 8
 ) -> DataFrame:
     """(id1, id2, n_shared) for audio pairs sharing >= ``min_shared``
-    landmarks — an equi-join on the landmark key, never all-pairs;
-    bucket sizes are bounded by landmark selectivity exactly like
-    shingle joins (frequency-cap upstream if a landmark degenerates)."""
-    a = landmarks.alias("a")
-    b = landmarks.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.landmark") == F.col("b.landmark"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(
-            F.col("a.id").alias("id1"), F.col("b.id").alias("id2")
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .where(F.col("n_shared") >= min_shared)
-    )
+    landmarks — the generic set-overlap join
+    (:func:`...dedup.shared_key_pairs`): equi-join on the landmark key,
+    never all-pairs; bucket sizes are bounded by landmark selectivity
+    exactly like shingle joins (frequency-cap upstream if a landmark
+    degenerates)."""
+    from openeo_processes_dask_spark.training.dedup import shared_key_pairs
+
+    return shared_key_pairs(landmarks, min_shared, key_col="landmark")
 
 
 def synthetic_raw_audio_table(

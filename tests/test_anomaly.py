@@ -56,3 +56,54 @@ def test_rolling_zscore_rejects_tiny_window(spark):
     df = spark.createDataFrame([(1, 1.0)], ["seq", "value"])
     with pytest.raises(ValueError):
         rolling_zscore(df, "value", ["seq"], window=1)
+
+
+def test_stream_anomaly_matches_batch(spark, tmp_path):
+    """Single-batch drain of the online detector must equal the batch
+    rolling-window operator row for row."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import functions as F
+
+    from openeo_processes_dask_spark.streaming.sessions import stream_anomaly
+
+    random.seed(5)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(300):
+        band = "ab"[i % 2]
+        v = random.gauss(10, 1)
+        if i in (100, 201):
+            v = 60.0
+        rows.append((i, t0 + dt.timedelta(minutes=i), band, v))
+    d = str(tmp_path / "anom_src")
+    df = spark.createDataFrame(
+        rows, "event_id bigint, t timestamp, band string, value double"
+    )
+    df.orderBy("t").coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(
+        "event_id bigint, t timestamp, band string, value double"
+    ).parquet(d)
+    out = stream_anomaly(stream, window=15, threshold=3.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("anom_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["event_id"], round(r["zscore"], 6))
+        for r in spark.table("anom_test").collect()
+    }
+    exp = {
+        (r["event_id"], round(r["zscore"], 6))
+        for r in anomalies(
+            df, "value", ["t", "event_id"], partition_cols=["band"],
+            window=15, threshold=3.0,
+        ).collect()
+    }
+    assert got == exp
+    assert {e for e, _ in got} >= {100, 201}
