@@ -1230,3 +1230,92 @@ def _video_near_dups_oracle_sql(id_cap: int = 105, min_shared: int = 4) -> str:
         + ", ".join(vals)
         + ") AS t(id1, id2, n_shared)"
     )
+
+
+def _bpe_ids_oracle_sql(num_merges: int = 30) -> str:
+    """Twin of q_bpe_encode_ids: independent serial BPE (same replay as
+    _bpe_tokens_oracle_sql) plus the GPT-2-style id assignment (<unk>=0,
+    sorted base alphabet, merge outputs in learned order); emits per-doc
+    (id, n_ids, md5 of the comma-joined id sequence) as VALUES."""
+    import hashlib
+    import os
+
+    import duckdb
+
+    sf = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    eow = "</w>"
+
+    freqs: dict = {}
+    alphabet: set = set()
+    for _, text in rows:
+        t = (text or "").strip().lower()
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+            alphabet.update(w)
+    vocab_syms = {tuple(list(w) + [eow]): f for w, f in freqs.items()}
+    merges = []
+    for _ in range(num_merges):
+        pc: dict = {}
+        for syms, f in vocab_syms.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + f
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        nv: dict = {}
+        for syms, f in vocab_syms.items():
+            s, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    s.append(best[0] + best[1])
+                    i += 2
+                else:
+                    s.append(syms[i])
+                    i += 1
+            nv[tuple(s)] = nv.get(tuple(s), 0) + f
+        vocab_syms = nv
+
+    ids: dict = {"<unk>": 0}
+    for s in sorted(alphabet) + [eow]:
+        if s not in ids:
+            ids[s] = len(ids)
+    for a, b in merges:
+        tok = a + b
+        if tok not in ids:
+            ids[tok] = len(ids)
+
+    def encode(word):
+        syms = list(word) + [eow]
+        for best in merges:
+            if len(syms) == 1:
+                break
+            s, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    s.append(best[0] + best[1])
+                    i += 2
+                else:
+                    s.append(syms[i])
+                    i += 1
+            syms = s
+        return [ids.get(sym, 0) for sym in syms]
+
+    wcache: dict = {}
+    vals = []
+    for doc_id, text in rows:
+        seq: list = []
+        for w in (text or "").strip().lower().split():
+            if w not in wcache:
+                wcache[w] = encode(w)
+            seq.extend(wcache[w])
+        digest = hashlib.md5(",".join(map(str, seq)).encode()).hexdigest()
+        vals.append(f"({doc_id}, {len(seq)}, '{digest}')")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(id, n_ids, ids_md5)"
+    )

@@ -556,9 +556,47 @@ def q_streaming_anomaly(spark, sf_dir):
     )
 
 
+def q_streaming_count_min(spark, sf_dir):
+    """Streaming Count-Min sketch (training/sketches.py
+    stream_count_min): the d=4 x w=64 frequency table maintained as a
+    running streaming aggregate over the event-type stream — lifetime
+    d*w-cell state by construction (what a sketch is). Cell sums
+    commute, so the drained table equals the batch build — oracle
+    replays the md5-bucket arithmetic in SQL."""
+    _setup(spark)
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.streaming.events import stream_events
+    from openeo_processes_dask_spark.training.sketches import (
+        stream_count_min,
+    )
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream1_{os.path.basename(sf_dir)}"
+    )
+    if not os.path.isdir(stream_dir):
+        _table(spark, sf_dir, "events").orderBy("ts").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stream_dir)
+    stream = stream_events(spark, stream_dir, max_files_per_trigger=None)
+    out = stream_count_min(stream, "band", depth=4, width=64)
+    name = f"q_scms_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 QUERIES = {
     "streaming_attribution": q_streaming_attribution,
     "streaming_anomaly": q_streaming_anomaly,
+    "streaming_count_min": q_streaming_count_min,
     "streaming_daily_sum": q_streaming_daily_sum,
     "streaming_dedup": q_streaming_dedup,
     "streaming_sliding_sum": q_streaming_sliding_sum,
@@ -572,6 +610,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_count_min": """
+            SELECT r.r AS row,
+                   CAST(CAST('0x' || substr(md5(r.r || '-' || event_type),
+                             1, 15) AS BIGINT) % 64 AS INT) AS bucket,
+                   count(*) AS cnt
+            FROM events, (SELECT unnest([0, 1, 2, 3]) AS r) r
+            GROUP BY 1, 2
+        """,
     "streaming_anomaly": """
             SELECT event_id, band, value, round(z, 6) AS zscore
             FROM (

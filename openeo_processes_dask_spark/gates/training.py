@@ -14,6 +14,7 @@ from .oracle_builders import (
     _corpus_mix_oracle_sql,
     _dedup_clusters_oracle_sql,
     _audio_near_dups_oracle_sql,
+    _bpe_ids_oracle_sql,
     _bpe_tokens_oracle_sql,
     _video_near_dups_oracle_sql,
     _image_near_dups_oracle_sql,
@@ -792,6 +793,35 @@ def q_semdedup(spark, sf_dir):
     return semdedup(emb, k=8, threshold=0.2, iterations=2)
 
 
+def q_bpe_encode_ids(spark, sf_dir):
+    """Tokenizer ids end-to-end (training/bpe.py corpus_base_symbols +
+    bpe_vocab + bpe_encode_ids): 30 merges, GPT-2-style id assignment,
+    every doc encoded to vocabulary ids; compared as (n_ids, md5 of the
+    id sequence) so the full sequence is checked compactly. Oracle is
+    the independent serial replay."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.bpe import (
+        bpe_encode_ids,
+        bpe_vocab,
+        corpus_base_symbols,
+        learn_bpe,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, num_merges=30)
+    vocab = bpe_vocab(merges, corpus_base_symbols(docs))
+    out = bpe_encode_ids(docs, merges, vocab)
+    return out.select(
+        F.col("doc_id").alias("id"),
+        F.size("ids").cast("int").alias("n_ids"),
+        F.md5(
+            F.array_join(
+                F.transform(F.col("ids"), lambda i: i.cast("string")), ","
+            )
+        ).alias("ids_md5"),
+    )
+
+
 def q_count_min_words(spark, sf_dir):
     """Count-Min sketch over the corpus token stream
     (training/sketches.py): d=4 x w=512 table from one scan + one hash
@@ -1171,6 +1201,7 @@ QUERIES = {
     "video_near_dups": q_video_near_dups,
     "count_min_words": q_count_min_words,
     "hll_registers": q_hll_registers,
+    "bpe_encode_ids": q_bpe_encode_ids,
 }
 
 # Shared SQL fragments for the span-dedup oracles: overlapping 5-token
@@ -1871,6 +1902,7 @@ ORACLES = {
     "pagerank": _pagerank_oracle_sql,
     "semdedup": _semdedup_oracle_sql,
     "bpe_tokens": _bpe_tokens_oracle_sql,
+    "bpe_encode_ids": _bpe_ids_oracle_sql,
     "image_near_dups": _image_near_dups_oracle_sql,
     "audio_near_dups": _audio_near_dups_oracle_sql,
     "video_near_dups": _video_near_dups_oracle_sql,

@@ -177,3 +177,83 @@ def bpe_token_counts(
         F.col(id_col).alias("id"),
         F.size("bpe_tokens").cast("int").alias("n_tokens"),
     )
+
+
+def corpus_base_symbols(
+    df: DataFrame, text_col: str = "text", lowercase: bool = True
+) -> list[str]:
+    """Sorted distinct characters of the tokenized corpus plus ``EOW`` —
+    the base alphabet of the vocabulary. One scan + one distinct over a
+    character-sized relation (alphabet-sized result, driver-safe)."""
+    txt = F.trim(F.col(text_col))
+    if lowercase:
+        txt = F.lower(txt)
+    chars = (
+        df.select(
+            F.explode(
+                F.split(F.regexp_replace(txt, r"\s+", ""), "")
+            ).alias("c")
+        )
+        .where(F.col("c") != "")
+        .distinct()
+    )
+    return sorted(r["c"] for r in chars.collect()) + [EOW]
+
+
+def bpe_vocab(
+    merges: list[tuple[str, str]], base_symbols: list[str]
+) -> dict[str, int]:
+    """token -> id, GPT-2 style: id 0 is ``<unk>``, then the sorted base
+    alphabet, then each merge's output token in LEARNED ORDER (ids are
+    stable as long as the merge list is — append-only growth when
+    training continues)."""
+    vocab: dict[str, int] = {"<unk>": 0}
+    for s in base_symbols:
+        if s not in vocab:
+            vocab[s] = len(vocab)
+    for a, b in merges:
+        tok = a + b
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    return vocab
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    text_col: str = "text",
+    out_col: str = "ids",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Encode to VOCABULARY IDS (array<int>) — what packing and training
+    actually consume; symbols outside the vocab map to ``<unk>`` (id 0).
+    Same Arrow-batched map-only shape as :func:`bpe_encode`, with the
+    merge list and vocab riding the task closure."""
+    mg = [tuple(m) for m in merges]
+    vb = dict(vocab)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def enc(s):
+        cache: dict[str, list[int]] = {}
+
+        def one(text):
+            if text is None:
+                return []
+            t = text.strip()
+            if lowercase:
+                t = t.lower()
+            if not t:
+                return []
+            out: list[int] = []
+            for w in t.split():
+                if w not in cache:
+                    cache[w] = [
+                        vb.get(sym, 0) for sym in _encode_word(w, mg)
+                    ]
+                out.extend(cache[w])
+            return out
+
+        return s.map(one)
+
+    return df.withColumn(out_col, enc(F.col(text_col)))

@@ -148,3 +148,37 @@ def hyperloglog_estimate(registers: DataFrame, p: int = 10) -> float:
     if est <= 2.5 * m and zeros:
         est = m * math.log(m / zeros)
     return est
+
+
+def stream_count_min(
+    stream: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Streaming Count-Min: the same md5-bucket cells maintained as a
+    running streaming aggregate (complete/update mode) — frequency
+    monitoring while ingesting. No watermark: the sketch is a LIFETIME
+    summary whose state is d*w cells regardless of stream length, so
+    unbounded state is exactly the contract (that's what a sketch IS).
+    Because cell sums commute, the drained table equals the batch
+    :func:`count_min_build` on the same rows — the gate's oracle."""
+    key = F.col(key_col).cast("string")
+    rows = stream.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _bucket(key, r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb")
+    )
+    return (
+        rows.select("rb.row", "rb.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -107,3 +107,47 @@ def test_max_word_types_cap(spark):
     df = _mk(spark, ["aa aa aa bb"])
     merges = learn_bpe(df, num_merges=2, max_word_types=1)
     assert merges == [("a", EOW), ("a", "a" + EOW)]
+
+
+def test_bpe_vocab_and_encode_ids(spark):
+    from openeo_processes_dask_spark.training.bpe import (
+        bpe_encode_ids,
+        bpe_vocab,
+        corpus_base_symbols,
+    )
+
+    df = _mk(spark, ["low low low low low", "lower lower", "newest"])
+    merges = learn_bpe(df, num_merges=3)
+    base = corpus_base_symbols(df)
+    # base alphabet: e l n o r s t w + EOW
+    assert base == ["e", "l", "n", "o", "r", "s", "t", "w", EOW]
+    vocab = bpe_vocab(merges, base)
+    assert vocab["<unk>"] == 0 and vocab["e"] == 1 and vocab[EOW] == 9
+    # merge outputs in learned order after the alphabet
+    assert vocab["lo"] == 10 and vocab["low"] == 11 and vocab["low" + EOW] == 12
+    out = bpe_encode_ids(_mk(spark, ["low lower", "LOW", "", "über"]), merges, vocab)
+    got = {r["doc_id"]: r["ids"] for r in out.collect()}
+    # 'low lower' -> low</w>, low, e, r, </w>
+    assert got[0] == [12, 11, 1, 5, 9]
+    assert got[1] == [12]          # lowercased
+    assert got[2] == []            # empty doc
+    # unseen char ü -> <unk>, rest chars known: ü b e r </w> -> b unseen too
+    assert got[3][0] == 0 and got[3][-1] == 9
+
+
+def test_bpe_ids_roundtrip_token_count(spark):
+    from openeo_processes_dask_spark.training.bpe import (
+        bpe_encode_ids,
+        bpe_vocab,
+        corpus_base_symbols,
+    )
+    from pyspark.sql import functions as F
+
+    df = _mk(spark, [f"alpha beta{i % 4} gamma" for i in range(20)])
+    merges = learn_bpe(df, num_merges=10)
+    vocab = bpe_vocab(merges, corpus_base_symbols(df))
+    ids = bpe_encode_ids(df, merges, vocab)
+    counts = bpe_token_counts(df, merges)
+    a = {r["doc_id"]: len(r["ids"]) for r in ids.collect()}
+    b = {r["id"]: r["n_tokens"] for r in counts.collect()}
+    assert a == b

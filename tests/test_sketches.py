@@ -85,3 +85,40 @@ def test_hll_rejects_bad_p(spark):
     df = spark.range(3).selectExpr("CAST(id AS STRING) AS k")
     with pytest.raises(ValueError):
         hyperloglog_registers(df, "k", p=2)
+
+
+def test_sketch_plans(spark):
+    from openeo_processes_dask_spark.diagnostics import plan_report
+
+    df = spark.range(100).selectExpr("CAST(id AS STRING) AS k")
+    r1 = plan_report(count_min_build(df, "k", depth=2, width=16))
+    assert r1.python_free and r1.exchanges == 1  # one hash aggregate
+    r2 = plan_report(hyperloglog_registers(df, "k", p=6))
+    assert r2.python_free and r2.exchanges == 1
+
+
+def test_stream_count_min_equals_batch(spark, tmp_path):
+    from openeo_processes_dask_spark.training.sketches import (
+        stream_count_min,
+    )
+
+    d = str(tmp_path / "cms_src")
+    df = spark.range(500).selectExpr("CAST(id % 37 AS STRING) AS k")
+    df.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema("k string").parquet(d)
+    out = stream_count_min(stream, "k", depth=3, width=32)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.table("cms_stream").collect())
+    )
+    exp = sorted(
+        map(tuple, count_min_build(df, "k", depth=3, width=32).collect())
+    )
+    assert got == exp
