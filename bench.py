@@ -140,10 +140,14 @@ def main() -> None:
         )
         spark.catalog.clearCache()
 
-    # round-5 additions tracked OUTSIDE the headline total (so `value`
+    # round-5/6 additions tracked OUTSIDE the headline total (so `value`
     # stays comparable with the r1-seeded BASELINE), min-of-2
     extras: dict[str, float] = {}
-    for name in ("span_dedup_stats", "dsir_weights", "interval_join"):
+    for name in (
+        "span_dedup_stats", "dsir_weights", "interval_join",
+        "pagerank", "bm25_index_search", "curation_pipeline",
+        "image_near_dups",
+    ):
         fn = qs[name]
         best = float("inf")
         for _ in range(2):

@@ -27,6 +27,15 @@ _LANES = (core, training, parity, streaming, io_misc, extended)
 # recent driver check is r3 — the least recently verified of the whole
 # registry (CORRECTNESS_r01..r05 union). 1 + 1 + 5 + 43 = exactly the
 # 50-slot driver window; the r5/r4 tails rotate forward in r7.
+#
+# r7 window plan: flagship + any r6 reds + the LATE r6 gates (appended
+# after the window, never driver-verified: bpe_tokens, image_near_dups,
+# bm25_index_search, streaming_attribution, quantize_embeddings,
+# chunk_text, latest_crawl, quantized_topk, quality_selection,
+# curation_pipeline, rolling_anomaly, audio_near_dups, video_near_dups,
+# streaming_anomaly, count_min_words, hll_registers, streaming_count_min,
+# bpe_encode_ids — all check_oracle-green at sf0.001/0.01/0.1 in r6) +
+# as much of the r4 tail (stale since r4) as fits.
 _RED_R5 = ["domain_stats"]
 
 _NEW_R6: list[str] = [
