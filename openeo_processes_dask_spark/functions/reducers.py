@@ -162,6 +162,20 @@ def quantiles(
             "The process `quantiles` only allows that either the "
             "`probabilities` or the `q` parameter is set."
         )
+    # reference math.py:354-362: an int `probabilities` (or a
+    # single-int list) means "that many evenly-spaced intervals",
+    # identical to q — without this coercion the int would flow into
+    # percentile() as an out-of-range probability
+    if isinstance(probabilities, int):
+        probabilities = [i / probabilities for i in range(1, probabilities)]
+    elif (
+        isinstance(probabilities, list)
+        and len(probabilities) == 1
+        and isinstance(probabilities[0], int)
+    ):
+        probabilities = [
+            i / probabilities[0] for i in range(1, probabilities[0])
+        ]
     agg = F.percentile(col, F.array(*[F.lit(float(p)) for p in probabilities]))
     return agg if ignore_nodata else _nullout_if_any_null(col, agg)
 

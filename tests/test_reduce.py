@@ -84,3 +84,17 @@ def test_partitioning_invariance(small_cube_parts, small_pdf):
     out = reduce_dimension(small_cube_parts, "mean", "t")
     exp = small_pdf.groupby(["x", "y", "band"])["value"].mean().reset_index()
     assert_cubes_close(out.df, exp)
+
+
+def test_quantiles_int_probabilities_means_intervals(spark):
+    """Reference math.py:354-362: probabilities=4 (or [4]) means 'four
+    evenly-spaced intervals' -> p = 0.25/0.5/0.75, same as q=4."""
+    from pyspark.sql import functions as F
+
+    from openeo_processes_dask_spark.functions.reducers import quantiles
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 12)], ["v"])
+    got_int = df.agg(quantiles(F.col("v"), probabilities=4).alias("qs")).first()["qs"]
+    got_list = df.agg(quantiles(F.col("v"), probabilities=[4]).alias("qs")).first()["qs"]
+    got_q = df.agg(quantiles(F.col("v"), q=4).alias("qs")).first()["qs"]
+    assert got_int == got_list == got_q == [3.5, 6.0, 8.5]
