@@ -141,8 +141,6 @@ def bpe_encode(
 
     @F.pandas_udf(ArrayType(StringType()))
     def enc(s):
-        import pandas as pd
-
         cache: dict[str, list[str]] = {}
 
         def one(text):

@@ -53,8 +53,6 @@ def test_count_min_wide_table_is_exactish(spark):
 def test_count_min_mergeable(spark):
     counts = {f"w{i}": 3 for i in range(50)}
     df = _words(spark, counts)
-    half1 = df.limit(75)
-    half2 = df.subtract(half1)  # not exact split of multiset; use union check instead
     full = count_min_build(df, "word", depth=3, width=32).collect()
     # build on a repartitioned copy: identical table (order-independent)
     full2 = count_min_build(
