@@ -1319,3 +1319,36 @@ def _bpe_ids_oracle_sql(num_merges: int = 30) -> str:
         + ", ".join(vals)
         + ") AS t(id, n_ids, ids_md5)"
     )
+
+
+def _tokenize_pack_oracle_sql(
+    num_merges: int = 30, n_shards: int = 4, seed: int = 29,
+    budget: int = 512,
+) -> str:
+    """Twin of q_tokenize_pack: the serial-BPE replay supplies per-doc
+    token counts as an inline VALUES relation, and pure SQL replays the
+    content-stable sharding + contiguous packing on top — builders and
+    SQL fragments compose."""
+    tok_values = _bpe_tokens_oracle_sql(num_merges)
+    return f"""
+        WITH tok AS ({tok_values}),
+        sharded AS (
+          SELECT id, n_tokens,
+                 CAST(CAST('0x' || substr(md5('{seed}-' || CAST(id AS VARCHAR)),
+                           1, 15) AS BIGINT) % {n_shards} AS INT) AS shard
+          FROM tok WHERE n_tokens > 0),
+        spans AS (
+          SELECT id, shard, n_tokens,
+                 CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY id)
+                      AS BIGINT) AS e
+          FROM sharded),
+        segs AS (
+          SELECT id, shard, e - n_tokens AS s, e,
+                 unnest(generate_series((e - n_tokens) // {budget},
+                                        (e - 1) // {budget})) AS segment
+          FROM spans)
+        SELECT id, shard, segment,
+               least(e, (segment + 1) * {budget})
+               - greatest(s, segment * {budget}) AS seg_tokens
+        FROM segs
+    """

@@ -16,6 +16,7 @@ from .oracle_builders import (
     _audio_near_dups_oracle_sql,
     _bpe_ids_oracle_sql,
     _bpe_tokens_oracle_sql,
+    _tokenize_pack_oracle_sql,
     _video_near_dups_oracle_sql,
     _image_near_dups_oracle_sql,
     _pagerank_oracle_sql,
@@ -822,6 +823,32 @@ def q_bpe_encode_ids(spark, sf_dir):
     )
 
 
+def q_tokenize_pack(spark, sf_dir):
+    """Tokenizer-aware sequence packing — the production step training
+    shards actually go through: learn BPE (30 merges), count each doc's
+    BPE tokens, shard content-stably, pack 512-TOKEN segments
+    (training/bpe.py + training/sampling.py). Oracle composes the
+    serial-BPE replay (as an inline VALUES relation) with the pure-SQL
+    shard/pack fragments — builders and SQL compose."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.bpe import (
+        bpe_token_counts,
+        learn_bpe,
+    )
+    from openeo_processes_dask_spark.training.sampling import (
+        assign_shards,
+        pack_tokens_contiguous,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, num_merges=30)
+    toks = bpe_token_counts(docs, merges)
+    sharded = assign_shards(toks, 4, seed=29, id_col="id")
+    return pack_tokens_contiguous(
+        sharded, 512, "n_tokens", id_col="id", shard_col="shard"
+    ).select("id", "shard", "segment", "seg_tokens")
+
+
 def q_count_min_words(spark, sf_dir):
     """Count-Min sketch over the corpus token stream
     (training/sketches.py): d=4 x w=512 table from one scan + one hash
@@ -1202,6 +1229,7 @@ QUERIES = {
     "count_min_words": q_count_min_words,
     "hll_registers": q_hll_registers,
     "bpe_encode_ids": q_bpe_encode_ids,
+    "tokenize_pack": q_tokenize_pack,
 }
 
 # Shared SQL fragments for the span-dedup oracles: overlapping 5-token
@@ -1903,6 +1931,7 @@ ORACLES = {
     "semdedup": _semdedup_oracle_sql,
     "bpe_tokens": _bpe_tokens_oracle_sql,
     "bpe_encode_ids": _bpe_ids_oracle_sql,
+    "tokenize_pack": _tokenize_pack_oracle_sql,
     "image_near_dups": _image_near_dups_oracle_sql,
     "audio_near_dups": _audio_near_dups_oracle_sql,
     "video_near_dups": _video_near_dups_oracle_sql,
