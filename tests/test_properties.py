@@ -661,3 +661,27 @@ def test_dhash_range_is_signed_int64(v):
     u = v & ((1 << 64) - 1)
     back = u - (1 << 64) if u >= (1 << 63) else u
     assert back == v
+
+
+@given(
+    st.integers(1, 500),   # n tokens
+    st.integers(2, 64),    # chunk size
+    st.integers(0, 63),    # overlap (< chunk enforced below)
+)
+@settings(max_examples=300, deadline=None)
+def test_chunk_start_rule_covers_everything_without_subsets(n, chunk, overlap):
+    """Pure replication of chunk_text's start arithmetic: every token is
+    covered by some chunk, chunk 0 always exists, and no chunk is a
+    subset of its predecessor (the no-degenerate-tail rule)."""
+    overlap = overlap % chunk
+    step = chunk - overlap
+    starts = [
+        s for s in range(0, n, step) if s == 0 or s < n - overlap
+    ]
+    spans = [(s, min(s + chunk, n)) for s in starts]
+    covered = set()
+    for s, e in spans:
+        covered.update(range(s, e))
+    assert covered == set(range(n))
+    for (s0, e0), (s1, e1) in zip(spans, spans[1:]):
+        assert e1 > e0  # successor always adds unseen tokens
