@@ -1311,15 +1311,30 @@ def shared_key_pairs(
     min_shared: int,
     id_col: str = "id",
     key_col: str = "key",
+    max_key_freq: int | None = None,
 ) -> DataFrame:
     """(id1, id2, n_shared) for id pairs sharing >= ``min_shared``
     distinct keys — the generic "how many fingerprints overlap" join
     behind audio-landmark and video-frame-hash near-dup (and any other
-    set-overlap signature). Equi-join on the key, never all-pairs;
-    frequency-cap degenerate keys upstream exactly like shingles."""
+    set-overlap signature). Equi-join on the key, never all-pairs.
+
+    ``max_key_freq``: the degenerate-key guard (stop-shingle trick) — a
+    key carried by more than this many ids contributes a QUADRATIC
+    bucket (a landmark every audio shares, a black frame every video
+    has) while carrying no discriminative signal; dropping it bounds the
+    join at the cost of undercounting n_shared for pairs that relied on
+    it. Default None keeps exact overlap counts."""
     rel = df.select(
         F.col(id_col).alias("id"), F.col(key_col).alias("key")
     ).distinct()
+    if max_key_freq is not None:
+        hot = (
+            rel.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > max_key_freq)
+            .select("key")
+        )
+        rel = rel.join(hot, "key", "left_anti")
     a, b = rel.alias("a"), rel.alias("b")
     return (
         a.join(

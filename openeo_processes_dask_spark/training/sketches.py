@@ -182,3 +182,26 @@ def stream_count_min(
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def count_min_merge(*sketches: DataFrame) -> DataFrame:
+    """Entrywise sum of Count-Min tables built with the SAME depth/width
+    — the merge that makes per-day/per-shard sketches composable into a
+    corpus sketch without touching raw data (sums commute)."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def hyperloglog_merge(*registers: DataFrame) -> DataFrame:
+    """Entrywise max of HLL register tables built with the SAME p —
+    distinct counts compose across arbitrary splits of the data."""
+    if not registers:
+        raise ValueError("need at least one register table")
+    u = registers[0]
+    for r in registers[1:]:
+        u = u.unionByName(r)
+    return u.groupBy("bucket").agg(F.max("rho").alias("rho"))

@@ -110,3 +110,27 @@ def test_video_frame_hashes_rejects_ragged_payload(spark):
     )
     with pytest.raises(Exception):
         video_frame_hashes(df).collect()
+
+
+def test_shared_key_pairs_max_key_freq_guard(spark):
+    from openeo_processes_dask_spark.training.dedup import shared_key_pairs
+
+    rows = (
+        [(i, 999) for i in range(10)]        # degenerate key on everyone
+        + [(1, 7), (2, 7), (1, 8), (2, 8)]   # real overlap between 1 and 2
+    )
+    df = spark.createDataFrame(rows, ["id", "key"])
+    exact = {
+        (r["id1"], r["id2"]): r["n_shared"]
+        for r in shared_key_pairs(df, min_shared=1).collect()
+    }
+    # the shared degenerate key links ALL pairs
+    assert len(exact) == 45 and exact[(1, 2)] == 3
+    capped = {
+        (r["id1"], r["id2"]): r["n_shared"]
+        for r in shared_key_pairs(
+            df, min_shared=1, max_key_freq=5
+        ).collect()
+    }
+    # guard drops key 999: only the real pair survives
+    assert capped == {(1, 2): 2}

@@ -120,3 +120,40 @@ def test_stream_count_min_equals_batch(spark, tmp_path):
         map(tuple, count_min_build(df, "k", depth=3, width=32).collect())
     )
     assert got == exp
+
+
+def test_sketch_merges_equal_whole(spark):
+    from openeo_processes_dask_spark.training.sketches import (
+        count_min_merge,
+        hyperloglog_merge,
+    )
+
+    df = spark.range(400).selectExpr("CAST(id % 53 AS STRING) AS k")
+    a = df.where("id < 150")
+    b = df.where("id >= 150")
+    whole_cms = sorted(
+        map(tuple, count_min_build(df, "k", depth=3, width=32).collect())
+    )
+    merged_cms = sorted(
+        map(
+            tuple,
+            count_min_merge(
+                count_min_build(a, "k", depth=3, width=32),
+                count_min_build(b, "k", depth=3, width=32),
+            ).collect(),
+        )
+    )
+    assert whole_cms == merged_cms
+    whole_hll = sorted(
+        map(tuple, hyperloglog_registers(df, "k", p=8).collect())
+    )
+    merged_hll = sorted(
+        map(
+            tuple,
+            hyperloglog_merge(
+                hyperloglog_registers(a, "k", p=8),
+                hyperloglog_registers(b, "k", p=8),
+            ).collect(),
+        )
+    )
+    assert whole_hll == merged_hll
