@@ -823,6 +823,34 @@ def q_bpe_encode_ids(spark, sf_dir):
     )
 
 
+def q_skew_join(spark, sf_dir):
+    """Skew-split join (session.py skew_split_join): ~75% of lineitem
+    lands on one synthetic hot key; the hot slice joins by explicit
+    broadcast (plan-asserted in tests/test_scale_utils.py) while the
+    cold tail shuffles — result set must equal the plain join, so the
+    oracle IS the plain join."""
+    _setup(spark)
+    from openeo_processes_dask_spark.session import skew_split_join
+
+    li = _table(spark, sf_dir, "lineitem")
+    left = li.select(
+        F.when(F.col("l_orderkey") % 4 != 0, F.lit(7))
+        .otherwise(F.col("l_partkey") % 23)
+        .cast("int")
+        .alias("k"),
+        F.col("l_quantity"),
+    )
+    right = spark.range(0, 23).select(
+        F.col("id").cast("int").alias("k"),
+        F.concat(F.lit("g"), F.col("id").cast("string")).alias("label"),
+    )
+    out = skew_split_join(left, right, "k", hot_threshold=10_000)
+    return out.groupBy("k", "label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 6).alias("qty"),
+    )
+
+
 def q_tokenize_pack(spark, sf_dir):
     """Tokenizer-aware sequence packing — the production step training
     shards actually go through: learn BPE (30 merges), count each doc's
@@ -1230,6 +1258,7 @@ QUERIES = {
     "hll_registers": q_hll_registers,
     "bpe_encode_ids": q_bpe_encode_ids,
     "tokenize_pack": q_tokenize_pack,
+    "skew_join": q_skew_join,
 }
 
 # Shared SQL fragments for the span-dedup oracles: overlapping 5-token
@@ -1932,6 +1961,20 @@ ORACLES = {
     "bpe_tokens": _bpe_tokens_oracle_sql,
     "bpe_encode_ids": _bpe_ids_oracle_sql,
     "tokenize_pack": _tokenize_pack_oracle_sql,
+    "skew_join": """
+            WITH lk AS (
+              SELECT CASE WHEN l_orderkey % 4 != 0 THEN 7
+                     ELSE CAST(l_partkey % 23 AS INT) END AS k,
+                     l_quantity
+              FROM lineitem),
+            dim AS (
+              SELECT CAST(i AS INT) AS k, 'g' || i AS label
+              FROM (SELECT unnest(generate_series(0, 22)) AS i))
+            SELECT k, label, count(*) AS n,
+                   round(sum(l_quantity), 6) AS qty
+            FROM lk JOIN dim USING (k)
+            GROUP BY k, label
+        """,
     "image_near_dups": _image_near_dups_oracle_sql,
     "audio_near_dups": _audio_near_dups_oracle_sql,
     "video_near_dups": _video_near_dups_oracle_sql,

@@ -146,3 +146,61 @@ def salted_reduce(cube, reducer: str, dimension: str, n_salts: int = 16):
         stage2, dims=keep, value_col=out_name, roles=roles,
         crs=cube.meta.crs, attrs=cube.meta.attrs,
     )
+
+
+def skew_split_join(
+    left,
+    right,
+    key: str,
+    hot_keys: list | None = None,
+    hot_threshold: int | None = None,
+    how: str = "inner",
+):
+    """Skew-resistant equi-join: split ``left`` on its HOT keys (given
+    explicitly, or discovered by one count aggregate against
+    ``hot_threshold``), join the hot slice against the matching sliver of
+    ``right`` with an explicit broadcast, shuffle-join the cold
+    remainder normally, and union. Result set is identical to the plain
+    join (gate-checked); only the physical strategy changes.
+
+    Why not just AQE: adaptive skew-join splits oversized SHUFFLE
+    partitions, which helps when both sides shuffle, but a key carrying
+    half the table still funnels through one reducer lineage and the
+    right side still shuffles in full. Pinning the hot keys to a
+    broadcast join removes the hot key's shuffle entirely on both sides
+    — the classic split the brief calls "salting for skew"'s join-side
+    twin.
+
+    ``hot_keys`` discovery is ONE aggregate over the key column
+    (key-cardinality-sized, then filtered to the few hot ones — driver
+    traffic is the hot-key list only). Supported ``how``: inner and
+    left joins (semantics preserved per-slice because slices partition
+    the LEFT rows by key).
+    """
+    from pyspark.sql import functions as F
+
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(f"unsupported how={how!r} for skew_split_join")
+    if (hot_keys is None) == (hot_threshold is None):
+        raise ValueError("pass exactly one of hot_keys / hot_threshold")
+    if hot_keys is None:
+        hot_keys = [
+            r[key]
+            for r in left.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") >= hot_threshold)
+            .select(key)
+            .collect()
+        ]
+    if not hot_keys:
+        return left.join(right, key, how)
+    hot_left = left.where(F.col(key).isin(hot_keys))
+    # NULL keys must stay in the cold slice (a bare ~isin is NULL for
+    # them, silently dropping left-join rows)
+    cold_left = left.where(
+        F.col(key).isNull() | ~F.col(key).isin(hot_keys)
+    )
+    hot_right = right.where(F.col(key).isin(hot_keys))
+    hot = hot_left.join(F.broadcast(hot_right), key, how)
+    cold = cold_left.join(right, key, how)
+    return hot.unionByName(cold)

@@ -330,3 +330,44 @@ def test_connected_components_star_self_loops(spark):
         r["id"]: r["comp"] for r in connected_components(pairs).collect()
     }
     assert star == prop == {1: 1, 2: 1, 5: 5, 7: 7}
+
+
+def test_skew_split_join_equals_plain_join(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from openeo_processes_dask_spark.session import skew_split_join
+
+    # key 7 carries 80% of the left side; key None must survive a left join
+    left = spark.createDataFrame(
+        [(7, i) for i in range(400)]
+        + [(i % 5, 1000 + i) for i in range(100)]
+        + [(None, 9999)],
+        "k int, lv int",
+    )
+    right = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(8)], "k int, rv string"
+    )
+    for how in ("inner", "left"):
+        plain = set(
+            map(tuple, left.join(right, "k", how).select("k", "lv", "rv").collect())
+        )
+        split = set(
+            map(
+                tuple,
+                skew_split_join(left, right, "k", hot_threshold=100, how=how)
+                .select("k", "lv", "rv")
+                .collect(),
+            )
+        )
+        assert split == plain, how
+    # explicit hot list + plan: the hot slice must broadcast
+    from openeo_processes_dask_spark.diagnostics import plan_report
+
+    out = skew_split_join(left, right, "k", hot_keys=[7])
+    out.count()
+    assert "BroadcastHashJoin" in plan_report(out).text
+    with pytest.raises(ValueError):
+        skew_split_join(left, right, "k")
+    with pytest.raises(ValueError):
+        skew_split_join(left, right, "k", hot_keys=[7], how="full")
