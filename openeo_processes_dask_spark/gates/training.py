@@ -823,6 +823,36 @@ def q_bpe_encode_ids(spark, sf_dir):
     )
 
 
+def q_dedup_bloom(spark, sf_dir):
+    """Bloom-prefiltered incremental dedup (training/bloom.py
+    dedup_against_bloom): same fixture as dedup_incremental, but
+    definitely-unseen rows are proven clean by a codegen'd bitmap probe
+    and BYPASS the anti join — only the Bloom-positive sliver shuffles.
+    False negatives are impossible, so the oracle is the plain
+    NOT EXISTS twin (identical to dedup_incremental's)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.bloom import (
+        dedup_against_bloom,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    )
+    seen = docs.where(F.col("doc_id") % 2 == 0).withColumn("fp", fp)
+    new = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .unionByName(
+            docs.where(F.col("doc_id") % 2 == 0).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(1_000_000)
+            )
+        )
+        .withColumn("fp", fp)
+    )
+    out = dedup_against_bloom(new, seen, ["fp"], m_bits=1 << 13)
+    return out.select("doc_id", "lang", "source")
+
+
 def q_skew_join(spark, sf_dir):
     """Skew-split join (session.py skew_split_join): ~75% of lineitem
     lands on one synthetic hot key; the hot slice joins by explicit
@@ -1259,6 +1289,7 @@ QUERIES = {
     "bpe_encode_ids": q_bpe_encode_ids,
     "tokenize_pack": q_tokenize_pack,
     "skew_join": q_skew_join,
+    "dedup_bloom": q_dedup_bloom,
 }
 
 # Shared SQL fragments for the span-dedup oracles: overlapping 5-token
@@ -1961,6 +1992,19 @@ ORACLES = {
     "bpe_tokens": _bpe_tokens_oracle_sql,
     "bpe_encode_ids": _bpe_ids_oracle_sql,
     "tokenize_pack": _tokenize_pack_oracle_sql,
+    "dedup_bloom": """
+            WITH new AS (
+              SELECT doc_id, lang, source, text FROM documents WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT doc_id + 1000000, lang, source, text FROM documents
+              WHERE doc_id % 2 = 0)
+            SELECT doc_id, lang, source FROM new n
+            WHERE NOT EXISTS (
+              SELECT 1 FROM documents s
+              WHERE s.doc_id % 2 = 0
+                AND md5(regexp_replace(lower(trim(s.text)), '\\s+', ' ', 'g'))
+                  = md5(regexp_replace(lower(trim(n.text)), '\\s+', ' ', 'g')))
+        """,
     "skew_join": """
             WITH lk AS (
               SELECT CASE WHEN l_orderkey % 4 != 0 THEN 7
