@@ -1226,6 +1226,30 @@ def q_pagerank(spark, sf_dir):
     return pagerank(edges, iterations=4)
 
 
+def q_triangle_count(spark, sf_dir):
+    """Per-node triangle counts (training/graph.py triangle_counts):
+    degree-ordered orientation so each triangle is enumerated once and
+    hub wedge-counts stay bounded; exact counting, so the id-ordered
+    3-way self-join oracle matches with zero tolerance. The 61-node
+    synthetic link graph (3 affine generators over doc_id) has 34
+    triangles at sf>=0.01."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.graph import triangle_counts
+
+    docs = _table(spark, sf_dir, "documents")
+    n = 61
+    gens = [(1, 0, 13, 5), (3, 1, 11, 2), (7, 3, 5, 1)]
+    parts = [
+        docs.select(
+            ((F.col("doc_id") * ma + ca) % n).alias("src"),
+            ((F.col("doc_id") * mb + cb) % n).alias("dst"),
+        )
+        for (ma, ca, mb, cb) in gens
+    ]
+    edges = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return triangle_counts(edges)
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "training_pipeline": q_training_pipeline,
@@ -1272,6 +1296,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "semdedup": q_semdedup,
     "pagerank": q_pagerank,
+    "triangle_count": q_triangle_count,
     "bpe_tokens": q_bpe_tokens,
     "image_near_dups": q_image_near_dups,
     "bm25_index_search": q_bm25_index_search,
@@ -1988,6 +2013,36 @@ ORACLES = {
             FROM documents GROUP BY 1, 2
         """,
     "pagerank": _pagerank_oracle_sql,
+    # triangle_count: exact counting, so the oracle skips the engine's
+    # degree-orientation entirely and enumerates u<v<w by node id — an
+    # independent construction of the same answer.
+    "triangle_count": """
+            WITH gen AS (
+              SELECT doc_id % 61 AS src, (doc_id * 13 + 5) % 61 AS dst
+              FROM documents
+              UNION ALL
+              SELECT (doc_id * 3 + 1) % 61, (doc_id * 11 + 2) % 61
+              FROM documents
+              UNION ALL
+              SELECT (doc_id * 7 + 3) % 61, (doc_id * 5 + 1) % 61
+              FROM documents),
+            canon AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM gen WHERE src <> dst),
+            tri AS (
+              SELECT e1.a AS u, e1.b AS v, e2.b AS w
+              FROM canon e1
+              JOIN canon e2 ON e2.a = e1.a AND e2.b > e1.b
+              JOIN canon e3 ON e3.a = e1.b AND e3.b = e2.b),
+            corners AS (
+              SELECT u AS node FROM tri
+              UNION ALL SELECT v FROM tri
+              UNION ALL SELECT w FROM tri),
+            nodes AS (SELECT a AS node FROM canon UNION SELECT b FROM canon),
+            cnt AS (SELECT node, count(*) AS c FROM corners GROUP BY node)
+            SELECT n.node, CAST(coalesce(c.c, 0) AS BIGINT) AS triangles
+            FROM nodes n LEFT JOIN cnt c ON c.node = n.node
+        """,
     "semdedup": _semdedup_oracle_sql,
     "bpe_tokens": _bpe_tokens_oracle_sql,
     "bpe_encode_ids": _bpe_ids_oracle_sql,

@@ -14,7 +14,7 @@ lets a DuckDB oracle replay it exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: total rank mass in integer units; 1e12 keeps per-node ranks well above
@@ -112,3 +112,97 @@ def pagerank(
         if (it + 1) % checkpoint_interval == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph.
+
+    Returns ``(node, triangles)`` — one row per node that appears in any
+    (non-loop) edge, ``triangles`` = number of triangles the node is a
+    corner of (int64; 0 for triangle-free nodes). Self-loops are dropped;
+    parallel/reversed duplicates collapse via canonicalization.
+
+    No reference counterpart (LLM-pipeline lane: triangle counts feed
+    link-spam scoring — spam farms have anomalously dense ego-nets — and
+    graph-quality weighting alongside :func:`pagerank`).
+
+    Plan at 100 TB (the classic degree-ordered orientation, cf. Suri &
+    Vassilvitskii "Counting Triangles and the Curse of the Last Reducer",
+    WWW'11): every edge is oriented from its lower-ranked endpoint to the
+    higher by the total order (degree, node), so each triangle is
+    enumerated EXACTLY once from its lowest-ranked corner, and the wedge
+    (2-path) relation generated at a node is quadratic in its *oriented*
+    out-degree, which the ordering bounds at O(sqrt(m)) even for
+    power-law hubs — the wedge join stays O(m^1.5) total instead of the
+    O(sum deg^2) a naive common-neighbor join pays. The rank relation is
+    node-sized (one row per node), so its window sort and the two
+    orientation joins are exchanges over relations much smaller than the
+    edge list; the wedge->closure join is a plain shuffle equi-join on
+    the oriented edge key. No driver-side state at all.
+    """
+    e = (
+        edges.select(
+            F.least(
+                F.col(src_col).cast("long"), F.col(dst_col).cast("long")
+            ).alias("a"),
+            F.greatest(
+                F.col(src_col).cast("long"), F.col(dst_col).cast("long")
+            ).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    # total order (deg, node) -> one compact rank per node. Node-sized
+    # window; ties impossible (node is unique), so the rank is a total
+    # deterministic order under any partitioning.
+    w = Window.orderBy(F.col("deg"), F.col("node"))
+    rank = deg.select(
+        F.col("node"), F.row_number().over(w).alias("r")
+    )
+    o = (
+        e.join(rank.withColumnRenamed("node", "a").withColumnRenamed("r", "ra"), "a")
+        .join(rank.withColumnRenamed("node", "b").withColumnRenamed("r", "rb"), "b")
+        .select(
+            F.when(F.col("ra") < F.col("rb"), F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(F.col("ra") < F.col("rb"), F.col("b")).otherwise(F.col("a")).alias("hi"),
+            F.when(F.col("ra") < F.col("rb"), F.col("ra")).otherwise(F.col("rb")).alias("rlo"),
+            F.when(F.col("ra") < F.col("rb"), F.col("rb")).otherwise(F.col("ra")).alias("rhi"),
+        )
+    )
+    # wedges from each lowest-ranked corner: pairs of out-neighbors,
+    # ordered by rank so each unordered pair appears once
+    e1, e2 = o.alias("e1"), o.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.lo") == F.col("e2.lo")) & (F.col("e1.rhi") < F.col("e2.rhi")),
+    ).select(
+        F.col("e1.lo").alias("u"),
+        F.col("e1.hi").alias("v"),
+        F.col("e2.hi").alias("w"),
+    )
+    # closure: the oriented edge v->w must exist (v precedes w by
+    # construction of the wedge, so no orientation flip is needed)
+    closure = o.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
+    tri = wedges.join(closure, ["v", "w"])
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionByName(tri.select(F.col("v").alias("node")))
+        .unionByName(tri.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.select("node")
+        .join(corners, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+        )
+    )

@@ -77,3 +77,57 @@ def test_pagerank_long_chain_checkpoints(spark):
     df = spark.createDataFrame(chain, ["src", "dst"])
     got = {r["node"]: r["rank"] for r in pagerank(df, iterations=12).collect()}
     assert got == _python_pagerank(chain, 12)
+
+# --- triangle_counts ---------------------------------------------------
+
+from openeo_processes_dask_spark.training.graph import triangle_counts  # noqa: E402
+
+
+def _python_triangles(edges):
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = {}
+    for a, b in canon:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {v: 0 for v in adj}
+    for a, b in canon:
+        for c in adj[a] & adj[b]:
+            if c > b:
+                out[a] += 1
+                out[b] += 1
+                out[c] += 1
+    return out
+
+
+def test_triangles_known_graph(spark):
+    # K4 on {1..4} (every node in C(3,2)=3 triangles) plus a pendant 5
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    df = spark.createDataFrame(k4 + [(4, 5)], ["src", "dst"])
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0}
+
+
+def test_triangles_dedup_loops_and_reversals(spark):
+    # duplicates, reversed duplicates, and self-loops must not inflate
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (1, 2)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangles_matches_python_on_random_graph(spark):
+    # deterministic pseudo-random graph incl. a hub (node 0) to exercise
+    # the degree orientation
+    edges = [((i * i) % 23, (i * 7 + 2) % 23) for i in range(80)]
+    edges += [(0, i) for i in range(1, 15)]
+    df = spark.createDataFrame(edges, ["src", "dst"]).repartition(5)
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == _python_triangles(edges)
+
+
+def test_triangles_triangle_free(spark):
+    # even cycle: no triangles anywhere
+    cyc = [(i, (i + 1) % 8) for i in range(8)]
+    df = spark.createDataFrame(cyc, ["src", "dst"])
+    rows = triangle_counts(df).collect()
+    assert len(rows) == 8 and all(r["triangles"] == 0 for r in rows)
