@@ -1250,6 +1250,26 @@ def q_triangle_count(spark, sf_dir):
     return triangle_counts(edges)
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot diff between two corpus versions (training/dedup.py
+    corpus_diff): old = drop doc_id%11==0 (those become 'added'), new =
+    drop doc_id%7==3 ('removed') and append ' v2' to doc_id%5==2
+    ('changed'); unchanged ids are omitted. Digest-only full-outer join —
+    text never shuffles."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import corpus_diff
+
+    docs = _table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 11 != 0)
+    new = docs.where(F.col("doc_id") % 7 != 3).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 2, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "training_pipeline": q_training_pipeline,
@@ -1297,6 +1317,7 @@ QUERIES = {
     "semdedup": q_semdedup,
     "pagerank": q_pagerank,
     "triangle_count": q_triangle_count,
+    "corpus_diff": q_corpus_diff,
     "bpe_tokens": q_bpe_tokens,
     "image_near_dups": q_image_near_dups,
     "bm25_index_search": q_bm25_index_search,
@@ -2016,6 +2037,26 @@ ORACLES = {
     # triangle_count: exact counting, so the oracle skips the engine's
     # degree-orientation entirely and enumerates u<v<w by node id — an
     # independent construction of the same answer.
+    # corpus_diff: the oracle compares normalized TEXT directly instead
+    # of the engine's md5 digests — same answer, independent mechanism.
+    "corpus_diff": """
+            WITH old AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+              FROM documents WHERE doc_id % 11 <> 0),
+            new AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(
+                       CASE WHEN doc_id % 5 = 2 THEN text || ' v2'
+                            ELSE text END)), '\\s+', ' ', 'g') AS t
+              FROM documents WHERE doc_id % 7 <> 3)
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+            WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.t <> n.t
+        """,
     "triangle_count": """
             WITH gen AS (
               SELECT doc_id % 61 AS src, (doc_id * 13 + 5) % 61 AS dst

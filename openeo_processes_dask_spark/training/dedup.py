@@ -86,6 +86,46 @@ def dedup_against(
     return new_fp.join(seen, "fingerprint", "left_anti").select(*df_new.columns)
 
 
+def corpus_diff(
+    df_old: DataFrame,
+    df_new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions, CDC-style.
+
+    Returns ``(doc_id, status)`` with status ``'added'`` (id only in new),
+    ``'removed'`` (id only in old), or ``'changed'`` (id in both, content
+    fingerprint differs). Unchanged ids are omitted — at 100 TB the diff
+    is the small relation and the unchanged mass is the big one, so
+    emitting only the delta is what keeps the output broadcastable into
+    downstream incremental jobs (re-embed only 'added'+'changed', retire
+    'removed' from the index).
+
+    Plan: each side is reduced to (id, md5) — a projection inside the
+    scan, no text ever shuffles — then ONE full-outer shuffle join on id.
+    Ids must be unique per side (enforce upstream with exact_duplicates);
+    duplicate ids would cross-multiply in the join.
+    """
+
+    def fp(text):
+        return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+    o = df_old.select(F.col(id_col).alias("doc_id"), fp(F.col(text_col)).alias("fp_old"))
+    n = df_new.select(F.col(id_col).alias("doc_id"), fp(F.col(text_col)).alias("fp_new"))
+    return (
+        o.join(n, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("fp_old").isNull(), F.lit("added"))
+            .when(F.col("fp_new").isNull(), F.lit("removed"))
+            .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed"))
+            .alias("status"),
+        )
+        .where(F.col("status").isNotNull())
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

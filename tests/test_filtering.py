@@ -108,6 +108,33 @@ def test_dedup_against(spark):
     assert dedup_against(new, seen).columns == ["doc_id", "text"]
 
 
+def test_corpus_diff(spark):
+    from openeo_processes_dask_spark.training.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "gone")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        # 1 unchanged modulo normalization (case/whitespace), 2 changed,
+        # 3 removed, 4 added
+        [(1, "  SAME "), (2, "did change"), (4, "fresh")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_corpus_diff_empty_sides(spark):
+    from openeo_processes_dask_spark.training.dedup import corpus_diff
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    empty = docs.where("false")
+    assert {r["status"] for r in corpus_diff(empty, docs).collect()} == {"added"}
+    assert {r["status"] for r in corpus_diff(docs, empty).collect()} == {"removed"}
+    assert corpus_diff(docs, docs).count() == 0
+
+
 def test_connected_components_nonconvergence_raises(spark):
     """A chain graph with diameter > max_iterations must raise, not return
     silently wrong component labels (ADVICE r02)."""
