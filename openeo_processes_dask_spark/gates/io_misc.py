@@ -628,6 +628,24 @@ def q_manifest_timetravel(spark, sf_dir):
     return out.select("version", "lang", "n_docs", "total_chars")
 
 
+def q_json_extract(spark, sf_dir):
+    """Embedded-JSON ingestion (sources/jsonl.py parse_json_column): the
+    events.props column holds JSON blobs; from_json projects the typed
+    field JVM-side (no Python, no schema-inference scan) and the gate
+    aggregates per k-bucket. Oracle extracts with DuckDB's ->> operator —
+    an independent JSON parser."""
+    _setup(spark)
+    from openeo_processes_dask_spark.sources.jsonl import parse_json_column
+
+    ev = _table(spark, sf_dir, "events")
+    p = parse_json_column(ev, "props", "k INT")
+    return p.groupBy((F.col("props_parsed.k") % 10).alias("k_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("props_parsed.k").cast("long")).alias("k_sum"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+    )
+
+
 QUERIES = {
     "save_load_roundtrip": q_save_load_roundtrip,
     "zorder_roundtrip": q_zorder_roundtrip,
@@ -645,9 +663,18 @@ QUERIES = {
     "load_stac_resampled": q_load_stac_resampled,
     "time_partitioned_roundtrip": q_time_partitioned_roundtrip,
     "stat_pruned_read": q_stat_pruned_read,
+    "json_extract": q_json_extract,
 }
 
 ORACLES = {
+    "json_extract": """
+            SELECT CAST(props::JSON->>'k' AS INTEGER) % 10 AS k_bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(props::JSON->>'k' AS INTEGER)) AS BIGINT)
+                     AS k_sum,
+                   round(sum(value), 6) AS value_sum
+            FROM events GROUP BY 1
+        """,
     "time_partitioned_roundtrip": """
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                    event_type AS band, count(*) AS n,
