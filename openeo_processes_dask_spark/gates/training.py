@@ -222,6 +222,19 @@ def q_ngram_jaccard(spark, sf_dir):
     return _round6(out, "jaccard")
 
 
+def q_jaccard_prefix(spark, sf_dir):
+    """Prefix-filtered exact Jaccard join (training/dedup.py
+    jaccard_prefix_pairs — AllPairs/PPJoin prefix lemma, recall exactly
+    1). The oracle is the brute-force all-shared-shingle join: prefix
+    filtering must reproduce it bit-for-bit."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import jaccard_prefix_pairs
+
+    docs = _table(spark, sf_dir, "documents")
+    out = jaccard_prefix_pairs(docs, "doc_id", "text", n=3, threshold=0.35)
+    return _round6(out, "jaccard")
+
+
 def q_minhash_near_dups(spark, sf_dir):
     _setup(spark)
     from openeo_processes_dask_spark.training.dedup import minhash_near_duplicates
@@ -1284,6 +1297,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "language_id": q_language_id,
     "ngram_jaccard": q_ngram_jaccard,
+    "jaccard_prefix": q_jaccard_prefix,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
     "cosine_topk": q_cosine_topk,
@@ -1646,6 +1660,29 @@ ORACLES = {
             JOIN sizes s1 ON s1.doc_id = id1
             JOIN sizes s2 ON s2.doc_id = id2
             WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.2
+        """,
+    # jaccard_prefix: brute-force oracle — no prefix logic at all, so a
+    # prefix-lemma bug (a dropped qualifying pair) hash-mismatches here.
+    "jaccard_prefix": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(generate_series(1, len(w) - 2),
+                            i -> array_to_string(w[i:i+2], ' '))) AS s
+              FROM toks WHERE len(w) >= 3),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id1, id2,
+                   round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes s1 ON s1.doc_id = id1
+            JOIN sizes s2 ON s2.doc_id = id2
+            WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.35
         """,
     "segment_dedup": """
             WITH toks AS (

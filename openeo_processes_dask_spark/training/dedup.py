@@ -12,7 +12,7 @@ Shuffle topology is the whole game at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from openeo_processes_dask_spark.training.textanalysis import (
@@ -182,6 +182,111 @@ def ngram_jaccard_pairs(
     inter = (
         a.join(b, (F.col("a.shk") == F.col("b.shk")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
+    sz2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(sz1, "id1")
+        .join(sz2, "id2")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard join via PREFIX FILTERING (AllPairs /
+    PPJoin family: Chaudhuri et al. SSJoin ICDE'06, Bayardo et al.
+    WWW'07). Same answer as :func:`ngram_jaccard_pairs` — returns
+    (id1, id2, jaccard) with id1 < id2 and jaccard >= threshold — but the
+    self-join runs over each document's rarest-token PREFIX instead of
+    its full shingle set.
+
+    Why this is the scale lane: order the vocabulary by ascending
+    document frequency (rarest first) and sort every document's shingles
+    by that global order. If J(A,B) >= t then A and B must share a
+    shingle within their first |X| - ceil(t*|X|) + 1 shingles (the
+    prefix-filter lemma), so joining only prefixes loses NOTHING — recall
+    is exactly 1 — while the join volume drops from sum(df^2) over every
+    shingle to sum over prefix occurrences only, and the most frequent
+    (most explosive) shingles sort to the END of each document and fall
+    OUT of every prefix. Unlike ``max_doc_freq`` stop-shingle capping
+    this does not change the measured Jaccard. A length filter
+    (min_size >= t * max_size, another J >= t necessity) prunes the
+    candidate set further before verification.
+
+    Plan: vocabulary df-count (one shuffle over the shingle table), a
+    vocabulary-sized window for the global rank (the vocab relation is
+    orders of magnitude smaller than the corpus — its sort is not the
+    bottleneck), per-doc row_number to cut prefixes, prefix self-join,
+    then exact verification joining candidates back to the full shingle
+    table (left-semi-shaped count). Text never shuffles — only 8-byte
+    shingle keys and ids.
+    """
+    sh = (
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t__")))
+        .select("id", tokens(F.lower(F.col("__t__"))).alias("toks"))
+        .select(
+            "id",
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("toks"), n))
+            ).alias("sh"),
+        )
+        .select("id", _md5_to_long(F.col("sh")).alias("shk"))
+        .persist()
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # global total order: (doc_freq, shk) — rarest first, unique shk
+    # breaks ties, so the rank is deterministic under any partitioning
+    vocab_w = Window.orderBy(F.col("dfreq"), F.col("shk"))
+    vocab = (
+        sh.groupBy("shk")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .select("shk", F.row_number().over(vocab_w).alias("vrank"))
+    )
+    ranked = sh.join(vocab, "shk").join(sizes, "id")
+    doc_w = Window.partitionBy("id").orderBy("vrank")
+    prefix = (
+        ranked.withColumn("rn", F.row_number().over(doc_w))
+        .where(
+            F.col("rn")
+            <= F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
+        )
+        .select("id", "shk", "sz")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shk") == F.col("b.shk"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: J >= t forces min(|A|,|B|) >= t * max(|A|,|B|)
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz"))
+                >= F.lit(float(threshold))
+                * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            ),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    # exact verification over the full shingle sets of candidates only
+    s1 = sh.select(F.col("id").alias("id1"), "shk")
+    s2 = sh.select(F.col("id").alias("id2"), "shk")
+    inter = (
+        cand.join(s1, "id1")
+        .join(s2, ["id2", "shk"])
+        .groupBy("id1", "id2")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sz1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))

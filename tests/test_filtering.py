@@ -108,6 +108,51 @@ def test_dedup_against(spark):
     assert dedup_against(new, seen).columns == ["doc_id", "text"]
 
 
+def test_jaccard_prefix_equals_brute_force(spark):
+    # the prefix-filter lemma promises recall EXACTLY 1 — the prefix
+    # join must reproduce the brute-force join bit-for-bit, including on
+    # near-identical docs, tiny docs, and threshold-edge pairs
+    from openeo_processes_dask_spark.training.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    words = "alpha beta gamma delta eps zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(30):
+        # overlapping sliding windows -> a spectrum of pairwise Jaccards
+        ws = [words[(i + j) % 10] for j in range(6)] + [words[i % 3]]
+        rows.append((i, " ".join(ws)))
+    rows += [(100, rows[0][1]), (101, "alpha beta gamma"), (102, "x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.25, 0.5, 0.75):
+        brute = {
+            (r["id1"], r["id2"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", n=2, threshold=t
+            ).collect()
+        }
+        pref = {
+            (r["id1"], r["id2"]): round(r["jaccard"], 9)
+            for r in jaccard_prefix_pairs(
+                df, "doc_id", "text", n=2, threshold=t
+            ).collect()
+        }
+        assert pref == brute, f"threshold {t}"
+    assert brute  # the fixture actually produces qualifying pairs
+
+
+def test_jaccard_prefix_exact_duplicates_score_one(spark):
+    from openeo_processes_dask_spark.training.dedup import jaccard_prefix_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "q r s t u")],
+        "doc_id long, text string",
+    )
+    got = jaccard_prefix_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+    assert [(r["id1"], r["id2"], r["jaccard"]) for r in got] == [(1, 2, 1.0)]
+
+
 def test_corpus_diff(spark):
     from openeo_processes_dask_spark.training.dedup import corpus_diff
 
