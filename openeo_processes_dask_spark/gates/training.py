@@ -794,6 +794,32 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_topk(docs, ["spark", "join", "filter"], k=25)
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via Reciprocal-Rank Fusion (training/retrieval.py
+    rrf_fuse): BM25 top-50 (lexical) + embedding-cosine top-50 (dense)
+    fused on RANKS only — integer micro-unit reciprocal scores, so the
+    fusion is bit-exact and the oracle replays it with zero tolerance.
+    Rank ties inside each retriever break on 6-decimal-rounded scores
+    then id (both already driver-verified gates)."""
+    _setup(spark)
+    from pyspark.sql import Window
+
+    from openeo_processes_dask_spark.training.retrieval import rrf_fuse
+    from openeo_processes_dask_spark.training.similarity import cosine_topk
+    from openeo_processes_dask_spark.training.textanalysis import bm25_topk
+
+    docs = _table(spark, sf_dir, "documents")
+    emb = _table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, ["spark", "join", "filter"], k=50).select("rank", "id")
+    query = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    scored = cosine_topk(emb, [float(v) for v in query], k=50)
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    dense = scored.withColumn("rank", F.row_number().over(w)).select(
+        "rank", F.col("vec_id").alias("id")
+    )
+    return rrf_fuse([lex, dense], k0=60, k=20)
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (training/similarity.py semdedup, Abbas et al. 2023):
     integer-exact k-means partitions the embedding space, exact cosine
@@ -1298,6 +1324,7 @@ QUERIES = {
     "language_id": q_language_id,
     "ngram_jaccard": q_ngram_jaccard,
     "jaccard_prefix": q_jaccard_prefix,
+    "hybrid_rrf": q_hybrid_rrf,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
     "cosine_topk": q_cosine_topk,
@@ -1742,6 +1769,89 @@ ORACLES = {
     "subsequence_topk": _subsequence_topk_oracle_sql,
     "minhash_near_dups": _minhash_oracle_sql,
     "simhash_near_dups": _simhash_oracle_sql,
+    # hybrid_rrf: the lex CTE replays the bm25_topk oracle (k=50), the
+    # dense CTE the cosine_topk oracle (k=50); fusion itself is pure
+    # integer floor-division arithmetic — zero tolerance.
+    "hybrid_rrf": """
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE string_split_regex(lower(trim(text)), '\\s+')
+                     END AS w
+              FROM documents),
+            st AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM toks),
+            dfs AS (
+              SELECT
+                sum(CASE WHEN list_contains(w, 'filter') THEN 1 ELSE 0 END)
+                  AS df0,
+                sum(CASE WHEN list_contains(w, 'join') THEN 1 ELSE 0 END)
+                  AS df1,
+                sum(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END)
+                  AS df2
+              FROM toks),
+            sc AS (
+              SELECT id,
+                round(
+                  ln(1 + ((SELECT n FROM st) - (SELECT df0 FROM dfs) + 0.5)
+                         / ((SELECT df0 FROM dfs) + 0.5))
+                    * (CAST(len(list_filter(w, x -> x = 'filter')) AS DOUBLE)
+                       * (1.2 + 1))
+                    / (CAST(len(list_filter(w, x -> x = 'filter')) AS DOUBLE)
+                       + 1.2 * (0.25 + 0.75 * CAST(len(w) AS DOUBLE)
+                                / (SELECT avgdl FROM st)))
+                  + ln(1 + ((SELECT n FROM st) - (SELECT df1 FROM dfs) + 0.5)
+                         / ((SELECT df1 FROM dfs) + 0.5))
+                    * (CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE)
+                       * (1.2 + 1))
+                    / (CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE)
+                       + 1.2 * (0.25 + 0.75 * CAST(len(w) AS DOUBLE)
+                                / (SELECT avgdl FROM st)))
+                  + ln(1 + ((SELECT n FROM st) - (SELECT df2 FROM dfs) + 0.5)
+                         / ((SELECT df2 FROM dfs) + 0.5))
+                    * (CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE)
+                       * (1.2 + 1))
+                    / (CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE)
+                       + 1.2 * (0.25 + 0.75 * CAST(len(w) AS DOUBLE)
+                                / (SELECT avgdl FROM st))),
+                6) AS score
+              FROM toks),
+            lex AS (
+              SELECT row_number() OVER (ORDER BY score DESC, id) AS rank, id
+              FROM sc WHERE score > 0
+              ORDER BY score DESC, id LIMIT 50),
+            q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            den AS (
+              SELECT vec_id,
+                     round(
+                       list_sum([CAST(embedding[i] AS DOUBLE)
+                                 * CAST(qe[i] AS DOUBLE)
+                                 for i in generate_series(1, len(embedding))])
+                       / (sqrt(list_sum([CAST(embedding[i] AS DOUBLE)
+                                 * CAST(embedding[i] AS DOUBLE)
+                                 for i in generate_series(1, len(embedding))]))
+                          * sqrt(list_sum([CAST(qe[i] AS DOUBLE)
+                                 * CAST(qe[i] AS DOUBLE)
+                                 for i in generate_series(1, len(qe))]))),
+                       6) AS cosine
+              FROM embeddings, q
+              ORDER BY cosine DESC, vec_id LIMIT 50),
+            dense AS (
+              SELECT row_number() OVER (ORDER BY cosine DESC, vec_id)
+                       AS rank,
+                     vec_id AS id
+              FROM den),
+            u AS (
+              SELECT id, 1000000000 // (60 + rank) AS part FROM lex
+              UNION ALL
+              SELECT id, 1000000000 // (60 + rank) FROM dense),
+            f AS (
+              SELECT id, CAST(sum(part) AS BIGINT) AS rrf_micro,
+                     CAST(count(*) AS BIGINT) AS n_lists
+              FROM u GROUP BY id)
+            SELECT row_number() OVER (ORDER BY rrf_micro DESC, id) AS rank,
+                   id, rrf_micro, n_lists
+            FROM f ORDER BY rrf_micro DESC, id LIMIT 20
+        """,
     "cosine_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,

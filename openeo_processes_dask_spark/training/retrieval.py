@@ -123,3 +123,58 @@ def bm25_search(
             (F.col("s_micro") / 1e6).alias("score"),
         )
     )
+
+
+#: integer micro-units for reciprocal-rank scores; 1e9 // (k0 + rank)
+#: keeps ~7 significant digits for any rank a retriever emits while the
+#: summed fusion score of even thousands of lists stays far inside int64
+RRF_SCALE = 1_000_000_000
+
+
+def rrf_fuse(
+    rankings: list[DataFrame], k0: int = 60, k: int = 10
+) -> DataFrame:
+    """Reciprocal-Rank Fusion (Cormack et al., SIGIR'09) of N ranked
+    lists — the standard way a curation pipeline combines lexical (BM25)
+    and dense (embedding-cosine) retrieval without score calibration:
+    only RANKS enter the fused score, so the incomparable score scales
+    of the input retrievers never matter.
+
+    Each input DataFrame must carry ``id`` and ``rank`` (1-based)
+    columns. Returns the global top-``k`` as (rank, id, rrf_micro,
+    n_lists): ``rrf_micro = sum over lists of RRF_SCALE // (k0 + rank)``
+    — the RRF sum in integer micro-units, so the fusion is bit-exact
+    under any partitioning — and ``n_lists`` = how many input lists
+    ranked the id at all. Ties break by id ASC.
+
+    Plan at 100 TB: the inputs are top-k lists (already tiny relative to
+    the corpus); the fusion is one union + one hash aggregate on id +
+    TakeOrderedAndProject — nothing here ever touches the corpus again.
+    """
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if k0 < 1:
+        raise ValueError(f"k0 must be >= 1, got {k0}")
+    u = None
+    for r in rankings:
+        # integer `div`, not `/ + cast`: float division then CAST rounds
+        # in DuckDB but truncates in Spark — div floors in both
+        s = r.select(
+            F.col("id"),
+            F.expr(
+                f"CAST({RRF_SCALE} AS BIGINT) div "
+                f"CAST({k0} + rank AS BIGINT)"
+            ).alias("part"),
+        )
+        u = s if u is None else u.unionByName(s)
+    fused = u.groupBy("id").agg(
+        F.sum("part").alias("rrf_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    topk = fused.orderBy(F.col("rrf_micro").desc(), F.col("id")).limit(k)
+    w = Window.orderBy(F.col("rrf_micro").desc(), F.col("id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "id", "rrf_micro", "n_lists"
+    )

@@ -78,3 +78,48 @@ def test_bm25_search_topk_plan_is_window_group_limit(spark):
     r = plan_report(bm25_search(postings, stats, queries, k=2))
     assert "WindowGroupLimit" in r.text
     assert r.python_free
+
+
+# --- rrf_fuse ----------------------------------------------------------
+
+def test_rrf_fuse_known_fusion(spark):
+    from openeo_processes_dask_spark.training.retrieval import (
+        RRF_SCALE,
+        rrf_fuse,
+    )
+
+    lex = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], ["rank", "id"])
+    den = spark.createDataFrame([(1, 20), (2, 30), (3, 40)], ["rank", "id"])
+    got = {
+        r["id"]: (r["rank"], r["rrf_micro"], r["n_lists"])
+        for r in rrf_fuse([lex, den], k0=60, k=10).collect()
+    }
+    s = lambda r: RRF_SCALE // (60 + r)  # noqa: E731
+    assert got[20] == (1, s(2) + s(1), 2)  # in both lists -> wins
+    assert got[30] == (2, s(3) + s(2), 2)
+    assert got[10] == (3, s(1), 1)
+    assert got[40] == (4, s(3), 1)
+
+
+def test_rrf_fuse_tie_breaks_by_id(spark):
+    from openeo_processes_dask_spark.training.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 7), (2, 5)], ["rank", "id"])
+    b = spark.createDataFrame([(1, 5), (2, 7)], ["rank", "id"])
+    rows = rrf_fuse([a, b], k=10).collect()
+    # identical fused scores -> id ASC decides
+    assert [r["id"] for r in rows] == [5, 7]
+    assert rows[0]["rrf_micro"] == rows[1]["rrf_micro"]
+
+
+def test_rrf_fuse_respects_k_and_validates(spark):
+    import pytest
+
+    from openeo_processes_dask_spark.training.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(i, i * 100) for i in range(1, 9)], ["rank", "id"])
+    assert rrf_fuse([a], k=3).count() == 3
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+    with pytest.raises(ValueError):
+        rrf_fuse([a], k0=0)
