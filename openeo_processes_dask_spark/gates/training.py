@@ -1030,6 +1030,23 @@ def q_audio_near_dups(spark, sf_dir):
     return audio_near_duplicates(lm, min_shared=8)
 
 
+def q_ema_smooth(spark, sf_dir):
+    """Per-user exponential moving average (training/anomaly.py ema):
+    integer micro-unit recurrence with rational alpha=2/10 folded over
+    each user's (ts, event_id)-sorted series in ONE codegen'd aggregate
+    — bit-exact under any partitioning, replayed by a recursive-CTE
+    oracle walking the same recurrence row by row."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.anomaly import ema
+
+    ev = _table(spark, sf_dir, "events")
+    out = ema(
+        ev, "value", ["ts", "event_id"], partition_cols=["user_id"],
+        alpha_num=2, alpha_den=10,
+    )
+    return out.select("user_id", "event_id", "ema_micro")
+
+
 def q_rolling_anomaly(spark, sf_dir):
     """Rolling z-score anomaly detection (training/anomaly.py): each
     event scored against the trailing 20 same-band events (current row
@@ -1325,6 +1342,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "jaccard_prefix": q_jaccard_prefix,
     "hybrid_rrf": q_hybrid_rrf,
+    "ema_smooth": q_ema_smooth,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
     "cosine_topk": q_cosine_topk,
@@ -1769,6 +1787,23 @@ ORACLES = {
     "subsequence_topk": _subsequence_topk_oracle_sql,
     "minhash_near_dups": _minhash_oracle_sql,
     "simhash_near_dups": _simhash_oracle_sql,
+    # ema_smooth: recursive CTE walks the integer recurrence row-by-row
+    # (rn join), a mechanism independent of the engine's array fold.
+    "ema_smooth": """
+            WITH RECURSIVE s AS (
+              SELECT user_id, event_id,
+                     CAST(round(value * 1000000) AS BIGINT) AS vm,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events),
+            e AS (
+              SELECT user_id, event_id, rn, vm AS ema FROM s WHERE rn = 1
+              UNION ALL
+              SELECT s.user_id, s.event_id, s.rn,
+                     CAST((2 * s.vm + 8 * e.ema) // 10 AS BIGINT)
+              FROM s JOIN e ON s.user_id = e.user_id AND s.rn = e.rn + 1)
+            SELECT user_id, event_id, ema AS ema_micro FROM e
+        """,
     # hybrid_rrf: the lex CTE replays the bm25_topk oracle (k=50), the
     # dense CTE the cosine_topk oracle (k=50); fusion itself is pure
     # integer floor-division arithmetic — zero tolerance.

@@ -65,3 +65,96 @@ def anomalies(
         df, value_col, order_cols, partition_cols, window
     )
     return scored.where(F.abs(F.col("zscore")) > threshold)
+
+
+def ema(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    partition_cols: list[str] | None = None,
+    alpha_num: int = 2,
+    alpha_den: int = 10,
+    out_col: str = "ema_micro",
+) -> DataFrame:
+    """Exponential moving average per key — the standard trend-smoother
+    next to :func:`rolling_zscore`'s spike detector.
+
+    The recurrence is computed in integer micro-units with a RATIONAL
+    smoothing factor alpha = alpha_num/alpha_den::
+
+        ema_1 = x_1
+        ema_t = (alpha_num*x_t + (alpha_den-alpha_num)*ema_{t-1})
+                  div alpha_den          -- x = round(value * 1e6), int64
+
+    so the output is bit-identical under any partitioning and exactly
+    replayable by a recursive-CTE oracle — float ``ewm`` accumulators
+    would drift by summation order. Values must be non-negative (floor
+    vs truncate division diverges below zero across engines; enforced).
+
+    Returns one row per input row: ``partition_cols + order_cols +
+    (value_col, out_col)`` with ``out_col`` the EMA in micro-units.
+
+    Plan at 100 TB: an EMA is inherently a sequential scan per key, so
+    the shape is ONE hash aggregate collecting each key's series
+    (sort_array + collect_list), ONE codegen'd `aggregate` fold over the
+    sorted array (no Python anywhere), and a posexplode back to rows — the
+    same per-key-series-fits-an-executor contract as sessionization and
+    subsequence search. ``order_cols`` must totally order each key's
+    rows (append a unique tie-breaker) or results are nondeterministic.
+    """
+    if not 0 < alpha_num <= alpha_den:
+        raise ValueError(
+            f"need 0 < alpha_num <= alpha_den, got {alpha_num}/{alpha_den}"
+        )
+    keys = partition_cols or []
+    vm_raw = F.round(
+        F.col(value_col).cast("double") * F.lit(1_000_000.0)
+    ).cast("long")
+    # in-pass guard (no extra scan): a negative value kills the job with
+    # a named error instead of silently diverging between div semantics
+    vm = F.when(
+        vm_raw < 0,
+        F.raise_error(F.lit("ema requires non-negative values")).cast("long"),
+    ).otherwise(vm_raw)
+    packed = F.struct(
+        *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
+        vm.alias("vm"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    series = (
+        df.select(*keys, packed.alias("p"))
+        .groupBy(*keys)
+        .agg(F.sort_array(F.collect_list("p")).alias("xs"))
+    )
+    rest = alpha_den - alpha_num
+    folded = series.withColumn(
+        "emas",
+        F.expr(
+            f"""aggregate(
+                 xs,
+                 struct(cast(array() as array<bigint>) as a,
+                        cast(0 as bigint) as prev,
+                        true as first),
+                 (acc, x) -> struct(
+                   concat(acc.a, array(
+                     CASE WHEN acc.first THEN x.vm
+                          ELSE ({alpha_num} * x.vm + {rest} * acc.prev)
+                                 div {alpha_den} END)),
+                   CASE WHEN acc.first THEN x.vm
+                        ELSE ({alpha_num} * x.vm + {rest} * acc.prev)
+                               div {alpha_den} END,
+                   false),
+                 acc -> acc.a)"""
+        ),
+    )
+    out = folded.select(
+        *keys, F.posexplode(F.arrays_zip("xs", "emas")).alias("i", "z")
+    )
+    return out.select(
+        *keys,
+        *[
+            F.col(f"z.xs.o{i}").alias(c) for i, c in enumerate(order_cols)
+        ],
+        F.col("z.xs.v").alias(value_col),
+        F.col("z.emas").alias(out_col),
+    )

@@ -107,3 +107,70 @@ def test_stream_anomaly_matches_batch(spark, tmp_path):
     }
     assert got == exp
     assert {e for e, _ in got} >= {100, 201}
+
+
+# --- ema ----------------------------------------------------------------
+
+def _py_ema(vals, num=2, den=10):
+    out, prev = [], None
+    for v in vals:
+        vm = round(v * 1_000_000)
+        prev = vm if prev is None else (num * vm + (den - num) * prev) // den
+        out.append(prev)
+    return out
+
+
+def test_ema_matches_python_replay(spark):
+    from openeo_processes_dask_spark.training.anomaly import ema
+
+    rows = [("a", i, [5.0, 7.25, 1.5, 9.0, 9.0, 0.25][i]) for i in range(6)]
+    rows += [("b", 0, 3.0), ("b", 1, 4.5)]
+    df = spark.createDataFrame(rows, "k string, t long, value double").repartition(4)
+    out = ema(df, "value", ["t"], ["k"], alpha_num=2, alpha_den=10)
+    got_a = [
+        r["ema_micro"]
+        for r in out.where("k = 'a'").orderBy("t").collect()
+    ]
+    assert got_a == _py_ema([5.0, 7.25, 1.5, 9.0, 9.0, 0.25])
+    got_b = [
+        r["ema_micro"]
+        for r in out.where("k = 'b'").orderBy("t").collect()
+    ]
+    assert got_b == _py_ema([3.0, 4.5])
+
+
+def test_ema_alpha_one_is_identity(spark):
+    from openeo_processes_dask_spark.training.anomaly import ema
+
+    df = spark.createDataFrame(
+        [("a", i, float(i) + 0.5) for i in range(4)],
+        "k string, t long, value double",
+    )
+    out = ema(df, "value", ["t"], ["k"], alpha_num=1, alpha_den=1)
+    for r in out.collect():
+        assert r["ema_micro"] == round(r["value"] * 1_000_000)
+
+
+def test_ema_plan_is_python_free(spark):
+    from openeo_processes_dask_spark.diagnostics import plan_report
+    from openeo_processes_dask_spark.training.anomaly import ema
+
+    df = spark.createDataFrame(
+        [("a", 1, 2.0)], "k string, t long, value double"
+    )
+    r = plan_report(ema(df, "value", ["t"], ["k"]))
+    assert r.python_free
+
+
+def test_ema_rejects_bad_alpha_and_negative_values(spark):
+    import pytest
+
+    from openeo_processes_dask_spark.training.anomaly import ema
+
+    df = spark.createDataFrame([("a", 1, -2.0)], "k string, t long, value double")
+    with pytest.raises(ValueError):
+        ema(df, "value", ["t"], ["k"], alpha_num=0)
+    with pytest.raises(ValueError):
+        ema(df, "value", ["t"], ["k"], alpha_num=3, alpha_den=2)
+    with pytest.raises(Exception, match="non-negative"):
+        ema(df, "value", ["t"], ["k"]).collect()
