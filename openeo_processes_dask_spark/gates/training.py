@@ -1030,6 +1030,34 @@ def q_audio_near_dups(spark, sf_dir):
     return audio_near_duplicates(lm, min_shared=8)
 
 
+def q_token_entropy(spark, sf_dir):
+    """Per-document token-distribution Shannon entropy
+    (training/textanalysis.py token_entropy): gibberish / keyword-spam
+    signal; two hash aggregates, tokens-only shuffle; 6-decimal rounding
+    absorbs ln() ulps (bm25 convention)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.textanalysis import token_entropy
+
+    return token_entropy(_table(spark, sf_dir, "documents"))
+
+
+def q_classifier_auc(spark, sf_dir):
+    """Exact ROC AUC (training/classifier.py auc): n_chars scoring the
+    lang=='en' label — heavy score ties exercise the half-weight tie
+    handling. u2 is an exact integer (distinct-score aggregation, the
+    rank-free Mann-Whitney form), so the compare is zero-tolerance up to
+    the one rounded division."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.classifier import auc
+
+    docs = _table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("n_chars").alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return auc(scored, "s", "y")
+
+
 def q_ema_smooth(spark, sf_dir):
     """Per-user exponential moving average (training/anomaly.py ema):
     integer micro-unit recurrence with rational alpha=2/10 folded over
@@ -1343,6 +1371,8 @@ QUERIES = {
     "jaccard_prefix": q_jaccard_prefix,
     "hybrid_rrf": q_hybrid_rrf,
     "ema_smooth": q_ema_smooth,
+    "token_entropy": q_token_entropy,
+    "classifier_auc": q_classifier_auc,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
     "cosine_topk": q_cosine_topk,
@@ -1787,6 +1817,47 @@ ORACLES = {
     "subsequence_topk": _subsequence_topk_oracle_sql,
     "minhash_near_dups": _minhash_oracle_sql,
     "simhash_near_dups": _simhash_oracle_sql,
+    "token_entropy": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                       AS tok
+              FROM documents WHERE trim(text) != ''),
+            c AS (
+              SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+            a AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     sum(c * ln(c)) AS clogc
+              FROM c GROUP BY 1)
+            SELECT doc_id, n_tokens, n_distinct,
+                   round(ln(n_tokens) - clogc / n_tokens, 6) AS entropy
+            FROM a
+        """,
+    "classifier_auc": """
+            WITH r AS (
+              SELECT n_chars AS s,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM documents),
+            b AS (
+              SELECT s, CAST(sum(y) AS BIGINT) AS np,
+                     CAST(sum(1 - y) AS BIGINT) AS nn
+              FROM r GROUP BY s),
+            c AS (
+              SELECT s, np, nn,
+                     CAST(coalesce(sum(nn) OVER (
+                       ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS below
+              FROM b),
+            o AS (
+              SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+                     CAST(sum(nn) AS BIGINT) AS n_neg,
+                     CAST(sum(np * (2 * below + nn)) AS BIGINT) AS u2
+              FROM c)
+            SELECT n_pos, n_neg, u2,
+                   round(CAST(u2 AS DOUBLE) / (2 * n_pos * n_neg), 6) AS auc
+            FROM o
+        """,
     # ema_smooth: recursive CTE walks the integer recurrence row-by-row
     # (rn join), a mechanism independent of the engine's array fold.
     "ema_smooth": """

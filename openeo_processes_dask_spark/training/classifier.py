@@ -136,3 +136,57 @@ def predict_logreg(
             F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("s") / F.lit(_SCALE)))
         ).alias("score"),
     )
+
+
+def auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact ROC AUC of a scorer against binary labels — the evaluation
+    step every quality-classifier pipeline runs after fit/predict.
+
+    ``label_col`` must be 0/1 (ints or booleans); NULL labels or scores
+    are excluded. Returns ONE row ``(n_pos, n_neg, u2, auc)`` where
+    ``u2`` is twice the Mann-Whitney U statistic (an exact int64 — ties
+    counted at half weight, hence the factor 2) and
+    ``auc = u2 / (2·n_pos·n_neg)`` rounded to 6 decimals. Degenerate
+    inputs (no positives or no negatives) yield NULL auc, not a crash.
+
+    Plan at 100 TB: AUC needs a global rank, but NOT over the raw rows —
+    group by DISTINCT score first (one corpus-keyed hash aggregate with
+    map-side combine), then the running-negatives window runs over the
+    distinct-score relation only (the vocab-rank pattern, cf.
+    jaccard_prefix_pairs): u2 = Σ_s np_s·(2·cum_nn_below + nn_s), all
+    integer, so the result is bit-identical under any partitioning.
+    """
+    from pyspark.sql import Window
+
+    lab = F.col(label_col).cast("int")
+    rows = df.where(
+        F.col(score_col).isNotNull() & lab.isin(0, 1)
+    ).select(F.col(score_col).alias("s"), lab.alias("y"))
+    by_score = rows.groupBy("s").agg(
+        F.sum("y").cast("long").alias("np"),
+        F.sum(1 - F.col("y")).cast("long").alias("nn"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = by_score.withColumn(
+        "below", F.coalesce(F.sum("nn").over(w), F.lit(0)).cast("long")
+    )
+    out = cum.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.sum(F.col("np") * (2 * F.col("below") + F.col("nn")))
+        .cast("long")
+        .alias("u2"),
+    )
+    return out.select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        # try_divide: a degenerate split (n_pos or n_neg = 0) must yield
+        # NULL, not an ANSI DIVIDE_BY_ZERO that kills the job
+        F.round(
+            F.try_divide(
+                F.col("u2"), 2.0 * F.col("n_pos") * F.col("n_neg")
+            ),
+            6,
+        ).alias("auc"),
+    )

@@ -389,6 +389,52 @@ def bm25_topk(
     )
 
 
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy (nats) of the whitespace-token
+    distribution — the standard gibberish/keyword-stuffing signal next
+    to the repetition ratios: natural prose sits in a band, while
+    single-token spam (H→0) and random-string noise (H→ln n) fall out
+    of it. CCNet/RedPajama-class pipelines threshold exactly this.
+
+    Returns ``(doc_id, n_tokens, n_distinct, entropy)`` for documents
+    with at least one token (empty/whitespace-only docs drop out);
+    ``entropy = ln(n) - sum(c·ln c)/n`` over per-token counts ``c``,
+    rounded to 6 decimals (the repo's float-output convention — absorbs
+    libm/summation-order ulps, cf. bm25_topk).
+
+    Plan at 100 TB: explode to (doc, token) → ONE hash aggregate keyed
+    (doc, token) → ONE keyed by doc — the token_count/vocabulary shape;
+    map-side partial aggregation absorbs within-doc repetition before
+    the shuffle, and no text beyond single tokens ever moves.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias(
+            "clogc"
+        ),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(
+            F.log(F.col("n_tokens").cast("double"))
+            - F.col("clogc") / F.col("n_tokens"),
+            6,
+        ).alias("entropy"),
+    )
+
+
 def chunk_text(
     df: DataFrame,
     id_col: str = "doc_id",

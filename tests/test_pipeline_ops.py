@@ -251,3 +251,76 @@ def test_quantize_and_chunk_plans_python_free(spark):
     docs = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
     r2 = plan_report(chunk_text(docs, chunk_tokens=3, overlap=1))
     assert r2.python_free and r2.exchanges == 0
+
+
+# --- token_entropy ------------------------------------------------------
+
+def test_token_entropy_known_values(spark):
+    import math
+
+    from openeo_processes_dask_spark.training.textanalysis import (
+        token_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # single token -> H = 0
+            (2, "a b c d"),          # uniform over 4 -> H = ln 4
+            (3, "a a b"),            # 2/3, 1/3
+            (4, "   "),              # whitespace-only -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["entropy"] == 0.0
+    assert got[1]["n_tokens"] == 4 and got[1]["n_distinct"] == 1
+    assert got[2]["entropy"] == round(math.log(4), 6)
+    h3 = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
+    assert abs(got[3]["entropy"] - h3) < 1e-6
+    assert got[3]["n_tokens"] == 3 and got[3]["n_distinct"] == 2
+
+
+def test_token_entropy_case_fold(spark):
+    from openeo_processes_dask_spark.training.textanalysis import (
+        token_entropy,
+    )
+
+    df = spark.createDataFrame([(1, "Word word WORD")], "doc_id long, text string")
+    r = token_entropy(df).collect()[0]
+    assert r["n_distinct"] == 1 and r["entropy"] == 0.0
+
+
+# --- classifier auc -----------------------------------------------------
+
+def test_auc_degenerate_and_null_handling(spark):
+    from openeo_processes_dask_spark.training.classifier import auc
+
+    # all-positive labels -> n_neg = 0 -> NULL auc, no crash
+    df = spark.createDataFrame([(0.1, 1), (0.9, 1)], "s double, y int")
+    r = auc(df, "s", "y").collect()[0]
+    assert r["n_neg"] == 0 and r["auc"] is None
+
+    # NULL scores/labels and out-of-domain labels are excluded
+    df2 = spark.createDataFrame(
+        [(0.9, 1), (0.1, 0), (None, 1), (0.5, None), (0.7, 2)],
+        "s double, y int",
+    )
+    r2 = auc(df2, "s", "y").collect()[0]
+    assert (r2["n_pos"], r2["n_neg"], r2["auc"]) == (1, 1, 1.0)
+
+
+def test_auc_partitioning_invariant_with_ties(spark):
+    from openeo_processes_dask_spark.training.classifier import auc
+
+    rows = [(float(i % 5), (i * 7 + 1) % 3 == 0) for i in range(200)]
+    df1 = spark.createDataFrame(rows, "s double, y boolean").repartition(13)
+    df2 = spark.createDataFrame(rows, "s double, y boolean").coalesce(1)
+    r1 = auc(df1, "s", "y").collect()[0]
+    r2 = auc(df2, "s", "y").collect()[0]
+    assert r1 == r2
+    # brute-force pairwise check
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    u = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    assert abs(r1["auc"] - u / (len(pos) * len(neg))) < 1e-6
