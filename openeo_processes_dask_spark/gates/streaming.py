@@ -556,6 +556,51 @@ def q_streaming_anomaly(spark, sf_dir):
     )
 
 
+def q_streaming_ema(spark, sf_dir):
+    """Online per-user EMA (streaming/sessions.py stream_ema,
+    applyInPandasWithState): one int64 of state per key, the integer
+    micro-unit recurrence applied on arrival. Single sorted-batch drain
+    == the batch ema operator row for row, so it shares ema_smooth's
+    recursive-CTE oracle."""
+    _setup(spark)
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.streaming.sessions import stream_ema
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream1_{os.path.basename(sf_dir)}"
+    )
+    if not os.path.isdir(stream_dir):
+        _table(spark, sf_dir, "events").orderBy("ts").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stream_dir)
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .parquet(stream_dir)
+        .select(
+            F.col("user_id").alias("k"), F.col("ts").alias("t"),
+            "event_id", "value",
+        )
+    )
+    out = stream_ema(stream, alpha_num=2, alpha_den=10)
+    name = f"q_sema_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("k").alias("user_id"), "event_id", "ema_micro"
+    )
+
+
 def q_streaming_count_min(spark, sf_dir):
     """Streaming Count-Min sketch (training/sketches.py
     stream_count_min): the d=4 x w=64 frequency table maintained as a
@@ -596,6 +641,7 @@ def q_streaming_count_min(spark, sf_dir):
 QUERIES = {
     "streaming_attribution": q_streaming_attribution,
     "streaming_anomaly": q_streaming_anomaly,
+    "streaming_ema": q_streaming_ema,
     "streaming_count_min": q_streaming_count_min,
     "streaming_daily_sum": q_streaming_daily_sum,
     "streaming_dedup": q_streaming_dedup,
@@ -617,6 +663,23 @@ ORACLES = {
                    count(*) AS cnt
             FROM events, (SELECT unnest([0, 1, 2, 3]) AS r) r
             GROUP BY 1, 2
+        """,
+    # streaming_ema: same recursive-CTE replay as the batch ema_smooth
+    # gate — the single sorted-batch drain must reproduce it exactly.
+    "streaming_ema": """
+            WITH RECURSIVE s AS (
+              SELECT user_id, event_id,
+                     CAST(round(value * 1000000) AS BIGINT) AS vm,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events),
+            e AS (
+              SELECT user_id, event_id, rn, vm AS ema FROM s WHERE rn = 1
+              UNION ALL
+              SELECT s.user_id, s.event_id, s.rn,
+                     CAST((2 * s.vm + 8 * e.ema) // 10 AS BIGINT)
+              FROM s JOIN e ON s.user_id = e.user_id AND s.rn = e.rn + 1)
+            SELECT user_id, event_id, ema AS ema_micro FROM e
         """,
     "streaming_anomaly": """
             SELECT event_id, band, value, round(z, 6) AS zscore

@@ -289,3 +289,79 @@ def stream_anomaly(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+EMA_OUTPUT = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ema_micro", LongType()),
+    ]
+)
+
+EMA_STATE = StructType([StructField("prev", LongType())])
+
+
+def stream_ema(
+    events: DataFrame,
+    alpha_num: int = 2,
+    alpha_den: int = 10,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``training.anomaly.ema``: the integer
+    micro-unit EMA recurrence applied ONLINE per key — live smoothed
+    telemetry while ingesting instead of a post-pass.
+
+    Input columns: ``k`` (int64 key), ``event_id`` (int64 tie-break),
+    ``t`` (timestamp), ``value`` (non-negative double). State per key is
+    ONE int64 (the running EMA in micro-units) — constant per key,
+    independent of stream length; contrast the window detector's
+    last-N-array. Within a micro-batch rows process in (t, event_id)
+    order, so a single sorted-batch drain replays the batch operator row
+    for row (pinned by test); across batches history follows arrival
+    order, as any online smoother must.
+    """
+    if not 0 < alpha_num <= alpha_den:
+        raise ValueError(
+            f"need 0 < alpha_num <= alpha_den, got {alpha_num}/{alpha_den}"
+        )
+    rest = alpha_den - alpha_num
+
+    def update(
+        key: Tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["t", "event_id"])
+        prev = int(state.get[0]) if state.exists else None
+        out = []
+        for eid, val in zip(
+            rows["event_id"].astype("int64"), rows["value"].astype("float64")
+        ):
+            v = float(val)
+            if v < 0:
+                raise ValueError("stream_ema requires non-negative values")
+            # half-up snap — mirrors the batch lane's F.round (Python's
+            # built-in round banker's-rounds and would diverge on .5)
+            vm = int(v * 1_000_000.0 + 0.5)
+            prev = vm if prev is None else (alpha_num * vm + rest * prev) // alpha_den
+            out.append((int(k), int(eid), prev))
+        state.update((prev,))
+        if out:
+            yield pd.DataFrame(out, columns=["k", "event_id", "ema_micro"])
+
+    return (
+        events.withWatermark("t", watermark)
+        .groupBy("k")
+        .applyInPandasWithState(
+            update,
+            outputStructType=EMA_OUTPUT,
+            stateStructType=EMA_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -174,3 +174,94 @@ def test_ema_rejects_bad_alpha_and_negative_values(spark):
         ema(df, "value", ["t"], ["k"], alpha_num=3, alpha_den=2)
     with pytest.raises(Exception, match="non-negative"):
         ema(df, "value", ["t"], ["k"]).collect()
+
+
+def test_stream_ema_matches_batch(spark, tmp_path):
+    """Single-batch drain of the online EMA must equal the batch fold
+    row for row (both walk the same integer recurrence)."""
+    import datetime as dt
+    import random
+
+    from openeo_processes_dask_spark.streaming.sessions import stream_ema
+    from openeo_processes_dask_spark.training.anomaly import ema
+
+    random.seed(11)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), i % 3, round(random.uniform(0, 50), 2))
+        for i in range(240)
+    ]
+    schema = "event_id bigint, t timestamp, k bigint, value double"
+    df = spark.createDataFrame(rows, schema)
+    d = str(tmp_path / "ema_src")
+    df.orderBy("t").coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(schema).parquet(d)
+    out = stream_ema(stream, alpha_num=3, alpha_den=7)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ema_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["k"], r["event_id"]): r["ema_micro"]
+        for r in spark.table("ema_test").collect()
+    }
+    exp = {
+        (r["k"], r["event_id"]): r["ema_micro"]
+        for r in ema(
+            df, "value", ["t", "event_id"], ["k"], alpha_num=3, alpha_den=7
+        ).collect()
+    }
+    assert got == exp and len(got) == 240
+
+
+def test_stream_ema_state_carries_across_batches(spark, tmp_path):
+    """Two sequential files -> two micro-batches: the second batch must
+    continue from the first's EMA, not restart."""
+    import datetime as dt
+
+    from openeo_processes_dask_spark.streaming.sessions import stream_ema
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id bigint, t timestamp, k bigint, value double"
+    d = str(tmp_path / "ema_src2")
+    b1 = spark.createDataFrame([(1, t0, 0, 10.0)], schema)
+    b1.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.option("maxFilesPerTrigger", 1).schema(schema).parquet(d)
+    out = stream_ema(stream, alpha_num=2, alpha_den=10)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ema_test2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    b2 = spark.createDataFrame(
+        [(2, t0 + dt.timedelta(minutes=1), 0, 20.0)], schema
+    )
+    b2.coalesce(1).write.mode("append").parquet(d)
+    q2 = (
+        stream_ema(
+            spark.readStream.option("maxFilesPerTrigger", 1)
+            .schema(schema)
+            .parquet(d),
+            alpha_num=2,
+            alpha_den=10,
+        )
+        .writeStream.format("memory")
+        .queryName("ema_test3")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got = {
+        r["event_id"]: r["ema_micro"]
+        for r in spark.table("ema_test3").collect()
+    }
+    # event 1: 10_000_000; event 2: (2*20e6 + 8*10e6) // 10 = 12_000_000
+    assert got == {1: 10_000_000, 2: 12_000_000}
