@@ -1030,6 +1030,23 @@ def q_audio_near_dups(spark, sf_dir):
     return audio_near_duplicates(lm, min_shared=8)
 
 
+def q_negative_samples(spark, sf_dir):
+    """Deterministic contrastive negative sampling (training/sampling.py
+    hash_negatives): seeded md5 candidate filter (~1/8 of the pool,
+    broadcast), seeded per-(query, candidate) score, top-5 per pair via
+    WindowGroupLimit. Pure hash functions of ids — the SQL oracle
+    replays the identical md5 arithmetic."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.sampling import hash_negatives
+
+    docs = _table(spark, sf_dir, "documents")
+    pairs = docs.where(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        (F.col("doc_id") + 1).alias("pos_id"),
+    )
+    return hash_negatives(pairs, docs, k=5, pool_mod=8, seed=42)
+
+
 def q_token_entropy(spark, sf_dir):
     """Per-document token-distribution Shannon entropy
     (training/textanalysis.py token_entropy): gibberish / keyword-spam
@@ -1372,6 +1389,7 @@ QUERIES = {
     "hybrid_rrf": q_hybrid_rrf,
     "ema_smooth": q_ema_smooth,
     "token_entropy": q_token_entropy,
+    "negative_samples": q_negative_samples,
     "classifier_auc": q_classifier_auc,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
@@ -1817,6 +1835,31 @@ ORACLES = {
     "subsequence_topk": _subsequence_topk_oracle_sql,
     "minhash_near_dups": _minhash_oracle_sql,
     "simhash_near_dups": _simhash_oracle_sql,
+    "negative_samples": """
+            WITH cand AS (
+              SELECT DISTINCT doc_id AS cand_id FROM documents
+              WHERE CAST('0x' || substr(md5('42-' ||
+                         CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                    % 8 = 0),
+            pairs AS (
+              SELECT doc_id AS query_id, doc_id + 1 AS pos_id
+              FROM documents WHERE doc_id % 17 = 0),
+            scored AS (
+              SELECT p.query_id, p.pos_id, c.cand_id,
+                     CAST('0x' || substr(md5('42-' ||
+                          CAST(p.query_id AS VARCHAR) || '-' ||
+                          CAST(c.cand_id AS VARCHAR)), 1, 15) AS BIGINT)
+                       AS score
+              FROM pairs p CROSS JOIN cand c
+              WHERE c.cand_id <> p.pos_id AND c.cand_id <> p.query_id),
+            ranked AS (
+              SELECT query_id, pos_id, cand_id,
+                     row_number() OVER (PARTITION BY query_id, pos_id
+                                        ORDER BY score, cand_id) AS neg_rank
+              FROM scored)
+            SELECT query_id, pos_id, neg_rank, cand_id AS neg_id
+            FROM ranked WHERE neg_rank <= 5
+        """,
     "token_entropy": """
             WITH toks AS (
               SELECT doc_id,

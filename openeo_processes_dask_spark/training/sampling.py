@@ -313,3 +313,80 @@ def top_quality_fraction(
         .where(F.col("__rk") <= F.ceil(F.lit(fraction) * F.col("__n")))
         .drop("__rk", "__n")
     )
+
+
+def hash_negatives(
+    pairs: DataFrame,
+    pool: DataFrame,
+    k: int = 4,
+    pool_mod: int = 64,
+    seed: int = 42,
+    query_col: str = "query_id",
+    pos_col: str = "pos_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs.
+
+    For each (query, positive) row, pick ``k`` pseudo-random negatives
+    from ``pool``: a seeded md5 hash filter keeps ~1/``pool_mod`` of the
+    pool as the shared CANDIDATE set, each (query, candidate) pair gets
+    a seeded hash score, and the k smallest scores win (ties impossible:
+    the score hash includes both ids). The query's positive — and any
+    candidate equal to the query id — are excluded before ranking.
+    Returns ``(query_id, pos_id, neg_rank, neg_id)`` with neg_rank
+    1..k. Pure functions of (seed, ids): reruns, retries, and
+    repartitioning reproduce the same negatives — auditable sampling,
+    the module's contract.
+
+    Plan at 100 TB: the candidate set is pool/``pool_mod`` rows of ONE
+    id column — scan-filtered at the source (no shuffle) and broadcast
+    into the cross join, so the only real cost is Q x C score rows
+    feeding a per-query top-k window, which Spark runs as
+    WindowGroupLimit (per-partition heaps, no global sort). Size
+    ``pool_mod`` so C x k-ish rows per query is acceptable; candidates
+    are shared across queries by design (in-batch-negatives style), NOT
+    resampled per query — that is what keeps the join broadcastable.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if pool_mod < 1:
+        raise ValueError(f"pool_mod must be >= 1, got {pool_mod}")
+    cand = (
+        pool.select(F.col(id_col).cast("long").alias("cand_id"))
+        .where(
+            _md5_to_long(
+                F.concat_ws("-", F.lit(str(seed)), F.col(id_col).cast("string"))
+            )
+            % pool_mod
+            == 0
+        )
+        .distinct()
+    )
+    p = pairs.select(
+        F.col(query_col).cast("long").alias("query_id"),
+        F.col(pos_col).cast("long").alias("pos_id"),
+    )
+    scored = (
+        p.join(F.broadcast(cand))
+        .where(
+            (F.col("cand_id") != F.col("pos_id"))
+            & (F.col("cand_id") != F.col("query_id"))
+        )
+        .withColumn(
+            "score",
+            _md5_to_long(
+                F.concat_ws(
+                    "-",
+                    F.lit(str(seed)),
+                    F.col("query_id").cast("string"),
+                    F.col("cand_id").cast("string"),
+                )
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id", "pos_id").orderBy("score", "cand_id")
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= k)
+        .select("query_id", "pos_id", "neg_rank", F.col("cand_id").alias("neg_id"))
+    )

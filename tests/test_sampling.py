@@ -313,3 +313,54 @@ def test_top_quality_fraction_edge_fractions(spark):
     )
     assert top_quality_fraction(df, "score", 0.0).count() == 0
     assert top_quality_fraction(df, "score", 1.0).count() == 2
+
+
+# --- hash_negatives -----------------------------------------------------
+
+def test_hash_negatives_excludes_pos_and_query_and_is_deterministic(spark):
+    from openeo_processes_dask_spark.training.sampling import hash_negatives
+
+    pool = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "query_id long, pos_id long"
+    )
+    out = hash_negatives(pairs, pool, k=3, pool_mod=2, seed=7)
+    rows = out.collect()
+    # every pair gets exactly k negatives; none equal pos or query
+    by_pair = {}
+    for r in rows:
+        by_pair.setdefault((r["query_id"], r["pos_id"]), []).append(r)
+    assert set(by_pair) == {(1, 2), (3, 4), (5, 6)}
+    for (q, p), rs in by_pair.items():
+        assert sorted(x["neg_rank"] for x in rs) == [1, 2, 3]
+        assert all(x["neg_id"] not in (q, p) for x in rs)
+    # determinism under repartitioning
+    out2 = hash_negatives(pairs.repartition(5), pool.repartition(7), k=3,
+                          pool_mod=2, seed=7)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, out2.collect()))
+    # a different seed picks different negatives
+    out3 = hash_negatives(pairs, pool, k=3, pool_mod=2, seed=8)
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, out3.collect()))
+
+
+def test_hash_negatives_plan_broadcasts_candidates(spark):
+    from openeo_processes_dask_spark.diagnostics import plan_report
+    from openeo_processes_dask_spark.training.sampling import hash_negatives
+
+    pool = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2)], "query_id long, pos_id long")
+    r = plan_report(hash_negatives(pairs, pool, k=2, pool_mod=1))
+    assert "BroadcastNestedLoopJoin" in r.text or "BroadcastHashJoin" in r.text
+
+
+def test_hash_negatives_validates(spark):
+    import pytest
+
+    from openeo_processes_dask_spark.training.sampling import hash_negatives
+
+    pool = spark.createDataFrame([(1,)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2)], "query_id long, pos_id long")
+    with pytest.raises(ValueError):
+        hash_negatives(pairs, pool, k=0)
+    with pytest.raises(ValueError):
+        hash_negatives(pairs, pool, pool_mod=0)
