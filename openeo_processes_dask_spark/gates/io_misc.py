@@ -628,6 +628,22 @@ def q_manifest_timetravel(spark, sf_dir):
     return out.select("version", "lang", "n_docs", "total_chars")
 
 
+def q_range_bounds(spark, sf_dir):
+    """Exact equi-depth range-partition bounds
+    (sources/maintenance.py range_partition_bounds) over
+    lineitem.l_extendedprice, 16 buckets: the distinct-value running
+    count picks the smallest value reaching each exact ceil(b*n/16)
+    target — deterministic where repartitionByRange samples. Integer
+    targets + on-data bounds => zero-tolerance oracle."""
+    _setup(spark)
+    from openeo_processes_dask_spark.sources.maintenance import (
+        range_partition_bounds,
+    )
+
+    li = _table(spark, sf_dir, "lineitem")
+    return range_partition_bounds(li, "l_extendedprice", 16)
+
+
 def q_json_extract(spark, sf_dir):
     """Embedded-JSON ingestion (sources/jsonl.py parse_json_column): the
     events.props column holds JSON blobs; from_json projects the typed
@@ -664,9 +680,29 @@ QUERIES = {
     "time_partitioned_roundtrip": q_time_partitioned_roundtrip,
     "stat_pruned_read": q_stat_pruned_read,
     "json_extract": q_json_extract,
+    "range_bounds": q_range_bounds,
 }
 
 ORACLES = {
+    "range_bounds": """
+            WITH v AS (
+              SELECT l_extendedprice AS v, count(*) AS c
+              FROM lineitem WHERE l_extendedprice IS NOT NULL
+              GROUP BY 1),
+            cum AS (
+              SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum
+              FROM v),
+            t AS (SELECT CAST(max(cum) AS BIGINT) AS n FROM cum),
+            b AS (SELECT unnest(generate_series(1, 15)) AS bucket),
+            tg AS (
+              SELECT bucket,
+                     CAST((bucket * n + 15) // 16 AS BIGINT) AS target
+              FROM b, t)
+            SELECT bucket, min(cum.v) AS upper,
+                   CAST(min(cum.cum) AS BIGINT) AS rows_below
+            FROM tg JOIN cum ON cum.cum >= tg.target
+            GROUP BY bucket
+        """,
     "json_extract": """
             SELECT CAST(props::JSON->>'k' AS INTEGER) % 10 AS k_bucket,
                    CAST(count(*) AS BIGINT) AS n,

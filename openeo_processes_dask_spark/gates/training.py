@@ -1075,6 +1075,18 @@ def q_classifier_auc(spark, sf_dir):
     return auc(scored, "s", "y")
 
 
+def q_autocorr(spark, sf_dir):
+    """Per-user lag-1 autocorrelation (training/anomaly.py
+    autocorr_lag1): micro-snapped values, EXACT decimal moments (order-
+    independent sums), float only in the final Pearson combination of
+    six exact scalars — mirrored term for term by the hugeint oracle."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.anomaly import autocorr_lag1
+
+    ev = _table(spark, sf_dir, "events")
+    return autocorr_lag1(ev, "value", ["ts", "event_id"], ["user_id"])
+
+
 def q_ema_smooth(spark, sf_dir):
     """Per-user exponential moving average (training/anomaly.py ema):
     integer micro-unit recurrence with rational alpha=2/10 folded over
@@ -1388,6 +1400,7 @@ QUERIES = {
     "jaccard_prefix": q_jaccard_prefix,
     "hybrid_rrf": q_hybrid_rrf,
     "ema_smooth": q_ema_smooth,
+    "autocorr": q_autocorr,
     "token_entropy": q_token_entropy,
     "negative_samples": q_negative_samples,
     "classifier_auc": q_classifier_auc,
@@ -1900,6 +1913,40 @@ ORACLES = {
             SELECT n_pos, n_neg, u2,
                    round(CAST(u2 AS DOUBLE) / (2 * n_pos * n_neg), 6) AS auc
             FROM o
+        """,
+    "autocorr": """
+            WITH s AS (
+              SELECT user_id,
+                     CAST(round(value * 1000000) AS BIGINT) AS x,
+                     lag(CAST(round(value * 1000000) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS y
+              FROM events),
+            p AS (SELECT user_id, x, y FROM s WHERE y IS NOT NULL),
+            a AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                     sum(CAST(x AS HUGEINT)) AS sx,
+                     sum(CAST(y AS HUGEINT)) AS sy,
+                     sum(CAST(x AS HUGEINT) * x) AS sxx,
+                     sum(CAST(y AS HUGEINT) * y) AS syy,
+                     sum(CAST(x AS HUGEINT) * y) AS sxy
+              FROM p GROUP BY 1)
+            SELECT user_id, n_pairs,
+                   CASE WHEN n_pairs >= 2
+                         AND CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                         AND CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                        THEN round(
+                          (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / sqrt(
+                            (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                          6)
+                   END AS corr
+            FROM a
         """,
     # ema_smooth: recursive CTE walks the integer recurrence row-by-row
     # (rn join), a mechanism independent of the engine's array fold.

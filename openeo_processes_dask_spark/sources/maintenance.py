@@ -107,3 +107,66 @@ def compact_parquet(
         out = df.repartition(n)
     out.write.mode("overwrite").parquet(dst)
     return len(_fs_file_sizes(spark, dst))
+
+
+def range_partition_bounds(
+    df: DataFrame, col: str, n_buckets: int
+) -> DataFrame:
+    """EXACT equi-depth range-partition boundaries for ``col`` — the
+    planning step before a range-partitioned write or a custom range
+    shuffle: pick bounds so each of ``n_buckets`` ranges holds (as close
+    as value ties allow) the same row count. Spark's own
+    ``repartitionByRange`` SAMPLES (reservoir per partition) and is
+    neither exact nor deterministic across runs; this operator pays one
+    aggregate for bounds that are both.
+
+    Returns ``(bucket, upper, rows_below)`` for bucket = 1..n_buckets-1:
+    ``upper`` is the smallest value v such that at least
+    ``bucket * n / n_buckets`` rows have value <= v (the classic exact
+    phi-quantile: phi = bucket/n_buckets), and ``rows_below`` is the
+    exact count of rows <= v. NULLs are excluded (route them to a
+    dedicated partition). Ties make perfectly equal buckets impossible;
+    the bound always lands ON a data value, so the split is
+    reproducible bit-for-bit.
+
+    Plan at 100 TB: ONE hash aggregate by distinct value (map-side
+    combine collapses duplicates before the shuffle), then the
+    running-count window runs over the DISTINCT-VALUE relation only —
+    the same distinct-first shape as the exact-AUC operator; the raw
+    table is scanned exactly once and never globally sorted.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    from pyspark.sql import Window
+
+    by_val = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = by_val.withColumn("cum", F.sum("c").over(w).cast("long"))
+    # total rows: the max cumulative count — window-derived, no 2nd scan
+    total = cum.agg(F.max("cum").alias("n"))
+    buckets = total.select(
+        F.explode(F.sequence(F.lit(1), F.lit(n_buckets - 1))).alias(
+            "bucket"
+        ),
+        "n",
+    ).withColumn(
+        # ceil(bucket*n/n_buckets) in pure integer arithmetic
+        "target",
+        F.expr(f"CAST((bucket * n + {n_buckets} - 1) div {n_buckets} AS BIGINT)"),
+    )
+    # smallest v whose running count reaches the target
+    hit = (
+        buckets.join(cum, F.col("cum") >= F.col("target"))
+        .groupBy("bucket")
+        .agg(
+            # cum is strictly increasing over distinct v, so min v and
+            # min cum name the same row
+            F.min("v").alias("upper"),
+            F.min("cum").alias("rows_below"),
+        )
+    )
+    return hit.select("bucket", "upper", F.col("rows_below").cast("long").alias("rows_below"))

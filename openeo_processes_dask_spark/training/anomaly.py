@@ -158,3 +158,56 @@ def ema(
         F.col("z.xs.v").alias(value_col),
         F.col("z.emas").alias(out_col),
     )
+
+
+def autocorr_lag1(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key lag-1 autocorrelation — the drift/seasonality screen next
+    to :func:`rolling_zscore` (white noise ~0, trending series ~1,
+    alternating load ~-1).
+
+    Determinism: values snap to integer micro-units and ALL five moments
+    (sums of x, y, x^2, y^2, x*y over the (x_t, x_{t-1}) pairs) are
+    EXACT decimal(38,0) sums — order-independent, so the only float math
+    is the final Pearson combination of six exact scalars, identical in
+    any engine. Returns ``partition_cols + (n_pairs, corr)`` with corr
+    rounded to 6 decimals, NULL when fewer than 2 pairs or zero
+    variance.
+
+    Plan at 100 TB: one lag window per key (single sort within the
+    key's partition), one hash aggregate — no self-join, no collect.
+    """
+    keys = partition_cols or []
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_cols])
+    xm = (
+        F.round(F.col(value_col).cast("double") * F.lit(1_000_000.0))
+        .cast("decimal(18,0)")
+    )
+    paired = (
+        df.withColumn("__x", xm)
+        .withColumn("__y", F.lag("__x").over(w))
+        .where(F.col("__y").isNotNull())
+    )
+    agg = paired.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("syy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    corr = F.when(
+        (F.col("n_pairs") >= 2) & (vx > 0) & (vy > 0),
+        F.round((n * sxy - sx * sy) / F.sqrt(vx * vy), 6),
+    )
+    return agg.select(*keys, "n_pairs", corr.alias("corr"))

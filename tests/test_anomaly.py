@@ -265,3 +265,49 @@ def test_stream_ema_state_carries_across_batches(spark, tmp_path):
     }
     # event 1: 10_000_000; event 2: (2*20e6 + 8*10e6) // 10 = 12_000_000
     assert got == {1: 10_000_000, 2: 12_000_000}
+
+
+def test_autocorr_lag1_known_series(spark):
+    import numpy as np
+
+    from openeo_processes_dask_spark.training.anomaly import autocorr_lag1
+
+    rows = [("alt", i, float((i % 2) * 10)) for i in range(20)]
+    rows += [("lin", i, float(i)) for i in range(20)]
+    rows += [("const", i, 5.0) for i in range(5)]
+    rows += [("short", 0, 1.0)]  # no pairs at all
+    df = spark.createDataFrame(rows, "k string, t long, value double")
+    got = {
+        r["k"]: (r["n_pairs"], r["corr"])
+        for r in autocorr_lag1(df, "value", ["t"], ["k"]).collect()
+    }
+    assert got["alt"] == (19, -1.0)
+    assert got["lin"] == (19, 1.0)
+    assert got["const"][1] is None  # zero variance
+    assert "short" not in got  # lag leaves zero pairs -> no row
+    # noisy series vs numpy
+    vals = [((i * 37 + 11) % 100) / 4.0 for i in range(50)]
+    df2 = spark.createDataFrame(
+        [("n", i, v) for i, v in enumerate(vals)],
+        "k string, t long, value double",
+    )
+    r = autocorr_lag1(df2, "value", ["t"], ["k"]).collect()[0]
+    x = np.array(vals)
+    assert abs(r["corr"] - np.corrcoef(x[1:], x[:-1])[0, 1]) < 1e-6
+
+
+def test_autocorr_partitioning_invariant(spark):
+    from openeo_processes_dask_spark.training.anomaly import autocorr_lag1
+
+    rows = [("k", i, ((i * 13 + 5) % 97) / 3.0) for i in range(200)]
+    a = autocorr_lag1(
+        spark.createDataFrame(rows, "k string, t long, value double")
+        .repartition(11),
+        "value", ["t"], ["k"],
+    ).collect()
+    b = autocorr_lag1(
+        spark.createDataFrame(rows, "k string, t long, value double")
+        .coalesce(1),
+        "value", ["t"], ["k"],
+    ).collect()
+    assert a == b

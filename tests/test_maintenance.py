@@ -316,3 +316,47 @@ def test_semdedup_keeps_canonical_per_semantic_group(spark):
     out2 = {r["id"]: r["keep"] for r in semdedup(
         df, k=4, threshold=0.999, max_cluster_pairs_per_vector=2).collect()}
     assert out == out2
+
+
+# --- range_partition_bounds ---------------------------------------------
+
+def test_range_bounds_known_distribution(spark):
+    from openeo_processes_dask_spark.sources.maintenance import (
+        range_partition_bounds,
+    )
+
+    # 100 rows over values 0..9 (10 each); quartile targets 25/50/75
+    df = spark.createDataFrame([(i % 10,) for i in range(100)], "x int")
+    got = sorted(
+        (r["bucket"], r["upper"], r["rows_below"])
+        for r in range_partition_bounds(df, "x", 4).collect()
+    )
+    assert got == [(1, 2, 30), (2, 4, 50), (3, 7, 80)]
+
+
+def test_range_bounds_skew_and_nulls(spark):
+    from openeo_processes_dask_spark.sources.maintenance import (
+        range_partition_bounds,
+    )
+
+    # one dominant value swallows several targets; NULLs excluded
+    rows = [(5,)] * 90 + [(1,)] * 5 + [(9,)] * 5 + [(None,)] * 10
+    df = spark.createDataFrame(rows, "x int").repartition(7)
+    got = {
+        r["bucket"]: (r["upper"], r["rows_below"])
+        for r in range_partition_bounds(df, "x", 4).collect()
+    }
+    # n=100 (non-null); targets 25, 50, 75 -> all land on the hot value 5
+    assert got == {1: (5, 95), 2: (5, 95), 3: (5, 95)}
+
+
+def test_range_bounds_validates(spark):
+    import pytest
+
+    from openeo_processes_dask_spark.sources.maintenance import (
+        range_partition_bounds,
+    )
+
+    df = spark.createDataFrame([(1,)], "x int")
+    with pytest.raises(ValueError):
+        range_partition_bounds(df, "x", 1)
