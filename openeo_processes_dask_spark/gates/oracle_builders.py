@@ -1352,3 +1352,92 @@ def _tokenize_pack_oracle_sql(
                - greatest(s, segment * {budget}) AS seg_tokens
         FROM segs
     """
+
+
+def _harmonic_oracle_sql(
+    iterations: int = 3, p: int = 4, n_mod: int = 61
+) -> str:
+    """Twin of training.graph.harmonic_centrality over the q_harmonic
+    synthetic directed graph: identical md5 register construction,
+    union-max iterations unrolled as CTE pairs, and the identical
+    float tail (exact int64 register sum -> one division + linear
+    counting), so the 6-decimal compare is zero-tolerance."""
+    m = 1 << p
+    bits = 60 - p
+    shift_base = bits + 1
+    two_s = 1 << shift_base
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m)
+    )
+    amm = repr(alpha * m * m)
+    lin_cut = repr(2.5 * m)
+    mf = repr(float(m))
+    ctes = [
+        f"""gen AS (
+          SELECT doc_id % {n_mod} AS src, (doc_id * 13 + 5) % {n_mod} AS dst
+          FROM documents
+          UNION ALL
+          SELECT (doc_id * 3 + 1) % {n_mod}, (doc_id * 11 + 2) % {n_mod}
+          FROM documents
+          UNION ALL
+          SELECT (doc_id * 7 + 3) % {n_mod}, (doc_id * 5 + 1) % {n_mod}
+          FROM documents)""",
+        """edges AS (
+          SELECT DISTINCT src, dst FROM gen WHERE src <> dst)""",
+        """nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges)""",
+        f"""hsh AS (
+          SELECT node,
+                 CAST('0x' || substr(md5('hll-' || CAST(node AS VARCHAR)),
+                      1, 15) AS BIGINT) AS h
+          FROM nodes)""",
+        f"""r0 AS (
+          SELECT node, CAST(h % {m} AS INT) AS bucket,
+                 CAST(CASE WHEN h // {1 << p} > 0
+                      THEN {bits} - floor(log2(h // {1 << p}))
+                      ELSE {bits + 1} END AS INT) AS rho
+          FROM hsh)""",
+    ]
+
+    def est_cte(t: int) -> str:
+        return f"""b{t} AS (
+          SELECT node,
+                 CASE WHEN {amm} / (CAST(s_int AS DOUBLE) / {repr(float(two_s))})
+                        <= {lin_cut} AND cnt < {m}
+                      THEN {mf} * ln({mf} / ({m} - cnt))
+                      ELSE {amm} / (CAST(s_int AS DOUBLE) / {repr(float(two_s))})
+                 END AS b{t}
+          FROM (
+            SELECT node, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(CAST(1 AS BIGINT) << ({shift_base} - rho))
+                        + ({m} - count(*)) * CAST({two_s} AS BIGINT)
+                     AS BIGINT) AS s_int
+            FROM r{t} GROUP BY node))"""
+
+    ctes.append(est_cte(0))
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"""n{t} AS (
+          SELECT e.src AS node, r.bucket, r.rho
+          FROM edges e JOIN r{t - 1} r ON e.dst = r.node)"""
+        )
+        ctes.append(
+            f"""r{t} AS (
+          SELECT node, bucket, CAST(max(rho) AS INT) AS rho
+          FROM (SELECT * FROM r{t - 1} UNION ALL SELECT * FROM n{t})
+          GROUP BY node, bucket)"""
+        )
+        ctes.append(est_cte(t))
+    joins = " ".join(
+        f"JOIN b{t} ON b{t}.node = b0.node" for t in range(1, iterations + 1)
+    )
+    terms = " + ".join(
+        f"(b{t} - b{t - 1}) / {repr(float(t))}"
+        for t in range(1, iterations + 1)
+    )
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT b0.node, round({terms}, 6) AS harmonic
+        FROM b0 {joins}
+    """

@@ -20,6 +20,7 @@ from .oracle_builders import (
     _video_near_dups_oracle_sql,
     _image_near_dups_oracle_sql,
     _pagerank_oracle_sql,
+    _harmonic_oracle_sql,
     _semdedup_oracle_sql,
     _logreg_quality_oracle_sql,
     _subsequence_topk_oracle_sql,
@@ -1339,6 +1340,31 @@ def q_pagerank(spark, sf_dir):
     return pagerank(edges, iterations=4)
 
 
+def q_harmonic(spark, sf_dir):
+    """HyperBall harmonic centrality (training/graph.py
+    harmonic_centrality, Boldi & Vigna 2013) over the 61-node directed
+    synthetic graph: per-node HLL register tables (p=4), 3 union-max
+    iterations, estimates from EXACT int64 register sums — the unrolled
+    CTE oracle replays registers AND the float tail term for term."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.graph import (
+        harmonic_centrality,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    n = 61
+    gens = [(1, 0, 13, 5), (3, 1, 11, 2), (7, 3, 5, 1)]
+    parts = [
+        docs.select(
+            ((F.col("doc_id") * ma + ca) % n).alias("src"),
+            ((F.col("doc_id") * mb + cb) % n).alias("dst"),
+        )
+        for (ma, ca, mb, cb) in gens
+    ]
+    edges = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return harmonic_centrality(edges, iterations=3, p=4)
+
+
 def q_triangle_count(spark, sf_dir):
     """Per-node triangle counts (training/graph.py triangle_counts):
     degree-ordered orientation so each triangle is enumerated once and
@@ -1437,6 +1463,7 @@ QUERIES = {
     "semdedup": q_semdedup,
     "pagerank": q_pagerank,
     "triangle_count": q_triangle_count,
+    "harmonic": q_harmonic,
     "corpus_diff": q_corpus_diff,
     "bpe_tokens": q_bpe_tokens,
     "image_near_dups": q_image_near_dups,
@@ -2377,6 +2404,7 @@ ORACLES = {
             FROM documents GROUP BY 1, 2
         """,
     "pagerank": _pagerank_oracle_sql,
+    "harmonic": _harmonic_oracle_sql,
     # triangle_count: exact counting, so the oracle skips the engine's
     # degree-orientation entirely and enumerates u<v<w by node id — an
     # independent construction of the same answer.

@@ -206,3 +206,127 @@ def triangle_counts(
             F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
         )
     )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    iterations: int = 3,
+    p: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_interval: int = 4,
+) -> DataFrame:
+    """Approximate harmonic centrality via HyperBall (Boldi & Vigna,
+    2013) — the authority metric Common Crawl actually publishes for its
+    host graph, and the third leg of the link-analytics lane beside
+    :func:`pagerank` and :func:`triangle_counts`.
+
+    Each node carries a HyperLogLog register table (2^p registers, the
+    md5-derived construction of ``training.sketches``) approximating its
+    out-ball B_t(v) = nodes reachable in <= t hops; one iteration is
+    register-union with the out-neighbors' tables (entrywise max — ONE
+    join edge->registers + ONE max aggregate, the pagerank shape).
+    Pass reversed edges for the classic "who reaches me" direction.
+    Returns ``(node, harmonic)`` with
+    ``harmonic = sum_t (|B_t| - |B_{t-1}|) / t`` over the HLL estimates
+    (round 6); estimator noise can make a step negative — kept as-is so
+    the oracle replays exactly.
+
+    Bit-stability: registers are small ints under max-merge (idempotent,
+    commutative — any partitioning), and the per-node estimate sums
+    2^(S-rho) as EXACT int64 before ONE float division + the standard
+    linear-counting branch, so even the float tail is a pure function of
+    the register table. Per-node state is 2^p registers — at 100 TB the
+    register relation is nodes x 2^p rows, edges never widen, and
+    lineage is truncated every ``checkpoint_interval`` rounds.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if not 4 <= p <= 12:
+        raise ValueError(f"p must be in [4, 12], got {p}")
+    m = 1 << p
+    bits = 60 - p
+    shift_base = bits + 1  # rho in [1, bits+1] -> exponent >= 0
+    two_pow = float(1 << shift_base)
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m)
+    )
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll-"), F.col("node").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    rest = F.shiftright(h, p)
+    rho = (
+        F.when(
+            rest > 0,
+            F.lit(bits) - F.floor(F.log2(rest.cast("double"))).cast("int"),
+        )
+        .otherwise(F.lit(bits + 1))
+        .cast("int")
+    )
+    regs = nodes.select(
+        "node", (h % F.lit(m)).cast("int").alias("bucket"), rho.alias("rho")
+    )
+
+    def estimate(r: DataFrame, name: str) -> DataFrame:
+        g = r.groupBy("node").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.expr(f"shiftleft(1L, {shift_base} - rho)"))
+            .cast("long")
+            .alias("s_present"),
+        )
+        s = (
+            F.col("s_present")
+            + (F.lit(m) - F.col("cnt")) * F.lit(1 << shift_base).cast("long")
+        ).cast("double") / F.lit(two_pow)
+        raw = F.lit(alpha * m * m) / s
+        est = F.when(
+            (raw <= F.lit(2.5 * m)) & (F.col("cnt") < m),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - F.col("cnt"))),
+        ).otherwise(raw)
+        return g.select("node", est.alias(name))
+
+    balls = [estimate(regs, "b0")]
+    r = regs
+    for t in range(1, iterations + 1):
+        nbr = (
+            e.alias("e")
+            .join(r.alias("r"), F.col("e.dst") == F.col("r.node"))
+            .select(
+                F.col("e.src").alias("node"),
+                F.col("r.bucket").alias("bucket"),
+                F.col("r.rho").alias("rho"),
+            )
+        )
+        r = (
+            r.unionByName(nbr)
+            .groupBy("node", "bucket")
+            .agg(F.max("rho").alias("rho"))
+        )
+        if t % checkpoint_interval == 0 and t < iterations:
+            r = r.localCheckpoint(eager=True)
+        balls.append(estimate(r, f"b{t}"))
+    out = balls[0]
+    for b in balls[1:]:
+        out = out.join(b, "node")
+    acc = None
+    for t in range(1, iterations + 1):
+        term = (F.col(f"b{t}") - F.col(f"b{t - 1}")) / F.lit(float(t))
+        acc = term if acc is None else acc + term
+    return out.select("node", F.round(acc, 6).alias("harmonic"))

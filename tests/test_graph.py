@@ -131,3 +131,92 @@ def test_triangles_triangle_free(spark):
     df = spark.createDataFrame(cyc, ["src", "dst"])
     rows = triangle_counts(df).collect()
     assert len(rows) == 8 and all(r["triangles"] == 0 for r in rows)
+
+
+# --- harmonic_centrality (HyperBall) ------------------------------------
+
+def test_harmonic_python_replay(spark):
+    import hashlib
+    import math
+
+    from openeo_processes_dask_spark.training.graph import (
+        harmonic_centrality,
+    )
+
+    edges = [(i % 23, (i * 7 + 2) % 23) for i in range(60)]
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(5)
+    got = {
+        r["node"]: r["harmonic"]
+        for r in harmonic_centrality(df, iterations=2, p=4).collect()
+    }
+
+    p, m, bits, S, alpha = 4, 16, 56, 57, 0.673
+    E = sorted({(a, b) for a, b in edges if a != b})
+    nodes = sorted({a for a, _ in E} | {b for _, b in E})
+
+    def reg(n):
+        h = int(hashlib.md5(f"hll-{n}".encode()).hexdigest()[:15], 16)
+        rest = h >> p
+        rho = (bits - math.floor(math.log2(rest))) if rest > 0 else bits + 1
+        return h % m, int(rho)
+
+    def est(regs):
+        cnt = len(regs)
+        s_int = sum(1 << (S - r) for r in regs.values()) + (m - cnt) * (1 << S)
+        raw = alpha * m * m / (float(s_int) / float(1 << S))
+        if raw <= 2.5 * m and cnt < m:
+            return m * math.log(m / (m - cnt))
+        return raw
+
+    R = {n: dict([reg(n)]) for n in nodes}
+    nbrs = {}
+    for a, b in E:
+        nbrs.setdefault(a, []).append(b)
+    balls = {n: [est(R[n])] for n in nodes}
+    for _ in range(2):
+        R2 = {}
+        for n in nodes:
+            merged = dict(R[n])
+            for u in nbrs.get(n, []):
+                for bk, r in R[u].items():
+                    if merged.get(bk, 0) < r:
+                        merged[bk] = r
+            R2[n] = merged
+        R = R2
+        for n in nodes:
+            balls[n].append(est(R[n]))
+    exp = {
+        n: round(sum((balls[n][t] - balls[n][t - 1]) / t for t in (1, 2)), 6)
+        for n in nodes
+    }
+    assert got == exp
+
+
+def test_harmonic_star_center_highest(spark):
+    from openeo_processes_dask_spark.training.graph import (
+        harmonic_centrality,
+    )
+
+    # hub 0 reaches everyone in 1 hop; leaves reach only the hub's ball
+    # one hop later — the hub must dominate
+    star = [(0, i) for i in range(1, 12)] + [(i, 0) for i in range(1, 12)]
+    df = spark.createDataFrame(star, "src long, dst long")
+    got = {
+        r["node"]: r["harmonic"]
+        for r in harmonic_centrality(df, iterations=2, p=6).collect()
+    }
+    assert max(got, key=got.get) == 0
+
+
+def test_harmonic_validates(spark):
+    import pytest
+
+    from openeo_processes_dask_spark.training.graph import (
+        harmonic_centrality,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        harmonic_centrality(df, iterations=0)
+    with pytest.raises(ValueError):
+        harmonic_centrality(df, p=3)
