@@ -1441,3 +1441,84 @@ def _harmonic_oracle_sql(
         SELECT b0.node, round({terms}, 6) AS harmonic
         FROM b0 {joins}
     """
+
+
+def _minhash_incremental_oracle_sql(
+    n: int = 3, num_hashes: int = 64, bands: int = 16, threshold: float = 0.2,
+    seed: int = 42,
+) -> str:
+    """Twin of training.dedup.minhash_incremental over the
+    q_minhash_incremental fixture (new batch = doc_id%5==0, id+1e6,
+    ' qq7' appended): identical coefficients and banding, candidate join
+    restricted to new x seen, agreement rounded to 6 before the
+    threshold — exactly as the engine filters."""
+    import random
+
+    from openeo_processes_dask_spark.training.dedup import _P
+
+    rnd = random.Random(seed)
+    coeffs = [
+        (rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)
+    ]
+    rows_per_band = num_hashes // bands
+    mins = ",\n                ".join(
+        f"min(({a} * x + {b}) % {_P}) AS h{i}" for i, (a, b) in enumerate(coeffs)
+    )
+
+    def band_selects(src: str) -> str:
+        return "\n            UNION ALL ".join(
+            "SELECT id, {bi} AS band, md5(concat_ws(',', {cols})) AS bucket FROM {src}".format(
+                bi=bi,
+                src=src,
+                cols=", ".join(
+                    f"CAST(h{bi * rows_per_band + j} AS VARCHAR)"
+                    for j in range(rows_per_band)
+                ),
+            )
+            for bi in range(bands)
+        )
+
+    agree = " + ".join(
+        f"(CASE WHEN s1.h{i} = s2.h{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    xl = _MD5LONG.format(v="s")
+    return f"""
+        WITH seen_docs AS (
+          SELECT doc_id AS id, text FROM documents),
+        new_docs AS (
+          SELECT doc_id + 1000000 AS id, text || ' qq7' AS text
+          FROM documents WHERE doc_id % 5 = 0),
+        toks_seen AS (
+          SELECT id, string_split_regex(trim(lower(text)), '\\s+') AS w
+          FROM seen_docs),
+        toks_new AS (
+          SELECT id, string_split_regex(trim(lower(text)), '\\s+') AS w
+          FROM new_docs),
+        sh_seen AS (
+          SELECT DISTINCT id,
+                 unnest(list_transform(generate_series(1, len(w) - {n - 1}),
+                        i -> array_to_string(w[i:i+{n - 1}], ' '))) AS s
+          FROM toks_seen WHERE len(w) >= {n}),
+        sh_new AS (
+          SELECT DISTINCT id,
+                 unnest(list_transform(generate_series(1, len(w) - {n - 1}),
+                        i -> array_to_string(w[i:i+{n - 1}], ' '))) AS s
+          FROM toks_new WHERE len(w) >= {n}),
+        xs_seen AS (SELECT id, {xl} % {_P} AS x FROM sh_seen),
+        xs_new AS (SELECT id, {xl} % {_P} AS x FROM sh_new),
+        sigs_seen AS (SELECT id, {mins} FROM xs_seen GROUP BY id),
+        sigs_new AS (SELECT id, {mins} FROM xs_new GROUP BY id),
+        banded_seen AS ({band_selects("sigs_seen")}),
+        banded_new AS ({band_selects("sigs_new")}),
+        cands AS (
+          SELECT DISTINCT a.id AS new_id, b.id AS seen_id
+          FROM banded_new a JOIN banded_seen b
+            ON a.band = b.band AND a.bucket = b.bucket)
+        SELECT new_id, seen_id,
+               round(({agree}) / {float(num_hashes)}, 6) AS est_jaccard
+        FROM cands
+        JOIN sigs_new s1 ON s1.id = new_id
+        JOIN sigs_seen s2 ON s2.id = seen_id
+        WHERE round(({agree}) / {float(num_hashes)}, 6) >= {threshold}
+    """

@@ -30,6 +30,7 @@ from .oracle_builders import (
     _kmeans_oracle_sql,
     _lsh_topk_oracle_sql,
     _minhash_oracle_sql,
+    _minhash_incremental_oracle_sql,
     _pq_topk_oracle_sql,
     _simhash_oracle_sql,
 )
@@ -245,6 +246,29 @@ def q_minhash_near_dups(spark, sf_dir):
         docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.2
     )
     return _round6(out, "est_jaccard")
+
+
+def q_minhash_incremental(spark, sf_dir):
+    """Cross-snapshot NEAR-dup screen (training/dedup.py
+    minhash_incremental): new batch (doc_id%5==0, id+1e6, ' qq7'
+    appended) banded against the seen corpus' signature table — archive
+    text never rescanned, candidates strictly new x seen. Same hash
+    family as the batch gate; oracle replays both signature sets."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import (
+        minhash_incremental,
+        minhash_signatures,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    seen_sigs = minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=64)
+    new = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq7")).alias("text"),
+    )
+    return minhash_incremental(
+        new, seen_sigs, n=3, num_hashes=64, bands=16, threshold=0.2
+    )
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -1431,6 +1455,7 @@ QUERIES = {
     "negative_samples": q_negative_samples,
     "classifier_auc": q_classifier_auc,
     "minhash_near_dups": q_minhash_near_dups,
+    "minhash_incremental": q_minhash_incremental,
     "simhash_near_dups": q_simhash_near_dups,
     "cosine_topk": q_cosine_topk,
     "lsh_topk": q_lsh_topk,
@@ -1874,6 +1899,7 @@ ORACLES = {
     "logreg_quality": _logreg_quality_oracle_sql,
     "subsequence_topk": _subsequence_topk_oracle_sql,
     "minhash_near_dups": _minhash_oracle_sql,
+    "minhash_incremental": _minhash_incremental_oracle_sql,
     "simhash_near_dups": _simhash_oracle_sql,
     "negative_samples": """
             WITH cand AS (

@@ -554,30 +554,13 @@ def _bucket_cap(banded: DataFrame, key_cols: list[str], cap: int):
     return small, star
 
 
-def minhash_lsh_candidates(
-    signatures: DataFrame,
-    bands: int = 16,
-    rows_per_band: int = 4,
-    max_bucket_size: int | None = None,
+def _band_signatures(
+    signatures: DataFrame, bands: int, rows_per_band: int
 ) -> DataFrame:
-    """Band the signatures and equi-join on (band_idx, band_hash) — the
-    LSH trick that replaces the O(n²) comparison with a shuffle keyed by
-    band buckets. Returns distinct candidate (id1, id2) pairs.
-
-    ``max_bucket_size``: the bucket-skew guard. All-pairs inside a bucket
-    is quadratic in bucket size, and real corpora HAVE huge buckets —
-    boilerplate families, mirrored sites, mass-duplicated docs (measured
-    here: a 10× corpus where every doc has 9 near-twins turned the
-    verification join from 9 s to 117 s). Buckets larger than the cap
-    switch from all-pairs to a STAR pattern (bucket-min id paired with
-    every other member): linear in bucket size, and lossless for the
-    clustering consumer (connected components recovers the family from
-    the star edges — every member still reaches the same component).
-    Only the direct pairwise-listing consumer sees fewer pairs, which is
-    why the default (None) keeps exact all-pairs semantics."""
-    # bucket = md5 of the comma-joined band slice: engine-independent
-    # (reproducible in the DuckDB oracle), unlike Spark's private hash()
-    banded = signatures.select(
+    """(id, band, bucket) rows from a signature table. The bucket is the
+    md5 of the comma-joined band slice: engine-independent (reproducible
+    in the DuckDB oracle), unlike Spark's private hash()."""
+    return signatures.select(
         "id",
         F.explode(
             F.array(
@@ -602,7 +585,33 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Band the signatures and equi-join on (band_idx, band_hash) — the
+    LSH trick that replaces the O(n²) comparison with a shuffle keyed by
+    band buckets. Returns distinct candidate (id1, id2) pairs.
+
+    ``max_bucket_size``: the bucket-skew guard. All-pairs inside a bucket
+    is quadratic in bucket size, and real corpora HAVE huge buckets —
+    boilerplate families, mirrored sites, mass-duplicated docs (measured
+    here: a 10× corpus where every doc has 9 near-twins turned the
+    verification join from 9 s to 117 s). Buckets larger than the cap
+    switch from all-pairs to a STAR pattern (bucket-min id paired with
+    every other member): linear in bucket size, and lossless for the
+    clustering consumer (connected components recovers the family from
+    the star edges — every member still reaches the same component).
+    Only the direct pairwise-listing consumer sees fewer pairs, which is
+    why the default (None) keeps exact all-pairs semantics."""
+    banded = _band_signatures(signatures, bands, rows_per_band)
     if max_bucket_size is not None:
         banded, big_pairs = _bucket_cap(
             banded, ["band", "bucket"], max_bucket_size
@@ -862,6 +871,72 @@ def minhash_near_duplicates(
         .withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= threshold)
         .select("id1", "id2", "est_jaccard")
+    )
+
+
+def minhash_incremental(
+    df_new: DataFrame,
+    seen_signatures: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """NEAR-dup screen of a new batch against the persisted signature
+    table of the already-ingested corpus — :func:`dedup_against` raised
+    from exact to MinHash granularity, the check every ongoing corpus
+    build runs per increment (v_n's fresh crawl vs v_{n-1}'s archive).
+
+    ``seen_signatures`` is what :func:`minhash_signatures` emits
+    (id, signature) — at scale a write-once table maintained corpus-side,
+    so the 100-TB archive text is NEVER rescanned: only the new batch is
+    tokenized, and the join carries band buckets (32-char md5 + ids),
+    not documents. Candidate pairs are strictly new x seen (no new x new
+    — compose with minhash_near_duplicates for within-batch dups).
+    Returns (new_id, seen_id, est_jaccard >= threshold), est from
+    signature agreement like the batch lane. Seed/n/num_hashes/bands
+    MUST match the run that built ``seen_signatures`` — minhash
+    estimates are only meaningful within one hash family.
+    """
+    rows_per_band = num_hashes // bands
+    sigs_new = minhash_signatures(
+        df_new, id_col, text_col, n, num_hashes, seed
+    ).persist()
+    bn = _band_signatures(sigs_new, bands, rows_per_band)
+    bs = _band_signatures(seen_signatures, bands, rows_per_band)
+    cands = (
+        bn.alias("a")
+        .join(
+            bs.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("a.id").alias("new_id"), F.col("b.id").alias("seen_id")
+        )
+        .distinct()
+    )
+    s1 = sigs_new.select(
+        F.col("id").alias("new_id"), F.col("signature").alias("sig1")
+    )
+    s2 = seen_signatures.select(
+        F.col("id").alias("seen_id"), F.col("signature").alias("sig2")
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig1"), F.col("sig2"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        cands.join(s1, "new_id")
+        .join(s2, "seen_id")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("new_id", "seen_id", "est_jaccard")
     )
 
 

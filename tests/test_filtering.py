@@ -249,3 +249,40 @@ def test_plan_shapes_of_new_operators(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters:" in plan
     assert "GreaterThanOrEqual(x,3.0)" in plan
+
+
+def test_minhash_incremental_new_vs_seen_only(spark):
+    from openeo_processes_dask_spark.training.dedup import (
+        minhash_incremental,
+        minhash_signatures,
+    )
+
+    seen = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "completely different text about spark joins and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # 10 = near-copy of 1; 11 = unrelated; 12 near-copy of 11's
+            # WITHIN-batch twin 13 (must NOT pair: new x new is excluded)
+            (10, "the quick brown fox jumps over the lazy dog again now"),
+            (11, "entirely novel content with no overlap whatsoever here"),
+            (12, "identical within batch sentence one two three four five"),
+            (13, "identical within batch sentence one two three four five"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(seen, "doc_id", "text", n=3, num_hashes=64)
+    out = minhash_incremental(new, sigs, n=3, num_hashes=64, bands=16,
+                              threshold=0.3)
+    rows = out.collect()
+    pairs = {(r["new_id"], r["seen_id"]) for r in rows}
+    assert (10, 1) in pairs
+    assert all(nid != 11 for nid, _ in pairs)
+    # within-batch twins 12/13 generate no pair (seen side only)
+    assert all(sid in (1, 2) for _, sid in pairs)
+    est = {p: r["est_jaccard"] for p, r in zip(pairs, rows)}
+    assert all(0.3 <= v <= 1.0 for v in est.values())
