@@ -37,9 +37,9 @@ _LANES = (core, training, parity, streaming, io_misc, extended)
 # bpe_encode_ids, tokenize_pack, skew_join, dedup_bloom, and the
 # continuation batch: triangle_count, corpus_diff, json_extract,
 # jaccard_prefix, hybrid_rrf, ema_smooth, token_entropy, classifier_auc,
-# streaming_ema, negative_samples — all check_oracle-green at
-# sf0.001/0.01/0.1 in r6) + as much of the r4 tail (stale since r4) as
-# fits.
+# streaming_ema, negative_samples, range_bounds, autocorr, harmonic,
+# minhash_incremental — all check_oracle-green at sf0.001/0.01/0.1 in
+# r6) + as much of the r4 tail (stale since r4) as fits.
 _RED_R5 = ["domain_stats"]
 
 _NEW_R6: list[str] = [

@@ -311,3 +311,29 @@ def test_autocorr_partitioning_invariant(spark):
         "value", ["t"], ["k"],
     ).collect()
     assert a == b
+
+
+def test_ema_and_autocorr_single_exchange_plans(spark):
+    """Both per-key scans must stay ONE exchange (the key partition) —
+    a second Exchange would mean an accidental extra shuffle."""
+    from openeo_processes_dask_spark.training.anomaly import (
+        autocorr_lag1,
+        ema,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i, float(i % 7)) for i in range(50)],
+        "k string, t long, value double",
+    )
+    for out in (
+        ema(df, "value", ["t"], ["k"]),
+        autocorr_lag1(df, "value", ["t"], ["k"]),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # AQE repr can mention an exchange twice; count distinct plan ids
+        # is overkill — assert the cheap invariant instead: no shuffle
+        # beyond hashpartitioning on the key column
+        import re
+
+        parts = set(re.findall(r"hashpartitioning\(([a-zA-Z_0-9#, ]+)\)", plan))
+        assert all(p.startswith("k#") for p in parts), parts
