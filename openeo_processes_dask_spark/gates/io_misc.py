@@ -644,6 +644,20 @@ def q_range_bounds(spark, sf_dir):
     return range_partition_bounds(li, "l_extendedprice", 16)
 
 
+def q_percentile_rank(spark, sf_dir):
+    """Empirical-CDF percentile normalization (sources/maintenance.py
+    percentile_rank) of documents.n_chars: distinct-value running count
+    + lookup join — never a global sort of the rows. Rational cum/n
+    rounded 6 => zero-tolerance oracle."""
+    _setup(spark)
+    from openeo_processes_dask_spark.sources.maintenance import (
+        percentile_rank,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    return percentile_rank(docs, "n_chars").select("doc_id", "n_chars", "pct")
+
+
 def q_json_extract(spark, sf_dir):
     """Embedded-JSON ingestion (sources/jsonl.py parse_json_column): the
     events.props column holds JSON blobs; from_json projects the typed
@@ -681,9 +695,24 @@ QUERIES = {
     "stat_pruned_read": q_stat_pruned_read,
     "json_extract": q_json_extract,
     "range_bounds": q_range_bounds,
+    "percentile_rank": q_percentile_rank,
 }
 
 ORACLES = {
+    "percentile_rank": """
+            WITH v AS (
+              SELECT n_chars AS vv, count(*) AS c FROM documents
+              WHERE n_chars IS NOT NULL GROUP BY 1),
+            cum AS (
+              SELECT vv, CAST(sum(c) OVER (ORDER BY vv) AS BIGINT) AS cum
+              FROM v),
+            t AS (SELECT CAST(max(cum) AS BIGINT) AS n FROM cum)
+            SELECT d.doc_id, d.n_chars,
+                   round(CAST(cum AS DOUBLE) / n, 6) AS pct
+            FROM documents d
+            JOIN cum ON cum.vv = d.n_chars
+            CROSS JOIN t
+        """,
     "range_bounds": """
             WITH v AS (
               SELECT l_extendedprice AS v, count(*) AS c

@@ -170,3 +170,39 @@ def range_partition_bounds(
         )
     )
     return hit.select("bucket", "upper", F.col("rows_below").cast("long").alias("rows_below"))
+
+
+def percentile_rank(
+    df: DataFrame, col: str, out_col: str = "pct"
+) -> DataFrame:
+    """Empirical-CDF percentile of every row's ``col`` value — the
+    threshold-free normalization for heterogeneous quality scores
+    (keep "top 10% per source" without knowing the score scale).
+
+    ``pct = (#rows with value <= v) / n`` over non-NULL rows, rounded to
+    6 decimals; NULL values get NULL. Appended as ``out_col``.
+
+    Plan at 100 TB: the same distinct-value shape as
+    :func:`range_partition_bounds` — ONE hash aggregate to distinct
+    values (map-side combine), the running count window over the
+    distinct relation only, then ONE broadcast-or-shuffle equi-join of
+    the (value, pct) lookup back onto the rows. The raw table is never
+    globally sorted.
+    """
+    from pyspark.sql import Window
+
+    by_val = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("__v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = by_val.withColumn("__cum", F.sum("__c").over(w).cast("long"))
+    n = cum.agg(F.max("__cum").alias("__n"))
+    lookup = cum.crossJoin(F.broadcast(n)).select(
+        "__v",
+        F.round(F.col("__cum") / F.col("__n"), 6).alias(out_col),
+    )
+    return df.join(
+        lookup, df[col] == lookup["__v"], "left"
+    ).drop("__v")

@@ -360,3 +360,19 @@ def test_range_bounds_validates(spark):
     df = spark.createDataFrame([(1,)], "x int")
     with pytest.raises(ValueError):
         range_partition_bounds(df, "x", 1)
+
+
+def test_percentile_rank_known_and_nulls(spark):
+    from openeo_processes_dask_spark.sources.maintenance import (
+        percentile_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 4,) for i in range(8)] + [(None,)], "x int"
+    )
+    rows = percentile_rank(df, "x").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["x"], r["pct"])
+    assert got == {0: 0.25, 1: 0.5, 2: 0.75, 3: 1.0, None: None}
+    assert len(rows) == 9  # NULL row kept, pct NULL
