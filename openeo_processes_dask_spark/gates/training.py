@@ -439,6 +439,19 @@ def q_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, [float(v) for v in query], k=10)
 
 
+def q_standardize_embeddings(spark, sf_dir):
+    """Per-dimension z-standardization (training/similarity.py
+    standardize_embeddings): micro-snapped components, exact decimal
+    moments per dim, broadcast join back — float only in the final
+    (x-mean)/std from exact scalars. Long (id, dim, z) output."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.similarity import (
+        standardize_embeddings,
+    )
+
+    return standardize_embeddings(_table(spark, sf_dir, "embeddings"))
+
+
 def q_kmeans_clusters(spark, sf_dir):
     """Distributed k-means (training/clustering.py): micro-unit snapping
     makes every per-cluster sum exact in any order, so the unrolled-CTE
@@ -1456,6 +1469,7 @@ QUERIES = {
     "classifier_auc": q_classifier_auc,
     "minhash_near_dups": q_minhash_near_dups,
     "minhash_incremental": q_minhash_incremental,
+    "standardize_embeddings": q_standardize_embeddings,
     "simhash_near_dups": q_simhash_near_dups,
     "cosine_topk": q_cosine_topk,
     "lsh_topk": q_lsh_topk,
@@ -1966,6 +1980,39 @@ ORACLES = {
             SELECT n_pos, n_neg, u2,
                    round(CAST(u2 AS DOUBLE) / (2 * n_pos * n_neg), 6) AS auc
             FROM o
+        """,
+    "standardize_embeddings": """
+            WITH ex AS (
+              SELECT vec_id AS id, i - 1 AS dim,
+                     CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+                       AS BIGINT) AS xm
+              FROM embeddings,
+                   LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+                            AS i)),
+            st AS (
+              SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(xm AS HUGEINT)) AS s,
+                     sum(CAST(xm AS HUGEINT) * xm) AS ss
+              FROM ex GROUP BY dim),
+            en AS (
+              SELECT dim, n,
+                     CAST(s AS DOUBLE) / n AS mean_micro,
+                     CASE WHEN n >= 2 AND
+                          (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                            > 0
+                          THEN sqrt(
+                            (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                            / (CAST(n AS DOUBLE)
+                               * (CAST(n AS DOUBLE) - 1.0)))
+                     END AS std_micro
+              FROM st)
+            SELECT id, ex.dim,
+                   round((CAST(xm AS DOUBLE) - mean_micro) / std_micro, 6)
+                     AS z
+            FROM ex JOIN en ON en.dim = ex.dim
         """,
     "autocorr": """
             WITH s AS (

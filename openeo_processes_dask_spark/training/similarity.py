@@ -691,3 +691,63 @@ def _py_round_half_away(x: float) -> float:
     import math
 
     return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+def standardize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension z-standardization of an embedding column — the
+    feature-scaling pass before k-means / ANN indexing when dimensions
+    have wildly different variances (raw CLIP/SBERT dims routinely do).
+
+    Returns LONG format ``(id, dim, z)`` — dim 0-based, ``z`` the
+    standardized component rounded to 6 decimals (NULL if the dimension
+    is constant or has < 2 rows). Long output avoids re-assembling
+    arrays (a second shuffle keyed by id) — downstream consumers that
+    want arrays compose with the usual collect_list-by-id.
+
+    Determinism: components snap to integer micro-units, per-dim moments
+    (n, sum, sum-of-squares) are EXACT decimal(38,0) sums, and the only
+    float math is the final (x - mean)/std from exact scalars — the
+    autocorr recipe, column-wise.
+
+    Plan at 100 TB: posexplode -> ONE hash aggregate keyed by dim (the
+    stats relation is dim-sized, i.e. tiny) -> broadcast join back onto
+    the exploded rows. One real shuffle total; no driver-side state.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "__x"),
+    ).select(
+        "id",
+        "dim",
+        F.round(F.col("__x").cast("double") * F.lit(1_000_000.0))
+        .cast("decimal(18,0)")
+        .alias("xm"),
+    )
+    stats = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xm").alias("s"),
+        F.sum(F.col("xm") * F.col("xm")).alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    s, ss = F.col("s").cast("double"), F.col("ss").cast("double")
+    var = (n * ss - s * s) / (n * (n - F.lit(1.0)))
+    enriched = stats.select(
+        "dim",
+        "n",
+        (s / n).alias("mean_micro"),
+        F.when((F.col("n") >= 2) & (var > 0), F.sqrt(var)).alias("std_micro"),
+    )
+    return (
+        ex.join(F.broadcast(enriched), "dim")
+        .select(
+            "id",
+            "dim",
+            F.round(
+                (F.col("xm").cast("double") - F.col("mean_micro"))
+                / F.col("std_micro"),
+                6,
+            ).alias("z"),
+        )
+    )

@@ -116,3 +116,45 @@ def test_quantized_topk_plan_take_ordered(spark):
     )
     r = plan_report(quantized_topk(df, [0.5, 0.5], k=1))
     assert "TakeOrderedAndProject" in r.text and r.python_free
+
+
+# --- standardize_embeddings ---------------------------------------------
+
+def test_standardize_matches_numpy(spark):
+    import numpy as np
+
+    from openeo_processes_dask_spark.training.similarity import (
+        standardize_embeddings,
+    )
+
+    vecs = [(i, [float(i), float(i % 2), 7.0]) for i in range(6)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rows = {(r["id"], r["dim"]): r["z"] for r in standardize_embeddings(df).collect()}
+    X = np.round(np.array([v for _, v in vecs]) * 1e6)
+    for d in range(3):
+        mu, sd = X[:, d].mean(), X[:, d].std(ddof=1)
+        for i in range(6):
+            exp = None if sd == 0 else round((X[i, d] - mu) / sd, 6)
+            got = rows[(i, d)]
+            assert (got is None) == (exp is None)
+            if exp is not None:
+                assert abs(got - exp) < 1e-9
+    # constant dim (d=2) -> NULL everywhere, never a divide-by-zero crash
+    assert all(rows[(i, 2)] is None for i in range(6))
+
+
+def test_standardize_output_is_mean0_var1(spark):
+    from openeo_processes_dask_spark.training.similarity import (
+        standardize_embeddings,
+    )
+
+    vecs = [(i, [float((i * 7 + 3) % 11), float(i)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = standardize_embeddings(df)
+    from pyspark.sql import functions as F
+
+    stats = out.groupBy("dim").agg(
+        F.round(F.avg("z"), 4).alias("mu"), F.round(F.var_samp("z"), 3).alias("v")
+    ).collect()
+    for r in stats:
+        assert abs(r["mu"]) < 1e-3 and abs(r["v"] - 1.0) < 1e-2
