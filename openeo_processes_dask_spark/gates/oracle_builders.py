@@ -1522,3 +1522,65 @@ def _minhash_incremental_oracle_sql(
         JOIN sigs_seen s2 ON s2.id = seen_id
         WHERE round(({agree}) / {float(num_hashes)}, 6) >= {threshold}
     """
+
+
+def _scene_changes_oracle_sql(id_cap: int = 105, threshold: int = 16) -> str:
+    """Twin of q_scene_changes: regenerates every frame dHash serially
+    (same seeds as synthetic_raw_video_table), inlines them as VALUES,
+    and computes the consecutive-frame Hamming distances in SQL — the
+    window/xor mechanics are re-derived by DuckDB, only the hashes are
+    replayed."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    sf = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT doc_id FROM '{sf}/documents.parquet' "
+            f"WHERE doc_id < {id_cap} ORDER BY doc_id"
+        ).fetchall()
+    ]
+    width = height = 16
+    n_frames, n_families = 6, 7
+
+    def dhash(img):
+        gray = img.astype("float64").mean(axis=2)
+        h, w = gray.shape
+        rows = (np.arange(8) * h) // 8
+        cols = (np.arange(9) * w) // 9
+        g = gray[np.ix_(rows, cols)]
+        bits = (g[:, 1:] > g[:, :-1]).ravel()
+        v = 0
+        for bit in bits:
+            v = (v << 1) | int(bit)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    vals = []
+    for i in ids:
+        for j in range(n_frames):
+            img = np.random.default_rng(
+                5000 + (i % n_families) * 1000 + j
+            ).integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+            if (i + j) % 3 == 0:
+                rng = np.random.default_rng(9_000_000 + i * 100 + j)
+                r = int(rng.integers(0, height))
+                c = int(rng.integers(0, width))
+                img = img.copy()
+                img[r, c, :] = 255 - img[r, c, :]
+            vals.append(f"({i}, {j}, {dhash(img)})")
+    values = ",\n              ".join(vals)
+    return f"""
+        WITH fh(id, frame_idx, dhash) AS (VALUES
+              {values}),
+        lagged AS (
+          SELECT id, frame_idx, dhash,
+                 lag(dhash) OVER (PARTITION BY id ORDER BY frame_idx) AS p
+          FROM fh)
+        SELECT id, frame_idx,
+               CAST(bit_count(xor(dhash, p)) AS INT) AS hamming,
+               bit_count(xor(dhash, p)) > {threshold} AS is_cut
+        FROM lagged WHERE p IS NOT NULL
+    """

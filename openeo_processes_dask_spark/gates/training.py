@@ -18,6 +18,7 @@ from .oracle_builders import (
     _bpe_tokens_oracle_sql,
     _tokenize_pack_oracle_sql,
     _video_near_dups_oracle_sql,
+    _scene_changes_oracle_sql,
     _image_near_dups_oracle_sql,
     _pagerank_oracle_sql,
     _harmonic_oracle_sql,
@@ -1048,6 +1049,26 @@ def q_video_near_dups(spark, sf_dir):
     return shared_key_pairs(fh, min_shared=4, key_col="dhash")
 
 
+def q_scene_changes(spark, sf_dir):
+    """Shot-boundary detection (training/multimodal.py scene_changes):
+    consecutive-frame dHash Hamming distances over the synthetic
+    raw-RGB video fixture, cut at > 16 bits — JVM lag/xor/bit_count over
+    the hash relation; oracle replays only the frame hashes and
+    re-derives the window mechanics in SQL."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.multimodal import (
+        scene_changes,
+        synthetic_raw_video_table,
+        video_frame_hashes,
+    )
+
+    ids = _table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 105
+    ).select("doc_id")
+    fh = video_frame_hashes(synthetic_raw_video_table(ids))
+    return scene_changes(fh, threshold=16)
+
+
 def q_audio_near_dups(spark, sf_dir):
     """Audio near-dup via spectral landmarks (training/multimodal.py
     decode_raw_pcm16 — a REAL codec-free decode — + audio_landmarks +
@@ -1516,6 +1537,7 @@ QUERIES = {
     "rolling_anomaly": q_rolling_anomaly,
     "audio_near_dups": q_audio_near_dups,
     "video_near_dups": q_video_near_dups,
+    "scene_changes": q_scene_changes,
     "count_min_words": q_count_min_words,
     "hll_registers": q_hll_registers,
     "bpe_encode_ids": q_bpe_encode_ids,
@@ -2562,6 +2584,7 @@ ORACLES = {
     "image_near_dups": _image_near_dups_oracle_sql,
     "audio_near_dups": _audio_near_dups_oracle_sql,
     "video_near_dups": _video_near_dups_oracle_sql,
+    "scene_changes": _scene_changes_oracle_sql,
     "count_min_words": """
             WITH words AS (
               SELECT unnest(CASE WHEN trim(text) = '' THEN []

@@ -621,3 +621,44 @@ def synthetic_raw_video_table(
     return ids.select(F.col(id_col)).mapInPandas(
         run, schema="doc_id bigint, payload binary, width int, height int"
     )
+
+
+def scene_changes(
+    frame_hashes: DataFrame,
+    threshold: int = 16,
+    id_col: str = "id",
+) -> DataFrame:
+    """Shot/scene-boundary detection over per-frame dHashes (what
+    :func:`video_frame_hashes` emits): a frame whose 64-bit dHash is
+    more than ``threshold`` Hamming bits from its predecessor starts a
+    new shot — the standard cheap cut detector, and the frame-sampling
+    prior for "one keyframe per shot" training-data extraction.
+
+    Returns one row per frame TRANSITION: ``(id, frame_idx, hamming,
+    is_cut)`` with frame_idx the later frame; frame 0 has no
+    predecessor and is omitted. Pure JVM (lag window + xor + bit_count)
+    — the Python-side work ended at hashing.
+
+    Plan at 100 TB: ONE window per video id over the tiny (id,
+    frame_idx, dhash) relation — payloads were already reduced to 8-byte
+    hashes upstream and never shuffle here.
+    """
+    if threshold < 0:
+        raise ValueError(f"threshold must be >= 0, got {threshold}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("frame_idx")
+    # materialize the lag ONCE: re-stating the window expression after
+    # the filter would re-evaluate it over the filtered relation and
+    # NULL out every post-cut first frame
+    ham = F.bit_count(F.col("dhash").bitwiseXOR(F.col("__prev"))).cast("int")
+    return (
+        frame_hashes.withColumn("__prev", F.lag("dhash").over(w))
+        .where(F.col("__prev").isNotNull())
+        .select(
+            F.col(id_col),
+            "frame_idx",
+            ham.alias("hamming"),
+            (ham > threshold).alias("is_cut"),
+        )
+    )

@@ -134,3 +134,36 @@ def test_shared_key_pairs_max_key_freq_guard(spark):
     }
     # guard drops key 999: only the real pair survives
     assert capped == {(1, 2): 2}
+
+
+def test_scene_changes_known_cuts(spark):
+    from openeo_processes_dask_spark.training.multimodal import scene_changes
+
+    # hand-built hash sequences: id 1 has a big jump at frame 2, id 2 is
+    # static; frame 0 rows never appear
+    fh = spark.createDataFrame(
+        [
+            (1, 0, 0b1111), (1, 1, 0b1110), (1, 2, 0b1111111111110000),
+            (2, 0, 5), (2, 1, 5),
+        ],
+        "id bigint, frame_idx int, dhash bigint",
+    ).repartition(3)
+    got = {
+        (r["id"], r["frame_idx"]): (r["hamming"], r["is_cut"])
+        for r in scene_changes(fh, threshold=3).collect()
+    }
+    assert got == {
+        (1, 1): (1, False),      # one bit flipped
+        (1, 2): (15, True),      # 0xFFF0 ^ 0x000E = 0xFFFE -> 15 bits
+        (2, 1): (0, False),
+    }
+
+
+def test_scene_changes_validates(spark):
+    import pytest
+
+    from openeo_processes_dask_spark.training.multimodal import scene_changes
+
+    fh = spark.createDataFrame([(1, 0, 5)], "id bigint, frame_idx int, dhash bigint")
+    with pytest.raises(ValueError):
+        scene_changes(fh, threshold=-1)
