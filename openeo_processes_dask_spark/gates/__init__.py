@@ -38,7 +38,8 @@ _LANES = (core, training, parity, streaming, io_misc, extended)
 # continuation batch: triangle_count, corpus_diff, json_extract,
 # jaccard_prefix, hybrid_rrf, ema_smooth, token_entropy, classifier_auc,
 # streaming_ema, negative_samples, range_bounds, autocorr, harmonic,
-# minhash_incremental, percentile_rank — all check_oracle-green at sf0.001/0.01/0.1 in
+# minhash_incremental, percentile_rank, standardize_embeddings,
+# scene_changes — all check_oracle-green at sf0.001/0.01/0.1 in
 # r6) + as much of the r4 tail (stale since r4) as fits.
 _RED_R5 = ["domain_stats"]
 
