@@ -685,3 +685,121 @@ def test_chunk_start_rule_covers_everything_without_subsets(n, chunk, overlap):
     assert covered == set(range(n))
     for (s0, e0), (s1, e1) in zip(spans, spans[1:]):
         assert e1 > e0  # successor always adds unseen tokens
+
+
+# --- round-6 continuation kernels ---------------------------------------
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 7), min_size=2, max_size=8),
+        min_size=2,
+        max_size=10,
+    ),
+    st.sampled_from([0.3, 0.5, 0.8]),
+)
+@settings(max_examples=5, deadline=None)
+def test_prefix_join_lemma_recall_is_one(spark, docs, t):
+    """Random tiny corpora: the prefix-filtered join must equal brute
+    force at every threshold (the AllPairs lemma gives recall exactly 1)."""
+    from openeo_processes_dask_spark.training.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        (i, " ".join(f"w{v}" for v in ws)) for i, ws in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    brute = {
+        (r["id1"], r["id2"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", n=2, threshold=t).collect()
+    }
+    pref = {
+        (r["id1"], r["id2"]): round(r["jaccard"], 9)
+        for r in jaccard_prefix_pairs(df, "doc_id", "text", n=2, threshold=t).collect()
+    }
+    assert pref == brute
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.booleans()),
+        min_size=4,
+        max_size=60,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_auc_matches_pairwise_definition(spark, rows):
+    from openeo_processes_dask_spark.training.classifier import auc
+
+    df = spark.createDataFrame(
+        [(float(s), int(y)) for s, y in rows], "s double, y int"
+    )
+    r = auc(df, "s", "y").collect()[0]
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    if not pos or not neg:
+        assert r["auc"] is None
+        return
+    u = sum(
+        1.0 if p > q else 0.5 if p == q else 0.0 for p in pos for q in neg
+    )
+    assert abs(r["auc"] - u / (len(pos) * len(neg))) < 1e-6
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_triangle_counts_match_python(spark, edges):
+    from openeo_processes_dask_spark.training.graph import triangle_counts
+
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not canon:
+        return
+    adj = {}
+    for a, b in canon:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    exp = {v: 0 for v in adj}
+    for a, b in canon:
+        for c in adj[a] & adj[b]:
+            if c > b:
+                exp[a] += 1
+                exp[b] += 1
+                exp[c] += 1
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == exp
+
+
+@given(
+    st.lists(st.integers(0, 400_000), min_size=1, max_size=40),
+    st.sampled_from([(1, 4), (2, 10), (3, 7), (1, 1)]),
+)
+@settings(max_examples=8, deadline=None)
+def test_ema_fold_equals_serial_replay(spark, cents, alpha):
+    from openeo_processes_dask_spark.training.anomaly import ema
+
+    num, den = alpha
+    vals = [c / 100.0 for c in cents]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)],
+        "k string, t long, value double",
+    )
+    got = [
+        r["ema_micro"]
+        for r in ema(df, "value", ["t"], ["k"], alpha_num=num, alpha_den=den)
+        .orderBy("t")
+        .collect()
+    ]
+    prev, exp = None, []
+    for v in vals:
+        vm = round(v * 1_000_000)
+        prev = vm if prev is None else (num * vm + (den - num) * prev) // den
+        exp.append(prev)
+    assert got == exp
