@@ -1106,6 +1106,19 @@ def q_negative_samples(spark, sf_dir):
     return hash_negatives(pairs, docs, k=5, pool_mod=8, seed=42)
 
 
+def q_source_divergence(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between source token
+    distributions (training/textanalysis.py source_divergence) — the
+    corpus-mix / drift telemetry. Probabilities are exact rationals; the
+    sum-of-terms tail rounds to 6 (convention)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.textanalysis import (
+        source_divergence,
+    )
+
+    return source_divergence(_table(spark, sf_dir, "documents"))
+
+
 def q_token_entropy(spark, sf_dir):
     """Per-document token-distribution Shannon entropy
     (training/textanalysis.py token_entropy): gibberish / keyword-spam
@@ -1486,6 +1499,7 @@ QUERIES = {
     "ema_smooth": q_ema_smooth,
     "autocorr": q_autocorr,
     "token_entropy": q_token_entropy,
+    "source_divergence": q_source_divergence,
     "negative_samples": q_negative_samples,
     "classifier_auc": q_classifier_auc,
     "minhash_near_dups": q_minhash_near_dups,
@@ -1961,6 +1975,43 @@ ORACLES = {
               FROM scored)
             SELECT query_id, pos_id, neg_rank, cand_id AS neg_id
             FROM ranked WHERE neg_rank <= 5
+        """,
+    "source_divergence": """
+            WITH toks AS (
+              SELECT source AS g,
+                     unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                       AS tok
+              FROM documents WHERE trim(text) != ''),
+            counts AS (
+              SELECT g, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+            totals AS (
+              SELECT g, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+            pairs AS (
+              SELECT a.g AS g1, b.g AS g2, a.n AS n1, b.n AS n2
+              FROM totals a JOIN totals b ON a.g < b.g),
+            u AS (
+              SELECT p.g1, p.g2, c.tok
+              FROM counts c JOIN pairs p ON c.g = p.g1
+              UNION
+              SELECT p.g1, p.g2, c.tok
+              FROM counts c JOIN pairs p ON c.g = p.g2),
+            terms AS (
+              SELECT u.g1, u.g2, p.n1, p.n2,
+                     CAST(coalesce(c1.c, 0) AS DOUBLE) / p.n1 AS pp,
+                     CAST(coalesce(c2.c, 0) AS DOUBLE) / p.n2 AS qq
+              FROM u
+              JOIN pairs p ON p.g1 = u.g1 AND p.g2 = u.g2
+              LEFT JOIN counts c1 ON c1.g = u.g1 AND c1.tok = u.tok
+              LEFT JOIN counts c2 ON c2.g = u.g2 AND c2.tok = u.tok)
+            SELECT g1, g2, max(n1) AS n_tokens_1, max(n2) AS n_tokens_2,
+                   round(sum(
+                     CASE WHEN pp > 0
+                          THEN 0.5 * pp * ln(2.0 * pp / (pp + qq))
+                          ELSE 0 END
+                   + CASE WHEN qq > 0
+                          THEN 0.5 * qq * ln(2.0 * qq / (pp + qq))
+                          ELSE 0 END), 6) AS js
+            FROM terms GROUP BY 1, 2
         """,
     "token_entropy": """
             WITH toks AS (

@@ -485,3 +485,103 @@ def chunk_text(
             F.array_join("ck", " ").alias("chunk"),
         )
     )
+
+
+def source_divergence(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (nats) between the unigram
+    token distributions of corpus slices — the mixing/drift telemetry a
+    curation pipeline watches: a crawl source whose JS against its own
+    history jumps has changed character; two sources with near-zero JS
+    are redundant in the mix.
+
+    Returns ``(g1, g2, n_tokens_1, n_tokens_2, js)`` for every ordered
+    pair g1 < g2 of distinct ``group_col`` values; js in [0, ln 2],
+    rounded to 6 decimals (the float-output convention — probabilities
+    are exact rationals c/n, only the log/sum tail is float).
+
+    Plan at 100 TB: token counts per (group, token) — ONE hash aggregate
+    with map-side combine — then the pair×token term relation is built
+    by joining the per-group count relation to the (tiny, broadcast)
+    group-pair relation and full-outer-matching the two sides token by
+    token via a shuffle on token. Cost scales with |pairs| × vocab, not
+    corpus size; the number of slices is assumed dashboard-small (it is
+    a GROUP list), which is the documented contract.
+    """
+    toks = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    counts = toks.groupBy("g", "tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
+    groups = totals.select("g", "n")
+    pairs = (
+        groups.alias("ga")
+        .join(groups.alias("gb"), F.col("ga.g") < F.col("gb.g"))
+        .select(
+            F.col("ga.g").alias("g1"),
+            F.col("gb.g").alias("g2"),
+            F.col("ga.n").alias("n1"),
+            F.col("gb.n").alias("n2"),
+        )
+    )
+    c1 = counts.select(
+        F.col("g").alias("g1"), "tok", F.col("c").alias("c1")
+    )
+    c2 = counts.select(
+        F.col("g").alias("g2"), "tok", F.col("c").alias("c2")
+    )
+    # full outer on token within each pair: union of each side's tokens,
+    # then left joins pick up the counts (absent -> 0)
+    tok_union = (
+        c1.join(F.broadcast(pairs.select("g1", "g2")), "g1")
+        .select("g1", "g2", "tok")
+        .unionByName(
+            c2.join(F.broadcast(pairs.select("g1", "g2")), "g2").select(
+                "g1", "g2", "tok"
+            )
+        )
+        .distinct()
+    )
+    terms = (
+        tok_union.join(c1, ["g1", "tok"], "left")
+        .join(c2, ["g2", "tok"], "left")
+        .join(F.broadcast(pairs), ["g1", "g2"])
+        .select(
+            "g1",
+            "g2",
+            "n1",
+            "n2",
+            (F.coalesce(F.col("c1"), F.lit(0)).cast("double") / F.col("n1")).alias("p"),
+            (F.coalesce(F.col("c2"), F.lit(0)).cast("double") / F.col("n2")).alias("q"),
+        )
+        .select(
+            "g1",
+            "g2",
+            "n1",
+            "n2",
+            (
+                F.when(
+                    F.col("p") > 0,
+                    F.lit(0.5)
+                    * F.col("p")
+                    * F.log(F.lit(2.0) * F.col("p") / (F.col("p") + F.col("q"))),
+                ).otherwise(F.lit(0.0))
+                + F.when(
+                    F.col("q") > 0,
+                    F.lit(0.5)
+                    * F.col("q")
+                    * F.log(F.lit(2.0) * F.col("q") / (F.col("p") + F.col("q"))),
+                ).otherwise(F.lit(0.0))
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("g1", "g2")
+        .agg(
+            F.max("n1").alias("n_tokens_1"),
+            F.max("n2").alias("n_tokens_2"),
+            F.round(F.sum("term"), 6).alias("js"),
+        )
+    )

@@ -324,3 +324,55 @@ def test_auc_partitioning_invariant_with_ties(spark):
     neg = [s for s, y in rows if not y]
     u = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
     assert abs(r1["auc"] - u / (len(pos) * len(neg))) < 1e-6
+
+
+# --- source_divergence --------------------------------------------------
+
+def test_source_divergence_identical_and_disjoint(spark):
+    import math
+
+    from openeo_processes_dask_spark.training.textanalysis import (
+        source_divergence,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", "x x y"), ("a", "y z"),
+            ("b", "x x y y z"),          # same distribution as a
+            ("c", "p q r p q r"),        # disjoint support
+        ],
+        "source string, text string",
+    )
+    got = {(r["g1"], r["g2"]): r["js"] for r in source_divergence(df).collect()}
+    assert got[("a", "b")] == 0.0
+    assert got[("a", "c")] == round(math.log(2), 6)
+    assert got[("b", "c")] == round(math.log(2), 6)
+
+
+def test_source_divergence_matches_python(spark):
+    import math
+    from collections import Counter
+
+    from openeo_processes_dask_spark.training.textanalysis import (
+        source_divergence,
+    )
+
+    texts = {
+        "a": "w1 w2 w2 w3 w4 w4 w4",
+        "b": "w2 w3 w3 w5",
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "source string, text string"
+    )
+    r = source_divergence(df).collect()[0]
+    ca, cb = Counter(texts["a"].split()), Counter(texts["b"].split())
+    na, nb = sum(ca.values()), sum(cb.values())
+    js = 0.0
+    for tok in set(ca) | set(cb):
+        p, q = ca.get(tok, 0) / na, cb.get(tok, 0) / nb
+        if p > 0:
+            js += 0.5 * p * math.log(2 * p / (p + q))
+        if q > 0:
+            js += 0.5 * q * math.log(2 * q / (p + q))
+    assert abs(r["js"] - js) < 1e-6
+    assert (r["n_tokens_1"], r["n_tokens_2"]) == (na, nb)
