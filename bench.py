@@ -147,6 +147,9 @@ def main() -> None:
         "span_dedup_stats", "dsir_weights", "interval_join",
         "pagerank", "bm25_index_search", "curation_pipeline",
         "image_near_dups",
+        # r6 continuation flagships
+        "jaccard_prefix", "harmonic", "hybrid_rrf", "ema_smooth",
+        "minhash_incremental",
     ):
         fn = qs[name]
         best = float("inf")
