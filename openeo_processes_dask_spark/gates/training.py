@@ -1106,6 +1106,45 @@ def q_negative_samples(spark, sf_dir):
     return hash_negatives(pairs, docs, k=5, pool_mod=8, seed=42)
 
 
+def q_incremental_curation(spark, sf_dir):
+    """Composed incremental-ingest pipeline over the continuation ops:
+    corpus_diff picks the added+changed docs of the new snapshot,
+    dedup_against drops exact matches vs the old corpus, quality_score
+    rates the survivors, and percentile_rank keeps the top half —
+    the per-increment curation loop, end to end, one oracle."""
+    _setup(spark)
+    from openeo_processes_dask_spark.sources.maintenance import (
+        percentile_rank,
+    )
+    from openeo_processes_dask_spark.training.dedup import (
+        corpus_diff,
+        dedup_against,
+    )
+    from openeo_processes_dask_spark.training.textanalysis import (
+        quality_score,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 11 != 0)
+    new = docs.where(F.col("doc_id") % 7 != 3).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 2, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    delta_ids = corpus_diff(old, new).where(
+        F.col("status") != "removed"
+    ).select("doc_id")
+    batch = new.join(delta_ids, "doc_id", "left_semi")
+    survivors = dedup_against(batch, old)
+    scored = survivors.select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+    return percentile_rank(scored, "quality").where(
+        F.col("pct") >= 0.5
+    ).select("doc_id", "quality", "pct")
+
+
 def q_source_divergence(spark, sf_dir):
     """Pairwise Jensen-Shannon divergence between source token
     distributions (training/textanalysis.py source_divergence) — the
@@ -1500,6 +1539,7 @@ QUERIES = {
     "autocorr": q_autocorr,
     "token_entropy": q_token_entropy,
     "source_divergence": q_source_divergence,
+    "incremental_curation": q_incremental_curation,
     "negative_samples": q_negative_samples,
     "classifier_auc": q_classifier_auc,
     "minhash_near_dups": q_minhash_near_dups,
@@ -1975,6 +2015,60 @@ ORACLES = {
               FROM scored)
             SELECT query_id, pos_id, neg_rank, cand_id AS neg_id
             FROM ranked WHERE neg_rank <= 5
+        """,
+    # incremental_curation: the composed diff -> anti-join -> quality ->
+    # percentile pipeline, replayed as one CTE chain.
+    "incremental_curation": f"""
+            WITH old AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
+            new AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 2 THEN text || ' v2'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 7 <> 3),
+            delta AS (
+              SELECT n.doc_id FROM new n
+              LEFT JOIN old o ON o.doc_id = n.doc_id
+              WHERE o.doc_id IS NULL
+                 OR regexp_replace(lower(trim(o.text)), '\\s+', ' ', 'g')
+                    <> regexp_replace(lower(trim(n.text)), '\\s+', ' ', 'g')),
+            batch AS (
+              SELECT n.doc_id, n.text FROM new n
+              JOIN delta d ON d.doc_id = n.doc_id),
+            surv AS (
+              SELECT b.doc_id, b.text FROM batch b WHERE NOT EXISTS (
+                SELECT 1 FROM old o
+                WHERE md5(regexp_replace(lower(trim(o.text)),
+                          '\\s+', ' ', 'g'))
+                    = md5(regexp_replace(lower(trim(b.text)),
+                          '\\s+', ' ', 'g')))),
+            feats AS (
+              SELECT doc_id,
+                CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+                (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                  / greatest(length(text), 1) AS punct,
+                len(list_filter({_TOKS}, w -> w IN ('and','das','de','der','des','die','el','est','et','is','la','le','les','los','nicht','of','que','shi','the','to','und','wo','y','bu','le')))
+                  / greatest(CAST(len({_TOKS}) AS DOUBLE), 1) AS stop_ratio,
+                list_sum(list_transform({_TOKS}, w -> length(w)))
+                  / greatest(CAST(len({_TOKS}) AS DOUBLE), 1) AS mwl
+              FROM surv),
+            q AS (
+              SELECT doc_id,
+                ((CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
+                 + (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.0 END)
+                 + (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.0 END)
+                 + (CASE WHEN stop_ratio >= 0.01 THEN 1.0 ELSE 0.0 END))
+                  / 4.0 AS quality
+              FROM feats),
+            v AS (SELECT quality AS vv, count(*) AS c FROM q GROUP BY 1),
+            cum AS (
+              SELECT vv, CAST(sum(c) OVER (ORDER BY vv) AS BIGINT) AS cum
+              FROM v),
+            t AS (SELECT CAST(max(cum) AS BIGINT) AS n FROM cum)
+            SELECT q.doc_id, q.quality,
+                   round(CAST(cum AS DOUBLE) / n, 6) AS pct
+            FROM q JOIN cum ON cum.vv = q.quality CROSS JOIN t
+            WHERE round(CAST(cum AS DOUBLE) / n, 6) >= 0.5
         """,
     "source_divergence": """
             WITH toks AS (
