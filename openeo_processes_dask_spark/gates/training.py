@@ -1106,6 +1106,18 @@ def q_negative_samples(spark, sf_dir):
     return hash_negatives(pairs, docs, k=5, pool_mod=8, seed=42)
 
 
+def q_funnel(spark, sf_dir):
+    """view -> click -> purchase funnel (training/funnel.py): greedy
+    earliest-match, strict-after semantics; each step is a min-timestamp
+    aggregate, so the table is bit-exact and the chained-CTE oracle
+    replays it with zero tolerance."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.funnel import funnel
+
+    ev = _table(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
 def q_incremental_curation(spark, sf_dir):
     """Composed incremental-ingest pipeline over the continuation ops:
     corpus_diff picks the added+changed docs of the new snapshot,
@@ -1540,6 +1552,7 @@ QUERIES = {
     "token_entropy": q_token_entropy,
     "source_divergence": q_source_divergence,
     "incremental_curation": q_incremental_curation,
+    "funnel": q_funnel,
     "negative_samples": q_negative_samples,
     "classifier_auc": q_classifier_auc,
     "minhash_near_dups": q_minhash_near_dups,
@@ -2015,6 +2028,28 @@ ORACLES = {
               FROM scored)
             SELECT query_id, pos_id, neg_rank, cand_id AS neg_id
             FROM ranked WHERE neg_rank <= 5
+        """,
+    "funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN s1 ON s1.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > s1.t1
+              GROUP BY 1),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN s2 ON s2.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+              GROUP BY 1)
+            SELECT s1.user_id,
+                   1 + CAST(s2.t2 IS NOT NULL AS INT)
+                     + CAST(s3.t3 IS NOT NULL AS INT) AS steps_completed,
+                   s1.t1, s2.t2, s3.t3
+            FROM s1
+            LEFT JOIN s2 ON s2.user_id = s1.user_id
+            LEFT JOIN s3 ON s3.user_id = s1.user_id
         """,
     # incremental_curation: the composed diff -> anti-join -> quality ->
     # percentile pipeline, replayed as one CTE chain.

@@ -376,3 +376,70 @@ def test_source_divergence_matches_python(spark):
             js += 0.5 * q * math.log(2 * q / (p + q))
     assert abs(r["js"] - js) < 1e-6
     assert (r["n_tokens_1"], r["n_tokens_2"]) == (na, nb)
+
+
+# --- funnel -------------------------------------------------------------
+
+def test_funnel_known_paths(spark):
+    import datetime as dt
+
+    from openeo_processes_dask_spark.training.funnel import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(u, m, typ):
+        return (u, t0 + dt.timedelta(minutes=m), typ)
+
+    rows = [
+        # user 1: full funnel in order
+        ev(1, 0, "view"), ev(1, 5, "click"), ev(1, 9, "purchase"),
+        # user 2: purchase BEFORE click -> funnel stops at 2
+        ev(2, 0, "view"), ev(2, 8, "click"), ev(2, 3, "purchase"),
+        # user 3: never clicked -> 1 step; its purchase is ignored
+        ev(3, 0, "view"), ev(3, 4, "purchase"),
+        # user 4: clicked before any view -> only the later view binds,
+        # so the early click cannot count; no later click -> 1 step
+        ev(4, 5, "view"), ev(4, 2, "click"),
+        # user 5: no view at all -> absent from the result
+        ev(5, 1, "click"), ev(5, 2, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    ).repartition(4)
+    got = {
+        r["user_id"]: r["steps_completed"]
+        for r in funnel(df, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 1, 4: 1}
+
+
+def test_funnel_greedy_earliest_binding(spark):
+    import datetime as dt
+
+    from openeo_processes_dask_spark.training.funnel import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    # two views (m=0, m=10), click at m=5: greedy binds view@0 -> click@5
+    rows = [
+        (1, t0, "view"),
+        (1, t0 + dt.timedelta(minutes=10), "view"),
+        (1, t0 + dt.timedelta(minutes=5), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    r = funnel(df, ["view", "click"]).collect()[0]
+    assert r["steps_completed"] == 2
+    assert r["t1"] == t0 and r["t2"] == t0 + dt.timedelta(minutes=5)
+
+
+def test_funnel_validates(spark):
+    import pytest
+
+    from openeo_processes_dask_spark.training.funnel import funnel
+
+    df = spark.createDataFrame(
+        [(1, None, "view")], "user_id long, ts timestamp, event_type string"
+    )
+    with pytest.raises(ValueError):
+        funnel(df, ["view"])
