@@ -1118,6 +1118,16 @@ def q_funnel(spark, sf_dir):
     return funnel(ev, ["view", "click", "purchase"])
 
 
+def q_retention(spark, sf_dir):
+    """Weekly cohort retention (training/funnel.py retention): distinct
+    (user, week) actives -> user-keyed cohort join -> exact distinct
+    counts per (cohort, offset). Zero-tolerance oracle."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.funnel import retention
+
+    return retention(_table(spark, sf_dir, "events"))
+
+
 def q_incremental_curation(spark, sf_dir):
     """Composed incremental-ingest pipeline over the continuation ops:
     corpus_diff picks the added+changed docs of the new snapshot,
@@ -1553,6 +1563,7 @@ QUERIES = {
     "source_divergence": q_source_divergence,
     "incremental_curation": q_incremental_curation,
     "funnel": q_funnel,
+    "retention": q_retention,
     "negative_samples": q_negative_samples,
     "classifier_auc": q_classifier_auc,
     "minhash_near_dups": q_minhash_near_dups,
@@ -2028,6 +2039,20 @@ ORACLES = {
               FROM scored)
             SELECT query_id, pos_id, neg_rank, cand_id AS neg_id
             FROM ranked WHERE neg_rank <= 5
+        """,
+    "retention": """
+            WITH actives AS (
+              SELECT DISTINCT user_id AS u,
+                     CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+              FROM events),
+            cohorts AS (
+              SELECT u, min(week) AS cohort_week FROM actives GROUP BY 1)
+            SELECT c.cohort_week,
+                   CAST(date_diff('day', c.cohort_week, a.week) / 7 AS INT)
+                     AS week_offset,
+                   CAST(count(DISTINCT a.u) AS BIGINT) AS n_users
+            FROM actives a JOIN cohorts c ON c.u = a.u
+            GROUP BY 1, 2
         """,
     "funnel": """
             WITH s1 AS (

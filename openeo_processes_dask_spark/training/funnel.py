@@ -68,3 +68,43 @@ def funnel(
         completed.alias("steps_completed"),
         *[F.col(f"t{k}") for k in range(1, len(steps) + 1)],
     )
+
+
+def retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention — the companion report to :func:`funnel`:
+    users are cohorted by the ISO week of their FIRST event, and each
+    (cohort, offset) cell counts the cohort members active again
+    ``offset`` weeks later (offset 0 = cohort size).
+
+    Returns ``(cohort_week, week_offset, n_users)`` — exact distinct
+    counts, so the compare is zero-tolerance.
+
+    Plan at 100 TB: distinct (user, week) actives first — ONE hash
+    aggregate that collapses the raw event volume to at most
+    users × weeks — then the user-keyed join against the user-sized
+    cohort relation and one counting aggregate. Events never shuffle
+    raw; both big relations are keyed by user.
+    """
+    wk = F.date_trunc("week", F.col(ts_col))
+    actives = (
+        df.select(F.col(user_col).alias("user"), wk.alias("week"))
+        .distinct()
+    )
+    cohorts = actives.groupBy("user").agg(F.min("week").alias("cohort_week"))
+    return (
+        actives.join(cohorts, "user")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.col("week"), F.col("cohort_week"))
+                / F.lit(7)
+            ).cast("int").alias("week_offset"),
+            "user",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct(F.col("user")).alias("n_users"))
+    )

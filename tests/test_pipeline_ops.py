@@ -443,3 +443,28 @@ def test_funnel_validates(spark):
     )
     with pytest.raises(ValueError):
         funnel(df, ["view"])
+
+
+def test_retention_cohorts(spark):
+    import datetime as dt
+
+    from openeo_processes_dask_spark.training.funnel import retention
+
+    t0 = dt.datetime(2024, 1, 1)  # a Monday
+    rows = [
+        (1, t0), (1, t0 + dt.timedelta(days=8)),    # cohort w0, back w1
+        (2, t0 + dt.timedelta(days=2)),             # cohort w0, never back
+        (3, t0 + dt.timedelta(days=7)),             # cohort w1
+        (1, t0 + dt.timedelta(days=21)),            # user 1 back w3
+        (3, t0 + dt.timedelta(days=7, hours=5)),    # same week dup -> 1 active
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp").repartition(3)
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in retention(df).collect()
+    }
+    w0, w1 = t0, t0 + dt.timedelta(days=7)
+    assert got == {
+        (w0, 0): 2, (w0, 1): 1, (w0, 3): 1,
+        (w1, 0): 1,
+    }
