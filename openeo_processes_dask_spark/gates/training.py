@@ -1118,6 +1118,16 @@ def q_funnel(spark, sf_dir):
     return funnel(ev, ["view", "click", "purchase"])
 
 
+def q_top_paths(spark, sf_dir):
+    """Top-20 five-event user paths (training/funnel.py top_paths):
+    WindowGroupLimit prefix cut, per-user path assembly, exact counts,
+    deterministic ties (count DESC, path ASC)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.funnel import top_paths
+
+    return top_paths(_table(spark, sf_dir, "events"), k=20, prefix_len=5)
+
+
 def q_retention(spark, sf_dir):
     """Weekly cohort retention (training/funnel.py retention): distinct
     (user, week) actives -> user-keyed cohort join -> exact distinct
@@ -1564,6 +1574,7 @@ QUERIES = {
     "incremental_curation": q_incremental_curation,
     "funnel": q_funnel,
     "retention": q_retention,
+    "top_paths": q_top_paths,
     "negative_samples": q_negative_samples,
     "classifier_auc": q_classifier_auc,
     "minhash_near_dups": q_minhash_near_dups,
@@ -2039,6 +2050,23 @@ ORACLES = {
               FROM scored)
             SELECT query_id, pos_id, neg_rank, cand_id AS neg_id
             FROM ranked WHERE neg_rank <= 5
+        """,
+    "top_paths": """
+            WITH r AS (
+              SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events),
+            p AS (
+              SELECT user_id,
+                     string_agg(event_type, '>' ORDER BY rn) AS path
+              FROM r WHERE rn <= 5 GROUP BY 1),
+            c AS (
+              SELECT path, CAST(count(*) AS BIGINT) AS n_users
+              FROM p GROUP BY 1)
+            SELECT row_number() OVER (ORDER BY n_users DESC, path) AS rank,
+                   path, n_users
+            FROM c ORDER BY n_users DESC, path LIMIT 20
         """,
     "retention": """
             WITH actives AS (

@@ -108,3 +108,55 @@ def retention(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct(F.col("user")).alias("n_users"))
     )
+
+
+def top_paths(
+    df: DataFrame,
+    k: int = 20,
+    prefix_len: int = 5,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Most common event-type paths — the third leg of the event trio
+    (funnel = one prescribed path, retention = return visits, this =
+    which paths actually happen): each user's first ``prefix_len``
+    events in (ts, tiebreak) order become a '>'-joined path string, and
+    the ``k`` most frequent paths win (ties: path ASC).
+
+    Returns ``(rank, path, n_users)``.
+
+    Plan at 100 TB: row_number per user keyed once, the ``rn <=
+    prefix_len`` filter compiles to WindowGroupLimit (per-partition
+    heaps forward at most prefix_len rows per user), one path aggregate
+    per user, one counting aggregate per path, and the global top-k is
+    TakeOrderedAndProject. Raw events shuffle once, on the user key.
+    """
+    if k < 1 or prefix_len < 1:
+        raise ValueError(f"k and prefix_len must be >= 1, got {k}, {prefix_len}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    first_n = df.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= prefix_len
+    )
+    paths = first_n.groupBy(F.col(user_col).alias("user")).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("__rn"), F.col(event_col)))
+                ),
+                lambda s: s[event_col],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    topk = counts.orderBy(F.col("n_users").desc(), F.col("path")).limit(k)
+    rank_w = Window.orderBy(F.col("n_users").desc(), F.col("path"))
+    return topk.withColumn("rank", F.row_number().over(rank_w)).select(
+        "rank", "path", "n_users"
+    )

@@ -468,3 +468,37 @@ def test_retention_cohorts(spark):
         (w0, 0): 2, (w0, 1): 1, (w0, 3): 1,
         (w1, 0): 1,
     }
+
+
+def test_top_paths_order_and_prefix(spark):
+    import datetime as dt
+
+    from openeo_processes_dask_spark.training.funnel import top_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(7):
+        seq = ["a", "b", "c", "d"] if u < 4 else ["a", "b"]
+        for i, s in enumerate(seq):
+            rows.append((u, t0 + dt.timedelta(minutes=i), i, s))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    ).repartition(3)
+    got = [(r["rank"], r["path"], r["n_users"])
+           for r in top_paths(df, k=5, prefix_len=3).collect()]
+    # prefix_len=3 truncates the 4-event users to a>b>c
+    assert got == [(1, "a>b>c", 4), (2, "a>b", 3)]
+
+
+def test_top_paths_plan_has_window_group_limit(spark):
+    from openeo_processes_dask_spark.diagnostics import plan_report
+    from openeo_processes_dask_spark.training.funnel import top_paths
+
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1, "a")],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    r = plan_report(top_paths(df, k=3, prefix_len=2))
+    assert "WindowGroupLimit" in r.text and r.python_free
