@@ -225,6 +225,15 @@ def jaccard_prefix_pairs(
     (min_size >= t * max_size, another J >= t necessity) prunes the
     candidate set further before verification.
 
+    When to pick which: on a corpus whose shingles are near-unique
+    (long-tail trigram frequencies — the synthetic fixture is like
+    this) the brute self-join volume is already tiny and this lane's
+    frequency-join overhead makes it a constant factor SLOWER; its
+    payoff is the corpus with heavy shingle frequencies (boilerplate,
+    templates, mass duplication), where sum(df^2) explodes and the
+    prefix cut is the difference between a bounded join and a blow-up —
+    with recall 1, which the ``max_doc_freq`` cap cannot promise.
+
     Plan: vocabulary df-count (one shuffle over the shingle table), a
     vocabulary-sized window for the global rank (the vocab relation is
     orders of magnitude smaller than the corpus — its sort is not the
@@ -246,16 +255,16 @@ def jaccard_prefix_pairs(
         .persist()
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    # global total order: (doc_freq, shk) — rarest first, unique shk
-    # breaks ties, so the rank is deterministic under any partitioning
-    vocab_w = Window.orderBy(F.col("dfreq"), F.col("shk"))
-    vocab = (
-        sh.groupBy("shk")
-        .agg(F.count(F.lit(1)).alias("dfreq"))
-        .select("shk", F.row_number().over(vocab_w).alias("vrank"))
-    )
+    # global total order: the TUPLE (doc_freq, shk) — rarest first,
+    # unique shk breaks ties. The lemma only needs one consistent total
+    # order across documents, so the tuple is used as the per-doc sort
+    # key DIRECTLY: no global row_number over the vocabulary, which
+    # would funnel the whole vocab through a single unpartitioned
+    # window task (measured 3x slower at sf0.1 — and a straight-up
+    # serial bottleneck at corpus scale).
+    vocab = sh.groupBy("shk").agg(F.count(F.lit(1)).alias("dfreq"))
     ranked = sh.join(vocab, "shk").join(sizes, "id")
-    doc_w = Window.partitionBy("id").orderBy("vrank")
+    doc_w = Window.partitionBy("id").orderBy("dfreq", "shk")
     prefix = (
         ranked.withColumn("rn", F.row_number().over(doc_w))
         .where(
