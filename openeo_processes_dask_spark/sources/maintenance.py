@@ -133,7 +133,11 @@ def range_partition_bounds(
     combine collapses duplicates before the shuffle), then the
     running-count window runs over the DISTINCT-VALUE relation only —
     the same distinct-first shape as the exact-AUC operator; the raw
-    table is scanned exactly once and never globally sorted.
+    table is scanned exactly once and never globally sorted. Caveat
+    (shared with percentile_rank and auc): the running window is a
+    global order over distinct values, serial if the column is truly
+    continuous — quantize such columns first (bounds on rounded values
+    are still exact bounds of the rounded distribution).
     """
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")

@@ -152,9 +152,13 @@ def auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     Plan at 100 TB: AUC needs a global rank, but NOT over the raw rows —
     group by DISTINCT score first (one corpus-keyed hash aggregate with
     map-side combine), then the running-negatives window runs over the
-    distinct-score relation only (the vocab-rank pattern, cf.
-    jaccard_prefix_pairs): u2 = Σ_s np_s·(2·cum_nn_below + nn_s), all
-    integer, so the result is bit-identical under any partitioning.
+    distinct-score relation only: u2 = Σ_s np_s·(2·cum_nn_below + nn_s),
+    all integer, so the result is bit-identical under any partitioning.
+    Caveat: the running window is a GLOBAL order over distinct scores —
+    tiny for quantized/micro-rounded scores (the engine's convention),
+    but a continuous raw score makes it corpus-sized and serial; round
+    scores (e.g. to 6 decimals) before calling, which also leaves the
+    AUC effectively unchanged.
     """
     from pyspark.sql import Window
 

@@ -14,7 +14,7 @@ lets a DuckDB oracle replay it exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: total rank mass in integer units; 1e12 keeps per-node ranks well above
@@ -159,29 +159,39 @@ def triangle_counts(
         .unionByName(e.select(F.col("b").alias("node")))
     )
     deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-    # total order (deg, node) -> one compact rank per node. Node-sized
-    # window; ties impossible (node is unique), so the rank is a total
-    # deterministic order under any partitioning.
-    w = Window.orderBy(F.col("deg"), F.col("node"))
-    rank = deg.select(
-        F.col("node"), F.row_number().over(w).alias("r")
+    # total order: the TUPLE (deg, node) — node uniqueness breaks ties.
+    # The tuple is compared DIRECTLY; no global row_number over the node
+    # relation, which would funnel every node through one unpartitioned
+    # window task (the serial-bottleneck class the prefix-join fix
+    # removed — same cure here).
+    lt = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
     o = (
-        e.join(rank.withColumnRenamed("node", "a").withColumnRenamed("r", "ra"), "a")
-        .join(rank.withColumnRenamed("node", "b").withColumnRenamed("r", "rb"), "b")
+        e.join(
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("da")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("db")),
+            "b",
+        )
         .select(
-            F.when(F.col("ra") < F.col("rb"), F.col("a")).otherwise(F.col("b")).alias("lo"),
-            F.when(F.col("ra") < F.col("rb"), F.col("b")).otherwise(F.col("a")).alias("hi"),
-            F.when(F.col("ra") < F.col("rb"), F.col("ra")).otherwise(F.col("rb")).alias("rlo"),
-            F.when(F.col("ra") < F.col("rb"), F.col("rb")).otherwise(F.col("ra")).alias("rhi"),
+            F.when(lt, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(lt, F.col("b")).otherwise(F.col("a")).alias("hi"),
+            F.when(lt, F.col("db")).otherwise(F.col("da")).alias("dhi"),
         )
     )
     # wedges from each lowest-ranked corner: pairs of out-neighbors,
-    # ordered by rank so each unordered pair appears once
+    # ordered by the (deg, node) tuple so each unordered pair appears once
     e1, e2 = o.alias("e1"), o.alias("e2")
+    hi_lt = (F.col("e1.dhi") < F.col("e2.dhi")) | (
+        (F.col("e1.dhi") == F.col("e2.dhi"))
+        & (F.col("e1.hi") < F.col("e2.hi"))
+    )
     wedges = e1.join(
         e2,
-        (F.col("e1.lo") == F.col("e2.lo")) & (F.col("e1.rhi") < F.col("e2.rhi")),
+        (F.col("e1.lo") == F.col("e2.lo")) & hi_lt,
     ).select(
         F.col("e1.lo").alias("u"),
         F.col("e1.hi").alias("v"),
