@@ -601,6 +601,52 @@ def q_streaming_ema(spark, sf_dir):
     )
 
 
+def q_streaming_funnel(spark, sf_dir):
+    """Online funnel progress (streaming/sessions.py stream_funnel,
+    applyInPandasWithState, two scalars of state per user): drained
+    step events aggregated to max(step) per user == the batch funnel's
+    steps_completed, so it shares the chained-CTE oracle shape."""
+    _setup(spark)
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.streaming.sessions import stream_funnel
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream1_{os.path.basename(sf_dir)}"
+    )
+    if not os.path.isdir(stream_dir):
+        _table(spark, sf_dir, "events").orderBy("ts").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stream_dir)
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .parquet(stream_dir)
+        .select(
+            F.col("user_id").alias("k"), F.col("ts").alias("t"),
+            "event_id", F.col("event_type").alias("event"),
+        )
+    )
+    out = stream_funnel(stream, ["view", "click", "purchase"])
+    name = f"q_sfun_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy(F.col("k").alias("user_id"))
+        .agg(F.max("step").cast("int").alias("steps_completed"))
+    )
+
+
 def q_streaming_count_min(spark, sf_dir):
     """Streaming Count-Min sketch (training/sketches.py
     stream_count_min): the d=4 x w=64 frequency table maintained as a
@@ -642,6 +688,7 @@ QUERIES = {
     "streaming_attribution": q_streaming_attribution,
     "streaming_anomaly": q_streaming_anomaly,
     "streaming_ema": q_streaming_ema,
+    "streaming_funnel": q_streaming_funnel,
     "streaming_count_min": q_streaming_count_min,
     "streaming_daily_sum": q_streaming_daily_sum,
     "streaming_dedup": q_streaming_dedup,
@@ -663,6 +710,27 @@ ORACLES = {
                    count(*) AS cnt
             FROM events, (SELECT unnest([0, 1, 2, 3]) AS r) r
             GROUP BY 1, 2
+        """,
+    "streaming_funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN s1 ON s1.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > s1.t1
+              GROUP BY 1),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN s2 ON s2.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+              GROUP BY 1)
+            SELECT s1.user_id,
+                   1 + CAST(s2.t2 IS NOT NULL AS INT)
+                     + CAST(s3.t3 IS NOT NULL AS INT) AS steps_completed
+            FROM s1
+            LEFT JOIN s2 ON s2.user_id = s1.user_id
+            LEFT JOIN s3 ON s3.user_id = s1.user_id
         """,
     # streaming_ema: same recursive-CTE replay as the batch ema_smooth
     # gate — the single sorted-batch drain must reproduce it exactly.

@@ -365,3 +365,79 @@ def stream_ema(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+FUNNEL_OUTPUT = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("step", IntegerType()),
+        StructField("t", TimestampType()),
+    ]
+)
+
+FUNNEL_STATE = StructType(
+    [StructField("next_idx", IntegerType()), StructField("last_t", TimestampType())]
+)
+
+
+def stream_funnel(
+    events: DataFrame,
+    steps: list[str],
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``training.funnel.funnel``: per-user funnel
+    progress tracked ONLINE — a row ``(k, step, t)`` is emitted the
+    moment user ``k`` reaches step number ``step`` (1-based), so a live
+    dashboard sees conversions as they happen instead of in a post-pass.
+
+    Input columns: ``k`` (int64 user key), ``event_id`` (tie-break),
+    ``t`` (timestamp), ``event`` (event-type string). State per key is
+    (next step index, timestamp of the last bound step) — two scalars,
+    constant regardless of stream length. Greedy earliest-match,
+    strict-after semantics identical to the batch operator: a
+    single sorted-batch drain aggregated to max(step) per user equals
+    the batch ``steps_completed`` row for row (pinned by test).
+    """
+    if len(steps) < 2:
+        raise ValueError(f"need at least 2 steps, got {len(steps)}")
+
+    def update(
+        key: Tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["t", "event_id"])
+        if state.exists:
+            next_idx, last_t = state.get
+            last_t = pd.Timestamp(last_t) if last_t is not None else None
+        else:
+            next_idx, last_t = 0, None
+        out = []
+        for t, ev in zip(rows["t"], rows["event"]):
+            if next_idx >= len(steps):
+                break
+            if ev == steps[next_idx] and (
+                next_idx == 0 or (last_t is not None and t > last_t)
+            ):
+                last_t = t
+                next_idx += 1
+                out.append((int(k), next_idx, t))
+        state.update((int(next_idx), last_t.to_pydatetime() if last_t is not None else None))
+        if out:
+            yield pd.DataFrame(out, columns=["k", "step", "t"])
+
+    return (
+        events.withWatermark("t", watermark)
+        .groupBy("k")
+        .applyInPandasWithState(
+            update,
+            outputStructType=FUNNEL_OUTPUT,
+            stateStructType=FUNNEL_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -502,3 +502,57 @@ def test_top_paths_plan_has_window_group_limit(spark):
     )
     r = plan_report(top_paths(df, k=3, prefix_len=2))
     assert "WindowGroupLimit" in r.text and r.python_free
+
+
+def test_stream_funnel_matches_batch(spark, tmp_path):
+    """Single sorted-batch drain, aggregated to max step per user, must
+    equal the batch funnel's steps_completed row for row."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import functions as F
+
+    from openeo_processes_dask_spark.streaming.sessions import stream_funnel
+    from openeo_processes_dask_spark.training.funnel import funnel
+
+    random.seed(3)
+    t0 = dt.datetime(2024, 1, 1)
+    types = ["view", "click", "purchase", "noise"]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), i % 9, random.choice(types))
+        for i in range(400)
+    ]
+    schema = "event_id bigint, t timestamp, k bigint, event string"
+    df = spark.createDataFrame(rows, schema)
+    d = str(tmp_path / "funnel_src")
+    df.orderBy("t").coalesce(1).write.mode("overwrite").parquet(d)
+    out = stream_funnel(
+        spark.readStream.schema(schema).parquet(d),
+        ["view", "click", "purchase"],
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["k"]: r["m"]
+        for r in spark.table("funnel_test")
+        .groupBy("k")
+        .agg(F.max("step").alias("m"))
+        .collect()
+    }
+    exp = {
+        r["k"]: r["steps_completed"]
+        for r in funnel(
+            df.withColumnRenamed("event", "event_type")
+            .withColumnRenamed("t", "ts"),
+            ["view", "click", "purchase"],
+            user_col="k",
+            ts_col="ts",
+        ).collect()
+    }
+    assert got == exp and got  # non-trivial fixture
