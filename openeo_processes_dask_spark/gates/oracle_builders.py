@@ -1584,3 +1584,20 @@ def _scene_changes_oracle_sql(id_cap: int = 105, threshold: int = 16) -> str:
                bit_count(xor(dhash, p)) > {threshold} AS is_cut
         FROM lagged WHERE p IS NOT NULL
     """
+
+
+def _leakage_split_oracle_sql(n_folds: int = 5, seed: int = 77) -> str:
+    """Twin of q_leakage_split: the dedup_clusters recursive closure
+    gives component ids for paired docs; every document left-joins it
+    (singletons keep their own id) and the fold is the identical
+    md5-long arithmetic mod n_folds."""
+    cc = _dedup_clusters_oracle_sql()
+    return f"""
+        WITH RECURSIVE cc AS ({cc})
+        SELECT d.doc_id,
+               CAST(coalesce(cc.comp, d.doc_id) AS BIGINT) AS comp_id,
+               CAST(CAST('0x' || substr(md5('{seed}-' ||
+                    CAST(coalesce(cc.comp, d.doc_id) AS VARCHAR)), 1, 15)
+                    AS BIGINT) % {n_folds} AS INT) AS fold
+        FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+    """

@@ -32,6 +32,7 @@ from .oracle_builders import (
     _lsh_topk_oracle_sql,
     _minhash_oracle_sql,
     _minhash_incremental_oracle_sql,
+    _leakage_split_oracle_sql,
     _pq_topk_oracle_sql,
     _simhash_oracle_sql,
 )
@@ -1138,6 +1139,27 @@ def q_retention(spark, sf_dir):
     return retention(_table(spark, sf_dir, "events"))
 
 
+def q_leakage_split(spark, sf_dir):
+    """Near-dup-aware fold split (training/sampling.py
+    leakage_safe_split): MinHash pairs -> connected components -> fold =
+    md5(seed, component canonical id) % 5, so duplicates can never
+    straddle train/test. Oracle composes the recursive-closure CC SQL
+    with the identical md5 fold arithmetic."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import (
+        minhash_near_duplicates,
+    )
+    from openeo_processes_dask_spark.training.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.2
+    )
+    return leakage_safe_split(docs, pairs, n_folds=5, seed=77)
+
+
 def q_incremental_curation(spark, sf_dir):
     """Composed incremental-ingest pipeline over the continuation ops:
     corpus_diff picks the added+changed docs of the new snapshot,
@@ -1572,6 +1594,7 @@ QUERIES = {
     "token_entropy": q_token_entropy,
     "source_divergence": q_source_divergence,
     "incremental_curation": q_incremental_curation,
+    "leakage_split": q_leakage_split,
     "funnel": q_funnel,
     "retention": q_retention,
     "top_paths": q_top_paths,
@@ -2025,6 +2048,7 @@ ORACLES = {
     "subsequence_topk": _subsequence_topk_oracle_sql,
     "minhash_near_dups": _minhash_oracle_sql,
     "minhash_incremental": _minhash_incremental_oracle_sql,
+    "leakage_split": _leakage_split_oracle_sql,
     "simhash_near_dups": _simhash_oracle_sql,
     "negative_samples": """
             WITH cand AS (

@@ -390,3 +390,51 @@ def hash_negatives(
         .where(F.col("neg_rank") <= k)
         .select("query_id", "pos_id", "neg_rank", F.col("cand_id").alias("neg_id"))
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    dup_pairs: DataFrame,
+    n_folds: int = 5,
+    seed: int = 77,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup-aware fold assignment — the split that plain per-id
+    hashing (:func:`split_assign`) gets WRONG for evaluation: if two
+    near-duplicate documents land in train and test, the test set leaks.
+    Here every connected component of the near-dup graph (``dup_pairs``
+    = (id1, id2) from minhash/simhash/embedding matching) moves as ONE
+    unit: the fold is a seeded hash of the component's canonical id, so
+    duplicates can never straddle folds. Singletons hash on their own id.
+
+    Returns ``(doc_id, comp_id, fold)`` with fold in [0, n_folds).
+    Deterministic (md5 of (seed, comp)) — rerun/retry/partition stable,
+    the module contract.
+
+    Plan at 100 TB: connected components over the PAIR graph (pairs are
+    the small relation — the near-dup subset), one left join back onto
+    the corpus keyed by id, and a pure hash projection. Components are
+    the same O(log n)/O(diameter) lanes dedup_clusters uses.
+    """
+    if n_folds < 2:
+        raise ValueError(f"n_folds must be >= 2, got {n_folds}")
+    from openeo_processes_dask_spark.training.dedup import (
+        connected_components,
+    )
+
+    comp = connected_components(dup_pairs).select(
+        F.col("id").alias(id_col), F.col("comp")
+    )
+    assigned = df.select(F.col(id_col).cast("long").alias(id_col)).join(
+        comp, id_col, "left"
+    )
+    comp_id = F.coalesce(F.col("comp"), F.col(id_col)).cast("long")
+    fold = (
+        _md5_to_long(
+            F.concat_ws("-", F.lit(str(seed)), comp_id.cast("string"))
+        )
+        % n_folds
+    ).cast("int")
+    return assigned.select(
+        id_col, comp_id.alias("comp_id"), fold.alias("fold")
+    )

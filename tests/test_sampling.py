@@ -364,3 +364,40 @@ def test_hash_negatives_validates(spark):
         hash_negatives(pairs, pool, k=0)
     with pytest.raises(ValueError):
         hash_negatives(pairs, pool, pool_mod=0)
+
+
+def test_leakage_safe_split_components_share_folds(spark):
+    from openeo_processes_dask_spark.training.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    # two chains and one isolated pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "id1 long, id2 long"
+    )
+    out = {r["doc_id"]: (r["comp_id"], r["fold"])
+           for r in leakage_safe_split(docs, pairs, n_folds=4).collect()}
+    assert len(out) == 40  # every doc assigned, incl. singletons
+    assert out[1] == out[2] == out[3] == out[4]
+    assert out[10] == out[11] and out[20] == out[21]
+    assert out[1][0] == 1 and out[10][0] == 10  # canonical min id
+    assert all(0 <= f < 4 for _, f in out.values())
+    # seeds move folds; components still stay together
+    out2 = {r["doc_id"]: r["fold"]
+            for r in leakage_safe_split(docs, pairs, n_folds=4, seed=9).collect()}
+    assert out2[1] == out2[4]
+    assert any(out[i][1] != out2[i] for i in out)
+
+
+def test_leakage_safe_split_validates(spark):
+    import pytest
+
+    from openeo_processes_dask_spark.training.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
+    with pytest.raises(ValueError):
+        leakage_safe_split(docs, pairs, n_folds=1)
