@@ -286,3 +286,28 @@ def test_minhash_incremental_new_vs_seen_only(spark):
     assert all(sid in (1, 2) for _, sid in pairs)
     est = {p: r["est_jaccard"] for p, r in zip(pairs, rows)}
     assert all(0.3 <= v <= 1.0 for v in est.values())
+
+
+def test_jaccard_prefix_windows_are_per_document_only(spark):
+    """Regression pin (SCALECHECK probe 12): the only window in the
+    prefix join is the per-document row_number — partitioned by id,
+    never a global vocabulary sort."""
+    import re
+
+    from openeo_processes_dask_spark.training.dedup import (
+        jaccard_prefix_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+    )
+    plan = (
+        jaccard_prefix_pairs(df, "doc_id", "text", n=2, threshold=0.5)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # every Window node must carry a non-empty partition spec (the id)
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        assert spec.startswith("id#"), f"unpartitioned window: {spec}"

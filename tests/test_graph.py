@@ -220,3 +220,14 @@ def test_harmonic_validates(spark):
         harmonic_centrality(df, iterations=0)
     with pytest.raises(ValueError):
         harmonic_centrality(df, p=3)
+
+
+def test_triangle_plan_has_no_window(spark):
+    """Regression pin for the serial-window class (SCALECHECK probe 12):
+    the orientation must come from tuple comparison, not a global
+    row_number — no Window operator anywhere in the plan."""
+    df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    plan = (
+        triangle_counts(df)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Window" not in plan
