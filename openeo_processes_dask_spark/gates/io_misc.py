@@ -644,6 +644,37 @@ def q_range_bounds(spark, sf_dir):
     return range_partition_bounds(li, "l_extendedprice", 16)
 
 
+def q_jsonl_roundtrip(spark, sf_dir):
+    """JSONL sink + source roundtrip (sources/jsonl.py write_jsonl /
+    read_jsonl): documents serialized to sharded JSON-lines, re-read
+    with an explicit schema, aggregated — proves the full interchange
+    loop (escaping incl. embedded newlines, types, sharding) against the
+    direct-aggregate oracle."""
+    _setup(spark)
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.sources.jsonl import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    d = os.path.join(
+        tempfile.gettempdir(), f"jsonl_gate_{os.path.basename(sf_dir)}"
+    )
+    docs = _table(spark, sf_dir, "documents")
+    write_jsonl(docs, d, target_file_bytes=1 << 20)
+    back = read_jsonl(
+        spark, d,
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.length("text")).cast("long").alias("text_chars"),
+    )
+
+
 def q_percentile_rank(spark, sf_dir):
     """Empirical-CDF percentile normalization (sources/maintenance.py
     percentile_rank) of documents.n_chars: distinct-value running count
@@ -696,9 +727,17 @@ QUERIES = {
     "json_extract": q_json_extract,
     "range_bounds": q_range_bounds,
     "percentile_rank": q_percentile_rank,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
 }
 
 ORACLES = {
+    "jsonl_roundtrip": """
+            SELECT lang, source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum(length(text)) AS BIGINT) AS text_chars
+            FROM documents GROUP BY 1, 2
+        """,
     "percentile_rank": """
             WITH v AS (
               SELECT n_chars AS vv, count(*) AS c FROM documents

@@ -56,3 +56,38 @@ def parse_json_column(
     given DDL ``schema``. Unparseable values become NULL structs."""
     out = out_col or f"{col}_parsed"
     return df.withColumn(out, F.from_json(F.col(col), schema))
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    sample_rows: int = 200,
+) -> int:
+    """Write ``df`` as sharded JSON-lines under ``path`` (one ``to_json``
+    projection -> text sink), sizing the shard count from a driver-side
+    serialization sample so files land near ``target_file_bytes`` — the
+    interchange format most external tokenizer/training stacks consume.
+    Returns the shard count used.
+
+    Scale notes: ``to_json`` is a JVM expression (no Python); the sample
+    is ``sample_rows`` rows serialized once on the driver to estimate
+    bytes/row (same actual-size philosophy as compact_parquet, adapted
+    to a sink whose size IS the serialized text). Uncompressed jsonl is
+    line-splittable on read — the reason to prefer it over .gz shards
+    for re-ingestion.
+    """
+    rows = df.limit(sample_rows).select(
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("j")
+    ).collect()
+    if not rows:
+        n = 1
+    else:
+        per_row = sum(len(r["j"]) + 1 for r in rows) / len(rows)
+        total = df.count() * per_row
+        n = max(1, int(total // target_file_bytes) + 1)
+    out = df.select(
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value")
+    )
+    out.repartition(n).write.mode("overwrite").text(path)
+    return n

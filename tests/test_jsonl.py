@@ -52,3 +52,29 @@ def test_parse_json_column_stays_jvm_side(spark):
         .toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_write_jsonl_roundtrip_and_sharding(spark, tmp_path):
+    import glob
+
+    from openeo_processes_dask_spark.sources.jsonl import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    rows = [(i, f"line with\nnewline {i}", i * 1.5) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, text string, score double")
+    d = str(tmp_path / "out_jsonl")
+    n = write_jsonl(df, d, target_file_bytes=4096)
+    files = [f for f in glob.glob(d + "/part-*") if not f.endswith(".crc")]
+    assert n > 1 and len(files) == n  # sharding actually happened
+    back = read_jsonl(spark, d, "id LONG, text STRING, score DOUBLE")
+    got = sorted((r["id"], r["text"], r["score"]) for r in back.collect())
+    assert got == sorted(rows)  # embedded newlines survive JSON escaping
+
+
+def test_write_jsonl_empty_frame(spark, tmp_path):
+    from openeo_processes_dask_spark.sources.jsonl import write_jsonl
+
+    df = spark.createDataFrame([], "id long, text string")
+    assert write_jsonl(df, str(tmp_path / "empty_jsonl")) == 1
