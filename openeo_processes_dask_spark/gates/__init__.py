@@ -40,7 +40,7 @@ _LANES = (core, training, parity, streaming, io_misc, extended)
 # streaming_ema, negative_samples, range_bounds, autocorr, harmonic,
 # minhash_incremental, percentile_rank, standardize_embeddings,
 # scene_changes, source_divergence, incremental_curation, funnel,
-# retention, top_paths, streaming_funnel, leakage_split, jsonl_roundtrip — all
+# retention, top_paths, streaming_funnel, leakage_split, jsonl_roundtrip, isotonic — all
 # check_oracle-green at sf0.001/0.01/0.1 in
 # r6) + as much of the r4 tail (stale since r4) as fits.
 _RED_R5 = ["domain_stats"]

@@ -1601,3 +1601,44 @@ def _leakage_split_oracle_sql(n_folds: int = 5, seed: int = 77) -> str:
                     AS BIGINT) % {n_folds} AS INT) AS fold
         FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
     """
+
+
+def _isotonic_oracle_sql() -> str:
+    """Twin of q_isotonic: per-score counts from DuckDB, then an
+    INDEPENDENT PAVA (exact Fractions instead of the engine's integer
+    cross-multiplication) — same unique optimum, different mechanism;
+    the fitted table inlines as VALUES."""
+    import os
+    from fractions import Fraction
+
+    import duckdb
+
+    sf = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    rows = duckdb.sql(
+        f"SELECT n_chars, count(*) AS n, "
+        f"sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p "
+        f"FROM '{sf}/documents.parquet' WHERE n_chars IS NOT NULL "
+        f"GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    pools: list[list] = []  # [sum_pos (Fraction), count (Fraction), members]
+    for s, n, p in rows:
+        pools.append([Fraction(int(p)), Fraction(int(n)), [(s, int(n), int(p))]])
+        while len(pools) >= 2 and (
+            pools[-2][0] / pools[-2][1] >= pools[-1][0] / pools[-1][1]
+        ):
+            b = pools.pop()
+            pools[-1][0] += b[0]
+            pools[-1][1] += b[1]
+            pools[-1][2].extend(b[2])
+    vals = []
+    for tp, tn, members in pools:
+        c = round(float(tp / tn), 6)
+        for s, n, p in members:
+            vals.append(f"({s}, {n}, {p}, {c!r})")
+    values = ",\n              ".join(vals)
+    return f"""
+        SELECT s, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+               CAST(calibrated AS DOUBLE) AS calibrated
+        FROM (VALUES
+              {values}) AS t(s, n, n_pos, calibrated)
+    """

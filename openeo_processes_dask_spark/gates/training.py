@@ -33,6 +33,7 @@ from .oracle_builders import (
     _minhash_oracle_sql,
     _minhash_incremental_oracle_sql,
     _leakage_split_oracle_sql,
+    _isotonic_oracle_sql,
     _pq_topk_oracle_sql,
     _simhash_oracle_sql,
 )
@@ -1223,6 +1224,25 @@ def q_token_entropy(spark, sf_dir):
     return token_entropy(_table(spark, sf_dir, "documents"))
 
 
+def q_isotonic(spark, sf_dir):
+    """Isotonic calibration table (training/classifier.py
+    isotonic_calibrate, PAVA): n_chars scoring lang=='en' — integer
+    per-score counts, exact-rational pool merges, driver-side PAVA over
+    the metadata-sized distinct-score relation. Oracle replays PAVA
+    independently with Fractions and inlines the table as VALUES."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.classifier import (
+        isotonic_calibrate,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("n_chars").alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return isotonic_calibrate(scored, "s", "y")
+
+
 def q_classifier_auc(spark, sf_dir):
     """Exact ROC AUC (training/classifier.py auc): n_chars scoring the
     lang=='en' label — heavy score ties exercise the half-weight tie
@@ -1600,6 +1620,7 @@ QUERIES = {
     "top_paths": q_top_paths,
     "negative_samples": q_negative_samples,
     "classifier_auc": q_classifier_auc,
+    "isotonic": q_isotonic,
     "minhash_near_dups": q_minhash_near_dups,
     "minhash_incremental": q_minhash_incremental,
     "standardize_embeddings": q_standardize_embeddings,
@@ -2049,6 +2070,7 @@ ORACLES = {
     "minhash_near_dups": _minhash_oracle_sql,
     "minhash_incremental": _minhash_incremental_oracle_sql,
     "leakage_split": _leakage_split_oracle_sql,
+    "isotonic": _isotonic_oracle_sql,
     "simhash_near_dups": _simhash_oracle_sql,
     "negative_samples": """
             WITH cand AS (

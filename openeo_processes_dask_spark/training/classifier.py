@@ -194,3 +194,65 @@ def auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+def isotonic_calibrate(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Isotonic calibration of a scorer against binary outcomes — the
+    standard monotone recalibration (Zadrozny & Elkan 2002) run after
+    :func:`auc` says the RANKING is good but the raw scores are not
+    probabilities.
+
+    Returns the calibration TABLE ``(s, n, n_pos, calibrated)`` — one
+    row per distinct score, ``calibrated`` the pool-adjacent-violators
+    (PAVA) fit rounded to 6 decimals: the unique non-decreasing step
+    function minimizing squared error to the per-score positive rates.
+    Apply it to new data with a broadcast join (or range lookup) on s.
+
+    Determinism: per-score (n, n_pos) are exact integer aggregates; the
+    PAVA merge works on integer (sum_pos, count) pairs — pool means are
+    exact rationals compared by cross-multiplication, so the fit is
+    bit-stable under any partitioning and exactly replayable.
+
+    Plan at 100 TB: ONE hash aggregate to the distinct-score relation
+    (the quantize-first contract of :func:`auc` applies), which is then
+    metadata-sized and PAVA runs on the driver — the k-means-centroid
+    pattern: the sequential algorithm touches only the tiny relation,
+    never the corpus.
+    """
+    lab = F.col(label_col).cast("int")
+    by_score = (
+        df.where(F.col(score_col).isNotNull() & lab.isin(0, 1))
+        .groupBy(F.col(score_col).alias("s"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(lab).cast("long").alias("n_pos"),
+        )
+    )
+    rows = sorted(
+        ((r["s"], int(r["n"]), int(r["n_pos"])) for r in by_score.collect()),
+        key=lambda t: t[0],
+    )
+    # PAVA over (pos, cnt) integer pools; merge while mean decreases
+    pools: list[list] = []  # [pos, cnt, n_scores]
+    for _, n, p in rows:
+        pools.append([p, n, 1])
+        while len(pools) >= 2 and (
+            pools[-2][0] * pools[-1][1] >= pools[-1][0] * pools[-2][1]
+        ):
+            b = pools.pop()
+            pools[-1][0] += b[0]
+            pools[-1][1] += b[1]
+            pools[-1][2] += b[2]
+        # strict violation only: equal means merge too (>=) keeps the
+        # canonical minimal-pool-count solution deterministic
+    fitted: list[float] = []
+    for p, n, k in pools:
+        fitted.extend([round(p / n, 6)] * k)
+    spark = df.sparkSession
+    out = [
+        (s, n, p, f) for (s, n, p), f in zip(rows, fitted)
+    ]
+    schema = by_score.schema.add("calibrated", "double")
+    return spark.createDataFrame(out, schema)

@@ -556,3 +556,39 @@ def test_stream_funnel_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == exp and got  # non-trivial fixture
+
+
+def test_isotonic_calibrate_pava(spark):
+    from openeo_processes_dask_spark.training.classifier import (
+        isotonic_calibrate,
+    )
+
+    rows = [(1.0, 0), (1.0, 0), (2.0, 1), (3.0, 0), (4.0, 1), (4.0, 1), (5.0, 1)]
+    df = spark.createDataFrame(rows, "s double, y int").repartition(3)
+    got = sorted(
+        (r["s"], r["n"], r["n_pos"], r["calibrated"])
+        for r in isotonic_calibrate(df, "s", "y").collect()
+    )
+    # per-score rates 0, 1, 0, 1, 1 -> the 1/0 violation pools to 0.5
+    assert got == [
+        (1.0, 2, 0, 0.0),
+        (2.0, 1, 1, 0.5),
+        (3.0, 1, 0, 0.5),
+        (4.0, 2, 2, 1.0),
+        (5.0, 1, 1, 1.0),
+    ]
+    # monotone by construction
+    fits = [c for _, _, _, c in got]
+    assert fits == sorted(fits)
+
+
+def test_isotonic_already_monotone_is_identity(spark):
+    from openeo_processes_dask_spark.training.classifier import (
+        isotonic_calibrate,
+    )
+
+    rows = [(1.0, 0)] * 4 + [(2.0, 1), (2.0, 0)] + [(3.0, 1)] * 3
+    df = spark.createDataFrame(rows, "s double, y int")
+    got = {r["s"]: r["calibrated"]
+           for r in isotonic_calibrate(df, "s", "y").collect()}
+    assert got == {1.0: 0.0, 2.0: 0.5, 3.0: 1.0}
