@@ -20,38 +20,46 @@ from . import core, extended, io_misc, parity, streaming, training
 
 _LANES = (core, training, parity, streaming, io_misc, extended)
 
-# Round-6 window: flagship first, then domain_stats (the ONE r5 red — a
-# DuckDB hugeint-vs-bigint oracle dtype defect, fixed by casting the
-# oracle's sum; the driver must confirm), then the 5 new round-6 queries
-# (never driver-verified by construction), then the 43 queries whose most
-# recent driver check is r3 — the least recently verified of the whole
-# registry (CORRECTNESS_r01..r05 union). 1 + 1 + 5 + 43 = exactly the
-# 50-slot driver window; the r5/r4 tails rotate forward in r7.
+# Round-7 window: flagship first, then the 47 gates NO driver round has
+# ever sampled (the late-r6 batch + the r6-continuation batch — all 47
+# were independently verified green by the r6 judge with the strict
+# replica at sf0.01, but the driver record should confirm; VERDICT r6
+# item 3), then the first 2 of the r4-stale tail. 1 + 47 + 2 = exactly
+# the 50-slot driver window. r6 had zero reds, so no red slots.
 #
-# r7 window plan: flagship + any r6 reds + the LATE r6 gates (appended
-# after the window, never driver-verified: bpe_tokens, image_near_dups,
-# bm25_index_search, streaming_attribution, quantize_embeddings,
-# chunk_text, latest_crawl, quantized_topk, quality_selection,
-# curation_pipeline, rolling_anomaly, audio_near_dups, video_near_dups,
-# streaming_anomaly, count_min_words, hll_registers, streaming_count_min,
-# bpe_encode_ids, tokenize_pack, skew_join, dedup_bloom, and the
-# continuation batch: triangle_count, corpus_diff, json_extract,
-# jaccard_prefix, hybrid_rrf, ema_smooth, token_entropy, classifier_auc,
-# streaming_ema, negative_samples, range_bounds, autocorr, harmonic,
-# minhash_incremental, percentile_rank, standardize_embeddings,
-# scene_changes, source_divergence, incremental_curation, funnel,
-# retention, top_paths, streaming_funnel, leakage_split, jsonl_roundtrip, isotonic — all
-# check_oracle-green at sf0.001/0.01/0.1 in
-# r6) + as much of the r4 tail (stale since r4) as fits.
-_RED_R5 = ["domain_stats"]
+# r8 window plan: flagship + any r7 reds + any new-in-r7 gates (appended
+# after the window below) + the REMAINING r4-stale tail (_R4_GREEN[2:],
+# 46 gates, last driver-verified r4 — the stalest of the registry once
+# the never-checked set clears), topped up from the head of _R5_GREEN if
+# slots remain.
+_NEVER_CHECKED = [
+    # late-r6 batch (added after the r6 window closed)
+    "bpe_tokens", "image_near_dups", "bm25_index_search",
+    "streaming_attribution", "quantize_embeddings", "chunk_text",
+    "latest_crawl", "quantized_topk", "quality_selection",
+    "curation_pipeline", "rolling_anomaly", "audio_near_dups",
+    "video_near_dups", "streaming_anomaly", "count_min_words",
+    "hll_registers", "streaming_count_min", "bpe_encode_ids",
+    "tokenize_pack", "skew_join", "dedup_bloom",
+    # r6-continuation batch
+    "triangle_count", "corpus_diff", "json_extract", "jaccard_prefix",
+    "hybrid_rrf", "ema_smooth", "token_entropy", "classifier_auc",
+    "streaming_ema", "negative_samples", "range_bounds", "autocorr",
+    "harmonic", "minhash_incremental", "percentile_rank",
+    "standardize_embeddings", "scene_changes", "source_divergence",
+    "incremental_curation", "funnel", "retention", "top_paths",
+    "streaming_funnel", "leakage_split", "jsonl_roundtrip", "isotonic",
+]
 
-_NEW_R6: list[str] = [
+# Driver-verified green in r6 (window slots 2-50 of the r6 rotation).
+_R6_GREEN: list[str] = [
+    "domain_stats",
     "bm25_topk", "semdedup", "pagerank",
     "time_partitioned_roundtrip", "stat_pruned_read",
 ]
 
-# Most recent driver check = r3 (43 queries), in r3-window order.
-_R3_STALE = [
+# Driver-verified green in r6 (they were the r3-stale rotation set).
+_R3_NOW_R6 = [
     "apply_neighborhood_2d",
     "apply_neighborhood_2d_mean", "apply_neighborhood_mean", "array_ops",
     "array_ops2", "crs_utm", "cummax", "cummin", "cumproduct", "ddmc",
@@ -111,11 +119,12 @@ _R4_GREEN = [
 
 _PRIORITY = (
     ["flagship_daily_mean"]
-    + _RED_R5
-    + _NEW_R6
-    + _R3_STALE
+    + _NEVER_CHECKED          # 47 — the whole point of the r7 window
+    + _R4_GREEN[:2]           # window slots 49-50: head of the stale tail
+    + _R4_GREEN[2:]           # r8 candidates: stalest once 47 clear
     + _R5_GREEN
-    + _R4_GREEN
+    + _R6_GREEN
+    + _R3_NOW_R6
 )
 
 
