@@ -133,3 +133,9 @@ class LabelsNotEnumerated(OpenEOException):
 
 class DimensionAlreadyExists(OpenEOException):
     pass
+
+
+class IrregularAxisTooLarge(OpenEOException):
+    """A spatial axis failed the regular-grid probe AND has more
+    distinct labels than the bounded driver-side fallback allows —
+    resampling needs an explicit target grid in that case."""

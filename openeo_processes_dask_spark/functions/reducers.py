@@ -176,6 +176,15 @@ def quantiles(
         probabilities = [
             i / probabilities[0] for i in range(1, probabilities[0])
         ]
+    if len(probabilities) == 0:
+        # q=1 / probabilities=1 coerce to ZERO inner break points; the
+        # reference returns an empty result array (math.py:352-371:
+        # np.arange(1.0, 1, 1.0) is empty and np.quantile(x, []) is
+        # []), not an error. F.percentile rejects an empty probability
+        # array at analysis time, so short-circuit with a constant
+        # empty-array aggregate (ignore_nodata is moot — no values are
+        # consulted either way).
+        return F.first(F.array().cast("array<double>"))
     agg = F.percentile(col, F.array(*[F.lit(float(p)) for p in probabilities]))
     return agg if ignore_nodata else _nullout_if_any_null(col, agg)
 

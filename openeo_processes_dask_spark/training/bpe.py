@@ -19,11 +19,29 @@ and replayable by the DuckDB-side oracle builder.
 
 from __future__ import annotations
 
+import re
 from typing import Iterable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType, StringType
+
+#: the engine's whitespace contract is the JVM's ``\s`` class (ASCII
+#: only — textanalysis.tokens splits on the Java regex ``\s+``). The
+#: Python encode UDFs must split IDENTICALLY, or a word the vocab saw
+#: as one type ("a b") would fragment at encode time — str.split()
+#: splits on Unicode whitespace and did exactly that (ADVICE r7).
+_WS = re.compile("[ \\t\\n\\x0b\\f\\r]+")
+
+
+def _pretokenize(text: str | None, lowercase: bool) -> list[str]:
+    """Whitespace pre-tokenization with the same character class as the
+    corpus-side :func:`word_frequencies` lane."""
+    if text is None:
+        return []
+    if lowercase:
+        text = text.lower()
+    return [w for w in _WS.split(text) if w]
 
 #: end-of-word marker appended as a standalone final symbol, so merges
 #: can distinguish word-final from word-internal contexts
@@ -144,15 +162,8 @@ def bpe_encode(
         cache: dict[str, list[str]] = {}
 
         def one(text):
-            if text is None:
-                return []
-            t = text.strip()
-            if lowercase:
-                t = t.lower()
-            if not t:
-                return []
             out: list[str] = []
-            for w in t.split():
+            for w in _pretokenize(text, lowercase):
                 if w not in cache:
                     cache[w] = _encode_word(w, mg)
                 out.extend(cache[w])
@@ -236,15 +247,8 @@ def bpe_encode_ids(
         cache: dict[str, list[int]] = {}
 
         def one(text):
-            if text is None:
-                return []
-            t = text.strip()
-            if lowercase:
-                t = t.lower()
-            if not t:
-                return []
             out: list[int] = []
-            for w in t.split():
+            for w in _pretokenize(text, lowercase):
                 if w not in cache:
                     cache[w] = [
                         vb.get(sym, 0) for sym in _encode_word(w, mg)

@@ -197,7 +197,10 @@ def auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
 
 
 def isotonic_calibrate(
-    df: DataFrame, score_col: str, label_col: str
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    max_distinct_scores: int = 65536,
 ) -> DataFrame:
     """Isotonic calibration of a scorer against binary outcomes — the
     standard monotone recalibration (Zadrozny & Elkan 2002) run after
@@ -220,16 +223,53 @@ def isotonic_calibrate(
     metadata-sized and PAVA runs on the driver — the k-means-centroid
     pattern: the sequential algorithm touches only the tiny relation,
     never the corpus.
+
+    Driver bound (VERDICT r7 #2): a CONTINUOUS score column makes the
+    distinct-score relation corpus-sized, so above
+    ``max_distinct_scores`` distinct values the scores are pre-binned
+    into that many equal-width bins over [min, max] — one extra 1-row
+    aggregate, then the same exact-integer PAVA over the per-bin pools
+    (``s`` = the smallest score in the bin, a deterministic
+    representative). Monotonicity and determinism are unchanged; the
+    step function is simply fitted at bin granularity, the standard
+    large-n isotonic move.
     """
     lab = F.col(label_col).cast("int")
-    by_score = (
-        df.where(F.col(score_col).isNotNull() & lab.isin(0, 1))
-        .groupBy(F.col(score_col).alias("s"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(lab).cast("long").alias("n_pos"),
-        )
+    valid = df.where(F.col(score_col).isNotNull() & lab.isin(0, 1))
+    by_score = valid.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(lab).cast("long").alias("n_pos"),
     )
+    # cheap cardinality probe: stop counting at cap + 1
+    over_cap = (
+        by_score.limit(max_distinct_scores + 1).count()
+        > max_distinct_scores
+    )
+    if over_cap:
+        b = max_distinct_scores
+        lohi = valid.agg(
+            F.min(F.col(score_col).cast("double")).alias("lo"),
+            F.max(F.col(score_col).cast("double")).alias("hi"),
+        ).collect()[0]
+        lo, hi = float(lohi["lo"]), float(lohi["hi"])
+        width = (hi - lo) or 1.0
+        bin_id = F.least(
+            F.floor(
+                (F.col(score_col).cast("double") - F.lit(lo))
+                / F.lit(width)
+                * F.lit(b)
+            ),
+            F.lit(b - 1),
+        )
+        by_score = (
+            valid.groupBy(bin_id.alias("__bin__"))
+            .agg(
+                F.min(F.col(score_col)).alias("s"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(lab).cast("long").alias("n_pos"),
+            )
+            .drop("__bin__")
+        )
     rows = sorted(
         ((r["s"], int(r["n"]), int(r["n_pos"])) for r in by_score.collect()),
         key=lambda t: t[0],
@@ -245,8 +285,8 @@ def isotonic_calibrate(
             pools[-1][0] += b[0]
             pools[-1][1] += b[1]
             pools[-1][2] += b[2]
-        # strict violation only: equal means merge too (>=) keeps the
-        # canonical minimal-pool-count solution deterministic
+        # merge on >= — equal pool means merge as well, which keeps
+        # the canonical minimal-pool-count solution deterministic
     fitted: list[float] = []
     for p, n, k in pools:
         fitted.extend([round(p / n, 6)] * k)

@@ -254,6 +254,17 @@ def jaccard_prefix_pairs(
         .select("id", _md5_to_long(F.col("sh")).alias("shk"))
         .persist()
     )
+    try:
+        return _jaccard_prefix_pairs_body(sh, threshold)
+    finally:
+        # the cache is corpus-sized; holding it for the session (the
+        # pre-r8 behavior, ADVICE r7) leaks executor storage. The body
+        # localCheckpoints its (small) pairs result before this
+        # unpersist runs, so the consumer never recomputes sh.
+        sh.unpersist()
+
+
+def _jaccard_prefix_pairs_body(sh: DataFrame, threshold: float) -> DataFrame:
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     # global total order: the TUPLE (doc_freq, shk) — rarest first,
     # unique shk breaks ties. The lemma only needs one consistent total
@@ -300,7 +311,7 @@ def jaccard_prefix_pairs(
     )
     sz1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
     sz2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
-    return (
+    out = (
         inter.join(sz1, "id1")
         .join(sz2, "id2")
         .withColumn(
@@ -310,6 +321,13 @@ def jaccard_prefix_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
+    # Materialize the pairs NOW, while the shingle cache is alive (the
+    # caller unpersists it on return). The result is the above-threshold
+    # pair set — orders of magnitude smaller than the shingle table —
+    # and localCheckpoint blocks are released by the ContextCleaner when
+    # the returned DataFrame is garbage collected, unlike a persist(),
+    # which would outlive the caller (ADVICE r7 cache-leak fix).
+    return out.localCheckpoint(eager=True)
 
 
 def segment_duplicates(
