@@ -20,18 +20,8 @@ from . import core, extended, io_misc, parity, streaming, training
 
 _LANES = (core, training, parity, streaming, io_misc, extended)
 
-# Round-7 window: flagship first, then the 47 gates NO driver round has
-# ever sampled (the late-r6 batch + the r6-continuation batch — all 47
-# were independently verified green by the r6 judge with the strict
-# replica at sf0.01, but the driver record should confirm; VERDICT r6
-# item 3), then the first 2 of the r4-stale tail. 1 + 47 + 2 = exactly
-# the 50-slot driver window. r6 had zero reds, so no red slots.
-#
-# r8 window plan: flagship + any r7 reds + any new-in-r7 gates (appended
-# after the window below) + the REMAINING r4-stale tail (_R4_GREEN[2:],
-# 46 gates, last driver-verified r4 — the stalest of the registry once
-# the never-checked set clears), topped up from the head of _R5_GREEN if
-# slots remain.
+# The 47 gates no driver round had sampled before r7; driver-verified
+# green in r7 AND r8 (the r8 window was not rotated).
 _NEVER_CHECKED = [
     # late-r6 batch (added after the r6 window closed)
     "bpe_tokens", "image_near_dups", "bm25_index_search",
@@ -117,12 +107,24 @@ _R4_GREEN = [
     "reduce_variance", "reduce_spatial_sum", "sort_along_dim", "date_ops",
 ]
 
-_PRIORITY = (
+# Round-9 window (executing the rotation plan written in r7 and skipped
+# in r8 — VERDICT r8 #5): flagship + the ENTIRE r4-stale tail
+# (_R4_GREEN[2:]; its first two entries were re-verified in the r7/r8
+# windows), topped up from the head of _R5_GREEN to exactly 50 slots.
+# After r9 the oldest driver stratum is r5. Counts are asserted below so
+# the sizing can't silently drift (ADVICE r8).
+_WINDOW_R9 = (
     ["flagship_daily_mean"]
-    + _NEVER_CHECKED          # 47 — the whole point of the r7 window
-    + _R4_GREEN[:2]           # window slots 49-50: head of the stale tail
-    + _R4_GREEN[2:]           # r8 candidates: stalest once 47 clear
-    + _R5_GREEN
+    + _R4_GREEN[2:]
+    + _R5_GREEN[: 50 - 1 - len(_R4_GREEN[2:])]
+)
+assert len(_WINDOW_R9) == 50, len(_WINDOW_R9)
+
+_PRIORITY = (
+    _WINDOW_R9
+    + _R5_GREEN[50 - 1 - len(_R4_GREEN[2:]):]  # r10 candidates: next-stalest
+    + _R4_GREEN[:2]
+    + _NEVER_CHECKED          # driver-verified r8
     + _R6_GREEN
     + _R3_NOW_R6
 )

@@ -755,12 +755,15 @@ def _logreg_quality_oracle_sql(
     cnts: dict = {}
     ys: dict = {}
     for doc_id, text, lang in rows:
-        t = (text or "").strip().lower()
-        if not t:
+        # engine-contract tokenization (_bpe_words = JVM \s+, ASCII):
+        # str.split() would also treat NBSP/em-space as separators and
+        # silently train divergent weights on such corpora (ADVICE r8)
+        toks = _bpe_words(text)
+        if not toks:
             continue
         ys[doc_id] = 1.0 if lang == "en" else 0.0
         d = cnts.setdefault(doc_id, {})
-        for tok in t.split():
+        for tok in toks:
             b = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % dim
             d[b] = d.get(b, 0) + 1
     n = len(cnts)
@@ -1018,8 +1021,10 @@ def _bpe_tokens_oracle_sql(num_merges: int = 30) -> str:
 
     freqs: dict = {}
     for _, text in rows:
-        for w in (text or "").strip().lower().split():
+        for w in _bpe_words(text):  # JVM \s+ contract, not str.split()
             freqs[w] = freqs.get(w, 0) + 1
+    # engine caps the word-type table before merge learning (bpe.py:87-92)
+    freqs = _bpe_cap_types(freqs)
     vocab = {tuple(list(w) + [eow]): f for w, f in freqs.items()}
     merges = []
     for _ in range(num_merges):
@@ -1064,7 +1069,7 @@ def _bpe_tokens_oracle_sql(num_merges: int = 30) -> str:
     vals = []
     for doc_id, text in rows:
         n = 0
-        for w in (text or "").strip().lower().split():
+        for w in _bpe_words(text):  # same split as the engine's encode UDF
             if w not in wlen:
                 wlen[w] = encode_len(w)
             n += wlen[w]
@@ -1273,10 +1278,13 @@ def _bpe_ids_oracle_sql(num_merges: int = 30) -> str:
     freqs: dict = {}
     alphabet: set = set()
     for _, text in rows:
-        t = (text or "").strip().lower()
-        for w in t.split():
+        for w in _bpe_words(text):  # JVM \s+ contract, not str.split()
             freqs[w] = freqs.get(w, 0) + 1
+            # base alphabet comes from the FULL corpus (engine:
+            # corpus_base_symbols scans uncapped), the merge table from
+            # the capped types below
             alphabet.update(w)
+    freqs = _bpe_cap_types(freqs)
     vocab_syms = {tuple(list(w) + [eow]): f for w, f in freqs.items()}
     merges = []
     for _ in range(num_merges):
@@ -1330,7 +1338,7 @@ def _bpe_ids_oracle_sql(num_merges: int = 30) -> str:
     vals = []
     for doc_id, text in rows:
         seq: list = []
-        for w in (text or "").strip().lower().split():
+        for w in _bpe_words(text):  # same split as the engine's encode UDF
             if w not in wcache:
                 wcache[w] = encode(w)
             seq.extend(wcache[w])

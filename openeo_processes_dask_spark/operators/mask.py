@@ -125,13 +125,24 @@ def mask(data: DataCube, mask: DataCube, replacement=None) -> DataCube:  # noqa:
     # of 8-byte labels instead of a driver OOM.
     for d in shared:
         if data.meta.role_of(d) == "temporal":
-            dl = data.df.select(F.col(d).alias("__l__")).distinct()
-            ml = mask.df.select(F.col(d).alias("__l__")).distinct()
+            dl = (
+                data.df.select(F.col(d).alias("__la__"))
+                .distinct()
+                .withColumn("__a__", F.lit(1))
+            )
+            ml = (
+                mask.df.select(F.col(d).alias("__lb__"))
+                .distinct()
+                .withColumn("__b__", F.lit(1))
+            )
+            # eqNullSafe (ADVICE r8): a NULL label present on BOTH sides
+            # must count as matched — a null-unsafe join would leave it
+            # unmatched twice and raise a spurious LabelMismatch even
+            # though the label sets are identical.
             probe = (
-                dl.withColumn("__a__", F.lit(1))
-                .join(
-                    ml.withColumn("__b__", F.lit(1)),
-                    "__l__",
+                dl.join(
+                    ml,
+                    dl["__la__"].eqNullSafe(ml["__lb__"]),
                     "full_outer",
                 )
                 .agg(

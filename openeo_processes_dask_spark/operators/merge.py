@@ -37,14 +37,50 @@ def _resolve_binary(resolver: Union[str, Callable, None]) -> Optional[Callable]:
     raise KeyError(f"Unknown overlap_resolver {resolver!r}")
 
 
-def _label_sets(cube: DataCube, dims) -> dict[str, frozenset]:
-    """Distinct labels per dim. Label cardinality ≪ cell count (dims are the
-    cube axes), so these collects are metadata-sized even at 100 TB — the
-    same information xarray keeps eagerly in ``coords``."""
+def _label_probe(cube1: DataCube, cube2: DataCube, dims) -> dict[str, tuple]:
+    """Per-dim label-set relationship WITHOUT collecting labels:
+    ``{dim: (differs, overlaps)}``.
+
+    merge_cubes only ever needs these two BOOLEANS — which dims have
+    differing label sets, and whether the one differing dim shares any
+    label — never the label values themselves. So the probe is fully
+    distributed (VERDICT r8 #8, the same fix mask.py got in r8): a
+    full-outer join of the two DISTINCT label relations reduced to one
+    2-number aggregate row per dim. An event-grade temporal dim (1e9
+    timestamps) costs one shuffle of 8-byte labels instead of a driver
+    OOM. The join is null-SAFE so a NULL label present on both sides
+    counts as matched, preserving the previous frozenset semantics."""
     out = {}
     for d in dims:
-        rows = cube.df.select(d).distinct().collect()
-        out[d] = frozenset(r[0] for r in rows)
+        a = (
+            cube1.df.select(F.col(d).alias("__la__"))
+            .distinct()
+            .withColumn("__a__", F.lit(1))
+        )
+        b = (
+            cube2.df.select(F.col(d).alias("__lb__"))
+            .distinct()
+            .withColumn("__b__", F.lit(1))
+        )
+        row = (
+            a.join(b, a["__la__"].eqNullSafe(b["__lb__"]), "full_outer")
+            .agg(
+                F.count(
+                    F.when(
+                        F.col("__a__").isNull() | F.col("__b__").isNull(), 1
+                    )
+                ).alias("mismatched"),
+                F.count(
+                    F.when(
+                        F.col("__a__").isNotNull()
+                        & F.col("__b__").isNotNull(),
+                        1,
+                    )
+                ).alias("both"),
+            )
+            .collect()[0]
+        )
+        out[d] = (int(row["mismatched"]) > 0, int(row["both"]) > 0)
     return out
 
 
@@ -58,9 +94,9 @@ def merge_cubes(
 ) -> DataCube:
     """``label_relation`` is a performance hint skipping the label-set
     probing actions when the caller already knows the relationship
-    (xarray holds coords eagerly; long format must scan to learn them —
-    4 distinct+collect jobs for two 2-D cubes):
-    ``"equal"`` = same labels on every dim (cases 1/2).
+    (xarray holds coords eagerly; long format must scan to learn it —
+    one distributed count-probe job per shared dim, labels never reach
+    the driver): ``"equal"`` = same labels on every dim (cases 1/2).
     """
     resolver = _resolve_binary(overlap_resolver)
     dims1, dims2 = set(cube1.meta.dims), set(cube2.meta.dims)
@@ -69,12 +105,10 @@ def merge_cubes(
     if dims1 == dims2:
         if label_relation == "equal":
             differing: list = []
+            probes: dict = {}
         else:
-            labels1 = _label_sets(cube1, cube1.meta.dims)
-            labels2 = _label_sets(cube2, cube1.meta.dims)
-            differing = [
-                d for d in cube1.meta.dims if labels1[d] != labels2[d]
-            ]
+            probes = _label_probe(cube1, cube2, cube1.meta.dims)
+            differing = [d for d in cube1.meta.dims if probes[d][0]]
         if len(differing) > 1:
             # reference: merge.py:240-243
             raise ValueError(
@@ -105,7 +139,7 @@ def merge_cubes(
         # Case 3 (reference: merge.py:121-243): same dims, labels differ in
         # exactly one dim -> full outer join; overlap resolved elementwise,
         # non-overlap unioned (xarray combine_by_coords).
-        overlap = labels1[differing[0]] & labels2[differing[0]]
+        overlap = probes[differing[0]][1]
         if overlap and resolver is None:
             raise OverlapResolverMissing(
                 f"Overlapping labels on {differing[0]} need an overlap_resolver"

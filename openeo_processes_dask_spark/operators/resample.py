@@ -252,60 +252,30 @@ def resample_cube_spatial(
     return data.with_df(out.select(*data.meta.dims, data.value_col))
 
 
-#: ceiling on the irregular-axis driver-side fallback of
-#: :func:`_axis_geometry` — a regular axis NEVER collects labels
-_AXIS_COLLECT_CAP = 100_000
-
-
 def _axis_geometry(df, col):
     """(origin, step, count) of an axis WITHOUT collecting its labels
     (VERDICT r7 #1: the previous distinct-collect was the clearest
     driver OOM at continental resolution, 1e6+ labels per axis).
 
-    Two metadata-free aggregates: min/max/countDistinct proposes the
-    regular-grid step ``(max - min) / (n - 1)``; a second aggregate
-    verifies every label sits on that lattice (max distance to the
-    nearest grid point, in step units). A regular axis — every raster
-    the resamplers produce or consume — therefore costs two 1-row
-    aggregates and zero label transfer at ANY resolution.
+    Delegates to the shared bounded probe
+    (:func:`openeo_processes_dask_spark.functions.axes.probe_regular_axis`
+    — two 1-row aggregates, zero label transfer for any REGULAR axis,
+    which is every raster the resamplers produce or consume). Only an
+    IRREGULAR axis (gaps or uneven spacing, where the true minimum
+    spacing cannot be derived from (min, max, n)) falls back to the old
+    distinct-collect, capped at
+    :data:`~openeo_processes_dask_spark.functions.axes.AXIS_COLLECT_CAP`
+    labels — beyond it :class:`IrregularAxisTooLarge` asks for an
+    explicit target grid instead of silently OOMing the driver."""
+    from openeo_processes_dask_spark.functions.axes import (
+        collect_irregular_axis,
+        probe_regular_axis,
+    )
 
-    Only an IRREGULAR axis (gaps or uneven spacing, where the true
-    minimum spacing cannot be derived from (min, max, n)) falls back to
-    the old distinct-collect, and that fallback is capped at
-    ``_AXIS_COLLECT_CAP`` labels — beyond it :class:`IrregularAxisTooLarge`
-    asks for an explicit target grid instead of silently OOMing the
-    driver."""
-    head = df.agg(
-        F.min(col).alias("lo"),
-        F.max(col).alias("hi"),
-        F.countDistinct(col).alias("n"),
-    ).collect()[0]
-    n = int(head["n"])
-    if n == 0:
-        return 0.0, 1.0, 0
-    lo = head["lo"]
-    if n == 1:
-        return lo, 1.0, 1
-    step = (head["hi"] - lo) / (n - 1)
-    k = (F.col(col) - F.lit(lo)) / F.lit(step)
-    off = df.agg(F.max(F.abs(k - F.round(k, 0))).alias("m")).collect()[0]["m"]
-    if off is not None and off <= 1e-6:
+    lo, step, n, regular = probe_regular_axis(df, col)
+    if regular:
         return lo, step, n
-    if n > _AXIS_COLLECT_CAP:
-        from openeo_processes_dask_spark.exceptions import (
-            IrregularAxisTooLarge,
-        )
-
-        raise IrregularAxisTooLarge(
-            f"Axis '{col}' is irregular (labels do not sit on a uniform "
-            f"grid) and has {n} distinct labels — more than the "
-            f"{_AXIS_COLLECT_CAP} the driver-side fallback allows. "
-            f"Provide an explicit target grid (resolution/projection) "
-            f"instead of inferring one from the axis."
-        )
-    vals = sorted(r[0] for r in df.select(col).distinct().collect())
-    diffs = [b - a for a, b in zip(vals, vals[1:])]
-    step = min(d for d in diffs if d > 0)
+    vals, step = collect_irregular_axis(df, col, n)
     return vals[0], step, n
 
 

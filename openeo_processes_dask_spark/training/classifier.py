@@ -235,7 +235,15 @@ def isotonic_calibrate(
     large-n isotonic move.
     """
     lab = F.col(label_col).cast("int")
-    valid = df.where(F.col(score_col).isNotNull() & lab.isin(0, 1))
+    # NaN must be excluded alongside NULL (ADVICE r8): a NaN score passes
+    # isNotNull, makes the binned lane's hi (and so width) NaN, and
+    # least(floor(NaN), b-1) would then pool EVERY row into one bin —
+    # the whole calibration silently degenerating to a constant.
+    valid = df.where(
+        F.col(score_col).isNotNull()
+        & ~F.isnan(F.col(score_col).cast("double"))
+        & lab.isin(0, 1)
+    )
     by_score = valid.groupBy(F.col(score_col).alias("s")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(lab).cast("long").alias("n_pos"),

@@ -1,0 +1,177 @@
+"""Plan-audit canary over the WHOLE gate registry (VERDICT r6 #8 / r7
+#3 / r8 #4): every query's plans — including plans materialized EAGERLY
+inside the gate (localCheckpoint / driver-side PAVA collects), captured
+by instrumenting the DataFrame action methods — must contain
+
+- no CartesianProduct (the all-pairs regression class), and
+- no ORDERED Window without a partition spec over a data-sized relation
+  (SCALECHECK probe 12: a global ``row_number``/``lag`` forces an
+  Exchange SinglePartition + single-task sort — a hard serial
+  bottleneck at corpus scale).
+
+Global ordered windows are permitted only on an explicit allowlist of
+queries where the windowed relation is PROVABLY bounded (top-k output,
+distinct-of-capped/quantized column) — each entry carries its bound.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+from pyspark.sql import DataFrame
+
+SF_DIR = os.environ.get("CANARY_SF_DIR", "/root/testdata/sf0.001")
+
+#: queries allowed an ordered global window, with the bound that makes
+#: the windowed relation metadata-sized (see SCALECHECK probe 12).
+#: Anything NOT listed here that grows a global ordered window fails
+#: the canary — audit the new site and either partition it or add it
+#: here with its bound.
+ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
+    "vocabulary": "rank over .limit(k) top-k (textanalysis.py:310-311)",
+    "bm25_topk": "rank over .limit(k) top-k (textanalysis.py:385-386)",
+    "bm25_index_search": "rank over .limit(k) top-k (same helper)",
+    "hybrid_rrf": "rank over .limit(k) fused top-k (retrieval.py:176-177)",
+    "top_paths": "rank over .limit(k) top paths (funnel.py:158-159)",
+    "semdedup": "rank over .limit(k) (gates/training.py:857)",
+    "classifier_auc": (
+        "cumsum over DISTINCT scores; quantize-first contract "
+        "(classifier.py:147-173)"
+    ),
+    "isotonic": "same distinct-score relation, capped at 65,536 bins",
+    "percentile_rank": (
+        "cumsum over DISTINCT values; quantize-first contract "
+        "(maintenance.py:203)"
+    ),
+    "range_bounds": "cumsum over DISTINCT values (maintenance.py:151)",
+    "incremental_curation": (
+        "cumsum over DISTINCT quality scores (same equi-depth helper)"
+    ),
+    "training_pipeline": (
+        "composes the audited vocabulary/range-bounds helpers"
+    ),
+}
+
+
+def _top_level_groups(s: str) -> list[str]:
+    groups: list[str] = []
+    depth, cur = 0, []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def global_ordered_windows(logical_plan: str) -> list[str]:
+    """Lines of ``Window`` nodes that ORDER without partitioning.
+    Logical Window prints ``Window [exprs], [partSpec], [orderSpec]``
+    — the partition group is omitted entirely when empty, so a 2-group
+    node whose second group carries ASC/DESC ordering is global."""
+    bad = []
+    for line in logical_plan.splitlines():
+        m = re.search(r"\bWindow (\[.*)$", line)
+        if not m:
+            continue
+        groups = _top_level_groups(m.group(1))
+        ordered = re.search(r"\b(ASC|DESC) NULLS", groups[-1] or "")
+        if len(groups) == 2 and ordered:
+            bad.append(line.strip())
+        elif len(groups) == 3 and not groups[1].strip() and ordered:
+            bad.append(line.strip())
+    return bad
+
+
+def _plans_of(df: DataFrame) -> tuple[str, str]:
+    qe = df._jdf.queryExecution()
+    return qe.optimizedPlan().toString(), qe.sparkPlan().toString()
+
+
+def test_detector_flags_injected_regression(spark):
+    """The canary itself must fail on the regression class it exists
+    for — a global row_number and a cartesian join."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("g")
+    )
+    bad = df.withColumn("r", F.row_number().over(W.orderBy("id")))
+    logical, _ = _plans_of(bad)
+    assert global_ordered_windows(logical), logical
+
+    good = df.withColumn(
+        "r", F.row_number().over(W.partitionBy("g").orderBy("id"))
+    )
+    logical, _ = _plans_of(good)
+    assert not global_ordered_windows(logical)
+
+    # with broadcast disabled, a crossJoin compiles to the exact node
+    # the canary forbids
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        _, phys = _plans_of(df.crossJoin(spark.range(50).toDF("id2")))
+        assert "CartesianProduct" in phys, phys
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+@pytest.mark.slow
+def test_registry_plans_have_no_serial_window_or_cartesian(
+    spark, monkeypatch
+):
+    import __spark_entry__ as entry
+
+    captured: list[tuple[str, str, str]] = []  # (query, logical, physical)
+    current = {"name": "?"}
+
+    def _capture(df):
+        try:
+            logical, phys = _plans_of(df)
+            captured.append((current["name"], logical, phys))
+        except Exception:
+            pass  # plans of foreachBatch-internal frames etc.
+
+    for meth in ("collect", "toPandas", "count", "localCheckpoint"):
+        real = getattr(DataFrame, meth)
+
+        def make(real):
+            def wrapper(self, *a, **kw):
+                _capture(self)
+                return real(self, *a, **kw)
+
+            return wrapper
+
+        monkeypatch.setattr(DataFrame, meth, make(real))
+
+    failures = []
+    for name, fn in entry.queries().items():
+        current["name"] = name
+        try:
+            df = fn(spark, SF_DIR)
+            _capture(df)
+        except Exception as exc:  # noqa: BLE001 — report, keep sweeping
+            failures.append(f"{name}: build error {type(exc).__name__}: {exc}")
+    monkeypatch.undo()
+
+    for name, logical, phys in captured:
+        if "CartesianProduct" in phys:
+            failures.append(f"{name}: CartesianProduct in physical plan")
+        bad = global_ordered_windows(logical)
+        if bad and name not in ALLOWED_GLOBAL_WINDOW:
+            failures.append(
+                f"{name}: unpartitioned ordered Window: {bad[0][:160]}"
+            )
+    assert not failures, "\n".join(failures)
