@@ -434,8 +434,21 @@ def load_stac(
     projection=None,
     resampling: str = "mean",
     spark: SparkSession | None = None,
+    url_signer=None,
 ) -> DataCube:
     """STAC loader (reference: cubes/load.py:94-322).
+
+    ``url_signer`` is an optional ``Callable[[str], str]`` applied to
+    every http(s) URL immediately before it is fetched — the catalog
+    document, each linked item document, and every asset href (parquet
+    and raster alike). This is the Planetary-Computer-style signing
+    hook (the reference calls ``planetary_computer.sign`` on the
+    connection for ``planetarycomputer.microsoft.com`` URLs, reference
+    cubes/load.py:115-118): pass e.g. ``planetary_computer.sign_url``
+    to append SAS tokens. Relative hrefs are resolved against the
+    UNSIGNED document location first, so signing query tokens never
+    leak into href resolution; non-http locations (file paths, s3a://)
+    pass through unsigned.
 
     The reference's flow: validate STAC url -> catalog search with
     bbox/datetime/property filters -> lazy asset read -> post filters.
@@ -463,7 +476,11 @@ def load_stac(
     import os
 
     spark = spark or SparkSession.getActiveSession()
-    doc = fetch_json(url)
+
+    def _sign(u: str) -> str:
+        return url_signer(u) if url_signer is not None and _is_http(u) else u
+
+    doc = fetch_json(_sign(url))
     src = url[len("file://") :] if url.startswith("file://") else url
     base = src.rsplit("/", 1)[0] if _is_http(src) else os.path.dirname(src)
 
@@ -487,7 +504,7 @@ def load_stac(
                 if _is_http(item_loc)
                 else os.path.dirname(item_loc)
             )
-            items.append((fetch_json(item_loc), item_base))
+            items.append((fetch_json(_sign(item_loc)), item_base))
     else:
         raise ValueError(f"Unsupported STAC document type: {doc_type!r}")
 
@@ -554,7 +571,7 @@ def load_stac(
                     bb.get("name") or f"{name}_b{i + 1}"
                     for i, bb in enumerate(eo)
                 ] or None
-                resolved = _resolve_href(href, item_base)
+                resolved = _sign(_resolve_href(href, item_base))
                 meta = dict(
                     nodata=[bb.get("nodata") for bb in rb] or None,
                     scale=[bb.get("scale") for bb in rb] or None,
@@ -597,7 +614,9 @@ def load_stac(
                 continue
             if not href.endswith(".parquet"):
                 continue
-            href = _localize_parquet(spark, _resolve_href(href, item_base))
+            href = _localize_parquet(
+                spark, _sign(_resolve_href(href, item_base))
+            )
             df = _read_parquet_nanosafe(spark, href).withColumn(
                 "band", F.lit(name)
             )

@@ -342,3 +342,98 @@ def test_localize_parquet_warns_on_large_asset(spark, http_base, monkeypatch):
         warnings.simplefilter("always")
         load_mod._localize_parquet(spark, href)
     assert any("driver-side download" in str(w.message) for w in caught)
+
+
+@pytest.fixture(scope="module")
+def signed_http_base(http_root):
+    """Server that REJECTS every request lacking ?sig=ok — the local
+    stand-in for SAS-token-protected assets (reference signs Planetary
+    Computer connections, cubes/load.py:115-118)."""
+    from urllib.parse import urlsplit
+
+    class SigningHandler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(http_root), **kw)
+
+        def log_message(self, *a, **kw):
+            pass
+
+        def do_GET(self):
+            parts = urlsplit(self.path)
+            if parts.query != "sig=ok":
+                self.send_error(403, "missing signature")
+                return
+            self.path = parts.path
+            return super().do_GET()
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), SigningHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def test_load_stac_url_signer_end_to_end(spark, signed_http_base):
+    """url_signer must be applied to the catalog doc, the linked item
+    doc, AND the parquet asset href — the whole chain 403s without it."""
+    from openeo_processes_dask_spark.sources.load import load_stac
+
+    signed = []
+
+    def signer(u):
+        signed.append(u)
+        return u + "?sig=ok"
+
+    cube = load_stac(
+        f"{signed_http_base}/catalog.json", url_signer=signer
+    )
+    got = cube.df.orderBy("x").collect()
+    assert [r["value"] for r in got] == [1.0, 2.0, 3.0]
+    # catalog + item + asset all went through the signer
+    assert [u.rsplit("/", 1)[1] for u in signed] == [
+        "catalog.json", "item1.json", "asset_b1.parquet"
+    ]
+
+
+def test_load_stac_unsigned_fails_against_signing_server(
+    spark, signed_http_base
+):
+    from openeo_processes_dask_spark.sources.load import load_stac
+
+    with pytest.raises(RuntimeError, match="Failed to fetch JSON"):
+        load_stac(f"{signed_http_base}/catalog.json")
+
+
+def test_load_stac_url_signer_ignores_local_paths(spark, tmp_path):
+    """Non-http locations pass through unsigned — the signer must never
+    see a filesystem path."""
+    import json as _json
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "x": [0.0],
+            "y": [0.0],
+            "t": pd.to_datetime(["2021-01-01"]),
+            "value": [7.0],
+        }
+    )
+    pdf.to_parquet(tmp_path / "a.parquet")
+    item = {
+        "type": "Feature",
+        "stac_version": "1.0.0",
+        "id": "i",
+        "bbox": [-1.0, -1.0, 1.0, 1.0],
+        "geometry": None,
+        "properties": {"datetime": "2021-01-01T00:00:00Z"},
+        "assets": {"b1": {"href": "a.parquet"}},
+    }
+    (tmp_path / "item.json").write_text(_json.dumps(item))
+
+    def signer(u):
+        raise AssertionError(f"signer called on non-http url {u!r}")
+
+    from openeo_processes_dask_spark.sources.load import load_stac
+
+    cube = load_stac(str(tmp_path / "item.json"), url_signer=signer)
+    assert cube.df.count() == 1
