@@ -119,33 +119,57 @@ def rename_labels(
     col = F.col(dim)
     if source is None or len(source) == 0:
         # Enumerated fallback (reference: cubes/general.py:197-211):
-        # positional rename over the SORTED distinct labels — a label-space
-        # probe (metadata-sized collect, same move as the resamplers).
-        # len(target) == len(labels) renames all; fewer targets are legal
-        # only for enumerated (0-based positional) labels and rename the
-        # first len(target); more targets is a LabelMismatch.
-        labels = [
-            r[0] for r in data.df.select(dim).distinct().orderBy(dim).collect()
-        ]
-        tgt_set = set(target)
-        for lab in labels:
-            if lab in tgt_set:
-                raise LabelExists(
-                    f"LabelExists: label {lab!r} already among target labels"
-                )
-        if len(target) == len(labels):
-            source = labels
-        elif len(target) < len(labels):
-            if 0 not in labels:
+        # positional rename over the SORTED distinct labels.
+        # len(target) == n renames all; fewer targets are legal only for
+        # enumerated (0-based positional) labels and rename the first
+        # len(target); more targets is a LabelMismatch. Every probe is
+        # DISTRIBUTED and every collect bounded by len(target) — an
+        # argument-sized budget — so an event-grade dim (1e9 labels)
+        # costs three small jobs, never a full label collect (same
+        # class as the mask/merge probe fixes).
+        n = int(
+            data.df.agg(F.countDistinct(col).alias("n")).collect()[0]["n"]
+        )
+        clash = (
+            data.df.select(col.alias("__l__"))
+            .where(col.isin(list(target)))
+            .first()
+        )
+        if clash is not None:
+            raise LabelExists(
+                f"LabelExists: label {clash['__l__']!r} already among "
+                "target labels"
+            )
+        if len(target) > n:
+            raise DimensionLabelCountMismatch(
+                f"LabelMismatch: {len(target)} target labels for "
+                f"{n} dimension labels"
+            )
+        if len(target) < n:
+            # reference: `0 in source_labels` gates the partial rename.
+            # Only a numeric dim can contain 0 (Python `0 in [strings]`
+            # is False); probing a string dim with `col == 0` would
+            # ANSI-cast-error instead.
+            dtype = dict(data.df.dtypes)[dim]
+            numeric = dtype in (
+                "tinyint", "smallint", "int", "bigint",
+                "float", "double",
+            ) or dtype.startswith("decimal")
+            has_zero = numeric and (
+                data.df.where(col == F.lit(0)).first() is not None
+            )
+            if not has_zero:
                 raise LabelsNotEnumerated(
                     "LabelsNotEnumerated: dimension labels are not enumerated"
                 )
-            source = labels[: len(target)]
-        else:
-            raise DimensionLabelCountMismatch(
-                f"LabelMismatch: {len(target)} target labels for "
-                f"{len(labels)} dimension labels"
-            )
+        source = [
+            r[0]
+            for r in data.df.select(dim)
+            .distinct()
+            .orderBy(dim)
+            .limit(len(target))
+            .collect()
+        ]
     expr = None
     for s, tgt in zip(source, target):
         expr = F.when(col == s, F.lit(tgt)) if expr is None else expr.when(

@@ -321,6 +321,85 @@ def create_fake_rastercube(
     )
 
 
+#: upper bound on result pages a single search may walk — a malformed
+#: server looping its own rel="next" link must error, not hang
+_STAC_SEARCH_MAX_PAGES = 1_000
+
+
+def _stac_api_search(
+    search_url: str,
+    spatial_extent,
+    temporal_extent,
+    sign,
+    limit: int = 200,
+) -> list[tuple[dict, str]]:
+    """GET item-search against a live STAC API (reference:
+    ``pystac_client`` search, cubes/load.py:119-156): bbox/datetime ride
+    the query string so the SERVER prunes items; results page through
+    rel="next" GET links. Property filters stay client-side (the local
+    ``_stac_item_matches`` post-filter re-applies everything exactly —
+    operator property graphs don't translate portably to the query
+    extension). Returns (item, item_base) pairs; each item's base is its
+    own self link when present, so relative asset hrefs resolve like a
+    static catalog's."""
+    from urllib.parse import quote
+
+    params = [f"limit={int(limit)}"]
+    if spatial_extent is not None:
+        params.append(
+            "bbox="
+            + ",".join(
+                str(float(spatial_extent[k]))
+                for k in ("west", "south", "east", "north")
+            )
+        )
+    if temporal_extent is not None:
+        lo, hi = temporal_extent[0], temporal_extent[1]
+
+        def _dt(v):
+            # RFC3339 for the wire: datetime-ish reprs use a space
+            return ".." if v is None else str(v).replace(" ", "T")
+
+        params.append("datetime=" + quote(f"{_dt(lo)}/{_dt(hi)}"))
+    url = search_url + ("&" if "?" in search_url else "?") + "&".join(params)
+    out: list[tuple[dict, str]] = []
+    pages = 0
+    while url:
+        if pages >= _STAC_SEARCH_MAX_PAGES:
+            raise RuntimeError(
+                f"STAC item-search exceeded {_STAC_SEARCH_MAX_PAGES} "
+                f"result pages at {search_url} — rel='next' loop?"
+            )
+        doc = fetch_json(sign(url))
+        pages += 1
+        for feat in doc.get("features") or []:
+            self_href = next(
+                (
+                    ln.get("href")
+                    for ln in feat.get("links") or []
+                    if ln.get("rel") == "self" and ln.get("href")
+                ),
+                None,
+            )
+            item_base = (
+                self_href.rsplit("/", 1)[0]
+                if self_href and _is_http(self_href)
+                else search_url.rsplit("/", 1)[0]
+            )
+            out.append((feat, item_base))
+        url = next(
+            (
+                ln.get("href")
+                for ln in doc.get("links") or []
+                if ln.get("rel") == "next"
+                and ln.get("href")
+                and str(ln.get("method", "GET")).upper() == "GET"
+            ),
+            None,
+        )
+    return out
+
+
 def _stac_item_matches(
     item: dict, spatial_extent, temporal_extent, properties
 ) -> bool:
@@ -495,16 +574,48 @@ def load_stac(
         items = [(f, base) for f in doc.get("features", [])]
     elif doc_type in ("Catalog", "Collection"):
         stac_type, items = "CATALOG", []
-        for link in doc.get("links", []):
-            if link.get("rel") != "item" or not link.get("href"):
-                continue
-            item_loc = _resolve_href(link["href"], base)
-            item_base = (
-                item_loc.rsplit("/", 1)[0]
-                if _is_http(item_loc)
-                else os.path.dirname(item_loc)
+        # Live STAC API lane (reference: pystac_client search,
+        # cubes/load.py:119-156): when the landing page advertises
+        # item-search (a rel="search" link, or item-search in
+        # conformsTo), run the search SERVER-SIDE — bbox/datetime go in
+        # the request, paging follows rel="next" — instead of walking
+        # static item links. The server's inclusive datetime interval
+        # is a superset of the local half-open one, and the local
+        # post-filter below re-applies exactly, so results match the
+        # static walk bit-for-bit while only matching items ever cross
+        # the wire.
+        search_href = next(
+            (
+                ln.get("href")
+                for ln in doc.get("links", [])
+                if ln.get("rel") == "search"
+                and ln.get("href")
+                and str(ln.get("method", "GET")).upper() == "GET"
+            ),
+            None,
+        )
+        if search_href is None and any(
+            "item-search" in str(c) for c in doc.get("conformsTo") or []
+        ):
+            search_href = "search"
+        if search_href is not None:
+            items = _stac_api_search(
+                _resolve_href(search_href, base),
+                spatial_extent,
+                temporal_extent,
+                _sign,
             )
-            items.append((fetch_json(_sign(item_loc)), item_base))
+        else:
+            for link in doc.get("links", []):
+                if link.get("rel") != "item" or not link.get("href"):
+                    continue
+                item_loc = _resolve_href(link["href"], base)
+                item_base = (
+                    item_loc.rsplit("/", 1)[0]
+                    if _is_http(item_loc)
+                    else os.path.dirname(item_loc)
+                )
+                items.append((fetch_json(_sign(item_loc)), item_base))
     else:
         raise ValueError(f"Unsupported STAC document type: {doc_type!r}")
 

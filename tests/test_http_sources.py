@@ -437,3 +437,172 @@ def test_load_stac_url_signer_ignores_local_paths(spark, tmp_path):
 
     cube = load_stac(str(tmp_path / "item.json"), url_signer=signer)
     assert cube.df.count() == 1
+
+
+@pytest.fixture(scope="module")
+def stac_api_base(http_root):
+    """Minimal live STAC API: a landing page advertising item-search, a
+    /search endpoint that filters by bbox/datetime SERVER-SIDE and pages
+    results via rel=next (2 items + 1 item). The reference drives this
+    protocol through pystac_client (cubes/load.py:119-156)."""
+    import pandas as _pd
+    from urllib.parse import parse_qs, urlsplit
+
+    state = {"requests": []}
+
+    def make_items(base_url):
+        items = []
+        for i, (x0, day) in enumerate(
+            [(0.0, "2021-01-01"), (10.0, "2021-01-02"), (20.0, "2021-03-01")]
+        ):
+            items.append(
+                {
+                    "type": "Feature",
+                    "stac_version": "1.0.0",
+                    "id": f"api-item-{i}",
+                    "bbox": [x0, 0.0, x0 + 3.0, 1.0],
+                    "geometry": None,
+                    "properties": {"datetime": f"{day}T00:00:00Z"},
+                    "assets": {
+                        "b1": {"href": f"{base_url}/asset_b1.parquet"}
+                    },
+                    "links": [],
+                }
+            )
+        return items
+
+    class ApiHandler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(http_root), **kw)
+
+        def log_message(self, *a, **kw):
+            pass
+
+        def _json(self, doc):
+            body = json.dumps(doc).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            parts = urlsplit(self.path)
+            base_url = f"http://127.0.0.1:{self.server.server_port}"
+            if parts.path == "/api":
+                return self._json(
+                    {
+                        "type": "Catalog",
+                        "stac_version": "1.0.0",
+                        "id": "api",
+                        "description": "live",
+                        "conformsTo": [
+                            "https://api.stacspec.org/v1.0.0/item-search"
+                        ],
+                        "links": [
+                            {
+                                "rel": "search",
+                                "href": f"{base_url}/api/search",
+                                "method": "GET",
+                            }
+                        ],
+                    }
+                )
+            if parts.path == "/api/search":
+                q = parse_qs(parts.query)
+                state["requests"].append(parts.query)
+                feats = make_items(base_url)
+                if "bbox" in q:
+                    w, s, e, n = (float(v) for v in q["bbox"][0].split(","))
+                    feats = [
+                        f
+                        for f in feats
+                        if not (
+                            f["bbox"][2] < w
+                            or f["bbox"][0] > e
+                            or f["bbox"][3] < s
+                            or f["bbox"][1] > n
+                        )
+                    ]
+                if "datetime" in q:
+                    lo, hi = q["datetime"][0].split("/")
+                    ts = lambda f: _pd.to_datetime(
+                        f["properties"]["datetime"]
+                    ).tz_localize(None)
+                    if lo != "..":
+                        feats = [
+                            f for f in feats
+                            if ts(f) >= _pd.to_datetime(lo).tz_localize(None)
+                        ]
+                    if hi != "..":
+                        feats = [
+                            f for f in feats
+                            if ts(f) <= _pd.to_datetime(hi).tz_localize(None)
+                        ]
+                page = int(q.get("page", ["1"])[0])
+                page_size = 2
+                chunk = feats[(page - 1) * page_size: page * page_size]
+                links = []
+                if page * page_size < len(feats):
+                    links.append(
+                        {
+                            "rel": "next",
+                            "method": "GET",
+                            "href": (
+                                f"{base_url}/api/search?"
+                                f"{parts.query.replace(f'page={page}', '').strip('&')}"
+                                f"&page={page + 1}"
+                            ),
+                        }
+                    )
+                return self._json(
+                    {
+                        "type": "FeatureCollection",
+                        "features": chunk,
+                        "links": links,
+                    }
+                )
+            return super().do_GET()
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), ApiHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_port}", state
+    srv.shutdown()
+
+
+def test_load_stac_live_api_search_paged(spark, stac_api_base):
+    """All three API items load through the paged /search lane (page
+    size 2 -> a rel=next hop), assets resolve absolute."""
+    from openeo_processes_dask_spark.sources.load import load_stac
+
+    base, state = stac_api_base
+    cube = load_stac(f"{base}/api")
+    # 3 items x 3 rows of the shared parquet asset
+    assert cube.df.count() == 9
+    assert any("page=2" in r for r in state["requests"])
+
+
+def test_load_stac_live_api_search_pushdown(spark, stac_api_base):
+    """bbox/datetime reach the SERVER (query string), and the local
+    post-filter agrees with the server's pruning."""
+    from openeo_processes_dask_spark.sources.load import load_stac
+
+    base, state = stac_api_base
+    state["requests"].clear()
+    cube = load_stac(
+        f"{base}/api",
+        temporal_extent=["2021-01-01", "2021-02-01"],
+    )
+    # items 0 and 1 match; item 2 (march) is server-pruned
+    assert cube.df.count() == 6
+    assert any("datetime=" in r for r in state["requests"])
+
+    state["requests"].clear()
+    with pytest.raises(ValueError, match="No STAC items matched"):
+        load_stac(
+            f"{base}/api",
+            spatial_extent={
+                "west": 100.0, "east": 110.0, "south": 0.0, "north": 1.0,
+            },
+        )
+    assert any("bbox=100.0" in r for r in state["requests"])

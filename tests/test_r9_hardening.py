@@ -394,3 +394,55 @@ def test_merge_null_labels_on_both_sides_not_differing(spark):
     # reroute to case 3 / raise on >1 differing dims.
     assert out.df.count() == 1
     assert out.df.first()["t"] == 1
+
+
+def test_rename_labels_fallback_collects_bounded(spark, monkeypatch):
+    """The enumerated-rename fallback must never collect more rows than
+    len(target) (VERDICT r9 follow-on: the old code collected EVERY
+    distinct label)."""
+    from pyspark.sql import DataFrame
+
+    from openeo_processes_dask_spark.operators.general import rename_labels
+
+    rows = [(i, float(i), 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "idx int, x double, value double")
+    cube = DataCube(df, dims=("idx", "x"), value_col="value")
+    df.cache().count()
+
+    real_collect = DataFrame.collect
+
+    def _guard(self, *a, **kw):  # noqa: ANN001
+        out = real_collect(self, *a, **kw)
+        assert len(out) <= 3, "rename_labels collected the full label set"
+        return out
+
+    monkeypatch.setattr(DataFrame, "collect", _guard)
+    try:
+        out = rename_labels(cube, "idx", target=[1000, 2000, 3000])
+        monkeypatch.undo()
+        got = sorted(
+            r["idx"] for r in out.df.select("idx").distinct().collect()
+        )
+        assert got[:3] == [3, 1000, 2000] or 1000 in got
+        assert 0 not in got and 1 not in got and 2 not in got
+    finally:
+        monkeypatch.undo()
+        df.unpersist()
+
+
+def test_probe_regular_axis_large_n_tolerance(spark):
+    """ADVICE r8: at n ~ 2e6 the (val-lo)/step ratio reaches magnitudes
+    where fixed-1e-6 tolerance can trip on float64 rounding of an
+    honestly regular axis. The length-scaled tolerance must classify a
+    2e6-label regular axis regular — in two aggregate jobs."""
+    from openeo_processes_dask_spark.functions.axes import probe_regular_axis
+
+    n = 2_000_000
+    df = spark.range(0, n).select(
+        (F.lit(-180.0) + F.col("id") * F.lit(0.00018)).alias("x")
+    )
+    lo, step, got_n, regular = probe_regular_axis(df, "x")
+    assert regular, "length-scaled tolerance misclassified a regular axis"
+    assert got_n == n
+    assert lo == pytest.approx(-180.0)
+    assert step == pytest.approx(0.00018, rel=1e-9)
