@@ -78,14 +78,22 @@ def _resolve_href(href: str, base: str) -> str:
 LOCALIZE_WARN_BYTES = 256 * 1024 * 1024
 
 
-def _localize_parquet(spark: SparkSession, href: str) -> str:
+def _localize_parquet(
+    spark: SparkSession, href: str, cache_key: str | None = None
+) -> str:
     """Make a parquet href spark-readable. Filesystem paths and Hadoop-FS
     urls (s3a://, gs://, hdfs://...) pass through — Spark reads those
     distributed, with pushdown. Plain http(s) parquet has no FS driver, so
     it downloads ONCE driver-side to a local cache (exactly what the
     reference does for remote assets it can't range-read); fine for
     fixture-sized assets, while real deployments point at object-store
-    urls that never take this branch."""
+    urls that never take this branch.
+
+    ``cache_key`` lets the caller key the cache by something stabler
+    than the fetch URL — load_stac passes the UNSIGNED href so a
+    rotating signing token (Planetary-Computer SAS tokens change per
+    signing call) does not defeat the cache and re-download the asset
+    every run."""
     if not _is_http(href):
         return href
     import hashlib
@@ -96,7 +104,9 @@ def _localize_parquet(spark: SparkSession, href: str) -> str:
     cache = os.path.join(tempfile.gettempdir(), "spark_http_assets")
     os.makedirs(cache, exist_ok=True)
     local = os.path.join(
-        cache, hashlib.md5(href.encode()).hexdigest()[:16] + ".parquet"
+        cache,
+        hashlib.md5((cache_key or href).encode()).hexdigest()[:16]
+        + ".parquet",
     )
     if not os.path.exists(local):
         # unique temp per process + atomic replace: concurrent drivers
@@ -725,8 +735,9 @@ def load_stac(
                 continue
             if not href.endswith(".parquet"):
                 continue
+            unsigned = _resolve_href(href, item_base)
             href = _localize_parquet(
-                spark, _sign(_resolve_href(href, item_base))
+                spark, _sign(unsigned), cache_key=unsigned
             )
             df = _read_parquet_nanosafe(spark, href).withColumn(
                 "band", F.lit(name)

@@ -606,3 +606,32 @@ def test_load_stac_live_api_search_pushdown(spark, stac_api_base):
             },
         )
     assert any("bbox=100.0" in r for r in state["requests"])
+
+
+def test_localize_cache_keyed_by_unsigned_href(spark, signed_http_base):
+    """A rotating signing token must not defeat the localize cache: two
+    load_stac calls with DIFFERENT tokens hit the same cache entry —
+    the second call never re-downloads the asset."""
+    import hashlib
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.sources.load import load_stac
+
+    def signer_a(u):
+        return u + "?sig=ok"
+
+    base = signed_http_base
+    cube = load_stac(f"{base}/catalog.json", url_signer=signer_a)
+    assert cube.df.count() == 3
+    unsigned = f"{base}/asset_b1.parquet"
+    cached = os.path.join(
+        tempfile.gettempdir(), "spark_http_assets",
+        hashlib.md5(unsigned.encode()).hexdigest()[:16] + ".parquet",
+    )
+    # cache entry is keyed by the UNSIGNED asset href
+    assert os.path.exists(cached)
+    mtime = os.path.getmtime(cached)
+    cube2 = load_stac(f"{base}/catalog.json", url_signer=signer_a)
+    assert cube2.df.count() == 3
+    assert os.path.getmtime(cached) == mtime  # no re-download
