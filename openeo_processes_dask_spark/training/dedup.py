@@ -167,35 +167,48 @@ def ngram_jaccard_pairs(
         # shingle table first" step of every published dedup pipeline.
         .persist()
     )
-    if max_doc_freq is not None:
-        n_docs = df.count()
-        cutoff = int(max_doc_freq * n_docs)
-        keep = (
-            sh.groupBy("shk")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") <= cutoff)
-            .select("shk")
+    try:
+        keyed = sh
+        if max_doc_freq is not None:
+            n_docs = df.count()
+            cutoff = int(max_doc_freq * n_docs)
+            keep = (
+                sh.groupBy("shk")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .where(F.col("df") <= cutoff)
+                .select("shk")
+            )
+            keyed = sh.join(keep, "shk", "left_semi")
+        sizes = keyed.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        a, b = keyed.alias("a"), keyed.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shk") == F.col("b.shk"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+            .agg(F.count(F.lit(1)).alias("inter"))
         )
-        sh = sh.join(keep, "shk", "left_semi")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shk") == F.col("b.shk")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sz1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
-    sz2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
-    return (
-        inter.join(sz1, "id1")
-        .join(sz2, "id2")
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+        sz1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
+        sz2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
+        out = (
+            inter.join(sz1, "id1")
+            .join(sz2, "id2")
+            .withColumn(
+                "jaccard",
+                F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("id1", "id2", "jaccard")
         )
-        .where(F.col("jaccard") >= threshold)
-        .select("id1", "id2", "jaccard")
-    )
+        # materialize the (small) pair set while the cache is alive, then
+        # release the corpus-sized shingle cache — same contract as the
+        # PPJoin lane (ADVICE r7): holding it for the session leaks
+        # executor storage; localCheckpoint blocks die with the result DF.
+        return out.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
 
 
 def jaccard_prefix_pairs(
@@ -883,22 +896,34 @@ def minhash_near_duplicates(
     # min-aggregate recomputes 4×. (At cluster scale you'd write signatures
     # to a table instead.)
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed).persist()
-    cands = minhash_lsh_candidates(sigs, bands, rows_per_band, max_bucket_size)
-    s1 = sigs.select(F.col("id").alias("id1"), F.col("signature").alias("sig1"))
-    s2 = sigs.select(F.col("id").alias("id2"), F.col("signature").alias("sig2"))
-    est = F.size(
-        F.filter(
-            F.zip_with(F.col("sig1"), F.col("sig2"), lambda x, y: x == y),
-            lambda eq: eq,
+    try:
+        cands = minhash_lsh_candidates(
+            sigs, bands, rows_per_band, max_bucket_size
         )
-    ) / F.lit(float(num_hashes))
-    return (
-        cands.join(s1, "id1")
-        .join(s2, "id2")
-        .withColumn("est_jaccard", est)
-        .where(F.col("est_jaccard") >= threshold)
-        .select("id1", "id2", "est_jaccard")
-    )
+        s1 = sigs.select(
+            F.col("id").alias("id1"), F.col("signature").alias("sig1")
+        )
+        s2 = sigs.select(
+            F.col("id").alias("id2"), F.col("signature").alias("sig2")
+        )
+        est = F.size(
+            F.filter(
+                F.zip_with(F.col("sig1"), F.col("sig2"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ) / F.lit(float(num_hashes))
+        out = (
+            cands.join(s1, "id1")
+            .join(s2, "id2")
+            .withColumn("est_jaccard", est)
+            .where(F.col("est_jaccard") >= threshold)
+            .select("id1", "id2", "est_jaccard")
+        )
+        # release the corpus-sized signature cache after materializing
+        # the (small) pair set — PPJoin unpersist contract (ADVICE r7)
+        return out.localCheckpoint(eager=True)
+    finally:
+        sigs.unpersist()
 
 
 def minhash_incremental(
@@ -932,39 +957,46 @@ def minhash_incremental(
     sigs_new = minhash_signatures(
         df_new, id_col, text_col, n, num_hashes, seed
     ).persist()
-    bn = _band_signatures(sigs_new, bands, rows_per_band)
-    bs = _band_signatures(seen_signatures, bands, rows_per_band)
-    cands = (
-        bn.alias("a")
-        .join(
-            bs.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket")),
+    try:
+        bn = _band_signatures(sigs_new, bands, rows_per_band)
+        bs = _band_signatures(seen_signatures, bands, rows_per_band)
+        cands = (
+            bn.alias("a")
+            .join(
+                bs.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket")),
+            )
+            .select(
+                F.col("a.id").alias("new_id"), F.col("b.id").alias("seen_id")
+            )
+            .distinct()
         )
-        .select(
-            F.col("a.id").alias("new_id"), F.col("b.id").alias("seen_id")
+        s1 = sigs_new.select(
+            F.col("id").alias("new_id"), F.col("signature").alias("sig1")
         )
-        .distinct()
-    )
-    s1 = sigs_new.select(
-        F.col("id").alias("new_id"), F.col("signature").alias("sig1")
-    )
-    s2 = seen_signatures.select(
-        F.col("id").alias("seen_id"), F.col("signature").alias("sig2")
-    )
-    est = F.size(
-        F.filter(
-            F.zip_with(F.col("sig1"), F.col("sig2"), lambda x, y: x == y),
-            lambda eq: eq,
+        s2 = seen_signatures.select(
+            F.col("id").alias("seen_id"), F.col("signature").alias("sig2")
         )
-    ) / F.lit(float(num_hashes))
-    return (
-        cands.join(s1, "new_id")
-        .join(s2, "seen_id")
-        .withColumn("est_jaccard", F.round(est, 6))
-        .where(F.col("est_jaccard") >= threshold)
-        .select("new_id", "seen_id", "est_jaccard")
-    )
+        est = F.size(
+            F.filter(
+                F.zip_with(F.col("sig1"), F.col("sig2"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ) / F.lit(float(num_hashes))
+        out = (
+            cands.join(s1, "new_id")
+            .join(s2, "seen_id")
+            .withColumn("est_jaccard", F.round(est, 6))
+            .where(F.col("est_jaccard") >= threshold)
+            .select("new_id", "seen_id", "est_jaccard")
+        )
+        # release the batch-sized signature cache after materializing the
+        # (small) match set — PPJoin unpersist contract (ADVICE r7).
+        # seen_signatures is caller-owned and untouched.
+        return out.localCheckpoint(eager=True)
+    finally:
+        sigs_new.unpersist()
 
 
 def simhash_signatures(
@@ -1037,6 +1069,20 @@ def simhash_near_duplicates(
     signature join like any other candidate."""
     # persist: both sides of the banded self-join read the signatures
     sigs = simhash_signatures(df, id_col, text_col).persist()
+    try:
+        return _simhash_pairs_body(sigs, max_hamming, bands, max_bucket_size)
+    finally:
+        # release the corpus-sized signature cache after the body
+        # materializes the (small) pair set — PPJoin unpersist contract
+        sigs.unpersist()
+
+
+def _simhash_pairs_body(
+    sigs: DataFrame,
+    max_hamming: int,
+    bands: int,
+    max_bucket_size: int | None,
+) -> DataFrame:
     band_bits = 64 // bands
     mask = (1 << band_bits) - 1
     # bands unrolled in Python: shiftright's shift amount must be a Python
@@ -1094,7 +1140,9 @@ def simhash_near_duplicates(
             .where(F.col("hamming") <= max_hamming)
         )
         pairs = pairs.unionByName(star_pairs).distinct()
-    return pairs
+    # materialize the (small) pair set while the signature cache the
+    # caller holds is alive — the caller unpersists on return
+    return pairs.localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------
