@@ -64,3 +64,20 @@ def assert_cubes_close(result_df, expected_pdf, value_col="value", rtol=1e-6):
         rtol=rtol,
         equal_nan=True,
     )
+
+
+def concrete_dataframe_cls():
+    """The class whose methods actually dispatch on DataFrame instances.
+
+    PySpark 4 routes classic-mode instances through
+    pyspark.sql.classic.dataframe.DataFrame; patching the public
+    pyspark.sql.DataFrame facade does NOT intercept calls (its subclass
+    overrides win the MRO) — a monkeypatch there is a silent no-op.
+    Every test that instruments or poisons a DataFrame method must
+    patch THIS class."""
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _CDF
+        return _CDF
+    except ImportError:  # older pyspark: one concrete class
+        from pyspark.sql import DataFrame as _DF
+        return _DF

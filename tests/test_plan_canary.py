@@ -20,7 +20,6 @@ import os
 import re
 
 import pytest
-from pyspark.sql import DataFrame
 
 SF_DIR = os.environ.get("CANARY_SF_DIR", "/root/testdata/sf0.001")
 
@@ -93,7 +92,7 @@ def global_ordered_windows(logical_plan: str) -> list[str]:
     return bad
 
 
-def _plans_of(df: DataFrame) -> tuple[str, str]:
+def _plans_of(df) -> tuple[str, str]:
     qe = df._jdf.queryExecution()
     return qe.optimizedPlan().toString(), qe.sparkPlan().toString()
 
@@ -133,6 +132,9 @@ def test_registry_plans_have_no_serial_window_or_cartesian(
     spark, monkeypatch
 ):
     import __spark_entry__ as entry
+    from tests.conftest import concrete_dataframe_cls
+
+    DataFrame = concrete_dataframe_cls()
 
     captured: list[tuple[str, str, str]] = []  # (query, logical, physical)
     current = {"name": "?"}
