@@ -113,16 +113,21 @@ _R4_GREEN = [
 # windows), topped up from the head of _R5_GREEN to exactly 50 slots.
 # After r9 the oldest driver stratum is r5. Counts are asserted below so
 # the sizing can't silently drift (ADVICE r8).
+# new-in-r9 gates ride the window so the driver verifies them this round
+_NEW_R9 = ["load_stac_search"]
+
 _WINDOW_R9 = (
     ["flagship_daily_mean"]
+    + _NEW_R9
     + _R4_GREEN[2:]
-    + _R5_GREEN[: 50 - 1 - len(_R4_GREEN[2:])]
+    + _R5_GREEN[: 50 - 1 - len(_NEW_R9) - len(_R4_GREEN[2:])]
 )
 assert len(_WINDOW_R9) == 50, len(_WINDOW_R9)
 
 _PRIORITY = (
     _WINDOW_R9
-    + _R5_GREEN[50 - 1 - len(_R4_GREEN[2:]):]  # r10 candidates: next-stalest
+    # r10 candidates: next-stalest first
+    + _R5_GREEN[50 - 1 - len(_NEW_R9) - len(_R4_GREEN[2:]):]
     + _R4_GREEN[:2]
     + _NEVER_CHECKED          # driver-verified r8
     + _R6_GREEN

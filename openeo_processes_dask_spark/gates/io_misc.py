@@ -371,6 +371,160 @@ def q_process_graph(spark, sf_dir):
     return out.df.withColumn("value", F.round(F.col("value") / 1e6, 6))
 
 
+def q_load_stac_search(spark, sf_dir):
+    """Live STAC API item-search end-to-end (sources/load.py
+    ``_stac_api_search``; the reference drives this protocol through
+    pystac_client, cubes/load.py:119-156): an in-process HTTP API serves
+    a landing page advertising item-search plus a paged ``/search``
+    endpoint over three items built from the nation table — page size 2
+    exercises the rel="next" hop, and the temporal extent prunes the
+    March item SERVER-side before any asset is touched. Each item's
+    parquet asset holds the nation grid scaled by (item_index + 1); the
+    oracle reconstructs the two kept slices with the same arithmetic."""
+    _setup(spark)
+    import http.server
+    import json
+    import os
+    import tempfile
+    import threading
+    from urllib.parse import parse_qs, urlsplit
+
+    import pandas as pd
+
+    from openeo_processes_dask_spark.sources.load import load_stac
+
+    rows = (
+        _table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()
+    )
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_stac_api_gate")
+    os.makedirs(root, exist_ok=True)
+    days = ["2024-01-01", "2024-01-15", "2024-03-01"]
+    asset_paths = []
+    for i, day in enumerate(days):
+        pdf = pd.DataFrame(
+            {
+                "x": [float(r["n_nationkey"]) for r in rows],
+                "y": [float(r["n_regionkey"]) for r in rows],
+                "t": pd.to_datetime([day] * len(rows)),
+                "value": [float(r["n_nationkey"] * (i + 1)) for r in rows],
+            }
+        )
+        p = os.path.join(root, f"asset_{i}.parquet")
+        pdf.to_parquet(p)
+        asset_paths.append(p)
+
+    def make_items():
+        return [
+            {
+                "type": "Feature",
+                "stac_version": "1.0.0",
+                "id": f"api-{i}",
+                "bbox": [0.0, 0.0, 30.0, 10.0],
+                "geometry": None,
+                "properties": {"datetime": f"{day}T00:00:00Z"},
+                # absolute file hrefs: the SEARCH goes over http, the
+                # asset read does not need to
+                "assets": {"b1": {"href": asset_paths[i]}},
+                "links": [],
+            }
+            for i, day in enumerate(days)
+        ]
+
+    class Api(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a, **kw):  # noqa: D401
+            pass
+
+        def _json(self, doc):
+            body = json.dumps(doc).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            parts = urlsplit(self.path)
+            host = f"http://127.0.0.1:{self.server.server_port}"
+            if parts.path == "/api":
+                return self._json(
+                    {
+                        "type": "Catalog",
+                        "stac_version": "1.0.0",
+                        "id": "gate-api",
+                        "description": "item-search gate",
+                        "conformsTo": [
+                            "https://api.stacspec.org/v1.0.0/item-search"
+                        ],
+                        "links": [
+                            {
+                                "rel": "search",
+                                "href": f"{host}/api/search",
+                                "method": "GET",
+                            }
+                        ],
+                    }
+                )
+            if parts.path == "/api/search":
+                q = parse_qs(parts.query)
+                feats = make_items()
+                if "datetime" in q:
+                    lo, hi = q["datetime"][0].split("/")
+
+                    def ts(f):
+                        return pd.to_datetime(
+                            f["properties"]["datetime"]
+                        ).tz_localize(None)
+
+                    if lo != "..":
+                        lo_t = pd.to_datetime(lo).tz_localize(None)
+                        feats = [f for f in feats if ts(f) >= lo_t]
+                    if hi != "..":
+                        hi_t = pd.to_datetime(hi).tz_localize(None)
+                        feats = [f for f in feats if ts(f) <= hi_t]
+                page = int(q.get("page", ["1"])[0])
+                chunk = feats[(page - 1) * 2: page * 2]
+                links = []
+                if page * 2 < len(feats):
+                    base_q = "&".join(
+                        kv
+                        for kv in parts.query.split("&")
+                        if not kv.startswith("page=")
+                    )
+                    links.append(
+                        {
+                            "rel": "next",
+                            "method": "GET",
+                            "href": (
+                                f"{host}/api/search?{base_q}&page={page + 1}"
+                            ),
+                        }
+                    )
+                return self._json(
+                    {
+                        "type": "FeatureCollection",
+                        "features": chunk,
+                        "links": links,
+                    }
+                )
+            self.send_error(404)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Api)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        cube = load_stac(
+            f"http://127.0.0.1:{srv.server_port}/api",
+            temporal_extent=["2024-01-01", "2024-02-01"],
+        )
+        return cube.df.select(
+            "x", "y", "t", "band", F.round("value", 6).alias("value")
+        )
+    finally:
+        srv.shutdown()
+
+
 def q_load_stac_catalog(spark, sf_dir):
     """load_stac over a two-item local catalog (VERDICT r01 #9): parquet
     assets derived from lineitem's grid, bbox SEARCH prunes item 1 before
@@ -720,6 +874,7 @@ QUERIES = {
     "reduce_count_condition": q_reduce_count_condition,
     "process_graph": q_process_graph,
     "load_stac_catalog": q_load_stac_catalog,
+    "load_stac_search": q_load_stac_search,
     "load_stac_properties": q_load_stac_properties,
     "load_stac_resampled": q_load_stac_resampled,
     "time_partitioned_roundtrip": q_time_partitioned_roundtrip,
@@ -877,6 +1032,20 @@ ORACLES = {
                    n_name AS name,
                    round(CAST(n_nationkey AS DOUBLE), 6) AS px,
                    round(CAST(n_regionkey AS DOUBLE), 6) AS py
+            FROM nation
+        """,
+    "load_stac_search": """
+            SELECT CAST(n_nationkey AS DOUBLE) AS x,
+                   CAST(n_regionkey AS DOUBLE) AS y,
+                   TIMESTAMP '2024-01-01 00:00:00' AS t,
+                   'b1' AS band,
+                   round(CAST(n_nationkey AS DOUBLE) * 1, 6) AS value
+            FROM nation
+            UNION ALL
+            SELECT CAST(n_nationkey AS DOUBLE),
+                   CAST(n_regionkey AS DOUBLE),
+                   TIMESTAMP '2024-01-15 00:00:00', 'b1',
+                   round(CAST(n_nationkey AS DOUBLE) * 2, 6)
             FROM nation
         """,
     "reduce_any": """
