@@ -114,20 +114,26 @@ _R4_GREEN = [
 # After r9 the oldest driver stratum is r5. Counts are asserted below so
 # the sizing can't silently drift (ADVICE r8).
 # new-in-r9 gates ride the window so the driver verifies them this round
-_NEW_R9 = ["load_stac_search"]
+_NEW_R9 = [
+    "load_stac_search", "weighted_sample", "cosine_topk_batch", "ann_recall",
+]
 
+# With 4 new gates the 47-entry r4-stale tail doesn't all fit: take the
+# first 45, the last 2 lead the r10 candidates below.
+_R4_TAIL_SLOTS = 50 - 1 - len(_NEW_R9)
 _WINDOW_R9 = (
     ["flagship_daily_mean"]
     + _NEW_R9
-    + _R4_GREEN[2:]
-    + _R5_GREEN[: 50 - 1 - len(_NEW_R9) - len(_R4_GREEN[2:])]
+    + _R4_GREEN[2:2 + _R4_TAIL_SLOTS]
 )
 assert len(_WINDOW_R9) == 50, len(_WINDOW_R9)
 
 _PRIORITY = (
     _WINDOW_R9
-    # r10 candidates: next-stalest first
-    + _R5_GREEN[50 - 1 - len(_NEW_R9) - len(_R4_GREEN[2:]):]
+    # r10 candidates: next-stalest first — the r4 tail that didn't fit,
+    # then the whole r5 stratum
+    + _R4_GREEN[2 + _R4_TAIL_SLOTS:]
+    + _R5_GREEN
     + _R4_GREEN[:2]
     + _NEVER_CHECKED          # driver-verified r8
     + _R6_GREEN

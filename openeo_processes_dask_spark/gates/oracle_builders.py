@@ -327,6 +327,50 @@ def _pq_topk_oracle_sql(
     """
 
 
+def _cosine_topk_batch_oracle_sql(query_ids=(0, 1, 2), k: int = 5) -> str:
+    """Twin of training.similarity.cosine_topk_batch: one cross join of
+    the corpus with the query CTE, same round-then-rank contract."""
+    cos = _COS_SQL.format(a="e.embedding", b="qe")
+    ids = ", ".join(str(int(i)) for i in query_ids)
+    return f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id IN ({ids})),
+        sc AS (
+          SELECT q.query_id, e.vec_id, {cos} AS cosine
+          FROM embeddings e, q)
+        SELECT query_id, vec_id, cosine
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+              FROM sc)
+        WHERE rn <= {k}
+    """
+
+
+def _ann_recall_oracle_sql(k: int = 10) -> str:
+    """Twin of training.similarity.ann_recall over the lsh6/ivf16x4
+    configs: each branch reuses that method's own oracle as a subquery,
+    so the recall numbers are derived from already-proven twins."""
+    exact = f"""SELECT vec_id,
+              {_COS_SQL.format(a="embedding", b="qe")} AS cosine
+          FROM embeddings,
+               (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+          ORDER BY cosine DESC, vec_id LIMIT {k}"""
+    lsh = _lsh_topk_oracle_sql(n_planes=6, k=k)
+    ivf = _ivf_topk_oracle_sql(k=k)
+    return f"""
+        WITH exact AS (SELECT vec_id FROM ({exact}) t),
+        lshq AS (SELECT vec_id FROM ({lsh}) t),
+        ivfq AS (SELECT vec_id FROM ({ivf}) t)
+        SELECT 'ivf16x4' AS method, CAST(count(*) AS BIGINT) AS hits,
+               round(count(*) / {float(k)}, 6) AS recall
+        FROM ivfq JOIN exact USING (vec_id)
+        UNION ALL
+        SELECT 'lsh6', CAST(count(*) AS BIGINT),
+               round(count(*) / {float(k)}, 6)
+        FROM lshq JOIN exact USING (vec_id)
+    """
+
+
 def _lsh_topk_oracle_sql(n_planes: int = 12, k: int = 10, seed: int = 42) -> str:
     from openeo_processes_dask_spark.training.similarity import (
         random_hyperplanes,

@@ -28,6 +28,8 @@ from .oracle_builders import (
     _random_projection_oracle_sql,
     _embedding_near_dups_oracle_sql,
     _ivf_topk_oracle_sql,
+    _cosine_topk_batch_oracle_sql,
+    _ann_recall_oracle_sql,
     _kmeans_oracle_sql,
     _lsh_topk_oracle_sql,
     _minhash_oracle_sql,
@@ -521,6 +523,65 @@ def q_ivf_topk(spark, sf_dir):
     return ivf_topk(
         emb, [float(v) for v in query], k=10, n_centroids=16, nprobe=4
     )
+
+
+def q_cosine_topk_batch(spark, sf_dir):
+    """Batched exact ANN (training/similarity.py cosine_topk_batch): top-5
+    per query for a 3-query batch in ONE corpus pass — broadcast query
+    table, WindowGroupLimit per-query top-k. The 100 TB shape for
+    evaluation/retrieval batches (Q queries ≠ Q scans)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.similarity import (
+        cosine_topk_batch,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return cosine_topk_batch(emb, queries, k=5)
+
+
+def q_ann_recall(spark, sf_dir):
+    """ANN recall@10 harness (training/similarity.py ann_recall): measured
+    |approx ∩ exact|/k for the lsh6 and ivf16x4 configs — the oracle
+    re-derives both branches from those methods' own proven twins, so
+    this gate pins the EVALUATION arithmetic, not just the indexes."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.similarity import (
+        ann_recall,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    query = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    methods = {
+        "lsh6": lambda d, q, k: lsh_topk(d, q, k, n_planes=6),
+        "ivf16x4": lambda d, q, k: ivf_topk(
+            d, q, k, n_centroids=16, nprobe=4
+        ),
+    }
+    return ann_recall(emb, query, methods, k=10)
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Exactly-20-per-language weighted sample, inclusion odds ∝ n_chars
+    (training/sampling.py sample_weighted_fixed, Efraimidis-Spirakis
+    A-ES): ln(u)/w ranking with the md5-uniform u, so the DuckDB oracle
+    reproduces the exact selected row set."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.sampling import (
+        sample_weighted_fixed,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    out = sample_weighted_fixed(docs, 20, "n_chars", ["lang"], seed=13)
+    return out.select("doc_id", "lang", "n_chars")
 
 
 def _pii_synth_text(doc_id):
@@ -1626,6 +1687,9 @@ QUERIES = {
     "standardize_embeddings": q_standardize_embeddings,
     "simhash_near_dups": q_simhash_near_dups,
     "cosine_topk": q_cosine_topk,
+    "cosine_topk_batch": q_cosine_topk_batch,
+    "ann_recall": q_ann_recall,
+    "weighted_sample": q_weighted_sample,
     "lsh_topk": q_lsh_topk,
     "pq_topk": q_pq_topk,
     "kmeans_clusters": q_kmeans_clusters,
@@ -2469,6 +2533,24 @@ ORACLES = {
     "dedup_clusters": _dedup_clusters_oracle_sql,
     "dedup_clusters_star": _dedup_clusters_oracle_sql,
     "ivf_topk": _ivf_topk_oracle_sql,
+    "cosine_topk_batch": _cosine_topk_batch_oracle_sql,
+    "ann_recall": _ann_recall_oracle_sql,
+    "weighted_sample": """
+            WITH keyed AS (
+              SELECT doc_id, lang, n_chars,
+                     ln(greatest(
+                          CAST('0x' || substr(md5('13-' || CAST(doc_id AS VARCHAR)),
+                                              1, 15) AS BIGINT)
+                            / 1152921504606846976.0,
+                          1e-18))
+                       / greatest(CAST(n_chars AS DOUBLE), 1e-12) AS aes
+              FROM documents)
+            SELECT doc_id, lang, n_chars
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY lang ORDER BY aes DESC, doc_id) AS rn
+                  FROM keyed)
+            WHERE rn <= 20
+        """,
     "pii_redact": """
             WITH synth AS (
               SELECT doc_id,

@@ -92,6 +92,48 @@ def split_assign(
     return df.withColumn(split_col, expr)
 
 
+def sample_weighted_fixed(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_cols: list | None = None,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-k weighted sample WITHOUT replacement (Efraimidis-Spirakis
+    A-ES), optionally per group: rank rows by ln(u)/w descending, u the
+    seeded md5-uniform of the id — inclusion probability is proportional
+    to weight (e.g. "20 docs per language, biased to the long ones"), yet
+    the draw is a pure function of (seed, id, weight): partition-order
+    independent, task-retry safe, and bit-reproducible in the SQL oracle.
+    Bernoulli sampling (sample_uniform) can't hit an exact quota; a
+    global sort by weight isn't a sample. Non-positive weights are
+    clamped to ~0 (never selected ahead of any positive weight).
+
+    Scale shape: the grouped path is ``row_number ≤ k`` over a
+    group-partitioned window — WindowGroupLimit makes each map task
+    forward at most k rows per group BEFORE the one group-key exchange.
+    The ungrouped path is orderBy+limit = TakeOrderedAndProject
+    (per-partition heaps, k rows to the final merge). Neither path sorts
+    or collects the corpus."""
+    u = F.greatest(_uniform01(F.col(id_col), seed), F.lit(1e-18))
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1e-12))
+    key = F.log(u) / w
+    if not group_cols:
+        return (
+            df.withColumn("__aes__", key)
+            .orderBy(F.col("__aes__").desc(), F.col(id_col))
+            .limit(int(k))
+            .drop("__aes__")
+        )
+    win = Window.partitionBy(*group_cols).orderBy(key.desc(), F.col(id_col))
+    return (
+        df.withColumn("__rn__", F.row_number().over(win))
+        .where(F.col("__rn__") <= int(k))
+        .drop("__rn__")
+    )
+
+
 def cap_per_group(
     df: DataFrame, group_cols: list, k: int, order_by: list
 ) -> DataFrame:

@@ -14,7 +14,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -58,6 +58,88 @@ def cosine_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def _dot_cols(a, b):
+    """dot(array col, array col) as a fold-left expression — same
+    summation order as ``_dot_lit`` and the oracle's ``list_sum``."""
+    return F.aggregate(
+        F.zip_with(
+            a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of queries in ONE corpus pass.
+
+    ``cosine_topk`` re-scans the corpus per query — right for an ad-hoc
+    lookup, wrong for evaluation / retrieval batches at 100 TB (Q queries
+    = Q full scans). Here the (small) query table broadcasts into the
+    scan stage (BroadcastNestedLoopJoin — never a shuffled cartesian),
+    every (row, query) cosine is one codegen'd fold expression, and
+    ``row_number ≤ k`` over the query-partitioned window compiles to
+    WindowGroupLimit: map tasks forward at most k rows per query, so the
+    single exchange carries ~k·|queries| rows, never |corpus|·|queries|.
+
+    ``queries`` must have (query_id_col, query_vec_col)."""
+    pairs = df.crossJoin(F.broadcast(queries))
+    sim = F.try_divide(
+        _dot_cols(F.col(vec_col), F.col(query_vec_col)),
+        _norm(F.col(vec_col)) * _norm(F.col(query_vec_col)),
+    )
+    scored = pairs.select(
+        F.col(query_id_col), F.col(id_col), F.round(sim, 6).alias("cosine")
+    )
+    win = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rn__", F.row_number().over(win))
+        .where(F.col("__rn__") <= int(k))
+        .drop("__rn__")
+    )
+
+
+def ann_recall(
+    df: DataFrame,
+    query: Sequence[float],
+    methods: dict,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k evaluation harness: |approx ∩ exact| / k per candidate
+    ANN configuration — an index config is only as good as its MEASURED
+    recall, and at 100 TB the measurement itself must be distributed
+    (every per-method job here is top-k-shaped; only k-row sets are
+    joined). ``methods`` maps name → callable(df, query, k) returning a
+    top-k DataFrame carrying ``id_col``; rows come back one per method,
+    in sorted method-name order."""
+    exact = cosine_topk(df, query, k, id_col).select(id_col)
+    out = None
+    for name in sorted(methods):
+        approx = methods[name](df, query, k).select(id_col)
+        row = (
+            approx.join(exact, id_col)
+            .agg(F.count("*").alias("hits"))
+            .select(
+                F.lit(name).alias("method"),
+                F.col("hits"),
+                F.round(F.col("hits") / F.lit(float(k)), 6).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
