@@ -327,6 +327,53 @@ def _pq_topk_oracle_sql(
     """
 
 
+_NGRAM_JACCARD_PAIRS_SQL = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 2),
+                    i -> array_to_string(w[i:i+2], ' '))) AS s
+      FROM toks WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id1, id2
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = id1
+    JOIN sizes s2 ON s2.doc_id = id2
+    WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= {threshold}
+"""
+
+
+def _dedup_recall_oracle_sql(threshold: float = 0.2) -> str:
+    """Twin of training.dedup.dedup_pair_recall over the ngram_jaccard /
+    minhash_near_dups configs: the exact and approximate branches reuse
+    those gates' own proven oracles, so the measured recall/precision is
+    itself oracle-derived."""
+    exact = _NGRAM_JACCARD_PAIRS_SQL.format(threshold=threshold)
+    approx = _minhash_oracle_sql(threshold=threshold)
+    return f"""
+        WITH e AS (SELECT id1, id2 FROM ({exact}) t),
+        a AS (SELECT id1, id2 FROM ({approx}) t),
+        ec AS (SELECT CAST(count(*) AS BIGINT) AS true_pairs FROM e),
+        ac AS (SELECT CAST(count(*) AS BIGINT) AS cand_pairs FROM a),
+        h AS (SELECT CAST(count(*) AS BIGINT) AS hits
+              FROM a JOIN e USING (id1, id2))
+        SELECT true_pairs, cand_pairs, hits,
+               CASE WHEN true_pairs = 0 THEN NULL
+                    ELSE round(CAST(hits AS DOUBLE) / true_pairs, 6)
+               END AS recall,
+               CASE WHEN cand_pairs = 0 THEN NULL
+                    ELSE round(CAST(hits AS DOUBLE) / cand_pairs, 6)
+               END AS "precision"
+        FROM ec, ac, h
+    """
+
+
 def _cosine_topk_batch_oracle_sql(query_ids=(0, 1, 2), k: int = 5) -> str:
     """Twin of training.similarity.cosine_topk_batch: one cross join of
     the corpus with the query CTE, same round-then-rank contract."""

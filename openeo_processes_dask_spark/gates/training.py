@@ -30,6 +30,7 @@ from .oracle_builders import (
     _ivf_topk_oracle_sql,
     _cosine_topk_batch_oracle_sql,
     _ann_recall_oracle_sql,
+    _dedup_recall_oracle_sql,
     _kmeans_oracle_sql,
     _lsh_topk_oracle_sql,
     _minhash_oracle_sql,
@@ -251,6 +252,27 @@ def q_minhash_near_dups(spark, sf_dir):
         docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.2
     )
     return _round6(out, "est_jaccard")
+
+
+def q_dedup_recall(spark, sf_dir):
+    """Recall/precision of the MinHash-LSH pair set against exact n-gram
+    Jaccard at the same threshold (training/dedup.py dedup_pair_recall) —
+    the measurement that tunes bands/hashes before a 100 TB dedup run.
+    Both branches of the oracle reuse the proven ngram_jaccard /
+    minhash_near_dups twins."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import (
+        dedup_pair_recall,
+        minhash_near_duplicates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    approx = minhash_near_duplicates(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.2
+    )
+    return dedup_pair_recall(exact, approx)
 
 
 def q_minhash_incremental(spark, sf_dir):
@@ -1684,6 +1706,7 @@ QUERIES = {
     "isotonic": q_isotonic,
     "minhash_near_dups": q_minhash_near_dups,
     "minhash_incremental": q_minhash_incremental,
+    "dedup_recall": q_dedup_recall,
     "standardize_embeddings": q_standardize_embeddings,
     "simhash_near_dups": q_simhash_near_dups,
     "cosine_topk": q_cosine_topk,
@@ -2535,6 +2558,7 @@ ORACLES = {
     "ivf_topk": _ivf_topk_oracle_sql,
     "cosine_topk_batch": _cosine_topk_batch_oracle_sql,
     "ann_recall": _ann_recall_oracle_sql,
+    "dedup_recall": _dedup_recall_oracle_sql,
     "weighted_sample": """
             WITH keyed AS (
               SELECT doc_id, lang, n_chars,

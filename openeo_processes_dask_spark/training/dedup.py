@@ -1601,6 +1601,38 @@ def banded_hamming_pairs(
     return pairs
 
 
+def dedup_pair_recall(
+    exact_pairs: DataFrame, approx_pairs: DataFrame
+) -> DataFrame:
+    """Recall/precision of an approximate near-dup pair set against the
+    exact one — the measurement that justifies a MinHash band/threshold
+    config before a 100 TB run ("measure, don't guess"). Both inputs
+    follow the pair contract (id1 < id2); the three counts are top-k-
+    sized aggregates joined broadcast, so the harness itself is as
+    distributed as the pipelines it scores. Returns one row:
+    (true_pairs, cand_pairs, hits, recall, precision)."""
+    e = exact_pairs.select("id1", "id2")
+    a = approx_pairs.select("id1", "id2")
+    ec = e.agg(F.count("*").alias("true_pairs"))
+    ac = a.agg(F.count("*").alias("cand_pairs"))
+    hc = a.join(e, ["id1", "id2"]).agg(F.count("*").alias("hits"))
+    return (
+        ec.crossJoin(F.broadcast(ac))
+        .crossJoin(F.broadcast(hc))
+        .select(
+            "true_pairs",
+            "cand_pairs",
+            "hits",
+            F.round(
+                F.try_divide(F.col("hits"), F.col("true_pairs")), 6
+            ).alias("recall"),
+            F.round(
+                F.try_divide(F.col("hits"), F.col("cand_pairs")), 6
+            ).alias("precision"),
+        )
+    )
+
+
 def shared_key_pairs(
     df: DataFrame,
     min_shared: int,

@@ -168,6 +168,39 @@ def test_ann_recall_exact_method_is_one(vecs):
     assert [r["method"] for r in out] == ["brute", "empty"]
 
 
+def test_dedup_pair_recall_counts(spark):
+    from openeo_processes_dask_spark.training.dedup import dedup_pair_recall
+
+    exact = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "id1 long, id2 long"
+    )
+    approx = spark.createDataFrame(
+        [(1, 2), (3, 4), (7, 8), (9, 10)], "id1 long, id2 long"
+    )
+    row = dedup_pair_recall(exact, approx).first()
+    assert (row["true_pairs"], row["cand_pairs"], row["hits"]) == (3, 4, 2)
+    assert row["recall"] == round(2 / 3, 6)
+    assert row["precision"] == 0.5
+    plan = (
+        dedup_pair_recall(exact, approx)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_pair_recall_empty_sides_null_ratios(spark):
+    from openeo_processes_dask_spark.training.dedup import dedup_pair_recall
+
+    empty = spark.createDataFrame([], "id1 long, id2 long")
+    some = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
+    row = dedup_pair_recall(empty, some).first()
+    assert row["true_pairs"] == 0 and row["recall"] is None
+    assert row["precision"] == 0.0
+    row = dedup_pair_recall(some, empty).first()
+    assert row["cand_pairs"] == 0 and row["precision"] is None
+    assert row["recall"] == 0.0
+
+
 def test_ann_recall_lsh_between_zero_and_one(vecs):
     query = [float(v) for v in
              vecs.where(F.col("vec_id") == 0).first()["embedding"]]
