@@ -374,6 +374,52 @@ def _dedup_recall_oracle_sql(threshold: float = 0.2) -> str:
     """
 
 
+def _ivf_index_search_oracle_sql(
+    query_ids=(0, 1, 2),
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    seed: int = 42,
+) -> str:
+    """Twin of training.similarity.ivf_index + ivf_search_batch: same
+    seeded centroid sample, same rank-based assignment and per-query
+    probe selection, same round-then-rank re-rank."""
+    probe_cos = _COS_RAW_SQL.format(a="c.cvec", b="q.qv")
+    assign_cos = _COS_RAW_SQL.format(a="e.embedding", b="c.cvec")
+    final_cos = _COS_SQL.format(a="a.embedding", b="p.qv")
+    ids = ", ".join(str(int(i)) for i in query_ids)
+    return f"""
+        WITH cents AS (
+          SELECT vec_id AS cid, embedding AS cvec
+          FROM embeddings
+          ORDER BY md5('{seed}-' || CAST(vec_id AS VARCHAR))
+          LIMIT {n_centroids}),
+        qs AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id IN ({ids})),
+        probe AS (
+          SELECT query_id, qv, cid FROM (
+            SELECT q.query_id, q.qv, c.cid,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY {probe_cos} DESC, c.cid) AS rn
+            FROM qs q CROSS JOIN cents c)
+          WHERE rn <= {nprobe}),
+        ranked AS (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {assign_cos} DESC, c.cid) AS rn
+          FROM embeddings e CROSS JOIN cents c),
+        assigned AS (SELECT vec_id, embedding, cid FROM ranked WHERE rn = 1),
+        sc AS (
+          SELECT p.query_id, a.vec_id, {final_cos} AS cosine
+          FROM assigned a JOIN probe p USING (cid))
+        SELECT query_id, vec_id, cosine
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+              FROM sc)
+        WHERE rn <= {k}
+    """
+
+
 def _cosine_topk_batch_oracle_sql(query_ids=(0, 1, 2), k: int = 5) -> str:
     """Twin of training.similarity.cosine_topk_batch: one cross join of
     the corpus with the query CTE, same round-then-rank contract."""

@@ -31,6 +31,7 @@ from .oracle_builders import (
     _cosine_topk_batch_oracle_sql,
     _ann_recall_oracle_sql,
     _dedup_recall_oracle_sql,
+    _ivf_index_search_oracle_sql,
     _kmeans_oracle_sql,
     _lsh_topk_oracle_sql,
     _minhash_oracle_sql,
@@ -589,6 +590,27 @@ def q_ann_recall(spark, sf_dir):
         ),
     }
     return ann_recall(emb, query, methods, k=10)
+
+
+def q_ivf_index_search(spark, sf_dir):
+    """Index-once / search-many IVF (training/similarity.py ivf_index +
+    ivf_search_batch): the assignment table is built once and a 3-query
+    batch probes nprobe cells each — the 100 TB deployment shape where
+    ``assigned`` is stored partitioned by cid and probes partition-prune.
+    Oracle re-derives centroid sample, assignment, probes, and re-rank."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.similarity import (
+        ivf_index,
+        ivf_search_batch,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    cents, assigned = ivf_index(emb, n_centroids=16)
+    queries = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ivf_search_batch(assigned, cents, queries, k=5, nprobe=4)
 
 
 def q_weighted_sample(spark, sf_dir):
@@ -1712,6 +1734,7 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "cosine_topk_batch": q_cosine_topk_batch,
     "ann_recall": q_ann_recall,
+    "ivf_index_search": q_ivf_index_search,
     "weighted_sample": q_weighted_sample,
     "lsh_topk": q_lsh_topk,
     "pq_topk": q_pq_topk,
@@ -2559,6 +2582,7 @@ ORACLES = {
     "cosine_topk_batch": _cosine_topk_batch_oracle_sql,
     "ann_recall": _ann_recall_oracle_sql,
     "dedup_recall": _dedup_recall_oracle_sql,
+    "ivf_index_search": _ivf_index_search_oracle_sql,
     "weighted_sample": """
             WITH keyed AS (
               SELECT doc_id, lang, n_chars,

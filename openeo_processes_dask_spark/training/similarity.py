@@ -364,8 +364,25 @@ def ivf_topk(
 
     cent_df = df.sparkSession.createDataFrame(
         [(row["cid"], [float(v) for v in row["cvec"]]) for row in cents],
-        f"cid bigint, cvec array<double>",
+        "cid bigint, cvec array<double>",
     )
+    assigned = ivf_assign(df, cent_df, id_col, vec_col)
+    candidates = assigned.where(F.col("cid").isin(probe_ids)).drop("cid")
+    return cosine_topk(candidates, query, k, id_col, vec_col)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Max-cosine centroid per vector: broadcast the (metadata-sized)
+    centroid table, one ``max_by`` aggregate — the corpus side is never
+    shuffled on anything but its own group key. Ties break to the
+    smallest cid (struct(cos, -cid) max), matching the oracle's
+    ``ORDER BY cos DESC, cid`` rank. Returns (id, vec, cid) — at 100 TB
+    this is the table you write partitioned by ``cid``."""
     dot = F.aggregate(
         F.zip_with(
             F.col(vec_col).cast("array<double>"),
@@ -376,8 +393,8 @@ def ivf_topk(
         lambda acc, x: acc + x,
     )
     cos = F.try_divide(dot, _norm(F.col(vec_col)) * _norm(F.col("cvec")))
-    assigned = (
-        df.crossJoin(F.broadcast(cent_df))
+    return (
+        df.crossJoin(F.broadcast(centroids))
         .withColumn("__cos__", cos)
         .groupBy(id_col, vec_col)
         .agg(
@@ -386,8 +403,81 @@ def ivf_topk(
             ).alias("cid")
         )
     )
-    candidates = assigned.where(F.col("cid").isin(probe_ids)).drop("cid")
-    return cosine_topk(candidates, query, k, id_col, vec_col)
+
+
+def ivf_index(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Build the reusable IVF index: (centroids, assigned). Build ONCE,
+    serve many query batches with :func:`ivf_search_batch` — the
+    index-time/query-time split every 100 TB ANN deployment needs (the
+    assignment pass never reruns per query; on a cluster ``assigned`` is
+    persisted partitioned by ``cid`` so probes become partition-pruned
+    scans)."""
+    cents = ivf_centroids(df, n_centroids, id_col, vec_col, seed)
+    return cents, ivf_assign(df, cents, id_col, vec_col)
+
+
+def ivf_search_batch(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Serve a query batch from a prebuilt IVF index in one pass: rank
+    centroids per query (broadcast × broadcast — tiny), keep ``nprobe``
+    cells, broadcast-join the probe list against the cid-keyed
+    assignment (a partition-pruned scan when ``assigned`` is stored
+    partitioned by cid), exact cosine re-rank per query via
+    WindowGroupLimit. Returns (query_id, vec_id, cosine), k rows per
+    query. Probe ranking uses the same fold-left dots as the single-query
+    driver lane, so engine and oracle agree bit-for-bit."""
+    qdot = F.aggregate(
+        F.zip_with(
+            F.col(query_vec_col).cast("array<double>"),
+            F.col("cvec"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qcos = F.try_divide(
+        qdot, _norm(F.col(query_vec_col)) * _norm(F.col("cvec"))
+    )
+    probe_win = Window.partitionBy(query_id_col).orderBy(
+        qcos.desc(), F.col("cid")
+    )
+    probe = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("__rn__", F.row_number().over(probe_win))
+        .where(F.col("__rn__") <= int(nprobe))
+        .select(query_id_col, query_vec_col, "cid")
+    )
+    cands = assigned.join(F.broadcast(probe), "cid")
+    sim = F.try_divide(
+        _dot_cols(F.col(vec_col), F.col(query_vec_col)),
+        _norm(F.col(vec_col)) * _norm(F.col(query_vec_col)),
+    )
+    scored = cands.select(
+        F.col(query_id_col), F.col(id_col), F.round(sim, 6).alias("cosine")
+    )
+    win = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rn__", F.row_number().over(win))
+        .where(F.col("__rn__") <= int(k))
+        .drop("__rn__")
+    )
 
 
 # ---------------------------------------------------------------------------

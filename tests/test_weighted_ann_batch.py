@@ -168,6 +168,58 @@ def test_ann_recall_exact_method_is_one(vecs):
     assert [r["method"] for r in out] == ["brute", "empty"]
 
 
+# ------------------------------------------------- ivf index + batch search
+
+
+def test_ivf_index_search_matches_inline_ivf_topk(vecs):
+    from openeo_processes_dask_spark.training.similarity import (
+        ivf_index,
+        ivf_search_batch,
+        ivf_topk,
+    )
+
+    cents, assigned = ivf_index(vecs, n_centroids=8)
+    queries = vecs.where(F.col("vec_id").isin(0, 5)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = ivf_search_batch(assigned, cents, queries, k=6, nprobe=3)
+    for qid in (0, 5):
+        batch_rows = sorted(
+            (r["vec_id"], r["cosine"])
+            for r in got.collect()
+            if r["query_id"] == qid
+        )
+        qvec = [float(v) for v in
+                vecs.where(F.col("vec_id") == qid).first()["embedding"]]
+        inline = sorted(
+            (r["vec_id"], r["cosine"])
+            for r in ivf_topk(
+                vecs, qvec, k=6, n_centroids=8, nprobe=3
+            ).collect()
+        )
+        assert batch_rows == inline, qid
+
+
+def test_ivf_index_search_plan_shape(vecs):
+    from openeo_processes_dask_spark.training.similarity import (
+        ivf_index,
+        ivf_search_batch,
+    )
+
+    cents, assigned = ivf_index(vecs, n_centroids=8)
+    queries = vecs.limit(2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    plan = (
+        ivf_search_batch(assigned, cents, queries, k=4, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+
+
 def test_dedup_pair_recall_counts(spark):
     from openeo_processes_dask_spark.training.dedup import dedup_pair_recall
 
