@@ -116,7 +116,7 @@ _R4_GREEN = [
 # new-in-r9 gates ride the window so the driver verifies them this round
 _NEW_R9 = [
     "load_stac_search", "weighted_sample", "cosine_topk_batch", "ann_recall",
-    "dedup_recall", "ivf_index_search",
+    "dedup_recall", "ivf_index_search", "temperature_mix",
 ]
 
 # With 4 new gates the 47-entry r4-stale tail doesn't all fit: take the

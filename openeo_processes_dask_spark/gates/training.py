@@ -613,6 +613,20 @@ def q_ivf_index_search(spark, sf_dir):
     return ivf_search_batch(assigned, cents, queries, k=5, nprobe=4)
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Alpha-smoothed source mixture weights (training/sampling.py
+    temperature_weights, the multilingual rebalancing standard
+    w_s ∝ p_s^alpha): distributed group totals + broadcast scalar
+    normalizers, one metadata-sized row per source."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.sampling import (
+        temperature_weights,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    return temperature_weights(docs, alpha=0.5)
+
+
 def q_weighted_sample(spark, sf_dir):
     """Exactly-20-per-language weighted sample, inclusion odds ∝ n_chars
     (training/sampling.py sample_weighted_fixed, Efraimidis-Spirakis
@@ -1735,6 +1749,7 @@ QUERIES = {
     "cosine_topk_batch": q_cosine_topk_batch,
     "ann_recall": q_ann_recall,
     "ivf_index_search": q_ivf_index_search,
+    "temperature_mix": q_temperature_mix,
     "weighted_sample": q_weighted_sample,
     "lsh_topk": q_lsh_topk,
     "pq_topk": q_pq_topk,
@@ -2583,6 +2598,15 @@ ORACLES = {
     "ann_recall": _ann_recall_oracle_sql,
     "dedup_recall": _dedup_recall_oracle_sql,
     "ivf_index_search": _ivf_index_search_oracle_sql,
+    "temperature_mix": """
+            WITH tot AS (
+              SELECT source, CAST(sum(n_chars) AS DOUBLE) AS tok
+              FROM documents GROUP BY source),
+            a AS (SELECT source, pow(tok / sum(tok) OVER (), 0.5) AS pa
+                  FROM tot)
+            SELECT source, round(pa / sum(pa) OVER (), 6) AS weight
+            FROM a
+        """,
     "weighted_sample": """
             WITH keyed AS (
               SELECT doc_id, lang, n_chars,

@@ -320,6 +320,39 @@ def mix_corpus(
     )
 
 
+def temperature_weights(
+    df: DataFrame,
+    alpha: float,
+    group_col: str = "source",
+    token_col: str = "n_chars",
+) -> DataFrame:
+    """Temperature-smoothed mixture weights: w_s ∝ p_s^alpha, normalized
+    (the multilingual/multi-source rebalancing standard — alpha=1 keeps
+    natural proportions, alpha=0 is uniform, 0<alpha<1 upweights the
+    tail). Fully distributed: one group aggregate + two broadcast scalar
+    joins; the output is one metadata-sized row per group, ready to
+    drive :func:`mix_corpus`. Weights round to 6 decimals so the table
+    is engine-reproducible."""
+    tot = df.groupBy(group_col).agg(
+        F.sum(F.col(token_col)).cast("double").alias("tok")
+    )
+    all_tok = tot.agg(F.sum("tok").alias("all_tok"))
+    pa = (
+        tot.crossJoin(F.broadcast(all_tok))
+        .withColumn(
+            "pa", F.pow(F.col("tok") / F.col("all_tok"), F.lit(float(alpha)))
+        )
+    )
+    z = pa.agg(F.sum("pa").alias("z"))
+    return (
+        pa.crossJoin(F.broadcast(z))
+        .select(
+            F.col(group_col),
+            F.round(F.col("pa") / F.col("z"), 6).alias("weight"),
+        )
+    )
+
+
 def top_quality_fraction(
     df: DataFrame,
     score_col: str,

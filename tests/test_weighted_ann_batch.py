@@ -168,6 +168,35 @@ def test_ann_recall_exact_method_is_one(vecs):
     assert [r["method"] for r in out] == ["brute", "empty"]
 
 
+# ---------------------------------------------------- temperature_weights
+
+
+def test_temperature_weights_limits(spark):
+    from openeo_processes_dask_spark.training.sampling import (
+        temperature_weights,
+    )
+
+    rows = (
+        [(i, "big", 90) for i in range(90)]
+        + [(100 + i, "small", 10) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    # alpha=1: natural token proportions (big has 8100 of 8200... compute)
+    w1 = {r["source"]: r["weight"] for r in
+          temperature_weights(df, 1.0).collect()}
+    tot = 90 * 90 + 10 * 10
+    assert abs(w1["big"] - 8100 / tot) < 1e-6
+    assert abs(sum(w1.values()) - 1.0) < 1e-5
+    # alpha=0: uniform regardless of size
+    w0 = {r["source"]: r["weight"] for r in
+          temperature_weights(df, 0.0).collect()}
+    assert w0 == {"big": 0.5, "small": 0.5}
+    # 0<alpha<1: tail upweighted vs natural, head still heavier
+    wh = {r["source"]: r["weight"] for r in
+          temperature_weights(df, 0.5).collect()}
+    assert wh["small"] > w1["small"] and wh["big"] > wh["small"]
+
+
 # ------------------------------------------------- ivf index + batch search
 
 
