@@ -117,6 +117,7 @@ _R4_GREEN = [
 _NEW_R9 = [
     "load_stac_search", "weighted_sample", "cosine_topk_batch", "ann_recall",
     "dedup_recall", "ivf_index_search", "temperature_mix",
+    "streaming_reservoir",
 ]
 
 # With 4 new gates the 47-entry r4-stale tail doesn't all fit: take the

@@ -301,6 +301,43 @@ def q_streaming_cap(spark, sf_dir):
     return spark.table(name).select("user_id", "event_id", "rank")
 
 
+def q_streaming_reservoir(spark, sf_dir):
+    """Streaming exactly-k weighted reservoir (streaming/sessions.py
+    stream_weighted_reservoir): A-ES priorities are pure row functions,
+    so draining the stream in one AvailableNow trigger admits EXACTLY the
+    batch weighted sample — the oracle is the same A-ES SQL the batch
+    weighted_sample gate proves, partitioned by user."""
+    _setup(spark)
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        run_stream_to_memory,
+    )
+    from openeo_processes_dask_spark.streaming.sessions import (
+        stream_weighted_reservoir,
+    )
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream1_{os.path.basename(sf_dir)}"
+    )
+    if not os.path.isdir(stream_dir):
+        _table(spark, sf_dir, "events").orderBy("ts").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stream_dir)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(stream_dir)
+        .select("user_id", "event_id", F.col("ts").alias("t"), "value")
+    )
+    out = stream_weighted_reservoir(stream, k=3, seed=42)
+    name = f"q_sres_{abs(hash(sf_dir)) % 10_000}"
+    q = run_stream_to_memory(out, name, output_mode="append")
+    q.awaitTermination(300)
+    return spark.table(name).select("user_id", "event_id")
+
+
 def q_streaming_sink(spark, sf_dir):
     """Durable streaming ETL (streaming/events.py run_stream_to_parquet):
     stream the events fixture through a stateless transform into a
@@ -697,6 +734,7 @@ QUERIES = {
     "streaming_dedup_static": q_streaming_dedup_static,
     "streaming_pii_redact": q_streaming_pii_redact,
     "streaming_cap": q_streaming_cap,
+    "streaming_reservoir": q_streaming_reservoir,
     "streaming_sink": q_streaming_sink,
     "streaming_session_window": q_streaming_session_window,
     "streaming_upsert": q_streaming_upsert,
@@ -825,6 +863,22 @@ ORACLES = {
                                         ORDER BY ts, event_id) AS rank
               FROM events)
             WHERE rank <= 5
+        """,
+    "streaming_reservoir": """
+            WITH keyed AS (
+              SELECT user_id, event_id,
+                     ln(greatest(
+                          CAST('0x' || substr(md5('42-' || CAST(event_id AS VARCHAR)),
+                                              1, 15) AS BIGINT)
+                            / 1152921504606846976.0,
+                          1e-18))
+                       / greatest(CAST(value AS DOUBLE), 1e-12) AS aes
+              FROM events)
+            SELECT user_id, event_id
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY aes DESC, event_id) AS rn
+                  FROM keyed)
+            WHERE rn <= 3
         """,
     "streaming_daily_sum": """
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS t,

@@ -210,6 +210,104 @@ def stream_cap_per_key(
     )
 
 
+RESERVOIR_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+    ]
+)
+
+RESERVOIR_STATE = StructType(
+    [
+        StructField("keys", ArrayType(DoubleType())),
+        StructField("ids", ArrayType(LongType())),
+    ]
+)
+
+
+def stream_weighted_reservoir(
+    events: DataFrame,
+    k: int,
+    seed: int = 42,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exactly-k weighted reservoir per user (the online twin of
+    ``sampling.sample_weighted_fixed``): Efraimidis-Spirakis A-ES over the
+    stream — each event's priority is ln(u)/w with u the seeded
+    md5-uniform of event_id and w = ``value`` clamped positive; state per
+    key is the current top-k (priority, event_id) pair list, bounded by k
+    regardless of stream length.
+
+    Because the priority is a pure row function, draining the whole
+    stream yields EXACTLY the batch sample (same formula, same
+    tie-break) — pinned by the gate's batch-SQL oracle. Emission is
+    append-mode: a micro-batch emits the events it newly admitted into
+    the reservoir; an admitted event later evicted by a higher-priority
+    arrival was already emitted — the same online-admission caveat as
+    ``stream_cap_per_key``, gone when a trigger covers the stream (the
+    deterministic single-batch gate setup)."""
+    import hashlib
+    import math
+
+    span = float(1 << 60)
+
+    def _priority(event_id: int, weight) -> float:
+        digest = hashlib.md5(f"{seed}-{event_id}".encode()).hexdigest()
+        u = max(int(digest[:15], 16) / span, 1e-18)
+        w = 1e-12
+        if weight is not None and not pd.isna(weight):
+            w = max(float(weight), 1e-12)
+        return math.log(u) / w
+
+    def update(
+        key: Tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs))
+        pool = {
+            int(i): _priority(int(i), v)
+            for i, v in zip(rows["event_id"], rows["value"])
+        }
+        prev_ids: set = set()
+        if state.exists:
+            keys, ids = state.get
+            prev_ids = {int(i) for i in ids}
+            for kk, ii in zip(keys, ids):
+                pool.setdefault(int(ii), float(kk))
+        # top-k by (priority desc, event_id asc) — the batch tie-break
+        kept = sorted(pool.items(), key=lambda t: (-t[1], t[0]))[: int(k)]
+        state.update(
+            ([float(p) for _, p in kept], [int(i) for i, _ in kept])
+        )
+        admitted = sorted(i for i, _ in kept if i not in prev_ids)
+        if admitted:
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series(
+                        [user_id] * len(admitted), dtype="int64"
+                    ),
+                    "event_id": pd.Series(admitted, dtype="int64"),
+                }
+            )
+
+    return (
+        events.withWatermark("t", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RESERVOIR_OUTPUT,
+            stateStructType=RESERVOIR_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 ANOM_OUTPUT = StructType(
     [
         StructField("band", StringType()),
