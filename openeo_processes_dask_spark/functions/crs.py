@@ -1,4 +1,4 @@
-"""Native CRS transforms: EPSG:4326 <-> EPSG:3857 and EPSG:4326 <-> UTM.
+"""Native CRS transforms: EPSG:4326 <-> EPSG:3857 / UTM / EPSG:3035.
 
 The reference delegates all reprojection to pyproj/odc (cubes/_filter.py:
 284-320, cubes/resample.py:39-113). pyproj is not available in this
@@ -16,6 +16,12 @@ container, but both projections have public closed-form/series formulas:
   with an accuracy of a few nanometers" (the same series GeographicLib/
   pyproj evaluate to higher order). Truncation at n^3 for WGS84
   (n ≈ 1/594) leaves sub-millimeter error — far below pixel size.
+
+- ETRS89-extended LAEA Europe (EPSG:3035, the EU-scale product grid):
+  Snyder's oblique ellipsoidal Lambert Azimuthal Equal-Area (USGS
+  Professional Paper 1395, pp. 187-190), validated against the EPSG
+  Guidance Note 7-2 worked example to the centimeter and against the
+  equal-area Jacobian property to 1e-8 relative.
 
 Each transform is expressed twice through a shared formula: as Spark
 Column expressions (sin/cos/sinh/atan2… are JVM built-ins, so a raster
@@ -40,6 +46,7 @@ R_MERCATOR = 6378137.0
 
 _ALIASES_4326 = {"epsg:4326", "4326", "wgs84", "crs84", "ogc:crs84"}
 _ALIASES_3857 = {"epsg:3857", "3857", "epsg:900913", "web-mercator"}
+_ALIASES_3035 = {"epsg:3035", "3035", "etrs89-laea", "etrs89-extended-laea"}
 
 _UTM_RE = re.compile(r"^epsg:(32[67])(\d{2})$")
 
@@ -67,6 +74,153 @@ _TM_K0 = 0.9996
 _TM_E0 = 500_000.0
 
 
+# ---- Lambert Azimuthal Equal-Area on the ellipsoid (Snyder 1987, USGS
+# Professional Paper 1395, pp. 187-190, oblique aspect) — EPSG:3035
+# (ETRS89-extended / LAEA Europe, the grid every EU-scale product ships
+# in; the reference reaches it only through pyproj, cubes/resample.py:39).
+# GRS80 ellipsoid; projection center (52°N, 10°E), FE=4321000, FN=3210000.
+#
+# All constants below are scalar (driver-computed once); the per-point
+# formulas run generically over an ops namespace so the same code emits
+# JVM Column expressions, scalar math, NumPy batches, and the DuckDB
+# oracle SQL — identical to the Krüger-series structure above.
+_GRS80_A = 6378137.0
+_GRS80_F = 1 / 298.257222101
+_LAEA_E2 = _GRS80_F * (2 - _GRS80_F)
+_LAEA_E = math.sqrt(_LAEA_E2)
+_LAEA_LAT0 = 52.0
+_LAEA_LON0 = 10.0
+_LAEA_FE = 4_321_000.0
+_LAEA_FN = 3_210_000.0
+
+
+def _q_scalar(sin_phi: float) -> float:
+    """Snyder (3-12): the equal-area auxiliary q as a function of sinφ."""
+    return (1 - _LAEA_E2) * (
+        sin_phi / (1 - _LAEA_E2 * sin_phi * sin_phi)
+        + math.atanh(_LAEA_E * sin_phi) / _LAEA_E
+    )
+
+
+_LAEA_QP = _q_scalar(1.0)  # q at the pole
+_LAEA_RQ = _GRS80_A * math.sqrt(_LAEA_QP / 2.0)  # authalic-sphere radius
+_LAEA_SINB1 = _q_scalar(math.sin(math.radians(_LAEA_LAT0))) / _LAEA_QP
+_LAEA_COSB1 = math.sqrt(1.0 - _LAEA_SINB1 * _LAEA_SINB1)
+_LAEA_M1 = math.cos(math.radians(_LAEA_LAT0)) / math.sqrt(
+    1 - _LAEA_E2 * math.sin(math.radians(_LAEA_LAT0)) ** 2
+)
+_LAEA_D = _GRS80_A * _LAEA_M1 / (_LAEA_RQ * _LAEA_COSB1)  # Snyder (24-20)
+
+# authalic -> geodetic latitude series (Snyder 3-18), the Newton seed
+_LAEA_C2 = (
+    _LAEA_E2 / 3
+    + 31 * _LAEA_E2**2 / 180
+    + 517 * _LAEA_E2**3 / 5040
+)
+_LAEA_C4 = 23 * _LAEA_E2**2 / 360 + 251 * _LAEA_E2**3 / 3780
+_LAEA_C6 = 761 * _LAEA_E2**3 / 45360
+
+
+def _laea_forward(ops, lat_deg, lon_deg):
+    """(lat, lon)° -> EPSG:3035 (E, N). Snyder (24-17..24-19)."""
+    d2r = math.pi / 180.0
+    phi = lat_deg * ops.lit(d2r)
+    dlam = (lon_deg - ops.lit(_LAEA_LON0)) * ops.lit(d2r)
+    s = ops.sin(phi)
+    q = ops.lit(1 - _LAEA_E2) * (
+        s / (ops.lit(1.0) - ops.lit(_LAEA_E2) * s * s)
+        + ops.atanh(ops.lit(_LAEA_E) * s) * ops.lit(1.0 / _LAEA_E)
+    )
+    sinb = q * ops.lit(1.0 / _LAEA_QP)
+    cosb = ops.sqrt(ops.lit(1.0) - sinb * sinb)
+    cosd = ops.cos(dlam)
+    # B = Rq * sqrt(2 / (1 + sinb1 sinb + cosb1 cosb cos dlam))
+    b = ops.lit(_LAEA_RQ) * ops.sqrt(
+        ops.lit(2.0)
+        / (
+            ops.lit(1.0)
+            + ops.lit(_LAEA_SINB1) * sinb
+            + ops.lit(_LAEA_COSB1) * cosb * cosd
+        )
+    )
+    e = b * ops.lit(_LAEA_D) * cosb * ops.sin(dlam) + ops.lit(_LAEA_FE)
+    n = (
+        b
+        * ops.lit(1.0 / _LAEA_D)
+        * (
+            ops.lit(_LAEA_COSB1) * sinb
+            - ops.lit(_LAEA_SINB1) * cosb * cosd
+        )
+        + ops.lit(_LAEA_FN)
+    )
+    return e, n
+
+
+def _laea_inverse(ops, E, N):
+    """EPSG:3035 (E, N) -> (lon, lat)°. Snyder (24-26..24-30, 3-16).
+
+    The center singularity is removed algebraically: with
+    r = ρ/(2Rq) and ce = 2·asin(r), sin(ce)/ρ = sqrt(1-r²)/Rq and
+    cos(ce) = 1-2r² — no division by ρ anywhere, so the exact projection
+    center maps back to (lon0, lat0) with no branch (a branchless
+    requirement: this body also runs as one Column expression and as the
+    DuckDB oracle's SQL text). Latitude: authalic series seed
+    (Snyder 3-18) + two unrolled Newton steps of (3-16) — quadratic
+    convergence puts the result at machine precision while keeping the
+    unrolled expression tree small."""
+    r2d = 180.0 / math.pi
+    xr = (E - ops.lit(_LAEA_FE)) * ops.lit(1.0 / _LAEA_D)  # ρ·sin az
+    yr = (N - ops.lit(_LAEA_FN)) * ops.lit(_LAEA_D)  # ρ·cos az
+    rho2 = xr * xr + yr * yr
+    r2 = rho2 * ops.lit(1.0 / (4.0 * _LAEA_RQ * _LAEA_RQ))  # r²
+    cos_ce = ops.lit(1.0) - ops.lit(2.0) * r2
+    # sin(ce)/ρ, finite everywhere (= 1/Rq at the center)
+    sin_ce_rho = ops.sqrt(ops.lit(1.0) - r2) * ops.lit(1.0 / _LAEA_RQ)
+    q = ops.lit(_LAEA_QP) * (
+        cos_ce * ops.lit(_LAEA_SINB1)
+        + yr * sin_ce_rho * ops.lit(_LAEA_COSB1)
+    )
+    # λ: the common positive factor ρ cancels inside atan2; at the center
+    # both arguments are 0 and atan2(0, +D·cosb1·1) = 0 -> λ = λ0
+    lam = ops.atan2(
+        xr * sin_ce_rho,
+        ops.lit(_LAEA_COSB1) * cos_ce - yr * sin_ce_rho * ops.lit(_LAEA_SINB1),
+    )
+    # latitude: series seed on the authalic latitude β...
+    sinb = q * ops.lit(1.0 / _LAEA_QP)
+    beta = ops.asin(sinb)
+    phi = (
+        beta
+        + ops.lit(_LAEA_C2) * ops.sin(ops.lit(2.0) * beta)
+        + ops.lit(_LAEA_C4) * ops.sin(ops.lit(4.0) * beta)
+        + ops.lit(_LAEA_C6) * ops.sin(ops.lit(6.0) * beta)
+    )
+    # ...then two Newton steps of Snyder (3-16): φ += (q - q(φ)) / q'(φ)
+    for _ in range(2):
+        s = ops.sin(phi)
+        one_minus = ops.lit(1.0) - ops.lit(_LAEA_E2) * s * s
+        q_phi = ops.lit(1 - _LAEA_E2) * (
+            s / one_minus
+            + ops.atanh(ops.lit(_LAEA_E) * s) * ops.lit(1.0 / _LAEA_E)
+        )
+        phi = phi + (
+            one_minus
+            * one_minus
+            / (ops.lit(2.0) * ops.cos(phi))
+            * (q - q_phi)
+            * ops.lit(1.0 / (1 - _LAEA_E2))
+        )
+    return (
+        ops.lit(_LAEA_LON0) + lam * ops.lit(r2d),
+        phi * ops.lit(r2d),
+    )
+
+
+def is_laea(crs) -> bool:
+    """True for EPSG:3035 (ETRS89-extended LAEA Europe)."""
+    return str(crs).strip().lower() in _ALIASES_3035
+
+
 def utm_zone(crs) -> tuple[int, bool] | None:
     """(zone, is_north) for an EPSG UTM code, else None."""
     m = _UTM_RE.match(str(crs).strip().lower())
@@ -84,6 +238,8 @@ def normalize_crs(crs) -> str:
         return "EPSG:4326"
     if s in _ALIASES_3857:
         return "EPSG:3857"
+    if s in _ALIASES_3035:
+        return "EPSG:3035"
     if _UTM_RE.match(s):
         return s.upper()
     return str(crs)
@@ -93,10 +249,10 @@ def supports(src_crs, dst_crs) -> bool:
     """True when transform_xy_* can handle the pair: natively (closed-form
     4326<->3857<->UTM) or via the runtime-detected pyproj lane."""
     pair = {normalize_crs(src_crs), normalize_crs(dst_crs)}
-    if pair <= {"EPSG:4326", "EPSG:3857"}:
+    if pair <= {"EPSG:4326", "EPSG:3857", "EPSG:3035"}:
         return True
-    others = pair - {"EPSG:4326"}
-    if len(others) <= 1 and all(utm_zone(c) for c in others):
+    others = pair - {"EPSG:4326", "EPSG:3857", "EPSG:3035"}
+    if all(utm_zone(c) for c in others):
         return True
     try:
         import pyproj  # noqa: F401
@@ -250,13 +406,14 @@ def transform_xy_cols(
     if utm_zone(src) and dst == "EPSG:4326":
         zone, north = utm_zone(src)
         return _tm_inverse(_ColOps, x, y, _utm_lon0(zone), north)
-    if utm_zone(src) and utm_zone(dst):
-        lon, lat = transform_xy_cols(x, y, src, "EPSG:4326")
-        return transform_xy_cols(lon, lat, "EPSG:4326", dst)
-    if utm_zone(src) and dst == "EPSG:3857":
-        lon, lat = transform_xy_cols(x, y, src, "EPSG:4326")
-        return transform_xy_cols(lon, lat, "EPSG:4326", dst)
-    if src == "EPSG:3857" and utm_zone(dst):
+    if src == "EPSG:4326" and dst == "EPSG:3035":
+        return _laea_forward(_ColOps, y, x)
+    if src == "EPSG:3035" and dst == "EPSG:4326":
+        return _laea_inverse(_ColOps, x, y)
+    if (utm_zone(src) or src in ("EPSG:3857", "EPSG:3035")) and (
+        utm_zone(dst) or dst in ("EPSG:3857", "EPSG:3035")
+    ):
+        # projected <-> projected: hub through geographic coordinates
         lon, lat = transform_xy_cols(x, y, src, "EPSG:4326")
         return transform_xy_cols(lon, lat, "EPSG:4326", dst)
     try:
@@ -323,7 +480,11 @@ def transform_xy_np(x, y, src_crs, dst_crs):
     if utm_zone(src) and dst == "EPSG:4326":
         zone, north = utm_zone(src)
         return _tm_inverse(_NumpyOps, x, y, _utm_lon0(zone), north)
-    if utm_zone(src) or utm_zone(dst):
+    if src == "EPSG:4326" and dst == "EPSG:3035":
+        return _laea_forward(_NumpyOps, y, x)
+    if src == "EPSG:3035" and dst == "EPSG:4326":
+        return _laea_inverse(_NumpyOps, x, y)
+    if utm_zone(src) or utm_zone(dst) or "EPSG:3035" in (src, dst):
         lon, lat = transform_xy_np(x, y, src, "EPSG:4326")
         return transform_xy_np(lon, lat, "EPSG:4326", dst)
     try:
@@ -368,7 +529,13 @@ def transform_xy_scalar(x: float, y: float, src_crs, dst_crs):
             _MathOps, float(x), float(y), _utm_lon0(zone), north
         )
         return float(lon), float(lat)
-    if utm_zone(src) or utm_zone(dst):
+    if src == "EPSG:4326" and dst == "EPSG:3035":
+        e, n = _laea_forward(_MathOps, float(y), float(x))
+        return float(e), float(n)
+    if src == "EPSG:3035" and dst == "EPSG:4326":
+        lon, lat = _laea_inverse(_MathOps, float(x), float(y))
+        return float(lon), float(lat)
+    if utm_zone(src) or utm_zone(dst) or "EPSG:3035" in (src, dst):
         lon, lat = transform_xy_scalar(x, y, src, "EPSG:4326")
         return transform_xy_scalar(lon, lat, "EPSG:4326", dst)
     ox, oy = transform_xy_np(float(x), float(y), src, dst)  # pyproj lane

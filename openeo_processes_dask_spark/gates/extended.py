@@ -26,6 +26,7 @@ from .common import (
 )
 from .oracle_builders import (
     _SqlOps,
+    _crs_laea_oracle_sql,
     _crs_utm_oracle_sql,
     _multimodal_av_oracle_sql,
     _multimodal_resize_oracle_sql,
@@ -712,6 +713,28 @@ def q_crs_utm(spark, sf_dir):
     )
 
 
+def q_crs_laea(spark, sf_dir):
+    """EPSG:4326 -> EPSG:3035 (ETRS89-extended LAEA Europe) warp as pure
+    JVM expressions (functions/crs.py Snyder oblique ellipsoidal LAEA —
+    the EU product grid, natively, no pyproj). Oracle: the SAME generic
+    formula emitted as DuckDB SQL through the _SqlOps shim; round(2)
+    absorbs libm last-ulp differences."""
+    _setup(spark)
+    from openeo_processes_dask_spark.functions.crs import transform_xy_cols
+
+    grid = _grid_cube(spark, sf_dir)
+    lon = F.col("x") / F.lit(10.0) + F.lit(7.5)
+    lat = F.col("y") / F.lit(10.0) + F.lit(45.0)
+    e, n = transform_xy_cols(lon, lat, "EPSG:4326", "EPSG:3035")
+    return grid.df.select(
+        "x",
+        "y",
+        "band",
+        F.round(e, 2).alias("easting"),
+        F.round(n, 2).alias("northing"),
+    )
+
+
 def q_multimodal_resize(spark, sf_dir):
     """resize_images: REAL nearest-neighbor resize over binary columns,
     verified byte-exactly — the gate md5-hashes every resized RGB payload
@@ -862,6 +885,7 @@ QUERIES = {
     "multimodal_av": q_multimodal_av,
     "multimodal_resize": q_multimodal_resize,
     "crs_utm": q_crs_utm,
+    "crs_laea": q_crs_laea,
     "cummin": q_cummin,
     "cumproduct": q_cumproduct,
     "merge_concat": q_merge_concat,
@@ -1128,6 +1152,7 @@ ORACLES = {
     "multimodal_av": _multimodal_av_oracle_sql,
     "multimodal_resize": _multimodal_resize_oracle_sql,
     "crs_utm": _crs_utm_oracle_sql,
+    "crs_laea": _crs_laea_oracle_sql,
     "cummin": f"""
             WITH {_CELLS_CTE}
             SELECT x, pos, min(sq) OVER (PARTITION BY x ORDER BY pos) AS value

@@ -662,6 +662,20 @@ def _crs_utm_oracle_sql() -> str:
     """
 
 
+def _crs_laea_oracle_sql() -> str:
+    from openeo_processes_dask_spark.functions.crs import _laea_forward
+
+    lon = _SqlExpr("((x / 10.0) + 7.5)")
+    lat = _SqlExpr("((y / 10.0) + 45.0)")
+    e, n = _laea_forward(_SqlOps, lat, lon)
+    return f"""
+        WITH {_GRID_CTE}
+        SELECT x, y, band, round({e.s}, 2) AS easting,
+               round({n.s}, 2) AS northing
+        FROM grid
+    """
+
+
 def _multimodal_features_oracle_sql(n: int = 64, w: int = 16, h: int = 12) -> str:
     """Expected image features computed independently in NumPy from the
     shared deterministic fake decode (PCG64 is not SQL-expressible, so the
