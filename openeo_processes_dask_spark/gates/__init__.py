@@ -117,11 +117,11 @@ _R4_GREEN = [
 _NEW_R9 = [
     "load_stac_search", "weighted_sample", "cosine_topk_batch", "ann_recall",
     "dedup_recall", "ivf_index_search", "temperature_mix",
-    "streaming_reservoir",
+    "streaming_reservoir", "crs_laea", "rf_xgb_roundtrip",
 ]
 
-# With 4 new gates the 47-entry r4-stale tail doesn't all fit: take the
-# first 45, the last 2 lead the r10 candidates below.
+# With the new gates the 47-entry r4-stale tail doesn't all fit: the
+# window takes its head, the remainder leads the r10 candidates below.
 _R4_TAIL_SLOTS = 50 - 1 - len(_NEW_R9)
 _WINDOW_R9 = (
     ["flagship_daily_mean"]

@@ -823,6 +823,58 @@ def _random_forest_oracle_sql(
     """
 
 
+def _rf_xgb_oracle_sql(
+    num_trees: int = 8, max_depth: int = 5, min_leaf: int = 2, seed: int = 42
+) -> str:
+    """Twin of q_rf_xgb_roundtrip: identical NumPy re-train (same seeded
+    bootstrap over the o_orderkey-sorted matrix as _random_forest_oracle_
+    sql), then through the SAME xgboost-JSON export and the SQL compiler —
+    the interchange document itself is the shared artifact under test."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from openeo_processes_dask_spark.ml.random_forest import (
+        ForestModel,
+        _build_tree,
+    )
+    from openeo_processes_dask_spark.ml.xgb_interchange import (
+        forest_to_xgboost_json,
+        xgboost_json_to_sql,
+    )
+
+    sf = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    pdf = con.sql(
+        f"""
+        SELECT CAST(o_custkey % 50 AS DOUBLE) AS f1,
+               CAST(extract(day FROM o_orderdate) AS DOUBLE) AS f2,
+               o_totalprice AS target
+        FROM '{sf}/orders.parquet'
+        WHERE o_orderkey <= 5000 ORDER BY o_orderkey
+        """
+    ).df()
+    X = pdf[["f1", "f2"]].to_numpy(dtype="float64")
+    y = pdf["target"].to_numpy(dtype="float64")
+    n_feat = max(1, int(np.sqrt(X.shape[1])))
+    trees = []
+    for t in range(num_trees):
+        rng = np.random.default_rng(seed + t)
+        boot = rng.integers(0, len(y), size=len(y))
+        trees.append(
+            _build_tree(X[boot], y[boot], rng, max_depth, min_leaf, n_feat)
+        )
+    doc = forest_to_xgboost_json(ForestModel(trees, ["f1", "f2"]))
+    expr = xgboost_json_to_sql(doc)
+    return f"""
+        SELECT CAST(o_custkey % 50 AS DOUBLE) AS f1,
+               CAST(extract(day FROM o_orderdate) AS DOUBLE) AS f2,
+               round({expr}, 4) AS prediction
+        FROM orders WHERE o_orderkey <= 500
+    """
+
+
 def _embedding_near_dups_oracle_sql(
     threshold: float = 0.2,
     n_planes: int = 4,

@@ -14,6 +14,7 @@ from .oracle_builders import (
     _multimodal_dedup_oracle_sql,
     _multimodal_features_oracle_sql,
     _random_forest_oracle_sql,
+    _rf_xgb_oracle_sql,
 )
 
 def q_resample_asof(spark, sf_dir):
@@ -257,6 +258,46 @@ def q_random_forest(spark, sf_dir):
     )
 
 
+def q_rf_xgb_roundtrip(spark, sf_dir):
+    """xgboost-JSON model interchange round-trip (ml/xgb_interchange.py):
+    train the same seeded forest as q_random_forest, export it in
+    xgboost's public JSON schema, then score the test rows through the
+    COMPILED lane — the JSON model turned into one pure-JVM CASE-chain
+    Column (no Booster, no broadcast, no Python at inference). The oracle
+    re-trains the identical forest in NumPy, exports through the same
+    schema, and compiles the JSON to SQL — so export determinism, the
+    <=/< nextafter boundary conversion, and both compilers are all under
+    the hash."""
+    _setup(spark)
+    from openeo_processes_dask_spark.ml.random_forest import (
+        fit_regr_random_forest,
+    )
+    from openeo_processes_dask_spark.ml.xgb_interchange import (
+        forest_to_xgboost_json,
+        xgboost_json_to_column,
+    )
+
+    o = _table(spark, sf_dir, "orders").select(
+        F.pmod("o_custkey", F.lit(50)).cast("double").alias("f1"),
+        F.dayofmonth("o_orderdate").cast("double").alias("f2"),
+        F.col("o_totalprice").alias("target"),
+        "o_orderkey",
+    )
+    train = (
+        o.where(F.col("o_orderkey") <= 5000)
+        .orderBy("o_orderkey")
+        .select("f1", "f2", "target")
+    )
+    model = fit_regr_random_forest(train, "target", num_trees=8, max_depth=5)
+    doc = forest_to_xgboost_json(model)
+    test = o.where(F.col("o_orderkey") <= 500).select("f1", "f2")
+    return test.select(
+        "f1",
+        "f2",
+        F.round(xgboost_json_to_column(doc), 4).alias("prediction"),
+    )
+
+
 def q_vector_buffer(spark, sf_dir):
     """vector_buffer over points derived from nation keys — rows-only."""
     _setup(spark)
@@ -358,6 +399,7 @@ QUERIES = {
     "run_udf_plus1": q_run_udf_plus1,
     "fit_curve_linear": q_fit_curve_linear,
     "random_forest": q_random_forest,
+    "rf_xgb_roundtrip": q_rf_xgb_roundtrip,
     "vector_buffer": q_vector_buffer,
     "multimodal_features": q_multimodal_features,
     "multimodal_dedup": q_multimodal_dedup,
@@ -450,6 +492,7 @@ ORACLES = {
             GROUP BY s.x, p.param
         """,
     "random_forest": _random_forest_oracle_sql,
+    "rf_xgb_roundtrip": _rf_xgb_oracle_sql,
     "vector_buffer": """
             WITH pts AS (
               SELECT CAST(n_nationkey AS VARCHAR) AS feature_id,

@@ -1,0 +1,220 @@
+"""xgboost JSON interchange: export the NumPy CART forest in xgboost's
+public model schema, and compile any xgboost JSON model (ours or one
+from real xgboost) to pure-JVM Column / SQL expressions.
+
+Reference parity target: ml/random_forest.py:30,131 returns an
+``xgboost.core.Booster``; the interchange documents close that gap
+without the library (DIVERGENCES.md)."""
+
+from __future__ import annotations
+
+import json
+import math
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_spark.ml.random_forest import (
+    ForestModel,
+    _build_tree,
+)
+from openeo_processes_dask_spark.ml.xgb_interchange import (
+    forest_to_xgboost_json,
+    predict_xgboost_json,
+    xgboost_json_to_column,
+    xgboost_json_to_sql,
+)
+
+
+@pytest.fixture(scope="module")
+def forest():
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(400, 3))
+    y = X[:, 0] * 2 + np.sin(X[:, 1]) + rng.normal(scale=0.1, size=400)
+    trees = []
+    for t in range(5):
+        r = np.random.default_rng(100 + t)
+        boot = r.integers(0, len(y), size=len(y))
+        trees.append(_build_tree(X[boot], y[boot], r, 5, 2, 2))
+    return ForestModel(trees, ["f0", "f1", "f2"]), X, y
+
+
+def test_export_schema_shape(forest):
+    model, _, _ = forest
+    doc = forest_to_xgboost_json(model)
+    # must be valid JSON and carry the documented structure
+    doc = json.loads(json.dumps(doc))
+    learner = doc["learner"]
+    booster = learner["gradient_booster"]
+    assert booster["name"] == "gbtree"
+    assert learner["objective"]["name"] == "reg:squarederror"
+    assert learner["learner_model_param"]["num_feature"] == "3"
+    trees = booster["model"]["trees"]
+    assert len(trees) == 5
+    assert booster["model"]["gbtree_model_param"]["num_trees"] == "5"
+    for t in trees:
+        n = len(t["left_children"])
+        for k in (
+            "right_children",
+            "parents",
+            "split_indices",
+            "split_conditions",
+            "default_left",
+            "base_weights",
+            "sum_hessian",
+            "loss_changes",
+            "split_type",
+        ):
+            assert len(t[k]) == n, k
+        assert int(t["tree_param"]["num_nodes"]) == n
+        # children are either both present or both absent per node
+        for l, r in zip(t["left_children"], t["right_children"]):
+            assert (l == -1) == (r == -1)
+
+
+def test_compiled_column_matches_engine_predict(spark, forest):
+    model, X, _ = forest
+    doc = forest_to_xgboost_json(model)
+    expected = model.predict(X[:100])
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in X[:100]],
+        "f0 double, f1 double, f2 double",
+    )
+    got = [
+        r.prediction
+        for r in predict_xgboost_json(df, doc)
+        .select("prediction")
+        .collect()
+    ]
+    np.testing.assert_allclose(sorted(got), sorted(expected), rtol=1e-12)
+
+
+def test_sql_twin_matches_column(spark, forest):
+    model, X, _ = forest
+    doc = forest_to_xgboost_json(model)
+    sql_expr = xgboost_json_to_sql(doc)
+    con = duckdb.connect()
+    # exponent-form literals parse as DOUBLE (bare decimals would route
+    # through DuckDB's not-correctly-rounded DECIMAL->DOUBLE conversion)
+    vals = ", ".join(
+        f"({a:.17e}, {b:.17e}, {c:.17e})" for a, b, c in X[:50]
+    )
+    exp = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {sql_expr} FROM (VALUES {vals}) t(f0, f1, f2) ORDER BY 1"
+        ).fetchall()
+    ]
+    np.testing.assert_allclose(exp, sorted(model.predict(X[:50])), rtol=1e-12)
+
+
+def test_threshold_boundary_routes_left(spark):
+    """The engine's `x <= thr` left-branch must survive the conversion to
+    xgboost's `x < cond`: a feature exactly AT the threshold goes left."""
+    thr = 1.25  # exactly representable
+    tree = {"f": 0, "thr": thr, "l": {"leaf": -10.0}, "r": {"leaf": 10.0}}
+    model = ForestModel([tree], ["f0"])
+    doc = forest_to_xgboost_json(model)
+    cond = doc["learner"]["gradient_booster"]["model"]["trees"][0][
+        "split_conditions"
+    ][0]
+    assert cond == math.nextafter(thr, math.inf)
+    df = spark.createDataFrame(
+        [(thr,), (math.nextafter(thr, math.inf),), (1.0,), (2.0,)],
+        "f0 double",
+    )
+    rows = {
+        r.f0: r.prediction
+        for r in predict_xgboost_json(df, doc).collect()
+    }
+    assert rows[thr] == -10.0  # boundary: left, same as engine's <=
+    assert rows[math.nextafter(thr, math.inf)] == 10.0
+    assert rows[1.0] == -10.0 and rows[2.0] == 10.0
+
+
+def test_null_feature_follows_default_left(spark):
+    tree = {"f": 0, "thr": 0.0, "l": {"leaf": 1.0}, "r": {"leaf": 2.0}}
+    doc = forest_to_xgboost_json(ForestModel([tree], ["f0"]))
+    df = spark.createDataFrame([(None,), (5.0,)], "f0 double")
+    rows = {r.f0: r.prediction for r in predict_xgboost_json(df, doc).collect()}
+    assert rows[None] == 1.0  # default_left=1 on export
+    assert rows[5.0] == 2.0
+    # flip default_left in the document -> NULLs go right
+    doc["learner"]["gradient_booster"]["model"]["trees"][0]["default_left"] = [
+        0,
+        0,
+        0,
+    ]
+    rows = {r.f0: r.prediction for r in predict_xgboost_json(df, doc).collect()}
+    assert rows[None] == 2.0
+
+
+def test_foreign_xgboost_document(spark):
+    """A hand-built document shaped like real xgboost output (bare arrays,
+    base_score in scientific notation, INT_MAX parents) compiles and
+    scores: base_score + sum of leaves."""
+    tree0 = {
+        "left_children": [1, -1, -1],
+        "right_children": [2, -1, -1],
+        "parents": [2147483647, 0, 0],
+        "split_indices": [1, 0, 0],
+        "split_conditions": [3.0, -1.0, 1.0],
+        "default_left": [1, 0, 0],
+    }
+    tree1 = {
+        "left_children": [-1],
+        "right_children": [-1],
+        "parents": [2147483647],
+        "split_indices": [0],
+        "split_conditions": [0.25],
+        "default_left": [0],
+    }
+    doc = {
+        "version": [1, 7, 6],
+        "learner": {
+            "feature_names": ["a", "b"],
+            "gradient_booster": {
+                "name": "gbtree",
+                "model": {"trees": [tree0, tree1]},
+            },
+            "learner_model_param": {"base_score": "5E-1"},
+            "objective": {"name": "reg:squarederror"},
+        },
+    }
+    df = spark.createDataFrame(
+        [(0.0, 2.0), (0.0, 3.0), (0.0, None)], "a double, b double"
+    )
+    rows = {
+        (r.a, r.b): r.prediction
+        for r in predict_xgboost_json(df, doc).collect()
+    }
+    assert rows[(0.0, 2.0)] == pytest.approx(0.5 - 1.0 + 0.25)  # b<3 left
+    assert rows[(0.0, 3.0)] == pytest.approx(0.5 + 1.0 + 0.25)  # b>=3 right
+    # NULL 'b' (tree0's split feature): default_left=1 -> left leaf -1.0
+    assert rows[(0.0, None)] == pytest.approx(0.5 - 1.0 + 0.25)
+    # SQL twin agrees
+    con = duckdb.connect()
+    sql = xgboost_json_to_sql(doc)
+    got = con.execute(
+        f"SELECT {sql} FROM (VALUES (0.0, 2.0), (0.0, 3.0)) t(a, b) ORDER BY 1"
+    ).fetchall()
+    assert [g[0] for g in got] == pytest.approx([-0.25, 1.75])
+
+
+def test_feature_cols_override_and_errors():
+    tree = {"left_children": [-1], "right_children": [-1],
+            "split_indices": [0], "split_conditions": [1.5]}
+    doc = {
+        "learner": {
+            "gradient_booster": {"name": "gbtree", "model": {"trees": [tree]}},
+            "learner_model_param": {"base_score": "0"},
+        }
+    }
+    with pytest.raises(ValueError, match="feature"):
+        xgboost_json_to_column(doc)
+    assert xgboost_json_to_column(doc, ["z"]) is not None
+    doc["learner"]["gradient_booster"]["name"] = "gblinear"
+    with pytest.raises(ValueError, match="gbtree"):
+        xgboost_json_to_column(doc, ["z"])
