@@ -203,6 +203,85 @@ def test_foreign_xgboost_document(spark):
     assert [g[0] for g in got] == pytest.approx([-0.25, 1.75])
 
 
+def test_walk_and_pandas_lanes_match_case(spark, forest):
+    """All three compile lanes score identically; auto picks by size."""
+    model, X, _ = forest
+    doc = forest_to_xgboost_json(model)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in X[:100]],
+        "f0 double, f1 double, f2 double",
+    )
+    ref = sorted(
+        r[0] for r in df.select(xgboost_json_to_column(doc, mode="case")).collect()
+    )
+    for mode in ("walk", "pandas"):
+        got = sorted(
+            r[0]
+            for r in df.select(xgboost_json_to_column(doc, mode=mode)).collect()
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-12, err_msg=mode)
+    with pytest.raises(ValueError, match="mode"):
+        xgboost_json_to_column(doc, mode="jit")
+
+
+def test_nan_and_null_are_missing_in_every_lane(spark):
+    """xgboost semantics: NaN == NULL == missing -> default_left route,
+    in the case, walk, AND pandas lanes."""
+    tree = {"f": 0, "thr": 0.0, "l": {"leaf": 1.0}, "r": {"leaf": 2.0}}
+    doc = forest_to_xgboost_json(ForestModel([tree], ["f0"]))
+    df = spark.createDataFrame(
+        [(None,), (float("nan"),), (5.0,), (-5.0,)], "f0 double"
+    )
+    for mode in ("case", "walk", "pandas"):
+        rows = [
+            r[0]
+            for r in df.select(
+                xgboost_json_to_column(doc, mode=mode).alias("p")
+            ).collect()
+        ]
+        assert rows == [1.0, 1.0, 2.0, 1.0], mode
+    # SQL twin: NaN follows default_left too
+    con = duckdb.connect()
+    sql = xgboost_json_to_sql(doc)
+    got = con.execute(
+        f"SELECT {sql} FROM (VALUES (CAST('nan' AS DOUBLE)), (5.0)) t(f0)"
+    ).fetchall()
+    assert [g[0] for g in got] == [1.0, 2.0]
+
+
+def test_auto_mode_thresholds(forest):
+    from openeo_processes_dask_spark.ml import xgb_interchange as xi
+
+    model, _, _ = forest
+    doc = forest_to_xgboost_json(model)
+    nodes = sum(
+        len(t["left_children"])
+        for t in doc["learner"]["gradient_booster"]["model"]["trees"]
+    )
+    # the fixture forest is beyond the case budget -> auto must not build
+    # the fused CASE chain (the janino-64KB-fallback regression class)
+    assert nodes > 0
+    picked = []
+    orig_walk, orig_pd = xi._walk_column, xi._pandas_column
+    orig_case = xi._compile_tree_column
+    try:
+        xi._walk_column = lambda *a, **k: picked.append("walk") or F.lit(0.0)
+        xi._pandas_column = lambda *a, **k: picked.append("pandas") or F.lit(0.0)
+        xi._compile_tree_column = (
+            lambda *a, **k: picked.append("case") or F.lit(0.0)
+        )
+        xgboost_json_to_column(doc, mode="auto")
+        expect = (
+            "case"
+            if nodes <= xi._CASE_NODE_BUDGET
+            else ("walk" if nodes <= xi._WALK_NODE_BUDGET else "pandas")
+        )
+        assert picked[0] == expect
+    finally:
+        xi._walk_column, xi._pandas_column = orig_walk, orig_pd
+        xi._compile_tree_column = orig_case
+
+
 def test_feature_cols_override_and_errors():
     tree = {"left_children": [-1], "right_children": [-1],
             "split_indices": [0], "split_conditions": [1.5]}
