@@ -120,6 +120,113 @@ _LAEA_C2 = (
 _LAEA_C4 = 23 * _LAEA_E2**2 / 360 + 251 * _LAEA_E2**3 / 3780
 _LAEA_C6 = 761 * _LAEA_E2**3 / 45360
 
+# --- Polar Stereographic (Variant B), WGS84 ellipsoid -------------------
+# EPSG:3031  Antarctic Polar Stereographic (south, lat_ts=-71, lon0=0)
+# EPSG:3413  NSIDC Sea Ice Polar Stereographic North (lat_ts=70, lon0=-45)
+# EPSG:3976  NSIDC Sea Ice Polar Stereographic South (lat_ts=-70, lon0=0)
+# Formulas: EPSG Guidance Note 7-2 §3.2.4 / Snyder (1987) §21; the
+# conformal factor [(1+e sinφ)/(1-e sinφ)]^(e/2) is written
+# exp(e·atanh(e·sinφ)) and tan(π/4∓φ/2) as cosφ/(1±sinφ) so the whole
+# transform needs only the ops the Column/SQL/NumPy shims already share.
+_PS_E2 = _WGS84_F * (2 - _WGS84_F)
+_PS_E = math.sqrt(_PS_E2)
+# inverse conformal-latitude series (Snyder 3-5): φ = χ + Σ C2k sin(2kχ)
+_PS_C2 = _PS_E2 / 2 + 5 * _PS_E2**2 / 24 + _PS_E2**3 / 12 + 13 * _PS_E2**4 / 360
+_PS_C4 = 7 * _PS_E2**2 / 48 + 29 * _PS_E2**3 / 240 + 811 * _PS_E2**4 / 11520
+_PS_C6 = 7 * _PS_E2**3 / 120 + 81 * _PS_E2**4 / 1120
+_PS_C8 = 4279 * _PS_E2**4 / 161280
+
+
+def _ps_kappa(lat_ts_deg: float) -> float:
+    """ρ = κ·t for variant B: κ = a·mF/tF at the standard parallel, so
+    scale is true there (k=1). Computed in the NORTH-aspect frame on
+    |lat_ts| (the south aspect mirrors φ)."""
+    phi = math.radians(abs(lat_ts_deg))
+    s = math.sin(phi)
+    m = math.cos(phi) / math.sqrt(1 - _PS_E2 * s * s)
+    t = (
+        math.cos(phi)
+        / (1 + s)
+        * math.exp(_PS_E * math.atanh(_PS_E * s))
+    )
+    return _WGS84_A * m / t
+
+
+_PS_PARAMS = {
+    "EPSG:3031": (False, -71.0, 0.0, 0.0, 0.0),
+    "EPSG:3413": (True, 70.0, -45.0, 0.0, 0.0),
+    "EPSG:3976": (False, -70.0, 0.0, 0.0, 0.0),
+}
+_ALIASES_PS = {
+    "epsg:3031": "EPSG:3031",
+    "3031": "EPSG:3031",
+    "antarctic-polar-stereographic": "EPSG:3031",
+    "epsg:3413": "EPSG:3413",
+    "3413": "EPSG:3413",
+    "nsidc-sea-ice-north": "EPSG:3413",
+    "epsg:3976": "EPSG:3976",
+    "3976": "EPSG:3976",
+    "nsidc-sea-ice-south": "EPSG:3976",
+}
+
+
+def _ps_forward(ops, lat_deg, lon_deg, crs: str):
+    """(lat, lon)° -> polar stereographic (E, N)."""
+    north, lat_ts, lon0, fe, fn = _PS_PARAMS[crs]
+    kappa = _ps_kappa(lat_ts)
+    d2r = math.pi / 180.0
+    sign = 1.0 if north else -1.0
+    # work in the north-aspect frame: φ' = ±φ (t is evaluated at φ')
+    phi = lat_deg * ops.lit(sign * d2r)
+    dlam = (lon_deg - ops.lit(lon0)) * ops.lit(d2r)
+    s = ops.sin(phi)
+    t = (
+        ops.cos(phi)
+        / (ops.lit(1.0) + s)
+        * ops.exp(ops.lit(_PS_E) * ops.atanh(ops.lit(_PS_E) * s))
+    )
+    rho = ops.lit(kappa) * t
+    e = ops.lit(fe) + rho * ops.sin(dlam)
+    # north: N = FN - ρ cos(λ-λ0); south: N = FN + ρ cos(λ-λ0)
+    n = ops.lit(fn) + rho * ops.cos(dlam) * ops.lit(-sign)
+    return e, n
+
+
+def _ps_inverse(ops, E, N, crs: str):
+    """Polar stereographic (E, N) -> (lon, lat)°. Series seed (Snyder
+    3-5) + one fixed-point refinement of the conformal relation — the
+    residual contraction factor is ~e² so the result is at machine
+    precision; like the LAEA inverse this body is branchless (also runs
+    as SQL text) and pole-safe (atan2(0, 0) = 0 -> λ = λ0)."""
+    north, lat_ts, lon0, fe, fn = _PS_PARAMS[crs]
+    kappa = _ps_kappa(lat_ts)
+    r2d = 180.0 / math.pi
+    sign = 1.0 if north else -1.0
+    x = E - ops.lit(fe)
+    # mirror into the north-aspect frame: y' = ±(FN - N)
+    y = (ops.lit(fn) - N) * ops.lit(sign)
+    t = ops.sqrt(x * x + y * y) * ops.lit(1.0 / kappa)
+    chi = ops.lit(math.pi / 2) - ops.lit(2.0) * ops.atan(t)
+    phi = (
+        chi
+        + ops.lit(_PS_C2) * ops.sin(ops.lit(2.0) * chi)
+        + ops.lit(_PS_C4) * ops.sin(ops.lit(4.0) * chi)
+        + ops.lit(_PS_C6) * ops.sin(ops.lit(6.0) * chi)
+        + ops.lit(_PS_C8) * ops.sin(ops.lit(8.0) * chi)
+    )
+    # one refinement: φ = π/2 - 2 atan(t · exp(-e·atanh(e·sinφ)))
+    phi = ops.lit(math.pi / 2) - ops.lit(2.0) * ops.atan(
+        t
+        * ops.exp(
+            ops.lit(-_PS_E) * ops.atanh(ops.lit(_PS_E) * ops.sin(phi))
+        )
+    )
+    lam = ops.atan2(x, y)
+    return (
+        ops.lit(lon0) + lam * ops.lit(r2d),
+        phi * ops.lit(sign * r2d),
+    )
+
 
 def _laea_forward(ops, lat_deg, lon_deg):
     """(lat, lon)° -> EPSG:3035 (E, N). Snyder (24-17..24-19)."""
@@ -221,6 +328,11 @@ def is_laea(crs) -> bool:
     return str(crs).strip().lower() in _ALIASES_3035
 
 
+def is_polar_stereo(crs) -> bool:
+    """True for the native polar stereographic codes (3031/3413/3976)."""
+    return str(crs).strip().lower() in _ALIASES_PS
+
+
 def utm_zone(crs) -> tuple[int, bool] | None:
     """(zone, is_north) for an EPSG UTM code, else None."""
     m = _UTM_RE.match(str(crs).strip().lower())
@@ -240,6 +352,8 @@ def normalize_crs(crs) -> str:
         return "EPSG:3857"
     if s in _ALIASES_3035:
         return "EPSG:3035"
+    if s in _ALIASES_PS:
+        return _ALIASES_PS[s]
     if _UTM_RE.match(s):
         return s.upper()
     return str(crs)
@@ -248,10 +362,11 @@ def normalize_crs(crs) -> str:
 def supports(src_crs, dst_crs) -> bool:
     """True when transform_xy_* can handle the pair: natively (closed-form
     4326<->3857<->UTM) or via the runtime-detected pyproj lane."""
+    native = {"EPSG:4326", "EPSG:3857", "EPSG:3035", *_PS_PARAMS}
     pair = {normalize_crs(src_crs), normalize_crs(dst_crs)}
-    if pair <= {"EPSG:4326", "EPSG:3857", "EPSG:3035"}:
+    if pair <= native:
         return True
-    others = pair - {"EPSG:4326", "EPSG:3857", "EPSG:3035"}
+    others = pair - native
     if all(utm_zone(c) for c in others):
         return True
     try:
@@ -274,6 +389,7 @@ class _ColOps:
     cosh = staticmethod(F.cosh)
     log = staticmethod(F.log)
     sqrt = staticmethod(F.sqrt)
+    exp = staticmethod(F.exp)
 
     @staticmethod
     def lit(v):
@@ -297,6 +413,7 @@ class _MathOps:
     cosh = staticmethod(math.cosh)
     log = staticmethod(math.log)
     sqrt = staticmethod(math.sqrt)
+    exp = staticmethod(math.exp)
     lit = staticmethod(float)
     atanh = staticmethod(math.atanh)
 
@@ -317,6 +434,7 @@ class _NumpyOps:
     cosh = staticmethod(_np.cosh)
     log = staticmethod(_np.log)
     sqrt = staticmethod(_np.sqrt)
+    exp = staticmethod(_np.exp)
     lit = staticmethod(float)
     atanh = staticmethod(_np.arctanh)
 
@@ -410,8 +528,12 @@ def transform_xy_cols(
         return _laea_forward(_ColOps, y, x)
     if src == "EPSG:3035" and dst == "EPSG:4326":
         return _laea_inverse(_ColOps, x, y)
-    if (utm_zone(src) or src in ("EPSG:3857", "EPSG:3035")) and (
-        utm_zone(dst) or dst in ("EPSG:3857", "EPSG:3035")
+    if src == "EPSG:4326" and dst in _PS_PARAMS:
+        return _ps_forward(_ColOps, y, x, dst)
+    if src in _PS_PARAMS and dst == "EPSG:4326":
+        return _ps_inverse(_ColOps, x, y, src)
+    if (utm_zone(src) or src in ("EPSG:3857", "EPSG:3035") or src in _PS_PARAMS) and (
+        utm_zone(dst) or dst in ("EPSG:3857", "EPSG:3035") or dst in _PS_PARAMS
     ):
         # projected <-> projected: hub through geographic coordinates
         lon, lat = transform_xy_cols(x, y, src, "EPSG:4326")
@@ -484,7 +606,17 @@ def transform_xy_np(x, y, src_crs, dst_crs):
         return _laea_forward(_NumpyOps, y, x)
     if src == "EPSG:3035" and dst == "EPSG:4326":
         return _laea_inverse(_NumpyOps, x, y)
-    if utm_zone(src) or utm_zone(dst) or "EPSG:3035" in (src, dst):
+    if src == "EPSG:4326" and dst in _PS_PARAMS:
+        return _ps_forward(_NumpyOps, y, x, dst)
+    if src in _PS_PARAMS and dst == "EPSG:4326":
+        return _ps_inverse(_NumpyOps, x, y, src)
+    if (
+        utm_zone(src)
+        or utm_zone(dst)
+        or "EPSG:3035" in (src, dst)
+        or src in _PS_PARAMS
+        or dst in _PS_PARAMS
+    ):
         lon, lat = transform_xy_np(x, y, src, "EPSG:4326")
         return transform_xy_np(lon, lat, "EPSG:4326", dst)
     try:
@@ -535,7 +667,19 @@ def transform_xy_scalar(x: float, y: float, src_crs, dst_crs):
     if src == "EPSG:3035" and dst == "EPSG:4326":
         lon, lat = _laea_inverse(_MathOps, float(x), float(y))
         return float(lon), float(lat)
-    if utm_zone(src) or utm_zone(dst) or "EPSG:3035" in (src, dst):
+    if src == "EPSG:4326" and dst in _PS_PARAMS:
+        e, n = _ps_forward(_MathOps, float(y), float(x), dst)
+        return float(e), float(n)
+    if src in _PS_PARAMS and dst == "EPSG:4326":
+        lon, lat = _ps_inverse(_MathOps, float(x), float(y), src)
+        return float(lon), float(lat)
+    if (
+        utm_zone(src)
+        or utm_zone(dst)
+        or "EPSG:3035" in (src, dst)
+        or src in _PS_PARAMS
+        or dst in _PS_PARAMS
+    ):
         lon, lat = transform_xy_scalar(x, y, src, "EPSG:4326")
         return transform_xy_scalar(lon, lat, "EPSG:4326", dst)
     ox, oy = transform_xy_np(float(x), float(y), src, dst)  # pyproj lane

@@ -117,7 +117,7 @@ _R4_GREEN = [
 _NEW_R9 = [
     "load_stac_search", "weighted_sample", "cosine_topk_batch", "ann_recall",
     "dedup_recall", "ivf_index_search", "temperature_mix",
-    "streaming_reservoir", "crs_laea", "rf_xgb_roundtrip",
+    "streaming_reservoir", "crs_laea", "rf_xgb_roundtrip", "crs_stereo",
 ]
 
 # With the new gates the 47-entry r4-stale tail doesn't all fit: the

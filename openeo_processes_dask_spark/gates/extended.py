@@ -27,6 +27,7 @@ from .common import (
 from .oracle_builders import (
     _SqlOps,
     _crs_laea_oracle_sql,
+    _crs_stereo_oracle_sql,
     _crs_utm_oracle_sql,
     _multimodal_av_oracle_sql,
     _multimodal_resize_oracle_sql,
@@ -735,6 +736,33 @@ def q_crs_laea(spark, sf_dir):
     )
 
 
+def q_crs_stereo(spark, sf_dir):
+    """EPSG:4326 -> EPSG:3031 (Antarctic) and EPSG:3413 (NSIDC Arctic)
+    polar stereographic warps as pure JVM expressions (functions/crs.py
+    _ps_forward, EPSG Guidance 7-2 Variant B; validated against the
+    Guidance worked example). Oracle: the SAME generic formula emitted as
+    DuckDB SQL through the _SqlOps shim; round(2) absorbs libm last-ulp
+    differences."""
+    _setup(spark)
+    from openeo_processes_dask_spark.functions.crs import transform_xy_cols
+
+    grid = _grid_cube(spark, sf_dir)
+    lon = F.col("x") * F.lit(12.0) - F.lit(174.0)
+    lat_s = F.col("y") * F.lit(1.5) - F.lit(85.0)
+    lat_n = F.col("y") * F.lit(2.0) + F.lit(65.0)
+    es, ns = transform_xy_cols(lon, lat_s, "EPSG:4326", "EPSG:3031")
+    en, nn = transform_xy_cols(lon, lat_n, "EPSG:4326", "EPSG:3413")
+    return grid.df.select(
+        "x",
+        "y",
+        "band",
+        F.round(es, 2).alias("e_antarctic"),
+        F.round(ns, 2).alias("n_antarctic"),
+        F.round(en, 2).alias("e_arctic"),
+        F.round(nn, 2).alias("n_arctic"),
+    )
+
+
 def q_multimodal_resize(spark, sf_dir):
     """resize_images: REAL nearest-neighbor resize over binary columns,
     verified byte-exactly — the gate md5-hashes every resized RGB payload
@@ -886,6 +914,7 @@ QUERIES = {
     "multimodal_resize": q_multimodal_resize,
     "crs_utm": q_crs_utm,
     "crs_laea": q_crs_laea,
+    "crs_stereo": q_crs_stereo,
     "cummin": q_cummin,
     "cumproduct": q_cumproduct,
     "merge_concat": q_merge_concat,
@@ -1153,6 +1182,7 @@ ORACLES = {
     "multimodal_resize": _multimodal_resize_oracle_sql,
     "crs_utm": _crs_utm_oracle_sql,
     "crs_laea": _crs_laea_oracle_sql,
+    "crs_stereo": _crs_stereo_oracle_sql,
     "cummin": f"""
             WITH {_CELLS_CTE}
             SELECT x, pos, min(sq) OVER (PARTITION BY x ORDER BY pos) AS value

@@ -515,6 +515,7 @@ class _SqlOps:
     asin = _sql_fn("asin")
     sqrt = _sql_fn("sqrt")
     log = _sql_fn("ln")
+    exp = _sql_fn("exp")
 
     # DuckDB has no sinh/cosh builtins — exponential identities; the JVM
     # builtins differ only in the last ulp, absorbed by the gate's round(2)
@@ -672,6 +673,28 @@ def _crs_laea_oracle_sql() -> str:
         WITH {_GRID_CTE}
         SELECT x, y, band, round({e.s}, 2) AS easting,
                round({n.s}, 2) AS northing
+        FROM grid
+    """
+
+
+def _crs_stereo_oracle_sql() -> str:
+    """Twin of q_crs_stereo: the SAME generic polar-stereographic bodies
+    (functions/crs.py _ps_forward, EPSG Guidance 7-2 Variant B) emitted
+    as DuckDB SQL through the _SqlOps shim."""
+    from openeo_processes_dask_spark.functions.crs import _ps_forward
+
+    lon = _SqlExpr("((x * 12.0) - 174.0)")
+    lat_s = _SqlExpr("((y * 1.5) - 85.0)")
+    lat_n = _SqlExpr("((y * 2.0) + 65.0)")
+    es, ns = _ps_forward(_SqlOps, lat_s, lon, "EPSG:3031")
+    en, nn = _ps_forward(_SqlOps, lat_n, lon, "EPSG:3413")
+    return f"""
+        WITH {_GRID_CTE}
+        SELECT x, y, band,
+               round({es.s}, 2) AS e_antarctic,
+               round({ns.s}, 2) AS n_antarctic,
+               round({en.s}, 2) AS e_arctic,
+               round({nn.s}, 2) AS n_arctic
         FROM grid
     """
 
