@@ -87,14 +87,17 @@ def main() -> None:
     # job gives the shuffle-sensitive twin: engine-independent, so a
     # round-over-round move in a shuffle-heavy query that tracks
     # calibration_shuffle_sec is the host, not the engine.
-    cal_sh_best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        spark.range(0, 20_000_000, 1, int(cpus)).selectExpr(
-            "id % 1000000 AS k", "id AS v"
-        ).groupBy("k").sum("v").selectExpr("sum(`sum(v)`)").collect()
-        cal_sh_best = min(cal_sh_best, time.time() - t0)
-    calibration_shuffle = round(cal_sh_best, 3)
+    def shuffle_cal() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(0, 20_000_000, 1, int(cpus)).selectExpr(
+                "id % 1000000 AS k", "id AS v"
+            ).groupBy("k").sum("v").selectExpr("sum(`sum(v)`)").collect()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    calibration_shuffle = shuffle_cal()
 
     for name in HEADLINE:
         fn = qs[name]
@@ -161,6 +164,25 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+
+    # Self-describing noise detection (VERDICT r9 #1): the r9 artifact
+    # recorded 3.09x baseline purely because the driver host was
+    # contended (shuffle calibration 6.43 vs the <=1.3 quiet-host
+    # guidance) — per-query evidence proved no code regression, but the
+    # recorded datum violated the 2x gate on its face. The bench now
+    # re-measures the shuffle calibration AFTER the headline run (host
+    # contention is often transient — r9's hit only the first five
+    # queries) and flags the artifact when EITHER sample is out of
+    # range, plus emits per-query shuffle-cal-normalized ratios so a
+    # noisy recording still carries host-invariant numbers.
+    calibration_shuffle_end = shuffle_cal()
+    noisy_host = (
+        calibration_shuffle > 1.3 or calibration_shuffle_end > 1.3
+    )
+    cal_ref = max(min(calibration_shuffle, calibration_shuffle_end), 1e-9)
+    queries_per_cal = {
+        name: round(t / cal_ref, 2) for name, t in timings.items()
+    }
     print(
         json.dumps(
             {
@@ -172,6 +194,9 @@ def main() -> None:
                 "extras": extras,
                 "calibration_sec": calibration,
                 "calibration_shuffle_sec": calibration_shuffle,
+                "calibration_shuffle_end_sec": calibration_shuffle_end,
+                "noisy_host": noisy_host,
+                "queries_per_shuffle_cal": queries_per_cal,
                 "sf": sf,
             }
         )

@@ -107,21 +107,16 @@ _R4_GREEN = [
     "reduce_variance", "reduce_spatial_sum", "sort_along_dim", "date_ops",
 ]
 
-# Round-9 window (executing the rotation plan written in r7 and skipped
-# in r8 — VERDICT r8 #5): flagship + the ENTIRE r4-stale tail
-# (_R4_GREEN[2:]; its first two entries were re-verified in the r7/r8
-# windows), topped up from the head of _R5_GREEN to exactly 50 slots.
-# After r9 the oldest driver stratum is r5. Counts are asserted below so
-# the sizing can't silently drift (ADVICE r8).
-# new-in-r9 gates ride the window so the driver verifies them this round
+# Round-9 window: flagship + the 11 new r9 gates + the head of the
+# r4-stale tail. NOTE (fixed in r10, VERDICT r9 #3): the 11 new gates
+# displaced 9 entries of the r4 tail (_R4_GREEN[40:]) from the r9
+# window, so after r9 the oldest driver stratum was still r4, not r5 —
+# the r10 window below picks those 9 up first.
 _NEW_R9 = [
     "load_stac_search", "weighted_sample", "cosine_topk_batch", "ann_recall",
     "dedup_recall", "ivf_index_search", "temperature_mix",
     "streaming_reservoir", "crs_laea", "rf_xgb_roundtrip", "crs_stereo",
 ]
-
-# With the new gates the 47-entry r4-stale tail doesn't all fit: the
-# window takes its head, the remainder leads the r10 candidates below.
 _R4_TAIL_SLOTS = 50 - 1 - len(_NEW_R9)
 _WINDOW_R9 = (
     ["flagship_daily_mean"]
@@ -130,16 +125,43 @@ _WINDOW_R9 = (
 )
 assert len(_WINDOW_R9) == 50, len(_WINDOW_R9)
 
+# Gates whose IMPLEMENTATION changed in r10 and must ride the window so
+# the driver re-verifies the new code paths: the bucketed nearest-label
+# merge (functions/asof.py replacing the resample crossJoin/BNLJ), the
+# single-job merge label probe, the AUC NaN guard, the xgb-interchange
+# default_left/objective fixes, and the dimension_labels bound.
+_CHANGED_R10 = [
+    "resample_asof", "resample_asof_window", "resample_cube_spatial_near",
+    "resample_cube_spatial_coarse", "merge_multiply", "merge_concat",
+    "merge_disjoint_bands", "merge_case4_subcube", "classifier_auc",
+    "rf_xgb_roundtrip", "dimension_labels",
+]
+
+# Round-10 window (VERDICT r9 #4): flagship + the r10-changed gates +
+# the 9 r4-stale gates the r9 rotation displaced (_R4_GREEN[40:]) +
+# the head of the r5 stratum to exactly 50 slots. load_stac_resampled
+# (also on the changed asof path) rides inside _R5_GREEN[:3]. After
+# r10 the oldest driver stratum is genuinely r5's tail.
+_R5_HEAD_SLOTS = 50 - 1 - len(_CHANGED_R10) - len(_R4_GREEN[40:])
+_WINDOW_R10 = (
+    ["flagship_daily_mean"]
+    + _CHANGED_R10
+    + _R4_GREEN[40:]
+    + _R5_GREEN[:_R5_HEAD_SLOTS]
+)
+assert len(_WINDOW_R10) == 50, len(_WINDOW_R10)
+assert len(set(_WINDOW_R10)) == 50, "duplicate gate in window"
+
 _PRIORITY = (
-    _WINDOW_R9
-    # r10 candidates: next-stalest first — the r4 tail that didn't fit,
-    # then the whole r5 stratum
-    + _R4_GREEN[2 + _R4_TAIL_SLOTS:]
-    + _R5_GREEN
-    + _R4_GREEN[:2]
+    _WINDOW_R10
+    # r11 candidates: next-stalest first — the r5 stratum tail, then
+    # everything newer in freshness order
+    + _R5_GREEN[_R5_HEAD_SLOTS:]
+    + _R4_GREEN[:40]
     + _NEVER_CHECKED          # driver-verified r8
     + _R6_GREEN
     + _R3_NOW_R6
+    + _NEW_R9                 # driver-verified r9
 )
 
 

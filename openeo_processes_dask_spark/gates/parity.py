@@ -45,6 +45,41 @@ def q_resample_asof(spark, sf_dir):
     return resample_cube_temporal(data, target).df
 
 
+def q_resample_asof_window(spark, sf_dir):
+    """resample_cube_temporal with ``valid_within`` (NEW r10): SPARSE
+    order dates (o_orderkey % 97) as-of aligned to month starts; a
+    month start with no source within 5 days yields NO rows — the
+    long-format encoding of the reference's NaN slices
+    (reference cubes/resample.py:183-222, valid_within kwarg).
+    Exercises the bucketed nearest-label merge's distance filter
+    (functions/asof.py) on top of the nearest mapping."""
+    _setup(spark)
+    from openeo_processes_dask_spark.cube import DataCube
+    from openeo_processes_dask_spark.operators.resample import (
+        resample_cube_temporal,
+    )
+
+    o = _table(spark, sf_dir, "orders")
+    sparse = o.where(F.col("o_orderkey") % 97 == 0)
+    data = DataCube(
+        sparse.select(
+            F.col("o_orderdate").alias("t"),
+            F.col("o_orderpriority").alias("band"),
+            F.col("o_totalprice").alias("value"),
+        ),
+        dims=("t", "band"),
+    )
+    target = DataCube(
+        o.select(
+            F.date_trunc("month", "o_orderdate").alias("t"),
+            F.col("o_orderpriority").alias("band"),
+            F.col("o_totalprice").alias("value"),
+        ),
+        dims=("t", "band"),
+    )
+    return resample_cube_temporal(data, target, valid_within=5).df
+
+
 def q_ndvi_events(spark, sf_dir):
     """ndvi band-math on the events cube: (click - view)/(click + view)."""
     _setup(spark)
@@ -390,6 +425,7 @@ def q_multimodal_features(spark, sf_dir):
 
 QUERIES = {
     "resample_asof": q_resample_asof,
+    "resample_asof_window": q_resample_asof_window,
     "ndvi_events": q_ndvi_events,
     "apply_kernel_grid": q_apply_kernel_grid,
     "apply_dimension_center": q_apply_dimension_center,
@@ -417,6 +453,21 @@ ORACLES = {
             best AS (SELECT t, s FROM pairs WHERE rn = 1)
             SELECT b.t AS t, o.o_orderpriority AS band, o.o_totalprice AS value
             FROM best b JOIN orders o ON o.o_orderdate = b.s
+        """,
+    "resample_asof_window": """
+            WITH src AS (SELECT DISTINCT o_orderdate AS s FROM orders
+                         WHERE o_orderkey % 97 = 0),
+            tgt AS (SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS t
+                    FROM orders),
+            pairs AS (
+              SELECT s, t, abs(epoch_us(s) - epoch_us(t)) AS d,
+                     row_number() OVER (PARTITION BY t ORDER BY abs(epoch_us(s) - epoch_us(t)), s) AS rn
+              FROM src, tgt
+              WHERE abs(epoch_us(s) - epoch_us(t)) <= 5 * 86400000000),
+            best AS (SELECT t, s FROM pairs WHERE rn = 1)
+            SELECT b.t AS t, o.o_orderpriority AS band, o.o_totalprice AS value
+            FROM best b JOIN orders o
+              ON o.o_orderdate = b.s AND o.o_orderkey % 97 = 0
         """,
     "ndvi_events": """
             WITH daily AS (

@@ -33,9 +33,17 @@ Semantics notes (both from the public docs):
   averages. Exported leaves are pre-divided by ``num_trees`` so the sum
   over exported trees equals the engine's mean, bit-for-bit (the
   division happens once per leaf at export, not per row).
-- A missing (NULL) feature follows ``default_left``. The engine's
-  training never produces missing splits, so exports set
-  ``default_left=1`` uniformly; imports honor whatever the model says.
+- A missing (NULL/NaN) feature follows ``default_left``. The engine's
+  ``x <= thr`` comparison is False for NaN, routing missing values
+  RIGHT — so exports set ``default_left=0`` uniformly (ADVICE r9: the
+  previous ``default_left=1`` silently flipped NaN routing between the
+  native predictor and every compiled lane); imports honor whatever the
+  model says.
+- Only identity-link objectives compile: a gbtree model with
+  ``binary:logistic`` / ``multi:softmax`` / ``count:poisson`` etc.
+  would need an inverse link (and per-class tree grouping) the compiled
+  sum does not apply, so :func:`_model_parts` rejects them loudly
+  instead of returning silently-wrong margins (ADVICE r9).
 """
 
 from __future__ import annotations
@@ -60,6 +68,12 @@ def _flatten_tree(tree: dict, num_trees: int) -> dict:
         left.append(-1)
         right.append(-1)
         parents.append(parent)
+        # appended at node-creation time so ALL per-node arrays share the
+        # same preorder indexing (ADVICE r9: appending after the child
+        # recursion left these two in post-order — harmless while 0.0,
+        # a latent trap for real per-node stats)
+        sum_hessian.append(0.0)
+        loss_changes.append(0.0)
         if "leaf" in node:
             split_indices.append(0)
             # leaf value lives in split_conditions (public schema); the
@@ -70,12 +84,14 @@ def _flatten_tree(tree: dict, num_trees: int) -> dict:
         else:
             split_indices.append(int(node["f"]))
             split_conditions.append(math.nextafter(float(node["thr"]), math.inf))
-            default_left.append(1)
+            # missing (NULL/NaN) routes RIGHT: the engine's `x <= thr`
+            # is False for NaN, so default_left=0 makes the compiled
+            # lanes bit-identical to ForestModel.predict on NaN-bearing
+            # scoring data (ADVICE r9)
+            default_left.append(0)
             base_weights.append(0.0)
             left[i] = walk(node["l"], i)
             right[i] = walk(node["r"], i)
-        sum_hessian.append(0.0)
-        loss_changes.append(0.0)
         return i
 
     walk(tree, _INT_MAX)
@@ -149,6 +165,24 @@ def forest_to_xgboost_json(model, base_score: float = 0.0) -> dict:
     }
 
 
+#: objectives whose prediction is the raw margin sum (identity link) —
+#: the only ones a compiled `base_score + sum(leaf)` reproduces. Every
+#: other objective applies an inverse link (sigmoid for binary:logistic,
+#: exp for count:poisson/reg:gamma/reg:tweedie, softmax for multi:*) the
+#: compiled expression does NOT, and logistic models additionally store
+#: base_score on probability scale — silently wrong numbers (ADVICE r9).
+_IDENTITY_LINK_OBJECTIVES = frozenset(
+    {
+        "reg:squarederror",
+        "reg:squaredlogerror",
+        "reg:linear",  # legacy alias of reg:squarederror
+        "reg:pseudohubererror",
+        "reg:absoluteerror",
+        "reg:quantileerror",
+    }
+)
+
+
 def _model_parts(obj: dict):
     """(trees, base_score, feature_names) from a full or bare document."""
     learner = obj.get("learner", obj)
@@ -158,8 +192,34 @@ def _model_parts(obj: dict):
             f"Unsupported booster {booster.get('name')!r}; only gbtree "
             "(tree ensemble) models compile to expressions"
         )
+    objective = learner.get("objective", {}).get("name", "reg:squarederror")
+    if objective not in _IDENTITY_LINK_OBJECTIVES:
+        raise ValueError(
+            f"Unsupported objective {objective!r}: the compiled "
+            "base_score + sum(leaf) expression is the raw margin, and "
+            "only identity-link regression objectives "
+            f"({sorted(_IDENTITY_LINK_OBJECTIVES)}) predict on that "
+            "scale. Logistic/softmax/Poisson models would return "
+            "silently-wrong numbers — apply the inverse link (and for "
+            "multi-class, per-class tree grouping) outside this module."
+        )
+    params = learner.get("learner_model_param", {})
+    num_class = int(params.get("num_class", 0) or 0)
+    if num_class > 1:
+        raise ValueError(
+            f"Multi-class model (num_class={num_class}) not supported: "
+            "its trees belong to per-class groups and summing them "
+            "across classes is meaningless"
+        )
+    tree_info = booster["model"].get("tree_info") or []
+    if any(int(g) != 0 for g in tree_info):
+        raise ValueError(
+            "Model has trees in multiple output groups (nonzero "
+            "tree_info) — per-class/multi-target boosters do not "
+            "compile to a single scalar expression"
+        )
     trees = booster["model"]["trees"]
-    base = float(learner.get("learner_model_param", {}).get("base_score", 0.0))
+    base = float(params.get("base_score", 0.0))
     feats = learner.get("feature_names") or None
     return trees, base, feats
 

@@ -1,10 +1,12 @@
 """Resampling (reference: cubes/resample.py — SURVEY.md §2.10).
 
-Key insight for the Spark mapping: dimension *labels* are metadata-sized
-(the cube axes), so nearest-neighbor alignment is a label-space problem —
-build the (source label → target label) mapping from the two small distinct
-label sets, then apply it to the data with ONE broadcast join. No as-of
-window over the full data, no per-row search.
+Key insight for the Spark mapping: nearest-neighbor alignment is a
+label-space problem — build the (source label → target label) mapping
+from the two distinct label sets, then apply it to the data with ONE
+broadcast join. No as-of window over the full data, no per-row search.
+The mapping itself is the bucketed merge of functions/asof.py (O(m + n),
+no label×label crossJoin), so even event-grade axes with millions of
+distinct timestamps stay linear.
 """
 
 from __future__ import annotations
@@ -29,34 +31,38 @@ def resample_cube_temporal(
     """Nearest-timestamp alignment of ``data`` onto ``target``'s time labels
     (reference: cubes/resample.py:183-222) — the as-of join.
 
-    Label-space plan: distinct(source t) × distinct(target t) (both tiny)
-    → rank by |Δt| → best source per target → broadcast-join back onto the
-    data and relabel. ``valid_within`` days drops mappings that are too far
-    (their target labels then simply produce no rows, the long-format
-    encoding of the reference's NaN slices).
+    Label-space plan: the bucketed nearest-label merge
+    (:func:`functions.asof.nearest_label_map` — O(m + n), no label×label
+    crossJoin/BNLJ, so event-grade axes with 10⁶+ distinct timestamps
+    stay linear) picks the best source per target label; the tiny
+    mapping is then broadcast-joined back onto the data and relabeled.
+    ``valid_within`` days drops mappings that are too far (their target
+    labels then simply produce no rows, the long-format encoding of the
+    reference's NaN slices).
     """
+    from openeo_processes_dask_spark.functions.asof import nearest_label_map
+
     dim = _single_temporal_dim(data, dimension)
     tdim = _single_temporal_dim(target, dimension if dimension in target.meta.dims else None)
 
-    src_labels = data.df.select(F.col(dim).alias("__src__")).distinct()
-    tgt_labels = target.df.select(F.col(tdim).alias("__tgt__")).distinct()
     # cast: parquet micros columns load as TIMESTAMP_NTZ and unix_micros
     # only takes TIMESTAMP (session tz is pinned to UTC, so the cast is a
     # no-op on the value)
-    pairs = src_labels.crossJoin(tgt_labels).withColumn(
-        "__dist__",
-        F.abs(
-            F.unix_micros(F.col("__src__").cast("timestamp"))
-            - F.unix_micros(F.col("__tgt__").cast("timestamp"))
-        ),
-    )
+    tgt_labels = target.df.select(
+        F.col(tdim).alias("__l__"),
+        F.unix_micros(F.col(tdim).cast("timestamp")).alias("__lv__"),
+    ).distinct()
+    src_labels = data.df.select(
+        F.col(dim).alias("__r__"),
+        F.unix_micros(F.col(dim).cast("timestamp")).alias("__rv__"),
+    ).distinct()
+    best = nearest_label_map(tgt_labels, src_labels)
     if valid_within is not None:
-        pairs = pairs.where(
+        best = best.where(
             F.col("__dist__") <= int(valid_within) * 86_400_000_000
         )
-    # best source per target; deterministic tie-break on the label itself
-    best = pairs.groupBy("__tgt__").agg(
-        F.min_by("__src__", F.struct("__dist__", "__src__")).alias("__src__")
+    best = best.select(
+        F.col("__l__").alias("__tgt__"), F.col("__r__").alias("__src__")
     )
     mapped = data.df.join(
         F.broadcast(best), data.df[dim] == F.col("__src__"), "inner"
@@ -184,39 +190,47 @@ def resample_cube_spatial(
 ) -> DataCube:
     """Regrid ``data`` onto ``target``'s exact (x, y) labels
     (reference: cubes/resample.py:116-180). Per-axis nearest mapping built
-    in label space (distinct source × distinct target per axis — tiny),
-    broadcast-joined, then reduced per target cell for aggregate methods."""
+    in label space via the bucketed nearest-label merge
+    (:func:`functions.asof.nearest_label_map` — O(m + n) per axis, no
+    label×label crossJoin/BNLJ), broadcast-joined, then reduced per
+    target cell for aggregate methods."""
+    from openeo_processes_dask_spark.functions.asof import nearest_label_map
+
     x_dim, y_dim = data.meta.x_dim, data.meta.y_dim
     tx, ty = target.meta.x_dim, target.meta.y_dim
     if None in (x_dim, y_dim, tx, ty):
         raise ValueError("both cubes need spatial dims")
 
+    def _labels(df, col, l_name, v_name):
+        return df.select(
+            F.col(col).alias(l_name), F.col(col).alias(v_name)
+        ).distinct()
+
     def axis_map(src_df, src_col, tgt_df, tgt_col):
-        s = src_df.select(F.col(src_col).alias("__s__")).distinct()
-        t = tgt_df.select(F.col(tgt_col).alias("__t__")).distinct()
-        pairs = s.crossJoin(t).withColumn(
-            "__d__", F.abs(F.col("__s__") - F.col("__t__"))
+        # each SOURCE label -> nearest target label (aggregate methods)
+        m = nearest_label_map(
+            _labels(src_df, src_col, "__l__", "__lv__"),
+            _labels(tgt_df, tgt_col, "__r__", "__rv__"),
         )
-        return pairs.groupBy("__s__").agg(
-            F.min_by("__t__", F.struct("__d__", "__t__")).alias("__t__")
+        return m.select(
+            F.col("__l__").alias("__s__"), F.col("__r__").alias("__t__")
         )
 
     if method == "near":
         # Nearest regridding maps TARGET→nearest-SOURCE per axis (one source
-        # per target label — deterministic min_by tie-break, every target
+        # per target label — deterministic tie-break, every target
         # label covered, matching the reference's nearest reindex;
         # source→target + F.first would both drop uncovered targets and
         # collapse colliding sources nondeterministically). A source label
         # nearest to several targets fans out (upsampling), so no final
         # aggregate is needed at all.
         def near_map(tgt_df, tgt_col, src_df, src_col):
-            t = tgt_df.select(F.col(tgt_col).alias("__t__")).distinct()
-            s = src_df.select(F.col(src_col).alias("__s__")).distinct()
-            pairs = t.crossJoin(s).withColumn(
-                "__d__", F.abs(F.col("__t__") - F.col("__s__"))
+            m = nearest_label_map(
+                _labels(tgt_df, tgt_col, "__l__", "__lv__"),
+                _labels(src_df, src_col, "__r__", "__rv__"),
             )
-            return pairs.groupBy("__t__").agg(
-                F.min_by("__s__", F.struct("__d__", "__s__")).alias("__s__")
+            return m.select(
+                F.col("__l__").alias("__t__"), F.col("__r__").alias("__s__")
             )
 
         xmap = near_map(target.df, tx, data.df, x_dim)

@@ -142,8 +142,8 @@ def auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     """Exact ROC AUC of a scorer against binary labels — the evaluation
     step every quality-classifier pipeline runs after fit/predict.
 
-    ``label_col`` must be 0/1 (ints or booleans); NULL labels or scores
-    are excluded. Returns ONE row ``(n_pos, n_neg, u2, auc)`` where
+    ``label_col`` must be 0/1 (ints or booleans); NULL labels and NULL
+    or NaN scores are excluded. Returns ONE row ``(n_pos, n_neg, u2, auc)`` where
     ``u2`` is twice the Mann-Whitney U statistic (an exact int64 — ties
     counted at half weight, hence the factor 2) and
     ``auc = u2 / (2·n_pos·n_neg)`` rounded to 6 decimals. Degenerate
@@ -163,8 +163,15 @@ def auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     from pyspark.sql import Window
 
     lab = F.col(label_col).cast("int")
+    # NaN scores are excluded alongside NULL (VERDICT r9 #4, matching
+    # the binned isotonic lane below): a NaN passes isNotNull and would
+    # otherwise rank as one more distinct "score" — NaN sorts above
+    # every real value in Spark, silently counting those rows as the
+    # top-ranked predictions.
     rows = df.where(
-        F.col(score_col).isNotNull() & lab.isin(0, 1)
+        F.col(score_col).isNotNull()
+        & ~F.isnan(F.col(score_col).cast("double"))
+        & lab.isin(0, 1)
     ).select(F.col(score_col).alias("s"), lab.alias("y"))
     by_score = rows.groupBy("s").agg(
         F.sum("y").cast("long").alias("np"),
@@ -175,9 +182,14 @@ def auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
         "below", F.coalesce(F.sum("nn").over(w), F.lit(0)).cast("long")
     )
     out = cum.agg(
-        F.sum("np").cast("long").alias("n_pos"),
-        F.sum("nn").cast("long").alias("n_neg"),
-        F.sum(F.col("np") * (2 * F.col("below") + F.col("nn")))
+        # coalesce: zero valid rows (all NULL/NaN scores) must yield the
+        # (0, 0, 0, NULL-auc) degenerate row, not NULL counts
+        F.coalesce(F.sum("np"), F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce(F.sum("nn"), F.lit(0)).cast("long").alias("n_neg"),
+        F.coalesce(
+            F.sum(F.col("np") * (2 * F.col("below") + F.col("nn"))),
+            F.lit(0),
+        )
         .cast("long")
         .alias("u2"),
     )

@@ -3,15 +3,20 @@
 inside the gate (localCheckpoint / driver-side PAVA collects), captured
 by instrumenting the DataFrame action methods — must contain
 
-- no CartesianProduct (the all-pairs regression class), and
+- no CartesianProduct (the all-pairs regression class),
 - no ORDERED Window without a partition spec over a data-sized relation
   (SCALECHECK probe 12: a global ``row_number``/``lag`` forces an
   Exchange SinglePartition + single-task sort — a hard serial
-  bottleneck at corpus scale).
+  bottleneck at corpus scale), and
+- no BroadcastNestedLoopJoin except on the audited allowlist (VERDICT
+  r9 #2: Spark compiles a broadcast crossJoin to BNLJ, which the old
+  canary never grepped for — the resample label×label crossJoin hid
+  there, quadratic in distinct axis labels).
 
-Global ordered windows are permitted only on an explicit allowlist of
-queries where the windowed relation is PROVABLY bounded (top-k output,
-distinct-of-capped/quantized column) — each entry carries its bound.
+Global ordered windows and BNLJs are permitted only on explicit
+allowlists of queries where the windowed/broadcast relation is PROVABLY
+bounded (top-k output, distinct-of-capped/quantized column, literal or
+limit-bounded broadcast side) — each entry carries its bound.
 """
 
 from __future__ import annotations
@@ -51,6 +56,73 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "training_pipeline": (
         "composes the audited vocabulary/range-bounds helpers"
     ),
+    # the bucketed nearest-label merge (functions/asof.py): its only
+    # global ordered windows run over the spark.range(4096) bucket
+    # spine — bounded by construction at N_BUCKETS rows, any data size
+    "resample_asof": "asof.py spine windows over spark.range(4096)",
+    "resample_asof_window": (
+        "asof.py spine windows over spark.range(4096) (valid_within gate)"
+    ),
+    "resample_cube_spatial_near": (
+        "asof.py spine windows over spark.range(4096), one per axis"
+    ),
+    "resample_cube_spatial_coarse": (
+        "asof.py spine windows over spark.range(4096), one per axis"
+    ),
+    "load_stac_resampled": (
+        "composes resample_cube_spatial -> same asof.py spine windows"
+    ),
+}
+
+#: queries allowed a BroadcastNestedLoopJoin, each with the bound that
+#: makes the broadcast side metadata-sized (literal table, capped query
+#: batch, centroid/interval table, 1-row aggregate) or the output
+#: itself the full cross (tap-table mapping whose size IS the result).
+#: Anything else growing a BNLJ fails — audit the new site and either
+#: turn it into an equi/bucketed join or add it here with its bound.
+ALLOWED_BNLJ: dict[str, str] = {
+    # per-axis tap tables crossed into the 2-D resample mapping: the
+    # output is |X-taps| x |Y-taps| by definition — work = output size,
+    # not wasted pairs (resample.py:_resample_convolved). mercator
+    # shares the same code path (fires only when AQE broadcasts).
+    "resample_bilinear": "tap-table cross; output-sized by definition",
+    "resample_cubic": "tap-table cross; output-sized by definition",
+    "resample_cubicspline": "tap-table cross; output-sized by definition",
+    "resample_lanczos": "tap-table cross; output-sized by definition",
+    "resample_gauss": "tap-table cross; output-sized by definition",
+    "resample_mercator": "tap-table cross; output-sized by definition",
+    # empty-bin / empty-polygon materialization: a LITERAL label or
+    # feature-id table crossed with distinct group keys
+    "aggregate_temporal_halves": (
+        "literal label list x distinct group keys (aggregate.py:167)"
+    ),
+    "aggregate_spatial_zonal": (
+        "literal feature-id table x distinct group keys "
+        "(aggregate_spatial.py:150)"
+    ),
+    # capped query batches / centroid tables broadcast against the corpus
+    "cosine_topk_batch": "broadcast(queries) — capped query batch",
+    "ann_recall": "broadcast(queries) — capped query batch",
+    "ivf_topk": "broadcast(centroids) — k centroids",
+    "ivf_index_search": "broadcast(centroids) — k centroids",
+    # 1-row aggregate / contract-bounded broadcasts
+    "percentile_rank": "broadcast(1-row total) (maintenance.py:206)",
+    "range_bounds": "broadcast(1-row total)",
+    "incremental_curation": "broadcast(1-row total)",
+    "temperature_mix": "broadcast(1-row totals) (sampling.py:341,348)",
+    "dedup_recall": "broadcast(1-row pair counts) (dedup.py:1620)",
+    "negative_samples": (
+        "broadcast(md5-filtered candidate ids) non-equi-joined to the "
+        "query pairs — pool/pool_mod ids, sized by the caller; Q x C "
+        "score rows ARE the algorithm's ranked output "
+        "(sampling.py:hash_negatives)"
+    ),
+    "source_divergence": (
+        "non-equi self-join g1 < g2 of the DISTINCT corpus-slice "
+        "relation — dashboard-small by documented contract "
+        "(textanalysis.py:519-521)"
+    ),
+    "training_pipeline": "composes the audited helpers above",
 }
 
 
@@ -126,6 +198,13 @@ def test_detector_flags_injected_regression(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
 
+    # a broadcast crossJoin compiles to BroadcastNestedLoopJoin — the
+    # node class the r9 resample regression hid in (VERDICT r9 #2)
+    _, phys = _plans_of(
+        df.crossJoin(F.broadcast(spark.range(50).toDF("id2")))
+    )
+    assert "BroadcastNestedLoopJoin" in phys, phys
+
 
 @pytest.mark.slow
 def test_registry_plans_have_no_serial_window_or_cartesian(
@@ -171,6 +250,10 @@ def test_registry_plans_have_no_serial_window_or_cartesian(
     for name, logical, phys in captured:
         if "CartesianProduct" in phys:
             failures.append(f"{name}: CartesianProduct in physical plan")
+        if "BroadcastNestedLoopJoin" in phys and name not in ALLOWED_BNLJ:
+            failures.append(
+                f"{name}: BroadcastNestedLoopJoin in physical plan"
+            )
         bad = global_ordered_windows(logical)
         if bad and name not in ALLOWED_GLOBAL_WINDOW:
             failures.append(

@@ -348,10 +348,15 @@ def test_merge_equal_hint_skips_label_probe(spark, monkeypatch):
     assert out.df.count() == 2
 
 
-def test_merge_probe_never_collects_labels(spark, monkeypatch):
-    """The merge label probe is count-only (VERDICT r8 #8): labels never
-    reach the driver. Poison DataFrame.collect for anything wider than
-    one row to prove it."""
+def test_merge_probe_never_collects_labels_and_runs_one_job(
+    spark, monkeypatch
+):
+    """The merge label probe is count-only (VERDICT r8 #8) AND single-job
+    (VERDICT r9 #5): all shared dims probe through ONE collect of
+    dim-tagged count rows — labels never reach the driver, and probe
+    latency is flat in the dim count. Poison DataFrame.collect to prove
+    both: at most one call, at most |dims| rows, and only the
+    (__dim__, mismatched, both) probe schema."""
     from openeo_processes_dask_spark.operators.merge import merge_cubes
     from tests.conftest import concrete_dataframe_cls
 
@@ -363,16 +368,21 @@ def test_merge_probe_never_collects_labels(spark, monkeypatch):
     c2.df.cache().count()
 
     real_collect = DataFrame.collect
+    calls: list[int] = []
 
     def _guard(self, *a, **kw):  # noqa: ANN001
         rows = real_collect(self, *a, **kw)
-        assert len(rows) <= 1, "merge probe collected label values"
+        calls.append(len(rows))
+        assert len(rows) <= 2, "merge probe collected label values"
+        for r in rows:
+            assert set(r.asDict()) == {"__dim__", "mismatched", "both"}
         return rows
 
     monkeypatch.setattr(DataFrame, "collect", _guard)
     try:
         out = merge_cubes(c1, c2, overlap_resolver="add")
         monkeypatch.undo()
+        assert len(calls) == 1, f"probe ran {len(calls)} jobs, expected 1"
         # case 2 inner join on (t, x): 3 matching rows
         assert out.df.count() == 3
     finally:

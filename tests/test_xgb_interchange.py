@@ -139,16 +139,105 @@ def test_null_feature_follows_default_left(spark):
     doc = forest_to_xgboost_json(ForestModel([tree], ["f0"]))
     df = spark.createDataFrame([(None,), (5.0,)], "f0 double")
     rows = {r.f0: r.prediction for r in predict_xgboost_json(df, doc).collect()}
-    assert rows[None] == 1.0  # default_left=1 on export
+    # default_left=0 on export (ADVICE r9): missing routes RIGHT,
+    # matching the engine's `x <= thr` (False for NaN) exactly
+    assert rows[None] == 2.0
     assert rows[5.0] == 2.0
-    # flip default_left in the document -> NULLs go right
+    # flip default_left in the document -> NULLs go left
     doc["learner"]["gradient_booster"]["model"]["trees"][0]["default_left"] = [
-        0,
+        1,
         0,
         0,
     ]
     rows = {r.f0: r.prediction for r in predict_xgboost_json(df, doc).collect()}
-    assert rows[None] == 2.0
+    assert rows[None] == 1.0
+
+
+def test_nan_roundtrip_matches_native_predict(spark):
+    """The advertised bit-for-bit round-trip must hold on NaN-bearing
+    scoring data (ADVICE r9): the engine's `x <= thr` sends NaN RIGHT,
+    and the exported default_left=0 must reproduce that in every
+    compiled lane."""
+    tree = {
+        "f": 0,
+        "thr": 1.0,
+        "l": {"leaf": 10.0},
+        "r": {"f": 1, "thr": -2.0, "l": {"leaf": 20.0}, "r": {"leaf": 30.0}},
+    }
+    model = ForestModel([tree], ["f0", "f1"])
+    X = np.array(
+        [
+            [float("nan"), -5.0],  # NaN f0 -> right; f1 <= -2 -> 20
+            [5.0, float("nan")],  # right; NaN f1 -> right -> 30
+            [0.0, 0.0],  # left -> 10
+            [float("nan"), float("nan")],  # right, right -> 30
+        ]
+    )
+    expected = model.predict(X)
+    doc = forest_to_xgboost_json(model)
+    df = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(X)],
+        "i int, f0 double, f1 double",
+    )
+    for mode in ("case", "walk", "pandas"):
+        got = [
+            r.p
+            for r in df.select(
+                "i", xgboost_json_to_column(doc, mode=mode).alias("p")
+            )
+            .orderBy("i")
+            .collect()
+        ]
+        assert got == list(expected), mode
+
+
+def test_non_identity_objectives_rejected():
+    """gbtree models whose objective applies an inverse link must be
+    rejected loudly (ADVICE r9) — the compiled margin sum would be
+    silently wrong for them."""
+    tree = {"f": 0, "thr": 0.0, "l": {"leaf": 1.0}, "r": {"leaf": 2.0}}
+    doc = forest_to_xgboost_json(ForestModel([tree], ["f0"]))
+    for bad in ("binary:logistic", "multi:softmax", "count:poisson",
+                "reg:gamma", "reg:tweedie", "rank:pairwise"):
+        doc["learner"]["objective"]["name"] = bad
+        with pytest.raises(ValueError, match="objective"):
+            xgboost_json_to_column(doc)
+    doc["learner"]["objective"]["name"] = "reg:squarederror"
+    xgboost_json_to_column(doc)  # identity link: fine
+
+    doc["learner"]["learner_model_param"]["num_class"] = "3"
+    with pytest.raises(ValueError, match="num_class"):
+        xgboost_json_to_column(doc)
+    doc["learner"]["learner_model_param"]["num_class"] = "0"
+
+    doc["learner"]["gradient_booster"]["model"]["tree_info"] = [1]
+    with pytest.raises(ValueError, match="tree_info"):
+        xgboost_json_to_column(doc)
+
+
+def test_per_node_arrays_share_preorder_indexing():
+    """sum_hessian / loss_changes must be indexed like every other
+    per-node array (ADVICE r9: they were appended post-recursion, i.e.
+    post-order). With per-node-distinct values the alignment is
+    directly observable."""
+    from openeo_processes_dask_spark.ml.xgb_interchange import _flatten_tree
+
+    tree = {
+        "f": 0,
+        "thr": 1.0,
+        "l": {"f": 1, "thr": 2.0, "l": {"leaf": 3.0}, "r": {"leaf": 4.0}},
+        "r": {"leaf": 5.0},
+    }
+    flat = _flatten_tree(tree, 1)
+    n = len(flat["left_children"])
+    assert len(flat["sum_hessian"]) == n
+    assert len(flat["loss_changes"]) == n
+    # preorder: root=0, its left subtree rooted at 1 (leaves 2, 3),
+    # right leaf at 4 — and arrays must be coherent with child pointers
+    assert flat["left_children"][0] == 1
+    assert flat["right_children"][0] == 4
+    assert flat["left_children"][1] == 2
+    assert flat["right_children"][1] == 3
 
 
 def test_foreign_xgboost_document(spark):
@@ -239,14 +328,16 @@ def test_nan_and_null_are_missing_in_every_lane(spark):
                 xgboost_json_to_column(doc, mode=mode).alias("p")
             ).collect()
         ]
-        assert rows == [1.0, 1.0, 2.0, 1.0], mode
+        # export sets default_left=0 (ADVICE r9): missing routes RIGHT,
+        # matching the engine's `x <= thr` NaN behavior
+        assert rows == [2.0, 2.0, 2.0, 1.0], mode
     # SQL twin: NaN follows default_left too
     con = duckdb.connect()
     sql = xgboost_json_to_sql(doc)
     got = con.execute(
         f"SELECT {sql} FROM (VALUES (CAST('nan' AS DOUBLE)), (5.0)) t(f0)"
     ).fetchall()
-    assert [g[0] for g in got] == [1.0, 2.0]
+    assert [g[0] for g in got] == [2.0, 2.0]
 
 
 def test_auto_mode_thresholds(forest):
@@ -297,3 +388,81 @@ def test_feature_cols_override_and_errors():
     doc["learner"]["gradient_booster"]["name"] = "gblinear"
     with pytest.raises(ValueError, match="gbtree"):
         xgboost_json_to_column(doc, ["z"])
+
+
+def test_golden_hand_computed_predictions(spark):
+    """Golden-value pins (VERDICT r9 #6): the rf_xgb gate's oracle shares
+    this module's exporter, so a shared-helper bug would be invisible to
+    it. These expected values are HAND-COMPUTED from the tree definitions
+    below — independent of every helper — and pin the full route table:
+    both leaf sides, the `<=`->`<` boundary at thr and at nextafter(thr),
+    and NULL-feature default routing, across the native predictor, all
+    three compiled Column lanes, and the SQL twin.
+
+    Tree A: f0 <= 1.25 ? 2.0 : (f1 <= -0.5 ? 4.0 : 8.0)
+    Tree B: f1 <= 0.0 ? 16.0 : 32.0
+    Ensemble = mean(A, B); missing routes RIGHT (default_left=0).
+    """
+    tree_a = {
+        "f": 0,
+        "thr": 1.25,
+        "l": {"leaf": 2.0},
+        "r": {"f": 1, "thr": -0.5, "l": {"leaf": 4.0}, "r": {"leaf": 8.0}},
+    }
+    tree_b = {"f": 1, "thr": 0.0, "l": {"leaf": 16.0}, "r": {"leaf": 32.0}}
+    model = ForestModel([tree_a, tree_b], ["f0", "f1"])
+    doc = forest_to_xgboost_json(model)
+
+    above = math.nextafter(1.25, math.inf)
+    golden = [
+        # (f0, f1, hand-computed (A + B) / 2)
+        (0.0, 0.0, 9.0),      # A left -> 2;  B left -> 16
+        (1.25, 0.0, 9.0),     # AT thr: <= routes LEFT -> 2; B 16
+        (above, 0.0, 12.0),   # just above thr: right, f1 > -0.5 -> 8; B 16
+        (2.0, -0.5, 10.0),    # right, AT inner thr -> left 4; B left 16
+        (2.0, 1.0, 20.0),     # right -> 8; B right -> 32
+        (None, 1.0, 20.0),    # NULL f0 -> default RIGHT -> 8; B 32
+        (0.0, None, 17.0),    # A left -> 2; NULL f1 -> default RIGHT -> 32
+    ]
+
+    # native predictor (NaN for NULL — the engine's missing encoding)
+    X = np.array(
+        [[math.nan if v is None else v for v in (a, b)] for a, b, _ in golden]
+    )
+    np.testing.assert_array_equal(
+        model.predict(X), [e for _, _, e in golden]
+    )
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b, _) in enumerate(golden)],
+        "i int, f0 double, f1 double",
+    )
+    for mode in ("case", "walk", "pandas"):
+        got = [
+            r.p
+            for r in df.select(
+                "i", xgboost_json_to_column(doc, mode=mode).alias("p")
+            )
+            .orderBy("i")
+            .collect()
+        ]
+        assert got == [e for _, _, e in golden], mode
+
+    sql_expr = xgboost_json_to_sql(doc)
+    vals = ", ".join(
+        "({}, {}, {})".format(
+            i,
+            "CAST(NULL AS DOUBLE)" if a is None else f"{a:.17e}",
+            "CAST(NULL AS DOUBLE)" if b is None else f"{b:.17e}",
+        )
+        for i, (a, b, _) in enumerate(golden)
+    )
+    got_sql = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(
+            f"SELECT {sql_expr} FROM (VALUES {vals}) t(i, f0, f1) ORDER BY i"
+        )
+        .fetchall()
+    ]
+    assert got_sql == [e for _, _, e in golden]
