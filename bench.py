@@ -176,7 +176,14 @@ def main() -> None:
     # range, plus emits per-query shuffle-cal-normalized ratios so a
     # noisy recording still carries host-invariant numbers.
     calibration_shuffle_end = shuffle_cal()
+    # two-level flag: noisy_host = the host was NEVER quiet (both
+    # samples out of range — the whole recording is untrustworthy);
+    # partially_noisy = contention at one end (some queries may be
+    # inflated; the cal-normalized ratios below still hold)
     noisy_host = (
+        calibration_shuffle > 1.3 and calibration_shuffle_end > 1.3
+    )
+    partially_noisy = (
         calibration_shuffle > 1.3 or calibration_shuffle_end > 1.3
     )
     cal_ref = max(min(calibration_shuffle, calibration_shuffle_end), 1e-9)
@@ -196,6 +203,7 @@ def main() -> None:
                 "calibration_shuffle_sec": calibration_shuffle,
                 "calibration_shuffle_end_sec": calibration_shuffle_end,
                 "noisy_host": noisy_host,
+                "partially_noisy": partially_noisy,
                 "queries_per_shuffle_cal": queries_per_cal,
                 "sf": sf,
             }
