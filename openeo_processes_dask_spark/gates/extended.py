@@ -880,7 +880,53 @@ def q_interval_join(spark, sf_dir):
     )
 
 
+def q_asof_join_events(spark, sf_dir):
+    """Data-level as-of join (operators/interval.py asof_join, NEW r10):
+    every click event aligned to the LATEST PRECEDING view of the same
+    user — the pandas merge_asof / temporal-join pattern, executed as
+    ONE union-sort window (no join node, nothing to degenerate into a
+    BNLJ). Oracle: DuckDB's native ASOF JOIN."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.interval import asof_join
+
+    ev = _table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks, views, on="ts", by="user_id",
+        direction="backward", how="inner",
+    )
+
+
+def q_asof_join_nearest(spark, sf_dir):
+    """asof_join, nearest direction + tolerance + how='left': purchases
+    matched to the NEAREST click of the same user within 30 minutes;
+    out-of-tolerance or click-less purchases survive with NULL right
+    columns. Oracle: per-left LATERAL top-1 by distance (ties to the
+    earlier click, the documented backward preference)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.interval import asof_join
+
+    ev = _table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases, clicks, on="ts", by="user_id",
+        direction="nearest", tolerance=1800, how="left",
+    )
+
+
 QUERIES = {
+    "asof_join_events": q_asof_join_events,
+    "asof_join_nearest": q_asof_join_nearest,
     "resample_cubic": q_resample_cubic,
     "reduce_quantiles": q_reduce_quantiles,
     "resample_cubicspline": q_resample_cubicspline,
@@ -930,6 +976,36 @@ QUERIES = {
 }
 
 ORACLES = {
+    "asof_join_events": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'click'),
+            views AS (
+              SELECT user_id, ts, max(value) AS value FROM events
+              WHERE event_type = 'view' GROUP BY 1, 2)
+            SELECT c.event_id, c.user_id, c.ts, c.value,
+                   v.ts AS right_ts, v.value AS right_value
+            FROM clicks c ASOF JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+    "asof_join_nearest": """
+            WITH purchases AS (
+              SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'purchase'),
+            clicks AS (
+              SELECT user_id, ts, max(value) AS value FROM events
+              WHERE event_type = 'click' GROUP BY 1, 2)
+            SELECT p.event_id, p.user_id, p.ts, p.value,
+                   x.right_ts, x.right_value
+            FROM purchases p LEFT JOIN LATERAL (
+              SELECT c.ts AS right_ts, c.value AS right_value
+              FROM clicks c
+              WHERE c.user_id = p.user_id
+                AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 1800000000
+              ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)), c.ts
+              LIMIT 1
+            ) AS x ON TRUE
+        """,
     "interval_join": """
             WITH iv AS (
               SELECT event_id AS interval_id, ts AS s,

@@ -84,3 +84,145 @@ def interval_join(
                 c, F.lit(None).cast(dict(ev.dtypes)[c])
             )
     return joined.unionByName(missing.select(*joined.columns))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by=None,
+    direction: str = "backward",
+    tolerance=None,
+    right_prefix: str = "right_",
+    how: str = "left",
+) -> DataFrame:
+    """General data-level as-of join — the pandas ``merge_asof`` /
+    event-time temporal-join twin: for every left row, attach the
+    single right row with the nearest ``on`` value per ``by`` group
+    (``backward`` = latest right with time <= left time, ``forward``
+    = earliest right with time >= left time, ``nearest`` = closer of
+    the two, ties to backward).
+
+    This generalizes ``resample_cube_temporal``'s LABEL-space as-of to
+    arbitrary DATA relations (per-key snapshots, price marks, sensor
+    states). No reference counterpart (the reference's only as-of is
+    the cube label alignment, cubes/resample.py:183-222).
+
+    Plan at 100 TB — the classic union-sort formulation, ONE shuffle:
+    tag right rows 0 and left rows 1 (ties: an equal-time right is
+    eligible for backward), union, and fill the latest right payload
+    STRUCT forward over a window partitioned by ``by`` and ordered by
+    (time, side) — ``last(struct, ignorenulls)`` fills the WHOLE match
+    atomically, so all right columns come from the same matched row.
+    Cost is a hash exchange on the by-keys + per-key sort; no join
+    node at all, so there is nothing to degenerate into a
+    BroadcastNestedLoopJoin. With ``by=None`` the window is global
+    (single-task sort) — only use keyless as-of on relations you would
+    happily sort on one core.
+
+    Semantics notes:
+
+    - One right row per (by, on) is enforced first (max payload-struct
+      representative) so the result is DETERMINISTIC under any
+      partitioning — the same contract pandas implements by taking the
+      last duplicate, which is order-dependent there and exact here.
+    - ``tolerance`` (same units as ``on``: seconds for timestamps)
+      drops matches farther than the bound; with ``how='left'`` the
+      left row survives with NULL right columns, with ``how='inner'``
+      it is dropped.
+    - Output = every left column + ``right_prefix + on`` (the matched
+      right time) + ``right_prefix + c`` for each right payload column.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof_join: unsupported how={how!r}")
+    from pyspark.sql import Window
+
+    by = [by] if isinstance(by, str) else list(by or [])
+    payload = [c for c in right.columns if c != on and c not in by]
+    ldt = dict(left.dtypes)
+    is_time = ldt.get(on, "").startswith("timestamp") or dict(
+        right.dtypes
+    ).get(on, "").startswith("timestamp")
+
+    def t_num(col):
+        return F.unix_micros(col.cast("timestamp")) if is_time else col
+
+    # deterministic single right row per (by, on): max payload struct
+    r1 = right.groupBy(*by, on).agg(
+        F.max(F.struct(*[F.col(c) for c in payload])).alias("__pp__")
+    )
+    match_t = F.struct(
+        F.col(on).alias("__rt__"), F.col("__pp__").alias("__pp__")
+    )
+    r_side = 2 if direction == "forward" else 0
+    rs = r1.select(
+        *by,
+        F.col(on).alias("__t__"),
+        F.lit(r_side).alias("__side__"),
+        match_t.alias("__r__"),
+        *[
+            F.lit(None).cast(ldt[c]).alias(f"__l_{i}__")
+            for i, c in enumerate(left.columns)
+        ],
+    )
+    ls = left.select(
+        *by,
+        F.col(on).alias("__t__"),
+        F.lit(1).alias("__side__"),
+        F.lit(None).cast(rs.schema["__r__"].dataType).alias("__r__"),
+        *[F.col(c).alias(f"__l_{i}__") for i, c in enumerate(left.columns)],
+    )
+    u = rs.unionByName(ls)
+    order = [t_num(F.col("__t__")).asc(), F.col("__side__").asc()]
+    wb = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    if direction == "backward":
+        m = F.last("__r__", ignorenulls=True).over(wb)
+    elif direction == "forward":
+        m = F.first("__r__", ignorenulls=True).over(wf)
+    else:
+        mb = F.last("__r__", ignorenulls=True).over(wb)
+        mf = F.first("__r__", ignorenulls=True).over(wf)
+        bd = t_num(F.col("__t__")) - t_num(mb["__rt__"])
+        fd = t_num(mf["__rt__"]) - t_num(F.col("__t__"))
+        m = (
+            F.when(mb.isNull(), mf)
+            .when(mf.isNull(), mb)
+            .when(bd <= fd, mb)  # equal distance: backward wins
+            .otherwise(mf)
+        )
+    u = u.withColumn("__m__", m).where(F.col("__side__") == 1)
+    if tolerance is not None:
+        dist = F.abs(t_num(F.col("__t__")) - t_num(F.col("__m__")["__rt__"]))
+        bound = (
+            F.lit(float(tolerance) * 1_000_000.0)
+            if is_time
+            else F.lit(tolerance)
+        )
+        u = u.withColumn(
+            "__m__", F.when(dist <= bound, F.col("__m__"))
+        )
+    if how == "inner":
+        u = u.where(F.col("__m__").isNotNull())
+    out = u.select(
+        *[
+            F.col(f"__l_{i}__").alias(c)
+            for i, c in enumerate(left.columns)
+        ],
+        F.col("__m__")["__rt__"].alias(f"{right_prefix}{on}"),
+        *[
+            F.col("__m__")["__pp__"][c].alias(f"{right_prefix}{c}")
+            for c in payload
+        ],
+    )
+    return out

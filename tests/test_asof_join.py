@@ -1,0 +1,137 @@
+"""asof_join (operators/interval.py) — the data-level merge_asof /
+temporal-join twin. Brute-force parity against pandas.merge_asof for
+all three directions, tolerance, how, per-key grouping, duplicate
+right timestamps (deterministic max-struct representative), and
+unmatched lefts."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_spark.operators.interval import asof_join
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    lefts = [
+        # (id, k, t)
+        (1, "a", 10.0), (2, "a", 25.0), (3, "a", 3.0),
+        (4, "b", 10.0), (5, "b", 100.0),
+        (6, "c", 7.0),          # key with no rights at all
+    ]
+    rights = [
+        # (k, t, v)
+        ("a", 5.0, 50.0), ("a", 10.0, 100.0), ("a", 20.0, 200.0),
+        ("b", 11.0, 110.0), ("b", 90.0, 900.0),
+    ]
+    ldf = spark.createDataFrame(lefts, "id int, k string, t double")
+    rdf = spark.createDataFrame(rights, "k string, t double, v double")
+    lp = pd.DataFrame(lefts, columns=["id", "k", "t"])
+    rp = pd.DataFrame(rights, columns=["k", "t", "v"])
+    return ldf, rdf, lp, rp
+
+
+def _got(df):
+    rows = df.orderBy("id").collect()
+    return [(r["id"], r["right_t"], r["right_v"]) for r in rows]
+
+
+def _exp(lp, rp, direction, tolerance=None):
+    m = pd.merge_asof(
+        lp.sort_values("t"),
+        rp.sort_values("t").rename(columns={"t": "right_t", "v": "right_v"}),
+        left_on="t",
+        right_on="right_t",
+        by="k",
+        direction=direction,
+        tolerance=tolerance,
+    ).sort_values("id")
+    return [
+        (int(r.id), None if pd.isna(r.right_t) else r.right_t,
+         None if pd.isna(r.right_v) else r.right_v)
+        for r in m.itertuples()
+    ]
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_matches_pandas_merge_asof(spark, frames, direction):
+    ldf, rdf, lp, rp = frames
+    got = _got(asof_join(ldf, rdf, on="t", by="k", direction=direction))
+    assert got == _exp(lp, rp, direction)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_tolerance_matches_pandas(spark, frames, direction):
+    ldf, rdf, lp, rp = frames
+    got = _got(
+        asof_join(
+            ldf, rdf, on="t", by="k", direction=direction, tolerance=5.0
+        )
+    )
+    assert got == _exp(lp, rp, direction, tolerance=5.0)
+
+
+def test_inner_drops_unmatched(spark, frames):
+    ldf, rdf, _, _ = frames
+    got = _got(
+        asof_join(ldf, rdf, on="t", by="k", direction="backward", how="inner")
+    )
+    ids = [g[0] for g in got]
+    assert 6 not in ids          # key c: no rights
+    assert 3 not in ids          # t=3 before every 'a' right
+    assert all(g[1] is not None for g in got)
+
+
+def test_equal_time_right_matches_backward_and_forward(spark):
+    l = spark.createDataFrame([(1, 10.0)], "id int, t double")
+    r = spark.createDataFrame([(10.0, 1.0)], "t double, v double")
+    for d in ("backward", "forward", "nearest"):
+        got = asof_join(l, r, on="t", direction=d).collect()[0]
+        assert got["right_t"] == 10.0 and got["right_v"] == 1.0, d
+
+
+def test_nearest_tie_prefers_backward(spark):
+    l = spark.createDataFrame([(1, 10.0)], "id int, t double")
+    r = spark.createDataFrame(
+        [(8.0, 1.0), (12.0, 2.0)], "t double, v double"
+    )
+    got = asof_join(l, r, on="t", direction="nearest").collect()[0]
+    assert got["right_t"] == 8.0
+
+
+def test_duplicate_right_timestamps_deterministic(spark):
+    # two rights at the same (k, t): the max payload struct wins,
+    # regardless of partitioning
+    l = spark.createDataFrame([(1, "a", 10.0)], "id int, k string, t double")
+    r = spark.createDataFrame(
+        [("a", 5.0, 1.0), ("a", 5.0, 9.0)], "k string, t double, v double"
+    )
+    for parts in (1, 7):
+        got = asof_join(
+            l, r.repartition(parts), on="t", by="k"
+        ).collect()[0]
+        assert got["right_v"] == 9.0, parts
+
+
+def test_timestamp_on_column_and_tolerance_seconds(spark):
+    l = spark.createDataFrame(
+        [(1, "2020-01-01 00:01:00")], "id int, ts string"
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+    r = spark.createDataFrame(
+        [("2020-01-01 00:00:00", 5.0)], "ts string, v double"
+    ).select(F.col("ts").cast("timestamp").alias("ts"), F.col("v"))
+    hit = asof_join(l, r, on="ts", tolerance=60).collect()[0]
+    assert hit["right_v"] == 5.0
+    miss = asof_join(l, r, on="ts", tolerance=59).collect()[0]
+    assert miss["right_v"] is None
+
+
+def test_plan_is_one_partitioned_window_no_join(spark, frames):
+    ldf, rdf, _, _ = frames
+    out = asof_join(ldf, rdf, on="t", by="k")
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in phys
+    assert "CartesianProduct" not in phys
+    assert "SortMergeJoin" not in phys and "BroadcastHashJoin" not in phys

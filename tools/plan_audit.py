@@ -51,6 +51,8 @@ def main() -> None:
             f"{name:32s} exchanges={plan.count('Exchange'):2d} "
             f"bhj={plan.count('BroadcastHashJoin')} "
             f"smj={plan.count('SortMergeJoin')} "
+            f"bnlj={plan.count('BroadcastNestedLoopJoin')} "
+            f"cart={plan.count('CartesianProduct')} "
             f"scans={plan.count('Scan parquet')} "
             f"pushed={'yes' if pushed else '-'}"
         )
