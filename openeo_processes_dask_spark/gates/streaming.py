@@ -201,6 +201,47 @@ def q_streaming_dedup_static(spark, sf_dir):
     return spark.table(name).select("user_id", "band", "day").distinct()
 
 
+def q_streaming_asof(spark, sf_dir):
+    """Streaming as-of enrichment (streaming/events.py
+    stream_asof_against, NEW r10): streamed click events matched to the
+    LATEST PRECEDING view snapshot of the same user. The static side is
+    precomputed into validity intervals (one batch window job), so the
+    stream join is STATELESS — equi on user_id + interval containment
+    residual, broadcastable, zero watermark state; exactly one interval
+    matches per key so the emitted row set is deterministic. Oracle:
+    DuckDB's native ASOF JOIN on the batch tables."""
+    _setup(spark)
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_asof_against,
+        stream_events,
+    )
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream1_{os.path.basename(sf_dir)}"
+    )
+    if not os.path.isdir(stream_dir):
+        _table(spark, sf_dir, "events").orderBy("ts").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stream_dir)
+    clicks = stream_events(spark, stream_dir, max_files_per_trigger=None).where(
+        F.col("band") == "click"
+    ).select("user_id", "t", "value")
+    views = (
+        _table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("t"), "value")
+    )
+    out = stream_asof_against(clicks, views, on="t", by="user_id")
+    name = f"q_sasof_{abs(hash(sf_dir)) % 10_000}"
+    q = run_stream_to_memory(out, name, output_mode="append")
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def q_streaming_sessions(spark, sf_dir):
     """Stateful streaming sessionization (applyInPandasWithState,
     streaming/sessions.py) under a full value oracle. The source is ONE
@@ -732,6 +773,7 @@ QUERIES = {
     "streaming_sliding_sum": q_streaming_sliding_sum,
     "streaming_sessions": q_streaming_sessions,
     "streaming_dedup_static": q_streaming_dedup_static,
+    "streaming_asof": q_streaming_asof,
     "streaming_pii_redact": q_streaming_pii_redact,
     "streaming_cap": q_streaming_cap,
     "streaming_reservoir": q_streaming_reservoir,
@@ -901,6 +943,18 @@ ORACLES = {
             ANTI JOIN seen s
               ON s.band = e.event_type
              AND s.day = CAST(date_trunc('day', e.ts) AS TIMESTAMP)
+        """,
+    "streaming_asof": """
+            WITH clicks AS (
+              SELECT user_id, ts AS t, value FROM events
+              WHERE event_type = 'click'),
+            views AS (
+              SELECT user_id, ts AS t, max(value) AS value FROM events
+              WHERE event_type = 'view' GROUP BY 1, 2)
+            SELECT c.user_id, c.t, c.value,
+                   v.t AS right_t, v.value AS right_value
+            FROM clicks c ASOF JOIN views v
+              ON c.user_id = v.user_id AND c.t >= v.t
         """,
     "streaming_pii_redact": """
             SELECT regexp_replace(regexp_replace(

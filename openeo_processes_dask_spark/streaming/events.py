@@ -281,3 +281,96 @@ def run_stream_upsert_manifest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def snapshot_validity_intervals(
+    snapshots: DataFrame, on: str = "t", by=None
+) -> DataFrame:
+    """Batch prep for the streaming as-of join: turn a snapshot/history
+    table into validity intervals — one row per (by, on) with
+    ``[__valid_from__, __valid_to__)`` = [its time, the key's next
+    snapshot time), the last snapshot per key open-ended (NULL).
+
+    The interval form converts "latest snapshot <= event time" (an
+    ordered search) into plain interval CONTAINMENT, which a stateless
+    stream-static join can evaluate. Duplicate (by, on) snapshot rows
+    collapse to the max payload struct — the same deterministic rule as
+    the batch ``asof_join``. With ``by=None`` the ordering window is
+    global (single-task sort) — only for snapshot tables you would
+    happily sort on one core."""
+    from pyspark.sql import Window
+
+    by = [by] if isinstance(by, str) else list(by or [])
+    payload = [c for c in snapshots.columns if c != on and c not in by]
+    one = snapshots.groupBy(*by, on).agg(
+        F.max(F.struct(*[F.col(c) for c in payload])).alias("__pp__")
+    )
+    w = Window.partitionBy(*by).orderBy(on)
+    return one.withColumn("__valid_to__", F.lead(on).over(w)).select(
+        *by,
+        F.col(on).alias("__valid_from__"),
+        "__valid_to__",
+        *[F.col("__pp__")[c].alias(c) for c in payload],
+    )
+
+
+def stream_asof_against(
+    stream: DataFrame,
+    snapshots: DataFrame,
+    on: str = "t",
+    by=None,
+    right_prefix: str = "right_",
+    how: str = "inner",
+) -> DataFrame:
+    """Streaming twin of ``asof_join(direction='backward')`` against a
+    STATIC snapshot table: every streamed row is matched to the latest
+    snapshot of its key at or before its event time — the classic
+    event-enrichment join (price marks, feature snapshots, config
+    versions) running inside a micro-batch pipeline.
+
+    Plan shape at scale: the snapshot side is precomputed into validity
+    intervals (:func:`snapshot_validity_intervals`, batch, once per
+    table version) and the stream joins it STATELESSLY — an equi-join
+    on the by-keys with interval containment as a residual predicate,
+    so Spark broadcasts the static side when small and keeps NO
+    watermark state (an ordered as-of window would be impossible on a
+    stream; interval containment is the standard rewrite). Exactly one
+    interval matches per key (intervals partition the key's timeline),
+    so no post-join dedup is needed. ``how='left'`` keeps unmatched
+    streamed rows with NULL snapshot columns."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"stream_asof_against: unsupported how={how!r}")
+    by = [by] if isinstance(by, str) else list(by or [])
+    if not by:
+        raise ValueError(
+            "stream_asof_against requires by-keys: a keyless as-of has "
+            "one global timeline, which is not meaningfully streamable"
+        )
+    iv = snapshot_validity_intervals(snapshots, on, by).alias("__iv__")
+    s = stream.alias("__s__")
+    cond = None
+    for k in by:
+        term = F.col(f"__s__.{k}") == F.col(f"__iv__.{k}")
+        cond = term if cond is None else (cond & term)
+    cond = (
+        cond
+        & (F.col(f"__s__.{on}") >= F.col("__iv__.__valid_from__"))
+        & (
+            F.col("__iv__.__valid_to__").isNull()
+            | (F.col(f"__s__.{on}") < F.col("__iv__.__valid_to__"))
+        )
+    )
+    joined = s.join(iv, cond, "left_outer" if how == "left" else "inner")
+    payload = [
+        c
+        for c in snapshots.columns
+        if c != on and c not in by
+    ]
+    return joined.select(
+        *[F.col(f"__s__.{c}") for c in stream.columns],
+        F.col("__iv__.__valid_from__").alias(f"{right_prefix}{on}"),
+        *[
+            F.col(f"__iv__.{c}").alias(f"{right_prefix}{c}")
+            for c in payload
+        ],
+    )

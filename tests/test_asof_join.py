@@ -135,3 +135,56 @@ def test_plan_is_one_partitioned_window_no_join(spark, frames):
     assert "BroadcastNestedLoopJoin" not in phys
     assert "CartesianProduct" not in phys
     assert "SortMergeJoin" not in phys and "BroadcastHashJoin" not in phys
+
+
+def test_snapshot_validity_intervals(spark):
+    from openeo_processes_dask_spark.streaming.events import (
+        snapshot_validity_intervals,
+    )
+
+    snaps = spark.createDataFrame(
+        [("a", 1.0, 10.0), ("a", 5.0, 50.0), ("a", 5.0, 60.0),
+         ("b", 3.0, 30.0)],
+        "k string, t double, v double",
+    )
+    rows = {
+        (r["k"], r["__valid_from__"]): (r["__valid_to__"], r["v"])
+        for r in snapshot_validity_intervals(snaps, on="t", by="k").collect()
+    }
+    # duplicate (a, 5.0) collapses to max payload (60.0); intervals
+    # partition each key's timeline; last one open-ended
+    assert rows == {
+        ("a", 1.0): (5.0, 10.0),
+        ("a", 5.0): (None, 60.0),
+        ("b", 3.0): (None, 30.0),
+    }
+
+
+def test_stream_asof_matches_batch_backward(spark, frames, tmp_path):
+    """The streaming as-of (interval-containment rewrite) must emit the
+    SAME row set as the batch asof_join backward over the same data."""
+    from openeo_processes_dask_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_asof_against,
+    )
+
+    ldf, rdf, _, _ = frames
+    path = str(tmp_path / "asof_stream")
+    ldf.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema("id int, k string, t double").parquet(
+        path
+    )
+    out = stream_asof_against(stream, rdf, on="t", by="k", how="left")
+    q = run_stream_to_memory(out, "t_stream_asof", output_mode="append")
+    q.awaitTermination(120)
+    got = {
+        (r["id"], r["right_t"], r["right_v"])
+        for r in spark.table("t_stream_asof").collect()
+    }
+    batch = {
+        (r["id"], r["right_t"], r["right_v"])
+        for r in asof_join(
+            ldf, rdf, on="t", by="k", direction="backward", how="left"
+        ).collect()
+    }
+    assert got == batch
