@@ -125,13 +125,16 @@ _WINDOW_R9 = (
 )
 assert len(_WINDOW_R9) == 50, len(_WINDOW_R9)
 
-# Gates whose IMPLEMENTATION changed in r10 and must ride the window so
-# the driver re-verifies the new code paths: the bucketed nearest-label
-# merge (functions/asof.py replacing the resample crossJoin/BNLJ), the
-# single-job merge label probe, the AUC NaN guard, the xgb-interchange
-# default_left/objective fixes, and the dimension_labels bound.
+# Gates NEW in r10 or whose implementation changed in r10, riding the
+# window so the driver verifies the new code paths: the as-of family
+# (asof_join batch + streaming, the bucketed nearest-label merge in
+# functions/asof.py replacing the resample crossJoin/BNLJ, the new
+# valid_within gate), URL canonicalization, the single-job merge label
+# probe, the AUC NaN guard, the xgb-interchange default_left/objective
+# fixes, and the dimension_labels bound.
 _CHANGED_R10 = [
     "asof_join_events", "asof_join_nearest", "streaming_asof",
+    "url_canonical",
     "resample_asof", "resample_asof_window", "resample_cube_spatial_near",
     "resample_cube_spatial_coarse", "merge_multiply", "merge_concat",
     "merge_disjoint_bands", "merge_case4_subcube", "classifier_auc",

@@ -1529,6 +1529,51 @@ def q_latest_crawl(spark, sf_dir):
     )
 
 
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization + registered domain (training/urls.py, NEW
+    r10): messy synthesized URLs — mixed-case scheme/host, default and
+    non-default ports, duplicate/trailing slashes, fragments, tracking
+    params, shuffled param order, co.uk-style delegated TLDs — reduced
+    to canonical form, all pure JVM Column regex/array lanes. The
+    oracle replays every rule in DuckDB SQL (regexp + list functions;
+    note DuckDB regexp_replace needs the explicit 'g' flag Spark
+    applies by default)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.urls import (
+        canonicalize_url,
+        registered_domain,
+    )
+
+    d = _table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    raw = F.concat(
+        F.when(i % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
+        F.lit("WWW.Site"), s(i % 40),
+        F.when(i % 3 == 0, F.lit(".Example.CO.UK")).otherwise(
+            F.lit(".Example.COM")
+        ),
+        F.when(i % 4 == 0, F.lit(":80"))
+        .when(i % 4 == 1, F.lit(":443"))
+        .when(i % 4 == 2, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("//Docs//p"), s(i % 7),
+        F.when(i % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.concat(F.lit("?b=2&a="), s(i % 11),
+                                    F.lit("&utm_source=x")))
+        .when(i % 3 == 1, F.lit("?utm_campaign=y&gclid=1"))
+        .otherwise(F.lit("")),
+        F.when(i % 2 == 1, F.lit("#Sec")).otherwise(F.lit("")),
+    )
+    out = d.select(
+        "doc_id",
+        raw.alias("raw_url"),
+        canonicalize_url(raw).alias("canonical"),
+        registered_domain(raw).alias("domain"),
+    )
+    return out
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Per-vector absmax int8 quantization (training/similarity.py
     quantize_embeddings): codes, scale, and reconstruction error in one
@@ -1789,6 +1834,7 @@ QUERIES = {
     "quantize_embeddings": q_quantize_embeddings,
     "chunk_text": q_chunk_text,
     "latest_crawl": q_latest_crawl,
+    "url_canonical": q_url_canonical,
     "quantized_topk": q_quantized_topk,
     "quality_selection": q_quality_selection,
     "curation_pipeline": q_curation_pipeline,
@@ -3208,6 +3254,80 @@ ORACLES = {
                          * cv.scale * qc.qa, 6) AS qdot
             FROM cv, qc
             ORDER BY qdot DESC, vec_id LIMIT 12
+        """,
+    "url_canonical": """
+            WITH raw AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END)
+                     || 'WWW.Site' || (doc_id % 40)
+                     || (CASE WHEN doc_id % 3 = 0 THEN '.Example.CO.UK' ELSE '.Example.COM' END)
+                     || (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+                                         WHEN 2 THEN ':8080' ELSE '' END)
+                     || '//Docs//p' || (doc_id % 7)
+                     || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+                     || (CASE doc_id % 3
+                         WHEN 0 THEN '?b=2&a=' || (doc_id % 11) || '&utm_source=x'
+                         WHEN 1 THEN '?utm_campaign=y&gclid=1' ELSE '' END)
+                     || (CASE WHEN doc_id % 2 = 1 THEN '#Sec' ELSE '' END)
+                     AS raw_url
+              FROM documents),
+            parts AS (
+              SELECT doc_id, raw_url,
+                     regexp_replace(raw_url, '#.*$', '', 'g') AS u
+              FROM raw),
+            comp AS (
+              SELECT doc_id, raw_url, u,
+                lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+              FROM parts),
+            comp2 AS (
+              SELECT *,
+                regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
+                regexp_extract(rest, '^[^/?]*(/[^?]*)?', 1) AS path0,
+                regexp_extract(u, '\\?([^#]*)$', 1) AS query
+              FROM comp),
+            comp3 AS (
+              SELECT *,
+                lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+                regexp_extract(hostport, ':(\\d+)$', 1) AS port,
+                CASE WHEN regexp_replace(regexp_replace(path0, '/{2,}', '/', 'g'),
+                                         '(.)/+$', '\\1', 'g') = ''
+                     THEN '/'
+                     ELSE regexp_replace(regexp_replace(path0, '/{2,}', '/', 'g'),
+                                         '(.)/+$', '\\1', 'g') END AS path,
+                -- coalesce: DuckDB's array_to_string is NULL on an
+                -- EMPTY list (Spark's array_join gives '')
+                coalesce(array_to_string(list_sort(list_filter(str_split(query, '&'),
+                  p -> p <> '' AND NOT (p LIKE 'utm\\_%' ESCAPE '\\'
+                        OR p LIKE 'gclid=%' OR p = 'gclid'
+                        OR p LIKE 'fbclid=%' OR p = 'fbclid'
+                        OR p LIKE 'msclkid=%' OR p = 'msclkid'
+                        OR p LIKE 'ref=%' OR p = 'ref'))), '&'), '') AS q_clean
+              FROM comp2),
+            canon AS (
+              SELECT doc_id, raw_url,
+                scheme || '://' || host
+                || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                              OR (scheme = 'https' AND port = '443')
+                         THEN '' ELSE ':' || port END)
+                || path
+                || (CASE WHEN q_clean = '' THEN '' ELSE '?' || q_clean END)
+                AS canonical,
+                regexp_replace(host, '^www\\.', '', 'g') AS h
+              FROM comp3),
+            dom AS (
+              SELECT doc_id, raw_url, canonical,
+                CASE WHEN len(str_split(h, '.')) <= 2 THEN h
+                     WHEN len(str_split(h, '.')) >= 3
+                          AND len(str_split(h, '.')[-1]) = 2
+                          AND str_split(h, '.')[-2] IN
+                              ('co','com','org','net','gov','ac','edu')
+                     THEN str_split(h, '.')[-3] || '.' || str_split(h, '.')[-2]
+                          || '.' || str_split(h, '.')[-1]
+                     ELSE str_split(h, '.')[-2] || '.' || str_split(h, '.')[-1]
+                END AS domain
+              FROM canon)
+            SELECT doc_id, raw_url, canonical, domain FROM dom
         """,
     "latest_crawl": """
             SELECT url, crawl_ts, value, event_id FROM (

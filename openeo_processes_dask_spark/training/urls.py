@@ -1,0 +1,117 @@
+"""URL canonicalization — the normalization step in front of every
+web-corpus exact-dedup / re-crawl pipeline (the `latest_crawl` lane
+dedupes BY url, so two spellings of the same page must collapse first).
+
+Rules (the standard crawl-dedup set; all pure JVM Column expressions,
+zero UDFs, so canonicalizing 100 TB of URLs stays inside whole-stage
+codegen):
+
+1. scheme and host lowercased;
+2. fragment (``#…``) dropped;
+3. default ports dropped (``:80`` for http, ``:443`` for https) —
+   NON-default ports (e.g. ``:80`` on https) are kept;
+4. duplicate slashes in the path collapsed, trailing slash dropped,
+   empty path becomes ``/``;
+5. tracking parameters dropped (``utm_*``, ``gclid``, ``fbclid``,
+   ``msclkid``, ``ref``), the surviving query parameters SORTED so
+   parameter order cannot split a URL's identity; an emptied query
+   loses its ``?``.
+
+``registered_domain`` extracts the eTLD+1-ish grouping key (host minus
+``www.``, last two labels, or three when the second-level label is a
+common delegation like ``co.uk`` / ``com.au``) — the aggregation key
+for per-domain stats/PageRank lanes. A full public-suffix list is a
+data file, not an algorithm; the common-delegation set here covers the
+standard cases and is explicitly listed so the behavior is auditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: query parameters that never identify content
+TRACKING_PARAMS = ("utm_", "gclid", "fbclid", "msclkid", "ref")
+
+#: second-level labels that delegate registrations under a ccTLD
+SECOND_LEVEL = ("co", "com", "org", "net", "gov", "ac", "edu")
+
+
+def _is_tracking(p: Column) -> Column:
+    out = p.startswith("utm_")
+    for t in TRACKING_PARAMS[1:]:
+        out = out | p.startswith(t + "=") | (p == t)
+    return out
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an absolute ``scheme://host[:port]path?query``
+    URL (NULL stays NULL; relative URLs pass through rules 2-5 with an
+    empty scheme/host)."""
+    u = F.regexp_replace(url, "#.*$", "")  # 2. fragment
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    default = (
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    port_part = F.when(
+        (port == "") | default, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+
+    path = F.regexp_extract(rest, r"^[^/?]*(/[^?]*)?", 1)
+    path = F.regexp_replace(path, "/{2,}", "/")
+    path = F.regexp_replace(path, "(.)/+$", "$1")  # trailing, keep root
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+
+    query = F.regexp_extract(u, r"\?([^#]*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~_is_tracking(p),
+    )
+    q_clean = F.array_join(F.array_sort(params), "&")
+    q_part = F.when(q_clean == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), q_clean)
+    )
+
+    head = F.when(
+        scheme == "", F.lit("")
+    ).otherwise(F.concat(scheme, F.lit("://")))
+    return F.when(
+        url.isNull(), F.lit(None).cast("string")
+    ).otherwise(F.concat(head, host, port_part, path, q_part))
+
+
+def registered_domain(url: Column) -> Column:
+    """eTLD+1-ish grouping key: host, minus ``www.``, reduced to its
+    last two labels (three when the second-to-last label is a common
+    delegation under a 2-letter ccTLD, e.g. ``co.uk``)."""
+    rest = F.regexp_replace(
+        F.regexp_replace(url, "#.*$", ""),
+        r"^[A-Za-z][A-Za-z0-9+.-]*://",
+        "",
+    )
+    host = F.lower(
+        F.regexp_extract(F.regexp_extract(rest, r"^([^/?]*)", 1),
+                         r"^([^:]*)", 1)
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    second = F.element_at(labels, -2)
+    tld = F.element_at(labels, -1)
+    take3 = (
+        (n >= 3)
+        & (F.length(tld) == 2)
+        & second.isin(*SECOND_LEVEL)
+    )
+    last2 = F.concat_ws(".", second, tld)
+    last3 = F.concat_ws(
+        ".", F.element_at(labels, -3), second, tld
+    )
+    return F.when(n <= 2, host).otherwise(
+        F.when(take3, last3).otherwise(last2)
+    )

@@ -1,0 +1,77 @@
+"""training/urls.py — URL canonicalization + registered-domain lanes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_spark.training.urls import (
+    canonicalize_url,
+    registered_domain,
+)
+
+
+CASES = [
+    # (raw, canonical)
+    ("HTTP://WWW.Example.COM:80/a/b", "http://www.example.com/a/b"),
+    ("https://Example.com:443/", "https://example.com/"),
+    ("https://example.com:80/x", "https://example.com:80/x"),  # non-default kept
+    ("http://example.com", "http://example.com/"),
+    ("http://example.com//a///b//", "http://example.com/a/b"),
+    ("http://example.com/a/#frag", "http://example.com/a"),
+    ("http://example.com/?b=2&a=1", "http://example.com/?a=1&b=2"),
+    (
+        "http://example.com/p?utm_source=x&a=1&fbclid=zz&gclid=1&ref",
+        "http://example.com/p?a=1",
+    ),
+    ("http://example.com/p?utm_source=x", "http://example.com/p"),
+    ("http://example.com:8080/p", "http://example.com:8080/p"),
+    ("http://example.com/", "http://example.com/"),
+]
+
+
+def test_canonicalize_url_cases(spark):
+    df = spark.createDataFrame([(i, r) for i, (r, _) in enumerate(CASES)],
+                               "i int, u string")
+    got = [
+        r["c"]
+        for r in df.select("i", canonicalize_url(F.col("u")).alias("c"))
+        .orderBy("i")
+        .collect()
+    ]
+    assert got == [c for _, c in CASES]
+
+
+def test_canonicalize_null_passthrough(spark):
+    df = spark.createDataFrame([(None,)], "u string")
+    assert df.select(canonicalize_url(F.col("u")).alias("c")).collect()[0][
+        "c"
+    ] is None
+
+
+def test_canonical_is_idempotent(spark):
+    df = spark.createDataFrame([(r,) for r, _ in CASES], "u string")
+    once = canonicalize_url(F.col("u"))
+    twice = canonicalize_url(once)
+    bad = df.select(once.alias("a"), twice.alias("b")).where(
+        ~F.col("a").eqNullSafe(F.col("b"))
+    )
+    assert bad.count() == 0
+
+
+@pytest.mark.parametrize(
+    "url,dom",
+    [
+        ("http://www.example.com/a", "example.com"),
+        ("https://news.bbc.CO.UK:443/x", "bbc.co.uk"),
+        ("http://a.b.c.example.com.au/", "example.com.au"),
+        ("http://localhost/x", "localhost"),
+        ("http://sub.example.org/", "example.org"),
+        # 'co.uk' with nothing above it: host minus www, two labels
+        ("http://co.uk/", "co.uk"),
+    ],
+)
+def test_registered_domain(spark, url, dom):
+    df = spark.createDataFrame([(url,)], "u string")
+    got = df.select(registered_domain(F.col("u")).alias("d")).collect()[0]["d"]
+    assert got == dom
