@@ -14,9 +14,12 @@ This module replaces it with the classic bucketed merge, O(m + n) work
 and fully distributed:
 
 1. One 2-number aggregate probes the joint ``[lo, hi]`` value range.
-2. Both distinct-label relations are hashed into ``N_BUCKETS`` fixed
-   range buckets (the SAME monotone ``floor((v - lo) / width)`` on both
-   sides, so bucket order respects value order exactly).
+2. Both distinct-label relations are hashed into range buckets (the
+   SAME monotone ``floor((v - lo) / width)`` on both sides, so bucket
+   order respects value order exactly). The bucket count adapts to the
+   probed label cardinality (target ~256 labels/bucket, floor 4096,
+   ceiling ~4.2M) so per-bucket pair work stays bounded even on 10⁸+
+   label axes where a fixed spine would let quadratic work regrow.
 3. Candidates for each left label are (a) every right label in its own
    bucket — a plain shuffled equi-join on the bucket id, never all
    pairs — plus (b) the largest right label in any EARLIER bucket and
@@ -29,8 +32,9 @@ and fully distributed:
    tie-break on the smaller right label, matching the old ``min_by``.
 
 The only ordered-without-partition window runs over the bucket spine,
-which is ``spark.range(N_BUCKETS)`` — bounded by construction at 4096
-rows regardless of data size (the plan-canary allowlist cites this).
+which is ``spark.range(n_buckets)`` — bounded by construction at ≤
+``_MAX_BUCKETS`` (~4.2M) metadata-sized rows regardless of data size
+(the plan-canary allowlist cites this).
 """
 
 from __future__ import annotations
@@ -38,14 +42,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-#: fixed bucket-spine size: small enough that the spine windows are
+#: default bucket-spine size: small enough that the spine windows are
 #: metadata-sized, large enough that in-bucket candidate joins stay
 #: near-linear (1e6 uniform labels -> ~244/bucket -> ~6e4 pairs/bucket)
 N_BUCKETS = 4096
 
+#: adaptive sizing: target mean labels-per-bucket (keeps per-bucket
+#: pair work ~TARGET^2), and a spine ceiling so the prefix windows stay
+#: a trivial single task even for absurd axes (1e9 labels -> 4M-row
+#: spine, still KB-scale per row)
+_TARGET_PER_BUCKET = 256
+_MAX_BUCKETS = 4_194_304
+
 
 def nearest_label_map(
-    left: DataFrame, right: DataFrame, n_buckets: int = N_BUCKETS
+    left: DataFrame, right: DataFrame, n_buckets: int | None = None
 ) -> DataFrame:
     """For each distinct left label, the nearest distinct right label.
 
@@ -63,9 +74,23 @@ def nearest_label_map(
     stats = (
         left.select(F.col("__lv__").cast("double").alias("v"))
         .unionAll(right.select(F.col("__rv__").cast("double").alias("v")))
-        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.approx_count_distinct("v").alias("n"),
+        )
         .collect()[0]
     )
+    if n_buckets is None:
+        # size the spine so mean bucket occupancy ~_TARGET_PER_BUCKET:
+        # a FIXED spine re-grows quadratic per-bucket work once labels
+        # outnumber buckets*target (1e8 labels on 4096 buckets = 2e4
+        # per bucket = 4e8 pairs per bucket). The estimate rides the
+        # same 1-row aggregate as the range probe — no extra job.
+        est = int(stats["n"] or 0)
+        n_buckets = max(
+            N_BUCKETS, min(_MAX_BUCKETS, est // _TARGET_PER_BUCKET)
+        )
     lo = float(stats["lo"]) if stats["lo"] is not None else 0.0
     hi = float(stats["hi"]) if stats["hi"] is not None else 0.0
     width = (hi - lo) / n_buckets
@@ -96,7 +121,8 @@ def nearest_label_map(
     )
     # EXCLUSIVE fills: own-bucket rights arrive via the equi-join below.
     # The window is ordered without a partition by design — the spine is
-    # spark.range(n_buckets), bounded at 4096 rows by construction.
+    # spark.range(n_buckets), bounded at <=_MAX_BUCKETS tiny rows by
+    # construction.
     w_prev = Window.orderBy("__b__").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -112,8 +138,12 @@ def nearest_label_map(
     in_bucket = lb.join(rb, "__b__").select(
         "__l__", "__lv__", "__r__", "__rv__"
     )
+    # force the broadcast only while the spine is trivially small; a
+    # capped-out 4.2M-row spine (~100 MB) is better left to AQE, which
+    # will broadcast or shuffle it based on the runtime size
+    spine_side = F.broadcast(spine) if n_buckets <= 1_048_576 else spine
     side = (
-        lb.join(F.broadcast(spine), "__b__")
+        lb.join(spine_side, "__b__")
         .select(
             "__l__",
             "__lv__",

@@ -59,18 +59,18 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     # the bucketed nearest-label merge (functions/asof.py): its only
     # global ordered windows run over the spark.range(4096) bucket
     # spine — bounded by construction at N_BUCKETS rows, any data size
-    "resample_asof": "asof.py spine windows over spark.range(4096)",
+    "resample_asof": "asof.py spine windows over the bounded spark.range bucket spine (<=4.2M tiny rows)",
     "resample_asof_window": (
-        "asof.py spine windows over spark.range(4096) (valid_within gate)"
+        "asof.py bounded spine windows (valid_within gate)"
     ),
     "resample_cube_spatial_near": (
-        "asof.py spine windows over spark.range(4096), one per axis"
+        "asof.py bounded spine windows, one per axis"
     ),
     "resample_cube_spatial_coarse": (
-        "asof.py spine windows over spark.range(4096), one per axis"
+        "asof.py bounded spine windows, one per axis"
     ),
     "load_stac_resampled": (
-        "composes resample_cube_spatial -> same asof.py spine windows"
+        "composes resample_cube_spatial -> same bounded asof.py spine windows"
     ),
 }
 
