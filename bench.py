@@ -153,6 +153,8 @@ def main() -> None:
         # r6 continuation flagships
         "jaccard_prefix", "harmonic", "hybrid_rrf", "ema_smooth",
         "minhash_incremental",
+        # r10 additions
+        "asof_join_events", "url_canonical",
     ):
         fn = qs[name]
         best = float("inf")

@@ -75,3 +75,31 @@ def test_registered_domain(spark, url, dom):
     df = spark.createDataFrame([(url,)], "u string")
     got = df.select(registered_domain(F.col("u")).alias("d")).collect()[0]["d"]
     assert got == dom
+
+
+def test_canonical_idempotent_on_generated_urls(spark):
+    """Idempotence over 576 generated messy URLs (all combinations of
+    scheme case x host case x port x path shape x query x fragment) in
+    ONE DataFrame — canonicalize(canonicalize(u)) == canonicalize(u)."""
+    import itertools
+
+    urls = []
+    for i, (sch, host, port, path, q, frag) in enumerate(
+        itertools.product(
+            ("http", "HTTPS"),
+            ("Example.COM", "www.ex.co.uk", "EX.org:"),
+            ("", ":80", ":443", ":9000"),
+            ("", "/", "//A//b/", "/p"),
+            ("", "?a=1&utm_x=9", "?z=2&y=1&ref"),
+            ("", "#f"),
+        )
+    ):
+        h = host.rstrip(":")
+        urls.append((i, f"{sch}://{h}{port}{path}{q}{frag}"))
+    df = spark.createDataFrame(urls, "i int, u string")
+    once = canonicalize_url(F.col("u"))
+    bad = df.select(once.alias("a"), canonicalize_url(once).alias("b")).where(
+        ~F.col("a").eqNullSafe(F.col("b"))
+    )
+    rows = bad.limit(5).collect()
+    assert not rows, rows
