@@ -1574,6 +1574,82 @@ def q_url_canonical(spark, sf_dir):
     return out
 
 
+def q_corpus_overlap(spark, sf_dir):
+    """Sketch-based corpus overlap (training/sketches.py corpus_overlap,
+    NEW r10): HLL registers per side + entrywise-max union +
+    inclusion-exclusion intersection and Jaccard — overlap telemetry
+    WITHOUT joining the corpora (the constant-memory screen before an
+    exact corpus_diff pass). The harmonic sum is exact integer
+    micro-units, so the oracle replays register tables AND estimates
+    bit-for-bit (only ln in the linear-counting branch is a rounded
+    float intrinsic)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.sketches import corpus_overlap
+
+    d = _table(spark, sf_dir, "documents")
+    a = d.where(F.col("doc_id") % 3 != 0).select(
+        F.col("doc_id").alias("k")
+    )
+    b = d.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("k")
+    )
+    return corpus_overlap(a, b, "k", p=10)
+
+
+def _corpus_overlap_oracle_sql() -> str:
+    m = 1 << 10
+    alpha = 0.7213 / (1 + 1.079 / m)
+    num = float(alpha) * m * m * float(1 << 61)
+    pow61 = 1 << 61
+
+    def est(reg_cte: str, alias: str) -> str:
+        return f"""
+            {alias} AS (
+              SELECT CASE WHEN raw <= {2.5 * m} AND zeros > 0
+                          THEN round({float(m)} * ln({float(m)} / zeros), 6)
+                          ELSE round(raw, 6) END AS estimate
+              FROM (SELECT ({m} - count(*)) AS zeros,
+                           {num:.17e} / CAST(
+                             CAST({m} - count(*) AS HUGEINT) * {pow61}
+                             + coalesce(sum((CAST(1 AS BIGINT) << (61 - rho))), 0)
+                           AS DOUBLE) AS raw
+                    FROM {reg_cte}))"""
+
+    def regs(keys_cte: str, alias: str) -> str:
+        return f"""
+            {alias}_h AS (
+              SELECT CAST('0x' || substr(md5('hll-' || k), 1, 15) AS BIGINT) AS hv
+              FROM {keys_cte}),
+            {alias} AS (
+              SELECT CAST(hv % {m} AS INT) AS bucket,
+                     max(CAST(CASE WHEN hv // {m} > 0
+                         THEN 50 - floor(log2(CAST(hv // {m} AS DOUBLE)))
+                         ELSE 51 END AS INT)) AS rho
+              FROM {alias}_h GROUP BY 1)"""
+
+    return f"""
+        WITH ka AS (SELECT CAST(doc_id AS VARCHAR) AS k FROM documents
+                    WHERE doc_id % 3 <> 0),
+             kb AS (SELECT CAST(doc_id AS VARCHAR) AS k FROM documents
+                    WHERE doc_id % 2 = 0),
+             {regs('ka', 'ra')},
+             {regs('kb', 'rb')},
+             ru AS (SELECT bucket, max(rho) AS rho
+                    FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+                    GROUP BY 1),
+             {est('ra', 'ea')},
+             {est('rb', 'eb')},
+             {est('ru', 'eu')}
+        SELECT ea.estimate AS est_a, eb.estimate AS est_b,
+               eu.estimate AS est_union,
+               round(ea.estimate + eb.estimate - eu.estimate, 6)
+                 AS est_intersection,
+               round(round(ea.estimate + eb.estimate - eu.estimate, 6)
+                     / eu.estimate, 6) AS jaccard
+        FROM ea, eb, eu
+    """
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Per-vector absmax int8 quantization (training/similarity.py
     quantize_embeddings): codes, scale, and reconstruction error in one
@@ -1835,6 +1911,7 @@ QUERIES = {
     "chunk_text": q_chunk_text,
     "latest_crawl": q_latest_crawl,
     "url_canonical": q_url_canonical,
+    "corpus_overlap": q_corpus_overlap,
     "quantized_topk": q_quantized_topk,
     "quality_selection": q_quality_selection,
     "curation_pipeline": q_curation_pipeline,
@@ -3255,6 +3332,7 @@ ORACLES = {
             FROM cv, qc
             ORDER BY qdot DESC, vec_id LIMIT 12
         """,
+    "corpus_overlap": _corpus_overlap_oracle_sql(),
     "url_canonical": """
             WITH raw AS (
               SELECT doc_id,

@@ -205,3 +205,86 @@ def hyperloglog_merge(*registers: DataFrame) -> DataFrame:
     for r in registers[1:]:
         u = u.unionByName(r)
     return u.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hyperloglog_estimate_relational(
+    registers: DataFrame, p: int = 10
+) -> DataFrame:
+    """1-row ``(estimate)`` HLL estimate computed RELATIONALLY — the
+    oracle-checkable twin of :func:`hyperloglog_estimate` (which
+    collects the register table and computes on the driver).
+
+    Determinism across engines: the harmonic sum ``Σ 2^-rho`` is
+    accumulated in EXACT integer micro-units — each register
+    contributes ``2^(61-rho)`` (a shifted long, exact), absent buckets
+    contribute ``2^61`` each via the zero count — summed in DECIMAL so
+    nothing rounds until ONE final float division. Two engines
+    computing ``alpha·m²·2^61 / S`` from the same integer ``S`` agree
+    bit-for-bit; only the linear-counting branch's ``ln`` is a float
+    intrinsic (rounded to 6 decimals like every float lane)."""
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m)
+    )
+    num = float(alpha) * m * m * float(1 << 61)
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.coalesce(
+            F.sum(F.expr("shiftleft(1L, 61 - rho)").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("s_units"),
+    )
+    zeros = (F.lit(m) - F.col("nb")).cast("long")
+    denom = (
+        zeros.cast("decimal(38,0)")
+        * F.lit(1 << 61).cast("decimal(38,0)")
+        + F.col("s_units")
+    ).cast("double")
+    raw = F.lit(num) / denom
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), lc).otherwise(raw)
+    return agg.select(F.round(est, 6).alias("estimate"))
+
+
+def corpus_overlap(
+    a: DataFrame, b: DataFrame, key_col: str, p: int = 10
+) -> DataFrame:
+    """Estimated overlap between two corpora WITHOUT joining them — the
+    crawl-vs-crawl / source-vs-source telemetry a curation pipeline
+    watches (an exact answer is `corpus_diff`; this is the
+    constant-memory screen that decides whether the exact pass is worth
+    running).
+
+    One scan per side builds the two HLL register tables; the union
+    sketch is their entrywise max (:func:`hyperloglog_merge` — no data
+    touched twice), and inclusion-exclusion gives the intersection:
+    ``|A∩B| ≈ est(A) + est(B) − est(A∪B)``, plus the Jaccard estimate.
+    Returns ONE row ``(est_a, est_b, est_union, est_intersection,
+    jaccard)``, all rounded to 6 decimals; the derived columns are
+    computed FROM the rounded estimates so any engine replaying the
+    register tables reproduces them exactly. Cost at 100 TB: two scans
+    + three ≤2^p-row aggregates; the final assembly is a cross of three
+    1-row frames (bounded by construction)."""
+    ra = hyperloglog_registers(a, key_col, p)
+    rb = hyperloglog_registers(b, key_col, p)
+    ru = hyperloglog_merge(ra, rb)
+    ea = hyperloglog_estimate_relational(ra, p).select(
+        F.col("estimate").alias("est_a")
+    )
+    eb = hyperloglog_estimate_relational(rb, p).select(
+        F.col("estimate").alias("est_b")
+    )
+    eu = hyperloglog_estimate_relational(ru, p).select(
+        F.col("estimate").alias("est_union")
+    )
+    row = ea.crossJoin(eb).crossJoin(eu)
+    inter = F.round(
+        F.col("est_a") + F.col("est_b") - F.col("est_union"), 6
+    )
+    return row.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        inter.alias("est_intersection"),
+        F.round(inter / F.col("est_union"), 6).alias("jaccard"),
+    )

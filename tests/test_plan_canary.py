@@ -111,6 +111,10 @@ ALLOWED_BNLJ: dict[str, str] = {
     "incremental_curation": "broadcast(1-row total)",
     "temperature_mix": "broadcast(1-row totals) (sampling.py:341,348)",
     "dedup_recall": "broadcast(1-row pair counts) (dedup.py:1620)",
+    "corpus_overlap": (
+        "cross of three 1-row HLL estimate frames (sketches.py "
+        "corpus_overlap) — bounded by construction"
+    ),
     "negative_samples": (
         "broadcast(md5-filtered candidate ids) non-equi-joined to the "
         "query pairs — pool/pool_mod ids, sized by the caller; Q x C "

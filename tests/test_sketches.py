@@ -1,6 +1,7 @@
 """training/sketches.py — Count-Min and HyperLogLog with portable hashing."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from openeo_processes_dask_spark.training.sketches import (
     count_min_build,
@@ -157,3 +158,58 @@ def test_sketch_merges_equal_whole(spark):
         )
     )
     assert whole_hll == merged_hll
+
+
+def test_hll_relational_estimate_matches_driver_lane(spark):
+    from openeo_processes_dask_spark.training.sketches import (
+        hyperloglog_estimate,
+        hyperloglog_estimate_relational,
+        hyperloglog_registers,
+    )
+
+    df = spark.range(5000).select(F.col("id").cast("string").alias("k"))
+    regs = hyperloglog_registers(df, "k", p=10)
+    driver = hyperloglog_estimate(regs, p=10)
+    rel = hyperloglog_estimate_relational(regs, p=10).collect()[0][
+        "estimate"
+    ]
+    assert abs(rel - driver) < 1e-4  # same formula, same registers
+    assert abs(rel - 5000) / 5000 < 0.10  # within HLL error at p=10
+
+
+def test_hll_relational_linear_counting_branch(spark):
+    from openeo_processes_dask_spark.training.sketches import (
+        hyperloglog_estimate,
+        hyperloglog_estimate_relational,
+        hyperloglog_registers,
+    )
+
+    df = spark.range(30).select(F.col("id").cast("string").alias("k"))
+    regs = hyperloglog_registers(df, "k", p=10)
+    rel = hyperloglog_estimate_relational(regs, p=10).collect()[0][
+        "estimate"
+    ]
+    assert abs(rel - hyperloglog_estimate(regs, p=10)) < 1e-4
+    assert abs(rel - 30) < 5
+
+
+def test_corpus_overlap_estimates_known_intersection(spark):
+    from openeo_processes_dask_spark.training.sketches import corpus_overlap
+
+    # A = [0, 8000), B = [4000, 12000): |A|=|B|=8000, inter=4000,
+    # union=12000, jaccard=1/3
+    a = spark.range(0, 8000).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(4000, 12000).select(
+        F.col("id").cast("string").alias("k")
+    )
+    row = corpus_overlap(a, b, "k", p=10).collect()[0]
+    assert abs(row["est_a"] - 8000) / 8000 < 0.10
+    assert abs(row["est_b"] - 8000) / 8000 < 0.10
+    assert abs(row["est_union"] - 12000) / 12000 < 0.10
+    # intersection inherits the union's absolute error — wider band
+    assert abs(row["est_intersection"] - 4000) / 4000 < 0.35
+    assert abs(row["jaccard"] - 1 / 3) < 0.12
+    # derived columns are exact functions of the rounded estimates
+    assert row["est_intersection"] == round(
+        round(row["est_a"] + row["est_b"] - row["est_union"], 6), 6
+    )
