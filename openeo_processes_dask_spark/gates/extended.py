@@ -924,9 +924,32 @@ def q_asof_join_nearest(spark, sf_dir):
     )
 
 
+def q_fill_forward_gaps(spark, sf_dir):
+    """LOCF gap fill (operators/interval.py fill_forward, NEW r10):
+    synthetic NULL gaps in the event values filled with each user's
+    most recent non-NULL reading — ONE partitioned window (hash
+    exchange + per-key sort), ties broken by event_id. Oracle: the
+    identical IGNORE NULLS running window in DuckDB."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.interval import fill_forward
+
+    ev = _table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 5 < 2, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    return fill_forward(
+        ev, "value", on="ts", by="user_id", tie_col="event_id"
+    )
+
+
 QUERIES = {
     "asof_join_events": q_asof_join_events,
     "asof_join_nearest": q_asof_join_nearest,
+    "fill_forward_gaps": q_fill_forward_gaps,
     "resample_cubic": q_resample_cubic,
     "reduce_quantiles": q_reduce_quantiles,
     "resample_cubicspline": q_resample_cubicspline,
@@ -976,6 +999,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fill_forward_gaps": """
+            WITH gapped AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN event_id % 5 < 2 THEN NULL
+                          ELSE value END AS value
+              FROM events)
+            SELECT event_id, user_id, ts,
+                   last_value(value IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS value
+            FROM gapped
+        """,
     "asof_join_events": """
             WITH clicks AS (
               SELECT event_id, user_id, ts, value FROM events

@@ -226,3 +226,46 @@ def asof_join(
         ],
     )
     return out
+
+
+def fill_forward(
+    df: DataFrame,
+    value_cols,
+    on: str = "ts",
+    by=None,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Last-observation-carried-forward (LOCF) gap fill per key — the
+    data-level companion of the cube's ``array_interpolate_linear``
+    (which interpolates along a cube dimension; this fills NULL
+    readings in an event/sensor relation with the key's most recent
+    non-NULL value).
+
+    Plan at 100 TB: one window per call, partitioned by the ``by`` keys
+    and ordered by (``on``, ``tie_col``) — a single hash exchange +
+    per-key sort shared by ALL filled columns; ``last(ignorenulls)``
+    over the unbounded-preceding frame is evaluated inside the same
+    window exec. With ``by=None`` the window is global (single-task
+    sort) — keyless LOCF only on relations you would sort on one core.
+
+    Determinism: rows sharing (key, ``on``) have no defined "previous"
+    without a tie-break, so pass ``tie_col`` (any unique column)
+    whenever timestamps can collide — same contract as
+    ``latest_per_url``.
+    """
+    from pyspark.sql import Window
+
+    by = [by] if isinstance(by, str) else list(by or [])
+    cols = [value_cols] if isinstance(value_cols, str) else list(value_cols)
+    order = [F.col(on).asc()] + (
+        [F.col(tie_col).asc()] if tie_col else []
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out

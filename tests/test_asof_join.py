@@ -188,3 +188,53 @@ def test_stream_asof_matches_batch_backward(spark, frames, tmp_path):
         ).collect()
     }
     assert got == batch
+
+
+def test_fill_forward_locf(spark):
+    from openeo_processes_dask_spark.operators.interval import fill_forward
+
+    rows = [
+        # (id, k, t, v): NULL gaps fill from the key's last non-null
+        (1, "a", 1.0, 10.0), (2, "a", 2.0, None), (3, "a", 3.0, None),
+        (4, "a", 4.0, 40.0), (5, "a", 5.0, None),
+        (6, "b", 1.0, None),             # leading NULL: stays NULL
+        (7, "b", 2.0, 70.0), (8, "b", 3.0, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, k string, t double, v double")
+    got = {
+        r["id"]: r["v"]
+        for r in fill_forward(df, "v", on="t", by="k", tie_col="id").collect()
+    }
+    assert got == {1: 10.0, 2: 10.0, 3: 10.0, 4: 40.0, 5: 40.0,
+                   6: None, 7: 70.0, 8: 70.0}
+
+
+def test_fill_forward_tie_break_deterministic(spark):
+    from openeo_processes_dask_spark.operators.interval import fill_forward
+
+    # two rows at the SAME (k, t); tie_col orders them, so the NULL in
+    # id=2 fills from id=1 (same timestamp, smaller tie) — stable under
+    # repartitioning
+    rows = [(1, "a", 5.0, 11.0), (2, "a", 5.0, None), (3, "a", 6.0, None)]
+    df = spark.createDataFrame(rows, "id int, k string, t double, v double")
+    for parts in (1, 5):
+        got = {
+            r["id"]: r["v"]
+            for r in fill_forward(
+                df.repartition(parts), "v", on="t", by="k", tie_col="id"
+            ).collect()
+        }
+        assert got == {1: 11.0, 2: 11.0, 3: 11.0}, parts
+
+
+def test_fill_forward_multiple_columns_one_window(spark):
+    from openeo_processes_dask_spark.operators.interval import fill_forward
+
+    rows = [(1, 1.0, 1.0, None), (2, 2.0, None, 20.0), (3, 3.0, None, None)]
+    df = spark.createDataFrame(rows, "id int, t double, a double, b double")
+    out = fill_forward(df, ["a", "b"], on="t", tie_col="id")
+    got = {r["id"]: (r["a"], r["b"]) for r in out.collect()}
+    assert got == {1: (1.0, None), 2: (1.0, 20.0), 3: (1.0, 20.0)}
+    # all filled columns share ONE window exec (one exchange + sort)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Window") <= 1 or phys.count("Exchange") <= 2
