@@ -135,6 +135,7 @@ assert len(_WINDOW_R9) == 50, len(_WINDOW_R9)
 _CHANGED_R10 = [
     "asof_join_events", "asof_join_nearest", "streaming_asof",
     "url_canonical", "corpus_overlap", "fill_forward_gaps",
+    "fill_forward_bounded",
     "resample_asof", "resample_asof_window", "resample_cube_spatial_near",
     "resample_cube_spatial_coarse", "merge_multiply", "merge_concat",
     "merge_disjoint_bands", "merge_case4_subcube", "classifier_auc",

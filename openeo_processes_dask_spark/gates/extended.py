@@ -946,10 +946,33 @@ def q_fill_forward_gaps(spark, sf_dir):
     )
 
 
+def q_fill_forward_bounded(spark, sf_dir):
+    """Staleness-bounded LOCF (fill_forward max_gap, NEW r10): carried
+    values older than 1 hour are NOT used — the sensor-pipeline
+    variant. The oracle fills a (time, value) struct per column and
+    applies the same gap bound."""
+    _setup(spark)
+    from openeo_processes_dask_spark.operators.interval import fill_forward
+
+    ev = _table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 5 < 2, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    return fill_forward(
+        ev, "value", on="ts", by="user_id", tie_col="event_id",
+        max_gap=3600,
+    )
+
+
 QUERIES = {
     "asof_join_events": q_asof_join_events,
     "asof_join_nearest": q_asof_join_nearest,
     "fill_forward_gaps": q_fill_forward_gaps,
+    "fill_forward_bounded": q_fill_forward_bounded,
     "resample_cubic": q_resample_cubic,
     "reduce_quantiles": q_reduce_quantiles,
     "resample_cubicspline": q_resample_cubicspline,
@@ -1010,6 +1033,25 @@ ORACLES = {
                      PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING) AS value
             FROM gapped
+        """,
+    "fill_forward_bounded": """
+            WITH gapped AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN event_id % 5 < 2 THEN NULL
+                          ELSE value END AS value
+              FROM events),
+            f AS (
+              SELECT event_id, user_id, ts,
+                     last_value(CASE WHEN value IS NOT NULL
+                       THEN struct_pack(t := epoch_us(ts), v := value) END
+                       IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS obs
+              FROM gapped)
+            SELECT event_id, user_id, ts,
+                   CASE WHEN epoch_us(ts) - obs.t <= 3600000000
+                        THEN obs.v END AS value
+            FROM f
         """,
     "asof_join_events": """
             WITH clicks AS (

@@ -234,6 +234,7 @@ def fill_forward(
     on: str = "ts",
     by=None,
     tie_col: str | None = None,
+    max_gap=None,
 ) -> DataFrame:
     """Last-observation-carried-forward (LOCF) gap fill per key — the
     data-level companion of the cube's ``array_interpolate_linear``
@@ -252,6 +253,14 @@ def fill_forward(
     without a tie-break, so pass ``tie_col`` (any unique column)
     whenever timestamps can collide — same contract as
     ``latest_per_url``.
+
+    ``max_gap`` bounds STALENESS (the standard sensor-pipeline LOCF
+    variant): a carried value older than ``max_gap`` (seconds for a
+    timestamp ``on`` column, same units otherwise) is NOT used — the
+    row keeps NULL. Per column the window fills a (time, value) STRUCT
+    of the column's own last non-NULL observation, so each column's
+    gap is measured against the right reading; still ONE shared window
+    exec.
     """
     from pyspark.sql import Window
 
@@ -266,6 +275,28 @@ def fill_forward(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     out = df
+    if max_gap is None:
+        for c in cols:
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        return out
+    is_time = dict(df.dtypes).get(on, "").startswith("timestamp")
+
+    def t_num(col):
+        return F.unix_micros(col.cast("timestamp")) if is_time else col
+
+    bound = (
+        F.lit(float(max_gap) * 1_000_000.0) if is_time else F.lit(max_gap)
+    )
     for c in cols:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        obs = F.when(
+            F.col(c).isNotNull(),
+            F.struct(t_num(F.col(on)).alias("__t__"), F.col(c).alias("__v__")),
+        )
+        filled = F.last(obs, ignorenulls=True).over(w)
+        out = out.withColumn(
+            c,
+            F.when(
+                t_num(F.col(on)) - filled["__t__"] <= bound, filled["__v__"]
+            ),
+        )
     return out

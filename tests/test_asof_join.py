@@ -238,3 +238,59 @@ def test_fill_forward_multiple_columns_one_window(spark):
     # all filled columns share ONE window exec (one exchange + sort)
     phys = out._jdf.queryExecution().executedPlan().toString()
     assert phys.count("Window") <= 1 or phys.count("Exchange") <= 2
+
+
+def test_fill_forward_max_gap_bounds_staleness(spark):
+    from openeo_processes_dask_spark.operators.interval import fill_forward
+
+    rows = [
+        (1, 0.0, 10.0), (2, 1.0, None), (3, 2.0, None),
+        (4, 10.0, None),  # 10 units after the last reading: too stale
+    ]
+    df = spark.createDataFrame(rows, "id int, t double, v double")
+    got = {
+        r["id"]: r["v"]
+        for r in fill_forward(
+            df, "v", on="t", tie_col="id", max_gap=2.0
+        ).collect()
+    }
+    assert got == {1: 10.0, 2: 10.0, 3: 10.0, 4: None}
+
+
+def test_fill_forward_max_gap_per_column_clock(spark):
+    from openeo_processes_dask_spark.operators.interval import fill_forward
+
+    # a and b were last observed at DIFFERENT times; the gap must be
+    # measured per column against its own last reading
+    rows = [
+        (1, 0.0, 1.0, None), (2, 3.0, None, 2.0), (3, 4.0, None, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, t double, a double, b double")
+    got = {
+        r["id"]: (r["a"], r["b"])
+        for r in fill_forward(
+            df, ["a", "b"], on="t", tie_col="id", max_gap=2.0
+        ).collect()
+    }
+    # at t=4: a's last obs t=0 (gap 4 > 2 -> NULL), b's t=3 (gap 1 -> 2.0)
+    assert got == {1: (1.0, None), 2: (None, 2.0), 3: (None, 2.0)}
+
+
+def test_fill_forward_max_gap_timestamp_seconds(spark):
+    from openeo_processes_dask_spark.operators.interval import fill_forward
+
+    rows = [
+        (1, "2020-01-01 00:00:00", 7.0),
+        (2, "2020-01-01 00:00:30", None),
+        (3, "2020-01-01 00:02:00", None),
+    ]
+    df = spark.createDataFrame(rows, "id int, ts string, v double").select(
+        "id", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in fill_forward(
+            df, "v", on="ts", tie_col="id", max_gap=60
+        ).collect()
+    }
+    assert got == {1: 7.0, 2: 7.0, 3: None}
