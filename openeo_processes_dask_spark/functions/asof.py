@@ -78,6 +78,21 @@ def nearest_label_map(
             F.min("v").alias("lo"),
             F.max("v").alias("hi"),
             F.approx_count_distinct("v").alias("n"),
+            # outlier-robust bucket range (ADVICE r10): equi-width over
+            # the raw [min, max] is skew-sensitive — ONE far outlier
+            # stretches the range until every real label lands in a
+            # single bucket and the in-bucket equi-join regrows the
+            # quadratic this module exists to kill. Bucketing over the
+            # [p0.1%, p99.9%] span instead keeps the interior spread
+            # intact; the clamp below folds outliers into the two edge
+            # buckets (correctness is range-independent — the bucket
+            # map only has to be monotone). Rides the same single-job
+            # probe aggregate. Residual assumption, documented: the
+            # INTERIOR distribution is roughly uniform; a heavily
+            # clustered interior (e.g. log-spaced labels) still
+            # concentrates buckets — per-bucket work degrades
+            # gracefully (denser candidate join), never to all-pairs.
+            F.percentile_approx("v", [0.001, 0.999], 10_000).alias("pp"),
         )
         .collect()[0]
     )
@@ -93,6 +108,9 @@ def nearest_label_map(
         )
     lo = float(stats["lo"]) if stats["lo"] is not None else 0.0
     hi = float(stats["hi"]) if stats["hi"] is not None else 0.0
+    pp = stats["pp"]
+    if pp is not None and pp[0] is not None and pp[1] > pp[0]:
+        lo, hi = float(pp[0]), float(pp[1])
     width = (hi - lo) / n_buckets
     if not width > 0.0:  # all labels equal (or a side is empty)
         width = 1.0
@@ -138,10 +156,12 @@ def nearest_label_map(
     in_bucket = lb.join(rb, "__b__").select(
         "__l__", "__lv__", "__r__", "__rv__"
     )
-    # force the broadcast only while the spine is trivially small; a
-    # capped-out 4.2M-row spine (~100 MB) is better left to AQE, which
-    # will broadcast or shuffle it based on the runtime size
-    spine_side = F.broadcast(spine) if n_buckets <= 1_048_576 else spine
+    # force the broadcast only while the spine is trivially small (64k
+    # rows of two structs is a few MB even with string/timestamp
+    # labels); above that AQE decides from the RUNTIME size — a forced
+    # 1M-row broadcast of wide label structs could pressure a
+    # memory-constrained driver (ADVICE r10)
+    spine_side = F.broadcast(spine) if n_buckets <= 65_536 else spine
     side = (
         lb.join(spine_side, "__b__")
         .select(

@@ -1531,7 +1531,9 @@ def q_latest_crawl(spark, sf_dir):
 
 def q_url_canonical(spark, sf_dir):
     """URL canonicalization + registered domain (training/urls.py, NEW
-    r10): messy synthesized URLs — mixed-case scheme/host, default and
+    r10; r11 adds userinfo + bracketed-IPv6 rows, VERDICT r10 #5):
+    messy synthesized URLs — mixed-case scheme/host, `user:pass@`
+    credentials, `[2001:DB8::1]` IPv6 authorities, default and
     non-default ports, duplicate/trailing slashes, fragments, tracking
     params, shuffled param order, co.uk-style delegated TLDs — reduced
     to canonical form, all pure JVM Column regex/array lanes. The
@@ -1549,9 +1551,16 @@ def q_url_canonical(spark, sf_dir):
     s = lambda c: c.cast("string")  # noqa: E731
     raw = F.concat(
         F.when(i % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
-        F.lit("WWW.Site"), s(i % 40),
-        F.when(i % 3 == 0, F.lit(".Example.CO.UK")).otherwise(
-            F.lit(".Example.COM")
+        F.when(i % 7 == 3, F.lit("User:Pa55@")).otherwise(F.lit("")),
+        F.when(
+            i % 13 == 5, F.lit("[2001:DB8::1]")
+        ).otherwise(
+            F.concat(
+                F.lit("WWW.Site"), s(i % 40),
+                F.when(i % 3 == 0, F.lit(".Example.CO.UK")).otherwise(
+                    F.lit(".Example.COM")
+                ),
+            )
         ),
         F.when(i % 4 == 0, F.lit(":80"))
         .when(i % 4 == 1, F.lit(":443"))
@@ -3337,8 +3346,11 @@ ORACLES = {
             WITH raw AS (
               SELECT doc_id,
                      (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END)
-                     || 'WWW.Site' || (doc_id % 40)
-                     || (CASE WHEN doc_id % 3 = 0 THEN '.Example.CO.UK' ELSE '.Example.COM' END)
+                     || (CASE WHEN doc_id % 7 = 3 THEN 'User:Pa55@' ELSE '' END)
+                     || (CASE WHEN doc_id % 13 = 5 THEN '[2001:DB8::1]'
+                         ELSE 'WWW.Site' || (doc_id % 40)
+                              || (CASE WHEN doc_id % 3 = 0 THEN '.Example.CO.UK'
+                                  ELSE '.Example.COM' END) END)
                      || (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
                                          WHEN 2 THEN ':8080' ELSE '' END)
                      || '//Docs//p' || (doc_id % 7)
@@ -3364,10 +3376,18 @@ ORACLES = {
                 regexp_extract(rest, '^[^/?]*(/[^?]*)?', 1) AS path0,
                 regexp_extract(u, '\\?([^#]*)$', 1) AS query
               FROM comp),
+            comp2a AS (
+              -- r11: strip userinfo (greedy to the LAST @ — hosts
+              -- cannot contain @) before host/port extraction
+              SELECT *, regexp_replace(hostport, '^.*@', '', 'g') AS auth
+              FROM comp2),
             comp3 AS (
               SELECT *,
-                lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
-                regexp_extract(hostport, ':(\\d+)$', 1) AS port,
+                CASE WHEN auth LIKE '[%'
+                     THEN lower(regexp_extract(auth, '^(\\[[^\\]]*\\])', 1))
+                     ELSE lower(regexp_extract(auth, '^([^:]*)', 1)) END
+                  AS host,
+                regexp_extract(auth, ':(\\d+)$', 1) AS port,
                 CASE WHEN regexp_replace(regexp_replace(path0, '/{2,}', '/', 'g'),
                                          '(.)/+$', '\\1', 'g') = ''
                      THEN '/'
@@ -3381,7 +3401,7 @@ ORACLES = {
                         OR p LIKE 'fbclid=%' OR p = 'fbclid'
                         OR p LIKE 'msclkid=%' OR p = 'msclkid'
                         OR p LIKE 'ref=%' OR p = 'ref'))), '&'), '') AS q_clean
-              FROM comp2),
+              FROM comp2a),
             canon AS (
               SELECT doc_id, raw_url,
                 scheme || '://' || host
@@ -3395,7 +3415,8 @@ ORACLES = {
               FROM comp3),
             dom AS (
               SELECT doc_id, raw_url, canonical,
-                CASE WHEN len(str_split(h, '.')) <= 2 THEN h
+                CASE WHEN h LIKE '[%' THEN h
+                     WHEN len(str_split(h, '.')) <= 2 THEN h
                      WHEN len(str_split(h, '.')) >= 3
                           AND len(str_split(h, '.')[-1]) = 2
                           AND str_split(h, '.')[-2] IN

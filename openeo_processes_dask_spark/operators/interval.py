@@ -130,6 +130,12 @@ def asof_join(
       drops matches farther than the bound; with ``how='left'`` the
       left row survives with NULL right columns, with ``how='inner'``
       it is dropped.
+    - NULL ``on`` values never match (ADVICE r10): right rows with a
+      NULL time are dropped up front (they would otherwise sort
+      NULLS-FIRST and become phantom backward matches), and a left row
+      with a NULL time gets a NULL match — kept with NULL right
+      columns under ``how='left'``, dropped under ``'inner'`` — the
+      same contract as the DuckDB ASOF JOIN (pandas raises instead).
     - Output = every left column + ``right_prefix + on`` (the matched
       right time) + ``right_prefix + c`` for each right payload column.
     """
@@ -140,19 +146,44 @@ def asof_join(
     from pyspark.sql import Window
 
     by = [by] if isinstance(by, str) else list(by or [])
+    for c in [on, *by]:
+        if c not in left.columns or c not in right.columns:
+            raise ValueError(
+                f"asof_join: column {c!r} must exist on both sides "
+                f"(left has {left.columns}, right has {right.columns})"
+            )
     payload = [c for c in right.columns if c != on and c not in by]
     ldt = dict(left.dtypes)
-    is_time = ldt.get(on, "").startswith("timestamp") or dict(
-        right.dtypes
-    ).get(on, "").startswith("timestamp")
+    rdt = dict(right.dtypes)
+
+    def _temporal(dt: str) -> bool:
+        return dt.startswith("timestamp") or dt == "date"
+
+    # dtype-compatibility guard (VERDICT r10 #4): a timestamp-vs-numeric
+    # mix would silently compare unix micros against raw numbers
+    if _temporal(ldt[on]) != _temporal(rdt[on]):
+        raise ValueError(
+            f"asof_join: incompatible 'on' dtypes — left {on!r} is "
+            f"{ldt[on]}, right is {rdt[on]}; both sides must be "
+            "temporal or both numeric"
+        )
+    is_time = _temporal(ldt[on]) or _temporal(rdt[on])
 
     def t_num(col):
         return F.unix_micros(col.cast("timestamp")) if is_time else col
 
-    # deterministic single right row per (by, on): max payload struct
-    r1 = right.groupBy(*by, on).agg(
-        F.max(F.struct(*[F.col(c) for c in payload])).alias("__pp__")
+    # deterministic single right row per (by, on): max payload struct.
+    # NULL-on rights are excluded (doc above); a payload-free right
+    # (VERDICT r10 #4) degrades to match-time-only — the dedup becomes
+    # a distinct over (by, on) via a constant placeholder struct field,
+    # and the output simply has no right_* payload columns.
+    r_rows = right.where(F.col(on).isNotNull())
+    pp = (
+        F.struct(*[F.col(c) for c in payload])
+        if payload
+        else F.struct(F.lit(0).alias("__none__"))
     )
+    r1 = r_rows.groupBy(*by, on).agg(F.max(pp).alias("__pp__"))
     match_t = F.struct(
         F.col(on).alias("__rt__"), F.col("__pp__").alias("__pp__")
     )
@@ -201,7 +232,12 @@ def asof_join(
             .when(bd <= fd, mb)  # equal distance: backward wins
             .otherwise(mf)
         )
-    u = u.withColumn("__m__", m).where(F.col("__side__") == 1)
+    # a left row with a NULL time cannot be distance-matched: force a
+    # NULL match (the forward/nearest fills would otherwise phantom-match
+    # the partition's first right, because NULLs sort first)
+    u = u.withColumn(
+        "__m__", F.when(F.col("__t__").isNotNull(), m)
+    ).where(F.col("__side__") == 1)
     if tolerance is not None:
         dist = F.abs(t_num(F.col("__t__")) - t_num(F.col("__m__")["__rt__"]))
         bound = (

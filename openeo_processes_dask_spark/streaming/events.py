@@ -302,7 +302,9 @@ def snapshot_validity_intervals(
 
     by = [by] if isinstance(by, str) else list(by or [])
     payload = [c for c in snapshots.columns if c != on and c not in by]
-    one = snapshots.groupBy(*by, on).agg(
+    # NULL-time snapshots can never be "latest <= event time" — drop
+    # them up front (same contract as the batch asof_join, ADVICE r10)
+    one = snapshots.where(F.col(on).isNotNull()).groupBy(*by, on).agg(
         F.max(F.struct(*[F.col(c) for c in payload])).alias("__pp__")
     )
     w = Window.partitionBy(*by).orderBy(on)

@@ -15,7 +15,13 @@ codegen):
 5. tracking parameters dropped (``utm_*``, ``gclid``, ``fbclid``,
    ``msclkid``, ``ref``), the surviving query parameters SORTED so
    parameter order cannot split a URL's identity; an emptied query
-   loses its ``?``.
+   loses its ``?``;
+6. ``userinfo@`` is STRIPPED (r11, VERDICT r10 #5 / ADVICE r10):
+   credentials never identify content, and real crawl data contains
+   ``user:pass@host`` URLs whose host/port would otherwise mis-parse;
+7. bracketed IPv6 authorities (``[::1]:8080``) parse correctly: the
+   bracketed literal (lowercased, brackets kept — the RFC 3986
+   canonical spelling) is the host and the port follows the ``]``.
 
 ``registered_domain`` extracts the eTLD+1-ish grouping key (host minus
 ``www.``, last two labels, or three when the second-level label is a
@@ -44,6 +50,24 @@ def _is_tracking(p: Column) -> Column:
     return out
 
 
+def _host_port(hostport: Column) -> tuple[Column, Column]:
+    """(host, port) from an authority component: strips ``userinfo@``
+    (greedy to the LAST ``@`` — RFC 3986 hosts cannot contain ``@``, so
+    everything before it is credentials) and handles bracketed IPv6
+    literals, whose colons would otherwise truncate the host at the
+    first ``:`` (ADVICE r10)."""
+    auth = F.regexp_replace(hostport, r"^.*@", "")
+    host = F.lower(
+        F.when(
+            auth.startswith("["),
+            F.regexp_extract(auth, r"^(\[[^\]]*\])", 1),
+        ).otherwise(F.regexp_extract(auth, r"^([^:]*)", 1))
+    )
+    # works for both forms: '[::1]:8080' -> 8080, '[::1]' / 'h' -> ''
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    return host, port
+
+
 def canonicalize_url(url: Column) -> Column:
     """Canonical form of an absolute ``scheme://host[:port]path?query``
     URL (NULL stays NULL; relative URLs pass through rules 2-5 with an
@@ -52,8 +76,7 @@ def canonicalize_url(url: Column) -> Column:
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
     hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
-    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
-    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    host, port = _host_port(hostport)
     default = (
         ((scheme == "http") & (port == "80"))
         | ((scheme == "https") & (port == "443"))
@@ -88,16 +111,15 @@ def canonicalize_url(url: Column) -> Column:
 def registered_domain(url: Column) -> Column:
     """eTLD+1-ish grouping key: host, minus ``www.``, reduced to its
     last two labels (three when the second-to-last label is a common
-    delegation under a 2-letter ccTLD, e.g. ``co.uk``)."""
+    delegation under a 2-letter ccTLD, e.g. ``co.uk``). Bracketed IPv6
+    literals are their own grouping key (no DNS labels to reduce);
+    ``userinfo@`` is stripped like :func:`canonicalize_url` does."""
     rest = F.regexp_replace(
         F.regexp_replace(url, "#.*$", ""),
         r"^[A-Za-z][A-Za-z0-9+.-]*://",
         "",
     )
-    host = F.lower(
-        F.regexp_extract(F.regexp_extract(rest, r"^([^/?]*)", 1),
-                         r"^([^:]*)", 1)
-    )
+    host, _ = _host_port(F.regexp_extract(rest, r"^([^/?]*)", 1))
     host = F.regexp_replace(host, r"^www\.", "")
     labels = F.split(host, r"\.")
     n = F.size(labels)
@@ -112,6 +134,8 @@ def registered_domain(url: Column) -> Column:
     last3 = F.concat_ws(
         ".", F.element_at(labels, -3), second, tld
     )
-    return F.when(n <= 2, host).otherwise(
-        F.when(take3, last3).otherwise(last2)
+    return F.when(host.startswith("["), host).otherwise(
+        F.when(n <= 2, host).otherwise(
+            F.when(take3, last3).otherwise(last2)
+        )
     )

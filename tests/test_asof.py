@@ -118,3 +118,28 @@ def test_temporal_micros_distance_is_exact(spark):
     # equidistant at 1 us -> tie-break to the smaller (earlier) source
     assert got[0]["__dist__"] == 1
     assert str(got[0]["__r__"]).startswith("2019-12-31 23:59:59.999999")
+
+
+def test_outlier_robust_bucket_range(spark):
+    """ADVICE r10: one far outlier must not stretch the bucket range
+    until every real label shares one bucket. The bucket RANGE now comes
+    from the [p0.1%, p99.9%] percentile span (outliers clamp into the
+    edge buckets), and parity must hold regardless."""
+    import random
+
+    rng = random.Random(7)
+    lefts = sorted(rng.uniform(0.0, 100.0) for _ in range(400))
+    rights = sorted(rng.uniform(0.0, 100.0) for _ in range(300))
+    # one label a million range-widths away on each side
+    lefts.append(1e8)
+    rights.append(-1e8)
+    got = _run(spark, lefts, rights, n_buckets=None)
+    assert got == _brute(lefts, rights)
+
+
+def test_adaptive_buckets_default_path(spark):
+    """n_buckets=None (the production path) sizes the spine from the
+    probed cardinality and still matches brute force."""
+    lefts = [float(i) * 1.7 for i in range(200)]
+    rights = [float(i) * 2.3 + 0.5 for i in range(150)]
+    assert _run(spark, lefts, rights, n_buckets=None) == _brute(lefts, rights)

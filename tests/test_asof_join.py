@@ -294,3 +294,90 @@ def test_fill_forward_max_gap_timestamp_seconds(spark):
         ).collect()
     }
     assert got == {1: 7.0, 2: 7.0, 3: None}
+
+
+def test_null_on_rights_never_match(spark):
+    """ADVICE r10: a NULL-time right must not become a phantom backward
+    match (it would sort NULLS-FIRST in the union window)."""
+    l = spark.createDataFrame([(1, "a", 10.0)], "id int, k string, t double")
+    r = spark.createDataFrame(
+        [("a", None, 99.0), ("a", 5.0, 50.0)], "k string, t double, v double"
+    )
+    for d in ("backward", "forward", "nearest"):
+        got = asof_join(l, r, on="t", by="k", direction=d).collect()[0]
+        assert got["right_v"] != 99.0, d
+    # with ONLY a NULL-time right, there is no match at all
+    r2 = spark.createDataFrame([("a", None, 99.0)], "k string, t double, v double")
+    got = asof_join(l, r2, on="t", by="k", direction="backward").collect()[0]
+    assert got["right_t"] is None and got["right_v"] is None
+    assert (
+        asof_join(l, r2, on="t", by="k", how="inner").count() == 0
+    )
+
+
+def test_null_on_left_gets_null_match(spark):
+    """A left row with NULL time cannot be distance-matched: NULL right
+    columns under how='left', dropped under how='inner' — for EVERY
+    direction (forward/nearest would otherwise phantom-match the first
+    right, since NULLs sort first)."""
+    l = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 10.0)], "id int, k string, t double"
+    )
+    r = spark.createDataFrame([("a", 5.0, 50.0)], "k string, t double, v double")
+    for d in ("backward", "forward", "nearest"):
+        rows = {
+            x["id"]: (x["right_t"], x["right_v"])
+            for x in asof_join(l, r, on="t", by="k", direction=d).collect()
+        }
+        assert rows[1] == (None, None), d
+        assert rows[2][1] == 50.0 or d == "forward", d
+    inner = asof_join(l, r, on="t", by="k", how="inner")
+    assert [x["id"] for x in inner.collect()] == [2]
+
+
+def test_empty_right_payload_match_time_only(spark):
+    """VERDICT r10 #4: a right relation with ONLY the on/by columns
+    degrades to a match-time-only as-of instead of an opaque analysis
+    error on max(struct())."""
+    l = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 3.0)], "id int, k string, t double"
+    )
+    r = spark.createDataFrame([("a", 5.0), ("a", 9.0)], "k string, t double")
+    out = asof_join(l, r, on="t", by="k", direction="backward")
+    assert set(out.columns) == {"id", "k", "t", "right_t"}
+    got = {x["id"]: x["right_t"] for x in out.collect()}
+    assert got == {1: 9.0, 2: None}
+
+
+def test_on_dtype_mismatch_raises(spark):
+    """VERDICT r10 #4: timestamp-vs-numeric 'on' mix must raise, not
+    silently compare unix micros against raw numbers."""
+    l = spark.createDataFrame([(1, "2020-01-01 00:00:00")], "id int, ts string")
+    l = l.select("id", F.col("ts").cast("timestamp").alias("t"))
+    r = spark.createDataFrame([(5.0, 1.0)], "t double, v double")
+    with pytest.raises(ValueError, match="incompatible 'on' dtypes"):
+        asof_join(l, r, on="t")
+    with pytest.raises(ValueError, match="incompatible 'on' dtypes"):
+        asof_join(r.select("t", "v"), l.select("t"), on="t")
+
+
+def test_missing_on_or_by_column_raises(spark):
+    l = spark.createDataFrame([(1, 1.0)], "id int, t double")
+    r = spark.createDataFrame([(1.0, 2.0)], "ts double, v double")
+    with pytest.raises(ValueError, match="must exist on both sides"):
+        asof_join(l, r, on="t")
+    with pytest.raises(ValueError, match="must exist on both sides"):
+        asof_join(l, r.withColumnRenamed("ts", "t"), on="t", by="k")
+
+
+def test_snapshot_validity_intervals_null_time_dropped(spark):
+    from openeo_processes_dask_spark.streaming.events import (
+        snapshot_validity_intervals,
+    )
+
+    snaps = spark.createDataFrame(
+        [("a", None, 99.0), ("a", 1.0, 10.0)], "k string, t double, v double"
+    )
+    rows = snapshot_validity_intervals(snaps, on="t", by="k").collect()
+    assert len(rows) == 1
+    assert rows[0]["__valid_from__"] == 1.0
