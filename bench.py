@@ -97,25 +97,76 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return round(best, 3)
 
-    calibration_shuffle = shuffle_cal()
+    # ---- contention-gated headline loop (VERDICT r10 #1) ----
+    # The r9 and r10 official artifacts violated the 2x gate on their
+    # face (3.09x / 3.76x) purely because THIS shared VM was contended
+    # while the driver recorded them — every quiet-host run of the same
+    # code passed (r10: builder 1.34x, judge 1.51x). Flagging the noise
+    # (noisy_host) was not enough: the gate is scored on the recorded
+    # number. So the bench now REFUSES to hand back a contended pass:
+    #   1. before each headline attempt, the shuffle calibration is
+    #      re-measured; while it is out of range (> QUIET_CAL) the bench
+    #      sleeps 60 s and re-measures, up to _MAX_WAITS times;
+    #   2. the headline loop runs and the calibration is measured again;
+    #   3. if EITHER sample is out of range the whole attempt is retried
+    #      (up to _MAX_ATTEMPTS), and the attempt with the quietest
+    #      calibration pair becomes the headline record;
+    #   4. every attempt (timings + both calibrations) is kept in the
+    #      `attempts` side field, so a forced-noisy artifact still
+    #      carries full telemetry and nothing is silently discarded.
+    # env knobs (documented; the driver uses the defaults): the quiet
+    # threshold is calibrated for local[32] — a smoke run on fewer
+    # cores can raise SPARK_GRAFT_QUIET_CAL to skip the waits
+    QUIET_CAL = float(os.environ.get("SPARK_GRAFT_QUIET_CAL", "1.3"))
+    _MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+    _MAX_WAITS = int(os.environ.get("SPARK_GRAFT_BENCH_WAITS", "4"))
 
-    for name in HEADLINE:
-        fn = qs[name]
-        # three timed executions, report the min: the first run absorbs
-        # codegen compilation, and this host's VM randomly stretches
-        # single executions 3-10x (measured: the same query 0.7 s and
-        # 2.7 s within one minute), so min-of-3 is the steady-state
-        # number a cluster deployment would see
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            # count() forces full execution without driver materialization
-            fn(spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-        # drop persisted intermediates (LSH signature caches) so queries
-        # don't inherit each other's memory footprint
-        spark.catalog.clearCache()
+    def run_headline() -> dict[str, float]:
+        t: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = qs[name]
+            # three timed executions, report the min: the first run
+            # absorbs codegen compilation, and this host's VM randomly
+            # stretches single executions 3-10x (measured: the same
+            # query 0.7 s and 2.7 s within one minute), so min-of-3 is
+            # the steady-state number a cluster deployment would see
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                # count() forces full execution, no driver materialization
+                fn(spark, sf_dir).count()
+                best = min(best, time.time() - t0)
+            t[name] = round(best, 3)
+            # drop persisted intermediates (LSH signature caches) so
+            # queries don't inherit each other's memory footprint
+            spark.catalog.clearCache()
+        return t
+
+    attempts: list[dict] = []
+    for _attempt in range(_MAX_ATTEMPTS):
+        cal_start = shuffle_cal()
+        waits = 0
+        while cal_start > QUIET_CAL and waits < _MAX_WAITS:
+            time.sleep(60)
+            waits += 1
+            cal_start = shuffle_cal()
+        t = run_headline()
+        cal_end = shuffle_cal()
+        attempts.append(
+            {
+                "cal_start": cal_start,
+                "cal_end": cal_end,
+                "waits_before_start": waits,
+                "total": round(sum(t.values()), 3),
+                "timings": t,
+            }
+        )
+        if cal_start <= QUIET_CAL and cal_end <= QUIET_CAL:
+            break
+    chosen = min(attempts, key=lambda a: max(a["cal_start"], a["cal_end"]))
+    timings = chosen["timings"]
+    calibration_shuffle = chosen["cal_start"]
+    calibration_shuffle_end = chosen["cal_end"]
 
     # streaming throughput (VERDICT r02 #7): drain the full events table
     # through the stateful dedup and sliding-window streams and report
@@ -165,32 +216,47 @@ def main() -> None:
         extras[name] = round(best, 3)
         spark.catalog.clearCache()
 
+    # calibration sample adjacent to the extras/streaming block
+    # (VERDICT r10 #3): the headline pair brackets only the headline
+    # loop, but the host storms concentrate on the LONG extras (r10
+    # run 6: minhash 41 s), which is exactly where host-invariant
+    # ratios are most needed — so extras/streaming normalize against
+    # the quieter of (headline end, post-extras) samples.
+    calibration_shuffle_extras = shuffle_cal()
+
     total = round(sum(timings.values()), 3)
 
-    # Self-describing noise detection (VERDICT r9 #1): the r9 artifact
-    # recorded 3.09x baseline purely because the driver host was
-    # contended (shuffle calibration 6.43 vs the <=1.3 quiet-host
-    # guidance) — per-query evidence proved no code regression, but the
-    # recorded datum violated the 2x gate on its face. The bench now
-    # re-measures the shuffle calibration AFTER the headline run (host
-    # contention is often transient — r9's hit only the first five
-    # queries) and flags the artifact when EITHER sample is out of
-    # range, plus emits per-query shuffle-cal-normalized ratios so a
-    # noisy recording still carries host-invariant numbers.
-    calibration_shuffle_end = shuffle_cal()
-    # two-level flag: noisy_host = the host was NEVER quiet (both
-    # samples out of range — the whole recording is untrustworthy);
-    # partially_noisy = contention at one end (some queries may be
-    # inflated; the cal-normalized ratios below still hold)
+    # Self-describing noise detection (VERDICT r9 #1): two-level flag —
+    # noisy_host = the CHOSEN attempt was never quiet (both samples out
+    # of range even after the bounded retry protocol above, i.e. the
+    # host never went quiet for ~15+ minutes — the recording is
+    # untrustworthy and says so); partially_noisy = contention at one
+    # end (some queries may be inflated; the cal-normalized ratios
+    # below still hold).
     noisy_host = (
-        calibration_shuffle > 1.3 and calibration_shuffle_end > 1.3
+        calibration_shuffle > QUIET_CAL
+        and calibration_shuffle_end > QUIET_CAL
     )
     partially_noisy = (
-        calibration_shuffle > 1.3 or calibration_shuffle_end > 1.3
+        calibration_shuffle > QUIET_CAL
+        or calibration_shuffle_end > QUIET_CAL
     )
     cal_ref = max(min(calibration_shuffle, calibration_shuffle_end), 1e-9)
     queries_per_cal = {
         name: round(t / cal_ref, 2) for name, t in timings.items()
+    }
+    cal_ref_extras = max(
+        min(calibration_shuffle_end, calibration_shuffle_extras), 1e-9
+    )
+    extras_per_cal = {
+        name: round(t / cal_ref_extras, 2) for name, t in extras.items()
+    }
+    streaming_per_cal = {
+        # rows/s scales inversely with host speed, the calibration
+        # directly — the product is the host-invariant throughput twin
+        name: round(v * cal_ref_extras)
+        for name, v in streaming.items()
+        if name.endswith("_rows_per_s")
     }
     print(
         json.dumps(
@@ -204,9 +270,13 @@ def main() -> None:
                 "calibration_sec": calibration,
                 "calibration_shuffle_sec": calibration_shuffle,
                 "calibration_shuffle_end_sec": calibration_shuffle_end,
+                "calibration_shuffle_extras_sec": calibration_shuffle_extras,
                 "noisy_host": noisy_host,
                 "partially_noisy": partially_noisy,
                 "queries_per_shuffle_cal": queries_per_cal,
+                "extras_per_shuffle_cal": extras_per_cal,
+                "streaming_rows_x_shuffle_cal": streaming_per_cal,
+                "attempts": attempts,
                 "sf": sf,
             }
         )
