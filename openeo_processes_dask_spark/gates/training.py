@@ -1659,6 +1659,91 @@ def _corpus_overlap_oracle_sql() -> str:
     """
 
 
+_QSK_ORACLE_CORE = """
+            base AS (
+              SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+                     CAST('0x' || substr(md5(
+                       'qsk-' || l_orderkey || '-' || l_linenumber
+                     ), 1, 15) AS BIGINT) AS h
+              FROM lineitem WHERE l_extendedprice IS NOT NULL),
+            lv AS (
+              SELECT v, h,
+                     CASE WHEN h <= 0 THEN 60
+                          ELSE 60 - length(printf('%b', h)) END AS lvl
+              FROM base),
+            cnt AS (SELECT lvl, count(*) AS c FROM lv GROUP BY lvl),
+            meta AS (SELECT count(*) AS n FROM base),
+            lstar AS (
+              SELECT coalesce(min(g.l), 60) AS level
+              FROM generate_series(0, 60) AS g(l)
+              WHERE (SELECT coalesce(sum(c), 0) FROM cnt
+                     WHERE lvl >= g.l) <= 1024),
+            surv AS (
+              SELECT v, h FROM lv, lstar WHERE lv.lvl >= lstar.level),
+            ranked AS (
+              SELECT v, h, row_number() OVER (ORDER BY v, h) - 1 AS r,
+                     count(*) OVER () AS m
+              FROM surv),
+            qs AS (
+              SELECT CAST(unnest([0.01, 0.05, 0.1, 0.25, 0.5,
+                                  0.75, 0.9, 0.95, 0.99]) AS DOUBLE) AS q)
+        SELECT round(qs.q, 6) AS q, round(rk.v, 6) AS est,
+               rk.m AS m_rows, lstar.level AS level, meta.n AS n
+        FROM qs, lstar, meta, ranked rk
+        WHERE rk.r = CAST(floor(qs.q * (rk.m - 1)) AS BIGINT)
+"""
+
+
+def q_quantile_sketch(spark, sf_dir):
+    """Mergeable quantile sketch (training/sketches.py quantile_sketch,
+    NEW r11, VERDICT r10 #6): the distribution member of the sketch
+    trio. KLL-style level structure with the compaction coin replaced
+    by md5 hash bits — a pure function of the input multiset, so the
+    DuckDB oracle replays the survivor selection, the level choice, and
+    the order-statistic estimates bit-for-bit. One scan + a <=61-row
+    aggregate + a <=k-row sort; no full sort of the data anywhere."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.sketches import (
+        quantile_sketch,
+        quantile_sketch_estimates,
+    )
+
+    li = _table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"),
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("uid"),
+    )
+    return quantile_sketch_estimates(quantile_sketch(li, "v", "uid", k=1024))
+
+
+def q_quantile_sketch_merged(spark, sf_dir):
+    """The merge law cross-engine (NEW r11): Spark builds TWO
+    half-corpus sketches (split by l_orderkey parity) and merges them;
+    the oracle builds ONE sketch over the whole table. They can only
+    hash-match because sketch(A ∪ B) == merge(sketch(A), sketch(B))
+    holds EXACTLY — the property the hash-threshold compaction was
+    chosen for."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.sketches import (
+        quantile_sketch,
+        quantile_sketch_estimates,
+        quantile_sketch_merge,
+    )
+
+    li = _table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"),
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("uid"),
+        "l_orderkey",
+    )
+    a = li.where(F.col("l_orderkey") % 2 == 0)
+    b = li.where(F.col("l_orderkey") % 2 == 1)
+    merged = quantile_sketch_merge(
+        quantile_sketch(a, "v", "uid", k=1024),
+        quantile_sketch(b, "v", "uid", k=1024),
+        k=1024,
+    )
+    return quantile_sketch_estimates(merged)
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Per-vector absmax int8 quantization (training/similarity.py
     quantize_embeddings): codes, scale, and reconstruction error in one
@@ -1921,6 +2006,8 @@ QUERIES = {
     "latest_crawl": q_latest_crawl,
     "url_canonical": q_url_canonical,
     "corpus_overlap": q_corpus_overlap,
+    "quantile_sketch": q_quantile_sketch,
+    "quantile_sketch_merged": q_quantile_sketch_merged,
     "quantized_topk": q_quantized_topk,
     "quality_selection": q_quality_selection,
     "curation_pipeline": q_curation_pipeline,
@@ -3342,6 +3429,10 @@ ORACLES = {
             ORDER BY qdot DESC, vec_id LIMIT 12
         """,
     "corpus_overlap": _corpus_overlap_oracle_sql(),
+    # both quantile gates share ONE oracle: the whole-table sketch —
+    # the merged gate matches it only because the merge law is exact
+    "quantile_sketch": "WITH " + _QSK_ORACLE_CORE,
+    "quantile_sketch_merged": "WITH " + _QSK_ORACLE_CORE,
     "url_canonical": """
             WITH raw AS (
               SELECT doc_id,

@@ -288,3 +288,174 @@ def corpus_overlap(
         inter.alias("est_intersection"),
         F.round(inter / F.col("est_union"), 6).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (NEW r11) — the third member of the sketch
+# trio (Count-Min = frequency, HLL = cardinality, quantiles =
+# distribution) and the constant-memory twin of the exact equi-depth
+# `range_bounds` lane.
+# ---------------------------------------------------------------------------
+
+#: hash width shared by every md5-derived sketch lane in this module
+_QSK_BITS = 60
+
+
+def _qsk_hash(uid: Column) -> Column:
+    """60-bit md5-derived priority of a row's unique id — identical in
+    DuckDB (`CAST('0x'||substr(md5('qsk-'||uid),1,15) AS BIGINT)`), so
+    the sketch's survivor SET is engine-portable."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("qsk-"), uid.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def _qsk_level(h: Column) -> Column:
+    """Compaction levels survived by a row: level ``l`` keeps rows with
+    ``h < 2^(60-l)`` — i.e. rows whose top ``l`` hash bits are zero, so
+    each compaction step halves the expected survivor count by testing
+    ONE more hash bit (the deterministic, hash-seeded replacement for
+    KLL's random compaction coin). Computed integer-exactly via the
+    binary-string length (no float log2): ``60 - len(bin(h))``."""
+    return F.when(h <= 0, F.lit(_QSK_BITS)).otherwise(
+        F.lit(_QSK_BITS) - F.length(F.bin(h))
+    ).cast("int")
+
+
+def _qsk_pick_level(counts: dict[int, int], k: int, floor_level: int = 0) -> int:
+    """Smallest level ``l >= floor_level`` whose survivor count
+    (rows with level >= l) is <= k."""
+    lvl = floor_level
+    while lvl < _QSK_BITS:
+        if sum(c for v, c in counts.items() if v >= lvl) <= k:
+            break
+        lvl += 1
+    return lvl
+
+
+def quantile_sketch(
+    df: DataFrame, value_col: str, uid_col: str, k: int = 1024
+) -> DataFrame:
+    """Mergeable quantile sketch: a KLL-style level structure whose
+    compaction coin is replaced by hash bits, making the sketch a PURE
+    FUNCTION of the input multiset — so it is deterministic under any
+    partitioning, a DuckDB oracle replays it bit-for-bit, and the merge
+    law holds EXACTLY: ``sketch(A ∪ B) == merge(sketch(A), sketch(B))``
+    (deterministic KLL/GK compaction is still insertion-order-dependent
+    and cannot satisfy that equality; the hash-threshold form trades
+    GK's O(1/eps) space for a random-sample-grade O(1/eps^2) — the
+    classic mergeable-summaries result (Agarwal et al., PODS'12:
+    random samples are one-way mergeable)).
+
+    Each row gets a 60-bit md5 priority from ``uid_col`` (a UNIQUE row
+    id, so duplicate values keep independent coins); compaction level
+    ``l`` keeps rows whose top ``l`` hash bits are all zero. The sketch
+    is the survivor set at the smallest level with <= ``k`` survivors —
+    a uniform (1/2^l)-sample whose ORDER STATISTICS estimate quantiles.
+
+    Plan at 100 TB: one scan computes (value, hash, level); a <= 61-row
+    groupBy picks the level on the driver; one filter emits the <= k
+    survivor rows. No sort, no shuffle beyond the 61-row aggregate.
+
+    Returns survivor rows ``(__v__ double, __h__ long, __lvl__ int)``
+    plus constant metadata columns ``__level__`` (chosen level) and
+    ``__n__`` (exact input count). NULL values are excluded (quantiles
+    over NULLs are undefined — same contract as `range_bounds`).
+    """
+    if k < 1:
+        raise ValueError(f"quantile_sketch: k must be >= 1, got {k}")
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("__v__"),
+        _qsk_hash(F.col(uid_col)).alias("__h__"),
+    )
+    base = base.withColumn("__lvl__", _qsk_level(F.col("__h__")))
+    counts = {
+        r["__lvl__"]: r["c"]
+        for r in base.groupBy("__lvl__").agg(
+            F.count(F.lit(1)).alias("c")
+        ).collect()
+    }
+    n = sum(counts.values())
+    level = _qsk_pick_level(counts, k)
+    return (
+        base.where(F.col("__lvl__") >= level)
+        .withColumn("__level__", F.lit(level))
+        .withColumn("__n__", F.lit(n).cast("long"))
+    )
+
+
+def quantile_sketch_merge(*sketches: DataFrame, k: int = 1024) -> DataFrame:
+    """Merge sketches built with the same ``k`` over DISJOINT inputs
+    (the standard shard/day/source composition): union the survivor
+    rows, re-pick the level from the union's counts (never below any
+    input's level — survivor counts only grow under union, so the
+    union's suffix counts are EXACT at or above that floor), and
+    re-filter. The result row set is IDENTICAL to building the sketch
+    on the concatenated raw data."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    metas = [
+        s.agg(
+            F.max("__level__").alias("l"), F.max("__n__").alias("n")
+        ).collect()[0]
+        for s in sketches
+    ]
+    floor_level = max((m["l"] or 0) for m in metas)
+    n = sum((m["n"] or 0) for m in metas)
+    counts = {
+        r["__lvl__"]: r["c"]
+        for r in u.groupBy("__lvl__").agg(
+            F.count(F.lit(1)).alias("c")
+        ).collect()
+    }
+    level = _qsk_pick_level(counts, k, floor_level)
+    return (
+        u.where(F.col("__lvl__") >= level)
+        .withColumn("__level__", F.lit(level))
+        .withColumn("__n__", F.lit(n).cast("long"))
+    )
+
+
+def quantile_sketch_estimates(
+    sketch: DataFrame,
+    qs=(0.01, 0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99),
+) -> DataFrame:
+    """Quantile estimates from a sketch: the survivors are a uniform
+    sample, so the estimate for ``q`` is the survivor value at sorted
+    index ``floor(q * (m - 1))`` (ties on value break by hash — fully
+    deterministic). One aggregate over the <= k survivor rows (a sorted
+    array built via collect_list on a bounded relation — no global
+    window, nothing for the plan canary to flag); rows out:
+    ``(q, est, m_rows, level, n)``."""
+    agg = sketch.agg(
+        F.array_sort(
+            F.collect_list(F.struct("__v__", "__h__"))
+        ).alias("__s__"),
+        F.count(F.lit(1)).alias("m_rows"),
+        F.coalesce(F.max("__level__"), F.lit(0)).alias("level"),
+        F.coalesce(F.max("__n__"), F.lit(0)).alias("n"),
+    )
+    q = F.explode(
+        F.array(*[F.lit(float(x)) for x in qs])
+    ).alias("q")
+    idx = (
+        F.floor(F.col("q") * (F.col("m_rows") - F.lit(1)).cast("double"))
+        .cast("int") + F.lit(1)
+    )
+    est = F.when(
+        F.col("m_rows") > 0, F.element_at("__s__", idx)["__v__"]
+    )
+    return agg.select(q, "__s__", "m_rows", "level", "n").select(
+        F.round("q", 6).alias("q"),
+        F.round(est, 6).alias("est"),
+        "m_rows",
+        F.col("level").cast("long").alias("level"),
+        F.col("n").cast("long").alias("n"),
+    )

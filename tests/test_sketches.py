@@ -213,3 +213,111 @@ def test_corpus_overlap_estimates_known_intersection(spark):
     assert row["est_intersection"] == round(
         round(row["est_a"] + row["est_b"] - row["est_union"], 6), 6
     )
+
+
+# ---- quantile sketch (NEW r11) ----
+
+def _qsk_rows(df):
+    return {
+        (r["__v__"], r["__h__"], r["__lvl__"], r["__level__"], r["__n__"])
+        for r in df.collect()
+    }
+
+
+def test_quantile_sketch_merge_equals_whole(spark):
+    """The merge LAW, exactly: sketch(A ∪ B) == merge(sketch(A),
+    sketch(B)) as row SETS — the property the hash-threshold compaction
+    buys over deterministic KLL."""
+    from openeo_processes_dask_spark.training.sketches import (
+        quantile_sketch,
+        quantile_sketch_merge,
+    )
+
+    rows = [(i, float((i * 37) % 1000)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "uid int, v double")
+    a = df.where(F.col("uid") % 2 == 0)
+    b = df.where(F.col("uid") % 2 == 1)
+    k = 256
+    whole = quantile_sketch(df, "v", "uid", k=k)
+    merged = quantile_sketch_merge(
+        quantile_sketch(a, "v", "uid", k=k),
+        quantile_sketch(b, "v", "uid", k=k),
+        k=k,
+    )
+    assert _qsk_rows(whole) == _qsk_rows(merged)
+    assert whole.count() <= k
+
+
+def test_quantile_sketch_deterministic_under_partitioning(spark):
+    from openeo_processes_dask_spark.training.sketches import quantile_sketch
+
+    rows = [(i, float(i % 500)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "uid int, v double")
+    one = _qsk_rows(quantile_sketch(df.coalesce(1), "v", "uid", k=128))
+    many = _qsk_rows(quantile_sketch(df.repartition(13), "v", "uid", k=128))
+    assert one == many
+
+
+def test_quantile_sketch_accuracy(spark):
+    """Rank error of each estimate within the sample bound (~n/sqrt(k));
+    we assert a generous 5*n/sqrt(k) to stay flake-free."""
+    from openeo_processes_dask_spark.training.sketches import (
+        quantile_sketch,
+        quantile_sketch_estimates,
+    )
+
+    n = 20000
+    vals = sorted(float((i * 7919) % 100000) for i in range(n))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "uid int, v double"
+    )
+    k = 1024
+    est = {
+        r["q"]: r["est"]
+        for r in quantile_sketch_estimates(
+            quantile_sketch(df, "v", "uid", k=k)
+        ).collect()
+    }
+    tol = 5 * n / (k ** 0.5)
+    import bisect
+
+    for q, e in est.items():
+        true_rank = q * (n - 1)
+        got_rank = bisect.bisect_left(vals, e)
+        assert abs(got_rank - true_rank) <= tol, (q, e, got_rank, true_rank)
+
+
+def test_quantile_sketch_small_input_is_exact(spark):
+    """n <= k keeps EVERY row (level 0) — estimates are exact order
+    statistics."""
+    from openeo_processes_dask_spark.training.sketches import (
+        quantile_sketch,
+        quantile_sketch_estimates,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "uid int, v double"
+    )
+    sk = quantile_sketch(df, "v", "uid", k=1024)
+    assert sk.count() == 100
+    est = {
+        r["q"]: r["est"]
+        for r in quantile_sketch_estimates(sk, qs=(0.0, 0.5, 1.0)).collect()
+    }
+    assert est == {0.0: 0.0, 0.5: 49.0, 1.0: 99.0}
+
+
+def test_quantile_sketch_nulls_and_empty(spark):
+    from openeo_processes_dask_spark.training.sketches import (
+        quantile_sketch,
+        quantile_sketch_estimates,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 5.0)], "uid int, v double"
+    )
+    sk = quantile_sketch(df, "v", "uid", k=16)
+    assert sk.count() == 1
+    empty = quantile_sketch(df.where(F.lit(False)), "v", "uid", k=16)
+    rows = quantile_sketch_estimates(empty, qs=(0.5,)).collect()
+    assert rows[0]["est"] is None and rows[0]["n"] == 0
