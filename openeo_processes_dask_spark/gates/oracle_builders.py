@@ -195,13 +195,16 @@ def _ivf_topk_oracle_sql(
 
 
 def _kmeans_oracle_sql(
-    k: int = 8, iterations: int = 2, seed: int = 42, dim: int = 64
+    k: int = 8, iterations: int = 2, seed: int = 42, dim: int = 64,
+    src_filter: str = "",
 ) -> str:
     """Twin of training.clustering kmeans_fit+assign: same md5-ordered
     init, same micro-unit snapping (integer sums are order-independent,
     centroid means bit-identical), Lloyd iterations unrolled as CTE
     pairs (assign_i, cent_{i+1}); empty clusters coalesce to the previous
-    centroid exactly like the engine."""
+    centroid exactly like the engine. ``src_filter`` (an optional WHERE
+    clause) restricts the source rows — the recall harness clusters a
+    capped sample."""
     sqdist = (
         f"list_sum([(v[i] - cent[i]) * (v[i] - cent[i]) "
         f"for i in generate_series(1, {dim})])"
@@ -211,13 +214,13 @@ def _kmeans_oracle_sql(
           SELECT vec_id,
                  list_transform(embedding,
                                 x -> round(CAST(x AS DOUBLE) * 1000000.0)) AS v
-          FROM embeddings)""",
+          FROM embeddings {src_filter})""",
         f"""cent0 AS (
           SELECT row_number() OVER (
                    ORDER BY md5('{seed}-' || CAST(vec_id AS VARCHAR))) - 1 AS c,
                  list_transform(embedding,
                                 x -> round(CAST(x AS DOUBLE) * 1000000.0)) AS cent
-          FROM embeddings
+          FROM embeddings {src_filter}
           ORDER BY md5('{seed}-' || CAST(vec_id AS VARCHAR))
           LIMIT {k})""",
         f"js AS (SELECT unnest(generate_series(1, {dim})) AS j)",
@@ -1225,6 +1228,61 @@ def _semdedup_oracle_sql(
         SELECT e.vec_id AS id,
                (c.comp IS NULL OR c.comp = e.vec_id) AS keep
         FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+    """
+
+
+def _semdedup_recall_oracle_sql(
+    k: int = 8, iterations: int = 2, threshold: float = 0.2,
+    dim: int = 64, cap: int = 400,
+) -> str:
+    """Twin of the semantic_dedup_recall gate: brute-force cosine truth
+    (all id1 < id2 pairs over the capped sample) vs semdedup's
+    within-cluster pair set (the SAME kmeans/prs SQL the proven semdedup
+    oracle uses), scored with dedup_pair_recall's count arithmetic."""
+    flt = f"WHERE vec_id < {cap}"
+    km = _kmeans_oracle_sql(
+        k=k, iterations=iterations, dim=dim, src_filter=flt
+    )
+    dot = f"list_sum([sa.v[i] * sb.v[i] for i in generate_series(1, {dim})])"
+    cos = f"round({dot} / (na.nv * nb.nv), 6)"
+    return f"""
+        WITH asg AS ({km}),
+        svd AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings {flt}),
+        nrm AS (
+          SELECT vec_id,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nv
+          FROM svd),
+        allp AS (
+          SELECT sa.vec_id AS id1, sb.vec_id AS id2
+          FROM svd sa
+          JOIN svd sb ON sa.vec_id < sb.vec_id
+          JOIN nrm na ON na.vec_id = sa.vec_id
+          JOIN nrm nb ON nb.vec_id = sb.vec_id
+          WHERE {cos} >= {threshold}),
+        prs AS (
+          SELECT a.vec_id AS id1, b.vec_id AS id2
+          FROM asg a
+          JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          JOIN svd sa ON sa.vec_id = a.vec_id
+          JOIN svd sb ON sb.vec_id = b.vec_id
+          JOIN nrm na ON na.vec_id = a.vec_id
+          JOIN nrm nb ON nb.vec_id = b.vec_id
+          WHERE {cos} >= {threshold}),
+        ec AS (SELECT CAST(count(*) AS BIGINT) AS true_pairs FROM allp),
+        ac AS (SELECT CAST(count(*) AS BIGINT) AS cand_pairs FROM prs),
+        h AS (SELECT CAST(count(*) AS BIGINT) AS hits
+              FROM prs JOIN allp USING (id1, id2))
+        SELECT true_pairs, cand_pairs, hits,
+               CASE WHEN true_pairs = 0 THEN NULL
+                    ELSE round(CAST(hits AS DOUBLE) / true_pairs, 6)
+               END AS recall,
+               CASE WHEN cand_pairs = 0 THEN NULL
+                    ELSE round(CAST(hits AS DOUBLE) / cand_pairs, 6)
+               END AS "precision"
+        FROM ec, ac, h
     """
 
 

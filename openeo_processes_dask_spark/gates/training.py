@@ -23,6 +23,7 @@ from .oracle_builders import (
     _pagerank_oracle_sql,
     _harmonic_oracle_sql,
     _semdedup_oracle_sql,
+    _semdedup_recall_oracle_sql,
     _logreg_quality_oracle_sql,
     _subsequence_topk_oracle_sql,
     _random_projection_oracle_sql,
@@ -273,6 +274,28 @@ def q_dedup_recall(spark, sf_dir):
     approx = minhash_near_duplicates(
         docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.2
     )
+    return dedup_pair_recall(exact, approx)
+
+
+def q_semantic_dedup_recall(spark, sf_dir):
+    """SemDeDup recall harness (VERDICT r10 #7): the within-cluster
+    candidate generation (training/similarity.py semdedup_pairs — the
+    k-means-partitioned cosine stage of the proven semdedup gate) scored
+    against BRUTE-FORCE cosine truth at the same threshold over a capped
+    400-vector sample (the literal cap bounds the O(N²) truth branch;
+    at scale you always sample for a recall measurement — the cap IS
+    the harness contract, same as dedup_recall's fixture). Both oracle
+    branches reuse the proven kmeans/semdedup SQL twins."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import dedup_pair_recall
+    from openeo_processes_dask_spark.training.similarity import (
+        cosine_pairs_bruteforce,
+        semdedup_pairs,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    exact = cosine_pairs_bruteforce(emb, threshold=0.2)
+    approx = semdedup_pairs(emb, k=8, threshold=0.2, iterations=2)
     return dedup_pair_recall(exact, approx)
 
 
@@ -1994,6 +2017,7 @@ QUERIES = {
     "corpus_mix": q_corpus_mix,
     "bm25_topk": q_bm25_topk,
     "semdedup": q_semdedup,
+    "semantic_dedup_recall": q_semantic_dedup_recall,
     "pagerank": q_pagerank,
     "triangle_count": q_triangle_count,
     "harmonic": q_harmonic,
@@ -3203,6 +3227,7 @@ ORACLES = {
             FROM nodes n LEFT JOIN cnt c ON c.node = n.node
         """,
     "semdedup": _semdedup_oracle_sql,
+    "semantic_dedup_recall": _semdedup_recall_oracle_sql,
     "bpe_tokens": _bpe_tokens_oracle_sql,
     "bpe_encode_ids": _bpe_ids_oracle_sql,
     "tokenize_pack": _tokenize_pack_oracle_sql,

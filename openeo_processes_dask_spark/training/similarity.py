@@ -668,7 +668,7 @@ def random_projection(
     )
 
 
-def semdedup(
+def semdedup_pairs(
     df: DataFrame,
     k: int = 16,
     threshold: float = 0.95,
@@ -678,23 +678,13 @@ def semdedup(
     iterations: int = 3,
     max_cluster_pairs_per_vector: int | None = None,
 ) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
-    deduplication over an embedding column — k-means partitions the
-    space, exact cosine runs ONLY within each cluster, and connected
-    components over the above-threshold pairs pick one canonical
-    (minimum-id) representative per semantic duplicate group.
-
-    Returns (id, keep): ``keep`` is false for members that a more-
-    canonical near-semantic-twin shadows. Vectors whose cluster contains
-    no near twin keep themselves.
-
-    Plan at 100 TB: k-means is the engine's deterministic integer-exact
-    Lloyd (centroid-sized driver traffic); the within-cluster self-join
-    is an equi-join on the cluster id, so pair count is
-    sum(|cluster|²)/2, never N² — pick k ≈ N/1000 to bound cluster
-    sizes, and ``max_cluster_pairs_per_vector`` star-caps pathological
-    mega-clusters the same way the LSH lanes do (training/dedup.py
-    _bucket_cap)."""
+    """SemDeDup's candidate + verify stage exposed as a pair relation
+    (r11, for the recall harness): the above-threshold within-cluster
+    cosine pairs ``(id1, id2, cosine)`` with ``id1 < id2`` — the same
+    pair contract as the MinHash/SimHash text lanes, so
+    ``dedup_pair_recall`` can score cluster-partitioned candidate
+    generation against brute-force cosine truth. Plan notes on
+    :func:`semdedup`."""
     from openeo_processes_dask_spark.training.clustering import (
         kmeans_assign,
         kmeans_fit,
@@ -754,9 +744,48 @@ def semdedup(
         lambda acc, x: acc + x,
     )
     cos = F.try_divide(dot, _norm(F.col("v1")) * _norm(F.col("v2")))
-    pairs = cands.select(
+    return cands.select(
         "id1", "id2", F.round(cos, 6).alias("cosine")
     ).where(F.col("cosine") >= threshold)
+
+
+def semdedup(
+    df: DataFrame,
+    k: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    iterations: int = 3,
+    max_cluster_pairs_per_vector: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over an embedding column — k-means partitions the
+    space, exact cosine runs ONLY within each cluster
+    (:func:`semdedup_pairs`), and connected components over the
+    above-threshold pairs pick one canonical (minimum-id)
+    representative per semantic duplicate group.
+
+    Returns (id, keep): ``keep`` is false for members that a more-
+    canonical near-semantic-twin shadows. Vectors whose cluster contains
+    no near twin keep themselves.
+
+    Plan at 100 TB: k-means is the engine's deterministic integer-exact
+    Lloyd (centroid-sized driver traffic); the within-cluster self-join
+    is an equi-join on the cluster id, so pair count is
+    sum(|cluster|²)/2, never N² — pick k ≈ N/1000 to bound cluster
+    sizes, and ``max_cluster_pairs_per_vector`` star-caps pathological
+    mega-clusters the same way the LSH lanes do (training/dedup.py
+    _bucket_cap)."""
+    from openeo_processes_dask_spark.training.dedup import (
+        connected_components,
+    )
+
+    pairs = semdedup_pairs(
+        df, k=k, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        seed=seed, iterations=iterations,
+        max_cluster_pairs_per_vector=max_cluster_pairs_per_vector,
+    )
     comp = connected_components(pairs)
     return (
         df.select(F.col(id_col).alias("id"))
@@ -767,6 +796,42 @@ def semdedup(
                 "keep"
             ),
         )
+    )
+
+
+def cosine_pairs_bruteforce(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """HARNESS-ONLY exact truth set: ALL id1 < id2 pairs with cosine >=
+    threshold, computed by definition (a triangular self-join that Spark
+    compiles to a BroadcastNestedLoopJoin — O(N²) on purpose). This is
+    the ground-truth branch recall harnesses score approximate lanes
+    against; only ever run it on a CAPPED sample (the callers bound N in
+    the hundreds). The scale paths are :func:`pairwise_cosine_above`
+    (banded LSH) and :func:`semdedup_pairs` (cluster-partitioned)."""
+    a = df.select(
+        F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")
+    )
+    b = df.select(
+        F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("v1").cast("array<double>"),
+            F.col("v2").cast("array<double>"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.try_divide(dot, _norm(F.col("v1")) * _norm(F.col("v2")))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
     )
 
 

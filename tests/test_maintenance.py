@@ -409,3 +409,77 @@ def test_range_bounds_drive_a_pruned_layout(spark, tmp_path):
     assert n_b0 == df.where(F.col("v") <= target).count()
     # all rows land in some bucket and none are lost
     assert back.count() == 1000
+
+
+def test_cosine_pairs_bruteforce_exact(spark):
+    from openeo_processes_dask_spark.training.similarity import (
+        cosine_pairs_bruteforce,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]), (2, [1.0, 0.0]),      # identical: cos 1
+        (3, [0.0, 1.0]),                       # orthogonal to 1/2
+        (4, [1.0, 1.0]),                       # cos ~0.7071 to all
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {
+        (r["id1"], r["id2"]): r["cosine"]
+        for r in cosine_pairs_bruteforce(df, threshold=0.7).collect()
+    }
+    assert set(got) == {(1, 2), (1, 4), (2, 4), (3, 4)}
+    assert got[(1, 2)] == 1.0
+
+
+def test_semdedup_pairs_identical_vectors_recall_one(spark):
+    """Identical vectors always share a cluster (distance 0 to the same
+    centroid), so semdedup_pairs finds every exact-duplicate pair that
+    brute force does — recall 1 on the pure-duplicate workload."""
+    from openeo_processes_dask_spark.training.dedup import dedup_pair_recall
+    from openeo_processes_dask_spark.training.similarity import (
+        cosine_pairs_bruteforce,
+        semdedup_pairs,
+    )
+
+    base = [[float(i == j) for j in range(8)] for i in range(8)]
+    rows = []
+    vid = 0
+    for fam in range(8):
+        for _ in range(3):          # 3 identical members per family
+            rows.append((vid, base[fam]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    exact = cosine_pairs_bruteforce(df, threshold=0.99)
+    approx = semdedup_pairs(df, k=4, threshold=0.99, iterations=2)
+    row = dedup_pair_recall(exact, approx).collect()[0]
+    assert row["true_pairs"] == 8 * 3  # C(3,2)=3 pairs per family
+    assert row["recall"] == 1.0 and row["precision"] == 1.0
+
+
+def test_semdedup_matches_pairs_composition(spark):
+    """The refactored semdedup (keep flags) must equal connected
+    components over semdedup_pairs — the refactor is behavior-neutral."""
+    from openeo_processes_dask_spark.training.dedup import (
+        connected_components,
+    )
+    from openeo_processes_dask_spark.training.similarity import (
+        semdedup,
+        semdedup_pairs,
+    )
+
+    rows = [
+        (i, [float(((i * 13 + j * 7) % 11) - 5) for j in range(6)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    keep = {
+        r["id"]: r["keep"]
+        for r in semdedup(df, k=4, threshold=0.6, iterations=2).collect()
+    }
+    comp = {
+        r["id"]: r["comp"]
+        for r in connected_components(
+            semdedup_pairs(df, k=4, threshold=0.6, iterations=2)
+        ).collect()
+    }
+    expect = {i: (i not in comp or comp[i] == i) for i in range(40)}
+    assert keep == expect

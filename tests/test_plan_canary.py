@@ -127,6 +127,12 @@ ALLOWED_BNLJ: dict[str, str] = {
         "(textanalysis.py:519-521)"
     ),
     "training_pipeline": "composes the audited helpers above",
+    "semantic_dedup_recall": (
+        "brute-force truth branch of the recall HARNESS: triangular "
+        "self-join of the vec_id<400 capped sample (literal cap in the "
+        "gate) + broadcast(1-row pair counts) (dedup.py:1620); the "
+        "measured lane (semdedup_pairs) stays an equi-join on cluster"
+    ),
 }
 
 
