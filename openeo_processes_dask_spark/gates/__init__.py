@@ -157,16 +157,50 @@ _WINDOW_R10 = (
 assert len(_WINDOW_R10) == 50, len(_WINDOW_R10)
 assert len(set(_WINDOW_R10)) == 50, "duplicate gate in window"
 
-_PRIORITY = (
-    _WINDOW_R10
-    # r11 candidates: next-stalest first — the r5 stratum tail, then
-    # everything newer in freshness order
+# Gates NEW in r11 or whose implementation changed in r11, riding the
+# window so the driver verifies the new code paths: the quantile
+# sketch pair + the SemDeDup recall harness (new); url_canonical
+# (userinfo/IPv6 parsing), the asof_join family (NULL-on guard, empty
+# payload, dtype check in operators/interval.py; NULL-time guard in
+# streaming/events.py), semdedup (pair-stage refactor), and the
+# resample family (functions/asof.py percentile bucket range +
+# broadcast cutoff).
+_CHANGED_R11 = [
+    "quantile_sketch", "quantile_sketch_merged", "semantic_dedup_recall",
+    "url_canonical", "asof_join_events", "asof_join_nearest",
+    "streaming_asof", "semdedup", "resample_asof", "resample_asof_window",
+    "resample_cube_spatial_near", "resample_cube_spatial_coarse",
+    "load_stac_resampled",
+]
+
+# Round-11 window (VERDICT r10 #3): flagship + the r11-changed gates +
+# the WHOLE remaining r5 stratum tail (_R5_GREEN[22:], 26 gates — after
+# r11 no gate's freshest driver check is r5) + the two gates whose
+# last driver check genuinely predates r5 (_R4_GREEN[:2] — never in
+# the r9 window, which took [2:40], nor the r10 window, which took
+# [40:]) + the head of the r9-verified stratum to exactly 50.
+_WINDOW_R11 = (
+    ["flagship_daily_mean"]
+    + _CHANGED_R11
     + _R5_GREEN[_R5_HEAD_SLOTS:]
-    + _R4_GREEN[:40]
+    + _R4_GREEN[:2]
+    + _R4_GREEN[2:2 + (50 - 1 - len(_CHANGED_R11)
+                       - len(_R5_GREEN[_R5_HEAD_SLOTS:]) - 2)]
+)
+assert len(_WINDOW_R11) == 50, len(_WINDOW_R11)
+assert len(set(_WINDOW_R11)) == 50, "duplicate gate in window"
+
+_PRIORITY = (
+    _WINDOW_R11
+    # r12 candidates: next-stalest first — the rest of the r9-verified
+    # stratum, then everything newer in freshness order
+    + _R4_GREEN[2:40]
     + _NEVER_CHECKED          # driver-verified r8
     + _R6_GREEN
     + _R3_NOW_R6
     + _NEW_R9                 # driver-verified r9
+    + _R4_GREEN[40:]          # driver-verified r10
+    + _CHANGED_R10            # driver-verified r10
 )
 
 
