@@ -762,12 +762,57 @@ def q_streaming_count_min(spark, sf_dir):
     return spark.table(name)
 
 
+def q_streaming_quantile_sketch(spark, sf_dir):
+    """Streaming quantile sketch (training/sketches.py
+    stream_quantile_sketch, NEW r11): the hash-threshold survivor
+    predicate is a pure per-row filter, so the streaming sketch is
+    STATELESS — append mode, no watermark, zero aggregation state;
+    each micro-batch appends its survivors and the drained table
+    equals the batch filter over the same rows (same md5 hashes, same
+    level rule). Oracle replays hash/level/filter in SQL."""
+    _setup(spark)
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.training.sketches import (
+        stream_quantile_sketch,
+    )
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream1_{os.path.basename(sf_dir)}"
+    )
+    if not os.path.isdir(stream_dir):
+        _table(spark, sf_dir, "events").orderBy("ts").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stream_dir)
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    ).parquet(stream_dir)
+    out = stream_quantile_sketch(stream, "value", "event_id", level=3)
+    name = f"q_sqsk_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.round("__v__", 6).alias("v"),
+        F.col("__h__").alias("h"),
+        F.col("__lvl__").alias("lvl"),
+    )
+
+
 QUERIES = {
     "streaming_attribution": q_streaming_attribution,
     "streaming_anomaly": q_streaming_anomaly,
     "streaming_ema": q_streaming_ema,
     "streaming_funnel": q_streaming_funnel,
     "streaming_count_min": q_streaming_count_min,
+    "streaming_quantile_sketch": q_streaming_quantile_sketch,
     "streaming_daily_sum": q_streaming_daily_sum,
     "streaming_dedup": q_streaming_dedup,
     "streaming_sliding_sum": q_streaming_sliding_sum,
@@ -783,6 +828,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_quantile_sketch": """
+            WITH base AS (
+              SELECT CAST(value AS DOUBLE) AS v,
+                     CAST('0x' || substr(md5('qsk-' || event_id), 1, 15)
+                          AS BIGINT) AS h
+              FROM events WHERE value IS NOT NULL),
+            lv AS (
+              SELECT v, h,
+                     CASE WHEN h <= 0 THEN 60
+                          ELSE 60 - length(printf('%b', h)) END AS lvl
+              FROM base)
+            SELECT round(v, 6) AS v, h, CAST(lvl AS INT) AS lvl
+            FROM lv WHERE lvl >= 3
+        """,
     "streaming_count_min": """
             SELECT r.r AS row,
                    CAST(CAST('0x' || substr(md5(r.r || '-' || event_type),

@@ -459,3 +459,37 @@ def quantile_sketch_estimates(
         F.col("level").cast("long").alias("level"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+def stream_quantile_sketch(
+    stream: DataFrame, value_col: str, uid_col: str, level: int
+) -> DataFrame:
+    """Streaming twin of :func:`quantile_sketch` at a FIXED compaction
+    level — and the payoff of the hash-threshold design: the survivor
+    predicate is a pure per-row filter, so the streaming sketch is
+    completely STATELESS (append mode, no watermark, no aggregation
+    state). Each micro-batch appends its survivors; the drained table
+    at any point IS the batch sketch of the rows seen so far at that
+    level (same rows, same hashes).
+
+    Pick ``level ≈ log2(expected_n / k)`` from a volume hint. If the
+    stream outgrows it, re-leveling is a BATCH re-filter of the small
+    survivor table: survivors at level l+1 are a subset of survivors at
+    level l (one more hash bit tested), so nothing is lost by starting
+    too low — the table is just bigger until compacted. Estimates come
+    from :func:`quantile_sketch_estimates` over the drained table after
+    stamping the metadata columns (``__level__``, ``__n__`` from the
+    ingest counter)."""
+    if not 0 <= int(level) <= _QSK_BITS:
+        raise ValueError(
+            f"stream_quantile_sketch: level must be in [0, {_QSK_BITS}]"
+        )
+    base = (
+        stream.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(value_col).cast("double").alias("__v__"),
+            _qsk_hash(F.col(uid_col)).alias("__h__"),
+        )
+        .withColumn("__lvl__", _qsk_level(F.col("__h__")))
+    )
+    return base.where(F.col("__lvl__") >= int(level))

@@ -321,3 +321,59 @@ def test_quantile_sketch_nulls_and_empty(spark):
     empty = quantile_sketch(df.where(F.lit(False)), "v", "uid", k=16)
     rows = quantile_sketch_estimates(empty, qs=(0.5,)).collect()
     assert rows[0]["est"] is None and rows[0]["n"] == 0
+
+
+def test_stream_quantile_sketch_equals_batch_filter(spark, tmp_path):
+    """The stateless streaming sketch drained over a file stream must
+    equal the batch hash-threshold filter on the same rows; and
+    survivors at level l+1 are a subset of level l (the re-leveling
+    contract)."""
+    from openeo_processes_dask_spark.training.sketches import (
+        _qsk_hash,
+        _qsk_level,
+        stream_quantile_sketch,
+    )
+
+    rows = [(i, float(i % 97)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "uid bigint, v double")
+    path = str(tmp_path / "qsk_stream")
+    df.coalesce(2).write.parquet(path)
+    stream = spark.readStream.schema("uid bigint, v double").parquet(path)
+    out = stream_quantile_sketch(stream, "v", "uid", level=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_sqsk")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["__v__"], r["__h__"]) for r in spark.table("t_sqsk").collect()
+    }
+    batch = df.select(
+        F.col("v").alias("__v__"), _qsk_hash(F.col("uid")).alias("__h__")
+    ).withColumn("__lvl__", _qsk_level(F.col("__h__")))
+    exp2 = {
+        (r["__v__"], r["__h__"])
+        for r in batch.where(F.col("__lvl__") >= 2).collect()
+    }
+    exp3 = {
+        (r["__v__"], r["__h__"])
+        for r in batch.where(F.col("__lvl__") >= 3).collect()
+    }
+    assert got == exp2 and exp3 < exp2
+
+
+def test_stream_quantile_sketch_level_bounds(spark):
+    from openeo_processes_dask_spark.training.sketches import (
+        stream_quantile_sketch,
+    )
+
+    df = spark.createDataFrame([(1, 1.0)], "uid bigint, v double")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="level must be"):
+        stream_quantile_sketch(df, "v", "uid", level=-1)
+    with _pytest.raises(ValueError, match="level must be"):
+        stream_quantile_sketch(df, "v", "uid", level=61)
