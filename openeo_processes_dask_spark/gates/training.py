@@ -1606,6 +1606,60 @@ def q_url_canonical(spark, sf_dir):
     return out
 
 
+#: gate-scale public-suffix slice: one- and two-label suffixes,
+#: including multi-label private delegations (github.io) the 7-entry
+#: heuristic cannot express
+_PSL_GATE_SUFFIXES = [
+    "com", "org", "io", "uk",
+    "co.uk", "gov.uk", "ac.uk", "github.io", "com.au",
+]
+
+
+def q_registered_domain_psl(spark, sf_dir):
+    """PSL-driven eTLD+1 (training/urls.py registered_domain_from_list,
+    NEW r11): the longest-matching-suffix algorithm over an explicit
+    suffix DATA list — the deployment lane behind registered_domain's
+    7-entry heuristic (DIVERGENCES.md row). Hosts exercise multi-label
+    suffixes (github.io, gov.uk), the PSL default '*' rule (unknown
+    TLD), host == suffix, userinfo stripping, ports, and case; the
+    oracle replays the longest-first CASE in SQL."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.urls import (
+        registered_domain_from_list,
+    )
+
+    d = _table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    host = (
+        F.when(i % 6 == 0, F.concat(F.lit("Site"), s(i % 20),
+                                    F.lit(".Example.COM")))
+        .when(i % 6 == 1, F.concat(F.lit("a.b.Site"), s(i % 20),
+                                   F.lit(".GitHub.IO")))
+        .when(i % 6 == 2, F.concat(F.lit("www.Site"), s(i % 20),
+                                   F.lit(".CO.UK")))
+        .when(i % 6 == 3, F.concat(F.lit("deep.x.Site"), s(i % 20),
+                                   F.lit(".GOV.UK")))
+        .when(i % 6 == 4, F.concat(F.lit("Site"), s(i % 20),
+                                   F.lit(".unknown.ZZ")))
+        .otherwise(F.lit("co.uk"))
+    )
+    raw = F.concat(
+        F.lit("https://"),
+        F.when(i % 5 == 2, F.lit("bob@")).otherwise(F.lit("")),
+        host,
+        F.when(i % 4 == 1, F.lit(":8443")).otherwise(F.lit("")),
+        F.lit("/p"), s(i % 7),
+    )
+    return d.select(
+        "doc_id",
+        raw.alias("raw_url"),
+        registered_domain_from_list(raw, _PSL_GATE_SUFFIXES).alias(
+            "domain"
+        ),
+    )
+
+
 def q_corpus_overlap(spark, sf_dir):
     """Sketch-based corpus overlap (training/sketches.py corpus_overlap,
     NEW r10): HLL registers per side + entrywise-max union +
@@ -2032,6 +2086,7 @@ QUERIES = {
     "corpus_overlap": q_corpus_overlap,
     "quantile_sketch": q_quantile_sketch,
     "quantile_sketch_merged": q_quantile_sketch_merged,
+    "registered_domain_psl": q_registered_domain_psl,
     "quantized_topk": q_quantized_topk,
     "quality_selection": q_quality_selection,
     "curation_pipeline": q_curation_pipeline,
@@ -3458,6 +3513,53 @@ ORACLES = {
     # the merged gate matches it only because the merge law is exact
     "quantile_sketch": "WITH " + _QSK_ORACLE_CORE,
     "quantile_sketch_merged": "WITH " + _QSK_ORACLE_CORE,
+    "registered_domain_psl": """
+            WITH raw AS (
+              SELECT doc_id,
+                'https://' || (CASE WHEN doc_id % 5 = 2 THEN 'bob@' ELSE '' END)
+                || (CASE doc_id % 6
+                    WHEN 0 THEN 'Site' || (doc_id % 20) || '.Example.COM'
+                    WHEN 1 THEN 'a.b.Site' || (doc_id % 20) || '.GitHub.IO'
+                    WHEN 2 THEN 'www.Site' || (doc_id % 20) || '.CO.UK'
+                    WHEN 3 THEN 'deep.x.Site' || (doc_id % 20) || '.GOV.UK'
+                    WHEN 4 THEN 'Site' || (doc_id % 20) || '.unknown.ZZ'
+                    ELSE 'co.uk' END)
+                || (CASE WHEN doc_id % 4 = 1 THEN ':8443' ELSE '' END)
+                || '/p' || (doc_id % 7) AS raw_url
+              FROM documents),
+            h AS (
+              SELECT doc_id, raw_url,
+                lower(regexp_extract(
+                  regexp_replace(
+                    regexp_extract(
+                      regexp_replace(raw_url,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                      '^([^/?]*)', 1),
+                    '^.*@', '', 'g'),
+                  '^([^:]*)', 1)) AS host
+              FROM raw),
+            p AS (
+              SELECT doc_id, raw_url, host,
+                     str_split(host, '.') AS ls,
+                     len(str_split(host, '.')) AS n
+              FROM h)
+            SELECT doc_id, raw_url,
+              CASE
+                WHEN n > 2 AND array_to_string(ls[-2:], '.') IN
+                  ('ac.uk','co.uk','com.au','github.io','gov.uk')
+                  THEN array_to_string(ls[-3:], '.')
+                WHEN n = 2 AND array_to_string(ls[-2:], '.') IN
+                  ('ac.uk','co.uk','com.au','github.io','gov.uk')
+                  THEN host
+                WHEN n > 1 AND ls[-1] IN ('com','io','org','uk')
+                  THEN array_to_string(ls[-2:], '.')
+                WHEN n = 1 AND ls[-1] IN ('com','io','org','uk')
+                  THEN host
+                WHEN n <= 1 THEN host
+                ELSE array_to_string(ls[-2:], '.')
+              END AS domain
+            FROM p
+        """,
     "url_canonical": """
             WITH raw AS (
               SELECT doc_id,

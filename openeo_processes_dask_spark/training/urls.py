@@ -139,3 +139,63 @@ def registered_domain(url: Column) -> Column:
             F.when(take3, last3).otherwise(last2)
         )
     )
+
+
+def registered_domain_from_list(
+    url: Column, suffixes, max_suffix_labels: int = 4
+) -> Column:
+    """eTLD+1 via an explicit public-suffix DATA list — the
+    deployment-grade lane behind :func:`registered_domain`'s 7-entry
+    heuristic (DIVERGENCES.md row): pass the Public Suffix List
+    (publicsuffix.org) — or any slice of it — and the grouping key
+    follows the PSL algorithm instead of the label-count approximation.
+
+    Algorithm (PSL "prevailing rule is the longest matching rule"):
+    the host's LONGEST trailing label run that appears in ``suffixes``
+    is the public suffix; the registered domain is that suffix plus one
+    preceding label. No match falls back to the PSL default rule ``*``
+    (last label is the suffix — registered domain = last two labels); a
+    host that IS a suffix, a bracketed IPv6 literal, and a 1-label host
+    return themselves.
+
+    The list becomes a LITERAL in-list in the plan (suffix tables are
+    10⁴ entries — codegen-able metadata, no join, no broadcast exchange,
+    no shuffle at any corpus size). Suffixes longer than
+    ``max_suffix_labels`` labels are rejected loudly rather than
+    silently unmatched."""
+    sufs = sorted({s.strip(".").lower() for s in suffixes if s})
+    if not sufs:
+        raise ValueError("registered_domain_from_list: empty suffix list")
+    deepest = max(s.count(".") + 1 for s in sufs)
+    if deepest > max_suffix_labels:
+        raise ValueError(
+            f"registered_domain_from_list: a suffix has {deepest} labels; "
+            f"raise max_suffix_labels (={max_suffix_labels}) to allow it"
+        )
+    rest = F.regexp_replace(
+        F.regexp_replace(url, "#.*$", ""),
+        r"^[A-Za-z][A-Za-z0-9+.-]*://",
+        "",
+    )
+    host, _ = _host_port(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+
+    def last(d: int) -> Column:
+        return F.concat_ws(
+            ".", *[F.element_at(labels, -i) for i in range(d, 0, -1)]
+        )
+
+    expr = F.when(host.startswith("["), host)
+    for d in range(min(max_suffix_labels, deepest), 0, -1):
+        by_len = [s for s in sufs if s.count(".") + 1 == d]
+        if not by_len:
+            continue
+        hit = last(d).isin(*by_len)
+        # longest match first: d+1 labels when available, else the
+        # host IS the suffix and groups as itself
+        expr = expr.when((n > d) & hit, last(d + 1)).when(
+            (n == d) & hit, host
+        )
+    # PSL default rule '*': last label is the suffix
+    return expr.when(n <= 1, host).otherwise(last(2))

@@ -157,3 +157,53 @@ def test_registered_domain_userinfo_ipv6(spark, url, dom):
     df = spark.createDataFrame([(url,)], "u string")
     got = df.select(registered_domain(F.col("u")).alias("d")).collect()[0]["d"]
     assert got == dom
+
+
+PSL_SUFFIXES = ["com", "org", "io", "uk", "co.uk", "gov.uk", "github.io"]
+
+
+@pytest.mark.parametrize(
+    "url,dom",
+    [
+        # longest-match beats shorter: 'github.io' over 'io'
+        ("https://a.b.Site.GitHub.IO/x", "site.github.io"),
+        ("https://pages.github.io/", "pages.github.io"),
+        # host IS a suffix: groups as itself
+        ("https://github.io/", "github.io"),
+        ("https://co.uk/", "co.uk"),
+        # two-label delegation; www is a real label under PSL semantics
+        ("https://www.example.co.uk/x", "example.co.uk"),
+        # one-label suffix
+        ("https://deep.sub.example.com/", "example.com"),
+        # PSL default '*' rule: unknown TLD -> last two labels
+        ("https://x.y.unknown.zz/", "unknown.zz"),
+        # 1-label host
+        ("https://localhost/", "localhost"),
+        # userinfo stripped, port ignored
+        ("https://bob@news.gov.uk:8443/x", "news.gov.uk"),
+        ("http://[::1]:8080/x", "[::1]"),
+    ],
+)
+def test_registered_domain_from_list(spark, url, dom):
+    from openeo_processes_dask_spark.training.urls import (
+        registered_domain_from_list,
+    )
+
+    df = spark.createDataFrame([(url,)], "u string")
+    got = df.select(
+        registered_domain_from_list(F.col("u"), PSL_SUFFIXES).alias("d")
+    ).collect()[0]["d"]
+    assert got == dom
+
+
+def test_registered_domain_from_list_validation(spark):
+    from openeo_processes_dask_spark.training.urls import (
+        registered_domain_from_list,
+    )
+
+    with pytest.raises(ValueError, match="empty suffix list"):
+        registered_domain_from_list(F.col("u"), [])
+    with pytest.raises(ValueError, match="labels"):
+        registered_domain_from_list(
+            F.col("u"), ["a.b.c.d.e"], max_suffix_labels=4
+        )
