@@ -1821,6 +1821,30 @@ def q_quantile_sketch_merged(spark, sf_dir):
     return quantile_sketch_estimates(merged)
 
 
+def q_quantile_sketch_grouped(spark, sf_dir):
+    """Per-group quantile sketch (training/sketches.py
+    quantile_sketch_grouped, NEW r11): the same hash-threshold law with
+    a FULLY RELATIONAL per-group level choice — a (group, level) count
+    aggregate + a per-group window over ≤61 level rows picks
+    max(level with suffix-count > k) + 1, provably the global sketch's
+    smallest-level rule (unit-tested: per group identical rows to the
+    global sketch on that group's slice). Oracle replays group counts,
+    the window rule, survivor filter, and per-group order statistics."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.sketches import (
+        quantile_sketch_estimates_grouped,
+        quantile_sketch_grouped,
+    )
+
+    li = _table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").alias("v"),
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("uid"),
+    )
+    sk = quantile_sketch_grouped(li, "v", "uid", "g", k=256)
+    return quantile_sketch_estimates_grouped(sk, "g")
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Per-vector absmax int8 quantization (training/similarity.py
     quantize_embeddings): codes, scale, and reconstruction error in one
@@ -2086,6 +2110,7 @@ QUERIES = {
     "corpus_overlap": q_corpus_overlap,
     "quantile_sketch": q_quantile_sketch,
     "quantile_sketch_merged": q_quantile_sketch_merged,
+    "quantile_sketch_grouped": q_quantile_sketch_grouped,
     "registered_domain_psl": q_registered_domain_psl,
     "quantized_topk": q_quantized_topk,
     "quality_selection": q_quality_selection,
@@ -3513,6 +3538,49 @@ ORACLES = {
     # the merged gate matches it only because the merge law is exact
     "quantile_sketch": "WITH " + _QSK_ORACLE_CORE,
     "quantile_sketch_merged": "WITH " + _QSK_ORACLE_CORE,
+    "quantile_sketch_grouped": """
+            WITH base AS (
+              SELECT l_returnflag AS g,
+                     CAST(l_extendedprice AS DOUBLE) AS v,
+                     CAST('0x' || substr(md5(
+                       'qsk-' || l_orderkey || '-' || l_linenumber
+                     ), 1, 15) AS BIGINT) AS h
+              FROM lineitem WHERE l_extendedprice IS NOT NULL),
+            lv AS (
+              SELECT g, v, h,
+                     CASE WHEN h <= 0 THEN 60
+                          ELSE 60 - length(printf('%b', h)) END AS lvl
+              FROM base),
+            cnt AS (SELECT g, lvl, count(*) AS c FROM lv GROUP BY g, lvl),
+            suf AS (
+              SELECT g, lvl,
+                     sum(c) OVER (PARTITION BY g ORDER BY lvl DESC
+                                  ROWS UNBOUNDED PRECEDING) AS sufc
+              FROM cnt),
+            lstar AS (
+              SELECT g,
+                     least(coalesce(max(CASE WHEN sufc > 256
+                                        THEN lvl + 1 END), 0), 60)
+                       AS level,
+                     CAST(max(sufc) AS BIGINT) AS n
+              FROM suf GROUP BY g),
+            surv AS (
+              SELECT lv.g, v, h, level, n
+              FROM lv JOIN lstar ON lv.g = lstar.g
+              WHERE lv.lvl >= lstar.level),
+            ranked AS (
+              SELECT g, v, h, level, n,
+                     row_number() OVER (PARTITION BY g ORDER BY v, h)
+                       - 1 AS r,
+                     count(*) OVER (PARTITION BY g) AS m
+              FROM surv),
+            qs AS (
+              SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q)
+            SELECT rk.g, round(qs.q, 6) AS q, round(rk.v, 6) AS est,
+                   rk.m AS m_rows, rk.level AS level, rk.n AS n
+            FROM qs, ranked rk
+            WHERE rk.r = CAST(floor(qs.q * (rk.m - 1)) AS BIGINT)
+        """,
     "registered_domain_psl": """
             WITH raw AS (
               SELECT doc_id,

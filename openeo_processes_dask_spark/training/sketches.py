@@ -493,3 +493,100 @@ def stream_quantile_sketch(
         .withColumn("__lvl__", _qsk_level(F.col("__h__")))
     )
     return base.where(F.col("__lvl__") >= int(level))
+
+
+def quantile_sketch_grouped(
+    df: DataFrame, value_col: str, uid_col: str, group_cols, k: int = 256
+) -> DataFrame:
+    """Per-GROUP quantile sketch — the distribution telemetry a corpus
+    pipeline wants per domain/source/language. Same hash-threshold law
+    as :func:`quantile_sketch`, but the level choice is FULLY
+    RELATIONAL, so nothing driver-side scales with group count:
+
+    1. one scan tags (group, value, hash, level);
+    2. a (group, level) count aggregate (≤61 rows per group);
+    3. per group, the chosen level = ``max(level where suffix-count >
+       k) + 1`` (else 0), computed with a per-group window over the
+       ≤61-row level relation — provably the same "smallest level with
+       ≤ k survivors" rule the global sketch's driver loop applies,
+       because the suffix count only steps at present levels;
+    4. survivors join back on the group key and filter.
+
+    Per group the result rows obey the same merge law as the global
+    sketch (union survivors, re-pick the level at or above either
+    input's — counts only grow). Returns survivor rows
+    ``(*group_cols, __v__, __h__, __lvl__, __level__, __n__)`` with
+    the metadata now PER GROUP."""
+    if k < 1:
+        raise ValueError(f"quantile_sketch_grouped: k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    base = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            *gcols,
+            F.col(value_col).cast("double").alias("__v__"),
+            _qsk_hash(F.col(uid_col)).alias("__h__"),
+        )
+        .withColumn("__lvl__", _qsk_level(F.col("__h__")))
+    )
+    cnt = base.groupBy(*gcols, "__lvl__").agg(F.count(F.lit(1)).alias("__c__"))
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.col("__lvl__").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    suf = cnt.withColumn("__suf__", F.sum("__c__").over(w))
+    lstar = suf.groupBy(*gcols).agg(
+        F.least(
+            F.coalesce(
+                F.max(
+                    F.when(F.col("__suf__") > k, F.col("__lvl__") + 1)
+                ),
+                F.lit(0),
+            ),
+            F.lit(_QSK_BITS),
+        ).alias("__level__"),
+        # suffix count at the smallest present level IS the group total
+        F.max("__suf__").cast("long").alias("__n__"),
+    )
+    return base.join(lstar, gcols).where(
+        F.col("__lvl__") >= F.col("__level__")
+    )
+
+
+def quantile_sketch_estimates_grouped(
+    sketch: DataFrame,
+    group_cols,
+    qs=(0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Per-group order-statistic estimates from a grouped sketch: one
+    aggregate per group over its ≤ k survivors (sorted array via
+    collect_list on a bounded-per-group relation — no global window).
+    Rows out: ``(*group_cols, q, est, m_rows, level, n)``."""
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    agg = sketch.groupBy(*gcols).agg(
+        F.array_sort(
+            F.collect_list(F.struct("__v__", "__h__"))
+        ).alias("__s__"),
+        F.count(F.lit(1)).alias("m_rows"),
+        F.max("__level__").cast("long").alias("level"),
+        F.max("__n__").cast("long").alias("n"),
+    )
+    q = F.explode(F.array(*[F.lit(float(x)) for x in qs])).alias("q")
+    idx = (
+        F.floor(F.col("q") * (F.col("m_rows") - F.lit(1)).cast("double"))
+        .cast("int") + F.lit(1)
+    )
+    est = F.when(
+        F.col("m_rows") > 0, F.element_at("__s__", idx)["__v__"]
+    )
+    return agg.select(*gcols, q, "__s__", "m_rows", "level", "n").select(
+        *gcols,
+        F.round("q", 6).alias("q"),
+        F.round(est, 6).alias("est"),
+        "m_rows",
+        "level",
+        "n",
+    )

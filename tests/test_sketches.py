@@ -377,3 +377,54 @@ def test_stream_quantile_sketch_level_bounds(spark):
         stream_quantile_sketch(df, "v", "uid", level=-1)
     with _pytest.raises(ValueError, match="level must be"):
         stream_quantile_sketch(df, "v", "uid", level=61)
+
+
+def test_grouped_quantile_sketch_equals_per_group_global(spark):
+    """Per group, the relational level rule must reproduce EXACTLY what
+    the global sketch's driver loop picks on that group's slice — same
+    level, same n, same survivor rows."""
+    from openeo_processes_dask_spark.training.sketches import (
+        quantile_sketch,
+        quantile_sketch_grouped,
+    )
+
+    rows = [
+        (i, f"g{i % 3}", float((i * 37) % 1000)) for i in range(4500)
+    ]
+    df = spark.createDataFrame(rows, "uid int, g string, v double")
+    k = 64
+    grouped = quantile_sketch_grouped(df, "v", "uid", "g", k=k)
+    got = {
+        (r["g"], r["__v__"], r["__h__"], r["__level__"], r["__n__"])
+        for r in grouped.collect()
+    }
+    expect = set()
+    for g in ("g0", "g1", "g2"):
+        sk = quantile_sketch(df.where(F.col("g") == g), "v", "uid", k=k)
+        expect |= {
+            (g, r["__v__"], r["__h__"], r["__level__"], r["__n__"])
+            for r in sk.collect()
+        }
+    assert got == expect
+
+
+def test_grouped_quantile_sketch_small_groups_exact(spark):
+    from openeo_processes_dask_spark.training.sketches import (
+        quantile_sketch_estimates_grouped,
+        quantile_sketch_grouped,
+    )
+
+    rows = [(i, "a" if i < 100 else "b", float(i % 100)) for i in range(200)]
+    df = spark.createDataFrame(rows, "uid int, g string, v double")
+    sk = quantile_sketch_grouped(df, "v", "uid", "g", k=1024)
+    est = {
+        (r["g"], r["q"]): (r["est"], r["m_rows"], r["level"], r["n"])
+        for r in quantile_sketch_estimates_grouped(
+            sk, "g", qs=(0.0, 0.5, 1.0)
+        ).collect()
+    }
+    # n <= k: every row kept (level 0), estimates exact order stats
+    for g in ("a", "b"):
+        assert est[(g, 0.0)] == (0.0, 100, 0, 100)
+        assert est[(g, 0.5)][0] == 49.0
+        assert est[(g, 1.0)][0] == 99.0
