@@ -1771,6 +1771,51 @@ _QSK_ORACLE_CORE = """
 """
 
 
+_QSK_GROUPED_ORACLE = """
+            WITH base AS (
+              SELECT l_returnflag AS g,
+                     CAST(l_extendedprice AS DOUBLE) AS v,
+                     CAST('0x' || substr(md5(
+                       'qsk-' || l_orderkey || '-' || l_linenumber
+                     ), 1, 15) AS BIGINT) AS h
+              FROM lineitem WHERE l_extendedprice IS NOT NULL),
+            lv AS (
+              SELECT g, v, h,
+                     CASE WHEN h <= 0 THEN 60
+                          ELSE 60 - length(printf('%b', h)) END AS lvl
+              FROM base),
+            cnt AS (SELECT g, lvl, count(*) AS c FROM lv GROUP BY g, lvl),
+            suf AS (
+              SELECT g, lvl,
+                     sum(c) OVER (PARTITION BY g ORDER BY lvl DESC
+                                  ROWS UNBOUNDED PRECEDING) AS sufc
+              FROM cnt),
+            lstar AS (
+              SELECT g,
+                     least(coalesce(max(CASE WHEN sufc > 256
+                                        THEN lvl + 1 END), 0), 60)
+                       AS level,
+                     CAST(max(sufc) AS BIGINT) AS n
+              FROM suf GROUP BY g),
+            surv AS (
+              SELECT lv.g, v, h, level, n
+              FROM lv JOIN lstar ON lv.g = lstar.g
+              WHERE lv.lvl >= lstar.level),
+            ranked AS (
+              SELECT g, v, h, level, n,
+                     row_number() OVER (PARTITION BY g ORDER BY v, h)
+                       - 1 AS r,
+                     count(*) OVER (PARTITION BY g) AS m
+              FROM surv),
+            qs AS (
+              SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q)
+            SELECT rk.g, round(qs.q, 6) AS q, round(rk.v, 6) AS est,
+                   rk.m AS m_rows, rk.level AS level, rk.n AS n
+            FROM qs, ranked rk
+            WHERE rk.r = CAST(floor(qs.q * (rk.m - 1)) AS BIGINT)
+        """
+
+
 def q_quantile_sketch(spark, sf_dir):
     """Mergeable quantile sketch (training/sketches.py quantile_sketch,
     NEW r11, VERDICT r10 #6): the distribution member of the sketch
@@ -1843,6 +1888,40 @@ def q_quantile_sketch_grouped(spark, sf_dir):
     )
     sk = quantile_sketch_grouped(li, "v", "uid", "g", k=256)
     return quantile_sketch_estimates_grouped(sk, "g")
+
+
+def q_quantile_sketch_grouped_merged(spark, sf_dir):
+    """The per-group merge law cross-engine (NEW r11): Spark builds TWO
+    per-group half-corpus sketches (split by l_orderkey parity) and
+    merges them with quantile_sketch_merge_grouped — whose level choice
+    is fully relational (union survivors, per-group level floor = max
+    of the input levels, windowed suffix re-pick bounded below by the
+    floor); the oracle builds ONE grouped sketch over the whole table.
+    They can only hash-match because the hash-threshold compaction
+    makes sketch(A ∪ B) == merge(sketch(A), sketch(B)) hold EXACTLY
+    per group."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.sketches import (
+        quantile_sketch_estimates_grouped,
+        quantile_sketch_grouped,
+        quantile_sketch_merge_grouped,
+    )
+
+    li = _table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").alias("v"),
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("uid"),
+        "l_orderkey",
+    )
+    a = li.where(F.col("l_orderkey") % 2 == 0).drop("l_orderkey")
+    b = li.where(F.col("l_orderkey") % 2 == 1).drop("l_orderkey")
+    merged = quantile_sketch_merge_grouped(
+        quantile_sketch_grouped(a, "v", "uid", "g", k=256),
+        quantile_sketch_grouped(b, "v", "uid", "g", k=256),
+        group_cols="g",
+        k=256,
+    )
+    return quantile_sketch_estimates_grouped(merged, "g")
 
 
 def q_quantize_embeddings(spark, sf_dir):
@@ -2111,6 +2190,7 @@ QUERIES = {
     "quantile_sketch": q_quantile_sketch,
     "quantile_sketch_merged": q_quantile_sketch_merged,
     "quantile_sketch_grouped": q_quantile_sketch_grouped,
+    "quantile_sketch_grouped_merged": q_quantile_sketch_grouped_merged,
     "registered_domain_psl": q_registered_domain_psl,
     "quantized_topk": q_quantized_topk,
     "quality_selection": q_quality_selection,
@@ -3538,49 +3618,11 @@ ORACLES = {
     # the merged gate matches it only because the merge law is exact
     "quantile_sketch": "WITH " + _QSK_ORACLE_CORE,
     "quantile_sketch_merged": "WITH " + _QSK_ORACLE_CORE,
-    "quantile_sketch_grouped": """
-            WITH base AS (
-              SELECT l_returnflag AS g,
-                     CAST(l_extendedprice AS DOUBLE) AS v,
-                     CAST('0x' || substr(md5(
-                       'qsk-' || l_orderkey || '-' || l_linenumber
-                     ), 1, 15) AS BIGINT) AS h
-              FROM lineitem WHERE l_extendedprice IS NOT NULL),
-            lv AS (
-              SELECT g, v, h,
-                     CASE WHEN h <= 0 THEN 60
-                          ELSE 60 - length(printf('%b', h)) END AS lvl
-              FROM base),
-            cnt AS (SELECT g, lvl, count(*) AS c FROM lv GROUP BY g, lvl),
-            suf AS (
-              SELECT g, lvl,
-                     sum(c) OVER (PARTITION BY g ORDER BY lvl DESC
-                                  ROWS UNBOUNDED PRECEDING) AS sufc
-              FROM cnt),
-            lstar AS (
-              SELECT g,
-                     least(coalesce(max(CASE WHEN sufc > 256
-                                        THEN lvl + 1 END), 0), 60)
-                       AS level,
-                     CAST(max(sufc) AS BIGINT) AS n
-              FROM suf GROUP BY g),
-            surv AS (
-              SELECT lv.g, v, h, level, n
-              FROM lv JOIN lstar ON lv.g = lstar.g
-              WHERE lv.lvl >= lstar.level),
-            ranked AS (
-              SELECT g, v, h, level, n,
-                     row_number() OVER (PARTITION BY g ORDER BY v, h)
-                       - 1 AS r,
-                     count(*) OVER (PARTITION BY g) AS m
-              FROM surv),
-            qs AS (
-              SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q)
-            SELECT rk.g, round(qs.q, 6) AS q, round(rk.v, 6) AS est,
-                   rk.m AS m_rows, rk.level AS level, rk.n AS n
-            FROM qs, ranked rk
-            WHERE rk.r = CAST(floor(qs.q * (rk.m - 1)) AS BIGINT)
-        """,
+    "quantile_sketch_grouped": _QSK_GROUPED_ORACLE,
+    # the grouped-merged gate shares the grouped oracle: the whole-table
+    # per-group sketch — Spark's two merged halves match it only because
+    # the per-group merge law is exact
+    "quantile_sketch_grouped_merged": _QSK_GROUPED_ORACLE,
     "registered_domain_psl": """
             WITH raw AS (
               SELECT doc_id,

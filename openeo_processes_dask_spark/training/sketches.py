@@ -590,3 +590,71 @@ def quantile_sketch_estimates_grouped(
         "level",
         "n",
     )
+
+
+def quantile_sketch_merge_grouped(
+    *sketches: DataFrame, group_cols, k: int = 256
+) -> DataFrame:
+    """Merge grouped sketches built with the same ``k`` over DISJOINT
+    inputs — the per-group twin of :func:`quantile_sketch_merge`, and
+    like the grouped build it is FULLY RELATIONAL (nothing driver-side
+    scales with group count): union the survivor rows, take each
+    group's level floor (max of the inputs' levels — union counts only
+    grow, so suffix counts at or above the floor are exact), re-pick
+    per group with the same windowed suffix rule bounded below by the
+    floor, re-filter. Per group the result equals building one sketch
+    on the concatenated raw data."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    from pyspark.sql import Window
+
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    meta = u.groupBy(*gcols).agg(
+        F.max("__level__").alias("__floor__"),
+    )
+    # per-(group, source-sketch) n is constant on rows; total n per
+    # group = sum over sketches of that sketch's per-group n
+    n_tot = None
+    for s in sketches:
+        part = s.groupBy(*gcols).agg(F.max("__n__").alias("__np__"))
+        n_tot = part if n_tot is None else n_tot.unionByName(part)
+    n_tot = n_tot.groupBy(*gcols).agg(
+        F.sum("__np__").cast("long").alias("__ntot__")
+    )
+    cnt = u.groupBy(*gcols, "__lvl__").agg(F.count(F.lit(1)).alias("__c__"))
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.col("__lvl__").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    suf = cnt.withColumn("__suf__", F.sum("__c__").over(w))
+    lstar = (
+        suf.groupBy(*gcols)
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(F.col("__suf__") > k, F.col("__lvl__") + 1)
+                ),
+                F.lit(0),
+            ).alias("__lraw__")
+        )
+        .join(meta, gcols)
+        .select(
+            *gcols,
+            F.least(
+                F.greatest(F.col("__lraw__"), F.col("__floor__")),
+                F.lit(_QSK_BITS),
+            ).alias("__newlevel__"),
+        )
+    )
+    return (
+        u.drop("__level__", "__n__")
+        .join(lstar, gcols)
+        .join(n_tot, gcols)
+        .where(F.col("__lvl__") >= F.col("__newlevel__"))
+        .withColumnRenamed("__newlevel__", "__level__")
+        .withColumnRenamed("__ntot__", "__n__")
+    )

@@ -428,3 +428,31 @@ def test_grouped_quantile_sketch_small_groups_exact(spark):
         assert est[(g, 0.0)] == (0.0, 100, 0, 100)
         assert est[(g, 0.5)][0] == 49.0
         assert est[(g, 1.0)][0] == 99.0
+
+
+def test_grouped_quantile_sketch_merge_equals_whole(spark):
+    """Per group, merge(sketch(A), sketch(B)) == sketch(A ∪ B) as row
+    sets — the merge law, relationally, per group."""
+    from openeo_processes_dask_spark.training.sketches import (
+        quantile_sketch_grouped,
+        quantile_sketch_merge_grouped,
+    )
+
+    rows = [(i, f"g{i % 3}", float((i * 41) % 900)) for i in range(4200)]
+    df = spark.createDataFrame(rows, "uid int, g string, v double")
+    k = 64
+    whole = quantile_sketch_grouped(df, "v", "uid", "g", k=k)
+    merged = quantile_sketch_merge_grouped(
+        quantile_sketch_grouped(
+            df.where(F.col("uid") % 2 == 0), "v", "uid", "g", k=k
+        ),
+        quantile_sketch_grouped(
+            df.where(F.col("uid") % 2 == 1), "v", "uid", "g", k=k
+        ),
+        group_cols="g",
+        k=k,
+    )
+    key = lambda r: (r["g"], r["__v__"], r["__h__"], r["__level__"], r["__n__"])  # noqa: E731
+    assert {key(r) for r in whole.collect()} == {
+        key(r) for r in merged.collect()
+    }
