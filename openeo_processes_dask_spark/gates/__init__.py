@@ -167,7 +167,8 @@ assert len(set(_WINDOW_R10)) == 50, "duplicate gate in window"
 # broadcast cutoff).
 _CHANGED_R11 = [
     "quantile_sketch", "quantile_sketch_merged", "quantile_sketch_grouped",
-    "quantile_sketch_grouped_merged", "streaming_quantile_sketch",
+    "quantile_sketch_grouped_merged", "source_token_profile",
+    "streaming_quantile_sketch",
     "semantic_dedup_recall", "registered_domain_psl",
     "url_canonical", "asof_join_events", "asof_join_nearest",
     "streaming_asof", "semdedup", "resample_asof", "resample_asof_window",

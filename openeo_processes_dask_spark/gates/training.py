@@ -1771,14 +1771,12 @@ _QSK_ORACLE_CORE = """
 """
 
 
-_QSK_GROUPED_ORACLE = """
-            WITH base AS (
-              SELECT l_returnflag AS g,
-                     CAST(l_extendedprice AS DOUBLE) AS v,
-                     CAST('0x' || substr(md5(
-                       'qsk-' || l_orderkey || '-' || l_linenumber
-                     ), 1, 15) AS BIGINT) AS h
-              FROM lineitem WHERE l_extendedprice IS NOT NULL),
+def _qsk_grouped_oracle_sql(base_select: str, k: int) -> str:
+    """Grouped hash-threshold sketch oracle, parameterized over the
+    (g, v, h) base relation and ``k`` — the SQL twin of
+    quantile_sketch_grouped + quantile_sketch_estimates_grouped."""
+    return f"""
+            WITH base AS ({base_select}),
             lv AS (
               SELECT g, v, h,
                      CASE WHEN h <= 0 THEN 60
@@ -1792,7 +1790,7 @@ _QSK_GROUPED_ORACLE = """
               FROM cnt),
             lstar AS (
               SELECT g,
-                     least(coalesce(max(CASE WHEN sufc > 256
+                     least(coalesce(max(CASE WHEN sufc > {k}
                                         THEN lvl + 1 END), 0), 60)
                        AS level,
                      CAST(max(sufc) AS BIGINT) AS n
@@ -1814,6 +1812,18 @@ _QSK_GROUPED_ORACLE = """
             FROM qs, ranked rk
             WHERE rk.r = CAST(floor(qs.q * (rk.m - 1)) AS BIGINT)
         """
+
+
+_QSK_GROUPED_ORACLE = _qsk_grouped_oracle_sql(
+    """
+              SELECT l_returnflag AS g,
+                     CAST(l_extendedprice AS DOUBLE) AS v,
+                     CAST('0x' || substr(md5(
+                       'qsk-' || l_orderkey || '-' || l_linenumber
+                     ), 1, 15) AS BIGINT) AS h
+              FROM lineitem WHERE l_extendedprice IS NOT NULL""",
+    256,
+)
 
 
 def q_quantile_sketch(spark, sf_dir):
@@ -1922,6 +1932,34 @@ def q_quantile_sketch_grouped_merged(spark, sf_dir):
         k=256,
     )
     return quantile_sketch_estimates_grouped(merged, "g")
+
+
+def q_source_token_profile(spark, sf_dir):
+    """Per-source token-length distribution (NEW r11) — the corpus
+    telemetry composition the grouped sketch exists for: whitespace
+    token counts (training/textanalysis.py token_count, the same lane
+    the token_count gate pins) fed into quantile_sketch_grouped keyed
+    by the documents table's `source`, with a deliberately small k=8
+    so the compaction path (not the exact small-group path) is what
+    the oracle replays. One scan + a (source, level) aggregate + ≤k
+    survivors per source — per-domain length profiles at 100 TB with
+    nothing driver-side scaling with source count."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.sketches import (
+        quantile_sketch_estimates_grouped,
+        quantile_sketch_grouped,
+    )
+    from openeo_processes_dask_spark.training.textanalysis import (
+        token_count,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select(
+        F.col("source").alias("g"),
+        token_count(F.col("text")).cast("double").alias("v"),
+        F.col("doc_id").alias("uid"),
+    )
+    sk = quantile_sketch_grouped(docs, "v", "uid", "g", k=8)
+    return quantile_sketch_estimates_grouped(sk, "g")
 
 
 def q_quantize_embeddings(spark, sf_dir):
@@ -2191,6 +2229,7 @@ QUERIES = {
     "quantile_sketch_merged": q_quantile_sketch_merged,
     "quantile_sketch_grouped": q_quantile_sketch_grouped,
     "quantile_sketch_grouped_merged": q_quantile_sketch_grouped_merged,
+    "source_token_profile": q_source_token_profile,
     "registered_domain_psl": q_registered_domain_psl,
     "quantized_topk": q_quantized_topk,
     "quality_selection": q_quality_selection,
@@ -3623,6 +3662,19 @@ ORACLES = {
     # per-group sketch — Spark's two merged halves match it only because
     # the per-group merge law is exact
     "quantile_sketch_grouped_merged": _QSK_GROUPED_ORACLE,
+    # token_count lane (the token_count gate's SQL twin) composed with
+    # the grouped sketch oracle at k=8
+    "source_token_profile": _qsk_grouped_oracle_sql(
+        """
+              SELECT source AS g,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+'))
+                          END AS DOUBLE) AS v,
+                     CAST('0x' || substr(md5('qsk-' || doc_id), 1, 15)
+                       AS BIGINT) AS h
+              FROM documents WHERE text IS NOT NULL""",
+        8,
+    ),
     "registered_domain_psl": """
             WITH raw AS (
               SELECT doc_id,

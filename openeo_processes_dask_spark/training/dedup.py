@@ -250,10 +250,13 @@ def jaccard_prefix_pairs(
     Plan: vocabulary df-count (one shuffle over the shingle table), a
     vocabulary-sized window for the global rank (the vocab relation is
     orders of magnitude smaller than the corpus — its sort is not the
-    bottleneck), per-doc row_number to cut prefixes, prefix self-join,
-    then exact verification joining candidates back to the full shingle
-    table (left-semi-shaped count). Text never shuffles — only 8-byte
-    shingle keys and ids.
+    bottleneck), per-doc row_number to cut prefixes, prefix self-join
+    with the length AND positional (PPJoin) filters inline, then exact
+    verification by equi-joining each candidate to the two docs'
+    sorted shingle-key ARRAYS and intersecting in place (codegen
+    array_intersect — no candidates x doc-size row explosion, no
+    re-count aggregate). Text never shuffles — only 8-byte shingle
+    keys, ids, and one array-of-keys row per document.
     """
     sh = (
         _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t__")))
@@ -295,9 +298,23 @@ def _jaccard_prefix_pairs_body(sh: DataFrame, threshold: float) -> DataFrame:
             F.col("rn")
             <= F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
         )
-        .select("id", "shk", "sz")
+        .select("id", "shk", "sz", "rn")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # positional filter (PPJoin, Xiao et al. WWW'08): a shared prefix
+    # token at 1-based ranks (i, j) bounds the overlap by
+    # 1 + min(|A|-i, |B|-j); J >= t forces overlap >= ceil(t/(1+t) *
+    # (|A|+|B|)). Keeping pairs where ANY shared prefix token passes is
+    # recall-safe: for a true pair the FIRST shared token (which the
+    # prefix lemma guarantees lies in both prefixes) always passes,
+    # because every shared token sits at or after it in both documents.
+    ub = F.lit(1) + F.least(
+        F.col("a.sz") - F.col("a.rn"), F.col("b.sz") - F.col("b.rn")
+    )
+    alpha = F.ceil(
+        F.lit(float(threshold) / (1.0 + float(threshold)))
+        * (F.col("a.sz") + F.col("b.sz"))
+    )
     cand = (
         a.join(
             b,
@@ -308,25 +325,40 @@ def _jaccard_prefix_pairs_body(sh: DataFrame, threshold: float) -> DataFrame:
                 F.least(F.col("a.sz"), F.col("b.sz"))
                 >= F.lit(float(threshold))
                 * F.greatest(F.col("a.sz"), F.col("b.sz"))
-            ),
+            )
+            & (ub >= alpha),
         )
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )
-    # exact verification over the full shingle sets of candidates only
-    s1 = sh.select(F.col("id").alias("id1"), "shk")
-    s2 = sh.select(F.col("id").alias("id2"), "shk")
-    inter = (
-        cand.join(s1, "id1")
-        .join(s2, ["id2", "shk"])
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # exact verification: carry each doc's (distinct) shingle-key set
+    # as ONE sorted array per side and intersect in place. The previous
+    # plan exploded every candidate against its full shingle sets —
+    # candidates x avg-doc-size rows through two joins and a re-count
+    # aggregate, the query's dominant stage and its variance source (at
+    # sf0.1: ~27M intermediate rows for ~518k candidates). Same bytes,
+    # ~|doc| x fewer rows: two equi-joins on id and a codegen
+    # array_intersect; no aggregate at all. Per-doc arrays are bounded
+    # by document length (8 bytes per distinct shingle) — the same
+    # bound the old per-row explode already assumed per key.
+    arrs = sh.groupBy("id").agg(
+        F.sort_array(F.collect_list("shk")).alias("arr"),
+        F.count(F.lit(1)).alias("sz"),
     )
-    sz1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
-    sz2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
+    a1 = arrs.select(
+        F.col("id").alias("id1"),
+        F.col("arr").alias("arr1"),
+        F.col("sz").alias("sz1"),
+    )
+    a2 = arrs.select(
+        F.col("id").alias("id2"),
+        F.col("arr").alias("arr2"),
+        F.col("sz").alias("sz2"),
+    )
     out = (
-        inter.join(sz1, "id1")
-        .join(sz2, "id2")
+        cand.join(a1, "id1")
+        .join(a2, "id2")
+        .withColumn("inter", F.size(F.array_intersect("arr1", "arr2")))
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")),
