@@ -97,6 +97,39 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return round(best, 3)
 
+    # Third calibration lane (round 11): disk IO. The ALU and shuffle
+    # probes never touch disk, but this VM's storms have an IO
+    # component they are blind to — a 169 s jaccard_prefix execution
+    # (20x steady-state) was measured while BOTH existing calibrations
+    # read 0.9-1.5, i.e. "quiet". localCheckpoint/persist/shuffle-spill
+    # blocks all ride the local filesystem, so a fixed
+    # write+fsync+read of 64 MiB through /tmp makes that stall class
+    # legible. Engine-independent, min-of-3; quiet reference on this
+    # host: ~0.14 s. Diagnostic only this round — it does NOT gate the
+    # retry protocol below (the shuffle lane keeps that job until a
+    # round of recorded io samples calibrates a threshold).
+    def io_cal() -> float:
+        import tempfile
+
+        buf = b"\x5a" * (8 << 20)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            with tempfile.NamedTemporaryFile(
+                dir="/tmp", delete=False
+            ) as f:
+                for _ in range(8):
+                    f.write(buf)
+                f.flush()
+                os.fsync(f.fileno())
+                path = f.name
+            with open(path, "rb") as f:
+                while f.read(16 << 20):
+                    pass
+            os.unlink(path)
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
     # ---- contention-gated headline loop (VERDICT r10 #1) ----
     # The r9 and r10 official artifacts violated the 2x gate on their
     # face (3.09x / 3.76x) purely because THIS shared VM was contended
@@ -150,12 +183,14 @@ def main() -> None:
             time.sleep(60)
             waits += 1
             cal_start = shuffle_cal()
+        io_start = io_cal()
         t = run_headline()
         cal_end = shuffle_cal()
         attempts.append(
             {
                 "cal_start": cal_start,
                 "cal_end": cal_end,
+                "io_start": io_start,
                 "waits_before_start": waits,
                 "total": round(sum(t.values()), 3),
                 "timings": t,
@@ -223,6 +258,7 @@ def main() -> None:
     # ratios are most needed — so extras/streaming normalize against
     # the quieter of (headline end, post-extras) samples.
     calibration_shuffle_extras = shuffle_cal()
+    calibration_io_extras = io_cal()
 
     total = round(sum(timings.values()), 3)
 
@@ -271,6 +307,8 @@ def main() -> None:
                 "calibration_shuffle_sec": calibration_shuffle,
                 "calibration_shuffle_end_sec": calibration_shuffle_end,
                 "calibration_shuffle_extras_sec": calibration_shuffle_extras,
+                "calibration_io_sec": chosen.get("io_start"),
+                "calibration_io_extras_sec": calibration_io_extras,
                 "noisy_host": noisy_host,
                 "partially_noisy": partially_noisy,
                 "queries_per_shuffle_cal": queries_per_cal,
