@@ -174,6 +174,9 @@ _CHANGED_R11 = [
     "streaming_asof", "semdedup", "resample_asof", "resample_asof_window",
     "resample_cube_spatial_near", "resample_cube_spatial_coarse",
     "load_stac_resampled",
+    # late r11: PPJoin verification rewrite (positional filter +
+    # array_intersect verify in training/dedup.py)
+    "jaccard_prefix",
 ]
 
 # Round-11 window (VERDICT r10 #3): flagship + the r11-changed gates +
