@@ -169,7 +169,8 @@ _CHANGED_R11 = [
     "quantile_sketch", "quantile_sketch_merged", "quantile_sketch_grouped",
     "quantile_sketch_grouped_merged", "source_token_profile",
     "streaming_quantile_sketch",
-    "semantic_dedup_recall", "registered_domain_psl",
+    "semantic_dedup_recall", "semantic_dedup_planted",
+    "registered_domain_psl",
     "url_canonical", "asof_join_events", "asof_join_nearest",
     "streaming_asof", "semdedup", "resample_asof", "resample_asof_window",
     "resample_cube_spatial_near", "resample_cube_spatial_coarse",

@@ -196,7 +196,7 @@ def _ivf_topk_oracle_sql(
 
 def _kmeans_oracle_sql(
     k: int = 8, iterations: int = 2, seed: int = 42, dim: int = 64,
-    src_filter: str = "",
+    src_filter: str = "", src_rel: str | None = None,
 ) -> str:
     """Twin of training.clustering kmeans_fit+assign: same md5-ordered
     init, same micro-unit snapping (integer sums are order-independent,
@@ -204,7 +204,10 @@ def _kmeans_oracle_sql(
     pairs (assign_i, cent_{i+1}); empty clusters coalesce to the previous
     centroid exactly like the engine. ``src_filter`` (an optional WHERE
     clause) restricts the source rows — the recall harness clusters a
-    capped sample."""
+    capped sample. ``src_rel`` replaces the whole source relation (an
+    aliased subquery exposing vec_id + embedding) — the planted-dup
+    harness unions scaled copies in."""
+    src = src_rel if src_rel is not None else f"embeddings {src_filter}"
     sqdist = (
         f"list_sum([(v[i] - cent[i]) * (v[i] - cent[i]) "
         f"for i in generate_series(1, {dim})])"
@@ -214,13 +217,13 @@ def _kmeans_oracle_sql(
           SELECT vec_id,
                  list_transform(embedding,
                                 x -> round(CAST(x AS DOUBLE) * 1000000.0)) AS v
-          FROM embeddings {src_filter})""",
+          FROM {src})""",
         f"""cent0 AS (
           SELECT row_number() OVER (
                    ORDER BY md5('{seed}-' || CAST(vec_id AS VARCHAR))) - 1 AS c,
                  list_transform(embedding,
                                 x -> round(CAST(x AS DOUBLE) * 1000000.0)) AS cent
-          FROM embeddings {src_filter}
+          FROM {src}
           ORDER BY md5('{seed}-' || CAST(vec_id AS VARCHAR))
           LIMIT {k})""",
         f"js AS (SELECT unnest(generate_series(1, {dim})) AS j)",
@@ -1233,15 +1236,19 @@ def _semdedup_oracle_sql(
 
 def _semdedup_recall_oracle_sql(
     k: int = 8, iterations: int = 2, threshold: float = 0.2,
-    dim: int = 64, cap: int = 400,
+    dim: int = 64, cap: int = 400, src_rel: str | None = None,
 ) -> str:
     """Twin of the semantic_dedup_recall gate: brute-force cosine truth
     (all id1 < id2 pairs over the capped sample) vs semdedup's
     within-cluster pair set (the SAME kmeans/prs SQL the proven semdedup
-    oracle uses), scored with dedup_pair_recall's count arithmetic."""
+    oracle uses), scored with dedup_pair_recall's count arithmetic.
+    ``src_rel`` (an aliased subquery exposing vec_id + embedding)
+    replaces the capped embeddings source — the planted-dup positive
+    control unions exact copies in."""
     flt = f"WHERE vec_id < {cap}"
+    src = src_rel if src_rel is not None else f"embeddings {flt}"
     km = _kmeans_oracle_sql(
-        k=k, iterations=iterations, dim=dim, src_filter=flt
+        k=k, iterations=iterations, dim=dim, src_rel=src
     )
     dot = f"list_sum([sa.v[i] * sb.v[i] for i in generate_series(1, {dim})])"
     cos = f"round({dot} / (na.nv * nb.nv), 6)"
@@ -1250,7 +1257,7 @@ def _semdedup_recall_oracle_sql(
         svd AS (
           SELECT vec_id,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          FROM embeddings {flt}),
+          FROM {src}),
         nrm AS (
           SELECT vec_id,
                  sqrt(list_sum(list_transform(v, x -> x * x))) AS nv

@@ -299,6 +299,37 @@ def q_semantic_dedup_recall(spark, sf_dir):
     return dedup_pair_recall(exact, approx)
 
 
+def q_semantic_dedup_planted(spark, sf_dir):
+    """POSITIVE control for the SemDeDup recall harness (NEW r11): the
+    natural fixture has no high-cosine families (zero pairs above 0.5),
+    so semantic_dedup_recall's 0.257 is an honest negative reading but
+    proves nothing about the lane's ability to FIND dups that exist.
+    Here exact copies are planted (vec_id+100000, identical vectors —
+    cosine exactly 1), truth at τ=0.9 is exactly the 300 planted pairs
+    (all natural pairs sit below 0.5), and identical vectors always
+    share a k-means cluster, so the harness must read recall = 1.0 and
+    precision = 1.0 — pinning both controls of the measurement."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import dedup_pair_recall
+    from openeo_processes_dask_spark.training.similarity import (
+        cosine_pairs_bruteforce,
+        semdedup_pairs,
+    )
+
+    emb = (
+        _table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 300)
+        .select("vec_id", "embedding")
+    )
+    copies = emb.select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"), "embedding"
+    )
+    planted = emb.unionByName(copies)
+    exact = cosine_pairs_bruteforce(planted, threshold=0.9)
+    approx = semdedup_pairs(planted, k=8, threshold=0.9, iterations=2)
+    return dedup_pair_recall(exact, approx)
+
+
 def q_minhash_incremental(spark, sf_dir):
     """Cross-snapshot NEAR-dup screen (training/dedup.py
     minhash_incremental): new batch (doc_id%5==0, id+1e6, ' qq7'
@@ -2213,6 +2244,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "semdedup": q_semdedup,
     "semantic_dedup_recall": q_semantic_dedup_recall,
+    "semantic_dedup_planted": q_semantic_dedup_planted,
     "pagerank": q_pagerank,
     "triangle_count": q_triangle_count,
     "harmonic": q_harmonic,
@@ -3427,6 +3459,17 @@ ORACLES = {
         """,
     "semdedup": _semdedup_oracle_sql,
     "semantic_dedup_recall": _semdedup_recall_oracle_sql,
+    # planted positive control: same harness SQL over the capped sample
+    # UNION its exact copies, truth threshold 0.9
+    "semantic_dedup_planted": lambda: _semdedup_recall_oracle_sql(
+        threshold=0.9,
+        src_rel=(
+            "(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300"
+            " UNION ALL"
+            " SELECT vec_id + 100000 AS vec_id, embedding"
+            " FROM embeddings WHERE vec_id < 300) s"
+        ),
+    ),
     "bpe_tokens": _bpe_tokens_oracle_sql,
     "bpe_encode_ids": _bpe_ids_oracle_sql,
     "tokenize_pack": _tokenize_pack_oracle_sql,

@@ -133,6 +133,11 @@ ALLOWED_BNLJ: dict[str, str] = {
         "gate) + broadcast(1-row pair counts) (dedup.py:1620); the "
         "measured lane (semdedup_pairs) stays an equi-join on cluster"
     ),
+    "semantic_dedup_planted": (
+        "same harness truth branch over the vec_id<300 capped sample "
+        "plus its planted copies (600 rows, literal cap in the gate); "
+        "the measured lane stays an equi-join on cluster"
+    ),
 }
 
 
