@@ -241,6 +241,9 @@ def main() -> None:
         "minhash_incremental",
         # r10 additions
         "asof_join_events", "url_canonical",
+        # r11 additions: the mergeable quantile sketch and the grouped
+        # telemetry composition
+        "quantile_sketch", "source_token_profile",
     ):
         fn = qs[name]
         best = float("inf")
