@@ -168,7 +168,7 @@ assert len(set(_WINDOW_R10)) == 50, "duplicate gate in window"
 _CHANGED_R11 = [
     "quantile_sketch", "quantile_sketch_merged", "quantile_sketch_grouped",
     "quantile_sketch_grouped_merged", "source_token_profile",
-    "streaming_quantile_sketch",
+    "distinct_tokens_by_source", "streaming_quantile_sketch",
     "semantic_dedup_recall", "semantic_dedup_planted",
     "registered_domain_psl",
     "url_canonical", "asof_join_events", "asof_join_nearest",

@@ -1767,6 +1767,51 @@ def _corpus_overlap_oracle_sql() -> str:
     """
 
 
+def _hll_grouped_tokens_oracle_sql() -> str:
+    """Twin of the distinct_tokens_by_source gate: per-source HLL
+    registers (same md5 hash / bucket / rho arithmetic as the
+    corpus_overlap oracle, grouped), the per-group integer micro-unit
+    harmonic estimate, and the exact distinct count side-by-side."""
+    m = 1 << 10
+    alpha = 0.7213 / (1 + 1.079 / m)
+    num = float(alpha) * m * m * float(1 << 61)
+    pow61 = 1 << 61
+    return f"""
+        WITH toks AS (
+          SELECT source AS g,
+                 unnest(string_split_regex(trim(text), '\\s+')) AS k
+          FROM documents
+          WHERE text IS NOT NULL AND trim(text) <> ''),
+        h AS (
+          SELECT g,
+                 CAST('0x' || substr(md5('hll-' || k), 1, 15) AS BIGINT)
+                   AS hv
+          FROM toks),
+        reg AS (
+          SELECT g, CAST(hv % {m} AS INT) AS bucket,
+                 max(CAST(CASE WHEN hv // {m} > 0
+                     THEN 50 - floor(log2(CAST(hv // {m} AS DOUBLE)))
+                     ELSE 51 END AS INT)) AS rho
+          FROM h GROUP BY 1, 2),
+        est AS (
+          SELECT g, ({m} - count(*)) AS zeros,
+                 {num:.17e} / CAST(
+                   CAST({m} - count(*) AS HUGEINT) * {pow61}
+                   + coalesce(sum((CAST(1 AS BIGINT) << (61 - rho))), 0)
+                 AS DOUBLE) AS raw
+          FROM reg GROUP BY g),
+        ex AS (
+          SELECT g, CAST(count(DISTINCT k) AS BIGINT) AS exact_distinct
+          FROM toks GROUP BY g)
+        SELECT est.g,
+               CASE WHEN raw <= {2.5 * m} AND zeros > 0
+                    THEN round({float(m)} * ln({float(m)} / zeros), 6)
+                    ELSE round(raw, 6) END AS estimate,
+               ex.exact_distinct
+        FROM est JOIN ex USING (g)
+    """
+
+
 _QSK_ORACLE_CORE = """
             base AS (
               SELECT CAST(l_extendedprice AS DOUBLE) AS v,
@@ -1991,6 +2036,37 @@ def q_source_token_profile(spark, sf_dir):
     )
     sk = quantile_sketch_grouped(docs, "v", "uid", "g", k=8)
     return quantile_sketch_estimates_grouped(sk, "g")
+
+
+def q_distinct_tokens_by_source(spark, sf_dir):
+    """Per-source distinct-token estimate (NEW r11) — the cardinality
+    member of the grouped-sketch family (training/sketches.py
+    hyperloglog_registers_grouped + hyperloglog_estimate_grouped):
+    per-domain vocabulary-size telemetry in one scan + a ≤|groups|×2^p
+    register aggregate + a per-group integer micro-unit harmonic sum.
+    The exact per-group distinct count rides alongside so the artifact
+    shows estimate-vs-truth; the oracle replays hash, registers,
+    estimate arithmetic, AND the exact count."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.sketches import (
+        hyperloglog_estimate_grouped,
+        hyperloglog_registers_grouped,
+    )
+    from openeo_processes_dask_spark.training.textanalysis import tokens
+
+    docs = _table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        F.col("source").alias("g"),
+        F.explode(tokens(F.col("text"))).alias("k"),
+    )
+    regs = hyperloglog_registers_grouped(toks, "k", "g", p=10)
+    est = hyperloglog_estimate_grouped(regs, "g", p=10)
+    exact = toks.groupBy("g").agg(
+        F.countDistinct("k").alias("exact_distinct")
+    )
+    return est.join(exact, "g").select("g", "estimate", "exact_distinct")
 
 
 def q_quantize_embeddings(spark, sf_dir):
@@ -2262,6 +2338,7 @@ QUERIES = {
     "quantile_sketch_grouped": q_quantile_sketch_grouped,
     "quantile_sketch_grouped_merged": q_quantile_sketch_grouped_merged,
     "source_token_profile": q_source_token_profile,
+    "distinct_tokens_by_source": q_distinct_tokens_by_source,
     "registered_domain_psl": q_registered_domain_psl,
     "quantized_topk": q_quantized_topk,
     "quality_selection": q_quality_selection,
@@ -3696,6 +3773,7 @@ ORACLES = {
             ORDER BY qdot DESC, vec_id LIMIT 12
         """,
     "corpus_overlap": _corpus_overlap_oracle_sql(),
+    "distinct_tokens_by_source": _hll_grouped_tokens_oracle_sql,
     # both quantile gates share ONE oracle: the whole-table sketch —
     # the merged gate matches it only because the merge law is exact
     "quantile_sketch": "WITH " + _QSK_ORACLE_CORE,

@@ -207,6 +207,92 @@ def hyperloglog_merge(*registers: DataFrame) -> DataFrame:
     return u.groupBy("bucket").agg(F.max("rho").alias("rho"))
 
 
+def hyperloglog_registers_grouped(
+    df: DataFrame, key_col: str, group_cols, p: int = 10
+) -> DataFrame:
+    """Per-GROUP HLL register table ``(*group_cols, bucket, rho)`` —
+    the cardinality member of the grouped-sketch family (per-domain /
+    per-source distinct counts): same md5-derived hash as
+    :func:`hyperloglog_registers`, grouped max aggregate, ≤ |groups| ×
+    2^p rows. Multiset-pure (duplicate keys land on identical
+    (bucket, rho)), so it is deterministic under any partitioning and
+    per group equals the global register table built on that group's
+    slice; merge across disjoint splits = entrywise max per group."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll-"), F.col(key_col).cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    bits = 60 - p
+    bucket = (h % F.lit(1 << p)).cast("int")
+    rest = F.shiftright(h, p)
+    rho = F.when(
+        rest > 0,
+        F.lit(bits) - F.floor(F.log2(rest.cast("double"))).cast("int"),
+    ).otherwise(F.lit(bits + 1)).cast("int")
+    return (
+        df.select(*gcols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*gcols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hyperloglog_merge_grouped(
+    *registers: DataFrame, group_cols
+) -> DataFrame:
+    """Entrywise max per group of grouped HLL register tables built
+    with the SAME p — per-group distinct counts compose across
+    arbitrary splits of the data (registers are multiset-pure, so
+    merge(g(A), g(B)) == g(A ∪ B) exactly, per group)."""
+    if not registers:
+        raise ValueError("need at least one register table")
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    u = registers[0]
+    for r in registers[1:]:
+        u = u.unionByName(r)
+    return u.groupBy(*gcols, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hyperloglog_estimate_grouped(
+    registers: DataFrame, group_cols, p: int = 10
+) -> DataFrame:
+    """Per-group relational HLL estimate ``(*group_cols, estimate)`` —
+    the grouped twin of :func:`hyperloglog_estimate_relational`, same
+    engine-portable arithmetic: the harmonic sum accumulates in exact
+    integer micro-units (2^(61-rho) per register, 2^61 per absent
+    bucket) inside a DECIMAL per-group aggregate, with ONE final float
+    division; only the linear-counting ``ln`` is a float intrinsic
+    (rounded to 6 decimals like every float lane)."""
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m)
+    )
+    num = float(alpha) * m * m * float(1 << 61)
+    agg = registers.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("__nb__"),
+        F.coalesce(
+            F.sum(F.expr("shiftleft(1L, 61 - rho)").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("__s__"),
+    )
+    zeros = (F.lit(m) - F.col("__nb__")).cast("long")
+    denom = (
+        zeros.cast("decimal(38,0)")
+        * F.lit(1 << 61).cast("decimal(38,0)")
+        + F.col("__s__")
+    ).cast("double")
+    raw = F.lit(num) / denom
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), lc).otherwise(raw)
+    return agg.select(*gcols, F.round(est, 6).alias("estimate"))
+
+
 def hyperloglog_estimate_relational(
     registers: DataFrame, p: int = 10
 ) -> DataFrame:

@@ -456,3 +456,90 @@ def test_grouped_quantile_sketch_merge_equals_whole(spark):
     assert {key(r) for r in whole.collect()} == {
         key(r) for r in merged.collect()
     }
+
+
+def test_hll_grouped_equals_global_per_slice(spark):
+    """Per group, the grouped register table equals the global register
+    table built on that group's slice — and so do the estimates."""
+    from openeo_processes_dask_spark.training.sketches import (
+        hyperloglog_estimate_grouped,
+        hyperloglog_estimate_relational,
+        hyperloglog_registers,
+        hyperloglog_registers_grouped,
+    )
+
+    df = spark.range(6000).selectExpr(
+        "CAST(id % 3 AS STRING) AS g", "CAST(id % 2100 AS STRING) AS k"
+    )
+    grouped = hyperloglog_registers_grouped(df, "k", "g", p=8)
+    for g in ("0", "1", "2"):
+        solo = hyperloglog_registers(df.where(F.col("g") == g), "k", p=8)
+        got = {
+            (r["bucket"], r["rho"])
+            for r in grouped.where(F.col("g") == g).collect()
+        }
+        assert got == {(r["bucket"], r["rho"]) for r in solo.collect()}
+        est_solo = hyperloglog_estimate_relational(solo, p=8).first()[
+            "estimate"
+        ]
+        est_grp = {
+            r["g"]: r["estimate"]
+            for r in hyperloglog_estimate_grouped(grouped, "g", p=8).collect()
+        }
+        assert est_grp[g] == est_solo
+
+
+def test_hll_grouped_merge_law_and_determinism(spark):
+    """merge(regs(A), regs(B)) == regs(A ∪ B) per group, exactly; and
+    the grouped registers are partitioning-invariant."""
+    from openeo_processes_dask_spark.training.sketches import (
+        hyperloglog_merge_grouped,
+        hyperloglog_registers_grouped,
+    )
+
+    df = spark.range(4000).selectExpr(
+        "CAST(id % 4 AS STRING) AS g", "CAST(id % 1500 AS STRING) AS k",
+        "id",
+    )
+    whole = hyperloglog_registers_grouped(df, "k", "g", p=8)
+    merged = hyperloglog_merge_grouped(
+        hyperloglog_registers_grouped(df.where(F.col("id") % 2 == 0), "k", "g", p=8),
+        hyperloglog_registers_grouped(df.where(F.col("id") % 2 == 1), "k", "g", p=8),
+        group_cols="g",
+    )
+    key = lambda r: (r["g"], r["bucket"], r["rho"])  # noqa: E731
+    assert {key(r) for r in whole.collect()} == {
+        key(r) for r in merged.collect()
+    }
+    again = hyperloglog_registers_grouped(df.repartition(19), "k", "g", p=8)
+    assert {key(r) for r in whole.collect()} == {
+        key(r) for r in again.collect()
+    }
+
+
+def test_hll_grouped_estimate_accuracy(spark):
+    """Per-group estimates land within the HLL error envelope of each
+    group's true distinct count."""
+    import pytest as _pytest
+
+    from openeo_processes_dask_spark.training.sketches import (
+        hyperloglog_estimate_grouped,
+        hyperloglog_registers_grouped,
+    )
+
+    # group sizes 3000 / 1500 / 10 — the small group exercises the
+    # per-group linear-counting branch
+    df = spark.range(9010).selectExpr(
+        "CASE WHEN id < 6000 THEN 'a' WHEN id < 9000 THEN 'b' "
+        "ELSE 'c' END AS g",
+        "CAST(CASE WHEN id < 6000 THEN id % 3000 "
+        "WHEN id < 9000 THEN id % 1500 ELSE id END AS STRING) AS k",
+    )
+    regs = hyperloglog_registers_grouped(df, "k", "g", p=10)
+    est = {
+        r["g"]: r["estimate"]
+        for r in hyperloglog_estimate_grouped(regs, "g", p=10).collect()
+    }
+    assert est["a"] == _pytest.approx(3000, rel=0.12)
+    assert est["b"] == _pytest.approx(1500, rel=0.12)
+    assert est["c"] == _pytest.approx(10, abs=2)
