@@ -2038,6 +2038,39 @@ def q_source_token_profile(spark, sf_dir):
     return quantile_sketch_estimates_grouped(sk, "g")
 
 
+def q_count_min_by_source(spark, sf_dir):
+    """Per-source Count-Min word frequencies (NEW r11) — the frequency
+    member of the grouped-sketch family (training/sketches.py
+    count_min_build_grouped + count_min_estimate_grouped): d=4 × w=512
+    cells PER SOURCE from one scan + one hash aggregate, probed for the
+    same 12 words the global count_min_words gate pins; groups come
+    from the sketch, probes cross a bounded (groups × 12 × 4) relation.
+    Oracle replays per-group cells, probe buckets, and the min."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.sketches import (
+        count_min_build_grouped,
+        count_min_estimate_grouped,
+    )
+    from openeo_processes_dask_spark.training.textanalysis import tokens
+
+    docs = _table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.col("source").alias("g"),
+        F.explode(tokens(F.lower(F.col("text")))).alias("word"),
+    ).where(F.col("word") != "")
+    sk = count_min_build_grouped(words, "word", "g", depth=4, width=512)
+    probes = spark.createDataFrame(
+        [(w,) for w in [
+            "spark", "join", "filter", "hash", "window", "table", "the",
+            "value", "row", "scan", "zzz_absent", "merge",
+        ]],
+        ["word"],
+    )
+    return count_min_estimate_grouped(
+        sk, probes, "g", key_col="word", depth=4, width=512
+    )
+
+
 def q_distinct_tokens_by_source(spark, sf_dir):
     """Per-source distinct-token estimate (NEW r11) — the cardinality
     member of the grouped-sketch family (training/sketches.py
@@ -2339,6 +2372,7 @@ QUERIES = {
     "quantile_sketch_grouped_merged": q_quantile_sketch_grouped_merged,
     "source_token_profile": q_source_token_profile,
     "distinct_tokens_by_source": q_distinct_tokens_by_source,
+    "count_min_by_source": q_count_min_by_source,
     "registered_domain_psl": q_registered_domain_psl,
     "quantized_topk": q_quantized_topk,
     "quality_selection": q_quality_selection,
@@ -3774,6 +3808,36 @@ ORACLES = {
         """,
     "corpus_overlap": _corpus_overlap_oracle_sql(),
     "distinct_tokens_by_source": _hll_grouped_tokens_oracle_sql,
+    "count_min_by_source": """
+            WITH words AS (
+              SELECT source AS g,
+                     unnest(CASE WHEN trim(text) = '' THEN []
+                            ELSE string_split_regex(lower(trim(text)), '\\s+')
+                            END) AS word
+              FROM documents),
+            w2 AS (SELECT g, word FROM words WHERE word != ''),
+            cells AS (
+              SELECT g, r.r AS row,
+                     CAST(CAST('0x' || substr(md5(r.r || '-' || word), 1, 15)
+                               AS BIGINT) % 512 AS INT) AS bucket,
+                     count(*) AS cnt
+              FROM w2, (SELECT unnest([0, 1, 2, 3]) AS r) r
+              GROUP BY 1, 2, 3),
+            gs AS (SELECT DISTINCT g FROM cells),
+            probes AS (SELECT unnest(['spark','join','filter','hash',
+                       'window','table','the','value','row','scan',
+                       'zzz_absent','merge']) AS key),
+            pb AS (
+              SELECT key, r.r AS row,
+                     CAST(CAST('0x' || substr(md5(r.r || '-' || key), 1, 15)
+                               AS BIGINT) % 512 AS INT) AS bucket
+              FROM probes, (SELECT unnest([0, 1, 2, 3]) AS r) r),
+            pbg AS (SELECT g, key, row, bucket FROM gs, pb)
+            SELECT g, key,
+                   CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+            FROM pbg LEFT JOIN cells USING (g, row, bucket)
+            GROUP BY g, key
+        """,
     # both quantile gates share ONE oracle: the whole-table sketch —
     # the merged gate matches it only because the merge law is exact
     "quantile_sketch": "WITH " + _QSK_ORACLE_CORE,

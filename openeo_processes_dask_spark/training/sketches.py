@@ -97,6 +97,104 @@ def count_min_estimate(
     )
 
 
+def count_min_build_grouped(
+    df: DataFrame,
+    key_col: str,
+    group_cols,
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-GROUP Count-Min table ``(*group_cols, row, bucket, cnt)`` —
+    the frequency member of the grouped-sketch family (per-domain /
+    per-source term-frequency telemetry): same md5-derived buckets as
+    :func:`count_min_build`, one scan + one hash aggregate over
+    ≤ |groups| × depth × width cells. Sums are multiset-pure, so the
+    grouped table equals the global table built on each group's slice
+    and merges across disjoint splits by entrywise addition per
+    group."""
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    key = F.col(key_col).cast("string")
+    rows = df.select(
+        *gcols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _bucket(key, r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+        w.alias("w"),
+    )
+    return (
+        rows.select(*gcols, "rb.row", "rb.bucket", "w")
+        .groupBy(*gcols, "row", "bucket")
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def count_min_merge_grouped(*sketches: DataFrame, group_cols) -> DataFrame:
+    """Entrywise per-group sum of grouped Count-Min tables built with
+    the SAME (depth, width) over DISJOINT inputs — per-group counts
+    compose exactly (sums commute)."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy(*gcols, "row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def count_min_estimate_grouped(
+    sketch: DataFrame,
+    probes: DataFrame,
+    group_cols,
+    key_col: str = "key",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """``(*group_cols, key, est)`` for every (group, probe-key) pair:
+    min over the ``depth`` bucket counters of that group's table, 0
+    for groups that never saw the key's buckets. The group universe
+    comes from the sketch itself; groups × probes × depth is a
+    BOUNDED tiny relation (probe lists are human-sized), so the
+    cross join is metadata-scale by contract — the corpus itself is
+    never crossed."""
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    key = F.col(key_col).cast("string")
+    pb = probes.select(
+        key.alias("key"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _bucket(key, r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select("key", "rb.row", "rb.bucket")
+    groups = sketch.select(*gcols).distinct()
+    pbg = groups.crossJoin(F.broadcast(pb))
+    return (
+        pbg.join(sketch, [*gcols, "row", "bucket"], "left")
+        .groupBy(*gcols, "key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
 def hyperloglog_registers(
     df: DataFrame, key_col: str, p: int = 10
 ) -> DataFrame:

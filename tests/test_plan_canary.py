@@ -138,6 +138,12 @@ ALLOWED_BNLJ: dict[str, str] = {
         "plus its planted copies (600 rows, literal cap in the gate); "
         "the measured lane stays an equi-join on cluster"
     ),
+    "count_min_by_source": (
+        "broadcast cross of the sketch's DISTINCT group keys with the "
+        "12-probe x depth bucket list (sketches.py "
+        "count_min_estimate_grouped) — groups x 48 metadata rows by "
+        "contract; the corpus itself is never crossed"
+    ),
 }
 
 

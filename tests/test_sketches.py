@@ -543,3 +543,70 @@ def test_hll_grouped_estimate_accuracy(spark):
     assert est["a"] == _pytest.approx(3000, rel=0.12)
     assert est["b"] == _pytest.approx(1500, rel=0.12)
     assert est["c"] == _pytest.approx(10, abs=2)
+
+
+def test_count_min_grouped_equals_global_per_slice(spark):
+    """Per group, the grouped CM table equals the global CM table built
+    on that group's slice; estimates never underestimate."""
+    from openeo_processes_dask_spark.training.sketches import (
+        count_min_build,
+        count_min_build_grouped,
+        count_min_estimate_grouped,
+    )
+
+    df = spark.range(3000).selectExpr(
+        "CAST(id % 2 AS STRING) AS g", "CAST(id % 37 AS STRING) AS k"
+    )
+    grouped = count_min_build_grouped(df, "k", "g", depth=3, width=32)
+    for g in ("0", "1"):
+        solo = count_min_build(
+            df.where(F.col("g") == g), "k", depth=3, width=32
+        )
+        got = {
+            (r["row"], r["bucket"], r["cnt"])
+            for r in grouped.where(F.col("g") == g).collect()
+        }
+        assert got == {
+            (r["row"], r["bucket"], r["cnt"]) for r in solo.collect()
+        }
+    probes = spark.createDataFrame([("5",), ("absent",)], ["k"])
+    est = {
+        (r["g"], r["key"]): r["est"]
+        for r in count_min_estimate_grouped(
+            grouped, probes, "g", key_col="k", depth=3, width=32
+        ).collect()
+    }
+    # true per-group count of key "5": ids with id%37==5 and id%2==g
+    for g in ("0", "1"):
+        true = df.where(
+            (F.col("k") == "5") & (F.col("g") == g)
+        ).count()
+        assert est[(g, "5")] >= true  # CM never underestimates
+    assert est[("0", "absent")] >= 0 and est[("1", "absent")] >= 0
+
+
+def test_count_min_grouped_merge_law(spark):
+    """merge(cm(A), cm(B)) == cm(A ∪ B) per group, exactly."""
+    from openeo_processes_dask_spark.training.sketches import (
+        count_min_build_grouped,
+        count_min_merge_grouped,
+    )
+
+    df = spark.range(2000).selectExpr(
+        "CAST(id % 3 AS STRING) AS g", "CAST(id % 53 AS STRING) AS k",
+        "id",
+    )
+    whole = count_min_build_grouped(df, "k", "g", depth=3, width=32)
+    merged = count_min_merge_grouped(
+        count_min_build_grouped(
+            df.where(F.col("id") % 2 == 0), "k", "g", depth=3, width=32
+        ),
+        count_min_build_grouped(
+            df.where(F.col("id") % 2 == 1), "k", "g", depth=3, width=32
+        ),
+        group_cols="g",
+    )
+    key = lambda r: (r["g"], r["row"], r["bucket"], r["cnt"])  # noqa: E731
+    assert {key(r) for r in whole.collect()} == {
+        key(r) for r in merged.collect()
+    }
