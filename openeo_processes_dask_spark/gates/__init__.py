@@ -166,14 +166,14 @@ assert len(set(_WINDOW_R10)) == 50, "duplicate gate in window"
 # resample family (functions/asof.py percentile bucket range +
 # broadcast cutoff).
 _CHANGED_R11 = [
-    "quantile_sketch", "quantile_sketch_merged",
-    # quantile_sketch_grouped itself stays registry+sweep-verified but
-    # yields its window slot: the grouped_merged gate calls the grouped
-    # build twice and the grouped estimates once, so the driver checks a
-    # STRICT superset of its code path
+    # quantile_sketch and quantile_sketch_grouped stay registry+sweep-
+    # verified but yield their window slots: the corresponding _merged
+    # gates call the builds twice and the estimates once, so the driver
+    # checks a STRICT superset of both code paths
+    "quantile_sketch_merged",
     "quantile_sketch_grouped_merged", "source_token_profile",
     "distinct_tokens_by_source", "count_min_by_source",
-    "streaming_quantile_sketch",
+    "streaming_quantile_sketch", "streaming_hll",
     "semantic_dedup_recall", "semantic_dedup_planted",
     "registered_domain_psl",
     "url_canonical", "asof_join_events", "asof_join_nearest",

@@ -762,6 +762,45 @@ def q_streaming_count_min(spark, sf_dir):
     return spark.table(name)
 
 
+def q_streaming_hll(spark, sf_dir):
+    """Streaming HyperLogLog (training/sketches.py stream_hll_registers):
+    the p=10 register table maintained as a running max aggregate over
+    the event stream's user_id — live distinct-user monitoring with
+    <= 2^p-cell lifetime state (what a sketch is; same no-watermark
+    contract as streaming_count_min). Register max commutes, so the
+    drained table equals the batch build — oracle replays the md5
+    bucket/rho bit arithmetic over the same events."""
+    _setup(spark)
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.streaming.events import stream_events
+    from openeo_processes_dask_spark.training.sketches import (
+        stream_hll_registers,
+    )
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream1_{os.path.basename(sf_dir)}"
+    )
+    if not os.path.isdir(stream_dir):
+        _table(spark, sf_dir, "events").orderBy("ts").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stream_dir)
+    stream = stream_events(spark, stream_dir, max_files_per_trigger=None)
+    out = stream_hll_registers(stream, "user_id", p=10)
+    name = f"q_shll_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+
 def q_streaming_quantile_sketch(spark, sf_dir):
     """Streaming quantile sketch (training/sketches.py
     stream_quantile_sketch, NEW r11): the hash-threshold survivor
@@ -812,6 +851,7 @@ QUERIES = {
     "streaming_ema": q_streaming_ema,
     "streaming_funnel": q_streaming_funnel,
     "streaming_count_min": q_streaming_count_min,
+    "streaming_hll": q_streaming_hll,
     "streaming_quantile_sketch": q_streaming_quantile_sketch,
     "streaming_daily_sum": q_streaming_daily_sum,
     "streaming_dedup": q_streaming_dedup,
@@ -841,6 +881,19 @@ ORACLES = {
               FROM base)
             SELECT round(v, 6) AS v, h, CAST(lvl AS INT) AS lvl
             FROM lv WHERE lvl >= 3
+        """,
+    "streaming_hll": """
+            WITH h AS (
+              SELECT CAST('0x' || substr(md5('hll-' || CAST(user_id AS VARCHAR)),
+                          1, 15) AS BIGINT) AS hv
+              FROM events),
+            br AS (
+              SELECT CAST(hv % 1024 AS INT) AS bucket,
+                     CAST(CASE WHEN hv // 1024 > 0
+                          THEN 50 - floor(log2(CAST(hv // 1024 AS DOUBLE)))
+                          ELSE 51 END AS INT) AS rho
+              FROM h)
+            SELECT bucket, max(rho) AS rho FROM br GROUP BY bucket
         """,
     "streaming_count_min": """
             SELECT r.r AS row,

@@ -195,21 +195,20 @@ def count_min_estimate_grouped(
     )
 
 
-def hyperloglog_registers(
-    df: DataFrame, key_col: str, p: int = 10
-) -> DataFrame:
-    """HyperLogLog register table: (bucket, rho) with bucket = low ``p``
-    bits of the md5-derived 60-bit hash and rho = leading-zero count of
-    the remaining bits + 1 (capped by the hash width). One scan + one
-    max aggregate over <= 2^p rows; mergeable by entrywise max.
-
-    The hash is md5-derived — deterministic and engine-portable, so the
-    register TABLE (not just the estimate) is oracle-checkable."""
+def _hll_bucket_rho(key_col: str, p: int) -> tuple[Column, Column]:
+    """Shared HLL hash arithmetic: (bucket, rho) Columns from the
+    md5-derived 60-bit hash — bucket = low ``p`` bits, rho =
+    leading-zero count of the remaining bits + 1. Engine-portable
+    (replayed verbatim by the DuckDB oracles); used identically by the
+    batch, grouped, and streaming register builders so their tables
+    are interchangeable."""
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
     h = F.conv(
-        F.substring(F.md5(F.concat(F.lit("hll-"), F.col(key_col).cast("string"))),
-                    1, 15),
+        F.substring(
+            F.md5(F.concat(F.lit("hll-"), F.col(key_col).cast("string"))),
+            1, 15,
+        ),
         16, 10,
     ).cast("long")  # 60-bit non-negative hash
     bits = 60 - p
@@ -222,8 +221,42 @@ def hyperloglog_registers(
         rest > 0,
         F.lit(bits) - F.floor(F.log2(rest.cast("double"))).cast("int"),
     ).otherwise(F.lit(bits + 1)).cast("int")
+    return bucket, rho
+
+
+def hyperloglog_registers(
+    df: DataFrame, key_col: str, p: int = 10
+) -> DataFrame:
+    """HyperLogLog register table: (bucket, rho) with bucket = low ``p``
+    bits of the md5-derived 60-bit hash and rho = leading-zero count of
+    the remaining bits + 1 (capped by the hash width). One scan + one
+    max aggregate over <= 2^p rows; mergeable by entrywise max.
+
+    The hash is md5-derived — deterministic and engine-portable, so the
+    register TABLE (not just the estimate) is oracle-checkable."""
+    bucket, rho = _hll_bucket_rho(key_col, p)
     return (
         df.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def stream_hll_registers(
+    stream: DataFrame, key_col: str, p: int = 10
+) -> DataFrame:
+    """Streaming HLL: the register table maintained as a running max
+    aggregate (complete mode) — live distinct-count monitoring while
+    ingesting. No watermark: the registers are a LIFETIME summary whose
+    state is ≤ 2^p cells regardless of stream length, so unbounded
+    state is exactly the contract (that's what a sketch is — same
+    argument as :func:`stream_count_min`). Register max commutes, so
+    the drained table equals the batch :func:`hyperloglog_registers`
+    on the same rows — the gate's oracle — and feeds the same
+    :func:`hyperloglog_estimate_relational` / merge lanes."""
+    bucket, rho = _hll_bucket_rho(key_col, p)
+    return (
+        stream.select(bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("bucket")
         .agg(F.max("rho").alias("rho"))
     )
@@ -316,23 +349,8 @@ def hyperloglog_registers_grouped(
     (bucket, rho)), so it is deterministic under any partitioning and
     per group equals the global register table built on that group's
     slice; merge across disjoint splits = entrywise max per group."""
-    if not 4 <= p <= 16:
-        raise ValueError(f"p must be in [4, 16], got {p}")
     gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("hll-"), F.col(key_col).cast("string"))),
-            1, 15,
-        ),
-        16, 10,
-    ).cast("long")
-    bits = 60 - p
-    bucket = (h % F.lit(1 << p)).cast("int")
-    rest = F.shiftright(h, p)
-    rho = F.when(
-        rest > 0,
-        F.lit(bits) - F.floor(F.log2(rest.cast("double"))).cast("int"),
-    ).otherwise(F.lit(bits + 1)).cast("int")
+    bucket, rho = _hll_bucket_rho(key_col, p)
     return (
         df.select(*gcols, bucket.alias("bucket"), rho.alias("rho"))
         .groupBy(*gcols, "bucket")

@@ -610,3 +610,30 @@ def test_count_min_grouped_merge_law(spark):
     assert {key(r) for r in whole.collect()} == {
         key(r) for r in merged.collect()
     }
+
+
+def test_stream_hll_equals_batch(spark, tmp_path):
+    """The drained streaming HLL register table equals the batch build
+    on the same rows (register max commutes)."""
+    from openeo_processes_dask_spark.training.sketches import (
+        stream_hll_registers,
+    )
+
+    d = str(tmp_path / "hll_src")
+    df = spark.range(800).selectExpr("CAST(id % 333 AS STRING) AS k")
+    df.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema("k string").parquet(d)
+    out = stream_hll_registers(stream, "k", p=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("hll_stream").collect()))
+    exp = sorted(
+        map(tuple, hyperloglog_registers(df, "k", p=8).collect())
+    )
+    assert got == exp
