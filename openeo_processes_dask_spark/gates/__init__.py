@@ -177,12 +177,23 @@ _CHANGED_R11 = [
     "semantic_dedup_recall", "semantic_dedup_planted",
     "registered_domain_psl",
     "url_canonical", "asof_join_events", "asof_join_nearest",
-    "streaming_asof", "semdedup", "resample_asof", "resample_asof_window",
-    "resample_cube_spatial_near", "resample_cube_spatial_coarse",
-    "load_stac_resampled",
+    "streaming_asof", "resample_asof", "resample_asof_window",
+    "resample_cube_spatial_near",
     # late r11: PPJoin verification rewrite (positional filter +
     # array_intersect verify in training/dedup.py)
     "jaccard_prefix",
+    # r11-continuation: ranking evaluation (NDCG/MRR/P/R — the eval leg
+    # of the retrieval lane), k-anonymity + l-diversity audit, and the
+    # ROLLUP corpus telemetry. Their three window slots come from
+    # r10-driver-fresh gates whose r11-changed code path stays covered
+    # by a window sibling: semdedup (its pair stage is driven by
+    # semantic_dedup_recall/planted; the refactor is additionally
+    # pinned by the composition unit test), and resample_cube_spatial_
+    # coarse + load_stac_resampled (the functions/asof.py bucket-range/
+    # broadcast change is driven by resample_asof, resample_asof_window,
+    # and resample_cube_spatial_near, which all stay). All three
+    # displaced gates remain registry+sweep-verified.
+    "ranking_metrics", "k_anonymity", "corpus_rollup",
 ]
 
 # Round-11 window (VERDICT r10 #3): flagship + the r11-changed gates +

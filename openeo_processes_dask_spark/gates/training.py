@@ -2285,7 +2285,85 @@ def q_corpus_diff(spark, sf_dir):
     return corpus_diff(old, new)
 
 
+def q_ranking_metrics(spark, sf_dir):
+    """Graded ranking evaluation (training/retrieval.py ranking_metrics,
+    NEW r11-continuation): NDCG@10 / MRR / precision@10 / recall@10 for
+    20 queries over a deterministic synthesized run (top-10 per query by
+    a fixed hash order) and graded qrels (doc_id%3==0 docs, rel =
+    doc_id%4 with rel<=0 ignored). The oracle replays the run/qrels
+    synthesis, the ideal-ordering window, the micro-unit DCG sums, and
+    the integer-div MRR — pinning the metric arithmetic cross-engine."""
+    _setup(spark)
+    from pyspark.sql import Window
+
+    from openeo_processes_dask_spark.training.retrieval import (
+        ranking_metrics,
+    )
+
+    d = _table(spark, sf_dir, "documents")
+    qid = (F.col("doc_id") % 20).alias("query_id")
+    w = Window.partitionBy(F.col("doc_id") % 20).orderBy(
+        (F.col("doc_id") * 37) % 101, F.col("doc_id")
+    )
+    results = d.select(
+        qid,
+        F.col("doc_id").alias("id"),
+        F.row_number().over(w).alias("rank"),
+    ).where(F.col("rank") <= 10)
+    qrels = d.where(F.col("doc_id") % 3 == 0).select(
+        qid,
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") % 4).alias("rel"),
+    )
+    return ranking_metrics(results, qrels, k=10)
+
+
+def q_k_anonymity(spark, sf_dir):
+    """Re-identification audit (training/pii.py k_anonymity, NEW
+    r11-continuation): equivalence-class size + l-diversity over the
+    quasi-identifier tuple (lang, source, length bucket) with a
+    synthesized sensitive attribute, k=5 — the linkage-risk pass that
+    complements pii_redact's direct-identifier masking. One hash
+    aggregate on the quasi key + an equi-join back (NOT a window — the
+    aggregate gets map-side combine); the oracle replays the class
+    aggregate and the suppression rule."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.pii import k_anonymity
+
+    d = _table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr("n_chars div 250").alias("len_bucket"),
+        (F.col("doc_id") % 90).alias("age"),
+    )
+    return k_anonymity(
+        base, ["lang", "source", "len_bucket"], k=5, sensitive_col="age"
+    )
+
+
+def q_corpus_rollup(spark, sf_dir):
+    """Hierarchical corpus telemetry (training/textanalysis.py
+    corpus_rollup, NEW r11-continuation): doc/char/token totals per
+    (source, lang), per source, and grand total in ONE Expand+aggregate
+    pass via ROLLUP grouping sets, with grouping_id disambiguating
+    subtotal rows — Spark grouping_id() and DuckDB GROUPING() share the
+    leftmost-is-MSB convention, which this gate pins cross-engine."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.textanalysis import (
+        corpus_rollup,
+    )
+
+    return corpus_rollup(
+        _table(spark, sf_dir, "documents"), ("source", "lang")
+    )
+
+
 QUERIES = {
+    "ranking_metrics": q_ranking_metrics,
+    "k_anonymity": q_k_anonymity,
+    "corpus_rollup": q_corpus_rollup,
     "dedup_exact": q_dedup_exact,
     "training_pipeline": q_training_pipeline,
     "dedup_incremental": q_dedup_incremental,
@@ -2422,6 +2500,109 @@ _SPAN_RUNS = """
 """
 
 ORACLES = {
+    # ranking_metrics: replays the synthesized run (top-10 per query by
+    # the fixed hash order) + graded qrels, then the metric arithmetic —
+    # per-position micro-unit DCG gains snapped BEFORE the per-query sum
+    # (order-independent), the ideal-ordering window for IDCG, integer-
+    # div MRR, and the ratio metrics rounded to 6 (both engines round
+    # half away from zero for positive values).
+    "ranking_metrics": """
+            WITH res AS (
+              SELECT doc_id % 20 AS query_id, doc_id AS id,
+                     row_number() OVER (
+                       PARTITION BY doc_id % 20
+                       ORDER BY (doc_id * 37) % 101, doc_id) AS rank
+              FROM documents),
+            r AS (SELECT * FROM res WHERE rank <= 10),
+            q AS (
+              SELECT doc_id % 20 AS query_id, doc_id AS id,
+                     CAST(doc_id % 4 AS BIGINT) AS rel
+              FROM documents
+              WHERE doc_id % 3 = 0 AND doc_id % 4 > 0),
+            perq AS (
+              SELECT r.query_id,
+                CAST(sum(CASE WHEN q.rel IS NOT NULL THEN
+                      CAST(round((pow(2.0, q.rel) - 1)
+                                 / log2(r.rank + 1.0) * 1000000)
+                           AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS dcg_micro,
+                min(CASE WHEN q.rel IS NOT NULL THEN r.rank END)
+                  AS first_rel_rank,
+                CAST(sum(CASE WHEN q.rel IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS hits
+              FROM r LEFT JOIN q
+                ON r.query_id = q.query_id AND r.id = q.id
+              GROUP BY r.query_id),
+            ideal AS (
+              SELECT query_id,
+                     CAST(sum(CAST(round((pow(2.0, rel) - 1)
+                                         / log2(pos + 1.0) * 1000000)
+                                   AS BIGINT)) AS BIGINT) AS idcg_micro
+              FROM (SELECT query_id, rel,
+                           row_number() OVER (
+                             PARTITION BY query_id
+                             ORDER BY rel DESC, id) AS pos
+                    FROM q)
+              WHERE pos <= 10 GROUP BY query_id),
+            tot AS (
+              SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+              FROM q GROUP BY query_id)
+            SELECT p.query_id,
+                   coalesce(t.n_rel, 0) AS n_rel,
+                   p.hits,
+                   p.dcg_micro,
+                   coalesce(i.idcg_micro, 0) AS idcg_micro,
+                   CASE WHEN coalesce(i.idcg_micro, 0) > 0
+                        THEN round(CAST(p.dcg_micro AS DOUBLE)
+                                   / i.idcg_micro, 6)
+                        ELSE 0.0 END AS ndcg_at_k,
+                   CASE WHEN p.first_rel_rank IS NOT NULL
+                        THEN (1000000000 // p.first_rel_rank) / 1e9
+                        ELSE 0.0 END AS mrr,
+                   round(p.hits / 10.0, 6) AS precision_at_k,
+                   CASE WHEN coalesce(t.n_rel, 0) > 0
+                        THEN round(CAST(p.hits AS DOUBLE) / t.n_rel, 6)
+                        ELSE 0.0 END AS recall_at_k
+            FROM perq p
+            LEFT JOIN ideal i ON p.query_id = i.query_id
+            LEFT JOIN tot t ON p.query_id = t.query_id
+        """,
+    # k_anonymity: class aggregate on the quasi tuple + join back;
+    # Spark `div` and DuckDB `//` agree on non-negative ints; the
+    # fixture's quasi columns are non-NULL so the plain equi-join
+    # mirrors the engine's null-safe one.
+    "k_anonymity": """
+            WITH base AS (
+              SELECT doc_id, lang, source,
+                     n_chars // 250 AS len_bucket,
+                     doc_id % 90 AS age
+              FROM documents),
+            cls AS (
+              SELECT lang, source, len_bucket,
+                     CAST(count(*) AS BIGINT) AS class_size,
+                     CAST(count(DISTINCT age) AS BIGINT)
+                       AS distinct_sensitive
+              FROM base GROUP BY lang, source, len_bucket)
+            SELECT b.doc_id, b.lang, b.source, b.len_bucket, b.age,
+                   c.class_size, c.distinct_sensitive,
+                   c.class_size < 5 AS suppressed
+            FROM base b
+            JOIN cls c ON b.lang = c.lang AND b.source = c.source
+                      AND b.len_bucket = c.len_bucket
+        """,
+    # corpus_rollup: GROUP BY ROLLUP with GROUPING() — same
+    # leftmost-is-MSB bit convention as Spark grouping_id().
+    "corpus_rollup": """
+            SELECT source, lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                                 ELSE len(string_split_regex(trim(text),
+                                                             '\\s+'))
+                            END) AS BIGINT) AS total_tokens,
+                   CAST(GROUPING(source, lang) AS BIGINT) AS gid
+            FROM documents GROUP BY ROLLUP (source, lang)
+        """,
     "dedup_exact": """
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
                    min(doc_id) AS keep_id, count(*) AS n_copies

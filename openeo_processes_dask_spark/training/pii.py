@@ -76,3 +76,101 @@ def pii_redact(
         pat, token = PII_PATTERNS[kind]
         col = F.regexp_replace(col, pat, token)
     return df.withColumn(out_col or text_col, col)
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """Annotate every row with its quasi-identifier equivalence-class
+    statistics — the standard re-identification audit (Sweeney 2002,
+    "k-anonymity: a model for protecting privacy") a training-data
+    pipeline runs alongside PII redaction: redaction hides DIRECT
+    identifiers, but a row whose (quasi-identifier) combination is shared
+    by fewer than ``k`` rows is re-identifiable by linkage even with
+    every email/SSN masked.
+
+    Appends ``class_size`` (rows sharing this row's exact quasi tuple,
+    NULLs matching NULLs) and ``suppressed`` (class_size < k). With
+    ``sensitive_col`` also appends ``distinct_sensitive`` — the class's
+    l-diversity (Machanavajjhala et al. 2007): a class can be k-anonymous
+    yet leak the sensitive value when all k rows share it.
+
+    Plan at 100 TB: one hash aggregate on the quasi key (map-side
+    partial combine — class count is bounded by the quasi-value
+    cross-product, not the corpus), then an equi-join back on the same
+    key; AQE broadcasts the class table when it is small. Deliberately
+    NOT a window: a window over the quasi key carries every row through
+    the exchange with no partial aggregation.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not quasi_cols:
+        raise ValueError("k_anonymity needs at least one quasi column")
+    missing = [c for c in quasi_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"quasi columns not in DataFrame: {missing}")
+    aggs = [F.count(F.lit(1)).alias("class_size")]
+    if sensitive_col is not None:
+        if sensitive_col not in df.columns:
+            raise ValueError(
+                f"sensitive column not in DataFrame: {sensitive_col!r}"
+            )
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col))
+            .alias("distinct_sensitive")
+        )
+    # class-side keys renamed before the join: `classes` derives from
+    # `df`, so unaliased references would be ambiguous self-join columns
+    classes = df.groupBy(*quasi_cols).agg(*aggs).select(
+        *[F.col(c).alias(f"__class_{c}") for c in quasi_cols],
+        "class_size",
+        *(["distinct_sensitive"] if sensitive_col is not None else []),
+    )
+    # null-safe join: a NULL quasi value is its own class (groupBy
+    # already buckets NULLs together; eqNullSafe keeps the join aligned)
+    cond = None
+    for c in quasi_cols:
+        term = F.col(c).eqNullSafe(F.col(f"__class_{c}"))
+        cond = term if cond is None else cond & term
+    extra = ["class_size"]
+    if sensitive_col is not None:
+        extra.append("distinct_sensitive")
+    return (
+        df.join(classes, cond, "left")
+        .select(*df.columns, *extra)
+        .withColumn("suppressed", F.col("class_size") < k)
+    )
+
+
+def k_anonymize(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+    redaction: str | None = None,
+) -> DataFrame:
+    """Enforce k-anonymity by suppression: rows in equivalence classes
+    smaller than ``k`` get every quasi-identifier column replaced with
+    ``redaction`` (default NULL — full suppression; pass e.g. ``"*"``
+    for visible masking of string columns). Non-quasi columns and the
+    ``class_size``/``suppressed`` audit columns pass through, so the
+    caller can count what was lost. Same single-aggregate plan as
+    :func:`k_anonymity`."""
+    ann = k_anonymity(df, quasi_cols, k)
+    out_cols = []
+    for c in ann.columns:
+        if c in quasi_cols:
+            masked = (
+                F.lit(None).cast(df.schema[c].dataType)
+                if redaction is None
+                else F.lit(redaction)
+            )
+            out_cols.append(
+                F.when(F.col("suppressed"), masked)
+                .otherwise(F.col(c)).alias(c)
+            )
+        else:
+            out_cols.append(F.col(c))
+    return ann.select(*out_cols)

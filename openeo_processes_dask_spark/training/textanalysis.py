@@ -270,6 +270,43 @@ def corpus_stats(
     )
 
 
+def corpus_rollup(
+    df: DataFrame,
+    dims: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Hierarchical corpus telemetry: doc/char/token totals at EVERY
+    prefix level of ``dims`` — per (source, lang), per source, and the
+    grand total — in ONE pass via ``ROLLUP`` grouping sets. This is the
+    dataset-card rollup a mixture-weights dashboard reads: the same
+    numbers :func:`corpus_stats` gives for the leaf slices, plus every
+    subtotal, without re-scanning per level.
+
+    Returns ``dims... , n_docs, total_chars, total_tokens, gid`` where
+    ``gid`` is the grouping id (0 = leaf row, bit set = that dim is
+    rolled up — Spark ``grouping_id()`` and DuckDB ``GROUPING()`` use
+    the same leftmost-is-most-significant convention, verified in the
+    gate). ``gid`` disambiguates a genuine NULL dim value from a
+    subtotal row.
+
+    Plan at 100 TB: lengths are computed in the scan projection so the
+    shuffle carries three ints per row; ROLLUP compiles to a single
+    Expand + hash aggregate with map-side partial combine — (levels)x
+    the aggregate state of the leaf groupBy, never a second corpus scan.
+    """
+    lens = df.select(
+        *dims,
+        F.length(F.col(text_col)).cast("long").alias("__chars"),
+        token_count(F.col(text_col)).cast("long").alias("__toks"),
+    )
+    return lens.rollup(*dims).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__chars").alias("total_chars"),
+        F.sum("__toks").alias("total_tokens"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
 def vocabulary(
     df: DataFrame,
     text_col: str = "text",

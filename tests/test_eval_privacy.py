@@ -1,0 +1,193 @@
+"""training/retrieval.py ranking_metrics, training/pii.py k-anonymity,
+training/textanalysis.py corpus_rollup — the r11-continuation lanes."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_spark.training.pii import k_anonymity, k_anonymize
+from openeo_processes_dask_spark.training.retrieval import (
+    GAIN_SCALE,
+    ranking_metrics,
+)
+from openeo_processes_dask_spark.training.textanalysis import corpus_rollup
+
+
+# ---------------------------------------------------------------- ranking
+
+
+def _gain_micro(rel, pos):
+    return round((2.0 ** rel - 1.0) / math.log2(pos + 1.0) * GAIN_SCALE)
+
+
+def test_ranking_metrics_hand_computed(spark):
+    # q1: retrieved a,b,c; judged: b rel 2, d rel 1 (missed), a rel 0
+    # q2: retrieved e,f; nothing judged relevant
+    results = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (1, "c", 3), (2, "e", 1), (2, "f", 2)],
+        ["query_id", "id", "rank"],
+    )
+    qrels = spark.createDataFrame(
+        [(1, "b", 2), (1, "d", 1), (1, "a", 0), (2, "e", 0)],
+        ["query_id", "id", "rel"],
+    )
+    out = {
+        r["query_id"]: r.asDict()
+        for r in ranking_metrics(results, qrels, k=10).collect()
+    }
+    q1 = out[1]
+    dcg = _gain_micro(2, 2)  # b at rank 2
+    idcg = _gain_micro(2, 1) + _gain_micro(1, 2)  # ideal: b then d
+    assert q1["dcg_micro"] == dcg
+    assert q1["idcg_micro"] == idcg
+    assert q1["ndcg_at_k"] == round(dcg / idcg, 6)
+    assert q1["mrr"] == (10**9 // 2) / 1e9
+    assert q1["hits"] == 1 and q1["n_rel"] == 2
+    assert q1["precision_at_k"] == 0.1
+    assert q1["recall_at_k"] == 0.5
+    q2 = out[2]
+    assert q2["hits"] == 0 and q2["n_rel"] == 0
+    assert q2["ndcg_at_k"] == 0.0 and q2["mrr"] == 0.0
+    assert q2["recall_at_k"] == 0.0 and q2["dcg_micro"] == 0
+
+
+def test_ranking_metrics_k_cutoff_and_perfect_run(spark):
+    # perfect ordering at k=2: doc x (rel 3) then y (rel 1); z (rel 2)
+    # ranked 3rd is outside k, so ideal@2 = x,z and ndcg < 1; at k=3 the
+    # run misorders y/z, so ndcg < 1 there too, but dcg grows
+    results = spark.createDataFrame(
+        [(7, "x", 1), (7, "y", 2), (7, "z", 3)], ["query_id", "id", "rank"]
+    )
+    qrels = spark.createDataFrame(
+        [(7, "x", 3), (7, "y", 1), (7, "z", 2)], ["query_id", "id", "rel"]
+    )
+    at2 = ranking_metrics(results, qrels, k=2).collect()[0]
+    assert at2["dcg_micro"] == _gain_micro(3, 1) + _gain_micro(1, 2)
+    assert at2["idcg_micro"] == _gain_micro(3, 1) + _gain_micro(2, 2)
+    assert at2["hits"] == 2 and at2["n_rel"] == 3
+    assert at2["precision_at_k"] == 1.0
+    at3 = ranking_metrics(results, qrels, k=3).collect()[0]
+    assert at3["idcg_micro"] == (
+        _gain_micro(3, 1) + _gain_micro(2, 2) + _gain_micro(1, 3)
+    )
+    assert at3["recall_at_k"] == 1.0 and at3["mrr"] == 1.0
+    # the ideal permutation scores ndcg exactly 1
+    perfect = spark.createDataFrame(
+        [(7, "x", 1), (7, "z", 2), (7, "y", 3)], ["query_id", "id", "rank"]
+    )
+    assert ranking_metrics(perfect, qrels, k=3).collect()[0][
+        "ndcg_at_k"
+    ] == 1.0
+
+
+def test_ranking_metrics_partition_invariance(spark):
+    rows = [(q, f"d{q}_{i}", i) for q in range(6) for i in range(1, 9)]
+    rels = [
+        (q, f"d{q}_{i}", (q + i) % 4)
+        for q in range(6)
+        for i in range(1, 13)
+    ]
+    r1 = spark.createDataFrame(rows, ["query_id", "id", "rank"])
+    q1 = spark.createDataFrame(rels, ["query_id", "id", "rel"])
+    a = sorted(
+        map(tuple, ranking_metrics(r1, q1, k=5).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            ranking_metrics(
+                r1.repartition(7), q1.repartition(3), k=5
+            ).collect(),
+        )
+    )
+    assert a == b
+
+    with pytest.raises(ValueError):
+        ranking_metrics(r1, q1, k=0)
+
+
+# ------------------------------------------------------------- k-anonymity
+
+
+def test_k_anonymity_class_sizes_and_l_diversity(spark):
+    rows = [
+        # class (en, web): 3 rows, sensitive values {10, 10, 20}
+        (1, "en", "web", 10),
+        (2, "en", "web", 10),
+        (3, "en", "web", 20),
+        # class (de, web): 1 row -> suppressed at k=2
+        (4, "de", "web", 30),
+        # class (None, book): NULL quasi value is its own class of 2
+        (5, None, "book", 40),
+        (6, None, "book", 40),
+    ]
+    df = spark.createDataFrame(rows, ["id", "lang", "source", "age"])
+    out = {
+        r["id"]: r.asDict()
+        for r in k_anonymity(
+            df, ["lang", "source"], k=2, sensitive_col="age"
+        ).collect()
+    }
+    assert out[1]["class_size"] == 3 and not out[1]["suppressed"]
+    assert out[1]["distinct_sensitive"] == 2
+    assert out[4]["class_size"] == 1 and out[4]["suppressed"]
+    assert out[5]["class_size"] == 2 and not out[5]["suppressed"]
+    assert out[5]["distinct_sensitive"] == 1  # k-anonymous but 1-diverse
+
+    anon = {
+        r["id"]: r.asDict()
+        for r in k_anonymize(df, ["lang", "source"], k=2).collect()
+    }
+    assert anon[4]["lang"] is None and anon[4]["source"] is None
+    assert anon[1]["lang"] == "en" and anon[1]["source"] == "web"
+    masked = k_anonymize(df, ["lang", "source"], k=2, redaction="*")
+    assert {
+        r["source"] for r in masked.where("id = 4").collect()
+    } == {"*"}
+
+
+def test_k_anonymity_validation(spark):
+    df = spark.createDataFrame([(1, "en")], ["id", "lang"])
+    with pytest.raises(ValueError):
+        k_anonymity(df, ["lang"], k=0)
+    with pytest.raises(ValueError):
+        k_anonymity(df, [], k=2)
+    with pytest.raises(ValueError):
+        k_anonymity(df, ["nope"], k=2)
+    with pytest.raises(ValueError):
+        k_anonymity(df, ["lang"], k=2, sensitive_col="nope")
+
+
+# ------------------------------------------------------------ corpus_rollup
+
+
+def test_corpus_rollup_levels_match_manual_aggregates(spark):
+    rows = [
+        ("s1", "en", "a b c"),
+        ("s1", "de", "d e"),
+        ("s2", "en", "f"),
+        ("s2", "en", "g h i j"),
+    ]
+    df = spark.createDataFrame(rows, ["source", "lang", "text"])
+    out = corpus_rollup(df, ("source", "lang")).collect()
+    by_gid = {}
+    for r in out:
+        by_gid.setdefault(r["gid"], []).append(r.asDict())
+    # leaf level (gid 0) == plain groupBy
+    leafs = {
+        (r["source"], r["lang"]): (r["n_docs"], r["total_tokens"])
+        for r in by_gid[0]
+    }
+    assert leafs[("s1", "en")] == (1, 3)
+    assert leafs[("s2", "en")] == (2, 5)
+    # source subtotals (gid 1): lang rolled up
+    subs = {r["source"]: r["n_docs"] for r in by_gid[1]}
+    assert subs == {"s1": 2, "s2": 2}
+    assert all(r["lang"] is None for r in by_gid[1])
+    # grand total (gid 3)
+    (total,) = by_gid[3]
+    assert total["n_docs"] == 4 and total["total_tokens"] == 10
+    assert total["total_chars"] == sum(len(t) for _, _, t in rows)
+    # exactly the three rollup levels, nothing else
+    assert set(by_gid) == {0, 1, 3}
