@@ -176,7 +176,7 @@ _CHANGED_R11 = [
     "streaming_quantile_sketch", "streaming_hll",
     "semantic_dedup_recall", "semantic_dedup_planted",
     "registered_domain_psl",
-    "url_canonical", "asof_join_events", "asof_join_nearest",
+    "url_canonical", "asof_join_nearest",
     "streaming_asof", "resample_asof", "resample_asof_window",
     "resample_cube_spatial_near",
     # late r11: PPJoin verification rewrite (positional filter +
@@ -194,6 +194,12 @@ _CHANGED_R11 = [
     # and resample_cube_spatial_near, which all stay). All three
     # displaced gates remain registry+sweep-verified.
     "ranking_metrics", "k_anonymity", "corpus_rollup",
+    # streaming_fill_forward (the stateful streaming twin of LOCF)
+    # takes asof_join_events' slot: the r11 interval.py hardening
+    # (NULL-on guard, validation) is shared code driven by
+    # asof_join_nearest, which stays; asof_join_events was
+    # driver-verified r10 and remains registry+sweep-verified.
+    "streaming_fill_forward",
 ]
 
 # Round-11 window (VERDICT r10 #3): flagship + the r11-changed gates +

@@ -679,6 +679,63 @@ def q_streaming_ema(spark, sf_dir):
     )
 
 
+def q_streaming_fill_forward(spark, sf_dir):
+    """Online LOCF gap fill (streaming/sessions.py stream_fill_forward,
+    NEW r11-continuation — applyInPandasWithState, one (last_t, last_v)
+    pair of state per key): NULL out every event_id%5==2 reading,
+    stream the events table, and patch each gap with the user's most
+    recent surviving value at arrival time. Single sorted-batch drain
+    == the batch LOCF window (pinned in tests/test_stream_fill_forward),
+    so the oracle replays last_value IGNORE NULLS over (ts, event_id)
+    per user."""
+    _setup(spark)
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.streaming.sessions import (
+        stream_fill_forward,
+    )
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream1_{os.path.basename(sf_dir)}"
+    )
+    if not os.path.isdir(stream_dir):
+        _table(spark, sf_dir, "events").orderBy("ts").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stream_dir)
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .parquet(stream_dir)
+        .select(
+            F.col("user_id").alias("k"),
+            F.col("ts").alias("t"),
+            "event_id",
+            F.when(
+                F.col("event_id") % 5 == 2, F.lit(None).cast("double")
+            ).otherwise(F.col("value")).alias("value"),
+        )
+    )
+    out = stream_fill_forward(stream)
+    name = f"q_sff_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("k").alias("user_id"),
+        "event_id",
+        F.round("value", 6).alias("value"),
+        "filled",
+    )
+
+
 def q_streaming_funnel(spark, sf_dir):
     """Online funnel progress (streaming/sessions.py stream_funnel,
     applyInPandasWithState, two scalars of state per user): drained
@@ -849,6 +906,7 @@ QUERIES = {
     "streaming_attribution": q_streaming_attribution,
     "streaming_anomaly": q_streaming_anomaly,
     "streaming_ema": q_streaming_ema,
+    "streaming_fill_forward": q_streaming_fill_forward,
     "streaming_funnel": q_streaming_funnel,
     "streaming_count_min": q_streaming_count_min,
     "streaming_hll": q_streaming_hll,
@@ -926,6 +984,27 @@ ORACLES = {
         """,
     # streaming_ema: same recursive-CTE replay as the batch ema_smooth
     # gate — the single sorted-batch drain must reproduce it exactly.
+    # streaming_fill_forward: the single sorted-batch drain must equal
+    # the batch LOCF window — last_value IGNORE NULLS per user over
+    # (ts, event_id), with `filled` marking exactly the patched gaps.
+    "streaming_fill_forward": """
+            WITH base AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN event_id % 5 = 2 THEN NULL
+                          ELSE value END AS v
+              FROM events),
+            f AS (
+              SELECT user_id, event_id, v,
+                     last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS fv
+              FROM base)
+            SELECT user_id, event_id,
+                   round(CAST(fv AS DOUBLE), 6) AS value,
+                   (v IS NULL AND fv IS NOT NULL) AS filled
+            FROM f
+        """,
     "streaming_ema": """
             WITH RECURSIVE s AS (
               SELECT user_id, event_id,

@@ -2287,8 +2287,8 @@ def q_corpus_diff(spark, sf_dir):
 
 def q_ranking_metrics(spark, sf_dir):
     """Graded ranking evaluation (training/retrieval.py ranking_metrics,
-    NEW r11-continuation): NDCG@10 / MRR / precision@10 / recall@10 for
-    20 queries over a deterministic synthesized run (top-10 per query by
+    NEW r11-continuation): NDCG@10 / MAP@10 / MRR / precision@10 /
+    recall@10 for 20 queries over a synthesized run (top-10 per query by
     a fixed hash order) and graded qrels (doc_id%3==0 docs, rel =
     doc_id%4 with rel<=0 ignored). The oracle replays the run/qrels
     synthesis, the ideal-ordering window, the micro-unit DCG sums, and
@@ -2519,20 +2519,31 @@ ORACLES = {
                      CAST(doc_id % 4 AS BIGINT) AS rel
               FROM documents
               WHERE doc_id % 3 = 0 AND doc_id % 4 > 0),
+            rq AS (
+              SELECT r.query_id, r.rank, q.rel,
+                     CAST(sum(CASE WHEN q.rel IS NOT NULL THEN 1
+                              ELSE 0 END)
+                          OVER (PARTITION BY r.query_id ORDER BY r.rank)
+                          AS BIGINT) AS cum_hits
+              FROM r LEFT JOIN q
+                ON r.query_id = q.query_id AND r.id = q.id),
             perq AS (
-              SELECT r.query_id,
-                CAST(sum(CASE WHEN q.rel IS NOT NULL THEN
-                      CAST(round((pow(2.0, q.rel) - 1)
-                                 / log2(r.rank + 1.0) * 1000000)
+              SELECT query_id,
+                CAST(sum(CASE WHEN rel IS NOT NULL THEN
+                      CAST(round((pow(2.0, rel) - 1)
+                                 / log2(rank + 1.0) * 1000000)
                            AS BIGINT)
                     ELSE 0 END) AS BIGINT) AS dcg_micro,
-                min(CASE WHEN q.rel IS NOT NULL THEN r.rank END)
+                min(CASE WHEN rel IS NOT NULL THEN rank END)
                   AS first_rel_rank,
-                CAST(sum(CASE WHEN q.rel IS NOT NULL THEN 1 ELSE 0 END)
-                     AS BIGINT) AS hits
-              FROM r LEFT JOIN q
-                ON r.query_id = q.query_id AND r.id = q.id
-              GROUP BY r.query_id),
+                CAST(sum(CASE WHEN rel IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS hits,
+                CAST(sum(CASE WHEN rel IS NOT NULL THEN
+                      CAST(round(CAST(cum_hits AS DOUBLE) / rank
+                                 * 1000000) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS ap_micro
+              FROM rq
+              GROUP BY query_id),
             ideal AS (
               SELECT query_id,
                      CAST(sum(CAST(round((pow(2.0, rel) - 1)
@@ -2562,7 +2573,12 @@ ORACLES = {
                    round(p.hits / 10.0, 6) AS precision_at_k,
                    CASE WHEN coalesce(t.n_rel, 0) > 0
                         THEN round(CAST(p.hits AS DOUBLE) / t.n_rel, 6)
-                        ELSE 0.0 END AS recall_at_k
+                        ELSE 0.0 END AS recall_at_k,
+                   p.ap_micro,
+                   CASE WHEN coalesce(t.n_rel, 0) > 0
+                        THEN round(CAST(p.ap_micro AS DOUBLE)
+                                   / least(t.n_rel, 10) / 1000000.0, 6)
+                        ELSE 0.0 END AS map_at_k
             FROM perq p
             LEFT JOIN ideal i ON p.query_id = i.query_id
             LEFT JOIN tot t ON p.query_id = t.query_id

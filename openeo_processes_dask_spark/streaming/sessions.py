@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -535,6 +536,110 @@ def stream_funnel(
             update,
             outputStructType=FUNNEL_OUTPUT,
             stateStructType=FUNNEL_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+FF_OUTPUT = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("event_id", LongType()),
+        StructField("t", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("filled", BooleanType()),
+    ]
+)
+
+FF_STATE = StructType(
+    [
+        StructField("last_t", TimestampType()),
+        StructField("last_v", DoubleType()),
+    ]
+)
+
+
+def stream_fill_forward(
+    events: DataFrame,
+    max_gap: float | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``operators.interval.fill_forward``: per-key
+    LOCF gap fill applied ONLINE — a NULL reading is patched with the
+    key's most recent non-NULL value at arrival time, instead of in a
+    post-pass over the landed table. The missing stateful member of the
+    as-of family (``stream_asof_against`` joins a stream to STATIC
+    validity intervals; this carries state WITHIN the live stream).
+
+    Input columns: ``k`` (int64 key), ``event_id`` (int64 tie-break),
+    ``t`` (timestamp — must be non-NULL; the watermark needs it),
+    ``value`` (double, NULL = gap). Output adds ``filled`` (this row's
+    value was carried, not observed). State per key is ONE
+    (last_t, last_v) pair — constant, independent of stream length.
+
+    ``max_gap`` (seconds) bounds staleness exactly like the batch
+    operator: a carried observation older than ``max_gap`` relative to
+    the gap row's own ``t`` is NOT used — the row stays NULL (but the
+    stale observation remains state: a later non-NULL resets it, and
+    max_gap is measured per row, matching the batch (time, value)
+    struct rule for a single column).
+
+    Within a micro-batch rows process in (t, event_id) order, so a
+    single sorted-batch drain replays the batch ``fill_forward`` row
+    for row (pinned by test); across batches history follows arrival
+    order, as any online filler must.
+    """
+    gap_ns = None if max_gap is None else int(float(max_gap) * 1e9)
+    if gap_ns is not None and gap_ns < 0:
+        raise ValueError(f"max_gap must be >= 0, got {max_gap}")
+
+    def update(
+        key: Tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["t", "event_id"])
+        if rows["t"].isna().any():
+            raise ValueError(
+                "stream_fill_forward requires non-NULL event time"
+            )
+        last_t, last_v = state.get if state.exists else (None, None)
+        out = []
+        for eid, t, v in zip(
+            rows["event_id"].astype("int64"), rows["t"], rows["value"]
+        ):
+            if pd.isna(v):
+                usable = last_t is not None and (
+                    gap_ns is None
+                    or 0 <= (t - last_t).value <= gap_ns
+                )
+                out.append(
+                    (int(k), int(eid), t, float(last_v), True)
+                    if usable
+                    else (int(k), int(eid), t, None, False)
+                )
+            else:
+                last_t, last_v = t, float(v)
+                out.append((int(k), int(eid), t, last_v, False))
+        if last_t is not None:
+            state.update((last_t, last_v))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["k", "event_id", "t", "value", "filled"]
+            )
+
+    return (
+        events.withWatermark("t", watermark)
+        .groupBy("k")
+        .applyInPandasWithState(
+            update,
+            outputStructType=FF_OUTPUT,
+            stateStructType=FF_STATE,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

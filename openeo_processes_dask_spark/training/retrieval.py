@@ -158,7 +158,12 @@ def ranking_metrics(
     - ``ndcg_at_k``  = dcg_micro / idcg_micro (0.0 when no relevant
       docs exist), ``mrr`` = 1 / first relevant rank via integer div
       (10^9 div rank / 1e9 — floor-exact in both engines),
-      ``precision_at_k`` = hits / k, ``recall_at_k`` = hits / n_rel.
+      ``precision_at_k`` = hits / k, ``recall_at_k`` = hits / n_rel
+    - ``ap_micro``   = sum over retrieved hits at rank r of
+      round(cum_hits(r) / r * GAIN_SCALE) — per-position precision in
+      micro-units; ``map_at_k`` = ap_micro / min(n_rel, k) / GAIN_SCALE
+      (the standard AP denominator, so a run that retrieves every
+      reachable relevant doc in order scores 1.0)
 
     Contracts: ``results`` has one row per (query, id) with a 1-based
     ``rank`` unique within the query; ``qrels`` has at most one row per
@@ -191,9 +196,21 @@ def ranking_metrics(
             g / F.log2(pos.cast("double") + F.lit(1.0)) * GAIN_SCALE
         ).cast("long")
 
+    from pyspark.sql import Window
+
     hit = F.col("rel").isNotNull()
+    # cumulative hit count along the ranking — the per-position
+    # precision AP needs; the window shares the query-key partitioning
+    # the aggregate below shuffles on, and holds <= k rows per query
+    wr = Window.partitionBy("query_id").orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     per_q = (
         r.join(q, ["query_id", "id"], "left")
+        .withColumn(
+            "cum_hits",
+            F.sum(F.when(hit, 1).otherwise(0)).over(wr).cast("long"),
+        )
         .groupBy("query_id")
         .agg(
             F.sum(
@@ -202,9 +219,16 @@ def ranking_metrics(
             ).alias("dcg_micro"),
             F.min(F.when(hit, F.col("rank"))).alias("first_rel_rank"),
             F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("hits"),
+            F.sum(
+                F.when(
+                    hit,
+                    F.round(
+                        F.col("cum_hits") / F.col("rank") * GAIN_SCALE
+                    ).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("ap_micro"),
         )
     )
-    from pyspark.sql import Window
 
     wq = Window.partitionBy("query_id").orderBy(
         F.col("rel").desc(), F.col("id")
@@ -247,6 +271,16 @@ def ranking_metrics(
                 F.col("n_rel") > 0,
                 F.round(F.col("hits") / F.col("n_rel"), 6),
             ).otherwise(F.lit(0.0)).alias("recall_at_k"),
+            F.col("ap_micro"),
+            F.when(
+                F.col("n_rel") > 0,
+                F.round(
+                    F.col("ap_micro")
+                    / F.least(F.col("n_rel"), F.lit(k))
+                    / F.lit(float(GAIN_SCALE)),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("map_at_k"),
         )
     )
 

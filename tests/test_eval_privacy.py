@@ -46,10 +46,15 @@ def test_ranking_metrics_hand_computed(spark):
     assert q1["hits"] == 1 and q1["n_rel"] == 2
     assert q1["precision_at_k"] == 0.1
     assert q1["recall_at_k"] == 0.5
+    # AP: one hit, at rank 2 with cum_hits 1 -> precision 0.5;
+    # denominator min(n_rel=2, k=10) = 2
+    assert q1["ap_micro"] == 500_000
+    assert q1["map_at_k"] == 0.25
     q2 = out[2]
     assert q2["hits"] == 0 and q2["n_rel"] == 0
     assert q2["ndcg_at_k"] == 0.0 and q2["mrr"] == 0.0
     assert q2["recall_at_k"] == 0.0 and q2["dcg_micro"] == 0
+    assert q2["ap_micro"] == 0 and q2["map_at_k"] == 0.0
 
 
 def test_ranking_metrics_k_cutoff_and_perfect_run(spark):
@@ -67,11 +72,15 @@ def test_ranking_metrics_k_cutoff_and_perfect_run(spark):
     assert at2["idcg_micro"] == _gain_micro(3, 1) + _gain_micro(2, 2)
     assert at2["hits"] == 2 and at2["n_rel"] == 3
     assert at2["precision_at_k"] == 1.0
+    # AP@2: hits at ranks 1,2 with precisions 1/1 and 2/2; denominator
+    # min(n_rel=3, k=2) = 2 -> MAP 1.0 (binary relevance ignores grades)
+    assert at2["ap_micro"] == 2_000_000 and at2["map_at_k"] == 1.0
     at3 = ranking_metrics(results, qrels, k=3).collect()[0]
     assert at3["idcg_micro"] == (
         _gain_micro(3, 1) + _gain_micro(2, 2) + _gain_micro(1, 3)
     )
     assert at3["recall_at_k"] == 1.0 and at3["mrr"] == 1.0
+    assert at3["ap_micro"] == 3_000_000 and at3["map_at_k"] == 1.0
     # the ideal permutation scores ndcg exactly 1
     perfect = spark.createDataFrame(
         [(7, "x", 1), (7, "z", 2), (7, "y", 3)], ["query_id", "id", "rank"]
