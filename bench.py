@@ -244,6 +244,8 @@ def main() -> None:
         # r11 additions: the mergeable quantile sketch and the grouped
         # telemetry composition
         "quantile_sketch", "source_token_profile",
+        # r11 continuation: ranking eval + privacy audit
+        "ranking_metrics", "k_anonymity",
     ):
         fn = qs[name]
         best = float("inf")
