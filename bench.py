@@ -105,9 +105,12 @@ def main() -> None:
     # blocks all ride the local filesystem, so a fixed
     # write+fsync+read of 64 MiB through /tmp makes that stall class
     # legible. Engine-independent, min-of-3; quiet reference on this
-    # host: ~0.14 s. Diagnostic only this round — it does NOT gate the
-    # retry protocol below (the shuffle lane keeps that job until a
-    # round of recorded io samples calibrates a threshold).
+    # host: ~0.14 s. Originally diagnostic-only; PROMOTED to gate the
+    # retry protocol after the recorded samples calibrated a threshold:
+    # every quiet r11 run read 0.13-0.19 while an IO-side storm (every
+    # headline query 2-3x its clean reference, total 2.36x baseline)
+    # read io_start 1.114 with the shuffle pair QUIET at 1.08/1.19 —
+    # the two lanes separate noise classes, so both must gate.
     def io_cal() -> float:
         import tempfile
 
@@ -137,13 +140,16 @@ def main() -> None:
     # code passed (r10: builder 1.34x, judge 1.51x). Flagging the noise
     # (noisy_host) was not enough: the gate is scored on the recorded
     # number. So the bench now REFUSES to hand back a contended pass:
-    #   1. before each headline attempt, the shuffle calibration is
-    #      re-measured; while it is out of range (> QUIET_CAL) the bench
-    #      sleeps 60 s and re-measures, up to _MAX_WAITS times;
-    #   2. the headline loop runs and the calibration is measured again;
-    #   3. if EITHER sample is out of range the whole attempt is retried
-    #      (up to _MAX_ATTEMPTS), and the attempt with the quietest
-    #      calibration pair becomes the headline record;
+    #   1. before each headline attempt, the shuffle AND io calibrations
+    #      are re-measured; while EITHER is out of range (> QUIET_CAL /
+    #      > QUIET_IO — the lanes catch different storm classes) the
+    #      bench sleeps 60 s and re-measures, up to _MAX_WAITS times;
+    #   2. the headline loop runs and both calibrations are measured
+    #      again;
+    #   3. if EITHER end of the attempt is out of range in EITHER lane
+    #      the whole attempt is retried (up to _MAX_ATTEMPTS), and the
+    #      attempt with the quietest threshold-normalized worst lane
+    #      becomes the headline record;
     #   4. every attempt (timings + both calibrations) is kept in the
     #      `attempts` side field, so a forced-noisy artifact still
     #      carries full telemetry and nothing is silently discarded.
@@ -151,6 +157,9 @@ def main() -> None:
     # threshold is calibrated for local[32] — a smoke run on fewer
     # cores can raise SPARK_GRAFT_QUIET_CAL to skip the waits
     QUIET_CAL = float(os.environ.get("SPARK_GRAFT_QUIET_CAL", "1.3"))
+    # io threshold ~3.5x the 0.14 s quiet reference — cleanly between
+    # the recorded quiet band (0.13-0.19) and the storm reading (1.11)
+    QUIET_IO = float(os.environ.get("SPARK_GRAFT_QUIET_IO", "0.5"))
     _MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
     _MAX_WAITS = int(os.environ.get("SPARK_GRAFT_BENCH_WAITS", "4"))
 
@@ -175,33 +184,50 @@ def main() -> None:
             spark.catalog.clearCache()
         return t
 
+    def _noise(cal: float, io: float) -> float:
+        """Worst lane, normalized to its threshold (1.0 = at gate)."""
+        return max(cal / QUIET_CAL, io / QUIET_IO)
+
     attempts: list[dict] = []
     for _attempt in range(_MAX_ATTEMPTS):
-        cal_start = shuffle_cal()
+        cal_start, io_start = shuffle_cal(), io_cal()
         waits = 0
-        while cal_start > QUIET_CAL and waits < _MAX_WAITS:
+        while (
+            _noise(cal_start, io_start) > 1.0 and waits < _MAX_WAITS
+        ):
             time.sleep(60)
             waits += 1
-            cal_start = shuffle_cal()
-        io_start = io_cal()
+            cal_start, io_start = shuffle_cal(), io_cal()
         t = run_headline()
-        cal_end = shuffle_cal()
+        cal_end, io_end = shuffle_cal(), io_cal()
         attempts.append(
             {
                 "cal_start": cal_start,
                 "cal_end": cal_end,
                 "io_start": io_start,
+                "io_end": io_end,
                 "waits_before_start": waits,
                 "total": round(sum(t.values()), 3),
                 "timings": t,
             }
         )
-        if cal_start <= QUIET_CAL and cal_end <= QUIET_CAL:
+        if (
+            _noise(cal_start, io_start) <= 1.0
+            and _noise(cal_end, io_end) <= 1.0
+        ):
             break
-    chosen = min(attempts, key=lambda a: max(a["cal_start"], a["cal_end"]))
+    chosen = min(
+        attempts,
+        key=lambda a: max(
+            _noise(a["cal_start"], a["io_start"]),
+            _noise(a["cal_end"], a["io_end"]),
+        ),
+    )
     timings = chosen["timings"]
     calibration_shuffle = chosen["cal_start"]
     calibration_shuffle_end = chosen["cal_end"]
+    chosen_start_noisy = _noise(chosen["cal_start"], chosen["io_start"]) > 1.0
+    chosen_end_noisy = _noise(chosen["cal_end"], chosen["io_end"]) > 1.0
 
     # streaming throughput (VERDICT r02 #7): drain the full events table
     # through the stateful dedup and sliding-window streams and report
@@ -268,20 +294,14 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
 
     # Self-describing noise detection (VERDICT r9 #1): two-level flag —
-    # noisy_host = the CHOSEN attempt was never quiet (both samples out
-    # of range even after the bounded retry protocol above, i.e. the
-    # host never went quiet for ~15+ minutes — the recording is
-    # untrustworthy and says so); partially_noisy = contention at one
-    # end (some queries may be inflated; the cal-normalized ratios
-    # below still hold).
-    noisy_host = (
-        calibration_shuffle > QUIET_CAL
-        and calibration_shuffle_end > QUIET_CAL
-    )
-    partially_noisy = (
-        calibration_shuffle > QUIET_CAL
-        or calibration_shuffle_end > QUIET_CAL
-    )
+    # noisy_host = the CHOSEN attempt was never quiet (both bracketing
+    # sample PAIRS out of range — in EITHER lane, shuffle or IO — even
+    # after the bounded retry protocol above, i.e. the host never went
+    # quiet for ~15+ minutes; the recording is untrustworthy and says
+    # so); partially_noisy = contention at one end (some queries may be
+    # inflated; the cal-normalized ratios below still hold).
+    noisy_host = chosen_start_noisy and chosen_end_noisy
+    partially_noisy = chosen_start_noisy or chosen_end_noisy
     cal_ref = max(min(calibration_shuffle, calibration_shuffle_end), 1e-9)
     queries_per_cal = {
         name: round(t / cal_ref, 2) for name, t in timings.items()
@@ -313,6 +333,7 @@ def main() -> None:
                 "calibration_shuffle_end_sec": calibration_shuffle_end,
                 "calibration_shuffle_extras_sec": calibration_shuffle_extras,
                 "calibration_io_sec": chosen.get("io_start"),
+                "calibration_io_end_sec": chosen.get("io_end"),
                 "calibration_io_extras_sec": calibration_io_extras,
                 "noisy_host": noisy_host,
                 "partially_noisy": partially_noisy,
