@@ -219,8 +219,16 @@ _WINDOW_R11 = (
 assert len(_WINDOW_R11) == 50, len(_WINDOW_R11)
 assert len(set(_WINDOW_R11)) == 50, "duplicate gate in window"
 
+#: new-in-r11-continuation gates whose component code paths are both
+#: already driver-covered (bm25_eval = bm25_search, driver-verified
+#: r7/r8 via bm25_index_search, piped into ranking_metrics, which
+#: rides the r11 window) — they lead the r12 candidates instead of
+#: displacing a window slot.
+_NEW_R11_POST = ["bm25_eval"]
+
 _PRIORITY = (
     _WINDOW_R11
+    + _NEW_R11_POST
     # r12 candidates: next-stalest first — the rest of the r9-verified
     # stratum, then everything newer in freshness order
     + _R4_GREEN[2:40]

@@ -2318,6 +2318,39 @@ def q_ranking_metrics(spark, sf_dir):
     return ranking_metrics(results, qrels, k=10)
 
 
+def q_bm25_eval(spark, sf_dir):
+    """End-to-end retrieval evaluation composition (NEW
+    r11-continuation): the inverted-index BM25 run (bm25_search, the
+    bm25_index_search gate's exact lane) piped straight into
+    ranking_metrics against synthesized graded qrels (every doc judged
+    for query doc_id%3+1 with rel = doc_id%4) — pins that the retrieval
+    and eval lanes COMPOSE, not just pass in isolation. The oracle
+    chains the full index+scoring SQL with the metrics replay."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.retrieval import (
+        bm25_search,
+        build_inverted_index,
+        ranking_metrics,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    postings, stats = build_inverted_index(docs)
+    queries = spark.createDataFrame(
+        [(1, ["spark", "join"]), (2, ["filter", "hash"]),
+         (3, ["window", "table"])],
+        ["query_id", "terms"],
+    )
+    run = bm25_search(postings, stats, queries, k=10)
+    qrels = docs.select(
+        (F.col("doc_id") % 3 + 1).alias("query_id"),
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") % 4).alias("rel"),
+    )
+    return ranking_metrics(
+        run.select("query_id", "id", "rank"), qrels, k=10
+    )
+
+
 def q_k_anonymity(spark, sf_dir):
     """Re-identification audit (training/pii.py k_anonymity, NEW
     r11-continuation): equivalence-class size + l-diversity over the
@@ -2362,6 +2395,7 @@ def q_corpus_rollup(spark, sf_dir):
 
 QUERIES = {
     "ranking_metrics": q_ranking_metrics,
+    "bm25_eval": q_bm25_eval,
     "k_anonymity": q_k_anonymity,
     "corpus_rollup": q_corpus_rollup,
     "dedup_exact": q_dedup_exact,
@@ -2519,6 +2553,118 @@ ORACLES = {
                      CAST(doc_id % 4 AS BIGINT) AS rel
               FROM documents
               WHERE doc_id % 3 = 0 AND doc_id % 4 > 0),
+            rq AS (
+              SELECT r.query_id, r.rank, q.rel,
+                     CAST(sum(CASE WHEN q.rel IS NOT NULL THEN 1
+                              ELSE 0 END)
+                          OVER (PARTITION BY r.query_id ORDER BY r.rank)
+                          AS BIGINT) AS cum_hits
+              FROM r LEFT JOIN q
+                ON r.query_id = q.query_id AND r.id = q.id),
+            perq AS (
+              SELECT query_id,
+                CAST(sum(CASE WHEN rel IS NOT NULL THEN
+                      CAST(round((pow(2.0, rel) - 1)
+                                 / log2(rank + 1.0) * 1000000)
+                           AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS dcg_micro,
+                min(CASE WHEN rel IS NOT NULL THEN rank END)
+                  AS first_rel_rank,
+                CAST(sum(CASE WHEN rel IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS hits,
+                CAST(sum(CASE WHEN rel IS NOT NULL THEN
+                      CAST(round(CAST(cum_hits AS DOUBLE) / rank
+                                 * 1000000) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS ap_micro
+              FROM rq
+              GROUP BY query_id),
+            ideal AS (
+              SELECT query_id,
+                     CAST(sum(CAST(round((pow(2.0, rel) - 1)
+                                         / log2(pos + 1.0) * 1000000)
+                                   AS BIGINT)) AS BIGINT) AS idcg_micro
+              FROM (SELECT query_id, rel,
+                           row_number() OVER (
+                             PARTITION BY query_id
+                             ORDER BY rel DESC, id) AS pos
+                    FROM q)
+              WHERE pos <= 10 GROUP BY query_id),
+            tot AS (
+              SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+              FROM q GROUP BY query_id)
+            SELECT p.query_id,
+                   coalesce(t.n_rel, 0) AS n_rel,
+                   p.hits,
+                   p.dcg_micro,
+                   coalesce(i.idcg_micro, 0) AS idcg_micro,
+                   CASE WHEN coalesce(i.idcg_micro, 0) > 0
+                        THEN round(CAST(p.dcg_micro AS DOUBLE)
+                                   / i.idcg_micro, 6)
+                        ELSE 0.0 END AS ndcg_at_k,
+                   CASE WHEN p.first_rel_rank IS NOT NULL
+                        THEN (1000000000 // p.first_rel_rank) / 1e9
+                        ELSE 0.0 END AS mrr,
+                   round(p.hits / 10.0, 6) AS precision_at_k,
+                   CASE WHEN coalesce(t.n_rel, 0) > 0
+                        THEN round(CAST(p.hits AS DOUBLE) / t.n_rel, 6)
+                        ELSE 0.0 END AS recall_at_k,
+                   p.ap_micro,
+                   CASE WHEN coalesce(t.n_rel, 0) > 0
+                        THEN round(CAST(p.ap_micro AS DOUBLE)
+                                   / least(t.n_rel, 10) / 1000000.0, 6)
+                        ELSE 0.0 END AS map_at_k
+            FROM perq p
+            LEFT JOIN ideal i ON p.query_id = i.query_id
+            LEFT JOIN tot t ON p.query_id = t.query_id
+        """,
+    # bm25_eval: the bm25_index_search oracle's ranked run (CTEs toks..r,
+    # identical scoring) chained into the ranking_metrics replay — one
+    # composed statement pinning that retrieval + eval agree end-to-end.
+    "bm25_eval": """
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE string_split_regex(lower(trim(text)), '\\s+')
+                     END AS w
+              FROM documents),
+            st AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM toks),
+            postings AS (
+              SELECT term, id, count(*) AS tf
+              FROM (SELECT id, unnest(w) AS term FROM toks)
+              GROUP BY term, id),
+            dstats AS (SELECT id, len(w) AS dl FROM toks),
+            tdf AS (SELECT term, count(*) AS df FROM postings
+                    GROUP BY term),
+            qt AS (SELECT * FROM (VALUES
+                   (1, 'spark'), (1, 'join'), (2, 'filter'), (2, 'hash'),
+                   (3, 'window'), (3, 'table'))
+                  AS t(query_id, term)),
+            m AS (
+              SELECT qt.query_id, p.id,
+                     CAST(round(
+                       ln(1 + ((SELECT n FROM st) - tdf.df + 0.5)
+                              / (tdf.df + 0.5))
+                       * (CAST(p.tf AS DOUBLE) * (1.2 + 1))
+                       / (CAST(p.tf AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * CAST(s.dl AS DOUBLE)
+                                   / (SELECT avgdl FROM st)))
+                       * 1000000.0) AS BIGINT) AS c
+              FROM qt JOIN tdf USING (term) JOIN postings p USING (term)
+              JOIN dstats s ON s.id = p.id),
+            sc AS (
+              SELECT query_id, id, CAST(sum(c) AS BIGINT) AS s_micro
+              FROM m GROUP BY 1, 2 HAVING sum(c) > 0),
+            r AS (
+              SELECT query_id, id, rank
+              FROM (SELECT query_id, id,
+                           row_number() OVER (PARTITION BY query_id
+                             ORDER BY s_micro DESC, id) AS rank
+                    FROM sc)
+              WHERE rank <= 10),
+            q AS (
+              SELECT doc_id % 3 + 1 AS query_id, doc_id AS id,
+                     CAST(doc_id % 4 AS BIGINT) AS rel
+              FROM documents WHERE doc_id % 4 > 0),
             rq AS (
               SELECT r.query_id, r.rank, q.rel,
                      CAST(sum(CASE WHEN q.rel IS NOT NULL THEN 1
