@@ -224,7 +224,13 @@ assert len(set(_WINDOW_R11)) == 50, "duplicate gate in window"
 #: r7/r8 via bm25_index_search, piped into ranking_metrics, which
 #: rides the r11 window) — they lead the r12 candidates instead of
 #: displacing a window slot.
-_NEW_R11_POST = ["bm25_eval"]
+_NEW_R11_POST = [
+    "bm25_eval",
+    # classifier-eval completion: the reliability diagram, its ECE
+    # scalar, and the thresholded confusion report (companions of the
+    # window-riding classifier_auc and the r8-verified isotonic)
+    "classifier_calibration", "classifier_ece", "classifier_confusion",
+]
 
 _PRIORITY = (
     _WINDOW_R11

@@ -2351,6 +2351,64 @@ def q_bm25_eval(spark, sf_dir):
     )
 
 
+def _scored_docs(spark, sf_dir):
+    """Shared fixture for the classifier-eval gates: a deterministic
+    pseudo-probability (Knuth-hash bucket / 999 — uniform on [0, 1],
+    exercising the top-bin clamp at exactly 1.0) against the lang=='en'
+    label. Identical expression text on the oracle side, so the doubles
+    agree bit-for-bit before any rounding."""
+    d = _table(spark, sf_dir, "documents")
+    return d.select(
+        (((F.col("doc_id") * 2654435761) % 1000) / 999.0).alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+
+
+def q_classifier_calibration(spark, sf_dir):
+    """Reliability diagram (training/classifier.py calibration_bins,
+    NEW r11-continuation): 10 equal-width confidence bins with exact
+    integer micro-unit confidence sums and gap numerators — the
+    calibration diagnostic beside the threshold-free AUC and the
+    isotonic FIXER. Oracle replays binning (incl. the s=1.0 clamp) and
+    the micro arithmetic."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.classifier import (
+        calibration_bins,
+    )
+
+    return calibration_bins(_scored_docs(spark, sf_dir), "s", "y", 10)
+
+
+def q_classifier_ece(spark, sf_dir):
+    """Expected calibration error (training/classifier.py
+    expected_calibration_error, NEW r11-continuation): the scalar
+    headline of the reliability diagram — Σ gap_micro / N / 1e6, exact
+    integers up to one rounded division."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.classifier import (
+        expected_calibration_error,
+    )
+
+    return expected_calibration_error(
+        _scored_docs(spark, sf_dir), "s", "y", 10
+    )
+
+
+def q_classifier_confusion(spark, sf_dir):
+    """Operating-point report (training/classifier.py
+    confusion_at_threshold, NEW r11-continuation): exact tp/fp/tn/fn
+    at τ=0.5 with try_divide-guarded precision/recall/F1/accuracy —
+    the thresholded companion of the rank-based AUC gate."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.classifier import (
+        confusion_at_threshold,
+    )
+
+    return confusion_at_threshold(
+        _scored_docs(spark, sf_dir), "s", "y", 0.5
+    )
+
+
 def q_k_anonymity(spark, sf_dir):
     """Re-identification audit (training/pii.py k_anonymity, NEW
     r11-continuation): equivalence-class size + l-diversity over the
@@ -2396,6 +2454,9 @@ def q_corpus_rollup(spark, sf_dir):
 QUERIES = {
     "ranking_metrics": q_ranking_metrics,
     "bm25_eval": q_bm25_eval,
+    "classifier_calibration": q_classifier_calibration,
+    "classifier_ece": q_classifier_ece,
+    "classifier_confusion": q_classifier_confusion,
     "k_anonymity": q_k_anonymity,
     "corpus_rollup": q_corpus_rollup,
     "dedup_exact": q_dedup_exact,
@@ -2728,6 +2789,82 @@ ORACLES = {
             FROM perq p
             LEFT JOIN ideal i ON p.query_id = i.query_id
             LEFT JOIN tot t ON p.query_id = t.query_id
+        """,
+    # classifier_calibration / _ece / _confusion: the scored CTE repeats
+    # the gate's exact expression text (same doubles pre-rounding);
+    # micro sums CAST to BIGINT (DuckDB hugeint-vs-int64 convention).
+    "classifier_calibration": """
+            WITH scored AS (
+              SELECT ((doc_id * 2654435761) % 1000) / 999.0 AS s,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM documents),
+            b AS (
+              SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
+                     CAST(round(s * 1000000) AS BIGINT) AS sm, y
+              FROM scored)
+            SELECT bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS n_pos,
+                   CAST(sum(sm) AS BIGINT) AS conf_micro,
+                   round(CAST(sum(sm) AS BIGINT) / count(*) / 1e6, 6)
+                     AS mean_score,
+                   round(CAST(sum(y) AS DOUBLE) / count(*), 6)
+                     AS pos_rate,
+                   CAST(abs(sum(sm) - sum(y) * 1000000) AS BIGINT)
+                     AS gap_micro
+            FROM b GROUP BY bin
+        """,
+    "classifier_ece": """
+            WITH scored AS (
+              SELECT ((doc_id * 2654435761) % 1000) / 999.0 AS s,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM documents),
+            b AS (
+              SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
+                     CAST(round(s * 1000000) AS BIGINT) AS sm, y
+              FROM scored),
+            bins AS (
+              SELECT bin, count(*) AS n, sum(y) AS np, sum(sm) AS cm
+              FROM b GROUP BY bin)
+            SELECT CAST(sum(n) AS BIGINT) AS n,
+                   CAST(sum(abs(cm - np * 1000000)) AS BIGINT)
+                     AS ece_micro,
+                   round(CAST(sum(abs(cm - np * 1000000)) AS DOUBLE)
+                         / (CAST(sum(n) AS BIGINT) * 1e6), 6) AS ece
+            FROM bins
+        """,
+    "classifier_confusion": """
+            WITH scored AS (
+              SELECT ((doc_id * 2654435761) % 1000) / 999.0 AS s,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM documents),
+            c AS (
+              SELECT
+                CAST(sum(CASE WHEN s >= 0.5 AND y = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS tp,
+                CAST(sum(CASE WHEN s >= 0.5 AND y = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS fp,
+                CAST(sum(CASE WHEN s < 0.5 AND y = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS tn,
+                CAST(sum(CASE WHEN s < 0.5 AND y = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS fn
+              FROM scored)
+            SELECT tp, fp, tn, fn,
+                   CASE WHEN tp + fp > 0
+                        THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6)
+                   END AS precision,
+                   CASE WHEN tp + fn > 0
+                        THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6)
+                   END AS recall,
+                   CASE WHEN 2 * tp + fp + fn > 0
+                        THEN round(CAST(2 * tp AS DOUBLE)
+                                   / (2 * tp + fp + fn), 6)
+                   END AS f1,
+                   CASE WHEN tp + fp + tn + fn > 0
+                        THEN round(CAST(tp + tn AS DOUBLE)
+                                   / (tp + fp + tn + fn), 6)
+                   END AS accuracy
+            FROM c
         """,
     # k_anonymity: class aggregate on the quasi tuple + join back;
     # Spark `div` and DuckDB `//` agree on non-negative ints; the

@@ -316,3 +316,153 @@ def isotonic_calibrate(
     ]
     schema = by_score.schema.add("calibrated", "double")
     return spark.createDataFrame(out, schema)
+
+
+def _valid_scored(df: DataFrame, score_col: str, label_col: str):
+    """Rows with a usable (score, 0/1 label) pair — the shared NULL/NaN
+    exclusion rule of auc/isotonic_calibrate (a NaN score passes
+    isNotNull and would silently land in the top bin)."""
+    lab = F.col(label_col).cast("int")
+    return df.where(
+        F.col(score_col).isNotNull()
+        & ~F.isnan(F.col(score_col).cast("double"))
+        & lab.isin(0, 1)
+    ).select(
+        F.col(score_col).cast("double").alias("s"), lab.alias("y")
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram: equal-width confidence bins with predicted
+    vs empirical positive rate — the calibration diagnostic
+    (Guo et al. 2017, "On Calibration of Modern Neural Networks") a
+    quality-classifier pipeline reads before trusting thresholded
+    scores; the visual companion of :func:`isotonic_calibrate` (which
+    FIXES miscalibration, while this MEASURES it).
+
+    Scores must be probabilities in [0, 1]; bin = floor(s·n_bins),
+    clamped so s = 1.0 lands in the top bin. Returns one row per
+    NON-EMPTY bin: ``(bin, n, n_pos, conf_micro, mean_score, pos_rate,
+    gap_micro)`` where ``conf_micro = Σ round(s·1e6)`` (integer — the
+    mean is order-independent) and ``gap_micro = |conf_micro −
+    n_pos·1e6|`` = n·|avg confidence − empirical rate| in micro-units,
+    the exact integer numerator the ECE sums.
+
+    Plan: one hash aggregate on the bin key (≤ n_bins groups, map-side
+    combine) over a scan projection — nothing else touches the corpus.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    rows = _valid_scored(df, score_col, label_col)
+    b = F.least(
+        F.floor(F.col("s") * n_bins).cast("long"), F.lit(n_bins - 1)
+    )
+    agg = (
+        rows.select(
+            b.alias("bin"),
+            F.round(F.col("s") * 1_000_000).cast("long").alias("sm"),
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum("sm").cast("long").alias("conf_micro"),
+        )
+    )
+    return agg.select(
+        "bin",
+        "n",
+        "n_pos",
+        "conf_micro",
+        F.round(F.col("conf_micro") / F.col("n") / 1e6, 6)
+        .alias("mean_score"),
+        F.round(F.col("n_pos") / F.col("n"), 6).alias("pos_rate"),
+        F.abs(
+            F.col("conf_micro") - F.col("n_pos") * F.lit(1_000_000)
+        ).cast("long").alias("gap_micro"),
+    )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """ECE = Σ_bins (n_b/N)·|avg confidence − empirical rate| — the
+    scalar headline of :func:`calibration_bins` (same binning, same
+    integer micro-unit arithmetic: ece = Σ gap_micro / N / 1e6, exact
+    up to the one rounded division). Returns ONE row
+    ``(n, ece_micro, ece)``; an empty input yields (0, 0, NULL)."""
+    bins = calibration_bins(df, score_col, label_col, n_bins)
+    out = bins.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.sum("gap_micro"), F.lit(0)).cast("long")
+        .alias("ece_micro"),
+    )
+    return out.select(
+        "n",
+        "ece_micro",
+        F.round(
+            F.try_divide(F.col("ece_micro"), F.col("n") * F.lit(1e6)), 6
+        ).alias("ece"),
+    )
+
+
+def confusion_at_threshold(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Thresholded binary-classification quality: predicted positive =
+    score >= threshold. Returns ONE row ``(tp, fp, tn, fn, precision,
+    recall, f1, accuracy)`` — the operating-point report that
+    complements the threshold-free :func:`auc`. Counts are exact
+    int64; the ratios use try_divide (a degenerate slice yields NULL,
+    not a job-killing ANSI divide-by-zero) and round to 6. One hash
+    aggregate over a scan projection."""
+    rows = _valid_scored(df, score_col, label_col)
+    pred = (F.col("s") >= threshold).cast("int")
+    c = rows.select(pred.alias("p"), "y").agg(
+        F.coalesce(F.sum(F.col("p") * F.col("y")), F.lit(0))
+        .cast("long").alias("tp"),
+        F.coalesce(F.sum(F.col("p") * (1 - F.col("y"))), F.lit(0))
+        .cast("long").alias("fp"),
+        F.coalesce(F.sum((1 - F.col("p")) * (1 - F.col("y"))), F.lit(0))
+        .cast("long").alias("tn"),
+        F.coalesce(F.sum((1 - F.col("p")) * F.col("y")), F.lit(0))
+        .cast("long").alias("fn"),
+    )
+    return c.select(
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.round(
+            F.try_divide(F.col("tp"), F.col("tp") + F.col("fp")), 6
+        ).alias("precision"),
+        F.round(
+            F.try_divide(F.col("tp"), F.col("tp") + F.col("fn")), 6
+        ).alias("recall"),
+        F.round(
+            F.try_divide(
+                2 * F.col("tp"),
+                2 * F.col("tp") + F.col("fp") + F.col("fn"),
+            ),
+            6,
+        ).alias("f1"),
+        F.round(
+            F.try_divide(
+                F.col("tp") + F.col("tn"),
+                F.col("tp") + F.col("fp") + F.col("tn") + F.col("fn"),
+            ),
+            6,
+        ).alias("accuracy"),
+    )

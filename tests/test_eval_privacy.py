@@ -200,3 +200,70 @@ def test_corpus_rollup_levels_match_manual_aggregates(spark):
     assert total["total_chars"] == sum(len(t) for _, _, t in rows)
     # exactly the three rollup levels, nothing else
     assert set(by_gid) == {0, 1, 3}
+
+
+# -------------------------------------------------------- classifier eval
+
+
+def test_calibration_bins_and_ece_hand_computed(spark):
+    from openeo_processes_dask_spark.training.classifier import (
+        calibration_bins,
+        expected_calibration_error,
+    )
+
+    rows = [
+        # bin 0: scores 0.0, 0.05; labels 0, 1 -> conf 50000, pos 1
+        (0.0, 0), (0.05, 1),
+        # bin 9: score 1.0 clamps into bin 9; 0.95 joins it
+        (1.0, 1), (0.95, 0),
+        # excluded: NULL score, NaN score, label 2
+        (None, 1), (float("nan"), 0), (0.5, 2),
+    ]
+    df = spark.createDataFrame(rows, "s double, y int")
+    bins = {
+        r["bin"]: r.asDict()
+        for r in calibration_bins(df, "s", "y", 10).collect()
+    }
+    assert set(bins) == {0, 9}
+    b0 = bins[0]
+    assert b0["n"] == 2 and b0["n_pos"] == 1
+    assert b0["conf_micro"] == 50_000
+    assert b0["mean_score"] == 0.025 and b0["pos_rate"] == 0.5
+    assert b0["gap_micro"] == abs(50_000 - 1_000_000)
+    b9 = bins[9]
+    assert b9["n"] == 2 and b9["n_pos"] == 1
+    assert b9["conf_micro"] == 1_950_000
+    assert b9["gap_micro"] == 950_000
+    ece = expected_calibration_error(df, "s", "y", 10).collect()[0]
+    assert ece["n"] == 4
+    assert ece["ece_micro"] == 950_000 + 950_000
+    assert ece["ece"] == round(1_900_000 / 4 / 1e6, 6)
+
+
+def test_confusion_at_threshold_hand_computed(spark):
+    import pytest as _pytest
+
+    from openeo_processes_dask_spark.training.classifier import (
+        calibration_bins,
+        confusion_at_threshold,
+    )
+
+    rows = [
+        (0.9, 1), (0.8, 1), (0.7, 0),   # predicted positive
+        (0.4, 1), (0.1, 0), (0.2, 0),   # predicted negative
+        (0.5, 1),                        # boundary: s >= tau is positive
+        (None, 1), (float("nan"), 1),    # excluded
+    ]
+    df = spark.createDataFrame(rows, "s double, y int")
+    c = confusion_at_threshold(df, "s", "y", 0.5).collect()[0]
+    assert (c["tp"], c["fp"], c["tn"], c["fn"]) == (3, 1, 2, 1)
+    assert c["precision"] == 0.75
+    assert c["recall"] == 0.75
+    assert c["f1"] == 0.75
+    assert c["accuracy"] == round(5 / 7, 6)
+    # degenerate: no predicted positives -> NULL precision, not a crash
+    neg = spark.createDataFrame([(0.1, 0), (0.2, 1)], "s double, y int")
+    d = confusion_at_threshold(neg, "s", "y", 0.5).collect()[0]
+    assert d["precision"] is None and d["recall"] == 0.0
+    with _pytest.raises(ValueError):
+        calibration_bins(df, "s", "y", 0)
