@@ -359,8 +359,14 @@ def calibration_bins(
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     rows = _valid_scored(df, score_col, label_col)
-    b = F.least(
-        F.floor(F.col("s") * n_bins).cast("long"), F.lit(n_bins - 1)
+    # clamp BOTH ends: scores are probabilities by contract, but an
+    # out-of-range score must land in an edge bin, not a phantom one
+    b = F.greatest(
+        F.least(
+            F.floor(F.col("s") * n_bins).cast("long"),
+            F.lit(n_bins - 1),
+        ),
+        F.lit(0),
     )
     agg = (
         rows.select(

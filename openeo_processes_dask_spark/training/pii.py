@@ -112,6 +112,14 @@ def k_anonymity(
     missing = [c for c in quasi_cols if c not in df.columns]
     if missing:
         raise ValueError(f"quasi columns not in DataFrame: {missing}")
+    clash = {"class_size", "suppressed", "distinct_sensitive"} & set(
+        df.columns
+    )
+    if clash:
+        raise ValueError(
+            f"input already has audit column(s) {sorted(clash)}; "
+            "rename them before calling k_anonymity"
+        )
     aggs = [F.count(F.lit(1)).alias("class_size")]
     if sensitive_col is not None:
         if sensitive_col not in df.columns:

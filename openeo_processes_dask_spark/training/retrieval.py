@@ -201,10 +201,12 @@ def ranking_metrics(
     hit = F.col("rel").isNotNull()
     # cumulative hit count along the ranking — the per-position
     # precision AP needs; the window shares the query-key partitioning
-    # the aggregate below shuffles on, and holds <= k rows per query
-    wr = Window.partitionBy("query_id").orderBy("rank").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # the aggregate below shuffles on, and holds <= k rows per query.
+    # id tiebreak: ranks are unique per query by contract, but a
+    # violating input must still aggregate deterministically
+    wr = Window.partitionBy("query_id").orderBy(
+        "rank", "id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     per_q = (
         r.join(q, ["query_id", "id"], "left")
         .withColumn(
