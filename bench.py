@@ -148,8 +148,14 @@ def main() -> None:
     #      again;
     #   3. if EITHER end of the attempt is out of range in EITHER lane
     #      the whole attempt is retried (up to _MAX_ATTEMPTS), and the
-    #      attempt with the quietest threshold-normalized worst lane
-    #      becomes the headline record;
+    #      MIN-TOTAL attempt becomes the headline record: identical
+    #      code runs every attempt and contention only ADDS time, so
+    #      the fastest attempt is by construction the least-contended
+    #      measurement. (Selecting by quietest calibration pair was
+    #      tried first and picked a 19.1 s storm-inflated loop over a
+    #      9.2 s clean one, because the bracketing samples can read
+    #      quiet around a storm that lands mid-loop.) The noisy flags
+    #      come from the chosen attempt's own samples;
     #   4. every attempt (timings + both calibrations) is kept in the
     #      `attempts` side field, so a forced-noisy artifact still
     #      carries full telemetry and nothing is silently discarded.
@@ -216,13 +222,7 @@ def main() -> None:
             and _noise(cal_end, io_end) <= 1.0
         ):
             break
-    chosen = min(
-        attempts,
-        key=lambda a: max(
-            _noise(a["cal_start"], a["io_start"]),
-            _noise(a["cal_end"], a["io_end"]),
-        ),
-    )
+    chosen = min(attempts, key=lambda a: a["total"])
     timings = chosen["timings"]
     calibration_shuffle = chosen["cal_start"]
     calibration_shuffle_end = chosen["cal_end"]
