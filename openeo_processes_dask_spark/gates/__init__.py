@@ -230,6 +230,8 @@ _NEW_R11_POST = [
     # scalar, and the thresholded confusion report (companions of the
     # window-riding classifier_auc and the r8-verified isotonic)
     "classifier_calibration", "classifier_ece", "classifier_confusion",
+    # chance-corrected label agreement (annotator / model-vs-gold QA)
+    "cohens_kappa",
 ]
 
 _PRIORITY = (

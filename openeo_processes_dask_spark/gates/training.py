@@ -2409,6 +2409,28 @@ def q_classifier_confusion(spark, sf_dir):
     )
 
 
+def q_cohens_kappa(spark, sf_dir):
+    """Chance-corrected label agreement (training/classifier.py
+    cohens_kappa, NEW r11-continuation): lang vs a synthesized second
+    annotator (every doc_id%7==0 mislabeled 'zz', every doc_id%11==3
+    unlabeled -> excluded) — the labeled-data QA statistic. All counts
+    exact int64; the oracle replays the cells/marginals/kappa chain."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.classifier import (
+        cohens_kappa,
+    )
+
+    d = _table(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.col("lang").alias("a"),
+        F.when(F.col("doc_id") % 11 == 3, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 7 == 0, F.lit("zz"))
+        .otherwise(F.col("lang"))
+        .alias("b"),
+    )
+    return cohens_kappa(pairs, "a", "b")
+
+
 def q_k_anonymity(spark, sf_dir):
     """Re-identification audit (training/pii.py k_anonymity, NEW
     r11-continuation): equivalence-class size + l-diversity over the
@@ -2457,6 +2479,7 @@ QUERIES = {
     "classifier_calibration": q_classifier_calibration,
     "classifier_ece": q_classifier_ece,
     "classifier_confusion": q_classifier_confusion,
+    "cohens_kappa": q_cohens_kappa,
     "k_anonymity": q_k_anonymity,
     "corpus_rollup": q_corpus_rollup,
     "dedup_exact": q_dedup_exact,
@@ -2865,6 +2888,38 @@ ORACLES = {
                                    / (tp + fp + tn + fn), 6)
                    END AS accuracy
             FROM c
+        """,
+    # cohens_kappa: cells -> marginals -> po/pe/kappa, all-int counts,
+    # the three divisions written with the same operand text as the
+    # engine's try_divide expressions.
+    "cohens_kappa": """
+            WITH pairs AS (
+              SELECT lang AS a,
+                     CASE WHEN doc_id % 11 = 3 THEN NULL
+                          WHEN doc_id % 7 = 0 THEN 'zz'
+                          ELSE lang END AS b
+              FROM documents),
+            v AS (SELECT a, b FROM pairs
+                  WHERE a IS NOT NULL AND b IS NOT NULL),
+            cells AS (SELECT a, b, count(*) AS c FROM v GROUP BY a, b),
+            po AS (
+              SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+                     CAST(coalesce(sum(CASE WHEN a = b THEN c END), 0)
+                          AS BIGINT) AS agree
+              FROM cells),
+            ra AS (SELECT a, sum(c) AS rc FROM cells GROUP BY a),
+            cb AS (SELECT b, sum(c) AS cc FROM cells GROUP BY b),
+            pe AS (
+              SELECT CAST(coalesce(sum(rc * cc), 0) AS BIGINT) AS pe_num
+              FROM ra JOIN cb ON ra.a = cb.b)
+            SELECT n, agree, pe_num,
+                   round(CAST(agree AS DOUBLE) / n, 6) AS po,
+                   round(CAST(pe_num AS DOUBLE) / (n * n), 6) AS pe,
+                   round((CAST(agree AS DOUBLE) / n
+                          - CAST(pe_num AS DOUBLE) / (n * n))
+                         / (1.0 - CAST(pe_num AS DOUBLE) / (n * n)), 6)
+                     AS kappa
+            FROM po, pe
         """,
     # k_anonymity: class aggregate on the quasi tuple + join back;
     # Spark `div` and DuckDB `//` agree on non-negative ints; the

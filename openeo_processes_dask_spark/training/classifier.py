@@ -472,3 +472,65 @@ def confusion_at_threshold(
             6,
         ).alias("accuracy"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Cohen's kappa between two categorical label columns (Cohen 1960)
+    — chance-corrected agreement, the labeled-data QA statistic a
+    pipeline runs between two annotators, or between a model's
+    predictions and gold labels, before trusting either. Works for any
+    number of classes; rows where either label is NULL are excluded.
+
+    Returns ONE row ``(n, agree, po_num, pe_num_x1e? ...)`` — concretely
+    ``(n, agree, po, pe, kappa)`` where po = agree/n,
+    pe = Σ_c row_c·col_c / n², kappa = (po − pe)/(1 − pe). All counts
+    are exact int64; po/pe/kappa are the only divisions, rounded to 6
+    (kappa via try_divide: perfect chance agreement pe=1 yields NULL,
+    not a job-killing divide-by-zero).
+
+    Plan at 100 TB: one hash aggregate on the (a, b) pair (bounded by
+    classes², not corpus size, with map-side combine); the marginals
+    and the final scalar reduce over that tiny relation.
+    """
+    rows = df.where(
+        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    ).select(
+        F.col(a_col).cast("string").alias("a"),
+        F.col(b_col).cast("string").alias("b"),
+    )
+    cells = rows.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # marginals via two aggregates over the classes^2-sized cell table,
+    # joined back on the class key (all metadata-sized)
+    ra = cells.groupBy("a").agg(F.sum("c").alias("row_c"))
+    cb = cells.groupBy("b").agg(F.sum("c").alias("col_c"))
+    pe_num = (
+        ra.join(cb, ra["a"] == cb["b"])
+        .agg(
+            F.coalesce(
+                F.sum(F.col("row_c") * F.col("col_c")), F.lit(0)
+            ).cast("long").alias("pe_num")
+        )
+    )
+    po = cells.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("a") == F.col("b"), F.col("c"))),
+            F.lit(0),
+        ).cast("long").alias("agree"),
+    )
+    out = po.crossJoin(pe_num)  # two 1-row relations
+    po_c = F.try_divide(F.col("agree"), F.col("n"))
+    pe_c = F.try_divide(F.col("pe_num"), F.col("n") * F.col("n"))
+    return out.select(
+        "n",
+        "agree",
+        "pe_num",
+        F.round(po_c, 6).alias("po"),
+        F.round(pe_c, 6).alias("pe"),
+        F.round(F.try_divide(po_c - pe_c, F.lit(1.0) - pe_c), 6)
+        .alias("kappa"),
+    )

@@ -267,3 +267,34 @@ def test_confusion_at_threshold_hand_computed(spark):
     assert d["precision"] is None and d["recall"] == 0.0
     with _pytest.raises(ValueError):
         calibration_bins(df, "s", "y", 0)
+
+
+def test_cohens_kappa_hand_computed(spark):
+    from openeo_processes_dask_spark.training.classifier import (
+        cohens_kappa,
+    )
+
+    # classic 2x2: a=yes 6 (b agrees 5), a=no 4 (b agrees 3);
+    # marginals a: yes 6 / no 4, b: yes 6 / no 4
+    rows = (
+        [("y", "y")] * 5 + [("y", "n")] * 1
+        + [("n", "n")] * 3 + [("n", "y")] * 1
+        + [(None, "y"), ("y", None)]  # excluded
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["n"] == 10 and r["agree"] == 8
+    assert r["pe_num"] == 6 * 6 + 4 * 4  # 52
+    po, pe = 0.8, 0.52
+    assert r["po"] == po and r["pe"] == pe
+    assert r["kappa"] == round((po - pe) / (1 - pe), 6)
+    # perfect agreement -> kappa 1; total disagreement on 2 balanced
+    # classes -> kappa -1
+    perfect = spark.createDataFrame(
+        [("x", "x"), ("y", "y")], "a string, b string"
+    )
+    assert cohens_kappa(perfect, "a", "b").collect()[0]["kappa"] == 1.0
+    inverted = spark.createDataFrame(
+        [("x", "y"), ("y", "x")], "a string, b string"
+    )
+    assert cohens_kappa(inverted, "a", "b").collect()[0]["kappa"] == -1.0

@@ -111,6 +111,10 @@ ALLOWED_BNLJ: dict[str, str] = {
     "incremental_curation": "broadcast(1-row total)",
     "temperature_mix": "broadcast(1-row totals) (sampling.py:341,348)",
     "dedup_recall": "broadcast(1-row pair counts) (dedup.py:1620)",
+    "cohens_kappa": (
+        "cross of the 1-row (n, agree) and 1-row pe_num aggregates "
+        "(classifier.py cohens_kappa) — bounded by construction"
+    ),
     "corpus_overlap": (
         "cross of three 1-row HLL estimate frames (sketches.py "
         "corpus_overlap) — bounded by construction"
