@@ -232,6 +232,8 @@ _NEW_R11_POST = [
     "classifier_calibration", "classifier_ece", "classifier_confusion",
     # chance-corrected label agreement (annotator / model-vs-gold QA)
     "cohens_kappa",
+    # group-fairness audit: per-group confusion + DP/EO gaps
+    "fairness_confusion", "fairness_gaps",
 ]
 
 _PRIORITY = (

@@ -2431,6 +2431,45 @@ def q_cohens_kappa(spark, sf_dir):
     return cohens_kappa(pairs, "a", "b")
 
 
+def q_fairness_confusion(spark, sf_dir):
+    """Per-group operating-point audit (training/classifier.py
+    confusion_by_group, NEW r11-continuation): the classifier-eval
+    fixture's scores sliced by lang — exact per-group counts +
+    try_divide-guarded selection rate / TPR / FPR."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.classifier import (
+        confusion_by_group,
+    )
+
+    d = _table(spark, sf_dir, "documents")
+    scored = d.select(
+        (((F.col("doc_id") * 2654435761) % 1000) / 999.0).alias("s"),
+        (F.col("n_chars") > 1000).cast("int").alias("y"),
+        "lang",
+    )
+    return confusion_by_group(scored, "s", "y", "lang", 0.5)
+
+
+def q_fairness_gaps(spark, sf_dir):
+    """Group-fairness summary (training/classifier.py fairness_gaps,
+    NEW r11-continuation): demographic-parity and equalized-odds gaps
+    (max−min of the per-group published rates) across the lang slices
+    of the same fixture — NULL-rate groups skipped by both engines'
+    max/min."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.classifier import (
+        fairness_gaps,
+    )
+
+    d = _table(spark, sf_dir, "documents")
+    scored = d.select(
+        (((F.col("doc_id") * 2654435761) % 1000) / 999.0).alias("s"),
+        (F.col("n_chars") > 1000).cast("int").alias("y"),
+        "lang",
+    )
+    return fairness_gaps(scored, "s", "y", "lang", 0.5)
+
+
 def q_k_anonymity(spark, sf_dir):
     """Re-identification audit (training/pii.py k_anonymity, NEW
     r11-continuation): equivalence-class size + l-diversity over the
@@ -2480,6 +2519,8 @@ QUERIES = {
     "classifier_ece": q_classifier_ece,
     "classifier_confusion": q_classifier_confusion,
     "cohens_kappa": q_cohens_kappa,
+    "fairness_confusion": q_fairness_confusion,
+    "fairness_gaps": q_fairness_gaps,
     "k_anonymity": q_k_anonymity,
     "corpus_rollup": q_corpus_rollup,
     "dedup_exact": q_dedup_exact,
@@ -2920,6 +2961,75 @@ ORACLES = {
                          / (1.0 - CAST(pe_num AS DOUBLE) / (n * n)), 6)
                      AS kappa
             FROM po, pe
+        """,
+    # fairness_confusion / fairness_gaps: one group-keyed aggregate;
+    # the gaps subtract the per-group rates AFTER the 6-decimal round
+    # (the published numbers) on both engines; NULL rates skipped by
+    # max/min in both.
+    "fairness_confusion": """
+            WITH scored AS (
+              SELECT ((doc_id * 2654435761) % 1000) / 999.0 AS s,
+                     CASE WHEN n_chars > 1000 THEN 1 ELSE 0 END AS y,
+                     lang
+              FROM documents),
+            c AS (
+              SELECT lang AS "group",
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN s >= 0.5 AND y = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS tp,
+                CAST(sum(CASE WHEN s >= 0.5 AND y = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS fp,
+                CAST(sum(CASE WHEN s < 0.5 AND y = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS tn,
+                CAST(sum(CASE WHEN s < 0.5 AND y = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS fn
+              FROM scored GROUP BY lang)
+            SELECT "group", n, tp, fp, tn, fn,
+                   CASE WHEN n > 0
+                        THEN round(CAST(tp + fp AS DOUBLE) / n, 6)
+                   END AS selection_rate,
+                   CASE WHEN tp + fn > 0
+                        THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6)
+                   END AS tpr,
+                   CASE WHEN fp + tn > 0
+                        THEN round(CAST(fp AS DOUBLE) / (fp + tn), 6)
+                   END AS fpr
+            FROM c
+        """,
+    "fairness_gaps": """
+            WITH scored AS (
+              SELECT ((doc_id * 2654435761) % 1000) / 999.0 AS s,
+                     CASE WHEN n_chars > 1000 THEN 1 ELSE 0 END AS y,
+                     lang
+              FROM documents),
+            c AS (
+              SELECT lang,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN s >= 0.5 AND y = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS tp,
+                CAST(sum(CASE WHEN s >= 0.5 AND y = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS fp,
+                CAST(sum(CASE WHEN s < 0.5 AND y = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS tn,
+                CAST(sum(CASE WHEN s < 0.5 AND y = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS fn
+              FROM scored GROUP BY lang),
+            rates AS (
+              SELECT CASE WHEN n > 0
+                          THEN round(CAST(tp + fp AS DOUBLE) / n, 6)
+                     END AS sel,
+                     CASE WHEN tp + fn > 0
+                          THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6)
+                     END AS tpr,
+                     CASE WHEN fp + tn > 0
+                          THEN round(CAST(fp AS DOUBLE) / (fp + tn), 6)
+                     END AS fpr
+              FROM c)
+            SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                   round(max(sel) - min(sel), 6) AS dp_gap,
+                   round(max(tpr) - min(tpr), 6) AS eo_tpr_gap,
+                   round(max(fpr) - min(fpr), 6) AS eo_fpr_gap
+            FROM rates
         """,
     # k_anonymity: class aggregate on the quasi tuple + join back;
     # Spark `div` and DuckDB `//` agree on non-negative ints; the

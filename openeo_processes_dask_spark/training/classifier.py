@@ -534,3 +534,90 @@ def cohens_kappa(
         F.round(F.try_divide(po_c - pe_c, F.lit(1.0) - pe_c), 6)
         .alias("kappa"),
     )
+
+
+def confusion_by_group(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Per-group operating-point report: :func:`confusion_at_threshold`
+    sliced by a protected/stratification attribute (language, source,
+    domain) — the table a fairness audit reads. Returns one row per
+    group: ``(group, n, tp, fp, tn, fn, selection_rate, tpr, fpr)``
+    with exact int64 counts and try_divide-guarded rates rounded to 6
+    (a group with no positives yields NULL tpr, not a crash).
+
+    Plan: ONE hash aggregate keyed by the group column (bounded by
+    group cardinality, map-side combine) over a scan projection.
+    """
+    lab = F.col(label_col).cast("int")
+    rows = df.where(
+        F.col(score_col).isNotNull()
+        & ~F.isnan(F.col(score_col).cast("double"))
+        & lab.isin(0, 1)
+    ).select(
+        F.col(group_col).cast("string").alias("group"),
+        (F.col(score_col).cast("double") >= threshold).cast("int")
+        .alias("p"),
+        lab.alias("y"),
+    )
+    c = rows.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("p") * F.col("y")).cast("long").alias("tp"),
+        F.sum(F.col("p") * (1 - F.col("y"))).cast("long").alias("fp"),
+        F.sum((1 - F.col("p")) * (1 - F.col("y"))).cast("long")
+        .alias("tn"),
+        F.sum((1 - F.col("p")) * F.col("y")).cast("long").alias("fn"),
+    )
+    return c.select(
+        "group",
+        "n",
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.round(
+            F.try_divide(F.col("tp") + F.col("fp"), F.col("n")), 6
+        ).alias("selection_rate"),
+        F.round(
+            F.try_divide(F.col("tp"), F.col("tp") + F.col("fn")), 6
+        ).alias("tpr"),
+        F.round(
+            F.try_divide(F.col("fp"), F.col("fp") + F.col("tn")), 6
+        ).alias("fpr"),
+    )
+
+
+def fairness_gaps(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Group-fairness summary of a thresholded classifier
+    (Barocas/Hardt/Narayanan, fairmlbook.org conventions): the max−min
+    spread across groups of selection rate (demographic-parity gap)
+    and of TPR / FPR (the two equalized-odds gaps, Hardt et al. 2016).
+    Returns ONE row ``(n_groups, dp_gap, eo_tpr_gap, eo_fpr_gap)``;
+    groups whose rate is undefined (no positives / no negatives) are
+    skipped by that gap's max/min, matching the NULL-skipping
+    aggregate semantics of both engines. Gaps are computed from the
+    per-group rates ALREADY rounded to 6 (the published numbers), so
+    the subtraction is deterministic cross-engine. Same single
+    group-keyed aggregate as :func:`confusion_by_group` plus a
+    group-cardinality-sized reduction."""
+    g = confusion_by_group(
+        df, score_col, label_col, group_col, threshold
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.round(
+            F.max("selection_rate") - F.min("selection_rate"), 6
+        ).alias("dp_gap"),
+        F.round(F.max("tpr") - F.min("tpr"), 6).alias("eo_tpr_gap"),
+        F.round(F.max("fpr") - F.min("fpr"), 6).alias("eo_fpr_gap"),
+    )

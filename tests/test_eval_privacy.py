@@ -298,3 +298,36 @@ def test_cohens_kappa_hand_computed(spark):
         [("x", "y"), ("y", "x")], "a string, b string"
     )
     assert cohens_kappa(inverted, "a", "b").collect()[0]["kappa"] == -1.0
+
+
+def test_fairness_confusion_and_gaps_hand_computed(spark):
+    from openeo_processes_dask_spark.training.classifier import (
+        confusion_by_group,
+        fairness_gaps,
+    )
+
+    rows = [
+        # group A: sel 2/4, tpr 1/2, fpr 1/2
+        ("A", 0.9, 1), ("A", 0.8, 0), ("A", 0.1, 1), ("A", 0.2, 0),
+        # group B: all predicted positive, all labeled 1 ->
+        # sel 1.0, tpr 1.0, fpr NULL (no negatives)
+        ("B", 0.9, 1), ("B", 0.7, 1),
+        # excluded rows
+        ("A", None, 1), ("B", float("nan"), 0),
+    ]
+    df = spark.createDataFrame(rows, "g string, s double, y int")
+    by_g = {
+        r["group"]: r.asDict()
+        for r in confusion_by_group(df, "s", "y", "g", 0.5).collect()
+    }
+    a = by_g["A"]
+    assert (a["tp"], a["fp"], a["tn"], a["fn"]) == (1, 1, 1, 1)
+    assert a["selection_rate"] == 0.5 and a["tpr"] == 0.5
+    b = by_g["B"]
+    assert b["selection_rate"] == 1.0 and b["tpr"] == 1.0
+    assert b["fpr"] is None  # no negatives in the group
+    gaps = fairness_gaps(df, "s", "y", "g", 0.5).collect()[0]
+    assert gaps["n_groups"] == 2
+    assert gaps["dp_gap"] == 0.5       # 1.0 - 0.5
+    assert gaps["eo_tpr_gap"] == 0.5   # 1.0 - 0.5
+    assert gaps["eo_fpr_gap"] == 0.0   # only group A has a defined fpr
