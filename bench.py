@@ -146,16 +146,24 @@ def main() -> None:
     #      bench sleeps 60 s and re-measures, up to _MAX_WAITS times;
     #   2. the headline loop runs and both calibrations are measured
     #      again;
-    #   3. if EITHER end of the attempt is out of range in EITHER lane
-    #      the whole attempt is retried (up to _MAX_ATTEMPTS), and the
-    #      MIN-TOTAL attempt becomes the headline record: identical
-    #      code runs every attempt and contention only ADDS time, so
-    #      the fastest attempt is by construction the least-contended
-    #      measurement. (Selecting by quietest calibration pair was
-    #      tried first and picked a 19.1 s storm-inflated loop over a
-    #      9.2 s clean one, because the bracketing samples can read
-    #      quiet around a storm that lands mid-loop.) The noisy flags
-    #      come from the chosen attempt's own samples;
+    #   3. the attempt is retried (up to _MAX_ATTEMPTS) if EITHER end
+    #      is out of range in EITHER lane, OR — VERDICT r11 #1 — the
+    #      attempt TOTAL exceeds 1.5x the persisted quiet reference
+    #      (QUIET_TOTAL_SEC): the r11 artifact recorded an 11.7 s
+    #      front-loaded stall with all four bracketing samples quiet,
+    #      so calibration gates alone cannot be the only retry trigger.
+    #      The headline record is then the MIN-TOTAL attempt among
+    #      those whose bracketing samples all pass (ADVICE r11 #2:
+    #      later attempts run with a warm OS page cache, so raw
+    #      min-total could crown a storm-flagged warm attempt over a
+    #      clean cold one); if NO attempt is quiet, raw min-total —
+    #      identical code runs every attempt and contention only ADDS
+    #      time, so the fastest is the least-contended measurement.
+    #      (Selecting by quietest calibration pair alone was tried
+    #      first and picked a 19.1 s storm-inflated loop over a 9.2 s
+    #      clean one, because the bracketing samples can read quiet
+    #      around a storm that lands mid-loop.) The noisy flags come
+    #      from the chosen attempt's own samples;
     #   4. every attempt (timings + both calibrations) is kept in the
     #      `attempts` side field, so a forced-noisy artifact still
     #      carries full telemetry and nothing is silently discarded.
@@ -168,6 +176,18 @@ def main() -> None:
     QUIET_IO = float(os.environ.get("SPARK_GRAFT_QUIET_IO", "0.5"))
     _MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
     _MAX_WAITS = int(os.environ.get("SPARK_GRAFT_BENCH_WAITS", "4"))
+    # Persisted quiet-host headline reference (VERDICT r11 #1): the r11
+    # close-out quiet totals were 6.99 / 8.32 / 8.61 / 9.20 s across
+    # builder+judge runs, so 9.5 s is the upper edge of the quiet band.
+    # Updated at each round's close-out alongside the extras list. An
+    # attempt whose total exceeds 1.5x this reference is ANOMALOUS even
+    # when both bracketing calibration pairs read quiet — the r11
+    # artifact (11.683 s, flags false, front-loaded stall invisible to
+    # both lanes) proved mid-loop storms can slip between the samples.
+    QUIET_TOTAL_SEC = float(
+        os.environ.get("SPARK_GRAFT_QUIET_TOTAL", "9.5")
+    )
+    _ANOMALY_FACTOR = 1.5
 
     def run_headline() -> dict[str, float]:
         t: dict[str, float] = {}
@@ -220,9 +240,31 @@ def main() -> None:
         if (
             _noise(cal_start, io_start) <= 1.0
             and _noise(cal_end, io_end) <= 1.0
+            # total-anomaly retry (VERDICT r11 #1): a quiet-calibration
+            # attempt whose TOTAL blows past the persisted quiet band is
+            # a mid-loop storm the bracketing samples missed — keep
+            # attempting so min-total gets a real candidate instead of
+            # recording the stall as-is (r11: 11.683 s, all flags false)
+            and attempts[-1]["total"]
+            <= _ANOMALY_FACTOR * QUIET_TOTAL_SEC
         ):
             break
-    chosen = min(attempts, key=lambda a: a["total"])
+
+    def _attempt_quiet(a: dict) -> bool:
+        return (
+            _noise(a["cal_start"], a["io_start"]) <= 1.0
+            and _noise(a["cal_end"], a["io_end"]) <= 1.0
+        )
+
+    # Attempt selection (ADVICE r11 #2): min total CAN conflate a warm
+    # OS page cache with quietness — clearCache() only drops Spark's
+    # cache, so a storm-flagged warm attempt may out-time a clean cold
+    # one. Prefer the fastest attempt among those whose bracketing
+    # samples all pass; only when no attempt is quiet fall back to
+    # min total overall (contention only adds time, so among
+    # uniformly-contended attempts the fastest is least contended).
+    quiet_attempts = [a for a in attempts if _attempt_quiet(a)]
+    chosen = min(quiet_attempts or attempts, key=lambda a: a["total"])
     timings = chosen["timings"]
     calibration_shuffle = chosen["cal_start"]
     calibration_shuffle_end = chosen["cal_end"]

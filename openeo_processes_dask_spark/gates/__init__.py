@@ -236,18 +236,80 @@ _NEW_R11_POST = [
     "fairness_confusion", "fairness_gaps",
 ]
 
+# ---- Round-12 rotation (VERDICT r11 #2/#8) ----
+# Derived from tools/freshness.py (computed per-gate last-driver-round
+# over CORRECTNESS_r01..r11), NOT from the hand-maintained strata
+# comments above — those have been wrong twice (r9: missed gates;
+# r11: candidate ordering freshness-inverted).  Ledger after r11:
+# 9 never-checked, 43 r6-stale, 45 r8, 46 r9, 43 r10, 50 r11.
+
+#: the 9 gates with NO green driver record through r11 (tools/
+#: freshness.py): the r11-continuation eval batch plus the two sketch
+#: builds whose _merged siblings rode the r11 window.
+_NEVER_AFTER_R11 = _NEW_R11_POST + [
+    "quantile_sketch", "quantile_sketch_grouped",
+]
+
+#: the 43 gates whose last green driver record is r6 (tools/
+#: freshness.py output order = registry order; _R6_GREEN plus the
+#: _R3_NOW_R6 members not re-verified by the r10/r11 merge/resample
+#: windows).
+_R6_STALE_AFTER_R11 = [
+    "domain_stats", "bm25_topk", "semdedup", "pagerank",
+    "time_partitioned_roundtrip", "stat_pruned_read",
+    "apply_neighborhood_2d", "apply_neighborhood_2d_mean",
+    "apply_neighborhood_mean", "array_ops", "array_ops2", "crs_utm",
+    "cummax", "cummin", "cumproduct", "ddmc", "dedup_clusters",
+    "ivf_topk", "load_stac_catalog", "load_url_geojson",
+    "mask_triangle", "multimodal_av", "multimodal_resize",
+    "predict_curve_linear", "process_graph", "rearrange",
+    "reduce_quantiles", "rename_labels_dim", "rename_labels_enumerated",
+    "resample_bilinear", "resample_cubic", "resample_cubicspline",
+    "resample_gauss", "resample_lanczos", "resample_mode",
+    "resample_rms", "resample_spatial_grid", "rqa_trend",
+    "salted_reduce", "save_load_roundtrip", "streaming_dedup",
+    "streaming_sliding_sum", "text_ops",
+]
+
+#: gates NEW in r12 or whose implementation (or oracle) changed in
+#: r12, riding the window so the driver verifies the new code paths.
+#: quantile_sketch / quantile_sketch_grouped (relational level-pick,
+#: VERDICT r11 #3) and bm25_eval (oracle frame fix, ADVICE r11 #4)
+#: already lead the window via _NEVER_AFTER_R11.
+_CHANGED_R12 = [
+    # ADVICE r11 #1: unconditional late-row guard in stream_fill_forward
+    "streaming_fill_forward",
+    # ADVICE r11 #3: k_anonymize redaction dtype validation
+    "k_anonymity",
+    # ADVICE r11 #4: ranking oracle deterministic window frame
+    "ranking_metrics",
+]
+
+# Window: flagship + never-checked (lead) + r12-changed + the stalest
+# fill from the r6 stratum.  The r6 tail that misses the window heads
+# the candidates, then strata in computed-freshness order.
+_R6_FILL = 50 - 1 - len(_NEVER_AFTER_R11) - len(_CHANGED_R12)
+_WINDOW_R12 = (
+    ["flagship_daily_mean"]
+    + _NEVER_AFTER_R11
+    + _CHANGED_R12
+    + _R6_STALE_AFTER_R11[:_R6_FILL]
+)
+assert len(_WINDOW_R12) == 50, len(_WINDOW_R12)
+assert len(set(_WINDOW_R12)) == 50, "duplicate gate in window"
+
 _PRIORITY = (
-    _WINDOW_R11
-    + _NEW_R11_POST
-    # r12 candidates: next-stalest first — the rest of the r9-verified
-    # stratum, then everything newer in freshness order
-    + _R4_GREEN[2:40]
-    + _NEVER_CHECKED          # driver-verified r8
-    + _R6_GREEN
-    + _R3_NOW_R6
+    _WINDOW_R12
+    # r13 candidates, stalest-first per tools/freshness.py: the r6
+    # gates that missed the window, then the r8 / r9 / r10 / r11
+    # strata (each internally in registry order)
+    + _R6_STALE_AFTER_R11[_R6_FILL:]
+    + _NEVER_CHECKED          # last driver-verified r8
     + _NEW_R9                 # driver-verified r9
+    + _R4_GREEN[2:40]         # driver-verified r9
     + _R4_GREEN[40:]          # driver-verified r10
     + _CHANGED_R10            # driver-verified r10
+    + _WINDOW_R11             # driver-verified r11
 )
 
 
