@@ -2680,9 +2680,18 @@ ORACLES = {
               WHERE doc_id % 3 = 0 AND doc_id % 4 > 0),
             rq AS (
               SELECT r.query_id, r.rank, q.rel,
+                     -- (rank, id) ordering + explicit ROWS frame
+                     -- (ADVICE r11 #4): matches the engine's
+                     -- deterministic ROWS window even on
+                     -- contract-violating duplicate ranks, where
+                     -- DuckDB's default RANGE frame over rank alone
+                     -- would sum whole peer groups
                      CAST(sum(CASE WHEN q.rel IS NOT NULL THEN 1
                               ELSE 0 END)
-                          OVER (PARTITION BY r.query_id ORDER BY r.rank)
+                          OVER (PARTITION BY r.query_id
+                                ORDER BY r.rank, r.id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)
                           AS BIGINT) AS cum_hits
               FROM r LEFT JOIN q
                 ON r.query_id = q.query_id AND r.id = q.id),
@@ -2792,9 +2801,18 @@ ORACLES = {
               FROM documents WHERE doc_id % 4 > 0),
             rq AS (
               SELECT r.query_id, r.rank, q.rel,
+                     -- (rank, id) ordering + explicit ROWS frame
+                     -- (ADVICE r11 #4): matches the engine's
+                     -- deterministic ROWS window even on
+                     -- contract-violating duplicate ranks, where
+                     -- DuckDB's default RANGE frame over rank alone
+                     -- would sum whole peer groups
                      CAST(sum(CASE WHEN q.rel IS NOT NULL THEN 1
                               ELSE 0 END)
-                          OVER (PARTITION BY r.query_id ORDER BY r.rank)
+                          OVER (PARTITION BY r.query_id
+                                ORDER BY r.rank, r.id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)
                           AS BIGINT) AS cum_hits
               FROM r LEFT JOIN q
                 ON r.query_id = q.query_id AND r.id = q.id),

@@ -614,9 +614,15 @@ def stream_fill_forward(
             rows["event_id"].astype("int64"), rows["t"], rows["value"]
         ):
             if pd.isna(v):
-                usable = last_t is not None and (
-                    gap_ns is None
-                    or 0 <= (t - last_t).value <= gap_ns
+                # the ordering guard applies whether or not max_gap is
+                # set (ADVICE r11 #1): a cross-batch late row whose t
+                # precedes the carried state must NOT be filled from
+                # that FUTURE observation — that would be backward
+                # fill, not LOCF — so both modes leave it NULL.
+                usable = (
+                    last_t is not None
+                    and (t - last_t).value >= 0
+                    and (gap_ns is None or (t - last_t).value <= gap_ns)
                 )
                 out.append(
                     (int(k), int(eid), t, float(last_v), True)

@@ -165,7 +165,28 @@ def k_anonymize(
     for visible masking of string columns). Non-quasi columns and the
     ``class_size``/``suppressed`` audit columns pass through, so the
     caller can count what was lost. Same single-aggregate plan as
-    :func:`k_anonymity`."""
+    :func:`k_anonymity`.
+
+    A non-NULL ``redaction`` is only valid when every quasi column is a
+    string: masking an int column with ``"*"`` would otherwise silently
+    coerce the whole column to string through when/otherwise type
+    unification, changing the output schema (ADVICE r11 #3) — that case
+    raises instead; use the default NULL suppression for non-string
+    quasi columns."""
+    if redaction is not None:
+        from pyspark.sql.types import StringType
+
+        non_string = [
+            c for c in quasi_cols
+            if c in df.columns
+            and not isinstance(df.schema[c].dataType, StringType)
+        ]
+        if non_string:
+            raise ValueError(
+                "string redaction would change the dtype of non-string "
+                f"quasi column(s) {non_string}; use redaction=None "
+                "(NULL suppression) for them"
+            )
     ann = k_anonymity(df, quasi_cols, k)
     out_cols = []
     for c in ann.columns:

@@ -166,6 +166,16 @@ def test_k_anonymity_validation(spark):
         k_anonymity(df, ["nope"], k=2)
     with pytest.raises(ValueError):
         k_anonymity(df, ["lang"], k=2, sensitive_col="nope")
+    # ADVICE r11 #3: a string redaction on a non-string quasi column
+    # would silently coerce the column to string via when/otherwise
+    # type unification — it must raise instead
+    df2 = spark.createDataFrame([(1, "en", 30)], ["id", "lang", "age"])
+    with pytest.raises(ValueError, match="age"):
+        k_anonymize(df2, ["lang", "age"], k=2, redaction="*")
+    # NULL suppression on the same mixed dtypes stays valid and keeps
+    # the schema
+    out = k_anonymize(df2, ["lang", "age"], k=2)
+    assert dict(out.dtypes)["age"] == "bigint"
 
 
 # ------------------------------------------------------------ corpus_rollup

@@ -121,3 +121,35 @@ def test_stream_fill_forward_state_carries_across_batches(
     }
     assert got[1] == (3.5, False)
     assert got[2] == (3.5, True)
+
+
+def test_stream_fill_forward_late_row_never_backward_fills(
+    spark, tmp_path
+):
+    """ADVICE r11 #1: a cross-batch late NULL row (t BEFORE the carried
+    state's t) stays NULL in BOTH modes — with and without max_gap —
+    instead of being filled from the FUTURE observation (which would be
+    backward fill, not LOCF)."""
+    t0 = dt.datetime(2024, 1, 1)
+    for name, gap in (("ff_late_nogap", None), ("ff_late_gap", 3600.0)):
+        d = str(tmp_path / name)
+        # batch 1: observation at t0+10min enters state
+        spark.createDataFrame(
+            [(1, t0 + dt.timedelta(minutes=10), 0, 4.0)], SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        # batch 2: late NULL row at t0 (precedes the carried state)
+        spark.createDataFrame(
+            [(2, t0, 0, None)], SCHEMA
+        ).coalesce(1).write.mode("append").parquet(d)
+        stream = (
+            spark.readStream.option("maxFilesPerTrigger", 1)
+            .schema(SCHEMA)
+            .parquet(d)
+        )
+        _drain(stream_fill_forward(stream, max_gap=gap), name)
+        got = {
+            r["event_id"]: (r["value"], r["filled"])
+            for r in spark.table(name).collect()
+        }
+        assert got[1] == (4.0, False), (name, got)
+        assert got[2] == (None, False), (name, got)
