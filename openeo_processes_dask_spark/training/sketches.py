@@ -559,9 +559,17 @@ def quantile_sketch(
     is the survivor set at the smallest level with <= ``k`` survivors —
     a uniform (1/2^l)-sample whose ORDER STATISTICS estimate quantiles.
 
-    Plan at 100 TB: one scan computes (value, hash, level); a <= 61-row
-    groupBy picks the level on the driver; one filter emits the <= k
-    survivor rows. No sort, no shuffle beyond the 61-row aggregate.
+    Plan at 100 TB (VERDICT r11 #3 — ONE deferred plan, no action
+    inside the builder): one scan computes (value, hash, level); a
+    <= 61-row level-count aggregate collapses to a single row whose
+    ``F.aggregate`` over the descending-level array applies the same
+    "smallest level with <= k survivors" suffix rule the grouped
+    variant computes with its per-group window (trivially the
+    single-group case); the one-row metadata broadcast-joins back on a
+    constant key and one filter emits the <= k survivor rows. The
+    level pick is pure JVM expression — nothing collects, so consuming
+    the sketch is one job instead of the former eager level-count
+    collect plus a second full scan.
 
     Returns survivor rows ``(__v__ double, __h__ long, __lvl__ int)``
     plus constant metadata columns ``__level__`` (chosen level) and
@@ -575,18 +583,44 @@ def quantile_sketch(
         _qsk_hash(F.col(uid_col)).alias("__h__"),
     )
     base = base.withColumn("__lvl__", _qsk_level(F.col("__h__")))
-    counts = {
-        r["__lvl__"]: r["c"]
-        for r in base.groupBy("__lvl__").agg(
-            F.count(F.lit(1)).alias("c")
-        ).collect()
-    }
-    n = sum(counts.values())
-    level = _qsk_pick_level(counts, k)
+    cnt = base.groupBy("__lvl__").agg(F.count(F.lit(1)).alias("__c__"))
+    # Descending-level running suffix over the <= 61 level rows,
+    # folded in ONE row: walking levels high -> low, the first level
+    # whose running count exceeds k forces chosen = level + 1 (the
+    # suffix count only grows as the walk descends, so greatest()
+    # keeps exactly that first trigger); if no level triggers, 0.
+    # The running total after the walk is the exact input count n.
+    fold = F.aggregate(
+        F.reverse(
+            F.array_sort(
+                F.collect_list(F.struct("__lvl__", "__c__"))
+            )
+        ),
+        F.struct(
+            F.lit(0).cast("long").alias("cum"),
+            F.lit(0).cast("int").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            (acc["cum"] + x["__c__"]).alias("cum"),
+            F.greatest(
+                acc["best"],
+                F.when(
+                    acc["cum"] + x["__c__"] > k, x["__lvl__"] + 1
+                ).otherwise(F.lit(0)),
+            ).cast("int").alias("best"),
+        ),
+    )
+    meta = cnt.agg(fold.alias("__acc__")).select(
+        F.least(F.col("__acc__.best"), F.lit(_QSK_BITS))
+        .cast("int").alias("__level__"),
+        F.col("__acc__.cum").cast("long").alias("__n__"),
+        F.lit(1).alias("__j__"),
+    )
     return (
-        base.where(F.col("__lvl__") >= level)
-        .withColumn("__level__", F.lit(level))
-        .withColumn("__n__", F.lit(n).cast("long"))
+        base.withColumn("__j__", F.lit(1))
+        .join(F.broadcast(meta), "__j__")
+        .where(F.col("__lvl__") >= F.col("__level__"))
+        .select("__v__", "__h__", "__lvl__", "__level__", "__n__")
     )
 
 

@@ -142,6 +142,17 @@ ALLOWED_BNLJ: dict[str, str] = {
         "plus its planted copies (600 rows, literal cap in the gate); "
         "the measured lane stays an equi-join on cluster"
     ),
+    "quantile_sketch": (
+        "broadcast(1-row level/count metadata) non-equi-filtered "
+        "against the tagged scan (sketches.py quantile_sketch) — the "
+        "relational level pick (VERDICT r11 #3): Catalyst folds the "
+        "constant join key, leaving __lvl__ >= __level__ as a BNLJ "
+        "condition over an exactly-1-row build side"
+    ),
+    "quantile_sketch_merged": (
+        "each unioned shard sketch carries the 1-row metadata "
+        "broadcast above; bounded by construction"
+    ),
     "count_min_by_source": (
         "broadcast cross of the sketch's DISTINCT group keys with the "
         "12-probe x depth bucket list (sketches.py "

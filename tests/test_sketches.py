@@ -637,3 +637,32 @@ def test_stream_hll_equals_batch(spark, tmp_path):
         map(tuple, hyperloglog_registers(df, "k", p=8).collect())
     )
     assert got == exp
+
+
+def test_quantile_sketch_build_is_lazy(spark):
+    """VERDICT r11 #3: the global build must be ONE deferred plan — no
+    eager level-count collect inside the builder (the former version
+    ran a full scan at build time and a second when consumed). Pinned
+    with the job-group counter: constructing the sketch launches ZERO
+    jobs; consuming it launches at least one."""
+    from openeo_processes_dask_spark.training.sketches import (
+        quantile_sketch,
+    )
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 97).cast("double").alias("v"),
+        F.col("id").alias("uid"),
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("qsk_lazy_gate", "quantile_sketch build laziness")
+    sk = quantile_sketch(df, "v", "uid", k=64)
+    built_jobs = len(
+        sc.statusTracker().getJobIdsForGroup("qsk_lazy_gate")
+    )
+    n = sk.count()
+    total_jobs = len(
+        sc.statusTracker().getJobIdsForGroup("qsk_lazy_gate")
+    )
+    sc.setJobGroup(None, None)
+    assert built_jobs == 0, f"builder ran {built_jobs} eager job(s)"
+    assert total_jobs >= 1 and 0 < n <= 64
