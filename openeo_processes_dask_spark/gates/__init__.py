@@ -277,6 +277,10 @@ _R6_STALE_AFTER_R11 = [
 #: VERDICT r11 #3) and bm25_eval (oracle frame fix, ADVICE r11 #4)
 #: already lead the window via _NEVER_AFTER_R11.
 _CHANGED_R12 = [
+    # NEW r12 (VERDICT r11 #5): vendored-PSL-snapshot eTLD+1 with
+    # wildcard/exception rules; registered_domain_psl shares the
+    # changed matching code and stays r11-fresh in the sweep
+    "registered_domain_psl_full",
     # ADVICE r11 #1: unconditional late-row guard in stream_fill_forward
     "streaming_fill_forward",
     # ADVICE r11 #3: k_anonymize redaction dtype validation

@@ -1691,6 +1691,151 @@ def q_registered_domain_psl(spark, sf_dir):
     )
 
 
+def q_registered_domain_psl_full(spark, sf_dir):
+    """eTLD+1 over the VENDORED public-suffix snapshot (training/
+    urls.py load_public_suffix_snapshot + registered_domain_from_list,
+    NEW r12 — VERDICT r11 #5): the full PSL algorithm including
+    wildcard (``*.ck``, ``*.kawasaki.jp``) and exception (``!www.ck``,
+    ``!city.kawasaki.jp``) rules, over the ~550-rule dated snapshot in
+    data/public_suffix_snapshot.dat (drop-in replaceable by the full
+    upstream file). Hosts exercise wildcard suffixes, exception
+    prevailing over wildcard, private-section rules (github.io),
+    multi-label delegations, the default '*' rule, userinfo, ports and
+    case; the oracle builder regenerates the longest-first CASE from
+    the SAME parsed snapshot."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.urls import (
+        load_public_suffix_snapshot,
+        registered_domain_from_list,
+    )
+
+    d = _table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    host = (
+        F.when(i % 8 == 0, F.concat(F.lit("Site"), s(i % 20),
+                                    F.lit(".Example.COM")))
+        .when(i % 8 == 1, F.concat(F.lit("a.b.Site"), s(i % 20),
+                                   F.lit(".GitHub.IO")))
+        .when(i % 8 == 2, F.concat(F.lit("www.Site"), s(i % 20),
+                                   F.lit(".CO.UK")))
+        .when(i % 8 == 3, F.concat(F.lit("x.Shop"), s(i % 20),
+                                   F.lit(".Example.CK")))
+        .when(i % 8 == 4, F.lit("b.WWW.CK"))
+        .when(i % 8 == 5, F.lit("a.City.Kawasaki.JP"))
+        .when(i % 8 == 6, F.concat(F.lit("x.Co"), s(i % 20),
+                                   F.lit(".Kawasaki.JP")))
+        .otherwise(F.concat(F.lit("Site"), s(i % 20),
+                            F.lit(".unknown.QQZ")))
+    )
+    raw = F.concat(
+        F.lit("https://"),
+        F.when(i % 5 == 2, F.lit("bob@")).otherwise(F.lit("")),
+        host,
+        F.when(i % 4 == 1, F.lit(":8443")).otherwise(F.lit("")),
+        F.lit("/p"), s(i % 7),
+    )
+    return d.select(
+        "doc_id",
+        raw.alias("raw_url"),
+        registered_domain_from_list(
+            raw, load_public_suffix_snapshot()
+        ).alias("domain"),
+    )
+
+
+def _psl_full_oracle_sql() -> str:
+    """DuckDB replay of registered_domain_from_list over the vendored
+    snapshot: the CASE is REGENERATED from the same parsed rules at
+    oracle-build time, so snapshot edits cannot desync the twin."""
+    from openeo_processes_dask_spark.training.urls import (
+        load_public_suffix_snapshot,
+    )
+
+    exact: set[str] = set()
+    wild: set[str] = set()
+    exc: set[str] = set()
+    for r in load_public_suffix_snapshot():
+        if r.startswith("!"):
+            exc.add(r[1:].strip("."))
+        elif r.startswith("*"):
+            base = r[1:].strip(".")
+            if base:
+                wild.add(base)
+        else:
+            exact.add(r)
+
+    def last(d: int) -> str:
+        return f"array_to_string(ls[-{d}:], '.')"
+
+    def in_list(vals) -> str:
+        return ", ".join(f"'{v}'" for v in sorted(vals))
+
+    branches: list[str] = ["WHEN host LIKE '[%' THEN host"]
+    for d in sorted({e.count(".") + 1 for e in exc}, reverse=True):
+        vals = [e for e in exc if e.count(".") + 1 == d]
+        branches.append(
+            f"WHEN n >= {d} AND {last(d)} IN ({in_list(vals)}) "
+            f"THEN {last(d)}"
+        )
+    deepest = max(
+        [s.count(".") + 1 for s in exact]
+        + [b.count(".") + 2 for b in wild]
+    )
+    for d in range(deepest, 0, -1):
+        conds = []
+        exact_d = [s for s in exact if s.count(".") + 1 == d]
+        wc_d = [b for b in wild if b.count(".") + 2 == d]
+        if exact_d:
+            conds.append(f"{last(d)} IN ({in_list(exact_d)})")
+        if wc_d:
+            conds.append(
+                f"(n >= {d} AND {last(d - 1)} IN ({in_list(wc_d)}))"
+            )
+        if not conds:
+            continue
+        c = " OR ".join(conds)
+        branches.append(f"WHEN n > {d} AND ({c}) THEN {last(d + 1)}")
+        branches.append(f"WHEN n = {d} AND ({c}) THEN host")
+    branches.append("WHEN n <= 1 THEN host")
+    case = "CASE " + " ".join(branches) + f" ELSE {last(2)} END"
+    return f"""
+        WITH raw AS (
+          SELECT doc_id,
+            'https://' || (CASE WHEN doc_id % 5 = 2 THEN 'bob@' ELSE '' END)
+            || (CASE doc_id % 8
+                WHEN 0 THEN 'Site' || (doc_id % 20) || '.Example.COM'
+                WHEN 1 THEN 'a.b.Site' || (doc_id % 20) || '.GitHub.IO'
+                WHEN 2 THEN 'www.Site' || (doc_id % 20) || '.CO.UK'
+                WHEN 3 THEN 'x.Shop' || (doc_id % 20) || '.Example.CK'
+                WHEN 4 THEN 'b.WWW.CK'
+                WHEN 5 THEN 'a.City.Kawasaki.JP'
+                WHEN 6 THEN 'x.Co' || (doc_id % 20) || '.Kawasaki.JP'
+                ELSE 'Site' || (doc_id % 20) || '.unknown.QQZ' END)
+            || (CASE WHEN doc_id % 4 = 1 THEN ':8443' ELSE '' END)
+            || '/p' || (doc_id % 7) AS raw_url
+          FROM documents),
+        h AS (
+          SELECT doc_id, raw_url,
+            lower(regexp_extract(
+              regexp_replace(
+                regexp_extract(
+                  regexp_replace(raw_url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                  '^([^/?]*)', 1),
+                '^.*@', '', 'g'),
+              '^([^:]*)', 1)) AS host
+          FROM raw),
+        p AS (
+          SELECT doc_id, raw_url, host,
+                 str_split(host, '.') AS ls,
+                 len(str_split(host, '.')) AS n
+          FROM h)
+        SELECT doc_id, raw_url, {case} AS domain
+        FROM p
+    """
+
+
 def q_corpus_overlap(spark, sf_dir):
     """Sketch-based corpus overlap (training/sketches.py corpus_overlap,
     NEW r10): HLL registers per side + entrywise-max union +
@@ -2611,6 +2756,7 @@ QUERIES = {
     "distinct_tokens_by_source": q_distinct_tokens_by_source,
     "count_min_by_source": q_count_min_by_source,
     "registered_domain_psl": q_registered_domain_psl,
+    "registered_domain_psl_full": q_registered_domain_psl_full,
     "quantized_topk": q_quantized_topk,
     "quality_selection": q_quality_selection,
     "curation_pipeline": q_curation_pipeline,
@@ -4523,6 +4669,7 @@ ORACLES = {
               FROM documents WHERE text IS NOT NULL""",
         8,
     ),
+    "registered_domain_psl_full": _psl_full_oracle_sql,
     "registered_domain_psl": """
             WITH raw AS (
               SELECT doc_id,

@@ -141,35 +141,114 @@ def registered_domain(url: Column) -> Column:
     )
 
 
+def registered_domain_psl_rules(
+    text: str, icann_only: bool = False
+) -> list[str]:
+    """Parse Public Suffix List file text (the publicsuffix.org
+    format: ``//`` comments, blank lines, one rule per line — exact
+    ``com``, wildcard ``*.ck``, exception ``!www.ck``) into the rule
+    list :func:`registered_domain_from_list` consumes. With
+    ``icann_only`` the private-domains section (``===BEGIN PRIVATE
+    DOMAINS===`` marker onward) is dropped — the PSL-documented split
+    between registry-controlled and company-delegated suffixes.
+
+    The vendored snapshot (:func:`load_public_suffix_snapshot`) and
+    the full upstream file parse identically — deployments swap in
+    ``public_suffix_list.dat`` with no code changes."""
+    rules: list[str] = []
+    in_private = False
+    for line in text.splitlines():
+        s = line.strip()
+        if not s or s.startswith("//"):
+            if "===BEGIN PRIVATE DOMAINS===" in s:
+                in_private = True
+            elif "===BEGIN ICANN DOMAINS===" in s:
+                in_private = False
+            continue
+        if icann_only and in_private:
+            continue
+        # rules are host labels; the upstream file is already
+        # lowercase punycode, but normalize defensively
+        rules.append(s.split()[0].lower())
+    return rules
+
+
+def load_public_suffix_snapshot(
+    path: str | None = None, icann_only: bool = False
+) -> list[str]:
+    """Rules from the repo's vendored PSL snapshot (a curated,
+    dated SUBSET of publicsuffix.org in the exact upstream format —
+    data/public_suffix_snapshot.dat documents its coverage), or from
+    ``path`` (e.g. the full downloaded ``public_suffix_list.dat``)."""
+    import os
+
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "data",
+            "public_suffix_snapshot.dat",
+        )
+    with open(path, encoding="utf-8") as f:
+        return registered_domain_psl_rules(f.read(), icann_only)
+
+
 def registered_domain_from_list(
     url: Column, suffixes, max_suffix_labels: int = 4
 ) -> Column:
     """eTLD+1 via an explicit public-suffix DATA list — the
     deployment-grade lane behind :func:`registered_domain`'s 7-entry
     heuristic (DIVERGENCES.md row): pass the Public Suffix List
-    (publicsuffix.org) — or any slice of it — and the grouping key
-    follows the PSL algorithm instead of the label-count approximation.
+    (publicsuffix.org) — the vendored snapshot via
+    :func:`load_public_suffix_snapshot`, the full upstream file, or
+    any slice — and the grouping key follows the PSL algorithm instead
+    of the label-count approximation.
 
-    Algorithm (PSL "prevailing rule is the longest matching rule"):
-    the host's LONGEST trailing label run that appears in ``suffixes``
-    is the public suffix; the registered domain is that suffix plus one
+    Rules use PSL syntax (r12): plain ``co.uk`` matches exactly its
+    trailing labels; ``*.ck`` is a wildcard (ANY label in the starred
+    position is part of the suffix); ``!www.ck`` is an exception (the
+    matching name IS a registered domain even though a wildcard would
+    have swallowed it). Matching follows the published algorithm:
+    exception rules prevail over everything, otherwise the LONGEST
+    matching rule wins; the registered domain is the suffix plus one
     preceding label. No match falls back to the PSL default rule ``*``
-    (last label is the suffix — registered domain = last two labels); a
-    host that IS a suffix, a bracketed IPv6 literal, and a 1-label host
-    return themselves.
+    (last label is the suffix — registered domain = last two labels);
+    a host that IS a suffix, a bracketed IPv6 literal, and a 1-label
+    host return themselves.
 
-    The list becomes a LITERAL in-list in the plan (suffix tables are
+    The list becomes LITERAL in-lists in the plan (suffix tables are
     10⁴ entries — codegen-able metadata, no join, no broadcast exchange,
     no shuffle at any corpus size). Suffixes longer than
     ``max_suffix_labels`` labels are rejected loudly rather than
     silently unmatched."""
-    sufs = sorted({s.strip(".").lower() for s in suffixes if s})
-    if not sufs:
+    exact: set[str] = set()
+    wild: set[str] = set()      # stored as the base (labels after '*.')
+    exc: set[str] = set()
+    for s in suffixes:
+        if not s:
+            continue
+        s = s.strip(".").lower()
+        if s.startswith("!"):
+            exc.add(s[1:].strip("."))
+        elif s.startswith("*"):
+            base = s[1:].strip(".")
+            if base:  # a bare '*' is the default rule, already applied
+                wild.add(base)
+        else:
+            exact.add(s)
+    if not (exact or wild or exc):
         raise ValueError("registered_domain_from_list: empty suffix list")
-    deepest = max(s.count(".") + 1 for s in sufs)
+    # effective suffix depth: exact = labels; wildcard '*.base' =
+    # base labels + 1 (the starred label); exception '!name' names a
+    # REGISTERED domain of depth len(name) (its suffix is one shorter)
+    depths = (
+        [s.count(".") + 1 for s in exact]
+        + [b.count(".") + 2 for b in wild]
+        + [e.count(".") + 1 for e in exc]
+    )
+    deepest = max(depths)
     if deepest > max_suffix_labels:
         raise ValueError(
-            f"registered_domain_from_list: a suffix has {deepest} labels; "
+            f"registered_domain_from_list: a rule spans {deepest} labels; "
             f"raise max_suffix_labels (={max_suffix_labels}) to allow it"
         )
     rest = F.regexp_replace(
@@ -187,11 +266,26 @@ def registered_domain_from_list(
         )
 
     expr = F.when(host.startswith("["), host)
+    # exception rules prevail unconditionally (PSL step: "if more than
+    # one rule matches, the prevailing rule is the one which is an
+    # exception rule"): host ...www.ck -> registered domain www.ck
+    for d in sorted({e.count(".") + 1 for e in exc}, reverse=True):
+        by_len = [e for e in exc if e.count(".") + 1 == d]
+        expr = expr.when((n >= d) & last(d).isin(*by_len), last(d))
     for d in range(min(max_suffix_labels, deepest), 0, -1):
-        by_len = [s for s in sufs if s.count(".") + 1 == d]
-        if not by_len:
+        # exact and wildcard rules of the same effective depth match
+        # suffixes of the same length — no precedence between them
+        by_len = [s for s in exact if s.count(".") + 1 == d]
+        wc_len = [b for b in wild if b.count(".") + 2 == d]
+        hit = None
+        if by_len:
+            hit = last(d).isin(*by_len)
+        if wc_len:
+            # '*.base': labels -d+1 is free, the base must match
+            wc_hit = (n >= d) & last(d - 1).isin(*wc_len)
+            hit = wc_hit if hit is None else (hit | wc_hit)
+        if hit is None:
             continue
-        hit = last(d).isin(*by_len)
         # longest match first: d+1 labels when available, else the
         # host IS the suffix and groups as itself
         expr = expr.when((n > d) & hit, last(d + 1)).when(

@@ -207,3 +207,89 @@ def test_registered_domain_from_list_validation(spark):
         registered_domain_from_list(
             F.col("u"), ["a.b.c.d.e"], max_suffix_labels=4
         )
+
+
+# ---- PSL wildcard/exception rules + vendored snapshot (r12) ----
+
+PSL_WC = PSL_SUFFIXES + ["*.ck", "!www.ck", "jp", "*.kawasaki.jp",
+                         "!city.kawasaki.jp", "s3.amazonaws.com"]
+
+
+@pytest.mark.parametrize(
+    "url,dom",
+    [
+        # wildcard: any label under .ck is a public suffix
+        ("https://shop.site.example.ck/", "site.example.ck"),
+        ("https://example.ck/", "example.ck"),  # host IS *.ck suffix
+        # exception beats the wildcard: www.ck is a registered domain
+        ("https://www.ck/", "www.ck"),
+        ("https://sub.www.ck/x", "www.ck"),
+        # real PSL pair: *.kawasaki.jp with !city.kawasaki.jp
+        ("https://x.co.kawasaki.jp/", "x.co.kawasaki.jp"),
+        ("https://a.city.kawasaki.jp/", "city.kawasaki.jp"),
+        # 3-label exact private rule
+        ("https://bucket.s3.amazonaws.com/", "bucket.s3.amazonaws.com"),
+        # untouched existing behavior
+        ("https://deep.sub.example.com/", "example.com"),
+    ],
+)
+def test_registered_domain_wildcard_exception(spark, url, dom):
+    from openeo_processes_dask_spark.training.urls import (
+        registered_domain_from_list,
+    )
+
+    df = spark.createDataFrame([(url,)], "u string")
+    got = df.select(
+        registered_domain_from_list(F.col("u"), PSL_WC).alias("d")
+    ).collect()[0]["d"]
+    assert got == dom
+
+
+def test_psl_parser_sections_and_syntax():
+    from openeo_processes_dask_spark.training.urls import (
+        registered_domain_psl_rules,
+    )
+
+    text = """\
+// comment
+// ===BEGIN ICANN DOMAINS===
+com
+*.ck
+!www.ck
+
+// ===BEGIN PRIVATE DOMAINS===
+github.io
+// ===END PRIVATE DOMAINS===
+"""
+    assert registered_domain_psl_rules(text) == [
+        "com", "*.ck", "!www.ck", "github.io"
+    ]
+    assert registered_domain_psl_rules(text, icann_only=True) == [
+        "com", "*.ck", "!www.ck"
+    ]
+
+
+def test_vendored_snapshot_loads_and_resolves(spark):
+    from openeo_processes_dask_spark.training.urls import (
+        load_public_suffix_snapshot,
+        registered_domain_from_list,
+    )
+
+    rules = load_public_suffix_snapshot()
+    assert "com" in rules and "co.uk" in rules and "*.ck" in rules
+    assert "!www.ck" in rules and "github.io" in rules
+    icann = load_public_suffix_snapshot(icann_only=True)
+    assert "github.io" not in icann and "co.uk" in icann
+    df = spark.createDataFrame(
+        [("https://a.b.example.co.jp/x",),
+         ("https://pages.user.github.io/",),
+         ("https://sub.www.ck/",)],
+        "u string",
+    )
+    got = [
+        r["d"]
+        for r in df.select(
+            registered_domain_from_list(F.col("u"), rules).alias("d")
+        ).collect()
+    ]
+    assert got == ["example.co.jp", "user.github.io", "www.ck"]
