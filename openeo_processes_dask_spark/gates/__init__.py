@@ -281,6 +281,9 @@ _CHANGED_R12 = [
     # wildcard/exception rules; registered_domain_psl shares the
     # changed matching code and stays r11-fresh in the sweep
     "registered_domain_psl_full",
+    # NEW r12 (VERDICT r11 #6): incremental SemDeDup — new batch vs
+    # persisted cluster membership, archive never rescanned
+    "semantic_dedup_incremental",
     # ADVICE r11 #1: unconditional late-row guard in stream_fill_forward
     "streaming_fill_forward",
     # ADVICE r11 #3: k_anonymize redaction dtype validation

@@ -197,6 +197,7 @@ def _ivf_topk_oracle_sql(
 def _kmeans_oracle_sql(
     k: int = 8, iterations: int = 2, seed: int = 42, dim: int = 64,
     src_filter: str = "", src_rel: str | None = None,
+    emit: str = "assign",
 ) -> str:
     """Twin of training.clustering kmeans_fit+assign: same md5-ordered
     init, same micro-unit snapping (integer sums are order-independent,
@@ -253,6 +254,13 @@ def _kmeans_oracle_sql(
                USING (c))"""
         )
     body = ",\n        ".join(ctes)
+    if emit == "centroids":
+        # final fitted centroids (micro units) — the incremental lane
+        # assigns NEW batches against these without re-running Lloyd
+        return f"""
+        WITH {body}
+        SELECT c, cent FROM cent{iterations}
+    """
     return f"""
         WITH {body}
         SELECT vec_id, c AS cluster FROM (
@@ -1290,6 +1298,89 @@ def _semdedup_recall_oracle_sql(
                     ELSE round(CAST(hits AS DOUBLE) / cand_pairs, 6)
                END AS "precision"
         FROM ec, ac, h
+    """
+
+
+def _semdedup_incremental_oracle_sql(
+    k: int = 8, iterations: int = 2, threshold: float = 0.2,
+    dim: int = 64, arch_cap: int = 300, new_lo: int = 300,
+    new_hi: int = 450, plant_mod: int = 50, plant_off: int = 10000,
+) -> str:
+    """Twin of training.similarity.semdedup_incremental over the gate
+    fixture: k-means fits on the ARCHIVE only (the proven micro-unit
+    Lloyd replay, emitted as final centroids), both archive members and
+    the new batch (organic rows plus planted exact copies of archive
+    vectors at shifted ids) assign against those centroids with the
+    same argmin/tie rule, and a new x seen within-cluster cosine at
+    6-decimal rounding decides keep."""
+    arch = f"(SELECT vec_id, embedding FROM embeddings WHERE vec_id < {arch_cap}) arch"
+    cents = _kmeans_oracle_sql(
+        k=k, iterations=iterations, dim=dim, src_rel=arch,
+        emit="centroids",
+    )
+    sqdist = (
+        f"list_sum([(v[i] - cent[i]) * (v[i] - cent[i]) "
+        f"for i in generate_series(1, {dim})])"
+    )
+    dot = f"list_sum([nd.v[i] * ad.v[i] for i in generate_series(1, {dim})])"
+    return f"""
+        WITH cents AS ({cents}),
+        newrel AS (
+          SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id >= {new_lo} AND vec_id < {new_hi}
+          UNION ALL
+          SELECT vec_id + {plant_off} AS vec_id, embedding
+          FROM embeddings
+          WHERE vec_id < {arch_cap} AND vec_id % {plant_mod} = 0),
+        archrel AS (
+          SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id < {arch_cap}),
+        newm AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                                x -> round(CAST(x AS DOUBLE) * 1000000.0)) AS v
+          FROM newrel),
+        archm AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                                x -> round(CAST(x AS DOUBLE) * 1000000.0)) AS v
+          FROM archrel),
+        new_asg AS (
+          SELECT vec_id, c AS cluster FROM (
+            SELECT newm.vec_id, cents.c,
+                   row_number() OVER (PARTITION BY newm.vec_id
+                     ORDER BY {sqdist}, cents.c) AS rn
+            FROM newm, cents)
+          WHERE rn = 1),
+        arch_asg AS (
+          SELECT vec_id, c AS cluster FROM (
+            SELECT archm.vec_id, cents.c,
+                   row_number() OVER (PARTITION BY archm.vec_id
+                     ORDER BY {sqdist}, cents.c) AS rn
+            FROM archm, cents)
+          WHERE rn = 1),
+        newd AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv
+          FROM newrel),
+        archd AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv
+          FROM archrel),
+        dups AS (
+          SELECT DISTINCT na.vec_id
+          FROM new_asg na
+          JOIN arch_asg aa ON na.cluster = aa.cluster
+          JOIN newd nd ON nd.vec_id = na.vec_id
+          JOIN archd ad ON ad.vec_id = aa.vec_id
+          WHERE round({dot} / (nd.nv * ad.nv), 6) >= {threshold})
+        SELECT na.vec_id AS id, na.cluster,
+               (d.vec_id IS NULL) AS keep
+        FROM new_asg na LEFT JOIN dups d ON d.vec_id = na.vec_id
     """
 
 

@@ -24,6 +24,7 @@ from .oracle_builders import (
     _harmonic_oracle_sql,
     _semdedup_oracle_sql,
     _semdedup_recall_oracle_sql,
+    _semdedup_incremental_oracle_sql,
     _logreg_quality_oracle_sql,
     _subsequence_topk_oracle_sql,
     _random_projection_oracle_sql,
@@ -328,6 +329,44 @@ def q_semantic_dedup_planted(spark, sf_dir):
     exact = cosine_pairs_bruteforce(planted, threshold=0.9)
     approx = semdedup_pairs(planted, k=8, threshold=0.9, iterations=2)
     return dedup_pair_recall(exact, approx)
+
+
+def q_semantic_dedup_incremental(spark, sf_dir):
+    """Incremental SemDeDup (training/similarity.py
+    semdedup_incremental, NEW r12 — VERDICT r11 #6): the ingest twin
+    the exact/MinHash lanes already have, at the embedding granularity
+    (Abbas et al. 2023's production loop). Centroids fit on the
+    ARCHIVE (vec_id < 300) only; the NEW batch (vec_id 300-449 plus
+    planted exact copies of every 50th archive vector at id+10000)
+    assigns against those persisted centroids and compares only with
+    archive members of its own cluster — the archive is never
+    rescanned. Planted copies must read keep=false (their archive twin
+    is canonical); organic rows keep unless a >=0.2-cosine archive
+    neighbor shares the cluster. Oracle replays centroids, both
+    assignments, and the within-cluster cosine."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.clustering import kmeans_fit
+    from openeo_processes_dask_spark.training.similarity import (
+        _tag_members,
+        semdedup_incremental,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    archive = emb.where(F.col("vec_id") < 300)
+    new = emb.where(
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 450)
+    ).unionByName(
+        emb.where(
+            (F.col("vec_id") < 300) & (F.col("vec_id") % 50 == 0)
+        ).select(
+            (F.col("vec_id") + F.lit(10000)).alias("vec_id"), "embedding"
+        )
+    )
+    cents = kmeans_fit(archive, k=8, iterations=2)
+    members = _tag_members(archive, cents, "vec_id", "embedding")
+    return semdedup_incremental(new, members, cents, threshold=0.2)
 
 
 def q_minhash_incremental(spark, sf_dir):
@@ -2736,6 +2775,7 @@ QUERIES = {
     "semdedup": q_semdedup,
     "semantic_dedup_recall": q_semantic_dedup_recall,
     "semantic_dedup_planted": q_semantic_dedup_planted,
+    "semantic_dedup_incremental": q_semantic_dedup_incremental,
     "pagerank": q_pagerank,
     "triangle_count": q_triangle_count,
     "harmonic": q_harmonic,
@@ -4379,6 +4419,7 @@ ORACLES = {
         """,
     "semdedup": _semdedup_oracle_sql,
     "semantic_dedup_recall": _semdedup_recall_oracle_sql,
+    "semantic_dedup_incremental": _semdedup_incremental_oracle_sql,
     # planted positive control: same harness SQL over the capped sample
     # UNION its exact copies, truth threshold 0.9
     "semantic_dedup_planted": lambda: _semdedup_recall_oracle_sql(

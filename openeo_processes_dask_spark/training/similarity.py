@@ -799,6 +799,120 @@ def semdedup(
     )
 
 
+def semdedup_incremental_pairs(
+    df_new: DataFrame,
+    seen_members: DataFrame,
+    centroids,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-dup screen of a NEW embedding batch against the
+    persisted cluster-membership table of the already-ingested corpus
+    (r12, VERDICT r11 #6) — :func:`semdedup` raised to the ingest loop,
+    mirroring :func:`training.dedup.minhash_incremental`'s contract at
+    the embedding granularity and Abbas et al.'s production loop
+    (arXiv:2303.09540 §5: new data is deduplicated against the
+    retained set, not the raw archive).
+
+    ``seen_members`` is what a production pipeline maintains alongside
+    the corpus: ``(id, v, cluster)`` — the kept vectors tagged with
+    their k-means cluster (build with ``kmeans_assign(df, centroids,
+    keep_vec=True)`` renamed to those columns, or take
+    :func:`semdedup_incremental`'s documented update recipe).
+    ``centroids`` are the PERSISTED fitted centroids (the output of
+    ``kmeans_fit`` on the archive — center-sized metadata, a literal
+    in the plan).
+
+    The new batch is assigned to the persisted centroids (shuffle-free
+    projection — the archive is NEVER rescanned or re-clustered), and
+    exact cosine runs ONLY against the archive members of the same
+    cluster: an equi-join on the cluster id, so the compare count is
+    sum(|new_c| * |seen_c|) over clusters, never |new| * |seen|.
+    Candidate pairs are strictly new x seen — compose with
+    :func:`semdedup` for within-batch duplicates. Returns
+    ``(new_id, seen_id, cosine >= threshold)``."""
+    new_tagged = _tag_members(df_new, centroids, id_col, vec_col)
+    seen = seen_members.select(
+        F.col("id").alias("seen_id"), F.col("v").alias("v2"), "cluster"
+    )
+    cands = (
+        new_tagged.select(
+            F.col("id").alias("new_id"), F.col("v").alias("v1"), "cluster"
+        )
+        .join(seen, "cluster")
+        .select("new_id", "v1", "seen_id", "v2")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("v1").cast("array<double>"),
+            F.col("v2").cast("array<double>"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.try_divide(dot, _norm(F.col("v1")) * _norm(F.col("v2")))
+    return cands.select(
+        "new_id", "seen_id", F.round(cos, 6).alias("cosine")
+    ).where(F.col("cosine") >= threshold)
+
+
+def _tag_members(df, centroids, id_col, vec_col) -> DataFrame:
+    """(id, v, cluster) for a batch against persisted centroids — the
+    membership-table row shape both incremental entry points share."""
+    from openeo_processes_dask_spark.training.clustering import (
+        kmeans_assign,
+    )
+
+    return kmeans_assign(
+        df, centroids, id_col=id_col, vec_col=vec_col, keep_vec=True
+    ).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cluster"
+    )
+
+
+def semdedup_incremental(
+    df_new: DataFrame,
+    seen_members: DataFrame,
+    centroids,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Keep/drop decision per NEW vector against the archive
+    (:func:`semdedup_incremental_pairs` collapsed to the ingest
+    verdict): ``(id, cluster, keep)`` — ``keep`` is false iff an
+    above-threshold archive twin shares the vector's cluster (the
+    archive member is canonical; the newcomer is the duplicate, the
+    arrival-order rule every incremental dedup lane here uses).
+
+    The updated membership table is
+    ``seen_members.unionByName(result.where("keep").join(new_tagged))``
+    — in practice: append the kept ``(id, v, cluster)`` rows; nothing
+    about the existing archive changes, so the membership table is
+    write-once append-only at 100 TB.
+
+    On a batch of exact copies of archive vectors plus fresh vectors,
+    the kept set equals running batch :func:`semdedup` over
+    archive ∪ batch and restricting to the batch (pinned by unit
+    test) — the incremental loop loses only new x new duplicates,
+    which the composition contract assigns to a within-batch
+    :func:`semdedup` pass."""
+    new_tagged = _tag_members(df_new, centroids, id_col, vec_col)
+    dups = semdedup_incremental_pairs(
+        df_new, seen_members, centroids, threshold=threshold,
+        id_col=id_col, vec_col=vec_col,
+    ).select(F.col("new_id").alias("id")).distinct()
+    return (
+        new_tagged.join(dups.withColumn("__dup__", F.lit(True)), "id", "left")
+        .select(
+            "id", "cluster",
+            F.coalesce(~F.col("__dup__"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def cosine_pairs_bruteforce(
     df: DataFrame,
     threshold: float,

@@ -483,3 +483,64 @@ def test_semdedup_matches_pairs_composition(spark):
     }
     expect = {i: (i not in comp or comp[i] == i) for i in range(40)}
     assert keep == expect
+
+
+def test_semdedup_incremental_matches_batch_on_union(spark):
+    """VERDICT r11 #6 pin: for a new batch of exact archive copies plus
+    fresh vectors (no new x new dups — those belong to a within-batch
+    semdedup pass by the composition contract), the incremental keep
+    set over the batch equals batch semdedup over archive UNION batch
+    restricted to the batch; and the documented membership-update
+    recipe appends exactly the kept rows."""
+    import math
+
+    from openeo_processes_dask_spark.training.clustering import (
+        kmeans_fit,
+    )
+    from openeo_processes_dask_spark.training.similarity import (
+        _tag_members,
+        semdedup,
+        semdedup_incremental,
+    )
+
+    def unit(angle):
+        return [math.cos(angle), math.sin(angle), 0.0]
+
+    archive_rows = [(i, unit(0.35 * i)) for i in range(8)]
+    # copies of archive vectors 1 and 4 (ids above every archive id —
+    # the arrival-order canonical rule), plus two genuinely new ones
+    new_rows = [
+        (101, unit(0.35)), (104, unit(0.35 * 4)),
+        (200, unit(2.9)), (201, unit(-1.3)),
+    ]
+    archive = spark.createDataFrame(archive_rows, ["vec_id", "embedding"])
+    new = spark.createDataFrame(new_rows, ["vec_id", "embedding"])
+
+    cents = kmeans_fit(archive, k=3, iterations=2)
+    members = _tag_members(archive, cents, "vec_id", "embedding")
+    inc = {
+        r["id"]: r["keep"]
+        for r in semdedup_incremental(
+            new, members, cents, threshold=0.999
+        ).collect()
+    }
+    assert inc == {101: False, 104: False, 200: True, 201: True}
+
+    batch = {
+        r["id"]: r["keep"]
+        for r in semdedup(
+            archive.unionByName(new), k=3, threshold=0.999, iterations=2
+        ).collect()
+    }
+    assert {i: batch[i] for i in inc} == inc
+
+    # membership update recipe: archive grows by exactly the kept rows
+    kept = (
+        semdedup_incremental(new, members, cents, threshold=0.999)
+        .where("keep")
+        .select("id")
+        .join(_tag_members(new, cents, "vec_id", "embedding"), "id")
+    )
+    updated = members.unionByName(kept)
+    assert updated.count() == 8 + 2
+    assert updated.select("id").distinct().count() == 10
