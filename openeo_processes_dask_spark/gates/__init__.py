@@ -288,8 +288,12 @@ _CHANGED_R12 = [
     "streaming_fill_forward",
     # ADVICE r11 #3: k_anonymize redaction dtype validation
     "k_anonymity",
-    # ADVICE r11 #4: ranking oracle deterministic window frame
+    # ADVICE r11 #4 (oracle frame) + r12 finalize-projection refactor
+    # shared with the new streaming twin
     "ranking_metrics",
+    # NEW r12 (VERDICT r11 #7): online ranking eval — stateful
+    # accumulation + shared finalize, final emission == batch row
+    "streaming_ranking_metrics",
 ]
 
 # Window: flagship + never-checked (lead) + r12-changed + the stalest

@@ -902,6 +902,80 @@ def q_streaming_quantile_sketch(spark, sf_dir):
     )
 
 
+def q_streaming_ranking_metrics(spark, sf_dir):
+    """Streaming ranking evaluation (training/retrieval.py
+    stream_ranking_metrics, NEW r12 — VERDICT r11 #7): the
+    ranking_metrics fixture's run table streamed in TWO micro-batches
+    (ranks 1-5, then 6-10; maxFilesPerTrigger=1), qrels static.
+    Relevance attaches by stream-static join before the stateful step;
+    per-query state is the ≤10 accumulated (rank, id, rel) triples;
+    each update emits the query's metrics-so-far with an n_seen
+    progress column through the SHARED finalize projection. The gate
+    keeps each query's FINAL emission (n_seen = 10), which must equal
+    the batch ranking_metrics row — the oracle is the batch replay
+    plus the constant n_seen."""
+    _setup(spark)
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from openeo_processes_dask_spark.training.retrieval import (
+        stream_ranking_metrics,
+    )
+
+    d = _table(spark, sf_dir, "documents")
+    qid = (F.col("doc_id") % 20).alias("query_id")
+    w = Window.partitionBy(F.col("doc_id") % 20).orderBy(
+        (F.col("doc_id") * 37) % 101, F.col("doc_id")
+    )
+    results = d.select(
+        qid,
+        F.col("doc_id").alias("id"),
+        F.row_number().over(w).alias("rank"),
+    ).where(F.col("rank") <= 10).select(
+        # deterministic event time: one second per rank position
+        (
+            F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+            + F.expr("make_interval(0, 0, 0, 0, 0, 0, rank)")
+        ).alias("t"),
+        "query_id", "id", "rank",
+    )
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"ranking_stream_{os.path.basename(sf_dir)}",
+    )
+    if not os.path.isdir(stream_dir):
+        results.where("rank <= 5").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stream_dir)
+        results.where("rank > 5").coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema("t timestamp, query_id bigint, id bigint, rank bigint")
+        .parquet(stream_dir)
+    )
+    qrels = d.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") % 20).alias("query_id"),
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") % 4).alias("rel"),
+    )
+    out = stream_ranking_metrics(stream, qrels, k=10)
+    name = f"q_srank_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # final emission per query: every query has exactly 10 run rows
+    return spark.table(name).where(F.col("n_seen") == 10)
+
+
 QUERIES = {
     "streaming_attribution": q_streaming_attribution,
     "streaming_anomaly": q_streaming_anomaly,
@@ -923,9 +997,21 @@ QUERIES = {
     "streaming_sink": q_streaming_sink,
     "streaming_session_window": q_streaming_session_window,
     "streaming_upsert": q_streaming_upsert,
+    "streaming_ranking_metrics": q_streaming_ranking_metrics,
 }
 
 ORACLES = {
+    # batch ranking_metrics replay (the gates/training.py oracle) plus
+    # the constant n_seen progress column: every fixture query has
+    # exactly 10 run rows, so the kept FINAL emissions read n_seen=10
+    "streaming_ranking_metrics": lambda: (
+        "SELECT t.*, CAST(10 AS BIGINT) AS n_seen FROM ("
+        + __import__(
+            "openeo_processes_dask_spark.gates.training",
+            fromlist=["ORACLES"],
+        ).ORACLES["ranking_metrics"]
+        + ") t"
+    ),
     "streaming_quantile_sketch": """
             WITH base AS (
               SELECT CAST(value AS DOUBLE) AS v,

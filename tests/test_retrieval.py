@@ -123,3 +123,78 @@ def test_rrf_fuse_respects_k_and_validates(spark):
         rrf_fuse([])
     with pytest.raises(ValueError):
         rrf_fuse([a], k0=0)
+
+
+def test_stream_ranking_metrics_final_matches_batch(spark, tmp_path):
+    """r12 pin (VERDICT r11 #7): two micro-batches of result rows ->
+    each query's FINAL emission (n_seen == its run length) equals the
+    batch ranking_metrics row bit-for-bit, and interim emissions carry
+    a smaller n_seen."""
+    import datetime as dt
+
+    from openeo_processes_dask_spark.training.retrieval import (
+        ranking_metrics,
+        stream_ranking_metrics,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    # 3 queries x 4 ranks; qrels grade some ids 1-3
+    results_rows = [
+        (t0 + dt.timedelta(seconds=i), qid, qid * 100 + r, r)
+        for i, (qid, r) in enumerate(
+            (q, r) for q in (1, 2, 3) for r in (1, 2, 3, 4)
+        )
+    ]
+    qrels_rows = [
+        (1, 101, 3), (1, 103, 1), (1, 999, 2),   # 999 never retrieved
+        (2, 202, 2),
+        # query 3 judged nothing relevant
+        (3, 999, 0),
+    ]
+    schema = "t timestamp, query_id long, id long, rank long"
+    results = spark.createDataFrame(results_rows, schema)
+    qrels = spark.createDataFrame(
+        qrels_rows, "query_id long, id long, rel long"
+    )
+
+    d = str(tmp_path / "runs")
+    # batch 1: ranks 1-2; batch 2: ranks 3-4 (two files)
+    results.where("rank <= 2").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    results.where("rank > 2").coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema(schema)
+        .parquet(d)
+    )
+    out = stream_ranking_metrics(stream, qrels, k=4)
+    qy = (
+        out.writeStream.format("memory")
+        .queryName("srm_pin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qy.awaitTermination(180)
+    drained = spark.table("srm_pin").collect()
+    finals = {
+        r["query_id"]: r.asDict()
+        for r in drained
+        if r["n_seen"] == 4
+    }
+    interim = [r for r in drained if r["n_seen"] == 2]
+    assert len(finals) == 3 and len(interim) == 3
+    batch = {
+        r["query_id"]: r.asDict()
+        for r in ranking_metrics(
+            results.drop("t"), qrels, k=4
+        ).collect()
+    }
+    for qid, b in batch.items():
+        f = dict(finals[qid])
+        f.pop("n_seen")
+        assert f == b, (qid, f, b)
+    # interim rows only see ranks 1-2: query 1's interim hits == 1
+    i1 = next(r for r in interim if r["query_id"] == 1)
+    assert i1["hits"] == 1 and i1["precision_at_k"] == 0.25
