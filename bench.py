@@ -314,6 +314,9 @@ def main() -> None:
         "quantile_sketch", "source_token_profile",
         # r11 continuation: ranking eval + privacy audit
         "ranking_metrics", "k_anonymity",
+        # r12 additions: incremental SemDeDup (fixture-capped batch vs
+        # archive) and the vendored-PSL eTLD+1 lane (pure projection)
+        "semantic_dedup_incremental", "registered_domain_psl_full",
     ):
         fn = qs[name]
         best = float("inf")

@@ -294,6 +294,9 @@ _CHANGED_R12 = [
     # NEW r12 (VERDICT r11 #7): online ranking eval — stateful
     # accumulation + shared finalize, final emission == batch row
     "streaming_ranking_metrics",
+    # NEW r12: SimHash ingest screen — completes the incremental
+    # matrix (exact / MinHash / semantic / Hamming)
+    "simhash_incremental",
 ]
 
 # Window: flagship + never-checked (lead) + r12-changed + the stalest

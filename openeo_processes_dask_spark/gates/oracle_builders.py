@@ -127,6 +127,64 @@ def _simhash_oracle_sql(max_hamming: int = 6, bands: int = 4) -> str:
     """
 
 
+def _simhash_incremental_oracle_sql(
+    max_hamming: int = 6, bands: int = 4
+) -> str:
+    """Twin of training.dedup.simhash_incremental over the
+    q_simhash_incremental fixture (new batch = doc_id%5==0, id+1e6,
+    ' qq7' appended): the proven SimHash vote SQL computes BOTH
+    signature sets, the band join is restricted to new x seen, and the
+    exact popcount filters — exactly as the engine."""
+    bits = 60
+    band_bits = 64 // bands
+    mask = (1 << band_bits) - 1
+    h = _MD5LONG.format(v="w")
+    votes = ",\n                ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(bits)
+    )
+
+    def band_selects(src: str) -> str:
+        return "\n            UNION ALL ".join(
+            f"SELECT id, simhash, {bi} AS band, "
+            f"(simhash >> {bi * band_bits}) & {mask} AS chunk FROM {src}"
+            for bi in range(bands)
+        )
+
+    return f"""
+        WITH seen_docs AS (
+          SELECT doc_id AS id, text FROM documents),
+        new_docs AS (
+          SELECT doc_id + 1000000 AS id, text || ' qq7' AS text
+          FROM documents WHERE doc_id % 5 = 0),
+        tok_seen AS (
+          SELECT id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+          FROM seen_docs WHERE trim(text) <> ''),
+        tok_new AS (
+          SELECT id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+          FROM new_docs WHERE trim(text) <> ''),
+        hashes_seen AS (SELECT id, {h} AS h FROM tok_seen),
+        hashes_new AS (SELECT id, {h} AS h FROM tok_new),
+        votes_seen AS (SELECT id, {votes} FROM hashes_seen GROUP BY id),
+        votes_new AS (SELECT id, {votes} FROM hashes_new GROUP BY id),
+        sigs_seen AS (SELECT id, {sig} AS simhash FROM votes_seen),
+        sigs_new AS (SELECT id, {sig} AS simhash FROM votes_new),
+        banded_seen AS ({band_selects("sigs_seen")}),
+        banded_new AS ({band_selects("sigs_new")}),
+        pairs AS (
+          SELECT DISTINCT a.id AS new_id, b.id AS seen_id,
+                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM banded_new a JOIN banded_seen b
+            ON a.band = b.band AND a.chunk = b.chunk)
+        SELECT new_id, seen_id, hamming
+        FROM pairs WHERE hamming <= {max_hamming}
+    """
+
+
 def _plane_sql_literal(plane) -> str:
     return "[" + ", ".join(repr(float(v)) for v in plane) + "]::DOUBLE[]"
 

@@ -38,6 +38,7 @@ from .oracle_builders import (
     _lsh_topk_oracle_sql,
     _minhash_oracle_sql,
     _minhash_incremental_oracle_sql,
+    _simhash_incremental_oracle_sql,
     _leakage_split_oracle_sql,
     _isotonic_oracle_sql,
     _pq_topk_oracle_sql,
@@ -390,6 +391,30 @@ def q_minhash_incremental(spark, sf_dir):
     return minhash_incremental(
         new, seen_sigs, n=3, num_hashes=64, bands=16, threshold=0.2
     )
+
+
+def q_simhash_incremental(spark, sf_dir):
+    """Cross-snapshot SimHash screen (training/dedup.py
+    simhash_incremental, NEW r12): new batch (doc_id%5==0, id+1e6,
+    ' qq7' appended — a one-token perturbation that flips only a few
+    signature bits) banded against the seen corpus' int64 signature
+    table — archive text never re-tokenized, candidates strictly
+    new x seen, exact popcount verify. Completes the incremental
+    matrix (exact / MinHash / semantic / Hamming). Oracle replays both
+    signature sets with the proven SimHash vote SQL."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import (
+        simhash_incremental,
+        simhash_signatures,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    seen_sigs = simhash_signatures(docs, "doc_id", "text")
+    new = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq7")).alias("text"),
+    )
+    return simhash_incremental(new, seen_sigs, max_hamming=6, bands=4)
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -2736,6 +2761,7 @@ QUERIES = {
     "isotonic": q_isotonic,
     "minhash_near_dups": q_minhash_near_dups,
     "minhash_incremental": q_minhash_incremental,
+    "simhash_incremental": q_simhash_incremental,
     "dedup_recall": q_dedup_recall,
     "standardize_embeddings": q_standardize_embeddings,
     "simhash_near_dups": q_simhash_near_dups,
@@ -3628,6 +3654,7 @@ ORACLES = {
     "subsequence_topk": _subsequence_topk_oracle_sql,
     "minhash_near_dups": _minhash_oracle_sql,
     "minhash_incremental": _minhash_incremental_oracle_sql,
+    "simhash_incremental": _simhash_incremental_oracle_sql,
     "leakage_split": _leakage_split_oracle_sql,
     "isotonic": _isotonic_oracle_sql,
     "simhash_near_dups": _simhash_oracle_sql,

@@ -1109,6 +1109,80 @@ def simhash_near_duplicates(
         sigs.unpersist()
 
 
+def simhash_incremental(
+    df_new: DataFrame,
+    seen_signatures: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash NEAR-dup screen of a new batch against the persisted
+    signature table of the already-ingested corpus (r12) — completes
+    the incremental matrix: exact (:func:`dedup_against`), MinHash
+    (:func:`minhash_incremental`), semantic
+    (:func:`~..similarity.semdedup_incremental`), and now the
+    Hamming-distance family.
+
+    ``seen_signatures`` is what :func:`simhash_signatures` emits
+    ``(id, simhash)`` — a write-once int64-per-doc table maintained
+    corpus-side, so the archive text is NEVER re-tokenized: only the
+    new batch hashes, and the join carries 16-bit band chunks.
+    Candidates are strictly new x seen (compose with
+    :func:`simhash_near_duplicates` for within-batch pairs); the
+    pigeonhole guarantee carries over — ``hamming <= bands - 1``
+    implies some band chunk is identical, so with ``max_hamming <
+    bands`` recall over new x seen is exactly 1. Returns
+    ``(new_id, seen_id, hamming <= max_hamming)``."""
+    band_bits = 64 // bands
+    mask = (1 << band_bits) - 1
+    sigs_new = simhash_signatures(df_new, id_col, text_col).persist()
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "id",
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.shiftright(
+                                F.col("simhash"), bi * band_bits
+                            ).bitwiseAND(F.lit(mask)).alias("chunk"),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("id", "simhash", F.col("bb.band"), F.col("bb.chunk"))
+
+    try:
+        a = banded(sigs_new).alias("a")
+        b = banded(seen_signatures).alias("b")
+        xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+        out = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.chunk") == F.col("b.chunk")),
+            )
+            .select(
+                F.col("a.id").alias("new_id"),
+                F.col("b.id").alias("seen_id"),
+                F.bit_count(xor).alias("hamming"),
+            )
+            .distinct()
+            .where(F.col("hamming") <= max_hamming)
+        )
+        # release the batch-sized signature cache after materializing
+        # the (small) match set — PPJoin unpersist contract (ADVICE
+        # r7); seen_signatures is caller-owned and untouched
+        return out.localCheckpoint(eager=True)
+    finally:
+        sigs_new.unpersist()
+
+
 def _simhash_pairs_body(
     sigs: DataFrame,
     max_hamming: int,

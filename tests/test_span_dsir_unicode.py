@@ -645,3 +645,44 @@ def test_interval_join_extra_on_residual(spark):
         extra_on=F.col("user_id") == F.col("owner"),
     ).collect()
     assert [(r["interval_id"], r["event_id"]) for r in out] == [(10, 1)]
+
+
+def test_simhash_incremental_new_vs_seen_only(spark):
+    """r12: the SimHash ingest screen finds each new doc's archive
+    twin (identical text -> hamming 0; one appended token -> small
+    hamming), emits strictly new x seen pairs, and never re-tokenizes
+    the archive (it consumes only the signature table)."""
+    from openeo_processes_dask_spark.training.dedup import (
+        simhash_incremental,
+        simhash_signatures,
+    )
+
+    long_doc = " ".join(f"token{i} common word{i % 7}" for i in range(30))
+    seen_rows = [
+        (1, "the quick brown fox jumps over the lazy dog again today"),
+        # long doc: a one-token perturbation barely moves the votes,
+        # so the near-copy lands within the hamming budget
+        (2, long_doc),
+        (3, "a third document with its own unrelated vocabulary set"),
+    ]
+    seen = spark.createDataFrame(seen_rows, ["doc_id", "text"])
+    sigs = simhash_signatures(seen, "doc_id", "text")
+    new = spark.createDataFrame(
+        [
+            (101, seen_rows[0][1]),              # exact copy -> hamming 0
+            (102, seen_rows[1][1] + " extra"),   # near copy
+            (103, "nothing like any archive document whatsoever xyzzy"),
+            # two identical NEW docs: must NOT pair with each other
+            (104, "fresh duplicate pair alpha beta gamma delta"),
+            (105, "fresh duplicate pair alpha beta gamma delta"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = simhash_incremental(new, sigs, max_hamming=6, bands=4)
+    rows = {(r["new_id"], r["seen_id"]): r["hamming"] for r in out.collect()}
+    assert rows[(101, 1)] == 0
+    assert (102, 2) in rows and rows[(102, 2)] <= 6
+    assert all(nid != 103 for nid, _ in rows)
+    # strictly new x seen: seen ids only on the right, new on the left
+    assert all(sid in (1, 2, 3) for _, sid in rows)
+    assert (104, 105) not in rows and (105, 104) not in rows
