@@ -65,12 +65,27 @@ def compute_freshness() -> dict[str, int]:
     return last
 
 
+def suggest_window(last: dict[str, int], size: int = 50) -> list[str]:
+    """Mechanical next-round window: flagship first, then the stalest
+    gates (never-checked lead). The round builder still PREPENDS the
+    round's new/changed gates by hand — freshness cannot know what
+    changed — but the fill order comes from here, never from comments."""
+    order = [g for g in sorted(last, key=lambda g: last[g])
+             if g != "flagship_daily_mean"]
+    return ["flagship_daily_mean"] + order[: size - 1]
+
+
 def main() -> None:
     n = 60
     show_all = "--all" in sys.argv
     for a in sys.argv[1:]:
         if a.isdigit():
             n = int(a)
+    if "--window" in sys.argv:
+        last = compute_freshness()
+        for g in suggest_window(last):
+            print(g)
+        return
     last = compute_freshness()
     # stalest first; never-checked (0) lead.  Ties keep registry order,
     # which is itself deterministic, so rotations are reproducible.
