@@ -297,6 +297,9 @@ _CHANGED_R12 = [
     # NEW r12: SimHash ingest screen — completes the incremental
     # matrix (exact / MinHash / semantic / Hamming)
     "simhash_incremental",
+    # NEW r12: stateless streaming SemDeDup ingest screen (semi/anti
+    # stream-static joins; drained verdicts == batch incremental)
+    "streaming_semdedup_incremental",
 ]
 
 # Window: flagship + never-checked (lead) + r12-changed + the stalest

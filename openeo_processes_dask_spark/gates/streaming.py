@@ -976,6 +976,71 @@ def q_streaming_ranking_metrics(spark, sf_dir):
     return spark.table(name).where(F.col("n_seen") == 10)
 
 
+def q_streaming_semdedup_incremental(spark, sf_dir):
+    """Stateless streaming SemDeDup ingest screen (training/
+    similarity.py stream_semdedup_incremental, NEW r12): the
+    semantic_dedup_incremental fixture's NEW batch (vec_id 300-449 +
+    planted copies of every 50th archive vector at id+10000) streamed
+    in two micro-batches against the archive's persisted centroids and
+    membership table. Centroid assignment is a projection and the
+    archive compare is a pair of stream-static semi/anti hash joins
+    (cosine residual on the cluster equi key) — zero state, zero
+    watermark. The drained verdicts equal the batch lane row for row,
+    so the oracle IS the batch incremental replay."""
+    _setup(spark)
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.training.clustering import kmeans_fit
+    from openeo_processes_dask_spark.training.similarity import (
+        _tag_members,
+        stream_semdedup_incremental,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    archive = emb.where(F.col("vec_id") < 300)
+    new = emb.where(
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 450)
+    ).unionByName(
+        emb.where(
+            (F.col("vec_id") < 300) & (F.col("vec_id") % 50 == 0)
+        ).select(
+            (F.col("vec_id") + F.lit(10000)).alias("vec_id"), "embedding"
+        )
+    )
+    cents = kmeans_fit(archive, k=8, iterations=2)
+    members = _tag_members(archive, cents, "vec_id", "embedding")
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"semdedup_stream_{os.path.basename(sf_dir)}",
+    )
+    if not os.path.isdir(stream_dir):
+        new.where("vec_id < 400").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stream_dir)
+        new.where("vec_id >= 400").coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema("vec_id bigint, embedding array<float>")
+        .parquet(stream_dir)
+    )
+    out = stream_semdedup_incremental(stream, members, cents, 0.2)
+    name = f"q_ssdi_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 QUERIES = {
     "streaming_attribution": q_streaming_attribution,
     "streaming_anomaly": q_streaming_anomaly,
@@ -998,9 +1063,16 @@ QUERIES = {
     "streaming_session_window": q_streaming_session_window,
     "streaming_upsert": q_streaming_upsert,
     "streaming_ranking_metrics": q_streaming_ranking_metrics,
+    "streaming_semdedup_incremental": q_streaming_semdedup_incremental,
 }
 
 ORACLES = {
+    # the stateless streaming screen's verdicts equal the batch
+    # incremental lane row for row, so the oracle IS the batch replay
+    "streaming_semdedup_incremental": lambda: __import__(
+        "openeo_processes_dask_spark.gates.oracle_builders",
+        fromlist=["x"],
+    )._semdedup_incremental_oracle_sql(),
     # batch ranking_metrics replay (the gates/training.py oracle) plus
     # the constant n_seen progress column: every fixture query has
     # exactly 10 run rows, so the kept FINAL emissions read n_seen=10

@@ -913,6 +913,67 @@ def semdedup_incremental(
     )
 
 
+def stream_semdedup_incremental(
+    stream: DataFrame,
+    seen_members: DataFrame,
+    centroids,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming twin of :func:`semdedup_incremental` (r12) — the
+    ingest screen applied ONLINE as embeddings land, and the payoff of
+    the persisted-centroid design: the whole operator is STATELESS
+    (append mode, no watermark, no state store). Centroid assignment
+    is a per-row projection; the archive compare is a pair of
+    stream-static semi/anti hash joins on the cluster id (cosine as
+    the residual condition) against the broadcast membership table,
+    one row out per streamed row. Each micro-batch's verdicts equal the batch
+    :func:`semdedup_incremental` over the same rows (same assignment,
+    same cosine, same rounding — pinned by test).
+
+    NOTE the one semantic difference from a STATEFUL design: like
+    :func:`semdedup_incremental`, rows compare only against the
+    ARCHIVE — two near-identical NEW rows in the live stream both
+    survive (the composition contract sends kept rows through a
+    periodic batch :func:`semdedup` pass, which also refreshes
+    ``seen_members``). Returns ``(id, cluster, keep)`` per streamed
+    row."""
+    new_tagged = _tag_members(stream, centroids, id_col, vec_col).alias(
+        "n"
+    )
+    seen = F.broadcast(
+        seen_members.select(
+            F.col("v").alias("v2"), F.col("cluster").alias("c2")
+        )
+    ).alias("s")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("n.v").cast("array<double>"),
+            F.col("s.v2").cast("array<double>"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.try_divide(dot, _norm(F.col("n.v")) * _norm(F.col("s.v2")))
+    # semi/anti joins keep the operator STATELESS in append mode (a
+    # streaming groupBy would be a stateful aggregate needing a
+    # watermark): hash equi-join on the cluster id with the cosine as
+    # a residual condition — the same per-pair work as the batch
+    # lane's equi-join + filter, emitted as one row per streamed input
+    cond = (F.col("n.cluster") == F.col("s.c2")) & (
+        F.round(cos, 6) >= threshold
+    )
+    dups = new_tagged.join(seen, cond, "left_semi").select(
+        "id", "cluster", F.lit(False).alias("keep")
+    )
+    kept = new_tagged.join(seen, cond, "left_anti").select(
+        "id", "cluster", F.lit(True).alias("keep")
+    )
+    return dups.unionByName(kept)
+
+
 def cosine_pairs_bruteforce(
     df: DataFrame,
     threshold: float,

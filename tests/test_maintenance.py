@@ -544,3 +544,66 @@ def test_semdedup_incremental_matches_batch_on_union(spark):
     updated = members.unionByName(kept)
     assert updated.count() == 8 + 2
     assert updated.select("id").distinct().count() == 10
+
+
+def test_stream_semdedup_incremental_matches_batch(spark, tmp_path):
+    """r12: the stateless streaming ingest screen (semi/anti
+    stream-static joins) emits, across two micro-batches, exactly the
+    batch semdedup_incremental verdicts for the same rows."""
+    import math
+
+    from openeo_processes_dask_spark.training.clustering import (
+        kmeans_fit,
+    )
+    from openeo_processes_dask_spark.training.similarity import (
+        _tag_members,
+        semdedup_incremental,
+        stream_semdedup_incremental,
+    )
+
+    def unit(angle):
+        return [math.cos(angle), math.sin(angle), 0.0]
+
+    archive_rows = [(i, unit(0.35 * i)) for i in range(8)]
+    new_rows = [
+        (101, unit(0.35)), (104, unit(0.35 * 4)),
+        (200, unit(2.9)), (201, unit(-1.3)),
+    ]
+    schema = "vec_id long, embedding array<double>"
+    archive = spark.createDataFrame(archive_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    cents = kmeans_fit(archive, k=3, iterations=2)
+    members = _tag_members(archive, cents, "vec_id", "embedding")
+
+    d = str(tmp_path / "emb_stream")
+    new.where("vec_id < 150").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    new.where("vec_id >= 150").coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema(schema)
+        .parquet(d)
+    )
+    out = stream_semdedup_incremental(stream, members, cents, 0.999)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssdi_pin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["id"]: (r["cluster"], r["keep"])
+        for r in spark.table("ssdi_pin").collect()
+    }
+    exp = {
+        r["id"]: (r["cluster"], r["keep"])
+        for r in semdedup_incremental(
+            new, members, cents, threshold=0.999
+        ).collect()
+    }
+    assert got == exp and len(got) == 4
+    assert not got[101][1] and not got[104][1]
+    assert got[200][1] and got[201][1]
