@@ -293,3 +293,97 @@ def test_vendored_snapshot_loads_and_resolves(spark):
         ).collect()
     ]
     assert got == ["example.co.jp", "user.github.io", "www.ck"]
+
+
+def _py_psl_registered_domain(host: str, rules: list[str]) -> str:
+    """Independent pure-Python PSL reference (fresh formulation, no
+    engine imports): exception rules prevail (deepest first), else the
+    longest matching exact/wildcard rule, else the default '*' rule;
+    registered domain = suffix + one label; host==suffix, 1-label and
+    bracketed-IPv6 hosts return themselves."""
+    if host.startswith("["):
+        return host
+    labels = host.split(".")
+    n = len(labels)
+
+    def last(d):
+        return ".".join(labels[-d:])
+
+    exc_depths = [
+        r[1:].count(".") + 1
+        for r in rules
+        if r.startswith("!")
+        and n >= r[1:].count(".") + 1
+        and last(r[1:].count(".") + 1) == r[1:]
+    ]
+    if exc_depths:
+        return last(max(exc_depths))
+    best = 0
+    for r in rules:
+        if r.startswith("!"):
+            continue
+        if r.startswith("*."):
+            base = r[2:]
+            d = base.count(".") + 2
+            if n >= d and last(d - 1) == base:
+                best = max(best, d)
+        else:
+            d = r.count(".") + 1
+            if n >= d and last(d) == r:
+                best = max(best, d)
+    if best == 0:
+        return host if n <= 1 else last(2)
+    return last(best + 1) if n > best else host
+
+
+def test_registered_domain_from_list_randomized_differential(spark):
+    """r12: seeded randomized differential test of the PSL matcher —
+    five random rule sets x 160 random hosts each, engine Column lane
+    vs the independent pure-Python reference above."""
+    import random
+
+    from openeo_processes_dask_spark.training.urls import (
+        registered_domain_from_list,
+    )
+
+    rnd = random.Random(1234)
+    alphabet = ["a", "b", "c", "zz"]
+
+    def rand_label():
+        return rnd.choice(alphabet)
+
+    def rand_suffix(max_labels):
+        return ".".join(
+            rand_label() for _ in range(rnd.randint(1, max_labels))
+        )
+
+    for trial in range(5):
+        rules = set()
+        for _ in range(rnd.randint(3, 10)):
+            kind = rnd.random()
+            if kind < 0.6:
+                rules.add(rand_suffix(3))
+            elif kind < 0.85:
+                rules.add("*." + rand_suffix(2))
+            else:
+                rules.add("!" + rand_suffix(3))
+        rules = sorted(rules)
+        hosts = [
+            ".".join(rand_label() for _ in range(rnd.randint(1, 5)))
+            for _ in range(160)
+        ]
+        df = spark.createDataFrame(
+            [("https://" + h + "/x",) for h in hosts], "u string"
+        )
+        got = [
+            r["d"]
+            for r in df.select(
+                registered_domain_from_list(
+                    F.col("u"), rules
+                ).alias("d")
+            ).collect()
+        ]
+        exp = [_py_psl_registered_domain(h, rules) for h in hosts]
+        assert got == exp, (trial, rules,
+                            [(h, g, e) for h, g, e in
+                             zip(hosts, got, exp) if g != e][:5])
