@@ -300,6 +300,8 @@ _CHANGED_R12 = [
     # NEW r12: stateless streaming SemDeDup ingest screen (semi/anti
     # stream-static joins; drained verdicts == batch incremental)
     "streaming_semdedup_incremental",
+    # NEW r12: generic perceptual-hash ingest screen (image dHash)
+    "image_near_dups_incremental",
 ]
 
 # Window: flagship + never-checked (lead) + r12-changed + the stalest

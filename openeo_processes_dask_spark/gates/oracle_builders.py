@@ -1584,6 +1584,71 @@ def _image_near_dups_oracle_sql(
     )
 
 
+def _image_incremental_oracle_sql(
+    seen_cap: int = 120, new_lo: int = 120, new_hi: int = 160,
+    max_hamming: int = 4,
+) -> str:
+    """Twin of q_image_near_dups_incremental: the same NumPy raw-RGB /
+    dHash replay as the batch image oracle, brute-forcing NEW x SEEN
+    pairs only — banding with bands > max_hamming is lossless, so the
+    engine's incremental screen must equal the exact answer."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    sf = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    rows = duckdb.sql(
+        f"SELECT DISTINCT doc_id FROM '{sf}/documents.parquet' "
+        f"WHERE doc_id < {new_hi} ORDER BY doc_id"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    seen_ids = [i for i in ids if i < seen_cap]
+    new_ids = [i for i in ids if new_lo <= i < new_hi]
+    width = height = 16
+
+    def render(i):
+        base = np.random.default_rng(i % 17).integers(
+            0, 256, size=(height, width, 3), dtype=np.uint8
+        )
+        n_noise = i % 2
+        if n_noise:
+            rng = np.random.default_rng(1_000_003 + i)
+            for _ in range(n_noise):
+                r = int(rng.integers(0, height))
+                c = int(rng.integers(0, width))
+                base = base.copy()
+                base[r, c, :] = 255 - base[r, c, :]
+        return base
+
+    def dhash(img):
+        gray = img.astype("float64").mean(axis=2)
+        h, w = gray.shape
+        rows_ = (np.arange(8) * h) // 8
+        cols = (np.arange(9) * w) // 9
+        g = gray[np.ix_(rows_, cols)]
+        bits = (g[:, 1:] > g[:, :-1]).ravel()
+        v = 0
+        for bit in bits:
+            v = (v << 1) | int(bit)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    hs = {i: dhash(render(i)) for i in ids}
+    vals = []
+    for a in new_ids:
+        for b in seen_ids:
+            d = bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+            if d <= max_hamming:
+                vals.append(f"({a}, {b}, {d})")
+    if not vals:  # pragma: no cover - fixture guarantees matches
+        return "SELECT 0 AS new_id, 0 AS seen_id, 0 AS hamming WHERE 1=0"
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(new_id, seen_id, hamming)"
+    )
+
+
 def _audio_near_dups_oracle_sql(id_cap: int = 99, min_shared: int = 8) -> str:
     """Twin of q_audio_near_dups: regenerates the melody fixture in
     NumPy (same seeds), extracts the same consecutive-peak-bin landmarks

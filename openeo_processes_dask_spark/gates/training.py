@@ -20,6 +20,7 @@ from .oracle_builders import (
     _video_near_dups_oracle_sql,
     _scene_changes_oracle_sql,
     _image_near_dups_oracle_sql,
+    _image_incremental_oracle_sql,
     _pagerank_oracle_sql,
     _harmonic_oracle_sql,
     _semdedup_oracle_sql,
@@ -2391,6 +2392,37 @@ def q_image_near_dups(spark, sf_dir):
     return banded_hamming_pairs(sigs, max_hamming=4, bands=8, sig_col="dhash")
 
 
+def q_image_near_dups_incremental(spark, sf_dir):
+    """Perceptual-hash ingest screen (training/dedup.py
+    banded_hamming_incremental, NEW r12): new images (doc_id 120-159 —
+    family ids cycle mod 17, so the batch shares families with the
+    archive) dHashed through the real raw-RGB decode lane and banded
+    against the archive's persisted signature table — the archive
+    media is never re-decoded, candidates strictly new x seen, 8
+    bands / <=4 bits keeps the pigeonhole recall-1 guarantee, so the
+    oracle's NumPy new-x-seen replay must match exactly."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import (
+        banded_hamming_incremental,
+    )
+    from openeo_processes_dask_spark.training.multimodal import (
+        image_dhash,
+        synthetic_raw_image_table,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    seen_ids = docs.where(F.col("doc_id") < 120).select("doc_id")
+    new_ids = docs.where(
+        (F.col("doc_id") >= 120) & (F.col("doc_id") < 160)
+    ).select("doc_id")
+    seen_sigs = image_dhash(synthetic_raw_image_table(seen_ids))
+    new_sigs = image_dhash(synthetic_raw_image_table(new_ids))
+    return banded_hamming_incremental(
+        new_sigs, seen_sigs, max_hamming=4, bands=8,
+        id_col="id", sig_col="dhash",
+    )
+
+
 def q_bpe_tokens(spark, sf_dir):
     """Distributed BPE tokenizer training + encoding (training/bpe.py):
     30 merges learned from one corpus-sized word-frequency aggregate
@@ -2808,6 +2840,7 @@ QUERIES = {
     "corpus_diff": q_corpus_diff,
     "bpe_tokens": q_bpe_tokens,
     "image_near_dups": q_image_near_dups,
+    "image_near_dups_incremental": q_image_near_dups_incremental,
     "bm25_index_search": q_bm25_index_search,
     "quantize_embeddings": q_quantize_embeddings,
     "chunk_text": q_chunk_text,
@@ -4489,6 +4522,7 @@ ORACLES = {
             GROUP BY k, label
         """,
     "image_near_dups": _image_near_dups_oracle_sql,
+    "image_near_dups_incremental": _image_incremental_oracle_sql,
     "audio_near_dups": _audio_near_dups_oracle_sql,
     "video_near_dups": _video_near_dups_oracle_sql,
     "scene_changes": _scene_changes_oracle_sql,

@@ -1109,6 +1109,74 @@ def simhash_near_duplicates(
         sigs.unpersist()
 
 
+def banded_hamming_incremental(
+    sigs_new: DataFrame,
+    sigs_seen: DataFrame,
+    max_hamming: int,
+    bands: int = 8,
+    id_col: str = "id",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Generic new-vs-seen banded Hamming screen over any 64-bit
+    signature column (r12) — :func:`banded_hamming_pairs` restricted
+    to strictly NEW x SEEN candidates, for ingest loops over
+    caller-owned signature tables (image dHash, audio fingerprints,
+    any perceptual hash): the archive signatures are a write-once
+    table, the archive media is never re-decoded. Same pigeonhole
+    contract: with ``bands > max_hamming`` recall over new x seen is
+    exactly 1. Returns ``(new_id, seen_id, hamming)``. Both inputs are
+    consumed lazily (no persist: each side is scanned once by the
+    single banded join)."""
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
+            "for exact recall"
+        )
+    band_bits = 64 // bands
+    mask = (1 << band_bits) - 1
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        base = sigs.select(
+            F.col(id_col).alias("id"),
+            F.col(sig_col).cast("long").alias("sig"),
+        )
+        return base.select(
+            "id",
+            "sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.shiftright(F.col("sig"), bi * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("chunk"),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("id", "sig", F.col("bb.band"), F.col("bb.chunk"))
+
+    a = banded(sigs_new).alias("a")
+    b = banded(sigs_seen).alias("b")
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk")),
+        )
+        .select(
+            F.col("a.id").alias("new_id"),
+            F.col("b.id").alias("seen_id"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_incremental(
     df_new: DataFrame,
     seen_signatures: DataFrame,
