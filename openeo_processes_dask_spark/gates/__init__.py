@@ -302,6 +302,9 @@ _CHANGED_R12 = [
     "streaming_semdedup_incremental",
     # NEW r12: generic perceptual-hash ingest screen (image dHash)
     "image_near_dups_incremental",
+    # NEW r12: composed per-increment ingest verdict (exact fingerprint
+    # + MinHash screens against persisted archive tables, one relation)
+    "ingest_screen",
 ]
 
 # Window: flagship + never-checked (lead) + r12-changed + the stalest

@@ -1981,12 +1981,16 @@ def _harmonic_oracle_sql(
 def _minhash_incremental_oracle_sql(
     n: int = 3, num_hashes: int = 64, bands: int = 16, threshold: float = 0.2,
     seed: int = 42,
+    new_docs_select: str | None = None,
 ) -> str:
     """Twin of training.dedup.minhash_incremental over the
     q_minhash_incremental fixture (new batch = doc_id%5==0, id+1e6,
     ' qq7' appended): identical coefficients and banding, candidate join
     restricted to new x seen, agreement rounded to 6 before the
-    threshold — exactly as the engine filters."""
+    threshold — exactly as the engine filters. ``new_docs_select``
+    overrides the new-batch relation (must expose id, text) — the
+    ingest-screen composition reuses this builder with its three-lane
+    batch."""
     import random
 
     from openeo_processes_dask_spark.training.dedup import _P
@@ -2018,12 +2022,16 @@ def _minhash_incremental_oracle_sql(
         for i in range(num_hashes)
     )
     xl = _MD5LONG.format(v="s")
+    if new_docs_select is None:
+        new_docs_select = (
+            "SELECT doc_id + 1000000 AS id, text || ' qq7' AS text\n"
+            "          FROM documents WHERE doc_id % 5 = 0"
+        )
     return f"""
         WITH seen_docs AS (
           SELECT doc_id AS id, text FROM documents),
         new_docs AS (
-          SELECT doc_id + 1000000 AS id, text || ' qq7' AS text
-          FROM documents WHERE doc_id % 5 = 0),
+          {new_docs_select}),
         toks_seen AS (
           SELECT id, string_split_regex(trim(lower(text)), '\\s+') AS w
           FROM seen_docs),
@@ -2056,6 +2064,56 @@ def _minhash_incremental_oracle_sql(
         JOIN sigs_new s1 ON s1.id = new_id
         JOIN sigs_seen s2 ON s2.id = seen_id
         WHERE round(({agree}) / {float(num_hashes)}, 6) >= {threshold}
+    """
+
+
+#: three-lane new-batch fixture shared by the ingest-screen gate and
+#: its oracle: near-dups (perturbed), exact copies, fresh docs
+_INGEST_NEW_DOCS = (
+    "SELECT doc_id + 1000000 AS id, text || ' qq7' AS text\n"
+    "          FROM documents WHERE doc_id % 5 = 0\n"
+    "          UNION ALL\n"
+    "          SELECT doc_id + 2000000 AS id, text\n"
+    "          FROM documents WHERE doc_id % 10 = 3\n"
+    "          UNION ALL\n"
+    "          SELECT doc_id + 3000000 AS id,\n"
+    "                 'fresh zz' || doc_id ||"
+    " 'qx wholly new content row' AS text\n"
+    "          FROM documents WHERE doc_id % 7 = 1"
+)
+
+
+def _ingest_screen_oracle_sql(
+    n: int = 3, num_hashes: int = 64, bands: int = 16,
+    threshold: float = 0.2, seed: int = 42,
+) -> str:
+    """Twin of training.dedup.ingest_screen over the three-lane batch:
+    the exact lane replays the whitespace-normalized md5 fingerprint
+    semi-join, the near lane embeds the PROVEN minhash-incremental SQL
+    (same builder, overridden new-batch relation), and the verdict
+    projection mirrors the engine's coalesced flags."""
+    mh = _minhash_incremental_oracle_sql(
+        n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,
+        seed=seed, new_docs_select=_INGEST_NEW_DOCS,
+    )
+    fp = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    return f"""
+        WITH new_docs AS (
+          {_INGEST_NEW_DOCS}),
+        fp_seen AS (
+          SELECT DISTINCT {fp} AS fp FROM documents),
+        fp_new AS (SELECT id, {fp} AS fp FROM new_docs),
+        exact AS (
+          SELECT DISTINCT id FROM fp_new
+          WHERE fp IN (SELECT fp FROM fp_seen)),
+        mh AS (SELECT DISTINCT new_id AS id FROM ({mh}) t)
+        SELECT nd.id,
+               (e.id IS NOT NULL) AS exact_dup,
+               (m.id IS NOT NULL) AS near_dup,
+               (e.id IS NULL AND m.id IS NULL) AS keep
+        FROM new_docs nd
+        LEFT JOIN exact e ON e.id = nd.id
+        LEFT JOIN mh m ON m.id = nd.id
     """
 
 

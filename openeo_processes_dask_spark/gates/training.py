@@ -40,6 +40,7 @@ from .oracle_builders import (
     _minhash_oracle_sql,
     _minhash_incremental_oracle_sql,
     _simhash_incremental_oracle_sql,
+    _ingest_screen_oracle_sql,
     _leakage_split_oracle_sql,
     _isotonic_oracle_sql,
     _pq_topk_oracle_sql,
@@ -416,6 +417,59 @@ def q_simhash_incremental(spark, sf_dir):
         F.concat(F.col("text"), F.lit(" qq7")).alias("text"),
     )
     return simhash_incremental(new, seen_sigs, max_hamming=6, bands=4)
+
+
+def q_ingest_screen(spark, sf_dir):
+    """Composed ingest verdict (training/dedup.py ingest_screen, NEW
+    r12): the per-increment screening decision every ongoing corpus
+    build makes, as ONE relation — exact (persisted fingerprint table)
+    + MinHash (persisted signature table) against a three-lane new
+    batch: perturbed near-dups (doc_id%5, +1e6, ' qq7'), exact copies
+    (doc_id%10==3, +2e6), and fresh documents (doc_id%7==1, +3e6,
+    synthesized distinct text). Exact copies must read exact_dup AND
+    near_dup (identical signatures); perturbed docs near_dup only;
+    fresh docs keep. Oracle composes the fingerprint semi-join with
+    the proven minhash-incremental SQL over the same batch."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import (
+        ingest_screen,
+        minhash_signatures,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    new = (
+        docs.where(i % 5 == 0).select(
+            (i + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" qq7")).alias("text"),
+        )
+        .unionByName(
+            docs.where(i % 10 == 3).select(
+                (i + 2000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.where(i % 7 == 1).select(
+                (i + 3000000).alias("doc_id"),
+                F.concat(
+                    F.lit("fresh zz"), i.cast("string"),
+                    F.lit("qx wholly new content row"),
+                ).alias("text"),
+            )
+        )
+    )
+    seen_fps = docs.select(
+        F.md5(
+            F.regexp_replace(
+                F.lower(F.trim(F.col("text"))), r"\s+", " "
+            )
+        ).alias("fingerprint")
+    )
+    seen_sigs = minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=64)
+    return ingest_screen(
+        new, seen_fps, seen_sigs, n=3, num_hashes=64, bands=16,
+        threshold=0.2,
+    )
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -2794,6 +2848,7 @@ QUERIES = {
     "minhash_near_dups": q_minhash_near_dups,
     "minhash_incremental": q_minhash_incremental,
     "simhash_incremental": q_simhash_incremental,
+    "ingest_screen": q_ingest_screen,
     "dedup_recall": q_dedup_recall,
     "standardize_embeddings": q_standardize_embeddings,
     "simhash_near_dups": q_simhash_near_dups,
@@ -3688,6 +3743,7 @@ ORACLES = {
     "minhash_near_dups": _minhash_oracle_sql,
     "minhash_incremental": _minhash_incremental_oracle_sql,
     "simhash_incremental": _simhash_incremental_oracle_sql,
+    "ingest_screen": _ingest_screen_oracle_sql,
     "leakage_split": _leakage_split_oracle_sql,
     "isotonic": _isotonic_oracle_sql,
     "simhash_near_dups": _simhash_oracle_sql,

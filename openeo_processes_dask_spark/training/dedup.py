@@ -86,6 +86,80 @@ def dedup_against(
     return new_fp.join(seen, "fingerprint", "left_anti").select(*df_new.columns)
 
 
+def ingest_screen(
+    df_new: DataFrame,
+    seen_fingerprints: DataFrame,
+    seen_signatures: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """One-pass ingest verdict for a new document batch against the
+    archive's PERSISTED screen tables (r12) — the composition every
+    ongoing corpus build runs per increment, as one relation instead of
+    three ad-hoc joins:
+
+    - ``exact_dup``: the batch row's whitespace-normalized md5
+      fingerprint appears in ``seen_fingerprints`` (a one-column
+      ``fingerprint`` table — what :func:`exact_duplicates` emits,
+      maintained corpus-side);
+    - ``near_dup``: the MinHash screen (:func:`minhash_incremental`
+      against ``seen_signatures``) finds an archive twin at
+      ``threshold``;
+    - ``keep`` = neither.
+
+    The archive TEXT is never read: both screens consume the persisted
+    digest/signature tables, so per-increment cost is the new batch's
+    tokenization plus fingerprint- and band-keyed equi-joins. Within-
+    batch duplicates are deliberately out of scope (compose with
+    :func:`exact_duplicates` / :func:`minhash_near_duplicates` over the
+    kept rows, then append their fingerprints/signatures to the screen
+    tables). Returns ``(id, exact_dup, near_dup, keep)``, one row per
+    new document."""
+
+    def fp(text):
+        return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+    new_ids = df_new.select(F.col(id_col).alias("id"), F.col(text_col))
+    exact = (
+        new_ids.withColumn("fingerprint", fp(F.col(text_col)))
+        .join(
+            seen_fingerprints.select("fingerprint").distinct(),
+            "fingerprint",
+            "left_semi",
+        )
+        .select("id")
+        .withColumn("__exact__", F.lit(True))
+    )
+    near = (
+        minhash_incremental(
+            df_new, seen_signatures, id_col, text_col,
+            n=n, num_hashes=num_hashes, bands=bands,
+            threshold=threshold, seed=seed,
+        )
+        .select(F.col("new_id").alias("id"))
+        .distinct()
+        .withColumn("__near__", F.lit(True))
+    )
+    return (
+        new_ids.select("id")
+        .join(exact, "id", "left")
+        .join(near, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("__exact__"), F.lit(False)).alias("exact_dup"),
+            F.coalesce(F.col("__near__"), F.lit(False)).alias("near_dup"),
+            (
+                F.col("__exact__").isNull() & F.col("__near__").isNull()
+            ).alias("keep"),
+        )
+    )
+
+
 def corpus_diff(
     df_old: DataFrame,
     df_new: DataFrame,

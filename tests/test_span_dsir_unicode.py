@@ -686,3 +686,45 @@ def test_simhash_incremental_new_vs_seen_only(spark):
     # strictly new x seen: seen ids only on the right, new on the left
     assert all(sid in (1, 2, 3) for _, sid in rows)
     assert (104, 105) not in rows and (105, 104) not in rows
+
+
+def test_ingest_screen_verdicts(spark):
+    """r12: the composed ingest verdict — exact copies flag BOTH lanes
+    (identical text implies identical signature), perturbed docs flag
+    near only, fresh docs keep, and whitespace/case changes still count
+    as exact (normalized fingerprint)."""
+    from openeo_processes_dask_spark.training.dedup import (
+        ingest_screen,
+        minhash_signatures,
+    )
+    from pyspark.sql import functions as F
+
+    seen_rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three four five six seven eight nine ten eleven"),
+    ]
+    seen = spark.createDataFrame(seen_rows, ["doc_id", "text"])
+    fps = seen.select(
+        F.md5(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+        ).alias("fingerprint")
+    )
+    sigs = minhash_signatures(seen, "doc_id", "text", 3, 64)
+    new = spark.createDataFrame(
+        [
+            (101, seen_rows[0][1]),                   # exact copy
+            (102, "  ALPHA beta   gamma delta epsilon zeta eta theta"
+                  " iota kappa "),                    # normalized-exact
+            (103, seen_rows[1][1] + " twelve"),       # near dup
+            (104, "totally unrelated fresh content qq zz xx yy ww vv"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["id"]: (r["exact_dup"], r["near_dup"], r["keep"])
+        for r in ingest_screen(new, fps, sigs, threshold=0.5).collect()
+    }
+    assert out[101] == (True, True, False)
+    assert out[102] == (True, True, False)
+    assert out[103][1] and not out[103][0] and not out[103][2]
+    assert out[104] == (False, False, True)
