@@ -305,6 +305,9 @@ _CHANGED_R12 = [
     # NEW r12: composed per-increment ingest verdict (exact fingerprint
     # + MinHash screens against persisted archive tables, one relation)
     "ingest_screen",
+    # NEW r12: stateless streaming MinHash screen (per-row HOF
+    # signatures; drained-distinct == batch minhash_incremental)
+    "streaming_minhash_screen",
 ]
 
 # Window: flagship + never-checked (lead) + r12-changed + the stalest

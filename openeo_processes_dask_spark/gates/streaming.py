@@ -1041,6 +1041,61 @@ def q_streaming_semdedup_incremental(spark, sf_dir):
     return spark.table(name)
 
 
+def q_streaming_minhash_screen(spark, sf_dir):
+    """Stateless streaming MinHash ingest screen (training/dedup.py
+    stream_minhash_screen, NEW r12): the minhash_incremental fixture's
+    new batch (doc_id%5==0, id+1e6, ' qq7') streamed in two
+    micro-batches against the archive's persisted signature table —
+    per-row HOF signatures (no stateful aggregate), band-keyed
+    stream-static join, pairs possibly repeated per agreeing band. The
+    gate's batch post-pass dedupes the landed table, so the oracle IS
+    the batch minhash_incremental replay."""
+    _setup(spark)
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.training.dedup import (
+        minhash_signatures,
+        stream_minhash_screen,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    seen_sigs = minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=64)
+    new = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq7")).alias("text"),
+    )
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"mh_screen_stream_{os.path.basename(sf_dir)}",
+    )
+    if not os.path.isdir(stream_dir):
+        new.where("doc_id % 2 = 0").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stream_dir)
+        new.where("doc_id % 2 = 1").coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema("doc_id bigint, text string")
+        .parquet(stream_dir)
+    )
+    out = stream_minhash_screen(
+        stream, seen_sigs, n=3, num_hashes=64, bands=16, threshold=0.2
+    )
+    name = f"q_smhs_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).distinct()
+
+
 QUERIES = {
     "streaming_attribution": q_streaming_attribution,
     "streaming_anomaly": q_streaming_anomaly,
@@ -1064,6 +1119,7 @@ QUERIES = {
     "streaming_upsert": q_streaming_upsert,
     "streaming_ranking_metrics": q_streaming_ranking_metrics,
     "streaming_semdedup_incremental": q_streaming_semdedup_incremental,
+    "streaming_minhash_screen": q_streaming_minhash_screen,
 }
 
 ORACLES = {
@@ -1073,6 +1129,11 @@ ORACLES = {
         "openeo_processes_dask_spark.gates.oracle_builders",
         fromlist=["x"],
     )._semdedup_incremental_oracle_sql(),
+    # drained-distinct pair set == batch minhash_incremental (pinned)
+    "streaming_minhash_screen": lambda: __import__(
+        "openeo_processes_dask_spark.gates.oracle_builders",
+        fromlist=["x"],
+    )._minhash_incremental_oracle_sql(),
     # batch ranking_metrics replay (the gates/training.py oracle) plus
     # the constant n_seen progress column: every fixture query has
     # exactly 10 run rows, so the kept FINAL emissions read n_seen=10

@@ -1105,6 +1105,142 @@ def minhash_incremental(
         sigs_new.unpersist()
 
 
+def stream_minhash_screen(
+    stream: DataFrame,
+    seen_signatures: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Streaming twin of :func:`minhash_incremental` (r12): the MinHash
+    ingest screen applied ONLINE as documents land, completely
+    STATELESS (append mode, no watermark, no state store).
+
+    Design inversions vs the batch lane, both deliberate:
+
+    - signatures compute PER ROW via the nested-HOF lane
+      (``array_min(transform(...))`` over a materialized shingle-digest
+      array) instead of explode + groupBy min-aggregates — the batch
+      docstring records the HOF lane as ~10x slower under codegen, but
+      a streaming groupBy(id) would be a STATEFUL aggregate holding
+      every doc id in the state store forever; per-micro-batch row
+      counts make the interpreted-HOF cost the right trade, and the
+      shingle-digest array is materialized first so the md5 chain is
+      not re-inlined into all ``num_hashes`` lambdas (the repo's
+      measured-pitfalls contract);
+    - emitted match pairs may repeat once per AGREEING BAND (a
+      streaming ``distinct`` would be stateful): pair identity and
+      ``est_jaccard`` are deterministic, so consumers dedupe on the
+      landed table — the same convention as ``streaming_dedup``'s
+      deterministic key-set contract.
+
+    ``seen_signatures`` is the archive's persisted (id, signature)
+    table; its banding + the stream-static join run per micro-batch.
+    Returns ``(new_id, seen_id, est_jaccard >= threshold)`` rows, at
+    least one per matching pair; ``SELECT DISTINCT`` of the drained
+    table equals the batch :func:`minhash_incremental` pair set
+    (pinned by test). Docs with fewer than ``n`` tokens emit nothing —
+    the batch contract."""
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [
+        (rnd.randrange(1, _P), rnd.randrange(0, _P))
+        for _ in range(num_hashes)
+    ]
+    rows_per_band = num_hashes // bands
+    base = (
+        stream.select(
+            F.col(id_col).alias("id"),
+            tokens(F.lower(F.col(text_col))).alias("toks"),
+        )
+        .select(
+            "id",
+            F.transform(
+                F.array_distinct(
+                    shingles_from_tokens(F.col("toks"), n)
+                ),
+                lambda s: F.pmod(_md5_to_long(s), F.lit(_P)),
+            ).alias("xs"),
+        )
+        .where(F.size("xs") > 0)
+    )
+    sig = base.select(
+        "id",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        F.col("xs"),
+                        lambda x: F.pmod(
+                            F.lit(a) * x + F.lit(b), F.lit(_P)
+                        ),
+                    )
+                )
+                for a, b in coeffs
+            ]
+        ).alias("signature"),
+    )
+    # banding inline (the _band_signatures helper drops the signature
+    # column, which the verification needs on both sides)
+    banded_new = sig.select(
+        F.col("id").alias("new_id"),
+        F.col("signature").alias("sig1"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice(
+                                        F.col("signature"),
+                                        bi * rows_per_band + 1,
+                                        rows_per_band,
+                                    ),
+                                    lambda h: h.cast("string"),
+                                ),
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("new_id", "sig1", F.col("bb.band"), F.col("bb.bucket"))
+    banded_seen = _band_signatures(
+        seen_signatures, bands, rows_per_band
+    ).join(
+        seen_signatures.select(
+            F.col("id"), F.col("signature").alias("sig2")
+        ),
+        "id",
+    ).select(
+        F.col("id").alias("seen_id"), "sig2", "band", "bucket"
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig1"), F.col("sig2"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        banded_new.join(banded_seen, ["band", "bucket"])
+        .select(
+            "new_id",
+            "seen_id",
+            F.round(est, 6).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, bits: int = 64
 ) -> DataFrame:

@@ -728,3 +728,64 @@ def test_ingest_screen_verdicts(spark):
     assert out[102] == (True, True, False)
     assert out[103][1] and not out[103][0] and not out[103][2]
     assert out[104] == (False, False, True)
+
+
+def test_stream_minhash_screen_matches_batch(spark, tmp_path):
+    """r12: drained DISTINCT of the stateless streaming MinHash screen
+    (per-row HOF signatures, band join vs static archive signatures,
+    two micro-batches) equals the batch minhash_incremental pair set —
+    pairs AND est values."""
+    from openeo_processes_dask_spark.training.dedup import (
+        minhash_incremental,
+        minhash_signatures,
+        stream_minhash_screen,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again with many shared tokens in this longer sentence")
+    seen = spark.createDataFrame(
+        [(1, base), (2, "completely different unrelated archive text "
+                        "with its own vocabulary set here")],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signatures(seen, "doc_id", "text", 3, 64)
+    new = spark.createDataFrame(
+        [
+            (101, base + " qq7"),            # near dup of 1
+            (102, "fresh novel content aa bb cc dd ee ff gg hh"),
+            (103, base),                     # exact copy of 1
+            (104, "xx"),                     # < n tokens: emits nothing
+        ],
+        ["doc_id", "text"],
+    )
+    d = str(tmp_path / "mh_stream")
+    new.where("doc_id <= 102").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    new.where("doc_id > 102").coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema("doc_id long, text string")
+        .parquet(d)
+    )
+    out = stream_minhash_screen(stream, sigs, threshold=0.5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("smh_pin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["new_id"], r["seen_id"], r["est_jaccard"])
+        for r in spark.table("smh_pin").collect()
+    }
+    exp = {
+        (r["new_id"], r["seen_id"], r["est_jaccard"])
+        for r in minhash_incremental(
+            new, sigs, threshold=0.5
+        ).collect()
+    }
+    assert got == exp
+    assert {p[0] for p in got} == {101, 103}
