@@ -308,6 +308,8 @@ _CHANGED_R12 = [
     # NEW r12: stateless streaming MinHash screen (per-row HOF
     # signatures; drained-distinct == batch minhash_incremental)
     "streaming_minhash_screen",
+    # NEW r12: audio-landmark ingest screen (generic set-overlap)
+    "audio_near_dups_incremental",
 ]
 
 # Window: flagship + never-checked (lead) + r12-changed + the stalest

@@ -1702,6 +1702,66 @@ def _audio_near_dups_oracle_sql(id_cap: int = 99, min_shared: int = 8) -> str:
     )
 
 
+def _audio_incremental_oracle_sql(
+    seen_cap: int = 99, new_lo: int = 99, new_hi: int = 132,
+    min_shared: int = 8,
+) -> str:
+    """Twin of q_audio_near_dups_incremental: the same NumPy melody /
+    landmark replay as the batch audio oracle, counting shared
+    landmarks over NEW x SEEN only."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    sf = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT doc_id FROM '{sf}/documents.parquet' "
+            f"WHERE doc_id < {new_hi} ORDER BY doc_id"
+        ).fetchall()
+    ]
+    seen_ids = [i for i in ids if i < seen_cap]
+    new_ids = [i for i in ids if new_lo <= i < new_hi]
+    n_samples, n_families, frame, hop = 2048, 11, 256, 128
+
+    def render(i):
+        fam = np.random.default_rng(900 + i % n_families)
+        notes = fam.integers(5, 100, size=n_samples // 256)
+        t = np.arange(n_samples, dtype="float64")
+        freq = np.repeat(notes, 256)[: len(t)].astype("float64")
+        y = 0.7 * np.sin(2 * np.pi * freq * t / 256.0)
+        noise = np.random.default_rng(7_000_000 + i)
+        y += 0.02 * (noise.random(n_samples) * 2 - 1)
+        pcm = np.clip(y * 32767.0, -32768, 32767).astype("<i2")
+        return pcm.astype("float64") / 32768.0
+
+    def marks(y):
+        peaks = []
+        for s in range(0, len(y) - frame + 1, hop):
+            spec = np.abs(np.fft.rfft(y[s : s + frame]))
+            peaks.append(int(np.argmax(spec[1:])) + 1)
+        return {int(a * 100_000 + b) for a, b in zip(peaks, peaks[1:])}
+
+    ms = {i: marks(render(i)) for i in ids}
+    vals = []
+    for a in new_ids:
+        for b in seen_ids:
+            shared = len(ms[a] & ms[b])
+            if shared >= min_shared:
+                vals.append(f"({a}, {b}, {shared})")
+    if not vals:  # pragma: no cover - fixture guarantees matches
+        return (
+            "SELECT 0 AS new_id, 0 AS seen_id, 0 AS n_shared WHERE 1=0"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(new_id, seen_id, n_shared)"
+    )
+
+
 def _video_near_dups_oracle_sql(id_cap: int = 105, min_shared: int = 4) -> str:
     """Twin of q_video_near_dups: regenerates the frame sequences in
     NumPy (same seeds), hashes every frame with the serial dHash, and

@@ -21,6 +21,7 @@ from .oracle_builders import (
     _scene_changes_oracle_sql,
     _image_near_dups_oracle_sql,
     _image_incremental_oracle_sql,
+    _audio_incremental_oracle_sql,
     _pagerank_oracle_sql,
     _harmonic_oracle_sql,
     _semdedup_oracle_sql,
@@ -1381,6 +1382,35 @@ def q_audio_near_dups(spark, sf_dir):
     ).select("doc_id")
     lm = audio_landmarks(synthetic_raw_audio_table(ids))
     return audio_near_duplicates(lm, min_shared=8)
+
+
+def q_audio_near_dups_incremental(spark, sf_dir):
+    """Audio-landmark ingest screen (training/dedup.py
+    shared_key_incremental, NEW r12): new audio (doc_id 99-131 —
+    melody families cycle mod 11, so the batch shares landmarks with
+    the archive) decoded + landmarked through the real PCM16 lane and
+    overlap-counted against the archive's persisted fingerprint table
+    — archive audio never re-decoded, candidates strictly new x seen.
+    Oracle is the NumPy landmark replay over new x seen."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import (
+        shared_key_incremental,
+    )
+    from openeo_processes_dask_spark.training.multimodal import (
+        audio_landmarks,
+        synthetic_raw_audio_table,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    seen_ids = docs.where(F.col("doc_id") < 99).select("doc_id")
+    new_ids = docs.where(
+        (F.col("doc_id") >= 99) & (F.col("doc_id") < 132)
+    ).select("doc_id")
+    seen_lm = audio_landmarks(synthetic_raw_audio_table(seen_ids))
+    new_lm = audio_landmarks(synthetic_raw_audio_table(new_ids))
+    return shared_key_incremental(
+        new_lm, seen_lm, min_shared=8, id_col="id", key_col="landmark"
+    )
 
 
 def q_negative_samples(spark, sf_dir):
@@ -2896,6 +2926,7 @@ QUERIES = {
     "bpe_tokens": q_bpe_tokens,
     "image_near_dups": q_image_near_dups,
     "image_near_dups_incremental": q_image_near_dups_incremental,
+    "audio_near_dups_incremental": q_audio_near_dups_incremental,
     "bm25_index_search": q_bm25_index_search,
     "quantize_embeddings": q_quantize_embeddings,
     "chunk_text": q_chunk_text,
@@ -4579,6 +4610,7 @@ ORACLES = {
         """,
     "image_near_dups": _image_near_dups_oracle_sql,
     "image_near_dups_incremental": _image_incremental_oracle_sql,
+    "audio_near_dups_incremental": _audio_incremental_oracle_sql,
     "audio_near_dups": _audio_near_dups_oracle_sql,
     "video_near_dups": _video_near_dups_oracle_sql,
     "scene_changes": _scene_changes_oracle_sql,

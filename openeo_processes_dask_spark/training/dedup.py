@@ -627,6 +627,54 @@ def decontaminate(
     )
 
 
+def shared_key_incremental(
+    new_keys: DataFrame,
+    seen_keys: DataFrame,
+    min_shared: int,
+    id_col: str = "id",
+    key_col: str = "key",
+    max_key_freq: int | None = None,
+) -> DataFrame:
+    """New-vs-seen set-overlap screen (r12) — :func:`shared_key_pairs`
+    restricted to strictly NEW x SEEN candidates: the ingest twin for
+    any fingerprint-set signature (audio spectral landmarks, video
+    frame hashes). ``seen_keys`` is the archive's persisted
+    ``(id, key)`` fingerprint table — the archive media is never
+    re-decoded; only the new batch extracts fingerprints, and the join
+    carries keys, not payloads.
+
+    ``max_key_freq`` is the same degenerate-key guard as the batch
+    lane, applied to the UNION frequency (a key every archive item
+    carries is as quadratic for the screen as for the self-join).
+    Returns ``(new_id, seen_id, n_shared >= min_shared)``; overlap
+    counts are exact per surviving key, like the batch lane."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    a = new_keys.select(
+        F.col(id_col).alias("new_id"), F.col(key_col).alias("key")
+    ).distinct()
+    b = seen_keys.select(
+        F.col(id_col).alias("seen_id"), F.col(key_col).alias("key")
+    ).distinct()
+    if max_key_freq is not None:
+        hot = (
+            a.select("key")
+            .unionAll(b.select("key"))
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > max_key_freq)
+            .select("key")
+        )
+        a = a.join(hot, "key", "left_anti")
+        b = b.join(hot, "key", "left_anti")
+    return (
+        a.join(b, "key")
+        .groupBy("new_id", "seen_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
