@@ -789,3 +789,41 @@ def test_stream_minhash_screen_matches_batch(spark, tmp_path):
     }
     assert got == exp
     assert {p[0] for p in got} == {101, 103}
+
+
+def test_shared_key_incremental_new_vs_seen(spark):
+    """r12: the set-overlap ingest screen — exact new x seen overlap
+    counts, min_shared floor, union-frequency degenerate-key guard,
+    and no new x new pairs."""
+    import pytest as _pytest
+
+    from openeo_processes_dask_spark.training.dedup import (
+        shared_key_incremental,
+    )
+
+    seen = spark.createDataFrame(
+        [(1, k) for k in (10, 11, 12, 13)]
+        + [(2, k) for k in (20, 21, 22)],
+        ["id", "key"],
+    )
+    new = spark.createDataFrame(
+        [(101, k) for k in (10, 11, 12, 99)]      # 3 shared with 1
+        + [(102, k) for k in (20, 98, 97)]        # 1 shared with 2
+        + [(103, k) for k in (10, 11, 12, 99)],   # same as 101
+        ["id", "key"],
+    )
+    out = {
+        (r["new_id"], r["seen_id"]): r["n_shared"]
+        for r in shared_key_incremental(new, seen, min_shared=2).collect()
+    }
+    assert out == {(101, 1): 3, (103, 1): 3}
+    # identical NEW docs never pair with each other (101 vs 103)
+    assert all(s in (1, 2) for _, s in out)
+    # degenerate-key guard on the UNION frequency: key 10/11/12 appear
+    # in seen(1) + new(101, 103) = 3 ids each; cap at 2 removes them
+    capped = shared_key_incremental(
+        new, seen, min_shared=1, max_key_freq=2
+    ).collect()
+    assert all(r["seen_id"] == 2 for r in capped)
+    with _pytest.raises(ValueError):
+        shared_key_incremental(new, seen, min_shared=0)
