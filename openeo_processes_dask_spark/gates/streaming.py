@@ -11,6 +11,49 @@ from pyspark.sql import functions as F  # noqa: F401
 
 from .common import _setup, _table
 
+
+def _fixture_dir(name: str, sf_dir: str, version: int = 1):
+    """Stream-source fixture dir with a staleness guard (ADVICE r12
+    #3) -> ``(dir, needs_write)``.
+
+    The old pattern keyed regeneration on bare directory existence
+    (``if not os.path.isdir(stream_dir)``), so a partially written dir
+    from an aborted run — parquet's ``mode("append")`` second file
+    missing, say — or stale contents left at the same basename were
+    silently replayed. A fixture now counts as valid ONLY when its
+    ``_FIXTURE_COMPLETE`` marker exists and carries the expected
+    version string; the marker is written by :func:`_fixture_done`
+    AFTER the last write finishes, so an aborted generation can never
+    look complete. Anything else is wiped and regenerated. Bump
+    ``version`` in the calling gate whenever its fixture definition
+    changes — the old dir is then invalidated mechanically. The
+    marker filename starts with ``_`` so Spark's file listing ignores
+    it (same convention as ``_SUCCESS``)."""
+    import os
+    import shutil
+    import tempfile
+
+    d = os.path.join(
+        tempfile.gettempdir(), f"{name}_{os.path.basename(sf_dir)}"
+    )
+    try:
+        with open(os.path.join(d, "_FIXTURE_COMPLETE")) as f:
+            if f.read() == f"v{version}":
+                return d, False
+    except OSError:
+        pass
+    shutil.rmtree(d, ignore_errors=True)
+    return d, True
+
+
+def _fixture_done(d: str, version: int = 1) -> None:
+    """Mark a fixture dir complete — call after the LAST write."""
+    import os
+
+    with open(os.path.join(d, "_FIXTURE_COMPLETE"), "w") as f:
+        f.write(f"v{version}")
+
+
 def q_streaming_daily_sum(spark, sf_dir):
     """Structured Streaming twin of the daily aggregation: drain the events
     table through readStream (Trigger.AvailableNow) and return the final
@@ -25,15 +68,14 @@ def q_streaming_daily_sum(spark, sf_dir):
         stream_events,
     )
 
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_stream_{os.path.basename(sf_dir)}"
-    )
-    if not os.path.isdir(stream_dir):
+    stream_dir, fresh = _fixture_dir("events_stream", sf_dir)
+    if fresh:
         # one-time: re-write the fixture as a streaming source dir (also
         # normalizes the nanosecond timestamps the stream reader can't take)
         _table(spark, sf_dir, "events").coalesce(4).write.mode(
             "overwrite"
         ).parquet(stream_dir)
+        _fixture_done(stream_dir)
     stream = stream_events(spark, stream_dir, max_files_per_trigger=2)
     out = stream_aggregate_temporal_period(stream, "1 day", "1 hour", "sum")
     name = f"q_stream_{abs(hash(sf_dir)) % 10_000}"
@@ -58,13 +100,12 @@ def q_streaming_sliding_sum(spark, sf_dir):
         stream_events,
     )
 
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_stream_{os.path.basename(sf_dir)}"
-    )
-    if not os.path.isdir(stream_dir):
+    stream_dir, fresh = _fixture_dir("events_stream", sf_dir)
+    if fresh:
         _table(spark, sf_dir, "events").coalesce(4).write.mode(
             "overwrite"
         ).parquet(stream_dir)
+        _fixture_done(stream_dir)
     stream = stream_events(spark, stream_dir, max_files_per_trigger=2)
     out = stream_aggregate_sliding(stream, "3 days", "1 day", "1 hour", "sum")
     name = f"q_slide_{abs(hash(sf_dir)) % 10_000}"
@@ -92,13 +133,12 @@ def q_streaming_pii_redact(spark, sf_dir):
     )
     from openeo_processes_dask_spark.training.pii import pii_redact
 
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_stream_{os.path.basename(sf_dir)}"
-    )
-    if not os.path.isdir(stream_dir):
+    stream_dir, fresh = _fixture_dir("events_stream", sf_dir)
+    if fresh:
         _table(spark, sf_dir, "events").coalesce(4).write.mode(
             "overwrite"
         ).parquet(stream_dir)
+        _fixture_done(stream_dir)
     stream = stream_events(spark, stream_dir, max_files_per_trigger=2)
     synth = stream.withColumn(
         "text",
@@ -136,15 +176,14 @@ def q_streaming_dedup(spark, sf_dir):
         stream_events,
     )
 
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_stream1_{os.path.basename(sf_dir)}"
-    )
-    if not os.path.isdir(stream_dir):
+    stream_dir, fresh = _fixture_dir("events_stream1", sf_dir)
+    if fresh:
         # single sorted file: one micro-batch == sorted replay (oracle
         # convention for stateful streaming)
         _table(spark, sf_dir, "events").orderBy("ts").coalesce(1).write.mode(
             "overwrite"
         ).parquet(stream_dir)
+        _fixture_done(stream_dir)
     stream = stream_events(spark, stream_dir, max_files_per_trigger=None)
     keyed = stream.withColumn("day", F.date_trunc("day", F.col("t")))
     out = stream_dedup_exact(keyed, ["user_id", "band", "day"], "1 hour")
@@ -172,13 +211,12 @@ def q_streaming_dedup_static(spark, sf_dir):
         stream_events,
     )
 
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_stream1_{os.path.basename(sf_dir)}"
-    )
-    if not os.path.isdir(stream_dir):
+    stream_dir, fresh = _fixture_dir("events_stream1", sf_dir)
+    if fresh:
         _table(spark, sf_dir, "events").orderBy("ts").coalesce(1).write.mode(
             "overwrite"
         ).parquet(stream_dir)
+        _fixture_done(stream_dir)
     stream = stream_events(spark, stream_dir, max_files_per_trigger=None)
     keyed = stream.withColumn("day", F.date_trunc("day", F.col("t")))
     # seen = keys already ingested on every-third calendar day: the event
@@ -220,13 +258,12 @@ def q_streaming_asof(spark, sf_dir):
         stream_events,
     )
 
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_stream1_{os.path.basename(sf_dir)}"
-    )
-    if not os.path.isdir(stream_dir):
+    stream_dir, fresh = _fixture_dir("events_stream1", sf_dir)
+    if fresh:
         _table(spark, sf_dir, "events").orderBy("ts").coalesce(1).write.mode(
             "overwrite"
         ).parquet(stream_dir)
+        _fixture_done(stream_dir)
     clicks = stream_events(spark, stream_dir, max_files_per_trigger=None).where(
         F.col("band") == "click"
     ).select("user_id", "t", "value")
@@ -261,10 +298,8 @@ def q_streaming_sessions(spark, sf_dir):
     from openeo_processes_dask_spark.streaming.sessions import sessionize
 
     gap = 86_400  # 1 day
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_sessions_{os.path.basename(sf_dir)}"
-    )
-    if not os.path.isdir(stream_dir):
+    stream_dir, fresh = _fixture_dir("events_sessions", sf_dir)
+    if fresh:
         (
             _table(spark, sf_dir, "events")
             .select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -273,6 +308,7 @@ def q_streaming_sessions(spark, sf_dir):
             .write.mode("overwrite")
             .parquet(stream_dir)
         )
+        _fixture_done(stream_dir)
     stream = stream_events(spark, stream_dir, max_files_per_trigger=None)
     sessions = sessionize(stream, gap_seconds=gap, watermark="1 hour")
     name = f"q_sessions_{abs(hash(sf_dir)) % 10_000}"
@@ -321,13 +357,12 @@ def q_streaming_cap(spark, sf_dir):
         stream_cap_per_key,
     )
 
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_stream1_{os.path.basename(sf_dir)}"
-    )
-    if not os.path.isdir(stream_dir):
+    stream_dir, fresh = _fixture_dir("events_stream1", sf_dir)
+    if fresh:
         _table(spark, sf_dir, "events").orderBy("ts").coalesce(1).write.mode(
             "overwrite"
         ).parquet(stream_dir)
+        _fixture_done(stream_dir)
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .parquet(stream_dir)
@@ -360,13 +395,12 @@ def q_streaming_reservoir(spark, sf_dir):
         stream_weighted_reservoir,
     )
 
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_stream1_{os.path.basename(sf_dir)}"
-    )
-    if not os.path.isdir(stream_dir):
+    stream_dir, fresh = _fixture_dir("events_stream1", sf_dir)
+    if fresh:
         _table(spark, sf_dir, "events").orderBy("ts").coalesce(1).write.mode(
             "overwrite"
         ).parquet(stream_dir)
+        _fixture_done(stream_dir)
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .parquet(stream_dir)
@@ -395,13 +429,12 @@ def q_streaming_sink(spark, sf_dir):
         stream_events,
     )
 
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_stream1_{os.path.basename(sf_dir)}"
-    )
-    if not os.path.isdir(stream_dir):
+    stream_dir, fresh = _fixture_dir("events_stream1", sf_dir)
+    if fresh:
         _table(spark, sf_dir, "events").orderBy("ts").coalesce(1).write.mode(
             "overwrite"
         ).parquet(stream_dir)
+        _fixture_done(stream_dir)
     base = os.path.join(
         tempfile.gettempdir(), f"sink_gate_{os.path.basename(sf_dir)}"
     )
@@ -437,10 +470,8 @@ def q_streaming_session_window(spark, sf_dir):
         stream_events,
     )
 
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_sessions_{os.path.basename(sf_dir)}"
-    )
-    if not os.path.isdir(stream_dir):
+    stream_dir, fresh = _fixture_dir("events_sessions", sf_dir)
+    if fresh:
         (
             _table(spark, sf_dir, "events")
             .select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -449,6 +480,7 @@ def q_streaming_session_window(spark, sf_dir):
             .write.mode("overwrite")
             .parquet(stream_dir)
         )
+        _fixture_done(stream_dir)
     stream = stream_events(spark, stream_dir, max_files_per_trigger=None)
     sessions = (
         stream.withWatermark("t", "1 hour")
@@ -557,13 +589,12 @@ def q_streaming_attribution(spark, sf_dir):
         stream_stream_join,
     )
 
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_stream1_{os.path.basename(sf_dir)}"
-    )
-    if not os.path.isdir(stream_dir):
+    stream_dir, fresh = _fixture_dir("events_stream1", sf_dir)
+    if fresh:
         _table(spark, sf_dir, "events").orderBy("ts").coalesce(1).write.mode(
             "overwrite"
         ).parquet(stream_dir)
+        _fixture_done(stream_dir)
     views = stream_events(spark, stream_dir, max_files_per_trigger=None).where(
         F.col("band") == "view"
     )
@@ -601,13 +632,12 @@ def q_streaming_anomaly(spark, sf_dir):
 
     from openeo_processes_dask_spark.streaming.sessions import stream_anomaly
 
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_stream1_{os.path.basename(sf_dir)}"
-    )
-    if not os.path.isdir(stream_dir):
+    stream_dir, fresh = _fixture_dir("events_stream1", sf_dir)
+    if fresh:
         _table(spark, sf_dir, "events").orderBy("ts").coalesce(1).write.mode(
             "overwrite"
         ).parquet(stream_dir)
+        _fixture_done(stream_dir)
     stream = (
         spark.readStream.schema(
             "event_id bigint, ts timestamp, user_id bigint, "
@@ -646,13 +676,12 @@ def q_streaming_ema(spark, sf_dir):
 
     from openeo_processes_dask_spark.streaming.sessions import stream_ema
 
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_stream1_{os.path.basename(sf_dir)}"
-    )
-    if not os.path.isdir(stream_dir):
+    stream_dir, fresh = _fixture_dir("events_stream1", sf_dir)
+    if fresh:
         _table(spark, sf_dir, "events").orderBy("ts").coalesce(1).write.mode(
             "overwrite"
         ).parquet(stream_dir)
+        _fixture_done(stream_dir)
     stream = (
         spark.readStream.schema(
             "event_id bigint, ts timestamp, user_id bigint, "
@@ -696,13 +725,12 @@ def q_streaming_fill_forward(spark, sf_dir):
         stream_fill_forward,
     )
 
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_stream1_{os.path.basename(sf_dir)}"
-    )
-    if not os.path.isdir(stream_dir):
+    stream_dir, fresh = _fixture_dir("events_stream1", sf_dir)
+    if fresh:
         _table(spark, sf_dir, "events").orderBy("ts").coalesce(1).write.mode(
             "overwrite"
         ).parquet(stream_dir)
+        _fixture_done(stream_dir)
     stream = (
         spark.readStream.schema(
             "event_id bigint, ts timestamp, user_id bigint, "
@@ -747,13 +775,12 @@ def q_streaming_funnel(spark, sf_dir):
 
     from openeo_processes_dask_spark.streaming.sessions import stream_funnel
 
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_stream1_{os.path.basename(sf_dir)}"
-    )
-    if not os.path.isdir(stream_dir):
+    stream_dir, fresh = _fixture_dir("events_stream1", sf_dir)
+    if fresh:
         _table(spark, sf_dir, "events").orderBy("ts").coalesce(1).write.mode(
             "overwrite"
         ).parquet(stream_dir)
+        _fixture_done(stream_dir)
     stream = (
         spark.readStream.schema(
             "event_id bigint, ts timestamp, user_id bigint, "
@@ -798,13 +825,12 @@ def q_streaming_count_min(spark, sf_dir):
         stream_count_min,
     )
 
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_stream1_{os.path.basename(sf_dir)}"
-    )
-    if not os.path.isdir(stream_dir):
+    stream_dir, fresh = _fixture_dir("events_stream1", sf_dir)
+    if fresh:
         _table(spark, sf_dir, "events").orderBy("ts").coalesce(1).write.mode(
             "overwrite"
         ).parquet(stream_dir)
+        _fixture_done(stream_dir)
     stream = stream_events(spark, stream_dir, max_files_per_trigger=None)
     out = stream_count_min(stream, "band", depth=4, width=64)
     name = f"q_scms_{abs(hash(sf_dir)) % 10_000}"
@@ -836,13 +862,12 @@ def q_streaming_hll(spark, sf_dir):
         stream_hll_registers,
     )
 
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_stream1_{os.path.basename(sf_dir)}"
-    )
-    if not os.path.isdir(stream_dir):
+    stream_dir, fresh = _fixture_dir("events_stream1", sf_dir)
+    if fresh:
         _table(spark, sf_dir, "events").orderBy("ts").coalesce(1).write.mode(
             "overwrite"
         ).parquet(stream_dir)
+        _fixture_done(stream_dir)
     stream = stream_events(spark, stream_dir, max_files_per_trigger=None)
     out = stream_hll_registers(stream, "user_id", p=10)
     name = f"q_shll_{abs(hash(sf_dir)) % 10_000}"
@@ -874,13 +899,12 @@ def q_streaming_quantile_sketch(spark, sf_dir):
         stream_quantile_sketch,
     )
 
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_stream1_{os.path.basename(sf_dir)}"
-    )
-    if not os.path.isdir(stream_dir):
+    stream_dir, fresh = _fixture_dir("events_stream1", sf_dir)
+    if fresh:
         _table(spark, sf_dir, "events").orderBy("ts").coalesce(1).write.mode(
             "overwrite"
         ).parquet(stream_dir)
+        _fixture_done(stream_dir)
     stream = spark.readStream.schema(
         "event_id bigint, ts timestamp, user_id bigint, "
         "event_type string, value double, props string"
@@ -941,17 +965,15 @@ def q_streaming_ranking_metrics(spark, sf_dir):
         ).alias("t"),
         "query_id", "id", "rank",
     )
-    stream_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"ranking_stream_{os.path.basename(sf_dir)}",
-    )
-    if not os.path.isdir(stream_dir):
+    stream_dir, fresh = _fixture_dir("ranking_stream", sf_dir)
+    if fresh:
         results.where("rank <= 5").coalesce(1).write.mode(
             "overwrite"
         ).parquet(stream_dir)
         results.where("rank > 5").coalesce(1).write.mode(
             "append"
         ).parquet(stream_dir)
+        _fixture_done(stream_dir)
     stream = (
         spark.readStream.option("maxFilesPerTrigger", 1)
         .schema("t timestamp, query_id bigint, id bigint, rank bigint")
@@ -1012,17 +1034,15 @@ def q_streaming_semdedup_incremental(spark, sf_dir):
     )
     cents = kmeans_fit(archive, k=8, iterations=2)
     members = _tag_members(archive, cents, "vec_id", "embedding")
-    stream_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"semdedup_stream_{os.path.basename(sf_dir)}",
-    )
-    if not os.path.isdir(stream_dir):
+    stream_dir, fresh = _fixture_dir("semdedup_stream", sf_dir)
+    if fresh:
         new.where("vec_id < 400").coalesce(1).write.mode(
             "overwrite"
         ).parquet(stream_dir)
         new.where("vec_id >= 400").coalesce(1).write.mode(
             "append"
         ).parquet(stream_dir)
+        _fixture_done(stream_dir)
     stream = (
         spark.readStream.option("maxFilesPerTrigger", 1)
         .schema("vec_id bigint, embedding array<float>")
@@ -1065,17 +1085,15 @@ def q_streaming_minhash_screen(spark, sf_dir):
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" qq7")).alias("text"),
     )
-    stream_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"mh_screen_stream_{os.path.basename(sf_dir)}",
-    )
-    if not os.path.isdir(stream_dir):
+    stream_dir, fresh = _fixture_dir("mh_screen_stream", sf_dir)
+    if fresh:
         new.where("doc_id % 2 = 0").coalesce(1).write.mode(
             "overwrite"
         ).parquet(stream_dir)
         new.where("doc_id % 2 = 1").coalesce(1).write.mode(
             "append"
         ).parquet(stream_dir)
+        _fixture_done(stream_dir)
     stream = (
         spark.readStream.option("maxFilesPerTrigger", 1)
         .schema("doc_id bigint, text string")

@@ -132,6 +132,25 @@ def bm25_search(
 GAIN_SCALE = 1_000_000
 
 
+def _round_half_up_double(x: float) -> int:
+    """Replay JVM ``F.round`` on a double EXACTLY (ADVICE r12 #2):
+    Spark's Round goes through ``BigDecimal.valueOf(x)`` — the SHORTEST
+    decimal string that round-trips (``Double.toString``) — then
+    HALF_UP at scale 0. Python's ``repr(float)`` produces the same
+    shortest round-trip decimal, so ``Decimal(repr(x))`` is the same
+    decimal value. ``floor(x + 0.5)`` is NOT equivalent: the binary sum
+    ``x + 0.5`` can cross an integer boundary through floating-point
+    error (e.g. 0.49999999999999994 + 0.5 == 1.0 in doubles, so
+    floor(x+0.5) says 1 while HALF_UP on the decimal value says 0)."""
+    import decimal
+
+    return int(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 def ranking_metrics(
     results: DataFrame,
     qrels: DataFrame,
@@ -390,9 +409,7 @@ def stream_ranking_metrics(
         .join(q, ["query_id", "id"], "left")
     )
 
-    def _round_half_up(x: float) -> int:
-        # JVM F.round on a positive double: round half away from zero
-        return int(math.floor(x + 0.5))
+    _round_half_up = _round_half_up_double
 
     def update(
         key: Tuple,

@@ -153,8 +153,9 @@ def registered_domain_psl_rules(
     between registry-controlled and company-delegated suffixes.
 
     The vendored snapshot (:func:`load_public_suffix_snapshot`) and
-    the full upstream file parse identically — deployments swap in
-    ``public_suffix_list.dat`` with no code changes."""
+    the full upstream file parse through the same code path; see that
+    function's docstring for the two full-upstream-file gotchas it
+    absorbs (IDN rules, 5-label private-section rules)."""
     rules: list[str] = []
     in_private = False
     for line in text.splitlines():
@@ -167,10 +168,31 @@ def registered_domain_psl_rules(
             continue
         if icann_only and in_private:
             continue
-        # rules are host labels; the upstream file is already
-        # lowercase punycode, but normalize defensively
-        rules.append(s.split()[0].lower())
+        # rules are host labels, lowercased; the upstream file lists
+        # IDN rules in UNICODE (ADVICE r12 #1 — not punycode, despite
+        # the site also publishing a punycode variant), while
+        # canonicalize_url/hosts on the matching side are ASCII
+        # punycode — so non-ASCII labels are punycode-encoded here at
+        # parse time, or they would silently never match any host
+        rules.append(_rule_to_punycode(s.split()[0].lower()))
     return rules
+
+
+def _rule_to_punycode(rule: str) -> str:
+    """Lowercased PSL rule -> ASCII form: each non-ASCII label becomes
+    ``xn--<punycode>`` (RFC 3492), ``!``/``*`` syntax preserved.
+    ASCII rules (the vast majority) pass through untouched."""
+    if rule.isascii():
+        return rule
+    bang = rule.startswith("!")
+    body = rule[1:] if bang else rule
+    labels = [
+        lab
+        if lab.isascii()
+        else "xn--" + lab.encode("punycode").decode("ascii")
+        for lab in body.split(".")
+    ]
+    return ("!" if bang else "") + ".".join(labels)
 
 
 def load_public_suffix_snapshot(
@@ -179,7 +201,17 @@ def load_public_suffix_snapshot(
     """Rules from the repo's vendored PSL snapshot (a curated,
     dated SUBSET of publicsuffix.org in the exact upstream format —
     data/public_suffix_snapshot.dat documents its coverage), or from
-    ``path`` (e.g. the full downloaded ``public_suffix_list.dat``)."""
+    ``path`` (e.g. the full downloaded ``public_suffix_list.dat``).
+
+    Two full-upstream-file gotchas are handled here (ADVICE r12 #1):
+    IDN rules appear in Unicode in the upstream file and are
+    punycode-encoded at parse time (:func:`_rule_to_punycode`); and the
+    private-domains section contains rules up to 5 labels deep (e.g.
+    ``s3.dualstack.<region>.amazonaws.com``), so pass
+    ``max_suffix_labels >= 6`` to :func:`registered_domain_from_list`
+    when feeding it the full file — its default (6) already covers the
+    current upstream list; the loud ValueError tells you if a future
+    list grows deeper."""
     import os
 
     if path is None:
@@ -193,7 +225,7 @@ def load_public_suffix_snapshot(
 
 
 def registered_domain_from_list(
-    url: Column, suffixes, max_suffix_labels: int = 4
+    url: Column, suffixes, max_suffix_labels: int = 6
 ) -> Column:
     """eTLD+1 via an explicit public-suffix DATA list — the
     deployment-grade lane behind :func:`registered_domain`'s 7-entry
@@ -219,7 +251,12 @@ def registered_domain_from_list(
     10⁴ entries — codegen-able metadata, no join, no broadcast exchange,
     no shuffle at any corpus size). Suffixes longer than
     ``max_suffix_labels`` labels are rejected loudly rather than
-    silently unmatched."""
+    silently unmatched; the default (6) covers the current full
+    upstream list, whose private section reaches effective depth 5-6
+    (``s3.dualstack.<region>.amazonaws.com`` et al. — ADVICE r12 #1).
+    Raising it is free for shallow rule sets: the match ladder is built
+    to ``min(max_suffix_labels, deepest actual rule)`` levels, so the
+    plan depth follows the DATA, not the cap."""
     exact: set[str] = set()
     wild: set[str] = set()      # stored as the base (labels after '*.')
     exc: set[str] = set()

@@ -446,3 +446,45 @@ def test_sessionize_drops_below_watermark_stragglers(spark, tmp_path):
     # the Jan-20 session closed by Jan-25 must NOT contain the straggler
     assert sessions["2024-01-20"] == (1, 2.0)
     assert "2024-01-02" not in sessions
+
+
+def test_fixture_dir_staleness_guard(tmp_path, monkeypatch):
+    """ADVICE r12 #3: a stale or partially written stream-fixture dir
+    (no completion marker / wrong version) must be wiped and
+    regenerated, not silently replayed; a complete one is reused."""
+    import os
+
+    from openeo_processes_dask_spark.gates.streaming import (
+        _fixture_dir,
+        _fixture_done,
+    )
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    tempfile.tempdir = None  # re-resolve gettempdir() from TMPDIR
+    try:
+        # 1. nothing there -> needs write
+        d, fresh = _fixture_dir("guardtest", "/root/testdata/sf0.001")
+        assert fresh
+        # 2. simulate an ABORTED generation: dir + a part file, no marker
+        os.makedirs(d, exist_ok=True)
+        open(os.path.join(d, "part-00000.parquet"), "w").write("x")
+        d2, fresh = _fixture_dir("guardtest", "/root/testdata/sf0.001")
+        assert d2 == d and fresh
+        # the stale dir was wiped
+        assert not os.path.isdir(d)
+        # 3. complete generation -> reused
+        os.makedirs(d, exist_ok=True)
+        open(os.path.join(d, "part-00000.parquet"), "w").write("x")
+        _fixture_done(d)
+        _, fresh = _fixture_dir("guardtest", "/root/testdata/sf0.001")
+        assert not fresh
+        assert os.path.isfile(os.path.join(d, "part-00000.parquet"))
+        # 4. fixture-definition change (version bump) -> regenerated
+        _, fresh = _fixture_dir(
+            "guardtest", "/root/testdata/sf0.001", version=2
+        )
+        assert fresh and not os.path.isdir(d)
+    finally:
+        tempfile.tempdir = None

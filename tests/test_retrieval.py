@@ -198,3 +198,32 @@ def test_stream_ranking_metrics_final_matches_batch(spark, tmp_path):
     # interim rows only see ranks 1-2: query 1's interim hits == 1
     i1 = next(r for r in interim if r["query_id"] == 1)
     assert i1["hits"] == 1 and i1["precision_at_k"] == 0.25
+
+
+def test_round_half_up_double_matches_spark_f_round(spark):
+    """ADVICE r12 #2: the streaming replay's integer rounding must agree
+    with JVM F.round on adversarial doubles — including values where
+    floor(x + 0.5) disagrees because the binary sum crosses an integer
+    through FP error (0.49999999999999994 + 0.5 == 1.0 in doubles)."""
+    from pyspark.sql import functions as F
+
+    from openeo_processes_dask_spark.training.retrieval import (
+        _round_half_up_double,
+    )
+
+    cases = [
+        0.49999999999999994,  # floor(x+0.5) == 1; HALF_UP == 0
+        0.5, 1.5, 2.5, 0.4999999999, 1.4999999999999998,
+        2.6757457245, 999999.5000000001, 123456.49999999999,
+        0.0, 7.0, 1e-12, 0.999999999999999,
+    ]
+    df = spark.createDataFrame([(x,) for x in cases], "x double")
+    jvm = {
+        r["x"]: r["r"]
+        for r in df.select("x", F.round("x").alias("r")).collect()
+    }
+    for x in cases:
+        assert _round_half_up_double(x) == jvm[x], x
+    # and the motivating counterexample really does split the two paths
+    assert _round_half_up_double(0.49999999999999994) == 0
+    assert math.floor(0.49999999999999994 + 0.5) == 1

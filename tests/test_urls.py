@@ -387,3 +387,64 @@ def test_registered_domain_from_list_randomized_differential(spark):
         assert got == exp, (trial, rules,
                             [(h, g, e) for h, g, e in
                              zip(hosts, got, exp) if g != e][:5])
+
+
+def test_psl_parser_punycode_encodes_unicode_rules():
+    """ADVICE r12 #1: the upstream file lists IDN rules in Unicode;
+    the parser must punycode-encode them or they never match the
+    punycode hosts the matching side sees."""
+    from openeo_processes_dask_spark.training.urls import (
+        registered_domain_psl_rules,
+    )
+
+    text = "com\n中国\n*.ジョブ\n!x.中国\n"
+    got = registered_domain_psl_rules(text)
+    assert got[0] == "com"
+    assert got[1] == "xn--fiqs8s"          # 中国
+    assert got[2].startswith("*.xn--")     # wildcard syntax preserved
+    assert got[3].startswith("!x.xn--")    # exception syntax preserved
+
+
+def test_unicode_rule_matches_punycode_host(spark):
+    from openeo_processes_dask_spark.training.urls import (
+        registered_domain_from_list,
+        registered_domain_psl_rules,
+    )
+
+    rules = registered_domain_psl_rules("com\n中国\n")
+    df = spark.createDataFrame(
+        [("https://example.xn--fiqs8s/path",)], "u string"
+    )
+    got = df.select(
+        registered_domain_from_list(F.col("u"), rules).alias("d")
+    ).collect()[0]["d"]
+    assert got == "example.xn--fiqs8s"
+
+
+def test_default_depth_covers_upstream_private_rules(spark):
+    """The full upstream PSL's private section reaches 5 labels
+    (s3.dualstack.<region>.amazonaws.com); the default
+    max_suffix_labels must accept it and resolve correctly."""
+    from openeo_processes_dask_spark.training.urls import (
+        registered_domain_from_list,
+    )
+
+    rules = ["com", "s3.dualstack.eu-west-3.amazonaws.com",
+             "*.compute.amazonaws.com"]
+    df = spark.createDataFrame(
+        [
+            ("https://b.s3.dualstack.eu-west-3.amazonaws.com/k",),
+            ("https://vm.ec2-1-2-3-4.compute.amazonaws.com/",),
+        ],
+        "u string",
+    )
+    got = [
+        r["d"]
+        for r in df.select(
+            registered_domain_from_list(F.col("u"), rules).alias("d")
+        ).collect()
+    ]
+    assert got == [
+        "b.s3.dualstack.eu-west-3.amazonaws.com",
+        "vm.ec2-1-2-3-4.compute.amazonaws.com",
+    ]
