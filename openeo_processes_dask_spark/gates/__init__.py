@@ -325,18 +325,81 @@ _WINDOW_R12 = (
 assert len(_WINDOW_R12) == 50, len(_WINDOW_R12)
 assert len(set(_WINDOW_R12)) == 50, "duplicate gate in window"
 
+# ---- r13 rotation (VERDICT r12 #2) ----
+# Derived from tools/freshness.py over CORRECTNESS_r01..r12 (computed,
+# not hand-maintained). Ledger after r12: 0 never-checked, 15 r6-stale,
+# 45 r8, 46 r9, 43 r10, 46 r11, 50 r12.
+
+#: the 15 gates whose last green driver record is r6 (tools/
+#: freshness.py output order = registry order) — the whole stratum
+#: rides the r13 window, retiring r6 as the oldest stratum.
+_R6_STALE_AFTER_R12 = [
+    "rename_labels_enumerated", "resample_bilinear", "resample_cubic",
+    "resample_cubicspline", "resample_gauss", "resample_lanczos",
+    "resample_mode", "resample_rms", "resample_spatial_grid",
+    "rqa_trend", "salted_reduce", "save_load_roundtrip",
+    "streaming_dedup", "streaming_sliding_sum", "text_ops",
+]
+
+#: the 45 gates whose last green driver record is r8 (freshness order
+#: = registry order); the head fills the r13 window, the tail heads
+#: the r14 candidates.
+_R8_STALE_AFTER_R12 = [
+    "bpe_tokens", "image_near_dups", "bm25_index_search",
+    "streaming_attribution", "quantize_embeddings", "chunk_text",
+    "latest_crawl", "quantized_topk", "quality_selection",
+    "curation_pipeline", "rolling_anomaly", "audio_near_dups",
+    "video_near_dups", "streaming_anomaly", "count_min_words",
+    "hll_registers", "streaming_count_min", "bpe_encode_ids",
+    "tokenize_pack", "skew_join", "dedup_bloom", "triangle_count",
+    "corpus_diff", "json_extract", "hybrid_rrf", "ema_smooth",
+    "token_entropy", "streaming_ema", "negative_samples",
+    "range_bounds", "autocorr", "harmonic", "minhash_incremental",
+    "percentile_rank", "standardize_embeddings", "scene_changes",
+    "source_divergence", "incremental_curation", "funnel", "retention",
+    "top_paths", "streaming_funnel", "leakage_split", "jsonl_roundtrip",
+    "isotonic",
+]
+
+#: gates NEW in r13 or whose implementation changed in r13, riding the
+#: window so the driver verifies the new code paths.
+_CHANGED_R13 = [
+    # NEW r13 (VERDICT r12 #4): composed multi-modality ingest verdict
+    # (exact + MinHash + semantic + perceptual, persisted archive
+    # tables, one relation per increment)
+    "ingest_screen_multimodal",
+    # NEW r13: its row-preserving stateless streaming twin
+    "streaming_ingest_screen_multimodal",
+    # ADVICE r12 #1: PSL parser punycode-encodes IDN rules + depth
+    # default raised — shared matching code changed
+    "registered_domain_psl_full",
+    # ADVICE r12 #2: streaming replay now rounds through the decimal
+    # shortest-repr HALF_UP path (exact JVM F.round twin)
+    "streaming_ranking_metrics",
+]
+
+_R8_FILL = 50 - 1 - len(_CHANGED_R13) - len(_R6_STALE_AFTER_R12)
+_WINDOW_R13 = (
+    ["flagship_daily_mean"]
+    + _CHANGED_R13
+    + _R6_STALE_AFTER_R12
+    + _R8_STALE_AFTER_R12[:_R8_FILL]
+)
+assert len(_WINDOW_R13) == 50, len(_WINDOW_R13)
+assert len(set(_WINDOW_R13)) == 50, "duplicate gate in window"
+
 _PRIORITY = (
-    _WINDOW_R12
-    # r13 candidates, stalest-first per tools/freshness.py: the r6
-    # gates that missed the window, then the r8 / r9 / r10 / r11
+    _WINDOW_R13
+    # r14 candidates, stalest-first per tools/freshness.py: the r8
+    # tail that missed the window, then the r9 / r10 / r11 / r12
     # strata (each internally in registry order)
-    + _R6_STALE_AFTER_R11[_R6_FILL:]
-    + _NEVER_CHECKED          # last driver-verified r8
+    + _R8_STALE_AFTER_R12[_R8_FILL:]
     + _NEW_R9                 # driver-verified r9
     + _R4_GREEN[2:40]         # driver-verified r9
     + _R4_GREEN[40:]          # driver-verified r10
     + _CHANGED_R10            # driver-verified r10
     + _WINDOW_R11             # driver-verified r11
+    + _WINDOW_R12             # driver-verified r12
 )
 
 

@@ -2042,6 +2042,7 @@ def _minhash_incremental_oracle_sql(
     n: int = 3, num_hashes: int = 64, bands: int = 16, threshold: float = 0.2,
     seed: int = 42,
     new_docs_select: str | None = None,
+    seen_docs_select: str | None = None,
 ) -> str:
     """Twin of training.dedup.minhash_incremental over the
     q_minhash_incremental fixture (new batch = doc_id%5==0, id+1e6,
@@ -2050,7 +2051,9 @@ def _minhash_incremental_oracle_sql(
     threshold — exactly as the engine filters. ``new_docs_select``
     overrides the new-batch relation (must expose id, text) — the
     ingest-screen composition reuses this builder with its three-lane
-    batch."""
+    batch; ``seen_docs_select`` overrides the archive relation (id,
+    text; default: all of ``documents``) — the multimodal composition
+    screens against the doc_id < 300 archive slice (r13)."""
     import random
 
     from openeo_processes_dask_spark.training.dedup import _P
@@ -2087,9 +2090,11 @@ def _minhash_incremental_oracle_sql(
             "SELECT doc_id + 1000000 AS id, text || ' qq7' AS text\n"
             "          FROM documents WHERE doc_id % 5 = 0"
         )
+    if seen_docs_select is None:
+        seen_docs_select = "SELECT doc_id AS id, text FROM documents"
     return f"""
         WITH seen_docs AS (
-          SELECT doc_id AS id, text FROM documents),
+          {seen_docs_select}),
         new_docs AS (
           {new_docs_select}),
         toks_seen AS (
@@ -2174,6 +2179,143 @@ def _ingest_screen_oracle_sql(
         FROM new_docs nd
         LEFT JOIN exact e ON e.id = nd.id
         LEFT JOIN mh m ON m.id = nd.id
+    """
+
+
+def _ingest_screen_multimodal_oracle_sql(
+    n: int = 3, num_hashes: int = 64, bands: int = 16,
+    text_threshold: float = 0.2, sem_threshold: float = 0.35,
+    max_hamming: int = 3, seed: int = 42,
+    k: int = 8, iterations: int = 2, dim: int = 64, arch_cap: int = 300,
+    fresh_lo: int = 300, fresh_hi: int = 450,
+) -> str:
+    """Twin of training.dedup.ingest_screen_multimodal over the r13
+    gate fixture (archive = doc∩embedding ids < arch_cap with a
+    deterministic md5-derived 60-bit perceptual signature; new batch =
+    text-perturbed/bit-flipped rows (+1e6, ' qq7', psig^5), verbatim
+    copies (+2e6), and fresh rows (organic embeddings 300-449,
+    synthesized text, fresh psig)):
+
+    - exact lane: the whitespace-normalized md5 fingerprint semi-join;
+    - text lane: the PROVEN minhash-incremental SQL, archive relation
+      overridden to the < arch_cap slice;
+    - semantic lane: the proven micro-unit k-means replay
+      (:func:`_kmeans_oracle_sql`) + the same argmin/tie assignment
+      and within-cluster 6-decimal cosine as the semdedup-incremental
+      oracle;
+    - perceptual lane: the FULL quadratic Hamming join — equal to the
+      engine's banded screen by the pigeonhole lemma (bands=8 >
+      max_hamming=3, so every pair within distance shares a chunk);
+      banding only ever drops pairs ABOVE the threshold.
+
+    The verdict projection mirrors the engine's coalesced flags."""
+    psig = _MD5LONG.format(v="CAST(d.doc_id AS VARCHAR)")
+    fresh_psig = _MD5LONG.format(v="'f' || CAST(e.vec_id AS VARCHAR)")
+    arch = f"""
+          SELECT d.doc_id AS id, d.text, e.embedding, {psig} AS psig
+          FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+          WHERE d.doc_id < {arch_cap}"""
+    new_docs = f"""
+          SELECT id + 1000000 AS id, text || ' qq7' AS text,
+                 embedding, xor(psig, 5) AS psig
+          FROM arch WHERE id % 5 = 0
+          UNION ALL
+          SELECT id + 2000000 AS id, text, embedding, psig
+          FROM arch WHERE id % 10 = 3
+          UNION ALL
+          SELECT e.vec_id AS id,
+                 'fresh zz' || CAST(e.vec_id AS VARCHAR)
+                 || 'qx wholly new content row' AS text,
+                 e.embedding, {fresh_psig} AS psig
+          FROM embeddings e
+          WHERE e.vec_id >= {fresh_lo} AND e.vec_id < {fresh_hi}"""
+    mh = _minhash_incremental_oracle_sql(
+        n=n, num_hashes=num_hashes, bands=bands,
+        threshold=text_threshold, seed=seed,
+        new_docs_select="SELECT id, text FROM newb",
+        seen_docs_select="SELECT id, text FROM arch",
+    )
+    cents = _kmeans_oracle_sql(
+        k=k, iterations=iterations, dim=dim,
+        src_rel=f"(SELECT vec_id, embedding FROM embeddings "
+                f"WHERE vec_id < {arch_cap}) archsrc",
+        emit="centroids",
+    )
+    sqdist = (
+        f"list_sum([(v[i] - cent[i]) * (v[i] - cent[i]) "
+        f"for i in generate_series(1, {dim})])"
+    )
+    dot = f"list_sum([nd.v[i] * ad.v[i] for i in generate_series(1, {dim})])"
+    fp = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    return f"""
+        WITH arch AS ({arch}),
+        newb AS ({new_docs}),
+        fp_seen AS (SELECT DISTINCT {fp} AS fp FROM arch),
+        fp_new AS (SELECT id, {fp} AS fp FROM newb),
+        exact AS (
+          SELECT DISTINCT id FROM fp_new
+          WHERE fp IN (SELECT fp FROM fp_seen)),
+        mh AS (SELECT DISTINCT new_id AS id FROM ({mh}) t),
+        cents AS ({cents}),
+        newm AS (
+          SELECT id,
+                 list_transform(embedding,
+                                x -> round(CAST(x AS DOUBLE) * 1000000.0)) AS v
+          FROM newb),
+        archm AS (
+          SELECT id,
+                 list_transform(embedding,
+                                x -> round(CAST(x AS DOUBLE) * 1000000.0)) AS v
+          FROM arch),
+        new_asg AS (
+          SELECT id, c AS cluster FROM (
+            SELECT newm.id, cents.c,
+                   row_number() OVER (PARTITION BY newm.id
+                     ORDER BY {sqdist}, cents.c) AS rn
+            FROM newm, cents)
+          WHERE rn = 1),
+        arch_asg AS (
+          SELECT id, c AS cluster FROM (
+            SELECT archm.id, cents.c,
+                   row_number() OVER (PARTITION BY archm.id
+                     ORDER BY {sqdist}, cents.c) AS rn
+            FROM archm, cents)
+          WHERE rn = 1),
+        newd AS (
+          SELECT id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv
+          FROM newb),
+        archd AS (
+          SELECT id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv
+          FROM arch),
+        sem AS (
+          SELECT DISTINCT na.id
+          FROM new_asg na
+          JOIN arch_asg aa ON na.cluster = aa.cluster
+          JOIN newd nd ON nd.id = na.id
+          JOIN archd ad ON ad.id = aa.id
+          WHERE round({dot} / (nd.nv * ad.nv), 6) >= {sem_threshold}),
+        perc AS (
+          SELECT DISTINCT n.id
+          FROM newb n JOIN arch a
+            ON bit_count(xor(n.psig, a.psig)) <= {max_hamming})
+        SELECT nd.id,
+               (e.id IS NOT NULL) AS exact_dup,
+               (m.id IS NOT NULL) AS text_near_dup,
+               (s.id IS NOT NULL) AS semantic_dup,
+               (p.id IS NOT NULL) AS perceptual_dup,
+               (e.id IS NULL AND m.id IS NULL
+                AND s.id IS NULL AND p.id IS NULL) AS keep
+        FROM newb nd
+        LEFT JOIN exact e ON e.id = nd.id
+        LEFT JOIN mh m ON m.id = nd.id
+        LEFT JOIN sem s ON s.id = nd.id
+        LEFT JOIN perc p ON p.id = nd.id
     """
 
 

@@ -1114,6 +1114,64 @@ def q_streaming_minhash_screen(spark, sf_dir):
     return spark.table(name).distinct()
 
 
+def q_streaming_ingest_screen_multimodal(spark, sf_dir):
+    """Stateless streaming multi-modality ingest screen (training/
+    dedup.py stream_ingest_screen_multimodal, NEW r13 — VERDICT r12
+    #4): the q_ingest_screen_multimodal fixture's new batch (all
+    modality columns) streamed in two micro-batches against the
+    archive's persisted fingerprint/signature/membership/hash tables.
+    Every lane key is a per-row projection and every archive table is
+    pre-grouped UNIQUE on its join key, so the whole operator is
+    row-preserving stream-static LEFT joins — one verdict row per
+    streamed row, zero state, zero watermark. The drained table equals
+    the batch lane row for row, so the oracle IS the batch composed
+    replay (no consumer-side dedupe, unlike streaming_minhash_screen's
+    repeated-pair convention)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.gates.training import (
+        _multimodal_ingest_fixture,
+    )
+    from openeo_processes_dask_spark.training.dedup import (
+        stream_ingest_screen_multimodal,
+    )
+
+    new, seen_fps, seen_sigs, members, cents, seen_hashes = (
+        _multimodal_ingest_fixture(spark, sf_dir)
+    )
+    stream_dir, fresh = _fixture_dir("mm_ingest_stream", sf_dir)
+    if fresh:
+        new.where("doc_id % 2 = 0").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stream_dir)
+        new.where("doc_id % 2 = 1").coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+        _fixture_done(stream_dir)
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema(
+            "doc_id bigint, text string, embedding array<float>, "
+            "psig bigint"
+        )
+        .parquet(stream_dir)
+    )
+    out = stream_ingest_screen_multimodal(
+        stream, seen_fps, seen_sigs, members, cents, seen_hashes,
+        n=3, num_hashes=64, bands=16, text_threshold=0.2,
+        sem_threshold=0.35, max_hamming=3, hash_bands=8,
+    )
+    name = f"q_smmi_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 QUERIES = {
     "streaming_attribution": q_streaming_attribution,
     "streaming_anomaly": q_streaming_anomaly,
@@ -1138,6 +1196,8 @@ QUERIES = {
     "streaming_ranking_metrics": q_streaming_ranking_metrics,
     "streaming_semdedup_incremental": q_streaming_semdedup_incremental,
     "streaming_minhash_screen": q_streaming_minhash_screen,
+    "streaming_ingest_screen_multimodal":
+        q_streaming_ingest_screen_multimodal,
 }
 
 ORACLES = {
@@ -1152,6 +1212,12 @@ ORACLES = {
         "openeo_processes_dask_spark.gates.oracle_builders",
         fromlist=["x"],
     )._minhash_incremental_oracle_sql(),
+    # row-preserving stateless screen: drained verdicts equal the
+    # batch composed replay row for row (r13)
+    "streaming_ingest_screen_multimodal": lambda: __import__(
+        "openeo_processes_dask_spark.gates.oracle_builders",
+        fromlist=["x"],
+    )._ingest_screen_multimodal_oracle_sql(),
     # batch ranking_metrics replay (the gates/training.py oracle) plus
     # the constant n_seen progress column: every fixture query has
     # exactly 10 run rows, so the kept FINAL emissions read n_seen=10

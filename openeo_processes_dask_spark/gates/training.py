@@ -42,6 +42,7 @@ from .oracle_builders import (
     _minhash_incremental_oracle_sql,
     _simhash_incremental_oracle_sql,
     _ingest_screen_oracle_sql,
+    _ingest_screen_multimodal_oracle_sql,
     _leakage_split_oracle_sql,
     _isotonic_oracle_sql,
     _pq_topk_oracle_sql,
@@ -470,6 +471,104 @@ def q_ingest_screen(spark, sf_dir):
     return ingest_screen(
         new, seen_fps, seen_sigs, n=3, num_hashes=64, bands=16,
         threshold=0.2,
+    )
+
+
+def _multimodal_ingest_fixture(spark, sf_dir):
+    """Shared fixture for the multimodal ingest gates (r13, VERDICT
+    r12 #4): archive = ids < 300 carrying ALL modalities (text from
+    documents, embedding from embeddings — the tables share the id
+    space — and a deterministic md5-derived 60-bit perceptual
+    signature); new batch = text-perturbed/psig-bit-flipped rows
+    (+1e6, ' qq7', psig^5 — hamming 2, same embedding), verbatim
+    copies (+2e6 — every lane fires), and fresh rows (organic
+    embeddings 300-449, synthesized text, fresh psig). Returns
+    (new, seen_fps, seen_sigs, members, cents, seen_hashes)."""
+    from openeo_processes_dask_spark.training.clustering import kmeans_fit
+    from openeo_processes_dask_spark.training.dedup import (
+        _md5_to_long,
+        minhash_signatures,
+    )
+    from openeo_processes_dask_spark.training.similarity import _tag_members
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    arch = (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            "doc_id", "text", "embedding",
+            _md5_to_long(F.col("doc_id").cast("string")).alias("psig"),
+        )
+        .where(F.col("doc_id") < 300)
+    )
+    i = F.col("doc_id")
+    new = (
+        arch.where(i % 5 == 0).select(
+            (i + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" qq7")).alias("text"),
+            "embedding",
+            F.col("psig").bitwiseXOR(F.lit(5)).alias("psig"),
+        )
+        .unionByName(
+            arch.where(i % 10 == 3).select(
+                (i + 2000000).alias("doc_id"), "text", "embedding", "psig"
+            )
+        )
+        .unionByName(
+            emb.where(
+                (F.col("vec_id") >= 300) & (F.col("vec_id") < 450)
+            ).select(
+                F.col("vec_id").alias("doc_id"),
+                F.concat(
+                    F.lit("fresh zz"), F.col("vec_id").cast("string"),
+                    F.lit("qx wholly new content row"),
+                ).alias("text"),
+                "embedding",
+                _md5_to_long(
+                    F.concat(F.lit("f"), F.col("vec_id").cast("string"))
+                ).alias("psig"),
+            )
+        )
+    )
+    seen_fps = arch.select(
+        F.md5(
+            F.regexp_replace(
+                F.lower(F.trim(F.col("text"))), r"\s+", " "
+            )
+        ).alias("fingerprint")
+    )
+    seen_sigs = minhash_signatures(arch, "doc_id", "text", n=3, num_hashes=64)
+    cents = kmeans_fit(
+        arch, k=8, iterations=2, id_col="doc_id", vec_col="embedding"
+    )
+    members = _tag_members(arch, cents, "doc_id", "embedding")
+    seen_hashes = arch.select("doc_id", "psig")
+    return new, seen_fps, seen_sigs, members, cents, seen_hashes
+
+
+def q_ingest_screen_multimodal(spark, sf_dir):
+    """Full multi-modality ingest verdict (training/dedup.py
+    ingest_screen_multimodal, NEW r13 — VERDICT r12 #4): the four r12
+    screens composed into ONE per-increment relation — exact
+    fingerprint + MinHash text + semantic (persisted centroids/
+    membership) + perceptual (64-bit banded Hamming) — all against
+    persisted archive tables; archive text/embeddings/media never
+    re-read. Verbatim copies must fire every lane; perturbed rows the
+    three near lanes; fresh rows keep unless an organic 0.35-cosine
+    archive twin shares the cluster (data-dependent: ~27 rows). Oracle composes the proven
+    per-lane SQL in one CTE chain."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import (
+        ingest_screen_multimodal,
+    )
+
+    new, seen_fps, seen_sigs, members, cents, seen_hashes = (
+        _multimodal_ingest_fixture(spark, sf_dir)
+    )
+    return ingest_screen_multimodal(
+        new, seen_fps, seen_sigs, members, cents, seen_hashes,
+        n=3, num_hashes=64, bands=16, text_threshold=0.2,
+        sem_threshold=0.35, max_hamming=3, hash_bands=8,
     )
 
 
@@ -2879,6 +2978,7 @@ QUERIES = {
     "minhash_incremental": q_minhash_incremental,
     "simhash_incremental": q_simhash_incremental,
     "ingest_screen": q_ingest_screen,
+    "ingest_screen_multimodal": q_ingest_screen_multimodal,
     "dedup_recall": q_dedup_recall,
     "standardize_embeddings": q_standardize_embeddings,
     "simhash_near_dups": q_simhash_near_dups,
@@ -3775,6 +3875,7 @@ ORACLES = {
     "minhash_incremental": _minhash_incremental_oracle_sql,
     "simhash_incremental": _simhash_incremental_oracle_sql,
     "ingest_screen": _ingest_screen_oracle_sql,
+    "ingest_screen_multimodal": _ingest_screen_multimodal_oracle_sql,
     "leakage_split": _leakage_split_oracle_sql,
     "isotonic": _isotonic_oracle_sql,
     "simhash_near_dups": _simhash_oracle_sql,

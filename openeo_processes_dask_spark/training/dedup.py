@@ -160,6 +160,122 @@ def ingest_screen(
     )
 
 
+def ingest_screen_multimodal(
+    df_new: DataFrame,
+    seen_fingerprints: DataFrame,
+    seen_signatures: DataFrame,
+    seen_members: DataFrame,
+    centroids,
+    seen_hashes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    sig_col: str = "psig",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    text_threshold: float = 0.5,
+    sem_threshold: float = 0.95,
+    max_hamming: int = 3,
+    hash_bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Full multi-modality ingest verdict (r13, VERDICT r12 #4):
+    :func:`ingest_screen`'s exact + MinHash text lanes composed with
+    the semantic (:func:`~..similarity.semdedup_incremental_pairs`)
+    and perceptual (:func:`banded_hamming_incremental`) screens the
+    r12 matrix built — ONE relation per increment answering "have we
+    seen this content, in any modality, before?".
+
+    ``df_new`` carries one row per new item with ALL modality columns:
+    ``id_col``, ``text_col``, ``vec_col`` (embedding array) and
+    ``sig_col`` (any 64-bit perceptual signature — image dHash, audio
+    landmark hash; the screen is signature-agnostic, decode lanes live
+    in training/multimodal.py). The four ``seen_*`` inputs are the
+    archive's PERSISTED screen tables — fingerprint digests, MinHash
+    signatures, ``(id, v, cluster)`` membership + fitted centroids,
+    64-bit signatures — so the archive's text, embeddings, and media
+    are NEVER re-read: per-increment cost is the new batch's own
+    projections plus fingerprint-, band-, cluster-, and chunk-keyed
+    equi-joins against write-once tables (the 100 TB contract probe 21
+    / probe 22 measure).
+
+    Returns ``(id, exact_dup, text_near_dup, semantic_dup,
+    perceptual_dup, keep)``, one row per new item; ``keep`` = no lane
+    fired. Within-batch duplicates are out of scope by the same
+    composition contract as :func:`ingest_screen`."""
+    from openeo_processes_dask_spark.training.similarity import (
+        semdedup_incremental_pairs,
+    )
+
+    def fp(text):
+        return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+    new_ids = df_new.select(F.col(id_col).alias("id"))
+    exact = (
+        df_new.select(F.col(id_col).alias("id"), fp(F.col(text_col)).alias("fingerprint"))
+        .join(
+            seen_fingerprints.select("fingerprint").distinct(),
+            "fingerprint",
+            "left_semi",
+        )
+        .select("id")
+        .withColumn("__exact__", F.lit(True))
+    )
+    text_near = (
+        minhash_incremental(
+            df_new.select(id_col, text_col), seen_signatures, id_col,
+            text_col, n=n, num_hashes=num_hashes, bands=bands,
+            threshold=text_threshold, seed=seed,
+        )
+        .select(F.col("new_id").alias("id"))
+        .distinct()
+        .withColumn("__text__", F.lit(True))
+    )
+    semantic = (
+        semdedup_incremental_pairs(
+            df_new.select(id_col, vec_col), seen_members, centroids,
+            threshold=sem_threshold, id_col=id_col, vec_col=vec_col,
+        )
+        .select(F.col("new_id").alias("id"))
+        .distinct()
+        .withColumn("__sem__", F.lit(True))
+    )
+    perceptual = (
+        banded_hamming_incremental(
+            df_new.select(id_col, sig_col), seen_hashes,
+            max_hamming=max_hamming, bands=hash_bands,
+            id_col=id_col, sig_col=sig_col,
+        )
+        .select(F.col("new_id").alias("id"))
+        .distinct()
+        .withColumn("__perc__", F.lit(True))
+    )
+    return (
+        new_ids.join(exact, "id", "left")
+        .join(text_near, "id", "left")
+        .join(semantic, "id", "left")
+        .join(perceptual, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("__exact__"), F.lit(False)).alias("exact_dup"),
+            F.coalesce(F.col("__text__"), F.lit(False)).alias(
+                "text_near_dup"
+            ),
+            F.coalesce(F.col("__sem__"), F.lit(False)).alias("semantic_dup"),
+            F.coalesce(F.col("__perc__"), F.lit(False)).alias(
+                "perceptual_dup"
+            ),
+            (
+                F.col("__exact__").isNull()
+                & F.col("__text__").isNull()
+                & F.col("__sem__").isNull()
+                & F.col("__perc__").isNull()
+            ).alias("keep"),
+        )
+    )
+
+
 def corpus_diff(
     df_old: DataFrame,
     df_new: DataFrame,
@@ -1286,6 +1402,279 @@ def stream_minhash_screen(
             F.round(est, 6).alias("est_jaccard"),
         )
         .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def stream_ingest_screen_multimodal(
+    stream: DataFrame,
+    seen_fingerprints: DataFrame,
+    seen_signatures: DataFrame,
+    seen_members: DataFrame,
+    centroids,
+    seen_hashes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    sig_col: str = "psig",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    text_threshold: float = 0.5,
+    sem_threshold: float = 0.95,
+    max_hamming: int = 3,
+    hash_bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Streaming twin of :func:`ingest_screen_multimodal` (r13): the
+    full multi-modality ingest verdict applied ONLINE as items land,
+    completely STATELESS (append mode, no watermark, no state store)
+    and — unlike :func:`stream_minhash_screen`'s repeated-pair
+    convention — strictly ROW-PRESERVING: exactly one verdict row out
+    per streamed row, so the drained table equals the batch lane with
+    no consumer-side dedupe (pinned by gate + test).
+
+    The design that makes all four lanes row-preserving at zero state:
+    every archive screen table is pre-aggregated ONCE per micro-batch
+    into a relation UNIQUE on its join key, so each lane is a single
+    stream-static LEFT equi-join that cannot multiply rows, and the
+    lane verdict is an ``exists`` over the collected candidate list:
+
+    - exact: distinct fingerprint table, joined on the row's digest;
+    - text: archive MinHash signatures banded (same
+      :func:`_band_signatures` buckets as the batch lane) and grouped
+      to ``(band, bucket) -> list<signature>``; the stream row carries
+      its ``bands`` bucket keys as COLUMNS (per-row HOF signature, no
+      explode), one join per band, then
+      ``exists(sig2: agreement >= threshold)`` — the batch
+      candidate-then-verify semantics exactly;
+    - semantic: membership grouped to ``cluster -> list<v>``; one join
+      on the row's centroid assignment (the same shuffle-free
+      :func:`~..clustering.kmeans_assign` projection), then
+      ``exists(v2: round(cos, 6) >= threshold)``;
+    - perceptual: archive signatures chunked (same band/chunk split as
+      :func:`banded_hamming_incremental`) and grouped to
+      ``(band, chunk) -> list<sig>``; one join per band, then
+      ``exists(s2: bit_count(xor) <= max_hamming)``.
+
+    Grouped-table caveat at scale: a degenerate band bucket / cluster
+    collects its whole candidate list into one value — the same
+    skew class the batch lanes cap with ``_bucket_cap`` /
+    ``max_cluster_pairs_per_vector``; feed the streams SCREENED
+    archive tables (or cap upstream) when bucket skew is possible.
+    The static sides re-aggregate per micro-batch unless the caller
+    persists them."""
+    import random
+
+    from openeo_processes_dask_spark.training.clustering import (
+        _assign_expr,
+        _snap_micro,
+    )
+    from openeo_processes_dask_spark.training.similarity import _norm
+
+    rnd = random.Random(seed)
+    coeffs = [
+        (rnd.randrange(1, _P), rnd.randrange(0, _P))
+        for _ in range(num_hashes)
+    ]
+    rows_per_band = num_hashes // bands
+    band_bits = 64 // hash_bands
+    mask = (1 << band_bits) - 1
+
+    # ---- per-row enrichment: every lane key as a COLUMN (projection
+    # only — the shingle-digest array materializes in its own select so
+    # the md5 chain isn't re-inlined into all num_hashes lambdas, the
+    # repo's measured-pitfalls contract) ----
+    cur = stream.select(
+        F.col(id_col).alias("id"),
+        F.md5(
+            F.regexp_replace(
+                F.lower(F.trim(F.col(text_col))), r"\s+", " "
+            )
+        ).alias("__fp__"),
+        F.transform(
+            F.array_distinct(
+                shingles_from_tokens(tokens(F.lower(F.col(text_col))), n)
+            ),
+            lambda s: F.pmod(_md5_to_long(s), F.lit(_P)),
+        ).alias("__xs__"),
+        _assign_expr(
+            _snap_micro(F.col(vec_col)), centroids
+        ).alias("__cluster__"),
+        F.col(vec_col).cast("array<double>").alias("__v__"),
+        F.col(sig_col).cast("long").alias("__psig__"),
+    )
+    cur = cur.withColumn(
+        "__sig__",
+        F.when(
+            F.size("__xs__") > 0,
+            F.array(
+                *[
+                    F.array_min(
+                        F.transform(
+                            F.col("__xs__"),
+                            lambda x: F.pmod(
+                                F.lit(a) * x + F.lit(b), F.lit(_P)
+                            ),
+                        )
+                    )
+                    for a, b in coeffs
+                ]
+            ),
+        ),
+    ).drop("__xs__")
+    cur = cur.select(
+        "*",
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(
+                            F.col("__sig__"), bi * rows_per_band + 1,
+                            rows_per_band,
+                        ),
+                        lambda h: h.cast("string"),
+                    ),
+                )
+            ).alias(f"__bk{bi}__")
+            for bi in range(bands)
+        ],
+        *[
+            F.shiftright(F.col("__psig__"), bi * band_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias(f"__ck{bi}__")
+            for bi in range(hash_bands)
+        ],
+    )
+
+    # ---- static sides, each UNIQUE on its join key ----
+    fps = F.broadcast(
+        seen_fingerprints.select(
+            F.col("fingerprint").alias("__fp__")
+        ).distinct().withColumn("__exact__", F.lit(True))
+    )
+    cur = cur.join(fps, "__fp__", "left")
+
+    sig_buckets = (
+        _band_signatures(seen_signatures, bands, rows_per_band)
+        .join(
+            seen_signatures.select("id", F.col("signature").alias("s2")),
+            "id",
+        )
+        .groupBy("band", "bucket")
+        .agg(F.collect_list("s2").alias("sigs"))
+    )
+    for bi in range(bands):
+        tbl = F.broadcast(
+            sig_buckets.where(F.col("band") == bi).select(
+                F.col("bucket").alias(f"__bk{bi}__"),
+                F.col("sigs").alias(f"__sigs{bi}__"),
+            )
+        )
+        cur = cur.join(tbl, f"__bk{bi}__", "left")
+
+    members = F.broadcast(
+        seen_members.groupBy(F.col("cluster").alias("__cluster__")).agg(
+            F.collect_list(F.col("v").cast("array<double>")).alias("__vs__")
+        )
+    )
+    cur = cur.join(members, "__cluster__", "left")
+
+    chunk_tables = (
+        seen_hashes.select(F.col(sig_col).cast("long").alias("s2"))
+        .select(
+            "s2",
+            *[
+                F.shiftright(F.col("s2"), bi * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias(f"__ck{bi}__")
+                for bi in range(hash_bands)
+            ],
+        )
+    )
+    for bi in range(hash_bands):
+        tbl = F.broadcast(
+            chunk_tables.groupBy(f"__ck{bi}__").agg(
+                F.collect_list("s2").alias(f"__hs{bi}__")
+            )
+        )
+        cur = cur.join(tbl, f"__ck{bi}__", "left")
+
+    # ---- lane verdicts ----
+    empty_sigs = F.array().cast("array<array<bigint>>")
+    cand_sigs = F.flatten(
+        F.array(
+            *[
+                F.coalesce(F.col(f"__sigs{bi}__"), empty_sigs)
+                for bi in range(bands)
+            ]
+        )
+    )
+    agreement = lambda s2: F.size(  # noqa: E731
+        F.filter(
+            F.zip_with(F.col("__sig__"), s2, lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(num_hashes))
+    # coalesce(exists, False): a NULL residual (e.g. zero-norm cosine)
+    # is a dropped row in the batch lanes' WHERE, i.e. "no match"
+    text_flag = F.col("__sig__").isNotNull() & F.coalesce(
+        F.exists(
+            cand_sigs,
+            lambda s2: F.round(agreement(s2), 6)
+            >= F.lit(text_threshold),
+        ),
+        F.lit(False),
+    )
+
+    dot = lambda v2: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("__v__"), v2, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sem_flag = F.coalesce(
+        F.exists(
+            F.coalesce(
+                F.col("__vs__"), F.array().cast("array<array<double>>")
+            ),
+            lambda v2: F.round(
+                F.try_divide(dot(v2), _norm(F.col("__v__")) * _norm(v2)),
+                6,
+            )
+            >= F.lit(sem_threshold),
+        ),
+        F.lit(False),
+    )
+
+    cand_hashes = F.flatten(
+        F.array(
+            *[
+                F.coalesce(
+                    F.col(f"__hs{bi}__"), F.array().cast("array<bigint>")
+                )
+                for bi in range(hash_bands)
+            ]
+        )
+    )
+    perc_flag = F.coalesce(
+        F.exists(
+            cand_hashes,
+            lambda s2: F.bit_count(F.col("__psig__").bitwiseXOR(s2))
+            <= F.lit(max_hamming),
+        ),
+        F.lit(False),
+    )
+
+    exact_flag = F.coalesce(F.col("__exact__"), F.lit(False))
+    return cur.select(
+        "id",
+        exact_flag.alias("exact_dup"),
+        text_flag.alias("text_near_dup"),
+        sem_flag.alias("semantic_dup"),
+        perc_flag.alias("perceptual_dup"),
+        (
+            ~exact_flag & ~text_flag & ~sem_flag & ~perc_flag
+        ).alias("keep"),
     )
 
 

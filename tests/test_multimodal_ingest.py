@@ -1,0 +1,135 @@
+"""training/dedup.py ingest_screen_multimodal + streaming twin (r13,
+VERDICT r12 #4): lane-planted verdicts on a hand-built fixture, and the
+row-preserving stream==batch pin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_spark.training.clustering import kmeans_fit
+from openeo_processes_dask_spark.training.dedup import (
+    ingest_screen_multimodal,
+    minhash_signatures,
+    stream_ingest_screen_multimodal,
+)
+from openeo_processes_dask_spark.training.similarity import _tag_members
+
+_T = [
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    "one two three four five six seven eight nine ten",
+    "red orange yellow green blue indigo violet pink brown black",
+    "north south east west up down left right front back",
+]
+_E = [[0.0] * 8 for _ in range(4)]
+for _i in range(4):
+    _E[_i][_i] = 1.0
+_P = [0, 0xFF, 0xFF00, 0xF0F0F0]
+
+
+def _axis(i):
+    v = [0.0] * 8
+    v[i] = 1.0
+    return v
+
+
+# new batch: id -> (text, embedding, psig, expected flag tuple
+# (exact, text_near, semantic, perceptual))
+_NEW = {
+    10: (_T[0], _E[0], _P[0], (True, True, True, True)),      # verbatim
+    11: (_T[1] + " extra", _axis(4), 0x123456789, (False, True, False, False)),
+    12: ("totally different words entirely here now", _E[2], 0xABCDEF123,
+         (False, False, True, False)),
+    13: ("other unrelated sentence with many words", _axis(5), _P[3] ^ 1,
+         (False, False, False, True)),
+    14: ("wholly fresh content never seen anywhere before", _axis(6),
+         0x13579BDF0, (False, False, False, False)),
+}
+
+
+def _fixture(spark):
+    arch = spark.createDataFrame(
+        [(i, _T[i], _E[i], _P[i]) for i in range(4)],
+        "id long, text string, emb array<float>, psig long",
+    )
+    new = spark.createDataFrame(
+        [(i, t, e, p) for i, (t, e, p, _) in _NEW.items()],
+        "id long, text string, emb array<float>, psig long",
+    )
+    fps = arch.select(
+        F.md5(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+        ).alias("fingerprint")
+    )
+    sigs = minhash_signatures(arch, "id", "text", n=3, num_hashes=64)
+    cents = kmeans_fit(arch, k=2, iterations=1, id_col="id", vec_col="emb")
+    members = _tag_members(arch, cents, "id", "emb")
+    hashes = arch.select("id", "psig")
+    return arch, new, fps, sigs, members, cents, hashes
+
+
+def test_fixture_psig_distances_are_lane_pure():
+    """Self-check: only the planted perceptual pairs are within
+    max_hamming=3 — every other new x seen psig pair is far."""
+    for i, (_, _, p, (_, _, _, perc)) in _NEW.items():
+        close = [a for a in _P if bin(p ^ a).count("1") <= 3]
+        assert bool(close) == perc, (i, close)
+
+
+def test_batch_multimodal_verdicts(spark):
+    _, new, fps, sigs, members, cents, hashes = _fixture(spark)
+    out = ingest_screen_multimodal(
+        new, fps, sigs, members, cents, hashes,
+        id_col="id", text_col="text", vec_col="emb", sig_col="psig",
+        text_threshold=0.2, sem_threshold=0.95, max_hamming=3,
+        hash_bands=8,
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == set(_NEW)
+    for i, (_, _, _, (ex, tx, se, pe)) in _NEW.items():
+        r = rows[i]
+        assert r["exact_dup"] is ex, (i, "exact", r)
+        assert r["text_near_dup"] is tx, (i, "text", r)
+        assert r["semantic_dup"] is se, (i, "semantic", r)
+        assert r["perceptual_dup"] is pe, (i, "perceptual", r)
+        assert r["keep"] is (not (ex or tx or se or pe)), (i, r)
+
+
+def test_stream_multimodal_equals_batch(spark, tmp_path):
+    """The streaming twin is row-preserving and stateless: the drained
+    memory table equals the batch verdicts row for row, no dedupe."""
+    _, new, fps, sigs, members, cents, hashes = _fixture(spark)
+    kw = dict(
+        id_col="id", text_col="text", vec_col="emb", sig_col="psig",
+        text_threshold=0.2, sem_threshold=0.95, max_hamming=3,
+        hash_bands=8,
+    )
+    batch = sorted(
+        tuple(r) for r in ingest_screen_multimodal(
+            new, fps, sigs, members, cents, hashes, **kw
+        ).collect()
+    )
+    d = str(tmp_path / "mm_stream")
+    new.where("id % 2 = 0").coalesce(1).write.mode("overwrite").parquet(d)
+    new.where("id % 2 = 1").coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema("id long, text string, emb array<float>, psig long")
+        .parquet(d)
+    )
+    out = stream_ingest_screen_multimodal(
+        stream, fps, sigs, members, cents, hashes, **kw
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_mm_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    drained = sorted(
+        tuple(r) for r in spark.table("t_mm_stream").collect()
+    )
+    assert drained == batch
+    # row-preserving: exactly one verdict per streamed row
+    assert len(drained) == new.count()
