@@ -97,6 +97,7 @@ def ingest_screen(
     bands: int = 16,
     threshold: float = 0.5,
     seed: int = 42,
+    seen_bands: DataFrame | None = None,
 ) -> DataFrame:
     """One-pass ingest verdict for a new document batch against the
     archive's PERSISTED screen tables (r12) — the composition every
@@ -118,8 +119,9 @@ def ingest_screen(
     batch duplicates are deliberately out of scope (compose with
     :func:`exact_duplicates` / :func:`minhash_near_duplicates` over the
     kept rows, then append their fingerprints/signatures to the screen
-    tables). Returns ``(id, exact_dup, near_dup, keep)``, one row per
-    new document."""
+    tables). Pass ``seen_bands`` (:func:`band_signatures`, persisted)
+    to skip the inline archive banding — probe 22's asymptote. Returns
+    ``(id, exact_dup, near_dup, keep)``, one row per new document."""
 
     def fp(text):
         return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
@@ -139,7 +141,7 @@ def ingest_screen(
         minhash_incremental(
             df_new, seen_signatures, id_col, text_col,
             n=n, num_hashes=num_hashes, bands=bands,
-            threshold=threshold, seed=seed,
+            threshold=threshold, seed=seed, seen_bands=seen_bands,
         )
         .select(F.col("new_id").alias("id"))
         .distinct()
@@ -162,11 +164,11 @@ def ingest_screen(
 
 def ingest_screen_multimodal(
     df_new: DataFrame,
-    seen_fingerprints: DataFrame,
-    seen_signatures: DataFrame,
-    seen_members: DataFrame,
-    centroids,
-    seen_hashes: DataFrame,
+    seen_fingerprints: DataFrame | None,
+    seen_signatures: DataFrame | None,
+    seen_members: DataFrame | None = None,
+    centroids=None,
+    seen_hashes: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     vec_col: str = "embedding",
@@ -179,6 +181,7 @@ def ingest_screen_multimodal(
     max_hamming: int = 3,
     hash_bands: int = 8,
     seed: int = 42,
+    seen_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Full multi-modality ingest verdict (r13, VERDICT r12 #4):
     :func:`ingest_screen`'s exact + MinHash text lanes composed with
@@ -200,79 +203,116 @@ def ingest_screen_multimodal(
     equi-joins against write-once tables (the 100 TB contract probe 21
     / probe 22 measure).
 
+    Any lane is OPTIONAL (r13): pass ``None`` for its archive input(s)
+    and its flag is a literal ``False`` in the verdict — a corpus
+    without embeddings or media still gets the same relation shape, so
+    downstream consumers never branch on schema. At least one lane must
+    be enabled. ``seen_bands`` (:func:`band_signatures`, persisted)
+    skips the text lane's inline archive banding — probe 22's
+    asymptote.
+
     Returns ``(id, exact_dup, text_near_dup, semantic_dup,
-    perceptual_dup, keep)``, one row per new item; ``keep`` = no lane
-    fired. Within-batch duplicates are out of scope by the same
-    composition contract as :func:`ingest_screen`."""
+    perceptual_dup, keep)``, one row per new item; ``keep`` = no
+    enabled lane fired. Within-batch duplicates are out of scope by the
+    same composition contract as :func:`ingest_screen`."""
     from openeo_processes_dask_spark.training.similarity import (
         semdedup_incremental_pairs,
     )
 
+    if (seen_members is None) != (centroids is None):
+        raise ValueError(
+            "semantic lane needs BOTH seen_members and centroids (or "
+            "neither)"
+        )
+    if all(
+        x is None
+        for x in (seen_fingerprints, seen_signatures, seen_members,
+                  seen_hashes)
+    ):
+        raise ValueError(
+            "ingest_screen_multimodal: every lane is disabled — pass at "
+            "least one archive screen table"
+        )
+
     def fp(text):
         return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
 
-    new_ids = df_new.select(F.col(id_col).alias("id"))
-    exact = (
-        df_new.select(F.col(id_col).alias("id"), fp(F.col(text_col)).alias("fingerprint"))
-        .join(
-            seen_fingerprints.select("fingerprint").distinct(),
-            "fingerprint",
-            "left_semi",
+    out = df_new.select(F.col(id_col).alias("id"))
+    lanes = []  # (marker col, flag name)
+    if seen_fingerprints is not None:
+        exact = (
+            df_new.select(
+                F.col(id_col).alias("id"),
+                fp(F.col(text_col)).alias("fingerprint"),
+            )
+            .join(
+                seen_fingerprints.select("fingerprint").distinct(),
+                "fingerprint",
+                "left_semi",
+            )
+            .select("id")
+            .withColumn("__exact__", F.lit(True))
         )
-        .select("id")
-        .withColumn("__exact__", F.lit(True))
-    )
-    text_near = (
-        minhash_incremental(
-            df_new.select(id_col, text_col), seen_signatures, id_col,
-            text_col, n=n, num_hashes=num_hashes, bands=bands,
-            threshold=text_threshold, seed=seed,
+        out = out.join(exact, "id", "left")
+        lanes.append(("__exact__", "exact_dup"))
+    if seen_signatures is not None:
+        text_near = (
+            minhash_incremental(
+                df_new.select(id_col, text_col), seen_signatures, id_col,
+                text_col, n=n, num_hashes=num_hashes, bands=bands,
+                threshold=text_threshold, seed=seed,
+                seen_bands=seen_bands,
+            )
+            .select(F.col("new_id").alias("id"))
+            .distinct()
+            .withColumn("__text__", F.lit(True))
         )
-        .select(F.col("new_id").alias("id"))
-        .distinct()
-        .withColumn("__text__", F.lit(True))
-    )
-    semantic = (
-        semdedup_incremental_pairs(
-            df_new.select(id_col, vec_col), seen_members, centroids,
-            threshold=sem_threshold, id_col=id_col, vec_col=vec_col,
+        out = out.join(text_near, "id", "left")
+        lanes.append(("__text__", "text_near_dup"))
+    if seen_members is not None:
+        semantic = (
+            semdedup_incremental_pairs(
+                df_new.select(id_col, vec_col), seen_members, centroids,
+                threshold=sem_threshold, id_col=id_col, vec_col=vec_col,
+            )
+            .select(F.col("new_id").alias("id"))
+            .distinct()
+            .withColumn("__sem__", F.lit(True))
         )
-        .select(F.col("new_id").alias("id"))
-        .distinct()
-        .withColumn("__sem__", F.lit(True))
-    )
-    perceptual = (
-        banded_hamming_incremental(
-            df_new.select(id_col, sig_col), seen_hashes,
-            max_hamming=max_hamming, bands=hash_bands,
-            id_col=id_col, sig_col=sig_col,
+        out = out.join(semantic, "id", "left")
+        lanes.append(("__sem__", "semantic_dup"))
+    if seen_hashes is not None:
+        perceptual = (
+            banded_hamming_incremental(
+                df_new.select(id_col, sig_col), seen_hashes,
+                max_hamming=max_hamming, bands=hash_bands,
+                id_col=id_col, sig_col=sig_col,
+            )
+            .select(F.col("new_id").alias("id"))
+            .distinct()
+            .withColumn("__perc__", F.lit(True))
         )
-        .select(F.col("new_id").alias("id"))
-        .distinct()
-        .withColumn("__perc__", F.lit(True))
-    )
-    return (
-        new_ids.join(exact, "id", "left")
-        .join(text_near, "id", "left")
-        .join(semantic, "id", "left")
-        .join(perceptual, "id", "left")
-        .select(
-            "id",
-            F.coalesce(F.col("__exact__"), F.lit(False)).alias("exact_dup"),
-            F.coalesce(F.col("__text__"), F.lit(False)).alias(
-                "text_near_dup"
-            ),
-            F.coalesce(F.col("__sem__"), F.lit(False)).alias("semantic_dup"),
-            F.coalesce(F.col("__perc__"), F.lit(False)).alias(
-                "perceptual_dup"
-            ),
+        out = out.join(perceptual, "id", "left")
+        lanes.append(("__perc__", "perceptual_dup"))
+    enabled = {m: f for m, f in lanes}
+    all_flags = [
+        ("__exact__", "exact_dup"), ("__text__", "text_near_dup"),
+        ("__sem__", "semantic_dup"), ("__perc__", "perceptual_dup"),
+    ]
+    keep = None
+    for m, _ in lanes:
+        clause = F.col(m).isNull()
+        keep = clause if keep is None else (keep & clause)
+    return out.select(
+        "id",
+        *[
             (
-                F.col("__exact__").isNull()
-                & F.col("__text__").isNull()
-                & F.col("__sem__").isNull()
-                & F.col("__perc__").isNull()
-            ).alias("keep"),
-        )
+                F.coalesce(F.col(m), F.lit(False)) if m in enabled
+                else F.lit(False)
+            ).alias(flag)
+            for m, flag in all_flags
+        ],
+        keep.alias("keep"),
     )
 
 
@@ -1196,6 +1236,27 @@ def minhash_near_duplicates(
         sigs.unpersist()
 
 
+def band_signatures(
+    signatures: DataFrame, bands: int = 16, num_hashes: int = 64
+) -> DataFrame:
+    """Public banded view of a MinHash signature table — ``(id, band,
+    bucket)`` rows, 16 per signature — for PERSISTING corpus-side
+    (r13, the probe-22 asymptote made concrete): at 100 TB the
+    per-ingest archive work of :func:`minhash_incremental` /
+    :func:`ingest_screen` is banding the persisted signature table;
+    write THIS relation once (ideally bucketed by ``(band, bucket)``,
+    e.g. via sources/load.py's bucketed sink) and pass it back through
+    their ``seen_bands`` parameter, and the archive side of every
+    ingest becomes a pruned columnar scan instead of a recomputed
+    projection. ``bands`` must divide ``num_hashes``; both MUST match
+    the family that built ``signatures``."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
+    return _band_signatures(signatures, bands, num_hashes // bands)
+
+
 def minhash_incremental(
     df_new: DataFrame,
     seen_signatures: DataFrame,
@@ -1206,6 +1267,7 @@ def minhash_incremental(
     bands: int = 16,
     threshold: float = 0.5,
     seed: int = 42,
+    seen_bands: DataFrame | None = None,
 ) -> DataFrame:
     """NEAR-dup screen of a new batch against the persisted signature
     table of the already-ingested corpus — :func:`dedup_against` raised
@@ -1222,6 +1284,13 @@ def minhash_incremental(
     signature agreement like the batch lane. Seed/n/num_hashes/bands
     MUST match the run that built ``seen_signatures`` — minhash
     estimates are only meaningful within one hash family.
+
+    ``seen_bands`` (r13): the archive's PRE-BANDED table
+    (:func:`band_signatures`, persisted corpus-side alongside the
+    signatures) — when given, the inline archive banding is skipped
+    entirely, so the per-ingest archive work is a scan of 16-byte band
+    rows (bucketed layouts make it co-located too). Identical results
+    either way (pinned by test).
     """
     rows_per_band = num_hashes // bands
     sigs_new = minhash_signatures(
@@ -1229,7 +1298,11 @@ def minhash_incremental(
     ).persist()
     try:
         bn = _band_signatures(sigs_new, bands, rows_per_band)
-        bs = _band_signatures(seen_signatures, bands, rows_per_band)
+        bs = (
+            seen_bands.select("id", "band", "bucket")
+            if seen_bands is not None
+            else _band_signatures(seen_signatures, bands, rows_per_band)
+        )
         cands = (
             bn.alias("a")
             .join(

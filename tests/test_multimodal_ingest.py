@@ -133,3 +133,82 @@ def test_stream_multimodal_equals_batch(spark, tmp_path):
     assert drained == batch
     # row-preserving: exactly one verdict per streamed row
     assert len(drained) == new.count()
+
+
+def test_optional_lanes_subset_and_validation(spark):
+    """Lanes are optional (r13): a text-only corpus gets the same
+    5-flag relation shape with disabled lanes pinned False; enabling
+    no lane, or half the semantic pair, raises."""
+    import pytest
+
+    _, new, fps, sigs, members, cents, hashes = _fixture(spark)
+    out = ingest_screen_multimodal(
+        new, fps, sigs, None, None, None,
+        id_col="id", text_col="text", text_threshold=0.2,
+    )
+    assert out.columns == [
+        "id", "exact_dup", "text_near_dup", "semantic_dup",
+        "perceptual_dup", "keep",
+    ]
+    rows = {r["id"]: r for r in out.collect()}
+    for i, (_, _, _, (ex, tx, _, _)) in _NEW.items():
+        assert rows[i]["exact_dup"] is ex
+        assert rows[i]["text_near_dup"] is tx
+        assert rows[i]["semantic_dup"] is False
+        assert rows[i]["perceptual_dup"] is False
+        assert rows[i]["keep"] is (not (ex or tx))
+    with pytest.raises(ValueError, match="every lane is disabled"):
+        ingest_screen_multimodal(new, None, None)
+    with pytest.raises(ValueError, match="BOTH seen_members"):
+        ingest_screen_multimodal(new, fps, None, members, None)
+
+
+def test_prebanded_archive_path_matches_inline(spark):
+    """band_signatures persisted corpus-side (probe 22 asymptote): the
+    screen with a pre-banded archive table returns identical verdicts
+    to inline banding."""
+    from openeo_processes_dask_spark.training.dedup import (
+        band_signatures,
+        minhash_incremental,
+    )
+
+    _, new, fps, sigs, members, cents, hashes = _fixture(spark)
+    pre = band_signatures(sigs, bands=16, num_hashes=64)
+    inline = sorted(
+        tuple(r)
+        for r in minhash_incremental(
+            new, sigs, "id", "text", threshold=0.2
+        ).collect()
+    )
+    banded = sorted(
+        tuple(r)
+        for r in minhash_incremental(
+            new, sigs, "id", "text", threshold=0.2, seen_bands=pre
+        ).collect()
+    )
+    assert inline == banded and inline
+    full = ingest_screen_multimodal(
+        new, fps, sigs, members, cents, hashes,
+        id_col="id", text_col="text", vec_col="emb", sig_col="psig",
+        text_threshold=0.2, sem_threshold=0.95, max_hamming=3,
+        hash_bands=8,
+    )
+    full_pre = ingest_screen_multimodal(
+        new, fps, sigs, members, cents, hashes,
+        id_col="id", text_col="text", vec_col="emb", sig_col="psig",
+        text_threshold=0.2, sem_threshold=0.95, max_hamming=3,
+        hash_bands=8, seen_bands=pre,
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, full_pre.collect())
+    )
+
+
+def test_band_signatures_validates_divisibility(spark):
+    import pytest
+
+    from openeo_processes_dask_spark.training.dedup import band_signatures
+
+    _, _, _, sigs, _, _, _ = _fixture(spark)
+    with pytest.raises(ValueError, match="must divide"):
+        band_signatures(sigs, bands=7, num_hashes=64)
