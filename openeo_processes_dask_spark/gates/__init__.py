@@ -370,6 +370,9 @@ _CHANGED_R13 = [
     "ingest_screen_multimodal",
     # NEW r13: its row-preserving stateless streaming twin
     "streaming_ingest_screen_multimodal",
+    # NEW r13: the composed text screen through the PERSISTED
+    # pre-banded archive table (probe 22 asymptote; same oracle)
+    "ingest_screen_prebanded",
     # ADVICE r12 #1: PSL parser punycode-encodes IDN rules + depth
     # default raised — shared matching code changed
     "registered_domain_psl_full",

@@ -572,6 +572,77 @@ def q_ingest_screen_multimodal(spark, sf_dir):
     )
 
 
+def q_ingest_screen_prebanded(spark, sf_dir):
+    """The composed text ingest verdict through the PERSISTED
+    pre-banded archive path (training/dedup.py band_signatures +
+    ingest_screen(seen_bands=...), NEW r13 — probe 22's asymptote):
+    the archive's banded (id, band, bucket) table is materialized
+    corpus-side, so the per-ingest archive work is a scan of band rows
+    instead of a recomputed banding projection. Same fixture, same
+    verdicts, same oracle as ingest_screen — the path change must be
+    invisible in the result."""
+    _setup(spark)
+    import os
+    import tempfile
+
+    from openeo_processes_dask_spark.training.dedup import (
+        band_signatures,
+        ingest_screen,
+        minhash_signatures,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    new = (
+        docs.where(i % 5 == 0).select(
+            (i + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" qq7")).alias("text"),
+        )
+        .unionByName(
+            docs.where(i % 10 == 3).select(
+                (i + 2000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.where(i % 7 == 1).select(
+                (i + 3000000).alias("doc_id"),
+                F.concat(
+                    F.lit("fresh zz"), i.cast("string"),
+                    F.lit("qx wholly new content row"),
+                ).alias("text"),
+            )
+        )
+    )
+    seen_fps = docs.select(
+        F.md5(
+            F.regexp_replace(
+                F.lower(F.trim(F.col("text"))), r"\s+", " "
+            )
+        ).alias("fingerprint")
+    )
+    seen_sigs = minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=64)
+    # materialize the write-once corpus-side tables (parquet, as a
+    # production loop would); the screen then reads them back
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"prebanded_{os.path.basename(sf_dir)}",
+    )
+    if not os.path.isfile(os.path.join(base, "_DONE")):
+        seen_sigs.write.mode("overwrite").parquet(
+            os.path.join(base, "sigs")
+        )
+        band_signatures(seen_sigs, bands=16, num_hashes=64).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base, "bands"))
+        open(os.path.join(base, "_DONE"), "w").close()
+    return ingest_screen(
+        new, seen_fps,
+        spark.read.parquet(os.path.join(base, "sigs")),
+        n=3, num_hashes=64, bands=16, threshold=0.2,
+        seen_bands=spark.read.parquet(os.path.join(base, "bands")),
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected components over the MinHash pair graph + per-cluster
     canonical-id summary (training/dedup.py connected_components /
@@ -2978,6 +3049,7 @@ QUERIES = {
     "minhash_incremental": q_minhash_incremental,
     "simhash_incremental": q_simhash_incremental,
     "ingest_screen": q_ingest_screen,
+    "ingest_screen_prebanded": q_ingest_screen_prebanded,
     "ingest_screen_multimodal": q_ingest_screen_multimodal,
     "dedup_recall": q_dedup_recall,
     "standardize_embeddings": q_standardize_embeddings,
@@ -3875,6 +3947,8 @@ ORACLES = {
     "minhash_incremental": _minhash_incremental_oracle_sql,
     "simhash_incremental": _simhash_incremental_oracle_sql,
     "ingest_screen": _ingest_screen_oracle_sql,
+    # identical verdict relation through the persisted pre-banded path
+    "ingest_screen_prebanded": _ingest_screen_oracle_sql,
     "ingest_screen_multimodal": _ingest_screen_multimodal_oracle_sql,
     "leakage_split": _leakage_split_oracle_sql,
     "isotonic": _isotonic_oracle_sql,
