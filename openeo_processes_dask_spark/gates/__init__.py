@@ -373,6 +373,11 @@ _CHANGED_R13 = [
     # NEW r13: the composed text screen through the PERSISTED
     # pre-banded archive table (probe 22 asymptote; same oracle)
     "ingest_screen_prebanded",
+    # CHANGED r13: a regenerated stream fixture now invalidates the
+    # durable sink+checkpoint pair (the r13 sweep caught the stale
+    # checkpoint double-appending after the new staleness guard first
+    # wiped a markerless source)
+    "streaming_sink",
     # ADVICE r12 #1: PSL parser punycode-encodes IDN rules + depth
     # default raised — shared matching code changed
     "registered_domain_psl_full",

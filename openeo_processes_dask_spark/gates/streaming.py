@@ -430,15 +430,26 @@ def q_streaming_sink(spark, sf_dir):
     )
 
     stream_dir, fresh = _fixture_dir("events_stream1", sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), f"sink_gate_{os.path.basename(sf_dir)}"
+    )
+    out_dir, ckpt = base + "_out", base + "_ckpt"
     if fresh:
         _table(spark, sf_dir, "events").orderBy("ts").coalesce(1).write.mode(
             "overwrite"
         ).parquet(stream_dir)
         _fixture_done(stream_dir)
-    base = os.path.join(
-        tempfile.gettempdir(), f"sink_gate_{os.path.basename(sf_dir)}"
-    )
-    out_dir, ckpt = base + "_out", base + "_ckpt"
+        # a REGENERATED source invalidates the durable sink: the
+        # checkpoint's file registry names the OLD part file, so the
+        # new (differently-uuid'd) file would be treated as unseen and
+        # APPENDED onto the old sink contents — the exact doubling the
+        # r13 sweep caught after the staleness guard (ADVICE r12 #3)
+        # first wiped a markerless source dir. Exactly-once is per
+        # (source, checkpoint) PAIR; regenerate them together.
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
     stream = stream_events(spark, stream_dir, max_files_per_trigger=None)
     shaped = stream.where(F.col("value") > 100).select(
         "user_id", "band", F.date_trunc("day", F.col("t")).alias("day"),
