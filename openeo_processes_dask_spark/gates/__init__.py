@@ -378,6 +378,9 @@ _CHANGED_R13 = [
     # checkpoint double-appending after the new staleness guard first
     # wiped a markerless source)
     "streaming_sink",
+    # NEW r13: t-closeness — the third leg of the privacy audit trio
+    # (exact-integer total-variation distance per equivalence class)
+    "t_closeness",
     # ADVICE r12 #1: PSL parser punycode-encodes IDN rules + depth
     # default raised — shared matching code changed
     "registered_domain_psl_full",

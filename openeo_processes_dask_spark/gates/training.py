@@ -2990,6 +2990,31 @@ def q_k_anonymity(spark, sf_dir):
     )
 
 
+def q_t_closeness(spark, sf_dir):
+    """Distribution-leak audit (training/pii.py t_closeness, NEW r13):
+    the third leg of the privacy trio over the SAME quasi tuple as the
+    k_anonymity gate — per-class total-variation distance between the
+    class's sensitive-value (age) distribution and the corpus-wide one,
+    in exact 38-digit integer arithmetic (order-independent, so the
+    6-decimal compare is zero-tolerance). One (quasi, v) hash aggregate
+    + broadcast |V|-row histogram + per-class fold; the corpus total is
+    a broadcast 1-row aggregate (plan-canary allowlisted). Oracle
+    replays the identical integer formula over HUGEINTs."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.pii import t_closeness
+
+    d = _table(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        "source",
+        F.expr("n_chars div 250").alias("len_bucket"),
+        (F.col("doc_id") % 90).alias("age"),
+    )
+    return t_closeness(
+        base, ["lang", "source", "len_bucket"], "age", t=0.35
+    )
+
+
 def q_corpus_rollup(spark, sf_dir):
     """Hierarchical corpus telemetry (training/textanalysis.py
     corpus_rollup, NEW r11-continuation): doc/char/token totals per
@@ -3017,6 +3042,7 @@ QUERIES = {
     "fairness_confusion": q_fairness_confusion,
     "fairness_gaps": q_fairness_gaps,
     "k_anonymity": q_k_anonymity,
+    "t_closeness": q_t_closeness,
     "corpus_rollup": q_corpus_rollup,
     "dedup_exact": q_dedup_exact,
     "training_pipeline": q_training_pipeline,
@@ -3574,6 +3600,52 @@ ORACLES = {
             FROM base b
             JOIN cls c ON b.lang = c.lang AND b.source = c.source
                       AND b.len_bucket = c.len_bucket
+        """,
+    # t_closeness: per-class total-variation distance vs the global
+    # sensitive histogram, exact HUGEINT arithmetic mirroring the
+    # engine's decimal(38) lane; round-then-compare matches the
+    # engine's violates rule
+    "t_closeness": """
+            WITH base AS (
+              SELECT lang, source, n_chars // 250 AS len_bucket,
+                     doc_id % 90 AS age
+              FROM documents),
+            n AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM base),
+            vtot AS (
+              SELECT age, CAST(count(*) AS HUGEINT) AS n_v
+              FROM base GROUP BY age),
+            csz AS (
+              SELECT lang, source, len_bucket,
+                     CAST(count(*) AS HUGEINT) AS n_c
+              FROM base GROUP BY lang, source, len_bucket),
+            cv AS (
+              SELECT lang, source, len_bucket, age,
+                     CAST(count(*) AS HUGEINT) AS n_cv
+              FROM base GROUP BY lang, source, len_bucket, age),
+            terms AS (
+              SELECT cv.lang, cv.source, cv.len_bucket,
+                     abs(cv.n_cv * n.n - v.n_v * c.n_c) AS term,
+                     v.n_v
+              FROM cv
+              JOIN vtot v USING (age)
+              JOIN csz c USING (lang, source, len_bucket), n),
+            agg AS (
+              SELECT lang, source, len_bucket,
+                     sum(term) AS present, sum(n_v) AS sum_nv
+              FROM terms GROUP BY lang, source, len_bucket)
+            SELECT a.lang, a.source, a.len_bucket,
+                   CAST(c.n_c AS BIGINT) AS class_size,
+                   round(CAST(a.present + c.n_c * (n.n - a.sum_nv)
+                              AS DOUBLE)
+                         / (2.0 * CAST(c.n_c AS DOUBLE)
+                            * CAST(n.n AS DOUBLE)), 6) AS tvd,
+                   round(CAST(a.present + c.n_c * (n.n - a.sum_nv)
+                              AS DOUBLE)
+                         / (2.0 * CAST(c.n_c AS DOUBLE)
+                            * CAST(n.n AS DOUBLE)), 6) > 0.35
+                     AS violates
+            FROM agg a
+            JOIN csz c USING (lang, source, len_bucket), n
         """,
     # corpus_rollup: GROUP BY ROLLUP with GROUPING() — same
     # leftmost-is-MSB bit convention as Spark grouping_id().

@@ -1480,11 +1480,11 @@ def stream_minhash_screen(
 
 def stream_ingest_screen_multimodal(
     stream: DataFrame,
-    seen_fingerprints: DataFrame,
-    seen_signatures: DataFrame,
-    seen_members: DataFrame,
-    centroids,
-    seen_hashes: DataFrame,
+    seen_fingerprints: DataFrame | None,
+    seen_signatures: DataFrame | None,
+    seen_members: DataFrame | None = None,
+    centroids=None,
+    seen_hashes: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     vec_col: str = "embedding",
@@ -1529,6 +1529,11 @@ def stream_ingest_screen_multimodal(
       ``(band, chunk) -> list<sig>``; one join per band, then
       ``exists(s2: bit_count(xor) <= max_hamming)``.
 
+    Lanes are OPTIONAL with the same contract as the batch twin (r13):
+    pass ``None`` for a lane's archive input(s) and its flag is a
+    literal ``False`` — the verdict keeps the full 5-flag shape and
+    ``keep`` spans only the ENABLED lanes; at least one lane required.
+
     Grouped-table caveat at scale: a degenerate band bucket / cluster
     collects its whole candidate list into one value — the same
     skew class the batch lanes cap with ``_bucket_cap`` /
@@ -1544,6 +1549,20 @@ def stream_ingest_screen_multimodal(
     )
     from openeo_processes_dask_spark.training.similarity import _norm
 
+    if (seen_members is None) != (centroids is None):
+        raise ValueError(
+            "semantic lane needs BOTH seen_members and centroids (or "
+            "neither)"
+        )
+    if all(
+        x is None
+        for x in (seen_fingerprints, seen_signatures, seen_members,
+                  seen_hashes)
+    ):
+        raise ValueError(
+            "stream_ingest_screen_multimodal: every lane is disabled — "
+            "pass at least one archive screen table"
+        )
     rnd = random.Random(seed)
     coeffs = [
         (rnd.randrange(1, _P), rnd.randrange(0, _P))
@@ -1553,51 +1572,63 @@ def stream_ingest_screen_multimodal(
     band_bits = 64 // hash_bands
     mask = (1 << band_bits) - 1
 
-    # ---- per-row enrichment: every lane key as a COLUMN (projection
-    # only — the shingle-digest array materializes in its own select so
-    # the md5 chain isn't re-inlined into all num_hashes lambdas, the
-    # repo's measured-pitfalls contract) ----
-    cur = stream.select(
-        F.col(id_col).alias("id"),
-        F.md5(
-            F.regexp_replace(
-                F.lower(F.trim(F.col(text_col))), r"\s+", " "
-            )
-        ).alias("__fp__"),
-        F.transform(
-            F.array_distinct(
-                shingles_from_tokens(tokens(F.lower(F.col(text_col))), n)
-            ),
-            lambda s: F.pmod(_md5_to_long(s), F.lit(_P)),
-        ).alias("__xs__"),
-        _assign_expr(
-            _snap_micro(F.col(vec_col)), centroids
-        ).alias("__cluster__"),
-        F.col(vec_col).cast("array<double>").alias("__v__"),
-        F.col(sig_col).cast("long").alias("__psig__"),
-    )
-    cur = cur.withColumn(
-        "__sig__",
-        F.when(
-            F.size("__xs__") > 0,
-            F.array(
-                *[
-                    F.array_min(
-                        F.transform(
-                            F.col("__xs__"),
-                            lambda x: F.pmod(
-                                F.lit(a) * x + F.lit(b), F.lit(_P)
-                            ),
-                        )
+    # ---- per-row enrichment: every ENABLED lane's key as a COLUMN
+    # (projection only — the shingle-digest array materializes in its
+    # own select so the md5 chain isn't re-inlined into all num_hashes
+    # lambdas, the repo's measured-pitfalls contract) ----
+    enrich = [F.col(id_col).alias("id")]
+    if seen_fingerprints is not None:
+        enrich.append(
+            F.md5(
+                F.regexp_replace(
+                    F.lower(F.trim(F.col(text_col))), r"\s+", " "
+                )
+            ).alias("__fp__")
+        )
+    if seen_signatures is not None:
+        enrich.append(
+            F.transform(
+                F.array_distinct(
+                    shingles_from_tokens(
+                        tokens(F.lower(F.col(text_col))), n
                     )
-                    for a, b in coeffs
-                ]
+                ),
+                lambda s: F.pmod(_md5_to_long(s), F.lit(_P)),
+            ).alias("__xs__")
+        )
+    if seen_members is not None:
+        enrich.append(
+            _assign_expr(
+                _snap_micro(F.col(vec_col)), centroids
+            ).alias("__cluster__")
+        )
+        enrich.append(F.col(vec_col).cast("array<double>").alias("__v__"))
+    if seen_hashes is not None:
+        enrich.append(F.col(sig_col).cast("long").alias("__psig__"))
+    cur = stream.select(*enrich)
+    if seen_signatures is not None:
+        cur = cur.withColumn(
+            "__sig__",
+            F.when(
+                F.size("__xs__") > 0,
+                F.array(
+                    *[
+                        F.array_min(
+                            F.transform(
+                                F.col("__xs__"),
+                                lambda x: F.pmod(
+                                    F.lit(a) * x + F.lit(b), F.lit(_P)
+                                ),
+                            )
+                        )
+                        for a, b in coeffs
+                    ]
+                ),
             ),
-        ),
-    ).drop("__xs__")
-    cur = cur.select(
-        "*",
-        *[
+        ).drop("__xs__")
+    key_cols = []
+    if seen_signatures is not None:
+        key_cols += [
             F.md5(
                 F.concat_ws(
                     ",",
@@ -1611,143 +1642,176 @@ def stream_ingest_screen_multimodal(
                 )
             ).alias(f"__bk{bi}__")
             for bi in range(bands)
-        ],
-        *[
+        ]
+    if seen_hashes is not None:
+        key_cols += [
             F.shiftright(F.col("__psig__"), bi * band_bits)
             .bitwiseAND(F.lit(mask))
             .alias(f"__ck{bi}__")
             for bi in range(hash_bands)
-        ],
-    )
+        ]
+    if key_cols:
+        cur = cur.select("*", *key_cols)
 
-    # ---- static sides, each UNIQUE on its join key ----
-    fps = F.broadcast(
-        seen_fingerprints.select(
-            F.col("fingerprint").alias("__fp__")
-        ).distinct().withColumn("__exact__", F.lit(True))
-    )
-    cur = cur.join(fps, "__fp__", "left")
-
-    sig_buckets = (
-        _band_signatures(seen_signatures, bands, rows_per_band)
-        .join(
-            seen_signatures.select("id", F.col("signature").alias("s2")),
-            "id",
+    # ---- static sides, each UNIQUE on its join key; lane flags ----
+    exact_flag = F.lit(False)
+    text_flag = F.lit(False)
+    sem_flag = F.lit(False)
+    perc_flag = F.lit(False)
+    if seen_fingerprints is not None:
+        fps = F.broadcast(
+            seen_fingerprints.select(
+                F.col("fingerprint").alias("__fp__")
+            ).distinct().withColumn("__exact__", F.lit(True))
         )
-        .groupBy("band", "bucket")
-        .agg(F.collect_list("s2").alias("sigs"))
-    )
-    for bi in range(bands):
-        tbl = F.broadcast(
-            sig_buckets.where(F.col("band") == bi).select(
-                F.col("bucket").alias(f"__bk{bi}__"),
-                F.col("sigs").alias(f"__sigs{bi}__"),
+        cur = cur.join(fps, "__fp__", "left")
+        exact_flag = F.coalesce(F.col("__exact__"), F.lit(False))
+
+    if seen_signatures is not None:
+        sig_buckets = (
+            _band_signatures(seen_signatures, bands, rows_per_band)
+            .join(
+                seen_signatures.select(
+                    "id", F.col("signature").alias("s2")
+                ),
+                "id",
             )
+            .groupBy("band", "bucket")
+            .agg(F.collect_list("s2").alias("sigs"))
         )
-        cur = cur.join(tbl, f"__bk{bi}__", "left")
-
-    members = F.broadcast(
-        seen_members.groupBy(F.col("cluster").alias("__cluster__")).agg(
-            F.collect_list(F.col("v").cast("array<double>")).alias("__vs__")
-        )
-    )
-    cur = cur.join(members, "__cluster__", "left")
-
-    chunk_tables = (
-        seen_hashes.select(F.col(sig_col).cast("long").alias("s2"))
-        .select(
-            "s2",
-            *[
-                F.shiftright(F.col("s2"), bi * band_bits)
-                .bitwiseAND(F.lit(mask))
-                .alias(f"__ck{bi}__")
-                for bi in range(hash_bands)
-            ],
-        )
-    )
-    for bi in range(hash_bands):
-        tbl = F.broadcast(
-            chunk_tables.groupBy(f"__ck{bi}__").agg(
-                F.collect_list("s2").alias(f"__hs{bi}__")
-            )
-        )
-        cur = cur.join(tbl, f"__ck{bi}__", "left")
-
-    # ---- lane verdicts ----
-    empty_sigs = F.array().cast("array<array<bigint>>")
-    cand_sigs = F.flatten(
-        F.array(
-            *[
-                F.coalesce(F.col(f"__sigs{bi}__"), empty_sigs)
-                for bi in range(bands)
-            ]
-        )
-    )
-    agreement = lambda s2: F.size(  # noqa: E731
-        F.filter(
-            F.zip_with(F.col("__sig__"), s2, lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    ) / F.lit(float(num_hashes))
-    # coalesce(exists, False): a NULL residual (e.g. zero-norm cosine)
-    # is a dropped row in the batch lanes' WHERE, i.e. "no match"
-    text_flag = F.col("__sig__").isNotNull() & F.coalesce(
-        F.exists(
-            cand_sigs,
-            lambda s2: F.round(agreement(s2), 6)
-            >= F.lit(text_threshold),
-        ),
-        F.lit(False),
-    )
-
-    dot = lambda v2: F.aggregate(  # noqa: E731
-        F.zip_with(F.col("__v__"), v2, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    sem_flag = F.coalesce(
-        F.exists(
-            F.coalesce(
-                F.col("__vs__"), F.array().cast("array<array<double>>")
-            ),
-            lambda v2: F.round(
-                F.try_divide(dot(v2), _norm(F.col("__v__")) * _norm(v2)),
-                6,
-            )
-            >= F.lit(sem_threshold),
-        ),
-        F.lit(False),
-    )
-
-    cand_hashes = F.flatten(
-        F.array(
-            *[
-                F.coalesce(
-                    F.col(f"__hs{bi}__"), F.array().cast("array<bigint>")
+        for bi in range(bands):
+            tbl = F.broadcast(
+                sig_buckets.where(F.col("band") == bi).select(
+                    F.col("bucket").alias(f"__bk{bi}__"),
+                    F.col("sigs").alias(f"__sigs{bi}__"),
                 )
-                for bi in range(hash_bands)
-            ]
+            )
+            cur = cur.join(tbl, f"__bk{bi}__", "left")
+        empty_sigs = F.array().cast("array<array<bigint>>")
+        cand_sigs = F.flatten(
+            F.array(
+                *[
+                    F.coalesce(F.col(f"__sigs{bi}__"), empty_sigs)
+                    for bi in range(bands)
+                ]
+            )
         )
-    )
-    perc_flag = F.coalesce(
-        F.exists(
-            cand_hashes,
-            lambda s2: F.bit_count(F.col("__psig__").bitwiseXOR(s2))
-            <= F.lit(max_hamming),
-        ),
-        F.lit(False),
-    )
+        agreement = lambda s2: F.size(  # noqa: E731
+            F.filter(
+                F.zip_with(
+                    F.col("__sig__"), s2, lambda x, y: x == y
+                ),
+                lambda eq: eq,
+            )
+        ) / F.lit(float(num_hashes))
+        # coalesce(exists, False): a NULL residual (e.g. zero-norm
+        # cosine) is a dropped row in the batch lanes' WHERE — no match
+        text_flag = F.col("__sig__").isNotNull() & F.coalesce(
+            F.exists(
+                cand_sigs,
+                lambda s2: F.round(agreement(s2), 6)
+                >= F.lit(text_threshold),
+            ),
+            F.lit(False),
+        )
 
-    exact_flag = F.coalesce(F.col("__exact__"), F.lit(False))
+    if seen_members is not None:
+        members = F.broadcast(
+            seen_members.groupBy(
+                F.col("cluster").alias("__cluster__")
+            ).agg(
+                F.collect_list(
+                    F.col("v").cast("array<double>")
+                ).alias("__vs__")
+            )
+        )
+        cur = cur.join(members, "__cluster__", "left")
+        dot = lambda v2: F.aggregate(  # noqa: E731
+            F.zip_with(F.col("__v__"), v2, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sem_flag = F.coalesce(
+            F.exists(
+                F.coalesce(
+                    F.col("__vs__"),
+                    F.array().cast("array<array<double>>"),
+                ),
+                lambda v2: F.round(
+                    F.try_divide(
+                        dot(v2), _norm(F.col("__v__")) * _norm(v2)
+                    ),
+                    6,
+                )
+                >= F.lit(sem_threshold),
+            ),
+            F.lit(False),
+        )
+
+    if seen_hashes is not None:
+        chunk_tables = (
+            seen_hashes.select(
+                F.col(sig_col).cast("long").alias("s2")
+            )
+            .select(
+                "s2",
+                *[
+                    F.shiftright(F.col("s2"), bi * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias(f"__ck{bi}__")
+                    for bi in range(hash_bands)
+                ],
+            )
+        )
+        for bi in range(hash_bands):
+            tbl = F.broadcast(
+                chunk_tables.groupBy(f"__ck{bi}__").agg(
+                    F.collect_list("s2").alias(f"__hs{bi}__")
+                )
+            )
+            cur = cur.join(tbl, f"__ck{bi}__", "left")
+        cand_hashes = F.flatten(
+            F.array(
+                *[
+                    F.coalesce(
+                        F.col(f"__hs{bi}__"),
+                        F.array().cast("array<bigint>"),
+                    )
+                    for bi in range(hash_bands)
+                ]
+            )
+        )
+        perc_flag = F.coalesce(
+            F.exists(
+                cand_hashes,
+                lambda s2: F.bit_count(
+                    F.col("__psig__").bitwiseXOR(s2)
+                )
+                <= F.lit(max_hamming),
+            ),
+            F.lit(False),
+        )
+
+    enabled_flags = [
+        flag
+        for flag, on in (
+            (exact_flag, seen_fingerprints is not None),
+            (text_flag, seen_signatures is not None),
+            (sem_flag, seen_members is not None),
+            (perc_flag, seen_hashes is not None),
+        )
+        if on
+    ]
+    keep = None
+    for flag in enabled_flags:
+        keep = ~flag if keep is None else (keep & ~flag)
     return cur.select(
         "id",
         exact_flag.alias("exact_dup"),
         text_flag.alias("text_near_dup"),
         sem_flag.alias("semantic_dup"),
         perc_flag.alias("perceptual_dup"),
-        (
-            ~exact_flag & ~text_flag & ~sem_flag & ~perc_flag
-        ).alias("keep"),
+        keep.alias("keep"),
     )
 
 

@@ -153,6 +153,103 @@ def k_anonymity(
     )
 
 
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float,
+) -> DataFrame:
+    """Per-equivalence-class t-closeness audit (Li, Li & Venkatasubramanian
+    2007, "t-Closeness: privacy beyond k-anonymity and l-diversity") —
+    the third leg of the privacy trio: :func:`k_anonymity` bounds class
+    SIZE, its ``distinct_sensitive`` column bounds l-DIVERSITY, and this
+    bounds the DISTANCE between a class's sensitive-value distribution
+    and the corpus-wide one (a class can be large and diverse yet still
+    leak — e.g. 90% of its rows sharing one diagnosis when the global
+    rate is 5%).
+
+    Distance is total variation (the categorical-sensitive instance of
+    the paper's EMD): ``tvd = ½ · Σ_v |P_class(v) − P_global(v)|``,
+    computed in EXACT integer arithmetic so the result is
+    order-independent and replayable by the oracle —
+    ``tvd_num = Σ_{v in class} |n_cv·n − n_v·n_c| + n_c·(n − Σ_{v in
+    class} n_v)`` over a 38-digit decimal lane (the second term folds
+    every globally-present-but-class-absent value without crossing
+    classes × values), ``tvd = round(tvd_num / (2·n_c·n), 6)``.
+    Decimal(38) holds n_c·n up to 10^24-ish — far past any corpus.
+
+    Returns one row per class: ``*quasi_cols, class_size,
+    tvd, violates`` (``tvd > t`` on the rounded value, matching the
+    oracle compare).
+
+    Plan at 100 TB: one hash aggregate on (quasi, v) — map-side combine
+    — then a broadcast join to the |V|-row global value histogram and a
+    second hash aggregate per class; the corpus total rides in as a
+    broadcast 1-row aggregate. No window, no per-row Python."""
+    if not 0 <= t <= 1:
+        raise ValueError(f"t must be in [0, 1], got {t}")
+    if not quasi_cols:
+        raise ValueError("t_closeness needs at least one quasi column")
+    missing = [c for c in quasi_cols + [sensitive_col] if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in DataFrame: {missing}")
+    dec = "decimal(38,0)"
+    cv = (
+        df.groupBy(*quasi_cols, F.col(sensitive_col).alias("__v__"))
+        .agg(F.count(F.lit(1)).cast(dec).alias("__n_cv__"))
+    )
+    vtot = F.broadcast(
+        df.groupBy(F.col(sensitive_col).alias("__v__")).agg(
+            F.count(F.lit(1)).cast(dec).alias("__n_v__")
+        )
+    )
+    total = F.broadcast(
+        df.agg(F.count(F.lit(1)).cast(dec).alias("__n__"))
+    )
+    # two-pass per class: n_c = Σ n_cv needs to be known per class
+    # BEFORE the |…| terms, so aggregate counts first, then compute the
+    # distance terms in a second projection-free aggregate
+    per_class = (
+        cv.join(vtot, "__v__")
+        .crossJoin(total)
+        .groupBy(*quasi_cols)
+        .agg(
+            F.sum("__n_cv__").alias("__n_c__"),
+            F.sum("__n_v__").alias("__sum_nv__"),
+            F.first("__n__").alias("__n__"),
+            F.collect_list(
+                F.struct("__n_cv__", "__n_v__")
+            ).alias("__terms__"),
+        )
+    )
+    # Σ|n_cv·n − n_v·n_c| over the class's present values: the per-class
+    # value list is bounded by |V| (the sensitive domain — audit-sized
+    # by contract), so folding it with aggregate() keeps the arithmetic
+    # exact without a second shuffle
+    present = F.aggregate(
+        F.col("__terms__"),
+        F.lit(0).cast(dec),
+        lambda acc, s: acc
+        + F.abs(
+            s["__n_cv__"] * F.col("__n__")
+            - s["__n_v__"] * F.col("__n_c__")
+        ),
+    )
+    num = present + F.col("__n_c__") * (F.col("__n__") - F.col("__sum_nv__"))
+    tvd = F.round(
+        num.cast("double")
+        / (F.lit(2.0) * F.col("__n_c__").cast("double")
+           * F.col("__n__").cast("double")),
+        6,
+    )
+    return per_class.select(
+        *quasi_cols,
+        F.col("__n_c__").cast("bigint").alias("class_size"),
+        tvd.alias("tvd"),
+        (tvd > F.lit(t)).alias("violates"),
+    )
+
+
 def k_anonymize(
     df: DataFrame,
     quasi_cols: list[str],

@@ -341,3 +341,47 @@ def test_fairness_confusion_and_gaps_hand_computed(spark):
     assert gaps["dp_gap"] == 0.5       # 1.0 - 0.5
     assert gaps["eo_tpr_gap"] == 0.5   # 1.0 - 0.5
     assert gaps["eo_fpr_gap"] == 0.0   # only group A has a defined fpr
+
+
+def test_t_closeness_hand_example(spark):
+    """Li et al. 2007 total-variation instance, hand-checked: global
+    P = (1/2, 1/3, 1/6) over {x,y,z}; class A (2,1,1)/4 -> tvd 1/12;
+    class B (1,1,0)/2 -> tvd 1/6. Exact-integer lane, so equality is
+    strict at 6 decimals."""
+    from openeo_processes_dask_spark.training.pii import t_closeness
+
+    rows = [("A", "x"), ("A", "x"), ("A", "y"), ("A", "z"),
+            ("B", "x"), ("B", "y")]
+    df = spark.createDataFrame(rows, "q string, s string")
+    out = {r["q"]: r for r in t_closeness(df, ["q"], "s", 0.1).collect()}
+    assert out["A"]["tvd"] == 0.083333 and out["A"]["class_size"] == 4
+    assert out["B"]["tvd"] == 0.166667 and out["B"]["class_size"] == 2
+    assert out["A"]["violates"] is False
+    assert out["B"]["violates"] is True  # 0.166667 > 0.1
+
+
+def test_t_closeness_uniform_class_is_zero(spark):
+    """A class whose sensitive distribution equals the global one has
+    tvd exactly 0 — the integer formula cancels term by term."""
+    from openeo_processes_dask_spark.training.pii import t_closeness
+
+    rows = [("A", "x"), ("A", "y"), ("B", "x"), ("B", "y")]
+    df = spark.createDataFrame(rows, "q string, s string")
+    out = t_closeness(df, ["q"], "s", 0.0).collect()
+    assert all(r["tvd"] == 0.0 for r in out)
+    # violates is STRICT inequality: tvd 0 at t=0 does not violate
+    assert all(r["violates"] is False for r in out)
+
+
+def test_t_closeness_validation(spark):
+    import pytest
+
+    from openeo_processes_dask_spark.training.pii import t_closeness
+
+    df = spark.createDataFrame([("A", "x")], "q string, s string")
+    with pytest.raises(ValueError, match="t must be in"):
+        t_closeness(df, ["q"], "s", 1.5)
+    with pytest.raises(ValueError, match="at least one quasi"):
+        t_closeness(df, [], "s", 0.5)
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        t_closeness(df, ["q"], "nope", 0.5)

@@ -212,3 +212,47 @@ def test_band_signatures_validates_divisibility(spark):
     _, _, _, sigs, _, _, _ = _fixture(spark)
     with pytest.raises(ValueError, match="must divide"):
         band_signatures(sigs, bands=7, num_hashes=64)
+
+
+def test_stream_optional_lanes_match_batch(spark, tmp_path):
+    """Streaming twin lane-optionality (r13): a text-only stream
+    screen equals the text-only batch screen row for row, with the
+    disabled lanes pinned False; validation mirrors the batch."""
+    import pytest
+
+    _, new, fps, sigs, members, cents, hashes = _fixture(spark)
+    kw = dict(id_col="id", text_col="text", text_threshold=0.2)
+    batch = sorted(
+        tuple(r)
+        for r in ingest_screen_multimodal(
+            new, fps, sigs, None, None, None, **kw
+        ).collect()
+    )
+    d = str(tmp_path / "mm_stream_txt")
+    new.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema("id long, text string, emb array<float>, psig long")
+        .parquet(d)
+    )
+    out = stream_ingest_screen_multimodal(
+        stream, fps, sigs, None, None, None, **kw
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_mm_stream_txt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    drained = sorted(
+        tuple(r) for r in spark.table("t_mm_stream_txt").collect()
+    )
+    assert drained == batch
+    with pytest.raises(ValueError, match="every lane is disabled"):
+        stream_ingest_screen_multimodal(stream, None, None, **kw)
+    with pytest.raises(ValueError, match="BOTH seen_members"):
+        stream_ingest_screen_multimodal(
+            stream, fps, None, members, None, **kw
+        )

@@ -106,6 +106,7 @@ ALLOWED_BNLJ: dict[str, str] = {
     "ivf_topk": "broadcast(centroids) — k centroids",
     "ivf_index_search": "broadcast(centroids) — k centroids",
     # 1-row aggregate / contract-bounded broadcasts
+    "t_closeness": "broadcast(1-row corpus total) (pii.py t_closeness)",
     "percentile_rank": "broadcast(1-row total) (maintenance.py:206)",
     "range_bounds": "broadcast(1-row total)",
     "incremental_curation": "broadcast(1-row total)",
