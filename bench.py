@@ -41,6 +41,9 @@ EXTRAS = (
     # r13 additions: the composed ingest verdicts (text and
     # multi-modality) against persisted archive tables
     "ingest_screen", "ingest_screen_multimodal",
+    # r13 continuation: winnowing selection + MOSS overlap join (the
+    # fingerprint explode is the cost driver — zero-shuffle HOF lane)
+    "winnow_overlap",
 )
 
 HEADLINE = [

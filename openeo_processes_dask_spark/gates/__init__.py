@@ -381,6 +381,16 @@ _CHANGED_R13 = [
     # NEW r13: t-closeness — the third leg of the privacy audit trio
     # (exact-integer total-variation distance per equivalence class)
     "t_closeness",
+    # NEW r13-continuation: class-level l-diversity (distinct-l + exact
+    # recursive (c,l) over the sorted frequency profile)
+    "l_diversity",
+    # NEW r13-continuation: winnowing fingerprints (Schleimer et al.
+    # 2003 / MOSS) — zero-shuffle nested-HOF selection + overlap pairs
+    "winnow_fingerprints",
+    "winnow_overlap",
+    # NEW r13-continuation: stateless streaming decontamination screen
+    # (per-row HOF digests + stream-static broadcast join)
+    "streaming_contamination_screen",
     # ADVICE r12 #1: PSL parser punycode-encodes IDN rules + depth
     # default raised — shared matching code changed
     "registered_domain_psl_full",

@@ -1125,6 +1125,59 @@ def q_streaming_minhash_screen(spark, sf_dir):
     return spark.table(name).distinct()
 
 
+def q_streaming_contamination_screen(spark, sf_dir):
+    """Stateless streaming benchmark-decontamination screen
+    (training/dedup.py stream_contamination_screen, NEW
+    r13-continuation): the decontaminate gate's train slice
+    (doc_id%53 != 0) streamed in two micro-batches against the
+    PERSISTED benchmark digest table (benchmark_digests of the
+    doc_id%53 == 0 slice) — per-row HOF distinct-shingle digests, no
+    stateful aggregate, inner stream-static broadcast join. One
+    (id, shk) row lands per offending distinct shingle, so the gate's
+    batch post-pass GROUP BY id COUNT(*) equals batch decontaminate
+    bit-for-bit — the oracle IS the decontaminate replay."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import (
+        benchmark_digests,
+        stream_contamination_screen,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    bench_keys = benchmark_digests(
+        docs.where(F.col("doc_id") % 53 == 0), "text", n=5
+    )
+    train = docs.where(F.col("doc_id") % 53 != 0).select("doc_id", "text")
+    stream_dir, fresh = _fixture_dir("contam_screen_stream", sf_dir)
+    if fresh:
+        train.where("doc_id % 2 = 0").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stream_dir)
+        train.where("doc_id % 2 = 1").coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+        _fixture_done(stream_dir)
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema("doc_id bigint, text string")
+        .parquet(stream_dir)
+    )
+    out = stream_contamination_screen(stream, bench_keys, n=5)
+    name = f"q_scs_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 def q_streaming_ingest_screen_multimodal(spark, sf_dir):
     """Stateless streaming multi-modality ingest screen (training/
     dedup.py stream_ingest_screen_multimodal, NEW r13 — VERDICT r12
@@ -1207,6 +1260,7 @@ QUERIES = {
     "streaming_ranking_metrics": q_streaming_ranking_metrics,
     "streaming_semdedup_incremental": q_streaming_semdedup_incremental,
     "streaming_minhash_screen": q_streaming_minhash_screen,
+    "streaming_contamination_screen": q_streaming_contamination_screen,
     "streaming_ingest_screen_multimodal":
         q_streaming_ingest_screen_multimodal,
 }
@@ -1223,6 +1277,12 @@ ORACLES = {
         "openeo_processes_dask_spark.gates.oracle_builders",
         fromlist=["x"],
     )._minhash_incremental_oracle_sql(),
+    # drained (id, shk) rows aggregated per id == batch decontaminate:
+    # the oracle IS the decontaminate replay (same n=5 shingles, same
+    # %53 train/bench split)
+    "streaming_contamination_screen": lambda: __import__(
+        "openeo_processes_dask_spark.gates.training", fromlist=["x"]
+    ).ORACLES["decontaminate"],
     # row-preserving stateless screen: drained verdicts equal the
     # batch composed replay row for row (r13)
     "streaming_ingest_screen_multimodal": lambda: __import__(

@@ -3015,6 +3015,79 @@ def q_t_closeness(spark, sf_dir):
     )
 
 
+def q_l_diversity(spark, sf_dir):
+    """Class-level l-diversity audit (training/pii.py l_diversity, NEW
+    r13-continuation): the middle leg of the privacy trio over the SAME
+    quasi tuple as the k_anonymity / t_closeness gates — per-class
+    sensitive-value frequency profile with distinct-l (l=3) and exact
+    recursive (c,l)-diversity at c=1 (r_1 < Σ_{i>=3} r_i, evaluated as
+    an integer compare over decimal(38)). Two hash aggregates, the
+    second folding a |V|-bounded frequency array JVM-side; the oracle
+    replays the tail sum with a rank filter (tie-invariant: the tail is
+    a multiset sum)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.pii import l_diversity
+
+    d = _table(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        "source",
+        F.expr("n_chars div 250").alias("len_bucket"),
+        (F.col("doc_id") % 90).alias("age"),
+    )
+    return l_diversity(
+        base, ["lang", "source", "len_bucket"], "age", l=3, c=1.0
+    )
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (training/dedup.py
+    winnow_fingerprints, NEW r13-continuation — Schleimer et al. 2003 /
+    MOSS): per-window rightmost-min selection over md5-derived 5-gram
+    hashes (w=4), entirely nested-HOF JVM work inside each row — zero
+    shuffle until this gate's per-doc profile aggregate. Profile =
+    (n_fp, min_fp, max_fp, fp_mod_sum) with the mod-sum an exact
+    bigint content checksum (raw fingerprint sums overflow int64 and
+    DuckDB would hand back HUGEINT->float). The oracle replays the
+    selection relationally: window-start × hash join + row_number
+    (hash ASC, pos DESC) = the rightmost-min rule."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import (
+        winnow_fingerprints,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    return (
+        winnow_fingerprints(docs, k=5, w=4)
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.min("fingerprint").alias("min_fp"),
+            F.max("fingerprint").alias("max_fp"),
+            F.sum(F.col("fingerprint") % 1000003).alias("fp_mod_sum"),
+        )
+    )
+
+
+def q_winnow_overlap(spark, sf_dir):
+    """MOSS overlap pairs over winnowed fingerprints (training/dedup.py
+    winnow_overlap_pairs, NEW r13-continuation): documents sharing any
+    selected 4-gram fingerprint (w=4) after dropping fingerprints held
+    by more than max_df=2 documents — the ubiquity cap that is also the
+    quadratic-pair-flood guard at scale. Fingerprint-keyed equi-join,
+    id1 < id2, shared-count aggregate; the oracle replays selection,
+    cap and join."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import (
+        winnow_overlap_pairs,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(
+        docs, k=4, w=4, min_shared=1, max_df=2
+    )
+
+
 def q_corpus_rollup(spark, sf_dir):
     """Hierarchical corpus telemetry (training/textanalysis.py
     corpus_rollup, NEW r11-continuation): doc/char/token totals per
@@ -3043,6 +3116,9 @@ QUERIES = {
     "fairness_gaps": q_fairness_gaps,
     "k_anonymity": q_k_anonymity,
     "t_closeness": q_t_closeness,
+    "l_diversity": q_l_diversity,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_overlap": q_winnow_overlap,
     "corpus_rollup": q_corpus_rollup,
     "dedup_exact": q_dedup_exact,
     "training_pipeline": q_training_pipeline,
@@ -3646,6 +3722,117 @@ ORACLES = {
                      AS violates
             FROM agg a
             JOIN csz c USING (lang, source, len_bucket), n
+        """,
+    # l_diversity: per-class sensitive-frequency profile; the tail
+    # Σ_{i>=l} replays via a row_number rank filter (tie-invariant
+    # multiset sum); recursive (c,l) compare over HUGEINTs mirrors the
+    # engine's decimal(38) exact-rational lane (c=1 -> 1/1)
+    "l_diversity": """
+            WITH base AS (
+              SELECT lang, source, n_chars // 250 AS len_bucket,
+                     doc_id % 90 AS age
+              FROM documents),
+            cv AS (
+              SELECT lang, source, len_bucket, age,
+                     CAST(count(*) AS HUGEINT) AS n_cv
+              FROM base GROUP BY lang, source, len_bucket, age),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY lang, source, len_bucket
+                  ORDER BY n_cv DESC) AS rk
+              FROM cv),
+            agg AS (
+              SELECT lang, source, len_bucket,
+                     CAST(sum(n_cv) AS BIGINT) AS class_size,
+                     CAST(count(*) AS BIGINT) AS distinct_l,
+                     CAST(max(n_cv) AS BIGINT) AS top_count,
+                     CAST(coalesce(sum(n_cv) FILTER (rk >= 3), 0)
+                          AS BIGINT) AS tail_from_l
+              FROM ranked GROUP BY lang, source, len_bucket)
+            SELECT lang, source, len_bucket, class_size, distinct_l,
+                   top_count, tail_from_l,
+                   distinct_l >= 3 AS diverse,
+                   CAST(top_count AS HUGEINT) * 1
+                     < 1 * CAST(tail_from_l AS HUGEINT) AS recursive_ok
+            FROM agg
+        """,
+    # winnow_*: relational replay of the winnowing selection — window
+    # starts j in 1..max(n-w+1, 1) (short docs = one truncated window),
+    # rightmost-min via row_number ORDER BY hash ASC, pos DESC; same
+    # md5->60-bit fingerprint as the engine's _md5_to_long
+    "winnow_fingerprints": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS tk
+              FROM documents WHERE trim(text) <> ''),
+            pos AS (
+              SELECT doc_id, tk,
+                     unnest(range(1, greatest(len(tk) - 4, 0) + 1)) AS p
+              FROM toks),
+            hashes AS (
+              SELECT doc_id, p,
+                     CAST('0x' || substr(md5(
+                         array_to_string(tk[p : p + 4], ' ')), 1, 15)
+                          AS BIGINT) AS h
+              FROM pos),
+            nh AS (SELECT doc_id, count(*) AS n FROM hashes
+                   GROUP BY doc_id),
+            winstart AS (
+              SELECT doc_id,
+                     unnest(range(1, greatest(n - 3, 1) + 1)) AS j
+              FROM nh),
+            wins AS (
+              SELECT h.doc_id, ws.j, h.p, h.h,
+                     row_number() OVER (PARTITION BY h.doc_id, ws.j
+                                        ORDER BY h.h ASC, h.p DESC) AS rn
+              FROM hashes h JOIN winstart ws
+                ON h.doc_id = ws.doc_id
+               AND h.p BETWEEN ws.j AND ws.j + 3),
+            sel AS (SELECT DISTINCT doc_id, p, h FROM wins WHERE rn = 1)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+                   min(h) AS min_fp, max(h) AS max_fp,
+                   CAST(sum(h % 1000003) AS BIGINT) AS fp_mod_sum
+            FROM sel GROUP BY doc_id
+        """,
+    "winnow_overlap": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS tk
+              FROM documents WHERE trim(text) <> ''),
+            pos AS (
+              SELECT doc_id, tk,
+                     unnest(range(1, greatest(len(tk) - 3, 0) + 1)) AS p
+              FROM toks),
+            hashes AS (
+              SELECT doc_id, p,
+                     CAST('0x' || substr(md5(
+                         array_to_string(tk[p : p + 3], ' ')), 1, 15)
+                          AS BIGINT) AS h
+              FROM pos),
+            nh AS (SELECT doc_id, count(*) AS n FROM hashes
+                   GROUP BY doc_id),
+            winstart AS (
+              SELECT doc_id,
+                     unnest(range(1, greatest(n - 3, 1) + 1)) AS j
+              FROM nh),
+            wins AS (
+              SELECT h.doc_id, ws.j, h.p, h.h,
+                     row_number() OVER (PARTITION BY h.doc_id, ws.j
+                                        ORDER BY h.h ASC, h.p DESC) AS rn
+              FROM hashes h JOIN winstart ws
+                ON h.doc_id = ws.doc_id
+               AND h.p BETWEEN ws.j AND ws.j + 3),
+            sel AS (SELECT DISTINCT doc_id, h FROM wins WHERE rn = 1),
+            kept AS (
+              SELECT doc_id, h FROM sel
+              WHERE h IN (SELECT h FROM sel GROUP BY h
+                          HAVING count(*) <= 2))
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM kept a JOIN kept b
+              ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 1
         """,
     # corpus_rollup: GROUP BY ROLLUP with GROUPING() — same
     # leftmost-is-MSB bit convention as Spark grouping_id().

@@ -730,6 +730,151 @@ def remove_boilerplate_lines(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003, "Winnowing: local algorithms for document fingerprinting" —
+    the MOSS selection rule): hash every ``k``-token gram, slide a
+    window of ``w`` consecutive gram hashes, and in each window select
+    the MINIMUM hash, breaking ties toward the RIGHTMOST occurrence;
+    the distinct selections are the document's fingerprint set. The
+    paper's guarantee: any shared run of at least ``k + w - 1`` tokens
+    between two documents yields at least one shared fingerprint, while
+    only ~``2/(w+1)`` of all gram hashes are kept.
+
+    Returns ``(id, pos, fingerprint)`` — ``pos`` is the 1-based token
+    index where the selected gram starts, ``fingerprint`` the gram's
+    md5-derived 60-bit integer (same construction as the dedup lanes,
+    replayable by any engine with md5). A document shorter than
+    ``k + w - 1`` tokens but holding at least one gram is treated as a
+    single truncated window (so every hashable document gets >= 1
+    fingerprint — the coverage guarantee extended to short docs);
+    documents with fewer than ``k`` tokens emit nothing.
+
+    Plan at 100 TB: tokenize -> gram-hash array -> window-min selection
+    all run as nested higher-order functions INSIDE each document row —
+    zero shuffle, zero Python; the only wide operation is whatever the
+    consumer does with the exploded (id, pos, fingerprint) rows. The
+    HOF selection is O(n·w) per doc vs the paper's O(n) amortized
+    deque — at w <= 16 the constant is small and the work stays in the
+    scan stage where 100 TB parallelism is free.
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    base = _spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t__"))
+    )
+    toks = base.select("id", tokens(F.lower(F.col("__t__"))).alias("tk"))
+    # materialize grams before hashing them (shingles_from_tokens
+    # performance contract: lambda-captured inline expressions
+    # re-evaluate per element)
+    grams = toks.select(
+        "id", shingles_from_tokens(F.col("tk"), k).alias("gr")
+    )
+    hashed = grams.select(
+        "id", F.transform(F.col("gr"), _md5_to_long).alias("hs")
+    )
+    n_h = F.size("hs")
+    # >= 1 (truncated) window when any hash exists, else 0
+    n_win = F.greatest(n_h - (w - 1), F.least(n_h, F.lit(1)))
+    init = F.struct(
+        F.lit(0).cast("int").alias("pos"),
+        # sentinel above any 60-bit fingerprint, below bigint overflow
+        F.lit(1 << 62).cast("bigint").alias("fp"),
+    )
+    # rightmost-min within window j: fold positions j..j+w-1 left to
+    # right, replacing on <= so later equal hashes win (the MOSS rule)
+    sel = F.when(
+        n_win <= 0, F.array().cast("array<struct<pos:int,fp:bigint>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda j: F.aggregate(
+                F.sequence(j, F.least(j + (w - 1), n_h)),
+                init,
+                lambda acc, p: F.when(
+                    F.element_at(F.col("hs"), p) <= acc["fp"],
+                    F.struct(
+                        p.cast("int").alias("pos"),
+                        F.element_at(F.col("hs"), p).alias("fp"),
+                    ),
+                ).otherwise(acc),
+            ),
+        )
+    )
+    return hashed.select(
+        "id", F.explode(F.array_distinct(sel)).alias("s")
+    ).select(
+        "id",
+        F.col("s.pos").alias("pos"),
+        F.col("s.fp").alias("fingerprint"),
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """MOSS-style overlap detection over winnowed fingerprints: pairs of
+    documents sharing at least ``min_shared`` DISTINCT selected
+    fingerprints, with the shared count — the plagiarism/boilerplate
+    detector that :func:`winnow_fingerprints`' coverage guarantee makes
+    sound (any shared run of ``k + w - 1`` tokens is caught).
+
+    ``max_df`` drops fingerprints held by more than that many documents
+    before pairing — the standard MOSS "ignore ubiquitous code" step,
+    and simultaneously the hot-key guard at scale: a fingerprint shared
+    by ``d`` documents emits ``d·(d-1)/2`` pairs, so one boilerplate
+    gram without the cap quadratically floods the join.
+
+    Returns ``(id1, id2, n_shared)`` with ``id1 < id2``.
+
+    Plan at 100 TB: fingerprints are ~``2/(w+1)`` of the corpus grams
+    and 8 bytes each; the pair join is an equi-join on the fingerprint
+    key (never a cross join), the document-frequency cap is one
+    map-side-combined aggregate, and the pair count aggregate combines
+    partially. Production pipelines should PERSIST the distinct
+    (id, fingerprint) relation and reuse it for both sides (the
+    archive-table pattern of the ingest screens); expressed inline here
+    the two sides re-derive it, which AQE may or may not dedupe."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    if max_df is not None and max_df < 2:
+        raise ValueError(f"max_df must be >= 2 to admit any pair, got {max_df}")
+    fp = (
+        winnow_fingerprints(df, id_col, text_col, k, w)
+        .select("id", "fingerprint")
+        .distinct()
+    )
+    if max_df is not None:
+        keep = (
+            fp.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("__df__"))
+            .where(F.col("__df__") <= max_df)
+            .select("fingerprint")
+        )
+        fp = fp.join(keep, "fingerprint")
+    a = fp.select(F.col("id").alias("id1"), "fingerprint")
+    b = fp.select(F.col("id").alias("id2"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def decontaminate(
     df: DataFrame,
     benchmark: DataFrame,
@@ -752,17 +897,7 @@ def decontaminate(
     The join is digest-on-digest: document text never shuffles. At 100 TB
     the corpus side is a scan + explode + broadcast-hash-join — no
     exchange at all (AQE broadcasts the benchmark side)."""
-    bench_keys = (
-        _spread(benchmark.select(F.col(bench_text_col).alias("__t__")))
-        .select(tokens(F.lower(F.col("__t__"))).alias("toks"))
-        .select(
-            F.explode(
-                F.array_distinct(shingles_from_tokens(F.col("toks"), n))
-            ).alias("sh")
-        )
-        .select(_md5_to_long(F.col("sh")).alias("shk"))
-        .distinct()
-    )
+    bench_keys = benchmark_digests(benchmark, bench_text_col, n)
     doc_sh = (
         _spread(
             df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t__"))
@@ -781,6 +916,72 @@ def decontaminate(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def benchmark_digests(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Distinct word-``n``-gram shingle digests of an evaluation set —
+    the static relation BOTH decontamination lanes join against:
+    :func:`decontaminate` builds it inline; a continuous-ingest pipeline
+    PERSISTS it once (it is eval-sized and changes only when the
+    benchmark suite does) and hands the loaded table to
+    :func:`stream_contamination_screen`. One column ``shk`` (the
+    md5-derived 60-bit digest; text never leaves this builder)."""
+    return (
+        _spread(benchmark.select(F.col(text_col).alias("__t__")))
+        .select(tokens(F.lower(F.col("__t__"))).alias("toks"))
+        .select(
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("toks"), n))
+            ).alias("sh")
+        )
+        .select(_md5_to_long(F.col("sh")).alias("shk"))
+        .distinct()
+    )
+
+
+def stream_contamination_screen(
+    stream: DataFrame,
+    bench_keys: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Streaming twin of :func:`decontaminate` (the GPT-3 appendix-C
+    hygiene step applied ONLINE as documents land): completely STATELESS
+    — per-row DISTINCT shingle-digest array built with higher-order
+    functions (no stateful aggregate), exploded, then inner
+    stream-static joined against the persisted benchmark digest table
+    (``bench_keys`` from :func:`benchmark_digests` — eval-sized, so the
+    per-micro-batch join broadcasts).
+
+    Emits one ``(id, shk)`` row per offending distinct shingle; rows
+    within a document are unique by construction (the array is
+    distinct), so ``SELECT id, count(*) FROM drained GROUP BY id``
+    equals the batch :func:`decontaminate` ``(id, n_shared)``
+    bit-for-bit (pinned by test) — the same landed-table aggregation
+    convention as ``stream_minhash_screen``. Documents sharing nothing
+    emit nothing; docs with fewer than ``n`` tokens emit nothing (the
+    batch contract). Zero watermark, zero state store: safe at any
+    ingest rate."""
+    base = stream.select(
+        F.col(id_col).alias("id"),
+        tokens(F.lower(F.col(text_col))).alias("toks"),
+    ).select(
+        "id",
+        F.explode(
+            F.transform(
+                F.array_distinct(
+                    shingles_from_tokens(F.col("toks"), n)
+                ),
+                _md5_to_long,
+            )
+        ).alias("shk"),
+    )
+    return base.join(F.broadcast(bench_keys), "shk").select("id", "shk")
 
 
 def shared_key_incremental(

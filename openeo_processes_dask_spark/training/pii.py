@@ -250,6 +250,94 @@ def t_closeness(
     )
 
 
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int,
+    c: float | None = None,
+) -> DataFrame:
+    """Per-equivalence-class l-diversity audit (Machanavajjhala et al.
+    2007, "l-Diversity: privacy beyond k-anonymity") — the middle leg of
+    the privacy trio as a first-class CLASS-level relation:
+    :func:`k_anonymity` annotates ROWS (and exposes ``distinct_sensitive``
+    as a side column), this returns the per-class frequency profile the
+    paper's two instantiations are defined on:
+
+    - **distinct l-diversity**: ``diverse = distinct_l >= l`` (the class
+      holds at least ``l`` distinct sensitive values);
+    - **recursive (c,l)-diversity** (with ``c``): ``r_1 < c * (r_l +
+      r_{l+1} + ... + r_m)`` over the class's sensitive-value frequencies
+      sorted descending — the most frequent value must not dominate the
+      tail. Evaluated in EXACT arithmetic: ``c`` is converted to the
+      exact rational ``Fraction(c)`` (floats ARE rationals) and the test
+      becomes an integer compare ``r_1 * den < num * tail`` over a
+      38-digit decimal lane, so the verdict is order-independent and
+      bit-replayable by the oracle. ``tail_from_l`` (the Σ r_i, i >= l)
+      is emitted so auditors can re-derive the verdict at any ``c``.
+
+    Returns one row per class: ``*quasi_cols, class_size, distinct_l,
+    top_count, tail_from_l, diverse`` (+ ``recursive_ok`` when ``c``).
+
+    Plan at 100 TB: one (quasi, v) hash aggregate (map-side combine),
+    then one per-class aggregate whose collect_list is bounded by |V| —
+    the sensitive DOMAIN, audit-sized by contract, never the corpus.
+    The frequency sort and tail fold run JVM-side on that bounded array
+    (``sort_array`` + ``aggregate``); no window, no per-row Python.
+    Note the tie-invariance that makes this exact: the tail Σ_{i>=l} is
+    a multiset sum, unchanged by how equal frequencies order."""
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+    if c is not None and c <= 0:
+        raise ValueError(f"c must be > 0, got {c}")
+    if not quasi_cols:
+        raise ValueError("l_diversity needs at least one quasi column")
+    missing = [c_ for c_ in quasi_cols + [sensitive_col] if c_ not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in DataFrame: {missing}")
+    cv = (
+        df.groupBy(*quasi_cols, F.col(sensitive_col).alias("__v__"))
+        .agg(F.count(F.lit(1)).alias("__n_cv__"))
+    )
+    per_class = cv.groupBy(*quasi_cols).agg(
+        F.sum("__n_cv__").alias("class_size"),
+        F.count(F.lit(1)).alias("distinct_l"),
+        F.sort_array(F.collect_list("__n_cv__"), asc=False).alias("__freqs__"),
+    )
+    top = F.element_at("__freqs__", 1)
+    # Σ of the l-1 largest frequencies; slice caps at the array length,
+    # so a class with fewer than l values gets head == class_size and
+    # therefore tail_from_l == 0 — exactly the paper's empty-tail case
+    if l == 1:
+        head = F.lit(0).cast("bigint")
+    else:
+        head = F.aggregate(
+            F.slice(F.col("__freqs__"), 1, l - 1),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+    tail = (F.col("class_size") - head).alias("tail_from_l")
+    out = per_class.select(
+        *quasi_cols,
+        F.col("class_size"),
+        F.col("distinct_l"),
+        top.alias("top_count"),
+        tail,
+        (F.col("distinct_l") >= F.lit(l)).alias("diverse"),
+    )
+    if c is not None:
+        from fractions import Fraction
+
+        frac = Fraction(c)  # exact: floats are dyadic rationals
+        dec = "decimal(38,0)"
+        out = out.withColumn(
+            "recursive_ok",
+            F.col("top_count").cast(dec) * F.lit(frac.denominator)
+            < F.lit(frac.numerator) * F.col("tail_from_l").cast(dec),
+        )
+    return out
+
+
 def k_anonymize(
     df: DataFrame,
     quasi_cols: list[str],

@@ -156,6 +156,63 @@ def test_k_anonymity_class_sizes_and_l_diversity(spark):
     } == {"*"}
 
 
+def test_l_diversity_profiles(spark):
+    from openeo_processes_dask_spark.training.pii import l_diversity
+
+    rows = [
+        # class (en, web): freqs {10:3, 20:1, 30:1} -> sorted [3,1,1]
+        (1, "en", "web", 10), (2, "en", "web", 10), (3, "en", "web", 10),
+        (4, "en", "web", 20), (5, "en", "web", 30),
+        # class (de, web): 2 rows, one value -> 1-diverse
+        (6, "de", "web", 40), (7, "de", "web", 40),
+        # class (None, book): NULL quasi forms its own class
+        (8, None, "book", 50), (9, None, "book", 60),
+    ]
+    df = spark.createDataFrame(rows, ["id", "lang", "source", "age"])
+    out = {
+        (r["lang"], r["source"]): r.asDict()
+        for r in l_diversity(
+            df, ["lang", "source"], "age", l=2, c=2.0
+        ).collect()
+    }
+    en = out[("en", "web")]
+    assert en["class_size"] == 5 and en["distinct_l"] == 3
+    assert en["top_count"] == 3 and en["tail_from_l"] == 2
+    assert en["diverse"]
+    # recursive (2,2): r_1=3 < 2*(r_2+r_3)=4 -> ok
+    assert en["recursive_ok"]
+    de = out[("de", "web")]
+    assert de["distinct_l"] == 1 and not de["diverse"]
+    # single value: tail empty -> never recursively diverse
+    assert de["tail_from_l"] == 0 and not de["recursive_ok"]
+    nb = out[(None, "book")]
+    assert nb["distinct_l"] == 2 and nb["diverse"]
+
+    # recursive at c=1: r_1=3 < (r_2+r_3)=2 is False for (en, web)
+    strict = {
+        (r["lang"], r["source"]): r["recursive_ok"]
+        for r in l_diversity(
+            df, ["lang", "source"], "age", l=2, c=1.0
+        ).collect()
+    }
+    assert not strict[("en", "web")]
+    # l=1 edge: head sum is empty, tail == class_size; everyone diverse
+    l1 = l_diversity(df, ["lang", "source"], "age", l=1).collect()
+    assert all(r["diverse"] for r in l1)
+    assert all(r["tail_from_l"] == r["class_size"] for r in l1)
+    assert "recursive_ok" not in l1[0].asDict()  # no c -> no column
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        l_diversity(df, ["lang"], "age", l=0)
+    with _pt.raises(ValueError):
+        l_diversity(df, ["lang"], "age", l=2, c=0.0)
+    with _pt.raises(ValueError):
+        l_diversity(df, [], "age", l=2)
+    with _pt.raises(ValueError):
+        l_diversity(df, ["nope"], "age", l=2)
+
+
 def test_k_anonymity_validation(spark):
     df = spark.createDataFrame([(1, "en")], ["id", "lang"])
     with pytest.raises(ValueError):

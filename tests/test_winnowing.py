@@ -1,0 +1,120 @@
+"""Winnowing document fingerprints (Schleimer et al. 2003 / MOSS):
+selection rule (rightmost min per window), truncated-window coverage for
+short docs, the guarantee that shared runs of k+w-1 tokens share a
+fingerprint, and the overlap-pair join with its document-frequency cap.
+Verified against an independent pure-Python replay of the paper's rule.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from openeo_processes_dask_spark.training.dedup import (
+    winnow_fingerprints,
+    winnow_overlap_pairs,
+)
+
+
+def _py_winnow(text: str, k: int, w: int) -> set:
+    """Independent replay: md5-60-bit gram hashes, window of w, min with
+    rightmost tie-break; short-but-hashable docs = one truncated window."""
+    tk = text.lower().split()
+    hs = [
+        int(hashlib.md5(" ".join(tk[i : i + k]).encode()).hexdigest()[:15], 16)
+        for i in range(len(tk) - k + 1)
+    ]
+    if not hs:
+        return set()
+    sel = set()
+    for j in range(max(len(hs) - w + 1, 1)):
+        win = hs[j : j + w]
+        m = min(win)
+        pos = max(i for i, v in enumerate(win) if v == m) + j
+        sel.add((pos + 1, m))
+    return sel
+
+
+ROWS = [
+    (1, "a b c d e f g h i j"),
+    (2, "x y a b c d e f q r s t"),  # shares the 6-token run "a b c d e f"
+    (3, "one two three"),            # exactly k tokens at k=3
+    (4, "one two"),                  # < k tokens -> no fingerprints
+    (5, ""),                         # empty -> nothing
+    (6, "z z z z z z z z"),          # degenerate repeats -> 1 fingerprint
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(ROWS, ["doc_id", "text"])
+
+
+def test_winnow_matches_python_replay(docs):
+    fp = winnow_fingerprints(docs, k=3, w=4)
+    got = {}
+    for r in fp.collect():
+        got.setdefault(r["id"], set()).add((r["pos"], r["fingerprint"]))
+    for doc_id, text in ROWS:
+        assert got.get(doc_id, set()) == _py_winnow(text, 3, 4), doc_id
+
+
+def test_winnow_coverage_guarantee(docs):
+    # docs 1 and 2 share a run of 6 = k + w - 1 tokens (k=3, w=4): the
+    # paper's theorem says they MUST share at least one fingerprint
+    fp = winnow_fingerprints(docs, k=3, w=4)
+    s1 = {r["fingerprint"] for r in fp.where("id = 1").collect()}
+    s2 = {r["fingerprint"] for r in fp.where("id = 2").collect()}
+    assert s1 & s2
+    # density: at most all grams, at least one per w-window
+    n1 = len({(r["pos"]) for r in fp.where("id = 1").collect()})
+    assert 1 <= n1 <= 8  # 8 grams at k=3 over 10 tokens
+
+
+def test_winnow_short_and_degenerate(docs):
+    fp = winnow_fingerprints(docs, k=3, w=4)
+    # exactly-k-token doc: one gram, one truncated window
+    assert fp.where("id = 3").count() == 1
+    # below k tokens / empty: nothing
+    assert fp.where("id in (4, 5)").count() == 0
+    # all-identical grams: rightmost-min ties collapse per window but
+    # distinct (pos, fp) selections differ per window start; the repeated
+    # hash value is ONE distinct fingerprint value
+    rows6 = fp.where("id = 6").collect()
+    assert len({r["fingerprint"] for r in rows6}) == 1
+
+
+def test_winnow_overlap_pairs_and_cap(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, shared + " one"),
+        (2, shared + " two"),
+        (3, shared + " three"),
+        (4, "totally different text with no overlap at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["id1"], r["id2"]): r["n_shared"]
+        for r in winnow_overlap_pairs(df, k=3, w=4, min_shared=1).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3)} <= set(pairs)
+    assert all(p[0] < p[1] for p in pairs)
+    assert not any(4 in p for p in pairs)
+    # max_df=2 drops fingerprints held by all three near-dups -> the
+    # triple's shared-run fingerprints vanish, only pairwise-unique
+    # overlaps (from the differing suffixes) could remain
+    capped = {
+        (r["id1"], r["id2"])
+        for r in winnow_overlap_pairs(
+            df, k=3, w=4, min_shared=1, max_df=2
+        ).collect()
+    }
+    assert capped < set(pairs) or capped == set()
+
+    with pytest.raises(ValueError):
+        winnow_overlap_pairs(df, min_shared=0)
+    with pytest.raises(ValueError):
+        winnow_overlap_pairs(df, max_df=1)
+    with pytest.raises(ValueError):
+        winnow_fingerprints(df, k=0)
