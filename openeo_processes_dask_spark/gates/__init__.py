@@ -391,6 +391,11 @@ _CHANGED_R13 = [
     # NEW r13-continuation: stateless streaming decontamination screen
     # (per-row HOF digests + stream-static broadcast join)
     "streaming_contamination_screen",
+    # NEW r13-continuation: winnowing's new-x-seen ingest lane and the
+    # per-pair decontamination attribution (both named compositions
+    # through the generic shared_key_incremental engine)
+    "winnow_incremental",
+    "contamination_attribution",
     # ADVICE r12 #1: PSL parser punycode-encodes IDN rules + depth
     # default raised — shared matching code changed
     "registered_domain_psl_full",

@@ -3088,6 +3088,53 @@ def q_winnow_overlap(spark, sf_dir):
     )
 
 
+def q_winnow_incremental(spark, sf_dir):
+    """Winnowed ingest screen (training/dedup.py winnow_incremental,
+    NEW r13-continuation): the minhash_incremental fixture shape
+    (new batch = doc_id%5==0 re-idd +1e6 with a ' qq7' suffix) screened
+    against the archive's (id, fingerprint) table at k=4, w=4 —
+    strictly new x seen via the generic shared_key_incremental engine;
+    the appended suffix only perturbs trailing grams, so every new doc
+    still shares selected fingerprints with its archive original. The
+    oracle replays selection over the UNION corpus (new ids offset past
+    1e6 make the split derivable) + the new x seen join."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import (
+        winnow_fingerprints,
+        winnow_incremental,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    seen = winnow_fingerprints(
+        docs.where(F.col("doc_id") % 5 != 0), k=4, w=4
+    ).select("id", "fingerprint")
+    new = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq7")).alias("text"),
+    )
+    return winnow_incremental(new, seen, k=4, w=4, min_shared=1)
+
+
+def q_contamination_attribution(spark, sf_dir):
+    """Per-pair contamination attribution (training/dedup.py
+    contamination_attribution, NEW r13-continuation): which eval doc
+    (doc_id%53==0 slice) leaked into which training doc, as
+    (id, bench_id, n_shared) over distinct offending 5-gram digests —
+    the audit-filing refinement of the decontaminate gate (same split,
+    same shingles). Digest-keyed join through the generic
+    shared_key_incremental engine; the oracle groups the decontaminate
+    replay by both ids."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import (
+        contamination_attribution,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 53 == 0)
+    train = docs.where(F.col("doc_id") % 53 != 0)
+    return contamination_attribution(train, bench, n=5)
+
+
 def q_corpus_rollup(spark, sf_dir):
     """Hierarchical corpus telemetry (training/textanalysis.py
     corpus_rollup, NEW r11-continuation): doc/char/token totals per
@@ -3119,6 +3166,8 @@ QUERIES = {
     "l_diversity": q_l_diversity,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap": q_winnow_overlap,
+    "winnow_incremental": q_winnow_incremental,
+    "contamination_attribution": q_contamination_attribution,
     "corpus_rollup": q_corpus_rollup,
     "dedup_exact": q_dedup_exact,
     "training_pipeline": q_training_pipeline,
@@ -3833,6 +3882,71 @@ ORACLES = {
               ON a.h = b.h AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
             HAVING count(*) >= 1
+        """,
+    # winnow_incremental: selection replay over the UNION corpus (new
+    # ids offset +1e6 keep the split derivable) + strictly new x seen
+    # fingerprint join — k=4 (tk[p:p+3]), w=4
+    "winnow_incremental": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text || ' qq7' AS text
+              FROM documents WHERE doc_id % 5 = 0),
+            toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS tk
+              FROM corpus WHERE trim(text) <> ''),
+            pos AS (
+              SELECT doc_id, tk,
+                     unnest(range(1, greatest(len(tk) - 3, 0) + 1)) AS p
+              FROM toks),
+            hashes AS (
+              SELECT doc_id, p,
+                     CAST('0x' || substr(md5(
+                         array_to_string(tk[p : p + 3], ' ')), 1, 15)
+                          AS BIGINT) AS h
+              FROM pos),
+            nh AS (SELECT doc_id, count(*) AS n FROM hashes
+                   GROUP BY doc_id),
+            winstart AS (
+              SELECT doc_id,
+                     unnest(range(1, greatest(n - 3, 1) + 1)) AS j
+              FROM nh),
+            wins AS (
+              SELECT h.doc_id, ws.j, h.p, h.h,
+                     row_number() OVER (PARTITION BY h.doc_id, ws.j
+                                        ORDER BY h.h ASC, h.p DESC) AS rn
+              FROM hashes h JOIN winstart ws
+                ON h.doc_id = ws.doc_id
+               AND h.p BETWEEN ws.j AND ws.j + 3),
+            sel AS (SELECT DISTINCT doc_id, h FROM wins WHERE rn = 1)
+            SELECT n.doc_id AS new_id, s.doc_id AS seen_id,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM (SELECT doc_id, h FROM sel WHERE doc_id >= 1000000) n
+            JOIN (SELECT doc_id, h FROM sel WHERE doc_id < 1000000) s
+              USING (h)
+            GROUP BY n.doc_id, s.doc_id
+        """,
+    # contamination_attribution: the decontaminate replay grouped by
+    # BOTH ids (string-keyed join — same md5-collision convention as
+    # the decontaminate oracle)
+    "contamination_attribution": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS w
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(generate_series(1, len(w) - 4),
+                            i -> array_to_string(w[i:i+4], ' '))) AS s
+              FROM toks WHERE len(w) >= 5)
+            SELECT a.doc_id AS id, b.doc_id AS bench_id,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM sh a
+            JOIN (SELECT doc_id, s FROM sh WHERE doc_id % 53 = 0) b
+              USING (s)
+            WHERE a.doc_id % 53 != 0
+            GROUP BY a.doc_id, b.doc_id
         """,
     # corpus_rollup: GROUP BY ROLLUP with GROUPING() — same
     # leftmost-is-MSB bit convention as Spark grouping_id().

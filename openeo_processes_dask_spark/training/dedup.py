@@ -918,6 +918,103 @@ def decontaminate(
     )
 
 
+def winnow_incremental(
+    df_new: DataFrame,
+    seen_fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Winnowed-overlap screen of a new batch against the PERSISTED
+    archive fingerprint table — :func:`winnow_overlap_pairs` restricted
+    to strictly NEW x SEEN, completing the ingest-screen matrix's
+    winnowing lane: ``seen_fingerprints`` is the archive's stored
+    ``(id, fingerprint)`` relation (what :func:`winnow_fingerprints`
+    emits, minus ``pos``), so archive text is never re-tokenized; only
+    the new batch runs the zero-shuffle HOF selection.
+
+    Deliberately a NAMED COMPOSITION of two already-gated operators —
+    the selection (:func:`winnow_fingerprints`) and the generic
+    new-x-seen set-overlap screen (:func:`shared_key_incremental`,
+    whose union-frequency ``max_key_freq`` guard doubles as the MOSS
+    ubiquity cap here). Returns ``(new_id, seen_id, n_shared)``.
+    ``k``/``w`` MUST match the run that built the archive table —
+    winnowed fingerprints only align within one (k, w) family."""
+    new_fp = winnow_fingerprints(df_new, id_col, text_col, k, w).select(
+        "id", "fingerprint"
+    )
+    return shared_key_incremental(
+        new_fp,
+        seen_fingerprints.select("id", "fingerprint"),
+        id_col="id",
+        key_col="fingerprint",
+        min_shared=min_shared,
+        max_key_freq=max_df,
+    )
+
+
+def contamination_attribution(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-pair refinement of :func:`decontaminate`: WHICH evaluation
+    document leaked into which training document — ``(id, bench_id,
+    n_shared)`` over distinct offending word-``n``-gram digests, the
+    relation an eval-hygiene audit actually files (decontaminate's
+    per-doc count says a doc is dirty; this says against what, so the
+    benchmark owner can rule out false positives like famous quotes).
+
+    Another named composition: both sides reduce to distinct
+    ``(id, digest)`` rows and flow through
+    :func:`shared_key_incremental` (new = training corpus, seen =
+    benchmark). Same 100 TB shape as decontaminate — digests join,
+    text never shuffles, benchmark side broadcast-sized."""
+    doc_sh = (
+        _spread(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t__"))
+        )
+        .select("id", tokens(F.lower(F.col("__t__"))).alias("toks"))
+        .select(
+            "id",
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("toks"), n))
+            ).alias("sh"),
+        )
+        .select("id", _md5_to_long(F.col("sh")).alias("shk"))
+    )
+    bench_sh = (
+        _spread(
+            benchmark.select(
+                F.col(bench_id_col).alias("id"),
+                F.col(bench_text_col).alias("__t__"),
+            )
+        )
+        .select("id", tokens(F.lower(F.col("__t__"))).alias("toks"))
+        .select(
+            "id",
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("toks"), n))
+            ).alias("sh"),
+        )
+        .select("id", _md5_to_long(F.col("sh")).alias("shk"))
+    )
+    return shared_key_incremental(
+        doc_sh, bench_sh, id_col="id", key_col="shk", min_shared=1
+    ).select(
+        F.col("new_id").alias("id"),
+        F.col("seen_id").alias("bench_id"),
+        "n_shared",
+    )
+
+
 def benchmark_digests(
     benchmark: DataFrame,
     text_col: str = "text",

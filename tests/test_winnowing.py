@@ -118,3 +118,77 @@ def test_winnow_overlap_pairs_and_cap(spark):
         winnow_overlap_pairs(df, max_df=1)
     with pytest.raises(ValueError):
         winnow_fingerprints(df, k=0)
+
+
+def test_winnow_incremental_new_x_seen_only(spark):
+    from openeo_processes_dask_spark.training.dedup import (
+        winnow_incremental,
+    )
+
+    archive = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight"),
+        ],
+        ["doc_id", "text"],
+    )
+    # new batch: 10 is a near-copy of archive 1; 11 near-copies NEW 12
+    # (new x new must NOT pair); 13 is fresh
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta tail"),
+            (11, "shared run of tokens here repeated exactly once more"),
+            (12, "shared run of tokens here repeated exactly once more"),
+            (13, "wholly novel content with nothing in common at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    seen = winnow_fingerprints(archive, k=3, w=4).select(
+        "id", "fingerprint"
+    )
+    pairs = {
+        (r["new_id"], r["seen_id"])
+        for r in winnow_incremental(new, seen, k=3, w=4).collect()
+    }
+    assert (10, 1) in pairs
+    assert all(s in (1, 2) for _, s in pairs)  # strictly new x seen
+    assert not any(n in (11, 12) and s in (11, 12) for n, s in pairs)
+
+
+def test_contamination_attribution_pairs(spark):
+    from openeo_processes_dask_spark.training.dedup import (
+        contamination_attribution,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "pack my box with five dozen liquor jugs today"),
+        ],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "intro the quick brown fox jumps over the lazy dog out"),
+            (2, "pack my box with five unrelated trailing words here"),
+            (3, "clean text sharing nothing with any benchmark at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    att = {
+        (r["id"], r["bench_id"]): r["n_shared"]
+        for r in contamination_attribution(train, bench, n=5).collect()
+    }
+    assert set(att) == {(1, 100), (2, 101)}
+    # attribution refines decontaminate: per-doc sums agree whenever
+    # the bench docs are shingle-disjoint (as here — a shingle in TWO
+    # bench docs counts once per pair but once total in decontaminate)
+    dec = {
+        r["id"]: r["n_shared"]
+        for r in decontaminate(train, bench, n=5).collect()
+    }
+    sums: dict = {}
+    for (i, _b), n in att.items():
+        sums[i] = sums.get(i, 0) + n
+    assert sums == dec
