@@ -927,6 +927,7 @@ def winnow_incremental(
     w: int = 4,
     min_shared: int = 1,
     max_df: int | None = None,
+    seen_distinct: bool = False,
 ) -> DataFrame:
     """Winnowed-overlap screen of a new batch against the PERSISTED
     archive fingerprint table — :func:`winnow_overlap_pairs` restricted
@@ -942,7 +943,13 @@ def winnow_incremental(
     whose union-frequency ``max_key_freq`` guard doubles as the MOSS
     ubiquity cap here). Returns ``(new_id, seen_id, n_shared)``.
     ``k``/``w`` MUST match the run that built the archive table —
-    winnowed fingerprints only align within one (k, w) family."""
+    winnowed fingerprints only align within one (k, w) family.
+
+    ``seen_distinct=True`` declares the archive table is ALREADY
+    distinct on (id, fingerprint) — deduplicate once at write time
+    (the raw :func:`winnow_fingerprints` output can repeat a
+    fingerprint across positions of one doc) and the per-ingest
+    archive-side distinct exchange disappears (probe 23)."""
     new_fp = winnow_fingerprints(df_new, id_col, text_col, k, w).select(
         "id", "fingerprint"
     )
@@ -953,6 +960,7 @@ def winnow_incremental(
         key_col="fingerprint",
         min_shared=min_shared,
         max_key_freq=max_df,
+        seen_distinct=seen_distinct,
     )
 
 
@@ -1088,6 +1096,7 @@ def shared_key_incremental(
     id_col: str = "id",
     key_col: str = "key",
     max_key_freq: int | None = None,
+    seen_distinct: bool = False,
 ) -> DataFrame:
     """New-vs-seen set-overlap screen (r12) — :func:`shared_key_pairs`
     restricted to strictly NEW x SEEN candidates: the ingest twin for
@@ -1101,7 +1110,19 @@ def shared_key_incremental(
     lane, applied to the UNION frequency (a key every archive item
     carries is as quadratic for the screen as for the self-join).
     Returns ``(new_id, seen_id, n_shared >= min_shared)``; overlap
-    counts are exact per surviving key, like the batch lane."""
+    counts are exact per surviving key, like the batch lane.
+
+    ``seen_distinct`` (r13 continuation — the ``seen_bands``
+    persisted-table pattern applied here): the archive side is
+    deduplicated per ingest by default, which is one archive-METADATA
+    exchange per increment; a production loop that persists the
+    archive relation DISTINCT on ``(id, key)`` (deduplicate ONCE at
+    write time — e.g. :func:`winnow_fingerprints` can repeat a
+    fingerprint across positions of one doc) passes
+    ``seen_distinct=True`` and the screen skips that exchange entirely
+    — with a non-distinct table this would inflate ``n_shared``, so
+    the flag is an explicit caller contract, not a sniffed property.
+    Identical results when the contract holds (pinned by test)."""
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
     a = new_keys.select(
@@ -1109,7 +1130,9 @@ def shared_key_incremental(
     ).distinct()
     b = seen_keys.select(
         F.col(id_col).alias("seen_id"), F.col(key_col).alias("key")
-    ).distinct()
+    )
+    if not seen_distinct:
+        b = b.distinct()
     if max_key_freq is not None:
         hot = (
             a.select("key")

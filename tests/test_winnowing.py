@@ -154,6 +154,20 @@ def test_winnow_incremental_new_x_seen_only(spark):
     assert all(s in (1, 2) for _, s in pairs)  # strictly new x seen
     assert not any(n in (11, 12) and s in (11, 12) for n, s in pairs)
 
+    # seen_distinct contract: a pre-deduplicated archive table skips
+    # the per-ingest distinct exchange with identical results
+    full = sorted(
+        tuple(r)
+        for r in winnow_incremental(new, seen, k=3, w=4).collect()
+    )
+    fast = sorted(
+        tuple(r)
+        for r in winnow_incremental(
+            new, seen.distinct(), k=3, w=4, seen_distinct=True
+        ).collect()
+    )
+    assert full == fast
+
 
 def test_contamination_attribution_pairs(spark):
     from openeo_processes_dask_spark.training.dedup import (
