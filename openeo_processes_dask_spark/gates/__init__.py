@@ -396,6 +396,9 @@ _CHANGED_R13 = [
     # through the generic shared_key_incremental engine)
     "winnow_incremental",
     "contamination_attribution",
+    # NEW r13-continuation: stateless streaming winnow screen (per-row
+    # HOF selection + fingerprint-keyed stream-static join)
+    "streaming_winnow_screen",
     # ADVICE r12 #1: PSL parser punycode-encodes IDN rules + depth
     # default raised — shared matching code changed
     "registered_domain_psl_full",

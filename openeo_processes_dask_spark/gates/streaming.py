@@ -1178,6 +1178,63 @@ def q_streaming_contamination_screen(spark, sf_dir):
     )
 
 
+def q_streaming_winnow_screen(spark, sf_dir):
+    """Stateless streaming winnowed ingest screen (training/dedup.py
+    stream_winnow_screen, NEW r13-continuation): the winnow_incremental
+    fixture's new batch (doc_id%5==0, id+1e6, ' qq7' suffix) streamed
+    in two micro-batches against the archive's persisted
+    (id, fingerprint) table at k=4, w=4 — per-row HOF selection (narrow,
+    so it composes onto the stream unchanged), fingerprint-keyed
+    stream-static join, matches repeated per selected position. The
+    gate's batch post-pass distincts the landed (new_id, seen_id,
+    fingerprint) rows and aggregates per pair, so the oracle IS the
+    batch winnow_incremental replay."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import (
+        stream_winnow_screen,
+        winnow_fingerprints,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    seen = winnow_fingerprints(
+        docs.where(F.col("doc_id") % 5 != 0), k=4, w=4
+    ).select("id", "fingerprint")
+    new = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq7")).alias("text"),
+    )
+    stream_dir, fresh = _fixture_dir("winnow_screen_stream", sf_dir)
+    if fresh:
+        new.where("doc_id % 2 = 0").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stream_dir)
+        new.where("doc_id % 2 = 1").coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+        _fixture_done(stream_dir)
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema("doc_id bigint, text string")
+        .parquet(stream_dir)
+    )
+    out = stream_winnow_screen(stream, seen, k=4, w=4)
+    name = f"q_sws_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .distinct()
+        .groupBy("new_id", "seen_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 def q_streaming_ingest_screen_multimodal(spark, sf_dir):
     """Stateless streaming multi-modality ingest screen (training/
     dedup.py stream_ingest_screen_multimodal, NEW r13 — VERDICT r12
@@ -1261,6 +1318,7 @@ QUERIES = {
     "streaming_semdedup_incremental": q_streaming_semdedup_incremental,
     "streaming_minhash_screen": q_streaming_minhash_screen,
     "streaming_contamination_screen": q_streaming_contamination_screen,
+    "streaming_winnow_screen": q_streaming_winnow_screen,
     "streaming_ingest_screen_multimodal":
         q_streaming_ingest_screen_multimodal,
 }
@@ -1283,6 +1341,11 @@ ORACLES = {
     "streaming_contamination_screen": lambda: __import__(
         "openeo_processes_dask_spark.gates.training", fromlist=["x"]
     ).ORACLES["decontaminate"],
+    # drained-distinct (new_id, seen_id, fingerprint) rows aggregated
+    # per pair == batch winnow_incremental: the oracle IS that replay
+    "streaming_winnow_screen": lambda: __import__(
+        "openeo_processes_dask_spark.gates.training", fromlist=["x"]
+    ).ORACLES["winnow_incremental"],
     # row-preserving stateless screen: drained verdicts equal the
     # batch composed replay row for row (r13)
     "streaming_ingest_screen_multimodal": lambda: __import__(

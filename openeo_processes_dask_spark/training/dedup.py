@@ -40,7 +40,13 @@ def _spread(df: DataFrame) -> DataFrame:
     partition pins the whole signature computation to one core (measured:
     minhash signatures at sf0.1 arrive as 1 parquet partition; 31/32 cores
     idle). On a real cluster the corpus has thousands of partitions and
-    this is a no-op — the guard never pays the text shuffle at scale."""
+    this is a no-op — the guard never pays the text shuffle at scale.
+
+    Streaming frames pass through untouched: ``.rdd`` is illegal on a
+    stream (and micro-batch parallelism is the source's concern), which
+    lets the narrow batch operators compose onto streams unchanged."""
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -961,6 +967,45 @@ def winnow_incremental(
         min_shared=min_shared,
         max_key_freq=max_df,
         seen_distinct=seen_distinct,
+    )
+
+
+def stream_winnow_screen(
+    stream: DataFrame,
+    seen_fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    seen_distinct: bool = False,
+) -> DataFrame:
+    """Streaming twin of :func:`winnow_incremental`: the winnowed
+    ingest screen applied ONLINE as documents land, completely
+    STATELESS — the whole selection (:func:`winnow_fingerprints`) is
+    narrow per-row HOF work, so it composes onto a stream unchanged,
+    and the archive join is a stream-static equi-join on the persisted
+    ``(id, fingerprint)`` table. Zero watermark, zero state store.
+
+    Emits ``(new_id, seen_id, fingerprint)`` — one row per matching
+    (selection, archive row); a fingerprint selected at several
+    positions of one streamed doc emits once per position (a streaming
+    ``distinct`` would be stateful). ``SELECT DISTINCT`` of the landed
+    table grouped by pair therefore equals the batch
+    :func:`winnow_incremental` ``(new_id, seen_id, n_shared)``
+    bit-for-bit (pinned by test) — the same landed-table convention as
+    ``stream_minhash_screen``. ``seen_distinct`` is the same caller
+    contract as the batch lane; ``k``/``w`` MUST match the archive
+    build."""
+    new_fp = winnow_fingerprints(stream, id_col, text_col, k, w).select(
+        F.col("id").alias("new_id"), "fingerprint"
+    )
+    seen = seen_fingerprints.select(
+        F.col("id").alias("seen_id"), "fingerprint"
+    )
+    if not seen_distinct:
+        seen = seen.distinct()
+    return new_fp.join(seen, "fingerprint").select(
+        "new_id", "seen_id", "fingerprint"
     )
 
 

@@ -169,6 +169,68 @@ def test_winnow_incremental_new_x_seen_only(spark):
     assert full == fast
 
 
+def test_stream_winnow_screen_equals_batch(spark, tmp_path):
+    from openeo_processes_dask_spark.training.dedup import (
+        stream_winnow_screen,
+        winnow_incremental,
+    )
+
+    archive = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta tail"),
+            (11, "one two three four five six seven eight and more"),
+            (12, "wholly novel content with nothing in common at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    seen = winnow_fingerprints(archive, k=3, w=4).select(
+        "id", "fingerprint"
+    )
+    batch = sorted(
+        tuple(r)
+        for r in winnow_incremental(new, seen, k=3, w=4).collect()
+    )
+    d = str(tmp_path / "winnow_stream")
+    new.where("doc_id % 2 = 0").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    new.where("doc_id % 2 = 1").coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema("doc_id bigint, text string")
+        .parquet(d)
+    )
+    out = stream_winnow_screen(stream, seen, k=3, w=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_winnow_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    from pyspark.sql import functions as F
+
+    drained = sorted(
+        tuple(r)
+        for r in spark.table("t_winnow_stream")
+        .distinct()
+        .groupBy("new_id", "seen_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .collect()
+    )
+    assert drained == batch and batch  # non-trivial and bit-equal
+
+
 def test_contamination_attribution_pairs(spark):
     from openeo_processes_dask_spark.training.dedup import (
         contamination_attribution,
