@@ -399,6 +399,9 @@ _CHANGED_R13 = [
     # NEW r13-continuation: stateless streaming winnow screen (per-row
     # HOF selection + fingerprint-keyed stream-static join)
     "streaming_winnow_screen",
+    # NEW r13-continuation: C4-policy corpus-global line dedup
+    # (keep-first, blank lines survive, ordered rebuild)
+    "dedup_lines_global",
     # ADVICE r12 #1: PSL parser punycode-encodes IDN rules + depth
     # default raised — shared matching code changed
     "registered_domain_psl_full",

@@ -3135,6 +3135,46 @@ def q_contamination_attribution(spark, sf_dir):
     return contamination_attribution(train, bench, n=5)
 
 
+def q_dedup_lines_global(spark, sf_dir):
+    """C4-policy global line dedup (training/dedup.py
+    dedup_lines_global, NEW r13-continuation): the corpus re-lined into
+    aligned 8-token chunks (the documents table has no newlines, so the
+    fixture synthesizes multi-line docs deterministically — 135 chunk
+    values recur at sf0.01), then every later occurrence of a
+    duplicated normalized line is cut and documents rebuilt keep-first.
+    Output pins the rebuilt text by md5 + length per doc. One
+    digest-keyed min-struct aggregate + join-back + per-doc ordered
+    rebuild; the oracle replays with a row_number-over-digest rank and
+    ordered string_agg."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import (
+        dedup_lines_global,
+    )
+    from openeo_processes_dask_spark.training.textanalysis import tokens
+
+    docs = _table(spark, sf_dir, "documents")
+    w = tokens(F.trim(F.col("text")))
+    n_chunks = (F.size(w) / 8).cast("int")
+    chunked = F.when(n_chunks <= 0, F.lit("")).otherwise(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), n_chunks),
+                lambda i: F.concat_ws(
+                    " ", F.slice(w, (i - 1) * 8 + 1, 8)
+                ),
+            ),
+            "\n",
+        )
+    )
+    ml = docs.select("doc_id", chunked.alias("text"))
+    out = dedup_lines_global(ml, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("out_md5"),
+        F.length(F.col("text")).alias("out_len"),
+    )
+
+
 def q_corpus_rollup(spark, sf_dir):
     """Hierarchical corpus telemetry (training/textanalysis.py
     corpus_rollup, NEW r11-continuation): doc/char/token totals per
@@ -3168,6 +3208,7 @@ QUERIES = {
     "winnow_overlap": q_winnow_overlap,
     "winnow_incremental": q_winnow_incremental,
     "contamination_attribution": q_contamination_attribution,
+    "dedup_lines_global": q_dedup_lines_global,
     "corpus_rollup": q_corpus_rollup,
     "dedup_exact": q_dedup_exact,
     "training_pipeline": q_training_pipeline,
@@ -3926,6 +3967,54 @@ ORACLES = {
             JOIN (SELECT doc_id, h FROM sel WHERE doc_id < 1000000) s
               USING (h)
             GROUP BY n.doc_id, s.doc_id
+        """,
+    # dedup_lines_global: re-line into aligned 8-token chunks, rank
+    # each normalized non-empty line by (doc_id, pos) per digest, keep
+    # rank 1 (+ all blank lines), rebuild with ordered string_agg;
+    # md5+length pin the rebuilt text. Left join restores docs whose
+    # every line was a later occurrence (rebuilt '').
+    "dedup_lines_global": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS w
+              FROM documents),
+            ml AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) // 8 <= 0 THEN ''
+                          ELSE array_to_string(
+                              list_transform(
+                                  range(1, len(w) // 8 + 1),
+                                  i -> array_to_string(
+                                      w[(i-1)*8+1 : i*8], ' ')),
+                              chr(10)) END AS text
+              FROM toks),
+            ln AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+                   FROM ml),
+            lines AS (
+              SELECT doc_id, g.i - 1 AS pos, ls[g.i] AS line
+              FROM ln, unnest(range(1, len(ls) + 1)) AS g(i)),
+            content AS (
+              SELECT doc_id, pos, line,
+                     md5(regexp_replace(lower(trim(line)), '\\s+', ' ',
+                                        'g')) AS d
+              FROM lines WHERE trim(line) <> ''),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY d ORDER BY doc_id, pos) AS rn
+              FROM content),
+            kept AS (
+              SELECT doc_id, pos, line FROM ranked WHERE rn = 1
+              UNION ALL
+              SELECT doc_id, pos, line FROM lines
+              WHERE trim(line) = ''),
+            rebuilt AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS t
+              FROM kept GROUP BY doc_id)
+            SELECT m.doc_id,
+                   md5(coalesce(r.t, '')) AS out_md5,
+                   CAST(length(coalesce(r.t, '')) AS INT) AS out_len
+            FROM ml m LEFT JOIN rebuilt r USING (doc_id)
         """,
     # contamination_attribution: the decontaminate replay grouped by
     # BOTH ids (string-keyed join — same md5-collision convention as

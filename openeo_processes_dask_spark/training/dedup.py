@@ -881,6 +881,84 @@ def winnow_overlap_pairs(
     )
 
 
+def dedup_lines_global(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Corpus-global exact LINE dedup with keep-first — the C4 paper's
+    span-dedup policy ("we discard all but one of any three-sentence
+    span occurring more than once in the data set") at line
+    granularity, as Dolma/RefinedWeb apply it: every normalized
+    non-empty line that occurs more than once corpus-wide survives only
+    at its FIRST occurrence (minimal ``(id, line_index)``); all later
+    occurrences are deleted and each document is rebuilt from its
+    surviving lines in original order and casing. Blank /
+    whitespace-only lines always survive — they are document structure,
+    not duplicated content. Complements
+    :func:`remove_boilerplate_lines`, which deletes high-frequency
+    lines EVERYWHERE (a different policy: boilerplate has no canonical
+    holder).
+
+    Plan at 100 TB: posexplode lines -> ONE digest-keyed hash aggregate
+    computing min(struct(id, pos)) per normalized-line digest (16-byte
+    digests shuffle, line text stays in its scan partition; min-struct
+    combines map-side) -> equi-join the exploded lines back on digest
+    to test "am I the first" -> per-doc ordered rebuild via
+    collect_list + array_sort, one shuffle keyed by doc id. No UDFs,
+    no window over the digest key (a window would carry every line row
+    through the exchange with no partial aggregation)."""
+    out_col = out_col or text_col
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"),
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("line"))), r"\s+", " ")
+    content = lines.where(F.trim(F.col("line")) != "").withColumn(
+        "__d", F.md5(norm)
+    )
+    firsts = content.groupBy("__d").agg(
+        F.min(F.struct(F.col("__id"), F.col("pos"))).alias("__first")
+    )
+    kept_content = (
+        content.join(firsts, "__d")
+        .where(
+            (F.col("__first.__id") == F.col("__id"))
+            & (F.col("__first.pos") == F.col("pos"))
+        )
+        .select("__id", "pos", "line")
+    )
+    kept = kept_content.unionAll(
+        lines.where(F.trim(F.col("line")) == "").select(
+            "__id", "pos", "line"
+        )
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("__out")
+    )
+    base = df.join(
+        rebuilt, df[id_col] == rebuilt["__id"], "left"
+    ).drop("__id")
+    cols = [
+        F.coalesce(F.col("__out"), F.lit("")).alias(out_col)
+        if c == out_col
+        else F.col(c)
+        for c in df.columns
+    ]
+    if out_col not in df.columns:
+        cols.append(F.coalesce(F.col("__out"), F.lit("")).alias(out_col))
+    return base.select(*cols)
+
+
 def decontaminate(
     df: DataFrame,
     benchmark: DataFrame,

@@ -197,6 +197,39 @@ def test_remove_boilerplate_lines(spark):
     assert banner in out2[1]
 
 
+def test_dedup_lines_global_keep_first(spark):
+    from openeo_processes_dask_spark.training.dedup import (
+        dedup_lines_global,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\ncommon line here\n\ntail one"),
+            # both lines below are later dups of doc 1's (case/ws-norm)
+            (2, "common line here\nunique middle\nCOMMON   LINE HERE"),
+            (3, "common line here"),  # wholly duplicated -> ''
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup_lines_global(docs, "doc_id", "text").collect()
+    }
+    # first occurrence + blank line survive; later occurrences cut
+    assert out[1] == "alpha beta\ncommon line here\n\ntail one"
+    assert out[2] == "unique middle"
+    assert out[3] == ""
+    assert out[4] == ""
+    # out_col variant leaves the source column untouched
+    kept = dedup_lines_global(
+        docs, "doc_id", "text", out_col="clean"
+    ).collect()
+    by_id = {r["doc_id"]: r for r in kept}
+    assert by_id[2]["text"].startswith("common line here")
+    assert by_id[2]["clean"] == "unique middle"
+
+
 def test_latest_per_url_keeps_newest(spark):
     import datetime as dt
 
