@@ -402,6 +402,9 @@ _CHANGED_R13 = [
     # NEW r13-continuation: C4-policy corpus-global line dedup
     # (keep-first, blank lines survive, ordered rebuild)
     "dedup_lines_global",
+    # NEW r13-continuation: CCNet head/middle/tail quality bucketing
+    # (deterministic per-group ntile over the tie-broken total order)
+    "quality_buckets",
     # ADVICE r12 #1: PSL parser punycode-encodes IDN rules + depth
     # default raised — shared matching code changed
     "registered_domain_psl_full",

@@ -3175,6 +3175,32 @@ def q_dedup_lines_global(spark, sf_dir):
     )
 
 
+def q_quality_buckets(spark, sf_dir):
+    """CCNet head/middle/tail bucketing (training/sampling.py
+    quality_buckets, NEW r13-continuation): per-language terciles over
+    a deliberately tie-heavy synthetic score (n_chars % 97 — ~5 docs
+    per value at sf0.01, so the deterministic (score, id) tie-break is
+    what the oracle actually checks), ntile remainder rows landing in
+    the earliest buckets per the SQL-standard rule both engines
+    implement. One window pass per language partition."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.sampling import (
+        quality_buckets,
+    )
+
+    d = _table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "lang", (F.col("n_chars") % 97).alias("score")
+    )
+    return quality_buckets(
+        base,
+        "score",
+        n_buckets=3,
+        group_col="lang",
+        labels=["head", "middle", "tail"],
+    )
+
+
 def q_corpus_rollup(spark, sf_dir):
     """Hierarchical corpus telemetry (training/textanalysis.py
     corpus_rollup, NEW r11-continuation): doc/char/token totals per
@@ -3209,6 +3235,7 @@ QUERIES = {
     "winnow_incremental": q_winnow_incremental,
     "contamination_attribution": q_contamination_attribution,
     "dedup_lines_global": q_dedup_lines_global,
+    "quality_buckets": q_quality_buckets,
     "corpus_rollup": q_corpus_rollup,
     "dedup_exact": q_dedup_exact,
     "training_pipeline": q_training_pipeline,
@@ -3967,6 +3994,23 @@ ORACLES = {
             JOIN (SELECT doc_id, h FROM sel WHERE doc_id < 1000000) s
               USING (h)
             GROUP BY n.doc_id, s.doc_id
+        """,
+    # quality_buckets: ntile terciles per language over the tie-broken
+    # (score, doc_id) total order — both engines put ntile remainder
+    # rows in the earliest buckets (SQL standard)
+    "quality_buckets": """
+            WITH base AS (
+              SELECT doc_id, lang, n_chars % 97 AS score
+              FROM documents)
+            SELECT doc_id, lang, CAST(score AS BIGINT) AS score,
+                   CAST(ntile(3) OVER (
+                       PARTITION BY lang ORDER BY score, doc_id)
+                     AS INT) AS bucket,
+                   CASE ntile(3) OVER (
+                       PARTITION BY lang ORDER BY score, doc_id)
+                     WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS bucket_label
+            FROM base
         """,
     # dedup_lines_global: re-line into aligned 8-token chunks, rank
     # each normalized non-empty line by (doc_id, pos) per digest, keep

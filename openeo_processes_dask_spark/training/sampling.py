@@ -390,6 +390,67 @@ def top_quality_fraction(
     )
 
 
+def quality_buckets(
+    df: DataFrame,
+    score_col: str,
+    n_buckets: int = 3,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    labels: list[str] | None = None,
+    ascending: bool = True,
+) -> DataFrame:
+    """CCNet-style per-group quality bucketing (Wenzek et al. 2020,
+    "CCNet: extracting high quality monolingual datasets from web crawl
+    data"): rank rows by ``score_col`` within each ``group_col``
+    (CCNet: language) and split into ``n_buckets`` equal-count buckets
+    — the paper's head/middle/tail terciles by LM perplexity
+    (``ascending=True``: lower score = better = bucket 1). Unlike
+    :func:`top_quality_fraction`'s hard threshold cut, the buckets are
+    LABELS for downstream mixture weighting (sample head 100%, middle
+    50%, ... — compose with sample_stratified / mix_corpus).
+
+    Appends ``bucket`` (1..n) and, with ``labels`` (len == n_buckets),
+    ``bucket_label``. Deterministic: the window orders by the TOTAL
+    order (score, id), so equal scores tie-break stably and the
+    assignment is exact and engine-independent; ntile's remainder rows
+    land in the earliest buckets (the SQL-standard rule both Spark and
+    the DuckDB oracle implement).
+
+    Plan at 100 TB: ONE window pass per group partition (ntile over the
+    group exchange — the same single-exchange shape as
+    top_quality_fraction); group cardinality is language/source-sized,
+    and skewed groups are bounded by the sort within their partition.
+    No second scan, no driver state."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if labels is not None and len(labels) != n_buckets:
+        raise ValueError(
+            f"labels must have {n_buckets} entries, got {len(labels)}"
+        )
+    missing = [
+        c
+        for c in [score_col, id_col] + ([group_col] if group_col else [])
+        if c not in df.columns
+    ]
+    if missing:
+        raise ValueError(f"columns not in DataFrame: {missing}")
+    from pyspark.sql import Window
+
+    order = (
+        F.col(score_col).asc() if ascending else F.col(score_col).desc()
+    )
+    w = Window.partitionBy(
+        *([group_col] if group_col else [])
+    ).orderBy(order, F.col(id_col))
+    out = df.withColumn("bucket", F.ntile(n_buckets).over(w))
+    if labels is not None:
+        mapping = F.array(*[F.lit(x) for x in labels])
+        out = out.withColumn(
+            "bucket_label", F.element_at(mapping, F.col("bucket"))
+        )
+    return out
+
+
 def hash_negatives(
     pairs: DataFrame,
     pool: DataFrame,

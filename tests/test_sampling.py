@@ -401,3 +401,49 @@ def test_leakage_safe_split_validates(spark):
     pairs = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
     with pytest.raises(ValueError):
         leakage_safe_split(docs, pairs, n_folds=1)
+
+
+def test_quality_buckets_ccnet_terciles(spark):
+    import pytest
+
+    from openeo_processes_dask_spark.training.sampling import (
+        quality_buckets,
+    )
+
+    # lang en: 7 rows with scores (ties on 5) -> ntile(3) sizes 3/2/2
+    rows = [
+        (1, "en", 10), (2, "en", 5), (3, "en", 5), (4, "en", 20),
+        (5, "en", 1), (6, "en", 5), (7, "en", 30),
+        (8, "de", 2), (9, "de", 9),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "score"])
+    out = {
+        r["doc_id"]: (r["bucket"], r["bucket_label"])
+        for r in quality_buckets(
+            df, "score", n_buckets=3, group_col="lang",
+            labels=["head", "middle", "tail"],
+        ).collect()
+    }
+    # order by (score, id): 5,2,3,6,1,4,7 -> buckets 3/2/2
+    assert [out[i][0] for i in (5, 2, 3, 6, 1, 4, 7)] == [
+        1, 1, 1, 2, 2, 3, 3
+    ]
+    assert out[5][1] == "head" and out[7][1] == "tail"
+    # per-group: de ranks independently
+    assert out[8][0] == 1 and out[9][0] == 2
+    # descending: higher score = better = head
+    desc = {
+        r["doc_id"]: r["bucket"]
+        for r in quality_buckets(
+            df, "score", n_buckets=3, group_col="lang",
+            ascending=False,
+        ).collect()
+    }
+    assert desc[7] == 1 and desc[5] == 3
+
+    with pytest.raises(ValueError):
+        quality_buckets(df, "score", n_buckets=0)
+    with pytest.raises(ValueError):
+        quality_buckets(df, "score", n_buckets=3, labels=["a"])
+    with pytest.raises(ValueError):
+        quality_buckets(df, "nope")

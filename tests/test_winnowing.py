@@ -169,6 +169,55 @@ def test_winnow_incremental_new_x_seen_only(spark):
     assert full == fast
 
 
+def test_winnow_randomized_coverage_and_replay(spark):
+    """Seeded randomized sweep: 40 random docs, 15 planted pairs each
+    sharing a run of EXACTLY k+w-1 tokens. The paper's theorem says
+    every planted pair must share >= 1 fingerprint (coverage), and the
+    whole corpus must match the independent Python replay bit-for-bit
+    (selection rule). One Spark job for all docs."""
+    import random
+
+    rng = random.Random(1337)
+    k, w = 4, 5
+    run_len = k + w - 1  # 8 tokens
+
+    def rand_tokens(n):
+        return [f"t{rng.randrange(400)}" for _ in range(n)]
+
+    rows, planted = [], []
+    did = 0
+    for _ in range(15):
+        shared = rand_tokens(run_len)
+        a = rand_tokens(rng.randrange(0, 12)) + shared + rand_tokens(
+            rng.randrange(0, 12)
+        )
+        b = rand_tokens(rng.randrange(0, 12)) + shared + rand_tokens(
+            rng.randrange(0, 12)
+        )
+        rows.append((did, " ".join(a)))
+        rows.append((did + 1, " ".join(b)))
+        planted.append((did, did + 1))
+        did += 2
+    for _ in range(10):  # unpaired noise docs
+        rows.append((did, " ".join(rand_tokens(rng.randrange(0, 25)))))
+        did += 1
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = winnow_fingerprints(df, k=k, w=w)
+    got: dict = {}
+    for r in fp.collect():
+        got.setdefault(r["id"], set()).add((r["pos"], r["fingerprint"]))
+    # selection rule == independent replay, every doc
+    for doc_id, text in rows:
+        assert got.get(doc_id, set()) == _py_winnow(text, k, w), doc_id
+    # coverage guarantee on every planted pair
+    sets = {
+        i: {f for _, f in got.get(i, set())} for i, _ in rows
+    }
+    for a, b in planted:
+        assert sets[a] & sets[b], (a, b)
+
+
 def test_stream_winnow_screen_equals_batch(spark, tmp_path):
     from openeo_processes_dask_spark.training.dedup import (
         stream_winnow_screen,
