@@ -405,6 +405,10 @@ _CHANGED_R13 = [
     # NEW r13-continuation: CCNet head/middle/tail quality bucketing
     # (deterministic per-group ntile over the tie-broken total order)
     "quality_buckets",
+    # NEW r13-continuation: exact Levenshtein verification of screen
+    # candidates + markup stripping (crawl-extraction stage)
+    "levenshtein_verify",
+    "strip_markup",
     # ADVICE r12 #1: PSL parser punycode-encodes IDN rules + depth
     # default raised — shared matching code changed
     "registered_domain_psl_full",

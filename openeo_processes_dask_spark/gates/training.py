@@ -3201,6 +3201,59 @@ def q_quality_buckets(spark, sf_dir):
     )
 
 
+def q_levenshtein_verify(spark, sf_dir):
+    """Exact edit-distance verification of screen candidates
+    (training/dedup.py levenshtein_verify, NEW r13-continuation): the
+    winnow_overlap gate's 113 candidate pairs verified at sim >= 0.35
+    (keeps 31 — the threshold discriminates, it does not rubber-stamp).
+    Pure JVM F.levenshtein; candidate-sized joins attach texts, corpus
+    never scanned quadratically. Oracle replays the winnow selection +
+    DuckDB's levenshtein (byte-based — exact twin here because the
+    corpus is ASCII; the op docstring documents the non-ASCII
+    divergence)."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import (
+        levenshtein_verify,
+        winnow_overlap_pairs,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    cands = winnow_overlap_pairs(
+        docs, k=4, w=4, min_shared=1, max_df=2
+    )
+    return levenshtein_verify(cands, docs, threshold=0.35)
+
+
+def q_strip_markup(spark, sf_dir):
+    """Markup stripping (training/filtering.py strip_markup, NEW
+    r13-continuation): the corpus wrapped in deterministic synthetic
+    markup (tags + double-escaped entities + &nbsp;) then stripped —
+    pins the tag regex, the entity decode ORDER (&amp; last, so
+    &amp;lt; survives one level as &lt;), and whitespace collapse
+    across engines. Output pins the cleaned text by md5 + length.
+    Map-only codegen projection."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.filtering import (
+        strip_markup,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<p class="x">'),
+            F.col("text"),
+            F.lit("</p> &amp;lt;tail&gt; A&nbsp;B"),
+        ).alias("text"),
+    )
+    out = strip_markup(wrapped)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("out_md5"),
+        F.length(F.col("text")).alias("out_len"),
+    )
+
+
 def q_corpus_rollup(spark, sf_dir):
     """Hierarchical corpus telemetry (training/textanalysis.py
     corpus_rollup, NEW r11-continuation): doc/char/token totals per
@@ -3236,6 +3289,8 @@ QUERIES = {
     "contamination_attribution": q_contamination_attribution,
     "dedup_lines_global": q_dedup_lines_global,
     "quality_buckets": q_quality_buckets,
+    "levenshtein_verify": q_levenshtein_verify,
+    "strip_markup": q_strip_markup,
     "corpus_rollup": q_corpus_rollup,
     "dedup_exact": q_dedup_exact,
     "training_pipeline": q_training_pipeline,
@@ -5826,3 +5881,54 @@ ORACLES = {
             ORDER BY score DESC, id LIMIT 25
         """,
 }
+
+# levenshtein_verify: the winnow_overlap selection replay as a CTE +
+# DuckDB levenshtein (byte-based — exact twin for this ASCII corpus;
+# the op docstring documents the non-ASCII divergence)
+ORACLES["levenshtein_verify"] = f"""
+        WITH cand AS ({ORACLES['winnow_overlap']})
+        SELECT cand.id1, cand.id2,
+               CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+               round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                     / greatest(length(a.text), length(b.text)),
+                     6) AS sim
+        FROM cand
+        JOIN documents a ON a.doc_id = cand.id1
+        JOIN documents b ON b.doc_id = cand.id2
+        WHERE round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                    / greatest(length(a.text), length(b.text)),
+                    6) >= 0.35
+    """
+
+# strip_markup: same tag/entity/whitespace regex chain with DuckDB's
+# explicit 'g' flag (Spark regexp_replace is global by default); the
+# decode order (&amp; LAST) is part of what the md5 pins
+ORACLES["strip_markup"] = """
+        WITH wrapped AS (
+          SELECT doc_id,
+                 '<p class="x">' || text
+                 || '</p> &amp;lt;tail&gt; A&nbsp;B' AS text
+          FROM documents),
+        cleaned AS (
+          SELECT doc_id,
+                 trim(regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                             '&nbsp;', ' ', 'g'),
+                           '&lt;', '<', 'g'),
+                         '&gt;', '>', 'g'),
+                       '&quot;', '"', 'g'),
+                     '&#39;', '''', 'g'),
+                   '\\s+', ' ', 'g')) AS t0
+          FROM wrapped),
+        decoded AS (
+          SELECT doc_id, regexp_replace(t0, '&amp;', '&', 'g') AS t
+          FROM cleaned)
+        SELECT doc_id, md5(t) AS out_md5,
+               CAST(length(t) AS INT) AS out_len
+        FROM decoded
+    """

@@ -222,6 +222,41 @@ def repetition_removal(
     )
 
 
+def strip_markup(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> DataFrame:
+    """HTML/XML-ish markup stripping — the extraction step UPSTREAM of
+    :func:`c4_clean` in a web-crawl pipeline (a trafilatura-lite for
+    corpora whose text still carries tags): delete ``<...>`` tags,
+    decode the six ubiquitous character entities, collapse whitespace
+    runs, trim. Deliberately regex-only with no backreferences or
+    lookarounds (the repo's pii.py convention) so the SAME pattern
+    strings run identically on Java regex and the RE2-style oracle.
+
+    Decode order matters and is the standard one: ``&amp;`` is decoded
+    LAST so double-escaped entities survive one level
+    (``&amp;lt;`` -> ``&lt;``, not ``<``) — the behavior every HTML
+    entity decoder specifies.
+
+    One chained codegen'd projection — map-only scan at 100 TB, no
+    UDF, no shuffle."""
+    out_col = out_col or text_col
+    c = F.regexp_replace(F.col(text_col), r"<[^>]*>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),  # LAST: preserves one level of double-escaping
+    ):
+        c = F.regexp_replace(c, ent, rep)
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out_col, c)
+
+
 def c4_clean(
     df: DataFrame,
     text_col: str = "text",

@@ -311,3 +311,31 @@ def test_jaccard_prefix_windows_are_per_document_only(spark):
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         spec = m.group(1)
         assert spec.startswith("id#"), f"unpartitioned window: {spec}"
+
+
+def test_strip_markup(spark):
+    from openeo_processes_dask_spark.training.filtering import strip_markup
+
+    docs = spark.createDataFrame(
+        [
+            (1, '<p class="x">Hello <b>world</b></p>'),
+            (2, "A&nbsp;B &lt;tag&gt; &quot;q&quot; &#39;s&#39; T&amp;C"),
+            (3, "&amp;lt;double&amp;gt;"),  # double-escaped survives one level
+            (4, "no markup at all"),
+            (5, "  spaced   <br/>   out  "),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in strip_markup(docs).collect()
+    }
+    assert out[1] == "Hello world"
+    assert out[2] == 'A B <tag> "q" \'s\' T&C'
+    assert out[3] == "&lt;double&gt;"  # NOT decoded twice
+    assert out[4] == "no markup at all"
+    assert out[5] == "spaced out"
+    # out_col keeps the original
+    kept = strip_markup(docs, out_col="clean").collect()
+    assert all("<" in r["text"] or r["doc_id"] > 3 for r in kept
+               if r["doc_id"] == 1)

@@ -317,3 +317,47 @@ def test_contamination_attribution_pairs(spark):
     for (i, _b), n in att.items():
         sums[i] = sums.get(i, 0) + n
     assert sums == dec
+
+
+def test_levenshtein_verify(spark):
+    from openeo_processes_dask_spark.training.dedup import (
+        levenshtein_verify,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "the quick brown fix"),   # 1 edit of doc 1
+            (3, "completely different"),
+            (4, ""),
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], ["id1", "id2"]
+    )
+    out = {
+        (r["id1"], r["id2"]): (r["lev"], r["sim"])
+        for r in levenshtein_verify(
+            pairs, docs, threshold=0.5
+        ).collect()
+    }
+    assert out[(1, 2)][0] == 1
+    assert abs(out[(1, 2)][1] - (1 - 1 / 19)) < 1e-6
+    assert (1, 3) not in out          # below threshold -> dropped
+    assert out[(4, 5)] == (0, 1.0)    # empty-vs-empty defines sim 1
+    # truncation cap: identical prefixes -> sim 1 under max_chars
+    trunc = {
+        (r["id1"], r["id2"]): r["sim"]
+        for r in levenshtein_verify(
+            pairs, docs, threshold=0.0, max_chars=9
+        ).collect()
+    }
+    assert trunc[(1, 2)] == 1.0
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        levenshtein_verify(pairs, docs, threshold=1.5)
+    with _pt.raises(ValueError):
+        levenshtein_verify(pairs, docs, max_chars=0)
