@@ -409,6 +409,10 @@ _CHANGED_R13 = [
     # candidates + markup stripping (crawl-extraction stage)
     "levenshtein_verify",
     "strip_markup",
+    # NEW r13-continuation: contamination localization + surgical
+    # span excision (the decontamination story's last two stages)
+    "decontaminate_spans",
+    "remove_contaminated_spans",
     # ADVICE r12 #1: PSL parser punycode-encodes IDN rules + depth
     # default raised — shared matching code changed
     "registered_domain_psl_full",

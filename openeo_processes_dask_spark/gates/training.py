@@ -3254,6 +3254,48 @@ def q_strip_markup(spark, sf_dir):
     )
 
 
+def q_decontaminate_spans(spark, sf_dir):
+    """Contamination localization (training/dedup.py
+    decontaminate_spans, NEW r13-continuation): maximal token spans of
+    each training doc (doc_id%7 != 0) covered by 4-grams shared with
+    the eval slice (doc_id%7 == 0) — 93 docs / 741 hit positions at
+    sf0.01 merge into runs. Broadcast digest join + one
+    gaps-and-islands window per doc; the oracle replays the islands
+    with a running-max window."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import (
+        decontaminate_spans,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    train = docs.where(F.col("doc_id") % 7 != 0)
+    return decontaminate_spans(train, bench, n=4)
+
+
+def q_remove_contaminated_spans(spark, sf_dir):
+    """Surgical span excision (training/dedup.py
+    remove_contaminated_spans, NEW r13-continuation): the
+    decontaminate_spans runs cut from the training docs through the
+    shared rebuild tail — clean docs keep their text verbatim,
+    cut-bearing docs rebuild from the original-case token stream.
+    Output pins every training doc's resulting text by md5 + length."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.dedup import (
+        remove_contaminated_spans,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    train = docs.where(F.col("doc_id") % 7 != 0)
+    out = remove_contaminated_spans(train, bench, n=4)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("out_md5"),
+        F.length(F.col("text")).alias("out_len"),
+    )
+
+
 def q_corpus_rollup(spark, sf_dir):
     """Hierarchical corpus telemetry (training/textanalysis.py
     corpus_rollup, NEW r11-continuation): doc/char/token totals per
@@ -3291,6 +3333,8 @@ QUERIES = {
     "quality_buckets": q_quality_buckets,
     "levenshtein_verify": q_levenshtein_verify,
     "strip_markup": q_strip_markup,
+    "decontaminate_spans": q_decontaminate_spans,
+    "remove_contaminated_spans": q_remove_contaminated_spans,
     "corpus_rollup": q_corpus_rollup,
     "dedup_exact": q_dedup_exact,
     "training_pipeline": q_training_pipeline,
@@ -4066,6 +4110,110 @@ ORACLES = {
                      WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                      ELSE 'tail' END AS bucket_label
             FROM base
+        """,
+    # decontaminate_spans: hit positions (0-based) from the broadcast
+    # digest join, merged to maximal runs with a running-max
+    # gaps-and-islands window (a hit at p covers [p, p+3] at n=4)
+    "decontaminate_spans": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS w
+              FROM documents),
+            poss AS (
+              SELECT doc_id, w,
+                     unnest(range(1, greatest(len(w) - 3, 0) + 1)) AS i
+              FROM toks),
+            sh AS (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(w[i : i + 3], ' ') AS s
+              FROM poss),
+            bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 7 = 0),
+            hits AS (
+              SELECT a.doc_id, a.pos FROM sh a JOIN bench USING (s)
+              WHERE a.doc_id % 7 != 0),
+            pm AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos > coalesce(max(pos) OVER (
+                              PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), -1000000) + 3
+                          THEN 1 ELSE 0 END AS brk
+              FROM hits),
+            grp AS (
+              SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS g
+              FROM pm)
+            SELECT doc_id AS id, CAST(min(pos) AS INT) AS s,
+                   CAST(max(pos) + 3 AS INT) AS e,
+                   CAST(max(pos) + 3 - min(pos) + 1 AS INT)
+                     AS span_tokens
+            FROM grp GROUP BY doc_id, g
+        """,
+    # remove_contaminated_spans: the same runs + token-stream rebuild;
+    # docs without runs keep their text VERBATIM (the engine contract)
+    "remove_contaminated_spans": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS w
+              FROM documents),
+            poss AS (
+              SELECT doc_id, w,
+                     unnest(range(1, greatest(len(w) - 3, 0) + 1)) AS i
+              FROM toks),
+            sh AS (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(w[i : i + 3], ' ') AS s
+              FROM poss),
+            bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 7 = 0),
+            hits AS (
+              SELECT a.doc_id, a.pos FROM sh a JOIN bench USING (s)
+              WHERE a.doc_id % 7 != 0),
+            pm AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos > coalesce(max(pos) OVER (
+                              PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), -1000000) + 3
+                          THEN 1 ELSE 0 END AS brk
+              FROM hits),
+            grp AS (
+              SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS g
+              FROM pm),
+            runs AS (
+              SELECT doc_id AS rid, min(pos) AS s, max(pos) + 3 AS e
+              FROM grp GROUP BY doc_id, g),
+            train AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0),
+            cutdocs AS (SELECT DISTINCT rid FROM runs),
+            otoks AS (
+              SELECT c.doc_id, c.w0,
+                     unnest(range(1, len(c.w0) + 1)) AS i
+              FROM (SELECT t.doc_id,
+                           string_split_regex(trim(t.text), '\\s+') AS w0
+                    FROM train t JOIN cutdocs ON t.doc_id = rid) c),
+            kept AS (
+              SELECT o.doc_id, o.i - 1 AS p, o.w0[o.i] AS tok
+              FROM otoks o
+              WHERE NOT EXISTS (
+                SELECT 1 FROM runs r
+                WHERE r.rid = o.doc_id
+                  AND o.i - 1 BETWEEN r.s AND r.e)),
+            rebuilt AS (
+              SELECT doc_id,
+                     coalesce(string_agg(tok, ' ' ORDER BY p), '') AS t
+              FROM kept GROUP BY doc_id)
+            SELECT tr.doc_id,
+                   md5(CASE WHEN cd.rid IS NULL THEN tr.text
+                            ELSE coalesce(r.t, '') END) AS out_md5,
+                   CAST(length(CASE WHEN cd.rid IS NULL THEN tr.text
+                                    ELSE coalesce(r.t, '') END) AS INT)
+                     AS out_len
+            FROM train tr
+            LEFT JOIN cutdocs cd ON cd.rid = tr.doc_id
+            LEFT JOIN rebuilt r ON r.doc_id = tr.doc_id
         """,
     # dedup_lines_global: re-line into aligned 8-token chunks, rank
     # each normalized non-empty line by (doc_id, pos) per digest, keep

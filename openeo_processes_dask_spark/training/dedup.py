@@ -2760,20 +2760,34 @@ def remove_duplicate_spans(
     cuts = duplicate_spans(df, id_col, text_col, k, min_count).where(
         F.col("id") != F.col("keep_id")
     )
-    runs = (
-        _merge_spans_to_runs(cuts.select("id", "pos"), k)
-        .groupBy("id")
-        .agg(F.collect_list(F.struct("s", "e")).alias("__cuts"))
+    runs = _merge_spans_to_runs(cuts.select("id", "pos"), k)
+    return _cut_runs_rebuild(df, id_col, text_col, out_col, runs)
+
+
+def _cut_runs_rebuild(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str,
+    runs: DataFrame,
+) -> DataFrame:
+    """Shared excision tail for the span-removal lanes: ``runs`` is a
+    (id, s, e) relation of disjoint maximal 0-based token intervals to
+    cut; each cut-bearing document is rebuilt from the ORIGINAL-case
+    token stream with covered positions dropped (digesting lowercases,
+    but the rewrite must not destroy casing outside the cuts; both
+    tokenizations split on \\s+, so positions align 1:1). Documents
+    with no runs keep their text VERBATIM — whitespace runs between
+    kept tokens of rewritten docs collapse to single spaces, inherent
+    to a token-stream rebuild. The per-doc interval array is bounded
+    (intervals are maximal and disjoint), so one shuffle keyed by id
+    carries interval structs, never exploded token rows."""
+    cut_lists = runs.groupBy("id").agg(
+        F.collect_list(F.struct("s", "e")).alias("__cuts")
     )
     base = df.join(
-        runs, df[id_col] == runs["id"], "left"
-    ).drop(runs["id"])
-    # rebuild from the ORIGINAL-case token stream: digesting lowercases
-    # (duplicate detection is case-insensitive) but the rewrite must not
-    # destroy the casing of text outside the cuts. Both tokenizations
-    # split on \\s+, so positions align 1:1. Whitespace runs between kept
-    # tokens still collapse to single spaces — inherent to a token-stream
-    # rebuild and documented above.
+        cut_lists, df[id_col] == cut_lists["id"], "left"
+    ).drop(cut_lists["id"])
     toks = tokens(F.col(text_col))
     zipped = F.arrays_zip(
         toks.alias("tok"),
@@ -2793,6 +2807,80 @@ def remove_duplicate_spans(
         F.when(F.col("__cuts").isNull() | empty_toks, F.col(text_col))
         .otherwise(rebuilt),
     ).drop("__cuts")
+
+
+def decontaminate_spans(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """WHERE the contamination sits: the maximal token spans of each
+    training document covered by word-``n``-grams shared with the
+    evaluation set — the surgical refinement of the decontamination
+    trio (:func:`decontaminate` flags docs,
+    :func:`contamination_attribution` names the leaking eval doc, THIS
+    localizes the leak so :func:`remove_contaminated_spans` can excise
+    it instead of dropping the whole document).
+
+    Returns ``(id, s, e, span_tokens)`` — disjoint maximal runs,
+    0-based inclusive token positions (a shingle at position p covers
+    [p, p+n-1]; overlapping/adjacent hits merge).
+
+    Plan at 100 TB: the benchmark digest set broadcasts (eval-sized);
+    the corpus side posexplodes shingle digests WITH positions, inner
+    broadcast-joins (digest-on-digest — text never shuffles), then one
+    gaps-and-islands window per doc id merges hits into maximal runs."""
+    bench_keys = benchmark_digests(benchmark, bench_text_col, n)
+    hits = (
+        _spread(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t__"))
+        )
+        .select("id", tokens(F.lower(F.col("__t__"))).alias("toks"))
+        .select(
+            "id",
+            F.posexplode(
+                shingles_from_tokens(F.col("toks"), n)
+            ).alias("pos", "sh"),
+        )
+        .select("id", "pos", _md5_to_long(F.col("sh")).alias("shk"))
+        # bench_keys is DISTINCT on shk and each (id, pos) carries one
+        # shingle, so the join emits (id, pos) at most once — no
+        # defensive distinct (it would be a corpus-sized exchange)
+        .join(F.broadcast(bench_keys), "shk")
+        .select("id", "pos")
+    )
+    runs = _merge_spans_to_runs(hits, n)
+    return runs.select(
+        "id",
+        "s",
+        "e",
+        (F.col("e") - F.col("s") + 1).alias("span_tokens"),
+    )
+
+
+def remove_contaminated_spans(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Excise the contaminated spans in place — keep the rest of the
+    document instead of anti-joining the whole doc away (the surgical
+    alternative when eval overlap is a quote inside an otherwise-good
+    page). Cuts exactly the :func:`decontaminate_spans` runs through
+    the shared rebuild tail (:func:`_cut_runs_rebuild` — clean docs
+    keep their text verbatim)."""
+    out_col = out_col or text_col
+    runs = decontaminate_spans(
+        df, benchmark, id_col, text_col, bench_text_col, n
+    ).select("id", "s", "e")
+    return _cut_runs_rebuild(df, id_col, text_col, out_col, runs)
 
 
 def contamination_ratio(

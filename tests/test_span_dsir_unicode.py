@@ -827,3 +827,47 @@ def test_shared_key_incremental_new_vs_seen(spark):
     assert all(r["seen_id"] == 2 for r in capped)
     with _pytest.raises(ValueError):
         shared_key_incremental(new, seen, min_shared=0)
+
+
+def test_decontaminate_spans_and_removal(spark):
+    from openeo_processes_dask_spark.training.dedup import (
+        decontaminate_spans,
+        remove_contaminated_spans,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            # leak mid-doc: tokens 2..10 (0-based) match the bench run
+            (1, "aa bb the quick brown fox jumps over the lazy dog cc dd"),
+            # two separated leaks -> two runs
+            (2, "the quick brown fox QQ RR SS TT over the lazy dog"),
+            (3, "nothing shared with the benchmark document at all"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    runs = {
+        (r["id"], r["s"], r["e"]): r["span_tokens"]
+        for r in decontaminate_spans(train, bench, n=4).collect()
+    }
+    # doc 1: 4-gram hits at positions 2..7 -> one merged run [2, 10]
+    assert (1, 2, 10) in runs and runs[(1, 2, 10)] == 9
+    # doc 2: "the quick brown fox" at 0..3 and "over the lazy dog" at
+    # 8..11 -> two disjoint runs
+    doc2 = sorted((s, e) for (i, s, e) in runs if i == 2)
+    assert doc2 == [(0, 3), (8, 11)]
+    assert not any(i in (3, 4) for (i, _s, _e) in runs)
+
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_contaminated_spans(train, bench, n=4).collect()
+    }
+    assert out[1] == "aa bb cc dd"
+    assert out[2] == "QQ RR SS TT"
+    # clean docs keep text VERBATIM (no token-rebuild collapse)
+    assert out[3] == "nothing shared with the benchmark document at all"
+    assert out[4] == ""
