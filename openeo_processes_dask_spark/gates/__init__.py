@@ -413,6 +413,9 @@ _CHANGED_R13 = [
     # span excision (the decontamination story's last two stages)
     "decontaminate_spans",
     "remove_contaminated_spans",
+    # NEW r13-continuation: exact data-recipe planning (targets /
+    # epochs / per-epoch retention per domain)
+    "mixture_plan",
     # ADVICE r12 #1: PSL parser punycode-encodes IDN rules + depth
     # default raised — shared matching code changed
     "registered_domain_psl_full",

@@ -3296,6 +3296,29 @@ def q_remove_contaminated_spans(spark, sf_dir):
     )
 
 
+def q_mixture_plan(spark, sf_dir):
+    """Data-recipe planning (training/sampling.py mixture_plan, NEW
+    r13-continuation): per-source token inventory + dyadic mixture
+    weights (0.5/0.25/0.125/0.0625 on src0-3, the rest unweighted) +
+    a 20k-token budget → exact (target_tokens, epochs, rate_ppm) per
+    domain — src0's 10k target over a ~1.4k-token domain forces
+    epochs > 1 (the books-repeat case), unweighted sources pin the
+    zero lane. Targets are Python-Fraction-exact literals; epochs/rate
+    run integral div over decimal(38); the oracle replays with
+    HUGEINT floor division."""
+    _setup(spark)
+    from openeo_processes_dask_spark.training.sampling import (
+        mixture_plan,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    return mixture_plan(
+        docs,
+        {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.0625},
+        token_budget=20_000,
+    )
+
+
 def q_corpus_rollup(spark, sf_dir):
     """Hierarchical corpus telemetry (training/textanalysis.py
     corpus_rollup, NEW r11-continuation): doc/char/token totals per
@@ -3335,6 +3358,7 @@ QUERIES = {
     "strip_markup": q_strip_markup,
     "decontaminate_spans": q_decontaminate_spans,
     "remove_contaminated_spans": q_remove_contaminated_spans,
+    "mixture_plan": q_mixture_plan,
     "corpus_rollup": q_corpus_rollup,
     "dedup_exact": q_dedup_exact,
     "training_pipeline": q_training_pipeline,
@@ -4110,6 +4134,37 @@ ORACLES = {
                      WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                      ELSE 'tail' END AS bucket_label
             FROM base
+        """,
+    # mixture_plan: python-exact dyadic targets as literals; epochs and
+    # rate_ppm replayed with HUGEINT floor division
+    "mixture_plan": """
+            WITH stats AS (
+              SELECT source AS domain,
+                     CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                              ELSE len(string_split_regex(trim(text),
+                                                          '\\s+'))
+                              END) AS HUGEINT) AS n
+              FROM documents GROUP BY source),
+            plan AS (
+              SELECT domain, n,
+                     CAST(CASE domain
+                          WHEN 'src0' THEN 10000
+                          WHEN 'src1' THEN 5000
+                          WHEN 'src2' THEN 2500
+                          WHEN 'src3' THEN 1250
+                          ELSE 0 END AS HUGEINT) AS t
+              FROM stats)
+            SELECT domain,
+                   CAST(n AS BIGINT) AS n_tokens,
+                   CAST(t AS BIGINT) AS target_tokens,
+                   CAST(CASE WHEN t <= 0 OR n <= 0 THEN 0
+                             ELSE (t + n - 1) // n END AS BIGINT)
+                     AS epochs,
+                   CAST(CASE WHEN t <= 0 OR n <= 0 THEN 0
+                             ELSE (t * 1000000)
+                                  // (n * ((t + n - 1) // n))
+                        END AS BIGINT) AS rate_ppm
+            FROM plan
         """,
     # decontaminate_spans: hit positions (0-based) from the broadcast
     # digest join, merged to maximal runs with a running-max

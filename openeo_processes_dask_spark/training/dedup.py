@@ -857,6 +857,15 @@ def winnow_overlap_pairs(
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
     if max_df is not None and max_df < 2:
         raise ValueError(f"max_df must be >= 2 to admit any pair, got {max_df}")
+    # NOT persisted, deliberately: an inline persist + eager checkpoint
+    # of the fingerprint relation was tried and MEASURED SLOWER at
+    # sf0.1 (2.09 s vs 1.63 s min-of-3) — the duplicated selection is
+    # cheap scan-stage work that pipelines across both join subtrees,
+    # while persist serializes materialize-then-join. The way to pay
+    # the selection once at scale is the ARCHIVE-TABLE pattern
+    # (persist the distinct relation to storage and use
+    # winnow_incremental's seen_distinct contract), not an in-query
+    # cache.
     fp = (
         winnow_fingerprints(df, id_col, text_col, k, w)
         .select("id", "fingerprint")

@@ -451,6 +451,99 @@ def quality_buckets(
     return out
 
 
+def mixture_plan(
+    df: DataFrame,
+    weights: dict,
+    token_budget: int,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-mixture planning — the "data recipe" step (GPT-3's
+    weighted-mix table, the LLaMA corpus mixtures) that turns
+    per-domain token inventories + target mixture weights + a total
+    token budget into an executable per-domain plan: how many tokens
+    to draw from each domain (``target_tokens``), how many PASSES over
+    the domain that takes (``epochs`` — a high-weight small domain
+    repeats, the "books get multiple epochs" case), and the per-epoch
+    retention rate (``rate_ppm``) a sampler applies each pass.
+
+    EXACT arithmetic end to end so the plan is replayable: each weight
+    becomes the exact rational ``Fraction(w)`` (floats are dyadic
+    rationals), ``target = floor(budget · w)``,
+    ``epochs = ceil(target / n_tokens)``,
+    ``rate_ppm = floor(target · 10^6 / (n_tokens · epochs))`` — all
+    over a decimal(38) lane, ppm integers per the repo convention
+    (contamination_ratio precedent). Domains absent from ``weights``
+    get weight 0 (target 0, epochs 0, rate 0) — they are reported, not
+    dropped, so the plan is a complete inventory audit. Weights need
+    not sum to 1; each domain's allocation is independent.
+
+    Returns one row per domain present in ``df``: ``(domain, n_tokens,
+    target_tokens, epochs, rate_ppm)``.
+
+    Plan at 100 TB: ONE hash aggregate (map-side combined token
+    counts per domain — domain cardinality is recipe-sized); the plan
+    arithmetic is a literal when-chain over the weight table, pure
+    projection."""
+    from fractions import Fraction
+
+    from openeo_processes_dask_spark.training.textanalysis import (
+        token_count,
+    )
+
+    if token_budget < 0:
+        raise ValueError(f"token_budget must be >= 0, got {token_budget}")
+    for d, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for domain {d!r}: {w}")
+    # targets are pure functions of (budget, weight) — both driver-side
+    # literals — so compute them EXACTLY in Python (Fraction floor-div)
+    # and ship integers; no engine arithmetic can then round them
+    targets = {
+        d: int(token_budget * Fraction(w).numerator
+               // Fraction(w).denominator)
+        for d, w in weights.items()
+    }
+    stats = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(token_count(F.col(text_col))).alias("n_tokens")
+    )
+    target = F.lit(0).cast("decimal(38,0)")
+    for d, t in targets.items():
+        target = F.when(
+            F.col("domain") == d, F.lit(t).cast("decimal(38,0)")
+        ).otherwise(target)
+    # integral `div` on decimal(38) operands: epochs and rate_ppm
+    # quotients are small (<= target, <= 10^6) so the bigint quotient
+    # type cannot overflow; operands stay in the decimal lane so the
+    # t + n - 1 sum cannot either
+    withcols = (
+        stats.withColumn("__t", target)
+        .withColumn("__n", F.col("n_tokens").cast("decimal(38,0)"))
+        .withColumn(
+            "__ep",
+            F.when(
+                (F.col("__t") <= 0) | (F.col("__n") <= 0), F.lit(0)
+            ).otherwise(F.expr("(__t + __n - 1) div __n")),
+        )
+        .withColumn(
+            "__rate",
+            F.when(F.col("__ep") <= 0, F.lit(0)).otherwise(
+                F.expr(
+                    "(__t * CAST(1000000 AS DECIMAL(38,0))) div "
+                    "(__n * CAST(__ep AS DECIMAL(38,0)))"
+                )
+            ),
+        )
+    )
+    return withcols.select(
+        "domain",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("__t").cast("bigint").alias("target_tokens"),
+        F.col("__ep").cast("bigint").alias("epochs"),
+        F.col("__rate").cast("bigint").alias("rate_ppm"),
+    )
+
+
 def hash_negatives(
     pairs: DataFrame,
     pool: DataFrame,

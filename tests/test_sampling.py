@@ -447,3 +447,54 @@ def test_quality_buckets_ccnet_terciles(spark):
         quality_buckets(df, "score", n_buckets=3, labels=["a"])
     with pytest.raises(ValueError):
         quality_buckets(df, "nope")
+
+
+def test_mixture_plan_exact(spark):
+    import pytest
+
+    from openeo_processes_dask_spark.training.sampling import mixture_plan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "books"),      # 4 tokens
+            (2, "e f", "books"),          # books total 6
+            (3, "g h i j k l m n", "web"),  # web 8
+            (4, "", "empty_src"),         # 0 tokens
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {
+        r["domain"]: (r["n_tokens"], r["target_tokens"], r["epochs"],
+                      r["rate_ppm"])
+        for r in mixture_plan(
+            docs, {"books": 0.5, "web": 0.25, "empty_src": 0.1},
+            token_budget=100,
+        ).collect()
+    }
+    # books: target 50 over 6 tokens -> ceil(50/6)=9 epochs,
+    # rate = 50e6 // (6*9) = 925925
+    assert out["books"] == (6, 50, 9, 925_925)
+    # web: target 25 over 8 -> 4 epochs, rate 25e6 // 32 = 781250
+    assert out["web"] == (8, 25, 4, 781_250)
+    # zero-token domain: reported, zero lane
+    assert out["empty_src"] == (0, 10, 0, 0)
+
+    # unweighted domain reported with zeros
+    out2 = {
+        r["domain"]: r["target_tokens"]
+        for r in mixture_plan(docs, {"books": 1.0}, 10).collect()
+    }
+    assert out2["web"] == 0 and out2["books"] == 10
+
+    # non-dyadic float weight is exact via Fraction (floor semantics)
+    out3 = {
+        r["domain"]: r["target_tokens"]
+        for r in mixture_plan(docs, {"books": 0.1}, 1000).collect()
+    }
+    from fractions import Fraction
+    assert out3["books"] == 1000 * Fraction(0.1).numerator // Fraction(0.1).denominator
+
+    with pytest.raises(ValueError):
+        mixture_plan(docs, {"books": -0.1}, 100)
+    with pytest.raises(ValueError):
+        mixture_plan(docs, {"books": 0.5}, -1)
