@@ -42,13 +42,36 @@ def _spread(df: DataFrame) -> DataFrame:
     idle). On a real cluster the corpus has thousands of partitions and
     this is a no-op — the guard never pays the text shuffle at scale.
 
-    Streaming frames pass through untouched: ``.rdd`` is illegal on a
-    stream (and micro-batch parallelism is the source's concern), which
-    lets the narrow batch operators compose onto streams unchanged."""
+    Streaming frames pass through untouched: the partition probe is
+    illegal on a stream (and micro-batch parallelism is the source's
+    concern), which lets the narrow batch operators compose onto streams
+    unchanged.
+
+    Optimization r13 (guide §1): the original probe was
+    ``df.rdd.getNumPartitions()``, which runs the full physical planner
+    AND builds the execution RDD through py4j — ~40-60 ms of driver time
+    per call, charged to every timed run of every signature-building
+    query (minhash/simhash/jaccard call this 1-4x per execution). The
+    optimizer's size estimate (``optimizedPlan().stats().sizeInBytes``,
+    ~6 ms) answers the same question: a scan yields about
+    ``size / maxPartitionBytes`` partitions, so the deficit test
+    ``estimated_partitions < target`` is equivalent up to open-cost
+    packing (which only PACKs small files into FEWER partitions — i.e.
+    makes the old probe repartition in at least the same cases). The
+    decision only changes the plan, never results."""
     if df.isStreaming:
         return df
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    sess = df.sparkSession
+    target = sess.sparkContext.defaultParallelism
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        max_split = int(
+            sess._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+        )
+        need = size // max_split + 1 < target
+    except Exception:  # non-classic session / estimate unavailable
+        need = df.rdd.getNumPartitions() < target
+    if need:
         return df.repartition(target)
     return df
 
