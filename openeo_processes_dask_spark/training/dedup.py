@@ -32,7 +32,7 @@ def _md5_to_long(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, key: str | None = None) -> DataFrame:
     """Repartition compute-heavy text input ONLY when it arrives in fewer
     partitions than the cluster has cores. The tokenize→shingle→hash
     explode multiplies rows ~100× downstream of the scan, and Spark cannot
@@ -58,7 +58,17 @@ def _spread(df: DataFrame) -> DataFrame:
     ``estimated_partitions < target`` is equivalent up to open-cost
     packing (which only PACKs small files into FEWER partitions — i.e.
     makes the old probe repartition in at least the same cases). The
-    decision only changes the plan, never results."""
+    decision only changes the plan, never results.
+
+    ``key`` (r13, guide §2.4): when the downstream consumer aggregates by
+    a column, hash-repartitioning on THAT column instead of round-robin
+    lets the aggregate reuse the exchange — Spark plans one Complete
+    aggregate with no second (partial-merge) exchange — and skips
+    round-robin's defensive local sort of the input
+    (``spark.sql.execution.sortBeforeRepartition``, SPARK-23207).
+    Measured at sf0.1 on the 64-min MinHash aggregate: 1.57 s round-robin
+    vs 1.07 s hash-by-id for the identical result. Ids are unique per
+    row, so the hash spread is uniform."""
     if df.isStreaming:
         return df
     sess = df.sparkSession
@@ -72,6 +82,8 @@ def _spread(df: DataFrame) -> DataFrame:
     except Exception:  # non-classic session / estimate unavailable
         need = df.rdd.getNumPartitions() < target
     if need:
+        if key is not None:
+            return df.repartition(target, F.col(key))
         return df.repartition(target)
     return df
 
@@ -518,7 +530,13 @@ def jaccard_prefix_pairs(
     keys, ids, and one array-of-keys row per document.
     """
     sh = (
-        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t__")))
+        # keyed spread (r13): sizes/arrs/prefix-window downstream are all
+        # keyed by id — hash-partitioning here lets them reuse this
+        # exchange instead of re-shuffling (guide §2.4)
+        _spread(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t__")),
+            key="id",
+        )
         .select("id", tokens(F.lower(F.col("__t__"))).alias("toks"))
         .select(
             "id",
@@ -1400,7 +1418,15 @@ def minhash_signatures(
     coeffs = [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)]
 
     sh = (
-        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t__")))
+        # keyed spread (r13): the 64-min aggregate below groups by id, so
+        # hash-partitioning by id makes it ONE Complete aggregate reusing
+        # this exchange — no partial/final split, no second exchange, and
+        # no round-robin sort-before-repartition. Measured at sf0.1:
+        # 1.57 s -> 1.07 s for the identical signature table (guide §2.4).
+        _spread(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t__")),
+            key="id",
+        )
         .select("id", tokens(F.lower(F.col("__t__"))).alias("toks"))
         .select(
             "id",
@@ -2376,7 +2402,12 @@ def simhash_signatures(
     Docs with zero tokens produce no signature (nothing to vote)."""
     bits = min(bits, 60)
     tok = (
-        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t__")))
+        # keyed spread (r13): the packed popcount aggregate groups by id
+        # — same exchange-reuse win as minhash_signatures (guide §2.4)
+        _spread(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t__")),
+            key="id",
+        )
         .select("id", F.explode(tokens(F.lower(F.col("__t__")))).alias("w"))
         .select("id", _md5_to_long(F.col("w")).alias("h"))
     )
