@@ -583,6 +583,19 @@ def quantile_sketch(
         _qsk_hash(F.col(uid_col)).alias("__h__"),
     )
     base = base.withColumn("__lvl__", _qsk_level(F.col("__h__")))
+    # Single-scan via a shared exchange (r13, guide §2.4): ``base`` feeds
+    # BOTH the level-count metadata aggregate and the survivor filter, and
+    # the two subtrees diverge right above the scan, so the raw table was
+    # scanned — and the md5 priority computed — twice per consumption
+    # (plan audit: two `Scan parquet` nodes). Repartitioning on the
+    # uniform ``__h__`` gives the two consumers one IDENTICAL exchange
+    # that AQE's stage reuse materializes once (ReusedExchange in the
+    # final plan): one scan + one md5 pass, then both sides read the
+    # shuffle files. The shuffled rows are the narrow (v, h, lvl)
+    # projection (~24 B/row), far cheaper at any scale than a second full
+    # pass over the source table. Still ZERO actions in the builder (the
+    # r12 adjudication's deferred-plan contract holds).
+    base = base.repartition(F.col("__h__"))
     cnt = base.groupBy("__lvl__").agg(F.count(F.lit(1)).alias("__c__"))
     # Descending-level running suffix over the <= 61 level rows,
     # folded in ONE row: walking levels high -> low, the first level
