@@ -806,6 +806,7 @@ def semdedup_incremental_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    new_tagged: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic near-dup screen of a NEW embedding batch against the
     persisted cluster-membership table of the already-ingested corpus
@@ -831,8 +832,15 @@ def semdedup_incremental_pairs(
     sum(|new_c| * |seen_c|) over clusters, never |new| * |seen|.
     Candidate pairs are strictly new x seen — compose with
     :func:`semdedup` for within-batch duplicates. Returns
-    ``(new_id, seen_id, cosine >= threshold)``."""
-    new_tagged = _tag_members(df_new, centroids, id_col, vec_col)
+    ``(new_id, seen_id, cosine >= threshold)``.
+
+    ``new_tagged`` (r13): pass a pre-computed ``(id, v, cluster)``
+    tagging of ``df_new`` (:func:`_tag_members`) to skip re-deriving it
+    — :func:`semdedup_incremental` tags the batch once for its verdict
+    join and shares it here, removing a duplicate k x dim assignment
+    projection from the plan. Results identical either way."""
+    if new_tagged is None:
+        new_tagged = _tag_members(df_new, centroids, id_col, vec_col)
     seen = seen_members.select(
         F.col("id").alias("seen_id"), F.col("v").alias("v2"), "cluster"
     )
@@ -902,7 +910,7 @@ def semdedup_incremental(
     new_tagged = _tag_members(df_new, centroids, id_col, vec_col)
     dups = semdedup_incremental_pairs(
         df_new, seen_members, centroids, threshold=threshold,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, new_tagged=new_tagged,
     ).select(F.col("new_id").alias("id")).distinct()
     return (
         new_tagged.join(dups.withColumn("__dup__", F.lit(True)), "id", "left")
