@@ -224,7 +224,7 @@ def harmonic_centrality(
     p: int = 4,
     src_col: str = "src",
     dst_col: str = "dst",
-    checkpoint_interval: int = 4,
+    checkpoint_interval: int = 1,
 ) -> DataFrame:
     """Approximate harmonic centrality via HyperBall (Boldi & Vigna,
     2013) — the authority metric Common Crawl actually publishes for its
@@ -249,6 +249,15 @@ def harmonic_centrality(
     the register table. Per-node state is 2^p registers — at 100 TB the
     register relation is nodes x 2^p rows, edges never widen, and
     lineage is truncated every ``checkpoint_interval`` rounds.
+
+    ``checkpoint_interval`` defaults to 1 (r13): unlike pagerank, every
+    round's register table is re-read by its ball ESTIMATE at the end,
+    so un-materialized rounds recompute the register chain per ball
+    (the r_t subtree appears in b_t AND r_{t+1}). Materializing each
+    round is the Pregel-style superstep shape; measured at sf0.1:
+    2.64 s -> 2.25 s for identical output. (pagerank keeps its interval
+    at 5: it never re-reads old iterations, and an A/B showed per-round
+    checkpointing there is a 2.5x regression.)
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
