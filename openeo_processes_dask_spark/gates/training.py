@@ -470,6 +470,10 @@ def q_ingest_screen(spark, sf_dir):
             )
         )
     )
+    # increment-batch analog (r13): the new batch is a landed file set in
+    # production; materialize the three-branch union once instead of
+    # re-deriving it per consumer (id spine, fingerprint lane, signatures)
+    new = new.localCheckpoint(eager=True)
     seen_fps = docs.select(
         F.md5(
             F.regexp_replace(
@@ -549,6 +553,9 @@ def _multimodal_ingest_fixture(spark, sf_dir):
                 ).alias("psig"),
             )
         )
+        # increment-batch analog (r13): five consumers (id spine + four
+        # screen lanes) — materialize the landed batch once
+        .localCheckpoint(eager=True)
     )
     seen_fps = arch.select(
         F.md5(
@@ -637,6 +644,10 @@ def q_ingest_screen_prebanded(spark, sf_dir):
             )
         )
     )
+    # increment-batch analog (r13): the new batch is a landed file set in
+    # production; materialize the three-branch union once instead of
+    # re-deriving it per consumer (id spine, fingerprint lane, signatures)
+    new = new.localCheckpoint(eager=True)
     seen_fps = docs.select(
         F.md5(
             F.regexp_replace(
