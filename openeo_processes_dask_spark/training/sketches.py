@@ -583,19 +583,24 @@ def quantile_sketch(
         _qsk_hash(F.col(uid_col)).alias("__h__"),
     )
     base = base.withColumn("__lvl__", _qsk_level(F.col("__h__")))
-    # Single-scan via a shared exchange (r13, guide §2.4): ``base`` feeds
-    # BOTH the level-count metadata aggregate and the survivor filter, and
-    # the two subtrees diverge right above the scan, so the raw table was
-    # scanned — and the md5 priority computed — twice per consumption
-    # (plan audit: two `Scan parquet` nodes). Repartitioning on the
-    # uniform ``__h__`` gives the two consumers one IDENTICAL exchange
-    # that AQE's stage reuse materializes once (ReusedExchange in the
-    # final plan): one scan + one md5 pass, then both sides read the
-    # shuffle files. The shuffled rows are the narrow (v, h, lvl)
-    # projection (~24 B/row), far cheaper at any scale than a second full
-    # pass over the source table. Still ZERO actions in the builder (the
-    # r12 adjudication's deferred-plan contract holds).
-    base = base.repartition(F.col("__h__"))
+    # Single-scan (r13, guide §1.2/§5): ``base`` feeds BOTH the
+    # level-count metadata aggregate and the survivor filter, and the two
+    # subtrees diverge right above the scan, so the raw table was scanned
+    # — and the md5 priority computed — twice per consumption (plan
+    # audit: two `Scan parquet` nodes; a shared-repartition variant was
+    # tried first, but column pruning narrows the metadata side below the
+    # exchange, so the exchanges canonicalize differently and AQE never
+    # reuses them). A NON-EAGER localCheckpoint materializes the narrow
+    # (v, h, lvl) projection (~24 B/row) once inside the consumer's own
+    # first action and lets both subtrees read it: one scan + one md5
+    # pass, measured 4.4 s -> 1.7 s at sf0.1 for identical output. Still
+    # ZERO actions in the builder (the r12 adjudication's deferred-plan
+    # contract holds — nothing runs until the consumer acts), and the
+    # checkpoint blocks are ContextCleaner-released when the returned
+    # DataFrame is garbage collected (the ADVICE r7 cache-leak rule). At
+    # scale this trades executor storage of the 24-byte projection for
+    # the second full pass over the source table.
+    base = base.localCheckpoint(eager=False)
     cnt = base.groupBy("__lvl__").agg(F.count(F.lit(1)).alias("__c__"))
     # Descending-level running suffix over the <= 61 level rows,
     # folded in ONE row: walking levels high -> low, the first level
@@ -779,6 +784,10 @@ def quantile_sketch_grouped(
             _qsk_hash(F.col(uid_col)).alias("__h__"),
         )
         .withColumn("__lvl__", _qsk_level(F.col("__h__")))
+        # single-scan (r13): same two-consumer shape as the global
+        # sketch — see quantile_sketch's comment; non-eager, zero
+        # actions, ContextCleaner-released
+        .localCheckpoint(eager=False)
     )
     cnt = base.groupBy(*gcols, "__lvl__").agg(F.count(F.lit(1)).alias("__c__"))
     w = (
