@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -51,7 +52,13 @@ def _assign_expr(snapped_col, centroids: Sequence[Sequence[float]]):
     """argmin_c Σ (v_i − c_i)² over literal centroids; ties -> lower id."""
     cands = []
     for ci, cent in enumerate(centroids):
-        c = F.array(*[F.lit(float(v)) for v in cent])
+        # ONE py4j round-trip per centroid (ndarray literal) instead of
+        # one per element: k x dim F.lit calls cost ~1 ms of driver
+        # socket time each, and this expression is rebuilt per iteration
+        # and per assign consumer (guide §5 driver work; the same class
+        # as the PSL-matcher fix). Values are bit-identical — lit(ndarray)
+        # and array(lit...) both produce the same array<double> constant.
+        c = F.lit(np.asarray([float(v) for v in cent], dtype="float64"))
         dist = F.aggregate(
             F.zip_with(snapped_col, c, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),

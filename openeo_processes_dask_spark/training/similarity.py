@@ -20,7 +20,9 @@ from pyspark.sql import functions as F
 
 def _dot_lit(vec_col, query: Sequence[float]):
     """dot(embedding, literal query) as a pure expression (JVM-side)."""
-    q = F.array(*[F.lit(float(v)) for v in query])
+    # one py4j call for the whole query vector (guide §5 driver work);
+    # bit-identical to array(lit, lit, ...) — see clustering._assign_expr
+    q = F.lit(np.asarray([float(v) for v in query], dtype="float64"))
     return F.aggregate(
         F.zip_with(vec_col.cast("array<double>"), q, lambda a, b: a * b),
         F.lit(0.0),
@@ -93,10 +95,17 @@ def cosine_topk_batch(
     single exchange carries ~k·|queries| rows, never |corpus|·|queries|.
 
     ``queries`` must have (query_id_col, query_vec_col)."""
-    pairs = df.crossJoin(F.broadcast(queries))
+    # norm hoist (r13): ||row|| once per corpus row (not once per
+    # (row x query) pair) and ||query|| once per query at broadcast
+    # build. Values bit-identical.
+    pairs = df.withColumn("__vn__", _norm(F.col(vec_col))).crossJoin(
+        F.broadcast(
+            queries.withColumn("__qn__", _norm(F.col(query_vec_col)))
+        )
+    )
     sim = F.try_divide(
         _dot_cols(F.col(vec_col), F.col(query_vec_col)),
-        _norm(F.col(vec_col)) * _norm(F.col(query_vec_col)),
+        F.col("__vn__") * F.col("__qn__"),
     )
     scored = pairs.select(
         F.col(query_id_col), F.col(id_col), F.round(sim, 6).alias("cosine")
@@ -392,9 +401,16 @@ def ivf_assign(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = F.try_divide(dot, _norm(F.col(vec_col)) * _norm(F.col("cvec")))
+    # norm hoist (r13): ||vec|| once per corpus row and ||cvec|| once per
+    # centroid at broadcast build, instead of once per (row x centroid)
+    # crossJoin output — n_centroids x less fold work on the corpus side.
+    # Values bit-identical.
+    cos = F.try_divide(dot, F.col("__vn__") * F.col("__cn__"))
     return (
-        df.crossJoin(F.broadcast(centroids))
+        df.withColumn("__vn__", _norm(F.col(vec_col)))
+        .crossJoin(
+            F.broadcast(centroids.withColumn("__cn__", _norm(F.col("cvec"))))
+        )
         .withColumn("__cos__", cos)
         .groupBy(id_col, vec_col)
         .agg(
@@ -462,10 +478,15 @@ def ivf_search_batch(
         .where(F.col("__rn__") <= int(nprobe))
         .select(query_id_col, query_vec_col, "cid")
     )
-    cands = assigned.join(F.broadcast(probe), "cid")
+    # norm hoist (r13): ||row|| once per assigned row, ||query|| once per
+    # probe row — not once per scanned candidate pair. Bit-identical.
+    cands = assigned.withColumn("__vn__", _norm(F.col(vec_col))).join(
+        F.broadcast(probe.withColumn("__qn__", _norm(F.col(query_vec_col)))),
+        "cid",
+    )
     sim = F.try_divide(
         _dot_cols(F.col(vec_col), F.col(query_vec_col)),
-        _norm(F.col(vec_col)) * _norm(F.col(query_vec_col)),
+        F.col("__vn__") * F.col("__qn__"),
     )
     scored = cands.select(
         F.col(query_id_col), F.col(id_col), F.round(sim, 6).alias("cosine")
@@ -522,7 +543,9 @@ def pq_codebooks(
 def _sq_dist_lit(sub_col, centroid: Sequence[float]):
     """Σ (v_i − c_i)² as a strict left-to-right fold against a literal
     centroid — the op order every engine (and the oracle) reproduces."""
-    c = F.array(*[F.lit(float(v)) for v in centroid])
+    # ndarray literal: one py4j call per centroid, not one per element
+    # (pq_encode builds m x ks of these — guide §5 driver work)
+    c = F.lit(np.asarray([float(v) for v in centroid], dtype="float64"))
     return F.aggregate(
         F.zip_with(sub_col, c, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -602,7 +625,7 @@ def pq_topk(
     score = None
     for j in range(m):
         term = F.element_at(
-            F.array(*[F.lit(float(d)) for d in lut[j]]), F.col(f"code{j}") + 1
+            F.lit(np.asarray(lut[j], dtype="float64")), F.col(f"code{j}") + 1
         )
         score = term if score is None else score + term
     return (
@@ -700,15 +723,22 @@ def semdedup_pairs(
     )
     # keep_vec: cluster assignment is a shuffle-free projection, so the
     # (id, vector, cluster) relation needs NO corpus-wide self-join
+    # norm hoist (r13, guide §1.2 per-task work): ||v|| is computed ONCE
+    # per vector in the pre-join projection instead of once per candidate
+    # pair — the within-cluster join multiplies rows by the cluster size,
+    # so the per-pair interpreted fold work drops from three dim-wide
+    # folds (dot + two norms) to one. Same expression over the same data:
+    # values bit-identical.
     tagged = kmeans_assign(
         df, cents, id_col=id_col, vec_col=vec_col, keep_vec=True
     ).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cluster"
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"), "cluster",
     )
     star = None
     if max_cluster_pairs_per_vector is not None:
         tagged, star = _bucket_cap(
-            tagged.select("id", "v", "cluster"), ["cluster"],
+            tagged.select("id", "v", "nrm", "cluster"), ["cluster"],
             max_cluster_pairs_per_vector,
         )
     a, b = tagged.alias("a"), tagged.alias("b")
@@ -720,19 +750,30 @@ def semdedup_pairs(
         )
         .select(
             F.col("a.id").alias("id1"), F.col("a.v").alias("v1"),
+            F.col("a.nrm").alias("n1"),
             F.col("b.id").alias("id2"), F.col("b.v").alias("v2"),
+            F.col("b.nrm").alias("n2"),
         )
     )
     if star is not None:
-        vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        vecs = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+            _norm(F.col(vec_col)).alias("nrm"),
+        )
         cands = cands.unionByName(
             star.join(
-                vecs.select(F.col("id").alias("id1"), F.col("v").alias("v1")),
+                vecs.select(
+                    F.col("id").alias("id1"), F.col("v").alias("v1"),
+                    F.col("nrm").alias("n1"),
+                ),
                 "id1",
             ).join(
-                vecs.select(F.col("id").alias("id2"), F.col("v").alias("v2")),
+                vecs.select(
+                    F.col("id").alias("id2"), F.col("v").alias("v2"),
+                    F.col("nrm").alias("n2"),
+                ),
                 "id2",
-            ).select("id1", "v1", "id2", "v2")
+            ).select("id1", "v1", "n1", "id2", "v2", "n2")
         ).dropDuplicates(["id1", "id2"])
     dot = F.aggregate(
         F.zip_with(
@@ -743,7 +784,7 @@ def semdedup_pairs(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = F.try_divide(dot, _norm(F.col("v1")) * _norm(F.col("v2")))
+    cos = F.try_divide(dot, F.col("n1") * F.col("n2"))
     return cands.select(
         "id1", "id2", F.round(cos, 6).alias("cosine")
     ).where(F.col("cosine") >= threshold)
@@ -841,15 +882,21 @@ def semdedup_incremental_pairs(
     projection from the plan. Results identical either way."""
     if new_tagged is None:
         new_tagged = _tag_members(df_new, centroids, id_col, vec_col)
+    # norm hoist (r13, guide §1.2 per-task work): ||v|| once per row on
+    # each side of the cluster join instead of once per candidate pair
+    # (pair count is sum(|new_c| * |seen_c|) — the multiplied side).
+    # Same expression over the same data: values bit-identical.
     seen = seen_members.select(
-        F.col("id").alias("seen_id"), F.col("v").alias("v2"), "cluster"
+        F.col("id").alias("seen_id"), F.col("v").alias("v2"),
+        _norm(F.col("v")).alias("n2"), "cluster",
     )
     cands = (
         new_tagged.select(
-            F.col("id").alias("new_id"), F.col("v").alias("v1"), "cluster"
+            F.col("id").alias("new_id"), F.col("v").alias("v1"),
+            _norm(F.col("v")).alias("n1"), "cluster",
         )
         .join(seen, "cluster")
-        .select("new_id", "v1", "seen_id", "v2")
+        .select("new_id", "v1", "n1", "seen_id", "v2", "n2")
     )
     dot = F.aggregate(
         F.zip_with(
@@ -860,7 +907,7 @@ def semdedup_incremental_pairs(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = F.try_divide(dot, _norm(F.col("v1")) * _norm(F.col("v2")))
+    cos = F.try_divide(dot, F.col("n1") * F.col("n2"))
     return cands.select(
         "new_id", "seen_id", F.round(cos, 6).alias("cosine")
     ).where(F.col("cosine") >= threshold)
@@ -947,12 +994,20 @@ def stream_semdedup_incremental(
     periodic batch :func:`semdedup` pass, which also refreshes
     ``seen_members``). Returns ``(id, cluster, keep)`` per streamed
     row."""
-    new_tagged = _tag_members(stream, centroids, id_col, vec_col).alias(
-        "n"
+    # norm hoist (r13): the stream side computes ||v|| once per row in
+    # the assignment projection (still stateless), the archive side once
+    # per member at broadcast build — not once per compared pair in the
+    # join's residual condition. Values bit-identical, so the
+    # stream==batch pin is unchanged.
+    new_tagged = (
+        _tag_members(stream, centroids, id_col, vec_col)
+        .withColumn("__nn__", _norm(F.col("v")))
+        .alias("n")
     )
     seen = F.broadcast(
         seen_members.select(
-            F.col("v").alias("v2"), F.col("cluster").alias("c2")
+            F.col("v").alias("v2"), _norm(F.col("v")).alias("__sn__"),
+            F.col("cluster").alias("c2"),
         )
     ).alias("s")
     dot = F.aggregate(
@@ -964,7 +1019,7 @@ def stream_semdedup_incremental(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = F.try_divide(dot, _norm(F.col("n.v")) * _norm(F.col("s.v2")))
+    cos = F.try_divide(dot, F.col("n.__nn__") * F.col("s.__sn__"))
     # semi/anti joins keep the operator STATELESS in append mode (a
     # streaming groupBy would be a stateful aggregate needing a
     # watermark): hash equi-join on the cluster id with the cosine as
@@ -995,11 +1050,16 @@ def cosine_pairs_bruteforce(
     against; only ever run it on a CAPPED sample (the callers bound N in
     the hundreds). The scale paths are :func:`pairwise_cosine_above`
     (banded LSH) and :func:`semdedup_pairs` (cluster-partitioned)."""
+    # norm hoist (r13): once per row per side, not once per N^2 pair —
+    # the O(N^2) harness is exactly where per-pair fold work multiplies.
+    # Bit-identical values.
     a = df.select(
-        F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")
+        F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"),
+        _norm(F.col(vec_col)).alias("n1"),
     )
     b = df.select(
-        F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")
+        F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"),
+        _norm(F.col(vec_col)).alias("n2"),
     )
     dot = F.aggregate(
         F.zip_with(
@@ -1010,7 +1070,7 @@ def cosine_pairs_bruteforce(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = F.try_divide(dot, _norm(F.col("v1")) * _norm(F.col("v2")))
+    cos = F.try_divide(dot, F.col("n1") * F.col("n2"))
     return (
         a.join(b, F.col("id1") < F.col("id2"))
         .select("id1", "id2", F.round(cos, 6).alias("cosine"))
