@@ -40,16 +40,29 @@ def _stopwords_sql() -> str:
 _STOPWORDS_SQL = _stopwords_sql()
 
 
-def _li_cells(spark, sf_dir):
+def _li_cells(spark, sf_dir, dist=None):
     """lineitem pre-aggregated to unique (x, pos) cube cells.
 
     The synthetic (l_orderkey, l_linenumber) is NOT unique (~20% dup keys at
     sf0.01); cube cells must be unique, so join/window demo queries
     aggregate first. Mirrored by the `cells` CTE in the oracles.
-    """
+
+    ``dist="x"`` (r13, guide §2.4): hash-partition the scan by x BEFORE
+    the aggregate. HashPartitioning(x) satisfies the (x, pos) aggregate's
+    clustering AND every downstream Window.partitionBy("x") /
+    groupBy("x"), so those consumers reuse this one exchange instead of
+    paying a second one (measured: cumsum 0.71 -> 0.43 s at sf0.1,
+    2 Exchange -> 1). The trade is losing map-side partial aggregation —
+    the (x, pos) dup factor is only ~1.25, so the exchange carries ~25%
+    more rows. Opt IN only for window/groupBy-x consumers: the
+    join-shaped gates (merge/mask) measured SLOWER with it (broadcast
+    join ignores the partitioning; the bigger pre-aggregate shuffle is
+    pure cost)."""
+    li = _table(spark, sf_dir, "lineitem")
+    if dist == "x":
+        li = li.repartition(F.col("l_orderkey"))
     return (
-        _table(spark, sf_dir, "lineitem")
-        .groupBy(
+        li.groupBy(
             F.col("l_orderkey").alias("x"), F.col("l_linenumber").alias("pos")
         )
         .agg(
@@ -113,10 +126,10 @@ def _grid_cube(spark, sf_dir):
     return DataCube(df, dims=("x", "y", "band"))
 
 
-def _cells_cube(spark, sf_dir):
+def _cells_cube(spark, sf_dir, dist=None):
     from openeo_processes_dask_spark.cube import DataCube
 
-    cells = _li_cells(spark, sf_dir)
+    cells = _li_cells(spark, sf_dir, dist=dist)
     return DataCube(
         cells.select("x", "pos", F.col("sq").alias("value")), dims=("x", "pos")
     )

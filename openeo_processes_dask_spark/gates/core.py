@@ -237,7 +237,7 @@ def q_cumsum(spark, sf_dir):
     from openeo_processes_dask_spark.cube import DataCube
     from openeo_processes_dask_spark.operators.windows import cumsum
 
-    cells = _li_cells(spark, sf_dir)
+    cells = _li_cells(spark, sf_dir, dist="x")
     cube = DataCube(cells.select("x", "pos", F.col("sq").alias("value")), dims=("x", "pos"))
     return cumsum(cube, "pos").df
 
@@ -247,7 +247,7 @@ def q_sort_along_dim(spark, sf_dir):
     from openeo_processes_dask_spark.cube import DataCube
     from openeo_processes_dask_spark.operators.windows import sort as sort_op
 
-    cells = _li_cells(spark, sf_dir)
+    cells = _li_cells(spark, sf_dir, dist="x")
     cube = DataCube(cells.select("x", "pos", F.col("sq").alias("value")), dims=("x", "pos"))
     return sort_op(cube, "pos").df
 
@@ -263,7 +263,7 @@ def q_interpolate_gaps(spark, sf_dir):
         array_interpolate_linear,
     )
 
-    cells = _li_cells(spark, sf_dir)
+    cells = _li_cells(spark, sf_dir, dist="x")
     gappy = DataCube(
         cells.select(
             "x",

@@ -85,7 +85,7 @@ def q_order_argsort(spark, sf_dir):
     _setup(spark)
     from openeo_processes_dask_spark.operators.windows import order as order_op
 
-    return order_op(_cells_cube(spark, sf_dir), "pos").df
+    return order_op(_cells_cube(spark, sf_dir, dist="x"), "pos").df
 
 
 def q_rearrange(spark, sf_dir):
@@ -94,7 +94,7 @@ def q_rearrange(spark, sf_dir):
     _setup(spark)
     from openeo_processes_dask_spark.operators.windows import rearrange
 
-    return rearrange(_cells_cube(spark, sf_dir), [2, 0, 1], "pos").df
+    return rearrange(_cells_cube(spark, sf_dir, dist="x"), [2, 0, 1], "pos").df
 
 
 def q_resample_spatial_grid(spark, sf_dir):
@@ -317,7 +317,7 @@ def q_apply_neighborhood_mean(spark, sf_dir):
     _setup(spark)
     from openeo_processes_dask_spark.operators.kernel import apply_neighborhood
 
-    out = apply_neighborhood(_cells_cube(spark, sf_dir), "mean", "pos", size=3)
+    out = apply_neighborhood(_cells_cube(spark, sf_dir, dist="x"), "mean", "pos", size=3)
     return _round6(out.df, "value")
 
 
@@ -326,7 +326,7 @@ def q_cummax(spark, sf_dir):
     _setup(spark)
     from openeo_processes_dask_spark.operators.windows import cummax
 
-    return cummax(_cells_cube(spark, sf_dir), "pos").df
+    return cummax(_cells_cube(spark, sf_dir, dist="x"), "pos").df
 
 
 def q_cummin(spark, sf_dir):
@@ -334,7 +334,7 @@ def q_cummin(spark, sf_dir):
     _setup(spark)
     from openeo_processes_dask_spark.operators.windows import cummin
 
-    return cummin(_cells_cube(spark, sf_dir), "pos").df
+    return cummin(_cells_cube(spark, sf_dir, dist="x"), "pos").df
 
 
 def q_cumproduct(spark, sf_dir):
@@ -344,7 +344,7 @@ def q_cumproduct(spark, sf_dir):
     _setup(spark)
     from openeo_processes_dask_spark.operators.windows import cumproduct
 
-    out = cumproduct(_cells_cube(spark, sf_dir), "pos")
+    out = cumproduct(_cells_cube(spark, sf_dir, dist="x"), "pos")
     return out.df.withColumn("value", F.round(F.log(F.col("value")), 6))
 
 
@@ -406,7 +406,7 @@ def q_array_ops2(spark, sf_dir):
         array_modify,
     )
 
-    cells = _li_cells(spark, sf_dir)
+    cells = _li_cells(spark, sf_dir, dist="x")
     arrs = (
         cells.groupBy("x")
         .agg(
@@ -466,7 +466,7 @@ def q_predict_curve_linear(spark, sf_dir):
         predict_curve,
     )
 
-    cells = _li_cells(spark, sf_dir).where(F.col("x") % 10 == 0)
+    cells = _li_cells(spark, sf_dir, dist="x").where(F.col("x") % 10 == 0)
     counts = cells.groupBy("x").count().where(F.col("count") >= 3).select("x")
     cells = cells.join(counts, "x")
     cube = DataCube(
@@ -502,7 +502,7 @@ def q_array_ops(spark, sf_dir):
         last_element,
     )
 
-    cells = _li_cells(spark, sf_dir)
+    cells = _li_cells(spark, sf_dir, dist="x")
     arrs = (
         cells.groupBy("x")
         .agg(
@@ -632,7 +632,7 @@ def q_apply_dimension_dropnull(spark, sf_dir):
     from openeo_processes_dask_spark.cube import DataCube
     from openeo_processes_dask_spark.operators.apply import apply_dimension
 
-    cells = _li_cells(spark, sf_dir)
+    cells = _li_cells(spark, sf_dir, dist="x")
     gappy = DataCube(
         cells.select(
             "x",

@@ -293,7 +293,7 @@ def q_reduce_count_condition(spark, sf_dir):
     from openeo_processes_dask_spark.cube import DataCube
     from openeo_processes_dask_spark.operators.reduce import reduce_dimension
 
-    cells = _li_cells(spark, sf_dir)
+    cells = _li_cells(spark, sf_dir, dist="x")
     cube = DataCube(
         cells.select("x", "pos", F.col("sq").alias("value")), dims=("x", "pos")
     )

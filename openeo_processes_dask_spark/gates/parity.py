@@ -131,7 +131,7 @@ def q_apply_dimension_center(spark, sf_dir):
     from openeo_processes_dask_spark.cube import DataCube
     from openeo_processes_dask_spark.operators.apply import apply_dimension
 
-    cells = _li_cells(spark, sf_dir)
+    cells = _li_cells(spark, sf_dir, dist="x")
     cube = DataCube(
         cells.select("x", "pos", F.col("sq").alias("value")), dims=("x", "pos")
     )
@@ -147,7 +147,7 @@ def q_reduce_product(spark, sf_dir):
     from openeo_processes_dask_spark.cube import DataCube
     from openeo_processes_dask_spark.operators.reduce import reduce_dimension
 
-    cells = _li_cells(spark, sf_dir)
+    cells = _li_cells(spark, sf_dir, dist="x")
     cube = DataCube(
         cells.select("x", "pos", (F.col("sd") + 1.0).alias("value")),
         dims=("x", "pos"),
@@ -165,7 +165,7 @@ def q_reduce_first(spark, sf_dir):
     from openeo_processes_dask_spark.cube import DataCube
     from openeo_processes_dask_spark.operators.reduce import reduce_dimension
 
-    cells = _li_cells(spark, sf_dir)
+    cells = _li_cells(spark, sf_dir, dist="x")
     cube = DataCube(
         cells.select("x", "pos", F.col("sq").alias("value")), dims=("x", "pos")
     )
@@ -226,7 +226,7 @@ def q_run_udf_plus1(spark, sf_dir):
     from openeo_processes_dask_spark.cube import DataCube
     from openeo_processes_dask_spark.operators.udf import run_udf
 
-    cells = _li_cells(spark, sf_dir)
+    cells = _li_cells(spark, sf_dir, dist="x")
     cube = DataCube(
         cells.select("x", "pos", F.col("sq").alias("value")), dims=("x", "pos")
     )
@@ -241,7 +241,7 @@ def q_fit_curve_linear(spark, sf_dir):
     from openeo_processes_dask_spark.cube import DataCube
     from openeo_processes_dask_spark.ml.curve_fitting import fit_curve
 
-    cells = _li_cells(spark, sf_dir).where(F.col("x") % 10 == 0)
+    cells = _li_cells(spark, sf_dir, dist="x").where(F.col("x") % 10 == 0)
     counts = cells.groupBy("x").count().where(F.col("count") >= 3).select("x")
     cells = cells.join(counts, "x")
     cube = DataCube(
