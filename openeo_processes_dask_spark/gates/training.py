@@ -387,19 +387,34 @@ def q_minhash_incremental(spark, sf_dir):
     )
 
     docs = _table(spark, sf_dir, "documents")
-    # persisted-signature-table analog (r13, guide §2.4): the screen
-    # consumes the archive signatures twice (banding + verification
-    # join) and AQE's stage reuse only shares the text shuffle, not the
-    # shingle aggregate — materialize the table once, as production does
-    seen_sigs = minhash_signatures(
-        docs, "doc_id", "text", n=3, num_hashes=64
-    ).localCheckpoint(eager=True)
     new = docs.where(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" qq7")).alias("text"),
     )
+    # persisted-signature-table analog (r13, guide §2.4): the screen
+    # consumes the archive signatures twice (banding + verification
+    # join) and AQE's stage reuse only shares the text shuffle, not the
+    # shingle aggregate — materialize the table once, as production
+    # does. The archive and new-batch signature builds are independent
+    # — overlap them (guide §2.6); same jobs, same results.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_seen = pool.submit(
+            lambda: minhash_signatures(
+                docs, "doc_id", "text", n=3, num_hashes=64
+            ).localCheckpoint(eager=True)
+        )
+        f_new = pool.submit(
+            lambda: minhash_signatures(
+                new, "doc_id", "text", 3, 64
+            ).localCheckpoint(eager=True)
+        )
+        seen_sigs = f_seen.result()
+        new_sigs = f_new.result()
     return minhash_incremental(
-        new, seen_sigs, n=3, num_hashes=64, bands=16, threshold=0.2
+        new, seen_sigs, n=3, num_hashes=64, bands=16, threshold=0.2,
+        new_signatures=new_sigs,
     )
 
 
@@ -477,30 +492,38 @@ def q_ingest_screen(spark, sf_dir):
             )
         ).alias("fingerprint")
     )
-    # Overlap the two INDEPENDENT materializations (guide §2.6): the
-    # increment-batch checkpoint (id spine, fingerprint lane, signature
-    # consumers) and the persisted-signature-table analog both depend
-    # only on the documents scan; running them from a thread pool
-    # back-fills each other's stage tails. Same computation, same
-    # results, nothing persists across runs.
+    # Overlap the INDEPENDENT materializations (guide §2.6): the
+    # increment-batch checkpoint (id spine, fingerprint lane) chained
+    # into the batch's own signature table, and the persisted-
+    # signature-table analog — both chains depend only on the documents
+    # scan; running them from a thread pool back-fills each other's
+    # stage tails. Same computation, same results, nothing persists
+    # across runs.
     from concurrent.futures import ThreadPoolExecutor
 
+    def _new_chain():
+        ckpt = new.localCheckpoint(eager=True)
+        sigs = minhash_signatures(
+            ckpt, "doc_id", "text", 3, 64
+        ).localCheckpoint(eager=True)
+        return ckpt, sigs
+
     with ThreadPoolExecutor(max_workers=2) as pool:
-        f_new = pool.submit(lambda: new.localCheckpoint(eager=True))
+        f_new = pool.submit(_new_chain)
         f_sigs = pool.submit(
             lambda: minhash_signatures(
                 docs, "doc_id", "text", n=3, num_hashes=64
             ).localCheckpoint(eager=True)
         )
-        new_ckpt = f_new.result()
+        new_ckpt, new_sigs = f_new.result()
         seen_sigs = f_sigs.result()
     return ingest_screen(
         new_ckpt, seen_fps, seen_sigs, n=3, num_hashes=64, bands=16,
-        threshold=0.2,
+        threshold=0.2, new_signatures=new_sigs,
     )
 
 
-def _multimodal_ingest_fixture(spark, sf_dir):
+def _multimodal_ingest_fixture(spark, sf_dir, with_new_sigs=False):
     """Shared fixture for the multimodal ingest gates (r13, VERDICT
     r12 #4): archive = ids < 300 carrying ALL modalities (text from
     documents, embedding from embeddings — the tables share the id
@@ -509,7 +532,11 @@ def _multimodal_ingest_fixture(spark, sf_dir):
     (+1e6, ' qq7', psig^5 — hamming 2, same embedding), verbatim
     copies (+2e6 — every lane fires), and fresh rows (organic
     embeddings 300-449, synthesized text, fresh psig). Returns
-    (new, seen_fps, seen_sigs, members, cents, seen_hashes)."""
+    (new, seen_fps, seen_sigs, members, cents, seen_hashes);
+    ``with_new_sigs=True`` appends the new batch's own materialized
+    MinHash signature table (built inside the overlap pool, chained
+    after the batch checkpoint) for consumers that pass it through
+    ``new_signatures``."""
     from openeo_processes_dask_spark.training.clustering import kmeans_fit
     from openeo_processes_dask_spark.training.dedup import (
         _md5_to_long,
@@ -580,10 +607,16 @@ def _multimodal_ingest_fixture(spark, sf_dir):
     # the zero-caching contract are unchanged.
     from concurrent.futures import ThreadPoolExecutor
 
+    def _new_chain():
+        ckpt = new_plan.localCheckpoint(eager=True)
+        if not with_new_sigs:
+            return ckpt, None
+        return ckpt, minhash_signatures(
+            ckpt, "doc_id", "text", 3, 64
+        ).localCheckpoint(eager=True)
+
     with ThreadPoolExecutor(max_workers=3) as pool:
-        f_new = pool.submit(
-            lambda: new_plan.localCheckpoint(eager=True)
-        )
+        f_new = pool.submit(_new_chain)
         f_sigs = pool.submit(
             lambda: minhash_signatures(
                 arch, "doc_id", "text", n=3, num_hashes=64
@@ -592,11 +625,16 @@ def _multimodal_ingest_fixture(spark, sf_dir):
         f_cents = pool.submit(
             kmeans_fit, arch, 8, 2, "doc_id", "embedding"
         )
-        new = f_new.result()
+        new, new_sigs = f_new.result()
         seen_sigs = f_sigs.result()
         cents = f_cents.result()
     members = _tag_members(arch, cents, "doc_id", "embedding")
     seen_hashes = arch.select("doc_id", "psig")
+    if with_new_sigs:
+        return (
+            new, seen_fps, seen_sigs, members, cents, seen_hashes,
+            new_sigs,
+        )
     return new, seen_fps, seen_sigs, members, cents, seen_hashes
 
 
@@ -616,13 +654,14 @@ def q_ingest_screen_multimodal(spark, sf_dir):
         ingest_screen_multimodal,
     )
 
-    new, seen_fps, seen_sigs, members, cents, seen_hashes = (
-        _multimodal_ingest_fixture(spark, sf_dir)
+    new, seen_fps, seen_sigs, members, cents, seen_hashes, new_sigs = (
+        _multimodal_ingest_fixture(spark, sf_dir, with_new_sigs=True)
     )
     return ingest_screen_multimodal(
         new, seen_fps, seen_sigs, members, cents, seen_hashes,
         n=3, num_hashes=64, bands=16, text_threshold=0.2,
         sem_threshold=0.35, max_hamming=3, hash_bands=8,
+        new_signatures=new_sigs,
     )
 
 

@@ -139,6 +139,7 @@ def ingest_screen(
     threshold: float = 0.5,
     seed: int = 42,
     seen_bands: DataFrame | None = None,
+    new_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """One-pass ingest verdict for a new document batch against the
     archive's PERSISTED screen tables (r12) — the composition every
@@ -161,7 +162,10 @@ def ingest_screen(
     :func:`exact_duplicates` / :func:`minhash_near_duplicates` over the
     kept rows, then append their fingerprints/signatures to the screen
     tables). Pass ``seen_bands`` (:func:`band_signatures`, persisted)
-    to skip the inline archive banding — probe 22's asymptote. Returns
+    to skip the inline archive banding — probe 22's asymptote;
+    ``new_signatures`` (the batch's own signature table, same family)
+    to skip the near lane's inline build (see
+    :func:`minhash_incremental`). Returns
     ``(id, exact_dup, near_dup, keep)``, one row per new document."""
 
     def fp(text):
@@ -183,6 +187,7 @@ def ingest_screen(
             df_new, seen_signatures, id_col, text_col,
             n=n, num_hashes=num_hashes, bands=bands,
             threshold=threshold, seed=seed, seen_bands=seen_bands,
+            new_signatures=new_signatures,
         )
         .select(F.col("new_id").alias("id"))
         .distinct()
@@ -223,6 +228,7 @@ def ingest_screen_multimodal(
     hash_bands: int = 8,
     seed: int = 42,
     seen_bands: DataFrame | None = None,
+    new_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Full multi-modality ingest verdict (r13, VERDICT r12 #4):
     :func:`ingest_screen`'s exact + MinHash text lanes composed with
@@ -302,7 +308,7 @@ def ingest_screen_multimodal(
                 df_new.select(id_col, text_col), seen_signatures, id_col,
                 text_col, n=n, num_hashes=num_hashes, bands=bands,
                 threshold=text_threshold, seed=seed,
-                seen_bands=seen_bands,
+                seen_bands=seen_bands, new_signatures=new_signatures,
             )
             .select(F.col("new_id").alias("id"))
             .distinct()
@@ -1838,6 +1844,7 @@ def minhash_incremental(
     threshold: float = 0.5,
     seed: int = 42,
     seen_bands: DataFrame | None = None,
+    new_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """NEAR-dup screen of a new batch against the persisted signature
     table of the already-ingested corpus — :func:`dedup_against` raised
@@ -1861,11 +1868,22 @@ def minhash_incremental(
     entirely, so the per-ingest archive work is a scan of 16-byte band
     rows (bucketed layouts make it co-located too). Identical results
     either way (pinned by test).
+
+    ``new_signatures`` (r13, guide §2.6): pass the NEW batch's already-
+    materialized signature table (:func:`minhash_signatures` over
+    ``df_new`` with the SAME family params) to skip the inline build —
+    callers can then compute the new-batch and archive signature tables
+    as overlapping jobs instead of serially inside this screen.
+    Identical results either way (the screen derives everything from
+    the signatures); ``df_new`` is unused when it is given.
     """
     rows_per_band = num_hashes // bands
-    sigs_new = minhash_signatures(
-        df_new, id_col, text_col, n, num_hashes, seed
-    ).persist()
+    if new_signatures is not None:
+        sigs_new = new_signatures
+    else:
+        sigs_new = minhash_signatures(
+            df_new, id_col, text_col, n, num_hashes, seed
+        ).persist()
     try:
         bn = _band_signatures(sigs_new, bands, rows_per_band)
         bs = (
@@ -1909,7 +1927,8 @@ def minhash_incremental(
         # seen_signatures is caller-owned and untouched.
         return out.localCheckpoint(eager=True)
     finally:
-        sigs_new.unpersist()
+        if new_signatures is None:
+            sigs_new.unpersist()
 
 
 def stream_minhash_screen(
