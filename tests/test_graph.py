@@ -222,6 +222,32 @@ def test_harmonic_validates(spark):
         harmonic_centrality(df, p=3)
 
 
+def test_harmonic_materialize_edges_identical(spark):
+    """r13 optimization pin: the edge-table materialization (one eager
+    localCheckpoint instead of re-deriving the distinct edge relation in
+    every round's checkpoint action) is value-transparent — both lanes
+    must emit the identical register/estimate table."""
+    from openeo_processes_dask_spark.training.graph import (
+        harmonic_centrality,
+    )
+
+    edges = [(i % 19, (i * 5 + 3) % 19) for i in range(50)]
+    # duplicate rows exercise the distinct the materialization captures
+    df = spark.createDataFrame(edges + edges, "src long, dst long")
+    mat = sorted(
+        map(tuple, harmonic_centrality(df, iterations=2, p=4).collect())
+    )
+    ref = sorted(
+        map(
+            tuple,
+            harmonic_centrality(
+                df, iterations=2, p=4, materialize_edges=False
+            ).collect(),
+        )
+    )
+    assert mat == ref
+
+
 def test_triangle_plan_has_no_window(spark):
     """Regression pin for the serial-window class (SCALECHECK probe 12):
     the orientation must come from tuple comparison, not a global
