@@ -1399,6 +1399,54 @@ def shared_key_incremental(
     )
 
 
+# Optimization r13 (guide §1/§5): building the per-hash aggregate Columns
+# functionally (min ∘ pmod ∘ lit·col+lit per hash) costs ~8-9 py4j
+# round-trips per hash function — ~550 for the default 64, ~0.7 s of pure
+# driver time on every query CONSTRUCTION (the PSL-matcher cost class;
+# measured build=1.18 s vs exec=0.37 s for the whole signature table at
+# sf0.1). One server-parsed F.expr per column keeps the IDENTICAL
+# 64-min-aggregates-in-one-hash-aggregate plan at one round-trip each,
+# and the parsed Columns are memoized per (applicationId, n, seed) —
+# Columns are immutable unresolved trees, so reuse is safe. (A single
+# array(min(..), ..) aggregate expression was also tried: ~6x faster to
+# build but ~18x slower to EXECUTE — it falls off the codegen
+# hash-aggregate path — so per-column exprs, not one array expr.)
+_MINHASH_COLS_MEMO: dict = {}
+
+
+def _minhash_hash_cols(num_hashes: int, seed: int):
+    """(aggregate Columns h0..h{n-1}, array(h0..h{n-1}) Column) for the
+    seeded universal-hash family — parsed server-side and memoized."""
+    import random
+
+    try:
+        from pyspark import SparkContext
+
+        sc = SparkContext._active_spark_context
+        app_id = sc.applicationId if sc is not None else None
+    except Exception:
+        app_id = None
+    key = (app_id, num_hashes, seed)
+    hit = _MINHASH_COLS_MEMO.get(key)
+    if hit is not None:
+        return hit
+    rnd = random.Random(seed)
+    coeffs = [
+        (rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)
+    ]
+    cols = [
+        F.expr(f"min(pmod({a}L * x + {b}L, {_P}L)) AS h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    arr = F.expr(
+        "array(" + ",".join(f"h{i}" for i in range(num_hashes)) + ")"
+    )
+    if len(_MINHASH_COLS_MEMO) > 64:
+        _MINHASH_COLS_MEMO.clear()
+    _MINHASH_COLS_MEMO[key] = (cols, arr)
+    return cols, arr
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -1418,11 +1466,6 @@ def minhash_signatures(
     SLOWER: Catalyst's project-collapsing inlines the md5 digest chain
     into every outer lambda and nested HOFs evaluate interpreted, outside
     codegen. Coefficients are seeded literals so runs are reproducible."""
-    import random
-
-    rnd = random.Random(seed)
-    coeffs = [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)]
-
     sh = (
         # keyed spread (r13): the 64-min aggregate below groups by id, so
         # hash-partitioning by id makes it ONE Complete aggregate reusing
@@ -1443,14 +1486,9 @@ def minhash_signatures(
         .select("id", F.pmod(_md5_to_long(F.col("sh")), F.lit(_P)).alias("x"))
     )
     # (a*x + b) mod p per hash fn; pmod keeps it in [0, p)
-    hash_cols = [
-        F.min(F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(_P))).alias(f"h{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
+    hash_cols, sig_array = _minhash_hash_cols(num_hashes, seed)
     agg = sh.groupBy("id").agg(*hash_cols)
-    return agg.select(
-        "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
-    )
+    return agg.select("id", sig_array.alias("signature"))
 
 
 def _bucket_cap(banded: DataFrame, key_cols: list[str], cap: int):
@@ -1480,38 +1518,40 @@ def _bucket_cap(banded: DataFrame, key_cols: list[str], cap: int):
     return small, star
 
 
+# expr-parse memo for the banding projection (same rationale as
+# _MINHASH_COLS_MEMO: the functional construction costs ~10 py4j
+# round-trips per band — ~0.4 s of driver time per query construction
+# for the default 16 bands; the parsed Column is input-independent)
+_BAND_EXPR_MEMO: dict = {}
+
+
 def _band_signatures(
     signatures: DataFrame, bands: int, rows_per_band: int
 ) -> DataFrame:
     """(id, band, bucket) rows from a signature table. The bucket is the
     md5 of the comma-joined band slice: engine-independent (reproducible
     in the DuckDB oracle), unlike Spark's private hash()."""
-    return signatures.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                F.transform(
-                                    F.slice(
-                                        F.col("signature"),
-                                        bi * rows_per_band + 1,
-                                        rows_per_band,
-                                    ),
-                                    lambda h: h.cast("string"),
-                                ),
-                            )
-                        ).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(
+    try:
+        from pyspark import SparkContext
+
+        sc = SparkContext._active_spark_context
+        app_id = sc.applicationId if sc is not None else None
+    except Exception:
+        app_id = None
+    key = (app_id, bands, rows_per_band)
+    bb = _BAND_EXPR_MEMO.get(key)
+    if bb is None:
+        parts = ",".join(
+            f"struct({bi} AS band, md5(concat_ws(',', transform("
+            f"slice(signature, {bi * rows_per_band + 1}, {rows_per_band}),"
+            " h -> CAST(h AS STRING)))) AS bucket)"
+            for bi in range(bands)
+        )
+        bb = F.expr(f"explode(array({parts}))")
+        if len(_BAND_EXPR_MEMO) > 64:
+            _BAND_EXPR_MEMO.clear()
+        _BAND_EXPR_MEMO[key] = bb
+    return signatures.select("id", bb.alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
@@ -2430,20 +2470,42 @@ def simhash_signatures(
         .select("id", F.explode(tokens(F.lower(F.col("__t__")))).alias("w"))
         .select("id", _md5_to_long(F.col("w")).alias("h"))
     )
-    h = F.col("h")
+    packs, sig = _simhash_pack_cols(bits)
+    votes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *packs)
+    return votes.select("id", sig.alias("simhash"))
+
+
+# expr-parse memo for the packed-popcount aggregate (same rationale as
+# _MINHASH_COLS_MEMO: the functional packs construction costs ~7 py4j
+# round-trips per bit — ~140 for 60 bits, ~0.2 s of driver time per
+# query construction; the Columns are input-independent)
+_SIMHASH_COLS_MEMO: dict = {}
+
+
+def _simhash_pack_cols(bits: int):
+    """(pack aggregate Columns p0.., signature-assembly Column) for the
+    3-counters-per-long popcount layout — parsed server-side, memoized."""
+    try:
+        from pyspark import SparkContext
+
+        sc = SparkContext._active_spark_context
+        app_id = sc.applicationId if sc is not None else None
+    except Exception:
+        app_id = None
+    key = (app_id, bits)
+    hit = _SIMHASH_COLS_MEMO.get(key)
+    if hit is not None:
+        return hit
     per, width = 3, 20
     n_packs = (bits + per - 1) // per
     packs = []
     for g in range(n_packs):
-        expr = None
-        for j in range(per):
-            b = g * per + j
-            if b >= bits:
-                break
-            e = F.shiftleft(F.shiftright(h, b).bitwiseAND(F.lit(1)), j * width)
-            expr = e if expr is None else expr + e
-        packs.append(F.sum(expr).alias(f"p{g}"))
-    votes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *packs)
+        terms = [
+            f"shiftleft(shiftright(h, {g * per + j}) & 1, {j * width})"
+            for j in range(per)
+            if g * per + j < bits
+        ]
+        packs.append(F.expr(f"sum({' + '.join(terms)}) AS p{g}"))
     # Signature assembly as ONE server-parsed SQL expression: building the
     # equivalent 60-deep nested Column tree driver-side measured ~5 s of
     # pure Python before a single task ran. Bit terms are disjoint, so a
@@ -2458,7 +2520,10 @@ def simhash_signatures(
             f"ELSE CAST(0 AS BIGINT) END)"
         )
     sig = F.expr("(" + " + ".join(terms) + ")")
-    return votes.select("id", sig.alias("simhash"))
+    if len(_SIMHASH_COLS_MEMO) > 64:
+        _SIMHASH_COLS_MEMO.clear()
+    _SIMHASH_COLS_MEMO[key] = (packs, sig)
+    return packs, sig
 
 
 def simhash_near_duplicates(
