@@ -2044,13 +2044,15 @@ def q_url_canonical(spark, sf_dir):
         .otherwise(F.lit("")),
         F.when(i % 2 == 1, F.lit("#Sec")).otherwise(F.lit("")),
     )
-    out = d.select(
+    # two-step projection, same rationale as q_registered_domain_psl_full:
+    # canonicalize_url/registered_domain embed their input at dozens of
+    # regex/array sites; a column reference keeps the analyzed tree flat
+    return d.select("doc_id", raw.alias("raw_url")).select(
         "doc_id",
-        raw.alias("raw_url"),
-        canonicalize_url(raw).alias("canonical"),
-        registered_domain(raw).alias("domain"),
+        "raw_url",
+        canonicalize_url(F.col("raw_url")).alias("canonical"),
+        registered_domain(F.col("raw_url")).alias("domain"),
     )
-    return out
 
 
 #: gate-scale public-suffix slice: one- and two-label suffixes,
@@ -2098,12 +2100,13 @@ def q_registered_domain_psl(spark, sf_dir):
         F.when(i % 4 == 1, F.lit(":8443")).otherwise(F.lit("")),
         F.lit("/p"), s(i % 7),
     )
-    return d.select(
+    # two-step projection, same rationale as q_registered_domain_psl_full
+    return d.select("doc_id", raw.alias("raw_url")).select(
         "doc_id",
-        raw.alias("raw_url"),
-        registered_domain_from_list(raw, _PSL_GATE_SUFFIXES).alias(
-            "domain"
-        ),
+        "raw_url",
+        registered_domain_from_list(
+            F.col("raw_url"), _PSL_GATE_SUFFIXES
+        ).alias("domain"),
     )
 
 
@@ -2151,11 +2154,18 @@ def q_registered_domain_psl_full(spark, sf_dir):
         F.when(i % 4 == 1, F.lit(":8443")).otherwise(F.lit("")),
         F.lit("/p"), s(i % 7),
     )
-    return d.select(
+    # r13 (guide §5/§7.3): project raw_url FIRST and run the matcher on
+    # the column REFERENCE — inlining the synthesized concat expression
+    # duplicated it at every labels/host site of the ~24-branch match
+    # ladder (~100 copies), blowing the analyzed tree up (measured:
+    # build 0.92 -> 0.19 s, exec 0.17 -> 0.11 s; CollapseProject keeps
+    # the two projections apart because the reference is multi-used).
+    # Output columns and values identical (A/B-verified + oracle).
+    return d.select("doc_id", raw.alias("raw_url")).select(
         "doc_id",
-        raw.alias("raw_url"),
+        "raw_url",
         registered_domain_from_list(
-            raw, load_public_suffix_snapshot()
+            F.col("raw_url"), load_public_suffix_snapshot()
         ).alias("domain"),
     )
 
