@@ -582,6 +582,15 @@ def _jaccard_prefix_pairs_body(sh: DataFrame, threshold: float) -> DataFrame:
             <= F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
         )
         .select("id", "shk", "sz", "rn")
+        # r13: BOTH sides of the prefix self-join re-derive this chain
+        # (two joins + the per-doc window; AQE exchange reuse does not
+        # dedup it across the join's sides) — persist the prefix table,
+        # the AllPairs/PPJoin index a cluster deployment materializes
+        # anyway. Strictly smaller than the already-persisted sh (the
+        # prefix rows are ~a 1-t fraction of it); released in finally
+        # below, after the (small) verified pair set is checkpointed.
+        # Interleaved A/B at sf0.1: 3.01 -> 2.62 s, identical pairs.
+        .persist()
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     # positional filter (PPJoin, Xiao et al. WWW'08): a shared prefix
@@ -655,7 +664,10 @@ def _jaccard_prefix_pairs_body(sh: DataFrame, threshold: float) -> DataFrame:
     # and localCheckpoint blocks are released by the ContextCleaner when
     # the returned DataFrame is garbage collected, unlike a persist(),
     # which would outlive the caller (ADVICE r7 cache-leak fix).
-    return out.localCheckpoint(eager=True)
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        prefix.unpersist()
 
 
 def segment_duplicates(
