@@ -203,6 +203,23 @@ def main() -> None:
     # io threshold ~3.5x the 0.14 s quiet reference — cleanly between
     # the recorded quiet band (0.13-0.19) and the storm reading (1.11)
     QUIET_IO = float(os.environ.get("SPARK_GRAFT_QUIET_IO", "0.5"))
+    # Core-count scaling (r13): every quiet threshold in this protocol —
+    # QUIET_CAL, the per-gate/total refs — was measured on local[32].
+    # The driver ALSO runs this bench at a LOWER core count to measure
+    # scaling, where the same fixed shuffle-calibration work is spread
+    # over fewer cores (measured: 1.6 s at local[8] vs 1.0-1.3 quiet at
+    # local[32]) and every gate legitimately slows — comparing those
+    # readings against 32-core quiet references would sleep through the
+    # contention waits and record false storm flags/retries on a
+    # perfectly quiet host. No computation slows MORE than linearly in
+    # lost cores, so scaling the CPU-bound thresholds by ref_cpus/cpus
+    # is a sound upper bound that still catches real storms (10-100x).
+    # At the pinned core count the factor is exactly 1.0 — the driver's
+    # main 32-core recording is byte-for-byte the old protocol. The IO
+    # lane is single-threaded and stays unscaled.
+    _REF_CPUS = 32
+    _CPU_SCALE = max(1.0, _REF_CPUS / max(1.0, float(int(cpus))))
+    QUIET_CAL *= _CPU_SCALE
     _MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
     _MAX_WAITS = int(os.environ.get("SPARK_GRAFT_BENCH_WAITS", "4"))
     # Persisted quiet-host references (VERDICT r11 #1, r12 #1/#7):
@@ -227,7 +244,7 @@ def main() -> None:
             "SPARK_GRAFT_QUIET_TOTAL",
             QUIET_REFS.get("headline_total_sec", 9.5),
         )
-    )
+    ) * _CPU_SCALE
     _ANOMALY_FACTOR = 1.5
     # a single gate at >2.5x its pinned quiet reference is a storm hit
     # even when the section TOTAL stays inside the band (r12's 12 s
@@ -274,7 +291,10 @@ def main() -> None:
             cal_start, io_start = shuffle_cal(), io_cal()
         t = run_headline()
         cal_end, io_end = shuffle_cal(), io_cal()
-        _h_refs = QUIET_REFS.get("headline", {})
+        _h_refs = {
+            n: v * _CPU_SCALE
+            for n, v in QUIET_REFS.get("headline", {}).items()
+        }
         attempts.append(
             {
                 "cal_start": cal_start,
@@ -419,7 +439,12 @@ def main() -> None:
             spark.catalog.clearCache()
         return st
 
-    _stream_refs = QUIET_REFS.get("streaming_rows_per_s", {})
+    _stream_refs = {
+        # throughput drops with the core count — scale the reference
+        # floor DOWN by the same linear bound
+        n: v / _CPU_SCALE
+        for n, v in QUIET_REFS.get("streaming_rows_per_s", {}).items()
+    }
 
     def _streaming_anoms(st: dict) -> list[str]:
         # throughput scales INVERSELY with host load: anomalous when
@@ -452,7 +477,10 @@ def main() -> None:
             spark.catalog.clearCache()
         return ex
 
-    _extras_refs = QUIET_REFS.get("extras", {})
+    _extras_refs = {
+        n: v * _CPU_SCALE
+        for n, v in QUIET_REFS.get("extras", {}).items()
+    }
     _extras_ref_total = sum(
         _extras_refs.get(n, 0.0) for n in EXTRAS if n in _extras_refs
     )
