@@ -2487,11 +2487,20 @@ def q_quantile_sketch(spark, sf_dir):
         quantile_sketch_estimates,
     )
 
+    from openeo_processes_dask_spark.training.dedup import _spread
+
     li = _table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("v"),
         F.concat_ws("-", "l_orderkey", "l_linenumber").alias("uid"),
     )
-    return quantile_sketch_estimates(quantile_sketch(li, "v", "uid", k=1024))
+    # r13: lineitem.parquet is one row group -> one scan task; _spread
+    # parallelizes the md5-priority pass (the sketch is a pure function
+    # of the input multiset, so partitioning cannot change it). No-op at
+    # scale where the input already arrives in >= core-count partitions.
+    # Interleaved A/B at sf0.1: means 2.10 -> 1.78 s, variance halved.
+    return quantile_sketch_estimates(
+        quantile_sketch(_spread(li), "v", "uid", k=1024)
+    )
 
 
 def q_quantile_sketch_merged(spark, sf_dir):
