@@ -493,29 +493,30 @@ def q_ingest_screen(spark, sf_dir):
         ).alias("fingerprint")
     )
     # Overlap the INDEPENDENT materializations (guide §2.6): the
-    # increment-batch checkpoint (id spine, fingerprint lane) chained
-    # into the batch's own signature table, and the persisted-
-    # signature-table analog — both chains depend only on the documents
-    # scan; running them from a thread pool back-fills each other's
-    # stage tails. Same computation, same results, nothing persists
-    # across runs.
+    # increment-batch checkpoint (id spine, fingerprint lane), the
+    # batch's own signature table, and the persisted-signature-table
+    # analog all depend only on the documents scan; running them from
+    # a thread pool back-fills each other's stage tails. r14: the
+    # batch signature build starts from the batch PLAN instead of
+    # waiting on the batch checkpoint — same rows either way, and the
+    # pool's critical path drops from (ckpt + sigs) to max(ckpt, sigs).
+    # Same computation, same results, nothing persists across runs.
     from concurrent.futures import ThreadPoolExecutor
 
-    def _new_chain():
-        ckpt = new.localCheckpoint(eager=True)
-        sigs = minhash_signatures(
-            ckpt, "doc_id", "text", 3, 64
-        ).localCheckpoint(eager=True)
-        return ckpt, sigs
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_new = pool.submit(_new_chain)
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_new = pool.submit(lambda: new.localCheckpoint(eager=True))
+        f_new_sigs = pool.submit(
+            lambda: minhash_signatures(
+                new, "doc_id", "text", 3, 64
+            ).localCheckpoint(eager=True)
+        )
         f_sigs = pool.submit(
             lambda: minhash_signatures(
                 docs, "doc_id", "text", n=3, num_hashes=64
             ).localCheckpoint(eager=True)
         )
-        new_ckpt, new_sigs = f_new.result()
+        new_ckpt = f_new.result()
+        new_sigs = f_new_sigs.result()
         seen_sigs = f_sigs.result()
     return ingest_screen(
         new_ckpt, seen_fps, seen_sigs, n=3, num_hashes=64, bands=16,
@@ -607,16 +608,22 @@ def _multimodal_ingest_fixture(spark, sf_dir, with_new_sigs=False):
     # the zero-caching contract are unchanged.
     from concurrent.futures import ThreadPoolExecutor
 
-    def _new_chain():
-        ckpt = new_plan.localCheckpoint(eager=True)
-        if not with_new_sigs:
-            return ckpt, None
-        return ckpt, minhash_signatures(
-            ckpt, "doc_id", "text", 3, 64
-        ).localCheckpoint(eager=True)
-
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        f_new = pool.submit(_new_chain)
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_new = pool.submit(lambda: new_plan.localCheckpoint(eager=True))
+        # r14: the batch signature table builds from the batch PLAN
+        # (arch is already checkpointed, so the 3-branch union is a
+        # cheap re-derivation) instead of waiting on the batch
+        # checkpoint — the pool's critical path drops from
+        # (ckpt + sigs) to max(ckpt, sigs); identical rows either way.
+        f_new_sigs = (
+            pool.submit(
+                lambda: minhash_signatures(
+                    new_plan, "doc_id", "text", 3, 64
+                ).localCheckpoint(eager=True)
+            )
+            if with_new_sigs
+            else None
+        )
         f_sigs = pool.submit(
             lambda: minhash_signatures(
                 arch, "doc_id", "text", n=3, num_hashes=64
@@ -625,7 +632,8 @@ def _multimodal_ingest_fixture(spark, sf_dir, with_new_sigs=False):
         f_cents = pool.submit(
             kmeans_fit, arch, 8, 2, "doc_id", "embedding"
         )
-        new, new_sigs = f_new.result()
+        new = f_new.result()
+        new_sigs = f_new_sigs.result() if f_new_sigs is not None else None
         seen_sigs = f_sigs.result()
         cents = f_cents.result()
     members = _tag_members(arch, cents, "doc_id", "embedding")

@@ -48,24 +48,50 @@ def _snap_micro(vec_col):
     )
 
 
-def _assign_expr(snapped_col, centroids: Sequence[Sequence[float]]):
-    """argmin_c Σ (v_i − c_i)² over literal centroids; ties -> lower id."""
-    cands = []
-    for ci, cent in enumerate(centroids):
-        # ONE py4j round-trip per centroid (ndarray literal) instead of
-        # one per element: k x dim F.lit calls cost ~1 ms of driver
-        # socket time each, and this expression is rebuilt per iteration
-        # and per assign consumer (guide §5 driver work; the same class
-        # as the PSL-matcher fix). Values are bit-identical — lit(ndarray)
-        # and array(lit...) both produce the same array<double> constant.
-        c = F.lit(np.asarray([float(v) for v in cent], dtype="float64"))
-        dist = F.aggregate(
-            F.zip_with(snapped_col, c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        cands.append(F.struct(dist.alias("d"), F.lit(ci).alias("c")))
-    return F.array_min(F.array(*cands)).getField("c")
+def _assign_expr(
+    snapped_col, centroids: Sequence[Sequence[float]], memo_key=None
+):
+    """argmin_c Σ (v_i − c_i)² over literal centroids; ties -> lower id.
+
+    ``memo_key`` (r14, guide §5): a caller-supplied descriptor of how
+    ``snapped_col`` was derived (e.g. ``"snap::embedding"``). When
+    given, the built Column is memoized per (applicationId, memo_key,
+    centroid values) — building the k x (zip_with + aggregate)
+    higher-order tree costs ~0.5 s of py4j round-trips for k=8
+    (measured r14: the dominant construction cost of every assign
+    consumer), and centroids are deterministic per fixture, so repeated
+    query constructions reuse one immutable unresolved tree. Callers
+    MUST derive ``snapped_col`` purely from the key."""
+
+    def build():
+        cands = []
+        for ci, cent in enumerate(centroids):
+            # ONE py4j round-trip per centroid (ndarray literal) instead
+            # of one per element: k x dim F.lit calls cost ~1 ms of
+            # driver socket time each (guide §5 driver work; the same
+            # class as the PSL-matcher fix). Values are bit-identical —
+            # lit(ndarray) and array(lit...) build the same constant.
+            c = F.lit(np.asarray([float(v) for v in cent], dtype="float64"))
+            dist = F.aggregate(
+                F.zip_with(snapped_col, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            cands.append(F.struct(dist.alias("d"), F.lit(ci).alias("c")))
+        return F.array_min(F.array(*cands)).getField("c")
+
+    if memo_key is None:
+        return build()
+    from openeo_processes_dask_spark.exprmemo import memoized_exprs
+
+    return memoized_exprs(
+        (
+            "kmeans_assign",
+            memo_key,
+            tuple(tuple(float(v) for v in c) for c in centroids),
+        ),
+        build,
+    )
 
 
 def kmeans_fit(
@@ -106,7 +132,8 @@ def kmeans_fit(
     snapped = df.select(_snap_micro(F.col(vec_col)).alias("sv"))
     for _ in range(int(iterations)):
         assigned = snapped.select(
-            _assign_expr(F.col("sv"), centroids).alias("c"), "sv"
+            _assign_expr(F.col("sv"), centroids, memo_key="sv").alias("c"),
+            "sv",
         )
         sums = (
             assigned.select("c", F.posexplode("sv").alias("pos", "x"))
@@ -139,5 +166,8 @@ def kmeans_assign(
         cols.append(F.col(vec_col))
     return df.select(
         *cols,
-        _assign_expr(_snap_micro(F.col(vec_col)), centroids).alias("cluster"),
+        _assign_expr(
+            _snap_micro(F.col(vec_col)), centroids,
+            memo_key=f"snap::{vec_col}",
+        ).alias("cluster"),
     )

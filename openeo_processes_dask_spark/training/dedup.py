@@ -1418,45 +1418,37 @@ def shared_key_incremental(
 # measured build=1.18 s vs exec=0.37 s for the whole signature table at
 # sf0.1). One server-parsed F.expr per column keeps the IDENTICAL
 # 64-min-aggregates-in-one-hash-aggregate plan at one round-trip each,
-# and the parsed Columns are memoized per (applicationId, n, seed) —
-# Columns are immutable unresolved trees, so reuse is safe. (A single
-# array(min(..), ..) aggregate expression was also tried: ~6x faster to
-# build but ~18x slower to EXECUTE — it falls off the codegen
-# hash-aggregate path — so per-column exprs, not one array expr.)
-_MINHASH_COLS_MEMO: dict = {}
+# and the parsed Columns are memoized per (applicationId, n, seed) via
+# the shared exprmemo helper (ADVICE r13 #4) — Columns are immutable
+# unresolved trees, so reuse is safe. (A single array(min(..), ..)
+# aggregate expression was also tried: ~6x faster to build but ~18x
+# slower to EXECUTE — it falls off the codegen hash-aggregate path — so
+# per-column exprs, not one array expr.)
 
 
 def _minhash_hash_cols(num_hashes: int, seed: int):
     """(aggregate Columns h0..h{n-1}, array(h0..h{n-1}) Column) for the
     seeded universal-hash family — parsed server-side and memoized."""
-    import random
+    from openeo_processes_dask_spark.exprmemo import memoized_exprs
 
-    try:
-        from pyspark import SparkContext
+    def build():
+        import random
 
-        sc = SparkContext._active_spark_context
-        app_id = sc.applicationId if sc is not None else None
-    except Exception:
-        app_id = None
-    key = (app_id, num_hashes, seed)
-    hit = _MINHASH_COLS_MEMO.get(key)
-    if hit is not None:
-        return hit
-    rnd = random.Random(seed)
-    coeffs = [
-        (rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)
-    ]
-    cols = [
-        F.expr(f"min(pmod({a}L * x + {b}L, {_P}L)) AS h{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    arr = F.expr(
-        "array(" + ",".join(f"h{i}" for i in range(num_hashes)) + ")"
-    )
-    if len(_MINHASH_COLS_MEMO) > 64:
-        _MINHASH_COLS_MEMO.clear()
-    _MINHASH_COLS_MEMO[key] = (cols, arr)
-    return cols, arr
+        rnd = random.Random(seed)
+        coeffs = [
+            (rnd.randrange(1, _P), rnd.randrange(0, _P))
+            for _ in range(num_hashes)
+        ]
+        cols = [
+            F.expr(f"min(pmod({a}L * x + {b}L, {_P}L)) AS h{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+        arr = F.expr(
+            "array(" + ",".join(f"h{i}" for i in range(num_hashes)) + ")"
+        )
+        return cols, arr
+
+    return memoized_exprs(("minhash_cols", num_hashes, seed), build)
 
 
 def minhash_signatures(
@@ -1534,7 +1526,6 @@ def _bucket_cap(banded: DataFrame, key_cols: list[str], cap: int):
 # _MINHASH_COLS_MEMO: the functional construction costs ~10 py4j
 # round-trips per band — ~0.4 s of driver time per query construction
 # for the default 16 bands; the parsed Column is input-independent)
-_BAND_EXPR_MEMO: dict = {}
 
 
 def _band_signatures(
@@ -1543,26 +1534,18 @@ def _band_signatures(
     """(id, band, bucket) rows from a signature table. The bucket is the
     md5 of the comma-joined band slice: engine-independent (reproducible
     in the DuckDB oracle), unlike Spark's private hash()."""
-    try:
-        from pyspark import SparkContext
+    from openeo_processes_dask_spark.exprmemo import memoized_exprs
 
-        sc = SparkContext._active_spark_context
-        app_id = sc.applicationId if sc is not None else None
-    except Exception:
-        app_id = None
-    key = (app_id, bands, rows_per_band)
-    bb = _BAND_EXPR_MEMO.get(key)
-    if bb is None:
+    def build():
         parts = ",".join(
             f"struct({bi} AS band, md5(concat_ws(',', transform("
             f"slice(signature, {bi * rows_per_band + 1}, {rows_per_band}),"
             " h -> CAST(h AS STRING)))) AS bucket)"
             for bi in range(bands)
         )
-        bb = F.expr(f"explode(array({parts}))")
-        if len(_BAND_EXPR_MEMO) > 64:
-            _BAND_EXPR_MEMO.clear()
-        _BAND_EXPR_MEMO[key] = bb
+        return F.expr(f"explode(array({parts}))")
+
+    bb = memoized_exprs(("band_expr", bands, rows_per_band), build)
     return signatures.select("id", bb.alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
@@ -1974,6 +1957,16 @@ def minhash_incremental(
             .where(F.col("est_jaccard") >= threshold)
             .select("new_id", "seen_id", "est_jaccard")
         )
+        if new_signatures is not None:
+            # r14 (guide §2.6/§5): with BOTH signature tables caller-
+            # materialized there is no cache to release, so the eager
+            # checkpoint here would only pay an extra serial driver
+            # action at construction time. Returning the lazy plan lets
+            # the consumer's single action run the band join, where the
+            # scheduler overlaps it with the caller's sibling lanes
+            # (ingest_screen / ingest_screen_multimodal). Same
+            # computation, same rows.
+            return out
         # release the batch-sized signature cache after materializing the
         # (small) match set — PPJoin unpersist contract (ADVICE r7).
         # seen_signatures is caller-owned and untouched.
@@ -2240,7 +2233,8 @@ def stream_ingest_screen_multimodal(
     if seen_members is not None:
         enrich.append(
             _assign_expr(
-                _snap_micro(F.col(vec_col)), centroids
+                _snap_micro(F.col(vec_col)), centroids,
+                memo_key=f"snap::{vec_col}",
             ).alias("__cluster__")
         )
         enrich.append(F.col(vec_col).cast("array<double>").alias("__v__"))
@@ -2488,54 +2482,45 @@ def simhash_signatures(
 
 
 # expr-parse memo for the packed-popcount aggregate (same rationale as
-# _MINHASH_COLS_MEMO: the functional packs construction costs ~7 py4j
+# _minhash_hash_cols: the functional packs construction costs ~7 py4j
 # round-trips per bit — ~140 for 60 bits, ~0.2 s of driver time per
 # query construction; the Columns are input-independent)
-_SIMHASH_COLS_MEMO: dict = {}
 
 
 def _simhash_pack_cols(bits: int):
     """(pack aggregate Columns p0.., signature-assembly Column) for the
     3-counters-per-long popcount layout — parsed server-side, memoized."""
-    try:
-        from pyspark import SparkContext
+    from openeo_processes_dask_spark.exprmemo import memoized_exprs
 
-        sc = SparkContext._active_spark_context
-        app_id = sc.applicationId if sc is not None else None
-    except Exception:
-        app_id = None
-    key = (app_id, bits)
-    hit = _SIMHASH_COLS_MEMO.get(key)
-    if hit is not None:
-        return hit
-    per, width = 3, 20
-    n_packs = (bits + per - 1) // per
-    packs = []
-    for g in range(n_packs):
-        terms = [
-            f"shiftleft(shiftright(h, {g * per + j}) & 1, {j * width})"
-            for j in range(per)
-            if g * per + j < bits
-        ]
-        packs.append(F.expr(f"sum({' + '.join(terms)}) AS p{g}"))
-    # Signature assembly as ONE server-parsed SQL expression: building the
-    # equivalent 60-deep nested Column tree driver-side measured ~5 s of
-    # pure Python before a single task ran. Bit terms are disjoint, so a
-    # plain sum of power-of-two literals equals the bitwise OR.
-    mask = (1 << width) - 1
-    terms = []
-    for b in range(bits):
-        g, j = divmod(b, per)
-        cnt = f"(shiftright(p{g}, {j * width}) & {mask})"
-        terms.append(
-            f"(CASE WHEN 2 * {cnt} > n THEN CAST({1 << b} AS BIGINT) "
-            f"ELSE CAST(0 AS BIGINT) END)"
-        )
-    sig = F.expr("(" + " + ".join(terms) + ")")
-    if len(_SIMHASH_COLS_MEMO) > 64:
-        _SIMHASH_COLS_MEMO.clear()
-    _SIMHASH_COLS_MEMO[key] = (packs, sig)
-    return packs, sig
+    def build():
+        per, width = 3, 20
+        n_packs = (bits + per - 1) // per
+        packs = []
+        for g in range(n_packs):
+            terms = [
+                f"shiftleft(shiftright(h, {g * per + j}) & 1, {j * width})"
+                for j in range(per)
+                if g * per + j < bits
+            ]
+            packs.append(F.expr(f"sum({' + '.join(terms)}) AS p{g}"))
+        # Signature assembly as ONE server-parsed SQL expression:
+        # building the equivalent 60-deep nested Column tree driver-side
+        # measured ~5 s of pure Python before a single task ran. Bit
+        # terms are disjoint, so a plain sum of power-of-two literals
+        # equals the bitwise OR.
+        mask = (1 << width) - 1
+        terms = []
+        for b in range(bits):
+            g, j = divmod(b, per)
+            cnt = f"(shiftright(p{g}, {j * width}) & {mask})"
+            terms.append(
+                f"(CASE WHEN 2 * {cnt} > n THEN CAST({1 << b} AS BIGINT) "
+                f"ELSE CAST(0 AS BIGINT) END)"
+            )
+        sig = F.expr("(" + " + ".join(terms) + ")")
+        return packs, sig
+
+    return memoized_exprs(("simhash_packs", bits), build)
 
 
 def simhash_near_duplicates(
@@ -2564,6 +2549,32 @@ def simhash_near_duplicates(
         sigs.unpersist()
 
 
+def _hamming_band_explode(col_name: str, bands: int, band_bits: int):
+    """``explode(array(struct(band, chunk)...))`` Column splitting the
+    64-bit signature column ``col_name`` into ``bands`` chunks — ONE
+    server-parsed F.expr, memoized per (applicationId, col, geometry)
+    via :mod:`..exprmemo` (r14, guide §5): the functional
+    struct/shiftright/bitwiseAND construction costs ~5 py4j round-trips
+    per band (~0.2 s per banded side at 8 bands), paid on every query
+    construction. Identical expression tree, identical results."""
+    from openeo_processes_dask_spark.exprmemo import memoized_exprs
+
+    mask = (1 << band_bits) - 1
+
+    def build():
+        parts = ",".join(
+            f"struct({bi} AS band, "
+            f"shiftright(`{col_name}`, {bi * band_bits}) & {mask} "
+            "AS chunk)"
+            for bi in range(bands)
+        )
+        return F.expr(f"explode(array({parts}))")
+
+    return memoized_exprs(
+        ("hamming_bands", col_name, bands, band_bits), build
+    )
+
+
 def banded_hamming_incremental(
     sigs_new: DataFrame,
     sigs_seen: DataFrame,
@@ -2588,7 +2599,6 @@ def banded_hamming_incremental(
             "for exact recall"
         )
     band_bits = 64 // bands
-    mask = (1 << band_bits) - 1
 
     def banded(sigs: DataFrame) -> DataFrame:
         base = sigs.select(
@@ -2598,19 +2608,7 @@ def banded_hamming_incremental(
         return base.select(
             "id",
             "sig",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(bi).alias("band"),
-                            F.shiftright(F.col("sig"), bi * band_bits)
-                            .bitwiseAND(F.lit(mask))
-                            .alias("chunk"),
-                        )
-                        for bi in range(bands)
-                    ]
-                )
-            ).alias("bb"),
+            _hamming_band_explode("sig", bands, band_bits).alias("bb"),
         ).select("id", "sig", F.col("bb.band"), F.col("bb.chunk"))
 
     a = banded(sigs_new).alias("a")
@@ -2658,26 +2656,13 @@ def simhash_incremental(
     bands`` recall over new x seen is exactly 1. Returns
     ``(new_id, seen_id, hamming <= max_hamming)``."""
     band_bits = 64 // bands
-    mask = (1 << band_bits) - 1
     sigs_new = simhash_signatures(df_new, id_col, text_col).persist()
 
     def banded(sigs: DataFrame) -> DataFrame:
         return sigs.select(
             "id",
             "simhash",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(bi).alias("band"),
-                            F.shiftright(
-                                F.col("simhash"), bi * band_bits
-                            ).bitwiseAND(F.lit(mask)).alias("chunk"),
-                        )
-                        for bi in range(bands)
-                    ]
-                )
-            ).alias("bb"),
+            _hamming_band_explode("simhash", bands, band_bits).alias("bb"),
         ).select("id", "simhash", F.col("bb.band"), F.col("bb.chunk"))
 
     try:
@@ -2713,25 +2698,10 @@ def _simhash_pairs_body(
     max_bucket_size: int | None,
 ) -> DataFrame:
     band_bits = 64 // bands
-    mask = (1 << band_bits) - 1
-    # bands unrolled in Python: shiftright's shift amount must be a Python
-    # int in the PySpark API
     banded = sigs.select(
         "id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.shiftright(F.col("simhash"), bi * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("chunk"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        _hamming_band_explode("simhash", bands, band_bits).alias("bb"),
     ).select("id", "simhash", F.col("bb.band"), F.col("bb.chunk"))
     star = None
     if max_bucket_size is not None:
@@ -3259,26 +3229,13 @@ def banded_hamming_pairs(
             "for exact recall"
         )
     band_bits = 64 // bands
-    mask = (1 << band_bits) - 1
     sigs = sigs.select(
         F.col(id_col).alias("id"), F.col(sig_col).cast("long").alias("sig")
     )
     banded = sigs.select(
         "id",
         "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.shiftright(F.col("sig"), bi * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("chunk"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        _hamming_band_explode("sig", bands, band_bits).alias("bb"),
     ).select("id", "sig", F.col("bb.band"), F.col("bb.chunk"))
     star = None
     if max_bucket_size is not None:
