@@ -199,7 +199,6 @@ def main() -> None:
     # env knobs (documented; the driver uses the defaults): the quiet
     # threshold is calibrated for local[32] — a smoke run on fewer
     # cores can raise SPARK_GRAFT_QUIET_CAL to skip the waits
-    QUIET_CAL = float(os.environ.get("SPARK_GRAFT_QUIET_CAL", "1.3"))
     # io threshold ~3.5x the 0.14 s quiet reference — cleanly between
     # the recorded quiet band (0.13-0.19) and the storm reading (1.11)
     QUIET_IO = float(os.environ.get("SPARK_GRAFT_QUIET_IO", "0.5"))
@@ -217,9 +216,20 @@ def main() -> None:
     # At the pinned core count the factor is exactly 1.0 — the driver's
     # main 32-core recording is byte-for-byte the old protocol. The IO
     # lane is single-threaded and stays unscaled.
+    # r14 (ADVICE r13 #1/#2): refinements, both no-ops at 32 cores —
+    #   1. an explicit SPARK_GRAFT_QUIET_CAL/QUIET_TOTAL env override is
+    #      used AS GIVEN (the r13 code also multiplied overrides by the
+    #      scale factor, double-compensating a user who followed the
+    #      low-core guidance above);
+    #   2. bench_quiet_refs.json may pin MEASURED low-core references
+    #      under "by_cpus" (keyed by the core-count string); when the
+    #      running core count has an entry, its measured values replace
+    #      the worst-case linear bound, restoring the low-core noise
+    #      gate's sensitivity (~1.2x headroom instead of ~3x).
     _REF_CPUS = 32
     _CPU_SCALE = max(1.0, _REF_CPUS / max(1.0, float(int(cpus))))
-    QUIET_CAL *= _CPU_SCALE
+    _qc_env = os.environ.get("SPARK_GRAFT_QUIET_CAL")
+    QUIET_CAL = float(_qc_env) if _qc_env is not None else 1.3 * _CPU_SCALE
     _MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
     _MAX_WAITS = int(os.environ.get("SPARK_GRAFT_BENCH_WAITS", "4"))
     # Persisted quiet-host references (VERDICT r11 #1, r12 #1/#7):
@@ -239,12 +249,27 @@ def main() -> None:
             QUIET_REFS = json.load(_f)
     except OSError:
         QUIET_REFS = {}
-    QUIET_TOTAL_SEC = float(
-        os.environ.get(
-            "SPARK_GRAFT_QUIET_TOTAL",
-            QUIET_REFS.get("headline_total_sec", 9.5),
-        )
-    ) * _CPU_SCALE
+    # r14 (ADVICE r13 #1): measured references for THIS core count, when
+    # pinned under "by_cpus" — sections present there are used as-is
+    # (scale 1.0); sections absent fall back to the 32-core values under
+    # the linear upper bound.
+    _BY_CPUS = QUIET_REFS.get("by_cpus", {}).get(str(int(cpus)), {})
+
+    def _ref_section(name):
+        """(section dict/value, scale to apply) for a quiet reference."""
+        if name in _BY_CPUS:
+            return _BY_CPUS[name], 1.0
+        return QUIET_REFS.get(name), _CPU_SCALE
+
+    if _qc_env is None and "quiet_cal_sec" in _BY_CPUS:
+        QUIET_CAL = float(_BY_CPUS["quiet_cal_sec"])
+    _qt_env = os.environ.get("SPARK_GRAFT_QUIET_TOTAL")
+    if _qt_env is not None:
+        # explicit override used AS GIVEN (ADVICE r13 #2)
+        QUIET_TOTAL_SEC = float(_qt_env)
+    else:
+        _qt_ref, _qt_scale = _ref_section("headline_total_sec")
+        QUIET_TOTAL_SEC = float(_qt_ref or 9.5) * _qt_scale
     _ANOMALY_FACTOR = 1.5
     # a single gate at >2.5x its pinned quiet reference is a storm hit
     # even when the section TOTAL stays inside the band (r12's 12 s
@@ -291,10 +316,8 @@ def main() -> None:
             cal_start, io_start = shuffle_cal(), io_cal()
         t = run_headline()
         cal_end, io_end = shuffle_cal(), io_cal()
-        _h_refs = {
-            n: v * _CPU_SCALE
-            for n, v in QUIET_REFS.get("headline", {}).items()
-        }
+        _h_sec, _h_scale = _ref_section("headline")
+        _h_refs = {n: v * _h_scale for n, v in (_h_sec or {}).items()}
         attempts.append(
             {
                 "cal_start": cal_start,
@@ -439,11 +462,13 @@ def main() -> None:
             spark.catalog.clearCache()
         return st
 
+    _s_sec, _s_scale = _ref_section("streaming_rows_per_s")
     _stream_refs = {
         # throughput drops with the core count — scale the reference
-        # floor DOWN by the same linear bound
-        n: v / _CPU_SCALE
-        for n, v in QUIET_REFS.get("streaming_rows_per_s", {}).items()
+        # floor DOWN by the same linear bound (measured by_cpus entries
+        # arrive with scale 1.0)
+        n: v / _s_scale
+        for n, v in (_s_sec or {}).items()
     }
 
     def _streaming_anoms(st: dict) -> list[str]:
@@ -477,10 +502,8 @@ def main() -> None:
             spark.catalog.clearCache()
         return ex
 
-    _extras_refs = {
-        n: v * _CPU_SCALE
-        for n, v in QUIET_REFS.get("extras", {}).items()
-    }
+    _e_sec, _e_scale = _ref_section("extras")
+    _extras_refs = {n: v * _e_scale for n, v in (_e_sec or {}).items()}
     _extras_ref_total = sum(
         _extras_refs.get(n, 0.0) for n in EXTRAS if n in _extras_refs
     )

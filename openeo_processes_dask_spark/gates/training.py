@@ -547,21 +547,34 @@ def _multimodal_ingest_fixture(spark, sf_dir, with_new_sigs=False):
 
     docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
     emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    arch = (
+    arch_plan = (
         docs.join(emb, docs.doc_id == emb.vec_id)
         .select(
             "doc_id", "text", "embedding",
             _md5_to_long(F.col("doc_id").cast("string")).alias("psig"),
         )
         .where(F.col("doc_id") < 300)
-        # r13 (guide §2.4/§5): the archive relation feeds SIX consumers
-        # (three new-batch branches, fingerprints, signatures, k-means +
-        # membership + hashes) — in production it IS a persisted table;
-        # materialize its local analog once instead of re-running the
-        # docs⋈emb join per consumer. localCheckpoint blocks are
-        # ContextCleaner-released on GC; results identical (oracle-pinned).
-        .localCheckpoint(eager=True)
     )
+    # r14 (guide §2.6): k-means is the LONGEST pool job (3 serial
+    # collects) and only needs the archive ROWS, not its checkpoint —
+    # start it from the plan BEFORE the checkpoint action so it
+    # overlaps everything below. Recomputing the small docs⋈emb join
+    # inside its jobs costs far less than serializing behind the
+    # checkpoint; identical rows -> bit-identical centroids
+    # (snap/md5 deterministic, oracle-pinned).
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=4)
+    f_cents = pool.submit(
+        kmeans_fit, arch_plan, 8, 2, "doc_id", "embedding"
+    )
+    # r13 (guide §2.4/§5): the archive relation feeds SIX consumers
+    # (three new-batch branches, fingerprints, signatures, k-means +
+    # membership + hashes) — in production it IS a persisted table;
+    # materialize its local analog once instead of re-running the
+    # docs⋈emb join per consumer. localCheckpoint blocks are
+    # ContextCleaner-released on GC; results identical (oracle-pinned).
+    arch = arch_plan.localCheckpoint(eager=True)
     i = F.col("doc_id")
     new_plan = (
         arch.where(i % 5 == 0).select(
@@ -598,17 +611,16 @@ def _multimodal_ingest_fixture(spark, sf_dir, with_new_sigs=False):
             )
         ).alias("fingerprint")
     )
-    # Overlap the three INDEPENDENT materialization jobs (guide §2.6):
-    # the increment-batch checkpoint (five consumers), the persisted-
-    # signature-table checkpoint (banding + verification join), and the
-    # k-means fit (3 driver actions) all depend only on the already-
-    # checkpointed archive — submitting them from a small thread pool
-    # back-fills the executor gaps each serial action's tail left idle.
-    # Each branch computes exactly what it did serially; results and
-    # the zero-caching contract are unchanged.
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    # Overlap the INDEPENDENT materialization jobs (guide §2.6): the
+    # increment-batch checkpoint (five consumers), the batch signature
+    # table, and the persisted-signature-table checkpoint all depend
+    # only on the already-checkpointed archive — submitting them from
+    # the pool (which is already running the k-means fit started above,
+    # before the archive checkpoint) back-fills the executor gaps each
+    # serial action's tail would leave idle. Each branch computes
+    # exactly what it did serially; results and the zero-caching
+    # contract are unchanged.
+    try:
         f_new = pool.submit(lambda: new_plan.localCheckpoint(eager=True))
         # r14: the batch signature table builds from the batch PLAN
         # (arch is already checkpointed, so the 3-branch union is a
@@ -629,13 +641,12 @@ def _multimodal_ingest_fixture(spark, sf_dir, with_new_sigs=False):
                 arch, "doc_id", "text", n=3, num_hashes=64
             ).localCheckpoint(eager=True)
         )
-        f_cents = pool.submit(
-            kmeans_fit, arch, 8, 2, "doc_id", "embedding"
-        )
         new = f_new.result()
         new_sigs = f_new_sigs.result() if f_new_sigs is not None else None
         seen_sigs = f_sigs.result()
         cents = f_cents.result()
+    finally:
+        pool.shutdown(wait=True)
     members = _tag_members(arch, cents, "doc_id", "embedding")
     seen_hashes = arch.select("doc_id", "psig")
     if with_new_sigs:
@@ -1419,8 +1430,25 @@ def q_hybrid_rrf(spark, sf_dir):
 
     docs = _table(spark, sf_dir, "documents")
     emb = _table(spark, sf_dir, "embeddings")
-    lex = bm25_topk(docs, ["spark", "join", "filter"], k=50).select("rank", "id")
-    query = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    # r14 (guide §2.6): the two lanes' driver actions — bm25_topk's
+    # df-stats aggregate and the query-vector first() — are independent;
+    # overlap them instead of paying two serial job round-trips. Same
+    # jobs, same results.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_lex = pool.submit(
+            lambda: bm25_topk(
+                docs, ["spark", "join", "filter"], k=50
+            ).select("rank", "id")
+        )
+        f_query = pool.submit(
+            lambda: emb.where(F.col("vec_id") == 0)
+            .select("embedding")
+            .first()[0]
+        )
+        lex = f_lex.result()
+        query = f_query.result()
     scored = cosine_topk(emb, [float(v) for v in query], k=50)
     w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
     dense = scored.withColumn("rank", F.row_number().over(w)).select(

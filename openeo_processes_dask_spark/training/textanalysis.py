@@ -377,9 +377,17 @@ def bm25_topk(
     from pyspark.sql import Window
 
     terms = sorted(set(t.lower() for t in query_terms))
-    base = df.select(
-        F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("w")
-    )
+    # r14 (guide §2.4/§6, the r13 change-18 class): the corpus arrives
+    # as one scan partition at fixture scale, and BOTH passes below
+    # (the df-stats aggregate and the scoring projection) chain the
+    # tokenize directly onto the scan — spread it so neither pass runs
+    # single-task. Keyless: the stats are exact-integer/sub-2^53 sums
+    # (order-independent) and scoring is per-row; a no-op at scale.
+    from openeo_processes_dask_spark.training.dedup import _spread
+
+    base = _spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t__"))
+    ).select("id", tokens(F.lower(F.col("__t__"))).alias("w"))
     stats = base.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg(F.size("w")).alias("avgdl"),
