@@ -882,34 +882,48 @@ def semdedup_incremental_pairs(
     projection from the plan. Results identical either way."""
     if new_tagged is None:
         new_tagged = _tag_members(df_new, centroids, id_col, vec_col)
+    from openeo_processes_dask_spark.exprmemo import memoized_exprs
+
     # norm hoist (r13, guide §1.2 per-task work): ||v|| once per row on
     # each side of the cluster join instead of once per candidate pair
     # (pair count is sum(|new_c| * |seen_c|) — the multiplied side).
     # Same expression over the same data: values bit-identical.
+    # r14 (guide §5): the norm/dot/cosine HOF trees reference only the
+    # FIXED internal column names below, so they are memoized across
+    # constructions like the assignment expression.
+    n_v = memoized_exprs(
+        ("semdedup_norm_v",), lambda: _norm(F.col("v"))
+    )
     seen = seen_members.select(
         F.col("id").alias("seen_id"), F.col("v").alias("v2"),
-        _norm(F.col("v")).alias("n2"), "cluster",
+        n_v.alias("n2"), "cluster",
     )
     cands = (
         new_tagged.select(
             F.col("id").alias("new_id"), F.col("v").alias("v1"),
-            _norm(F.col("v")).alias("n1"), "cluster",
+            n_v.alias("n1"), "cluster",
         )
         .join(seen, "cluster")
         .select("new_id", "v1", "n1", "seen_id", "v2", "n2")
     )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("v1").cast("array<double>"),
-            F.col("v2").cast("array<double>"),
-            lambda x, y: x * y,
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = F.try_divide(dot, F.col("n1") * F.col("n2"))
+
+    def _build_cos():
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("v1").cast("array<double>"),
+                F.col("v2").cast("array<double>"),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.round(
+            F.try_divide(dot, F.col("n1") * F.col("n2")), 6
+        )
+
+    cos6 = memoized_exprs(("semdedup_cos6",), _build_cos)
     return cands.select(
-        "new_id", "seen_id", F.round(cos, 6).alias("cosine")
+        "new_id", "seen_id", cos6.alias("cosine")
     ).where(F.col("cosine") >= threshold)
 
 
