@@ -434,18 +434,77 @@ _WINDOW_R13 = (
 assert len(_WINDOW_R13) == 50, len(_WINDOW_R13)
 assert len(set(_WINDOW_R13)) == 50, "duplicate gate in window"
 
+# ---- r14 rotation (VERDICT r13 #8) ----
+# Derived from tools/freshness.py over CORRECTNESS_r01..r13 (computed,
+# not hand-maintained). Ledger after r13: 0 never-checked, 32 r8-stale,
+# 46 r9, 42 r10, 46 r11, 47 r12, 50 r13.
+
+#: the 32 gates whose last green driver record is r8 (freshness order).
+_R8_STALE_AFTER_R13 = [
+    "streaming_anomaly", "count_min_words", "hll_registers",
+    "streaming_count_min", "bpe_encode_ids", "tokenize_pack",
+    "skew_join", "dedup_bloom", "triangle_count", "corpus_diff",
+    "json_extract", "hybrid_rrf", "ema_smooth", "token_entropy",
+    "streaming_ema", "negative_samples", "range_bounds", "autocorr",
+    "harmonic", "minhash_incremental", "percentile_rank",
+    "standardize_embeddings", "scene_changes", "source_divergence",
+    "incremental_curation", "funnel", "retention", "top_paths",
+    "streaming_funnel", "leakage_split", "jsonl_roundtrip", "isotonic",
+]
+
+#: the head of the r9 stratum (freshness order) — fills the window.
+_R9_STALE_AFTER_R13 = [
+    "load_stac_search", "weighted_sample", "cosine_topk_batch",
+    "ann_recall", "dedup_recall", "ivf_index_search",
+]
+
+#: gates whose IMPLEMENTATION changed in the r14 optimization round
+#: (structural changes: lazy checkpoint path, fixture overlap pools,
+#: bm25 spread, expression-memo swaps on their hot paths) — ride the
+#: window so the driver verifies the new code paths. The remaining
+#: memo-touched gates (quantile_sketch_merged/_grouped,
+#: semantic_dedup_planted/_recall, corpus_rollup, ivf_topk,
+#: multimodal_dedup, image_near_dups_incremental, audio/video_near_dups)
+#: share the identical memoized expressions pinned bit-equal by
+#: tests/test_r14_memo_pins.py + tests/test_r13_expr_memo.py and were
+#: oracle-verified in-round; they queue behind the staleness strata.
+#: hybrid_rrf and minhash_incremental double as r8-stale retirements
+#: (listed once, in the changed block).
+_CHANGED_R14 = [
+    "minhash_incremental", "ingest_screen", "ingest_screen_multimodal",
+    "streaming_ingest_screen_multimodal", "hybrid_rrf", "bm25_topk",
+    "bm25_eval", "semantic_dedup_incremental",
+    "streaming_semdedup_incremental", "quantile_sketch",
+    "simhash_near_dups", "simhash_incremental", "image_near_dups",
+    "semdedup", "kmeans_clusters",
+]
+
+_R8_REMAINING_R14 = [
+    g for g in _R8_STALE_AFTER_R13 if g not in _CHANGED_R14
+]
+_R9_FILL = 50 - 1 - len(_CHANGED_R14) - len(_R8_REMAINING_R14)
+_WINDOW_R14 = (
+    ["flagship_daily_mean"]
+    + _CHANGED_R14
+    + _R8_REMAINING_R14
+    + _R9_STALE_AFTER_R13[:_R9_FILL]
+)
+assert len(_WINDOW_R14) == 50, len(_WINDOW_R14)
+assert len(set(_WINDOW_R14)) == 50, "duplicate gate in window"
+
 _PRIORITY = (
-    _WINDOW_R13
-    # r14 candidates, stalest-first per tools/freshness.py: the r8
-    # tail that missed the window, then the r9 / r10 / r11 / r12
-    # strata (each internally in registry order)
-    + _R8_STALE_AFTER_R12[_R8_FILL:]
-    + _NEW_R9                 # driver-verified r9
-    + _R4_GREEN[2:40]         # driver-verified r9
-    + _R4_GREEN[40:]          # driver-verified r10
-    + _CHANGED_R10            # driver-verified r10
-    + _WINDOW_R11             # driver-verified r11
-    + _WINDOW_R12             # driver-verified r12
+    _WINDOW_R14
+    # r15 candidates, stalest-first per tools/freshness.py: the r9
+    # stratum tail, then r10 / r11 / r12 / r13 strata (each internally
+    # in prior-priority order)
+    + _R9_STALE_AFTER_R13[_R9_FILL:]
+    + _NEW_R9                 # r9 stratum (stale tail, registry order)
+    + _R4_GREEN[2:40]
+    + _R4_GREEN[40:]
+    + _CHANGED_R10
+    + _WINDOW_R11
+    + _WINDOW_R12
+    + _WINDOW_R13             # driver-verified r13
 )
 
 
