@@ -284,10 +284,15 @@ def ingest_screen_multimodal(
     def fp(text):
         return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
 
-    out = df_new.select(F.col(id_col).alias("id"))
-    lanes = []  # (marker col, flag name)
-    if seen_fingerprints is not None:
-        exact = (
+    # r14 (guide §5/§2.6 applied to the DRIVER): each lane's
+    # construction is a chain of py4j round trips + per-Dataset Catalyst
+    # analysis — measured ~0.8 s serial for the four lanes. They are
+    # independent pure plan builders over caller-owned inputs, so build
+    # them from a thread pool (py4j is connection-per-thread; Datasets
+    # are immutable) and keep only the final assembly serial. Identical
+    # lane plans, identical results.
+    def _exact_lane():
+        return (
             df_new.select(
                 F.col(id_col).alias("id"),
                 fp(F.col(text_col)).alias("fingerprint"),
@@ -300,10 +305,9 @@ def ingest_screen_multimodal(
             .select("id")
             .withColumn("__exact__", F.lit(True))
         )
-        out = out.join(exact, "id", "left")
-        lanes.append(("__exact__", "exact_dup"))
-    if seen_signatures is not None:
-        text_near = (
+
+    def _text_lane():
+        return (
             minhash_incremental(
                 df_new.select(id_col, text_col), seen_signatures, id_col,
                 text_col, n=n, num_hashes=num_hashes, bands=bands,
@@ -314,10 +318,9 @@ def ingest_screen_multimodal(
             .distinct()
             .withColumn("__text__", F.lit(True))
         )
-        out = out.join(text_near, "id", "left")
-        lanes.append(("__text__", "text_near_dup"))
-    if seen_members is not None:
-        semantic = (
+
+    def _sem_lane():
+        return (
             semdedup_incremental_pairs(
                 df_new.select(id_col, vec_col), seen_members, centroids,
                 threshold=sem_threshold, id_col=id_col, vec_col=vec_col,
@@ -326,10 +329,9 @@ def ingest_screen_multimodal(
             .distinct()
             .withColumn("__sem__", F.lit(True))
         )
-        out = out.join(semantic, "id", "left")
-        lanes.append(("__sem__", "semantic_dup"))
-    if seen_hashes is not None:
-        perceptual = (
+
+    def _perc_lane():
+        return (
             banded_hamming_incremental(
                 df_new.select(id_col, sig_col), seen_hashes,
                 max_hamming=max_hamming, bands=hash_bands,
@@ -339,8 +341,26 @@ def ingest_screen_multimodal(
             .distinct()
             .withColumn("__perc__", F.lit(True))
         )
-        out = out.join(perceptual, "id", "left")
-        lanes.append(("__perc__", "perceptual_dup"))
+
+    builders = []  # (marker col, flag name, build fn)
+    if seen_fingerprints is not None:
+        builders.append(("__exact__", "exact_dup", _exact_lane))
+    if seen_signatures is not None:
+        builders.append(("__text__", "text_near_dup", _text_lane))
+    if seen_members is not None:
+        builders.append(("__sem__", "semantic_dup", _sem_lane))
+    if seen_hashes is not None:
+        builders.append(("__perc__", "perceptual_dup", _perc_lane))
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+        futures = [pool.submit(b) for _, _, b in builders]
+        built = [f.result() for f in futures]
+    out = df_new.select(F.col(id_col).alias("id"))
+    lanes = []  # (marker col, flag name)
+    for (m, flag, _), lane_df in zip(builders, built):
+        out = out.join(lane_df, "id", "left")
+        lanes.append((m, flag))
     enabled = {m: f for m, f in lanes}
     all_flags = [
         ("__exact__", "exact_dup"), ("__text__", "text_near_dup"),
