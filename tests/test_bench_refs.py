@@ -64,3 +64,25 @@ def test_all_referenced_gates_exist_in_registry():
         + bench.HEADLINE + list(bench.STREAMS)
     ):
         assert name in qs, name
+
+
+def test_by_cpus_entries_mirror_top_level_shape():
+    """Measured per-core-count references (r14, ADVICE r13 #1): every
+    by_cpus entry must be keyed by a core-count string and only carry
+    sections the top level also has (so bench.py's per-section fallback
+    to the scaled 32-core values stays well-defined), with gate names
+    drawn from the same gate sets."""
+    refs = _refs()
+    allowed = {"comment", "quiet_cal_sec", "headline_total_sec",
+               "headline", "extras", "streaming_rows_per_s"}
+    for cpus, entry in refs.get("by_cpus", {}).items():
+        assert cpus.isdigit(), cpus
+        assert set(entry) <= allowed, set(entry) - allowed
+        if "headline" in entry:
+            assert set(entry["headline"]) == set(bench.HEADLINE)
+        if "extras" in entry:
+            assert set(entry["extras"]) <= set(bench.EXTRAS)
+        if "streaming_rows_per_s" in entry:
+            assert set(entry["streaming_rows_per_s"]) <= set(bench.STREAMS)
+        if "quiet_cal_sec" in entry:
+            assert entry["quiet_cal_sec"] > 0

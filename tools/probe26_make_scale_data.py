@@ -4,16 +4,17 @@ scaled dataset the 8-vs-32-core parallelism probe runs on.
 Every sf0.1 fixture parquet is ONE row group in ONE file, so a scan is
 one task and sub-second gates are driver-overhead-bound — the r13 bench
 could not demonstrate core scaling (all 8v32 ratios <= 1.5). This tool
-writes /root/probe_scale/sf1x:
+writes /root/probe_scale/sf1x via a copy-index crossJoin (a 100-way
+union plan is itself an analysis bottleneck):
 
-- lineitem x10 with per-copy shifted keys (l_suppkey/l_orderkey/
-  l_partkey + copy stride), 64 files -> 10x groups for the cube gates'
-  aggregates AND windows;
+- lineitem x100 with per-copy shifted keys (l_suppkey/l_orderkey/
+  l_partkey + copy stride), 64 files -> 100x groups for the cube gates'
+  aggregates AND windows (~60M rows);
 - documents x10 SALTED (the r5 SCALECHECK recipe: per-copy boundary
   token so near-dup structure is preserved per copy, not multiplied
   across copies — keeps the LSH buckets linear), 64 files;
-- embeddings x100 with shifted vec_ids (same vectors -> same per-row
-  scoring cost), 64 files;
+- embeddings x1000 with shifted vec_ids (same vectors -> same per-row
+  scoring cost; 2M rows), 64 files;
 - the remaining tables copied verbatim.
 
 Perf probe data only — never read by any declared query, the bench, or
@@ -35,10 +36,15 @@ from pyspark.sql import functions as F
 
 SRC = "/root/testdata/sf0.1"
 DST = os.environ.get("PROBE_SCALE_DIR", "/root/probe_scale/sf1x")
-COPIES_LI = 10
+COPIES_LI = 100
 COPIES_DOC = 10
-COPIES_EMB = 100
+COPIES_EMB = 1000
 FILES = 64
+
+
+def _copies(spark, df, n: int):
+    idx = spark.range(n).select(F.col("id").cast("long").alias("__copy__"))
+    return df.crossJoin(idx)
 
 
 def main() -> None:
@@ -56,51 +62,40 @@ def main() -> None:
     os.makedirs(DST, exist_ok=True)
 
     li = load_table(spark, SRC, "lineitem")
-    # strides larger than any key in the base table
-    out = None
-    for c in range(COPIES_LI):
-        part = li.select(
-            (F.col("l_orderkey") + F.lit(c * 10_000_000)).alias("l_orderkey"),
-            (F.col("l_partkey") + F.lit(c * 1_000_000)).alias("l_partkey"),
-            (F.col("l_suppkey") + F.lit(c * 1_000_000)).alias("l_suppkey"),
-            *[
-                f.name
-                for f in li.schema
-                if f.name not in ("l_orderkey", "l_partkey", "l_suppkey")
-            ],
-        )
-        out = part if out is None else out.unionByName(part)
+    c = F.col("__copy__")
+    out = _copies(spark, li, COPIES_LI).select(
+        (F.col("l_orderkey") + c * 10_000_000).alias("l_orderkey"),
+        (F.col("l_partkey") + c * 1_000_000).alias("l_partkey"),
+        (F.col("l_suppkey") + c * 1_000_000).alias("l_suppkey"),
+        *[
+            f.name
+            for f in li.schema
+            if f.name not in ("l_orderkey", "l_partkey", "l_suppkey")
+        ],
+    )
     out.repartition(FILES).write.mode("overwrite").parquet(
         f"{DST}/lineitem.parquet"
     )
     print("lineitem done", flush=True)
 
     docs = load_table(spark, SRC, "documents")
-    out = None
-    for c in range(COPIES_DOC):
-        part = docs.select(
-            (F.col("doc_id") + F.lit(c * 1_000_000)).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(f" zzcopy{c}salt")).alias("text"),
-            *[
-                f.name
-                for f in docs.schema
-                if f.name not in ("doc_id", "text")
-            ],
-        )
-        out = part if out is None else out.unionByName(part)
+    out = _copies(spark, docs, COPIES_DOC).select(
+        (F.col("doc_id") + c * 1_000_000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" zzcopy"), c.cast("string"), F.lit("salt")
+        ).alias("text"),
+        *[f.name for f in docs.schema if f.name not in ("doc_id", "text")],
+    )
     out.repartition(FILES).write.mode("overwrite").parquet(
         f"{DST}/documents.parquet"
     )
     print("documents done", flush=True)
 
     emb = load_table(spark, SRC, "embeddings")
-    out = None
-    for c in range(COPIES_EMB):
-        part = emb.select(
-            (F.col("vec_id") + F.lit(c * 1_000_000)).alias("vec_id"),
-            *[f.name for f in emb.schema if f.name != "vec_id"],
-        )
-        out = part if out is None else out.unionByName(part)
+    out = _copies(spark, emb, COPIES_EMB).select(
+        (F.col("vec_id") + c * 1_000_000).alias("vec_id"),
+        *[f.name for f in emb.schema if f.name != "vec_id"],
+    )
     out.repartition(FILES).write.mode("overwrite").parquet(
         f"{DST}/embeddings.parquet"
     )

@@ -41,10 +41,11 @@ def main() -> None:
             "PROBE_QUERIES", ",".join(QUERIES)
         ).split(",") if q
     ]
+    shuffle_parts = os.environ.get("PROBE_SHUFFLE") or str(max(int(cpus), 8))
     b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("r14-probe26")
-        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

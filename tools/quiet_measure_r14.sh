@@ -38,7 +38,7 @@ EOF
 }
 
 # wait for quiet, up to 3 hours
-for i in $(seq 1 90); do
+for i in $(seq 1 18); do
   if quiet >> $OUT/quiet_poll.log 2>&1; then
     echo "$(date +%H:%M:%S) quiet confirmed" >> $OUT/quiet_poll.log
     break
